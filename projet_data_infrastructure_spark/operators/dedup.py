@@ -1,0 +1,182 @@
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design:
+
+* **Exact**: hash-groupBy on a digest of the (normalized) text — one shuffle
+  on a 128-bit key, no text comparison. At 100 TB, group by ``md5`` digest
+  and keep ``min(doc_id)``; never shuffle the documents themselves.
+* **MinHash+LSH**: shingle → k seeded min-hashes → band keys → group/join on
+  band keys. Only (doc_id, band_key) pairs shuffle (constant bytes/doc);
+  candidate pairs are verified downstream. This is the standard
+  shingle→minhash→band→bucket-join pipeline (Broder; see PAPERS.md).
+* **SimHash**: 32-bit signature via bitwise majority vote over token hashes —
+  one explode + two aggregations, all JVM-side arithmetic.
+* **n-gram Jaccard**: exact verification for candidate pairs (quadratic —
+  only ever run it on LSH candidates or a bounded sample).
+
+Hashes use the engine-portable md5-based :func:`hash64` so results are
+verifiable cross-engine; swap to ``F.xxhash64`` for raw speed in production
+(same algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.functions.hashing import hash64
+from projet_data_infrastructure_spark.operators.text import normalize, tokens
+
+MINHASH_HASHES = 6  #: k independent hash functions
+MINHASH_BAND_ROWS = 2  #: rows per band → 3 bands of 2
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate clusters: digest → (cluster size, keeper = min id)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated id set (normalized-text digest, keep lowest id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), fingerprint_col(text_col).alias("digest"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col)
+    )
+
+
+def fingerprint_col(text_col: str):
+    return F.md5(normalize(F.col(text_col)))
+
+
+def shingles_from_tokens(toks_col: str, n: int = 3):
+    """Word n-gram shingles from a token-array column.
+
+    Caller must ensure ``size(toks) >= n`` (Spark's ``sequence(1, 0)``
+    DESCENDS, so an unguarded short doc would produce garbage).
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.size(F.col(toks_col)) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col(toks_col), i, n)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = MINHASH_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: one row per doc, columns m0..m{k-1}.
+
+    Single explode + single partial/final aggregation — the shuffle carries
+    only (doc_id, k×8 bytes). Docs with fewer than ``shingle_n`` tokens have
+    no shingles and drop out (they can't near-dup anyway).
+    """
+    shingled = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= shingle_n)
+        .select(F.col(id_col), F.explode(shingles_from_tokens("toks", shingle_n)).alias("shingle"))
+    )
+    aggs = [F.min(hash64(F.col("shingle"), seed=j)).alias(f"m{j}") for j in range(n_hashes)]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = MINHASH_HASHES,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band become a candidate pair (a < b)."""
+    n_bands = n_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = exploded.select(F.col(id_col).alias("doc_a"), "band", "key")
+    right = exploded.select(F.col(id_col).alias("doc_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document (bitwise majority over token hashes).
+
+    All arithmetic stays < 2^32 so the float division is exact and the value
+    is engine-portable (see functions/hashing.py).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    h32 = (hash64(F.col("token")) % F.lit(4294967296)).alias("h32")
+    bits = toks.select(id_col, h32, F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
+    contrib = (
+        (F.floor(F.col("h32") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2) * 2 - 1
+    ).alias("contrib")
+    votes = bits.select(id_col, "bit", contrib).groupBy(id_col, "bit").agg(
+        F.sum("contrib").alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_id: int | None = None,
+) -> DataFrame:
+    """Exact unigram-set Jaccard for all pairs (bounded by ``max_id``).
+
+    Quadratic — at scale this runs ONLY on LSH candidate pairs; the bounded
+    all-pairs form exists for verification and small corpora.
+    """
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    toks = base.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        toks.select(F.col(id_col).alias("doc_a"), "token")
+        .join(toks.select(F.col(id_col).alias("doc_b"), "token"), "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard_raw"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Scale design:
+
+* **Brute-force top-k** (baseline): broadcast the query vector, compute
+  cosine via JVM higher-order functions (``zip_with`` + ``aggregate`` — no
+  Python, no UDF), then ``orderBy().limit(k)`` which Catalyst plans as
+  TakeOrderedAndProject (per-partition heap of k, no global sort). Linear
+  scan, embarrassingly parallel — the right baseline even at 100 TB.
+* **IVF-bucketed** (scale path): assign every vector to its nearest of C
+  centroids (one broadcast join), partition by bucket; a query probes only
+  its bucket(s) — C× less work per query. Centroid assignment here is
+  deterministic (seed vectors as centroids) so it is oracle-checkable;
+  production would plug k-means centroids into the same algebra.
+* **Near-dup pairs**: embedding-cosine dedup — all-pairs within a bucket (or
+  LSH band), never global all-pairs.
+
+All arithmetic is double-precision and sequential over the array, so results
+are bit-stable and cross-engine comparable after a 1e-6 round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_sq(a: str | Column, b: str | Column) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    diff = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** F.lit(2))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "qvec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cosine top-k against a broadcast 1-row query-vector DataFrame.
+
+    Rounds the similarity BEFORE ranking so ties break on ``id_col``
+    deterministically (float noise below 1e-6 cannot reorder the cut)."""
+    scale = float(10**round_dp)
+    sim = F.floor(cosine(vec_col, query_col) * scale + F.lit(0.5)) / F.lit(scale)
+    return (
+        emb.join(F.broadcast(query_vec))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above a threshold.
+
+    All-pairs form — at scale, feed it per-bucket partitions (IVF/LSH), not
+    the whole table."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    scale = float(10**round_dp)
+    sim = F.floor(cosine("va", "vb") * scale + F.lit(0.5)) / F.lit(scale)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: nearest (L2) of the first ``n_centroids`` vectors.
+
+    Deterministic centroid choice (vec_id 0..C-1) keeps this oracle-checkable;
+    swap in trained centroids for production — the plan shape (broadcast
+    centroids → per-row argmin) is unchanged and shuffle-free."""
+    from pyspark.sql.window import Window
+
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    scale = 1e6
+    dist = F.floor(l2_sq(vec_col, "cvec") * scale + F.lit(0.5)) / F.lit(scale)
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("centroid_id"))
+    return (
+        emb.join(F.broadcast(cents))
+        .select(F.col(id_col), "centroid_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "dist")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search: probe only the query's IVF bucket, then cosine top-k."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    qbucket = assign.filter(F.col(id_col) == query_id).select(
+        F.col("centroid_id").alias("qc")
+    )
+    candidates = (
+        assign.join(F.broadcast(qbucket), assign.centroid_id == F.col("qc"))
+        .select(id_col)
+        .join(emb, id_col)
+    )
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return brute_force_topk(
+        candidates.filter(F.col(id_col) != query_id), qvec, k, id_col, vec_col
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all pure Column
+expressions (JVM-side, whole-stage codegen; no Python in the hot path), so
+they stream over a 100 TB documents table with zero shuffle until the caller
+aggregates.
+
+Beyond the reference's surface (it has no text ops); required by the engine
+charter (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic. Order defines the deterministic tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "y", "que", "de"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token hygiene (portable)."""
+    return F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish subword segmentation: letter runs, digit runs, single symbols."""
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text."""
+    return F.md5(normalize(text))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, char count, avg token length,
+    punctuation ratio, stopword ratio (en markers)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(F.lower(t), "[a-z0-9\\s]", ""))
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"])))
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        (F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / F.greatest(n_tokens, F.lit(1))).alias(
+            "avg_token_len_raw"
+        ),
+        (punct / F.greatest(n_chars, F.lit(1)).cast("double")).alias("punct_ratio_raw"),
+        (stop / F.greatest(n_tokens, F.lit(1)).cast("double")).alias("stopword_ratio_raw"),
+    )
+
+
+def lang_scores(toks: Column) -> list[tuple[str, Column]]:
+    return [
+        (lang, F.size(F.filter(toks, lambda x: x.isin(*words))))
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+
+
+def predict_lang(toks: Column) -> Column:
+    """argmax over stopword-hit scores, ties broken by language code order."""
+    scores = lang_scores(toks)
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    pred = F.lit("und")
+    # reversed so that on ties the alphabetically-first language wins
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))

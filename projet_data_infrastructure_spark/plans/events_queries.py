@@ -1,0 +1,343 @@
+"""Event-stream query surface (SURVEY.md §2.10 + the watermark/window/session
+operators the reference lacks but the engine ships).
+
+Batch and Structured Streaming share the same DataFrame algebra, so each
+operator here is defined once and exercised two ways:
+
+* as a batch query over ``events`` with a DuckDB oracle (this file), and
+* as a real ``readStream`` run in ``streaming/`` (tests + the two
+  ``stream_*`` specs below, which execute an actual availableNow streaming
+  query inside the driver's session and return the sink table).
+
+Event-time notes: ``events.ts`` is stored as parquet TIMESTAMP(NANOS); both
+engines truncate to µs (see ``sources/readers.py``). All epoch math pins the
+session TZ to UTC so NTZ↔epoch conversions are total functions of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table
+
+# --------------------------------------------------------------------------
+# F1/P2: JSON field extraction (get_json_object ≈ SaveDelta.scala:140-147)
+# --------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    ).filter(F.col("k_value") > 50)
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+"""
+
+# --------------------------------------------------------------------------
+# T1/P2/P3: Debezium envelope round-trip. We build the envelope JSON from
+# events (integers only — float JSON rendering is engine-specific), then
+# parse it back with from_json + the declared schema (the reference declared
+# a schema but bypassed it with get_json_object; we enforce it — SURVEY §1.2)
+# and apply the tombstone filter.
+# --------------------------------------------------------------------------
+
+_ENVELOPE_SCHEMA = (
+    "payload STRUCT<after: STRUCT<id: BIGINT, user_id: BIGINT, value_cents: BIGINT>, "
+    "op: STRING, ts_ms: BIGINT>"
+)
+
+
+def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    value_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))  # UTC pinned by read_table
+    envelope = F.concat(
+        F.lit('{"payload":{"after":{"id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"user_id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"value_cents":'),
+        value_cents.cast("string"),
+        F.lit('},"op":"c","ts_ms":'),
+        ts_ms.cast("string"),
+        F.lit("}}"),
+    )
+    parsed = ev.select(envelope.alias("value")).select(
+        F.from_json("value", _ENVELOPE_SCHEMA).alias("j")
+    )
+    return parsed.select(
+        F.col("j.payload.after.id").alias("id"),
+        F.col("j.payload.after.user_id").alias("user_id"),
+        F.col("j.payload.after.value_cents").alias("value_cents"),
+        F.col("j.payload.op").alias("op"),
+        F.col("j.payload.ts_ms").alias("ts_ms"),
+    ).filter(F.col("id").isNotNull())
+
+
+_CDC_ENVELOPE_SQL = """
+WITH envelope AS (
+    SELECT '{"payload":{"after":{"id":' || event_id
+        || ',"user_id":' || user_id
+        || ',"value_cents":' || CAST(floor(value * 100 + 0.5) AS BIGINT)
+        || '},"op":"c","ts_ms":' || epoch_ms(ts) || '}}' AS value
+    FROM events
+)
+SELECT CAST(json_extract_string(value, '$.payload.after.id') AS BIGINT) AS id,
+       CAST(json_extract_string(value, '$.payload.after.user_id') AS BIGINT) AS user_id,
+       CAST(json_extract_string(value, '$.payload.after.value_cents') AS BIGINT) AS value_cents,
+       json_extract_string(value, '$.payload.op') AS op,
+       CAST(json_extract_string(value, '$.payload.ts_ms') AS BIGINT) AS ts_ms
+FROM envelope
+WHERE json_extract_string(value, '$.payload.after.id') IS NOT NULL
+"""
+
+# F3: µs-epoch round-trip (SaveDelta.scala:143 did this lossily; we don't).
+
+
+def q_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).cast("timestamp_ntz").alias("ts_decoded"),
+    )
+
+
+_EPOCH_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, make_timestamp(epoch_us(ts)) AS ts_decoded
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# Event-time windows (absent from the reference — SURVEY §2.10 "Absent";
+# one-liners in Spark, validated against explicit bucket math in DuckDB).
+# Buckets are hour/minute-granular: both engines align those to midnight.
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), pround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value")
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+       count(*) AS n_events, {pround_sql('sum(value)', 2)} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "n_events")
+    )
+
+
+# Slide divides width ⇒ every event is in exactly 2 windows with starts
+# time_bucket_30(ts) and time_bucket_30(ts) - 30min.
+_SLIDING_SQL = """
+WITH exploded AS (
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS wstart
+    FROM events, (SELECT unnest([0, 1]) AS k)
+)
+SELECT wstart, count(*) AS n_events FROM exploded GROUP BY 1
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# Gaps-and-islands: a new session starts when the gap since the previous
+# event is >= 10 min (Spark's session window end = last_event + gap,
+# exclusive). session_end = max(ts) + gap.
+_SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 10 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+# Deterministic dedup (streaming dropDuplicates made order-stable):
+# keep the earliest event per (user_id, event_type).
+
+
+def q_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_DEDUP_EARLIEST_SQL = """
+SELECT user_id, event_type, event_id, ts FROM (
+    SELECT user_id, event_type, event_id, ts,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+# Watermark semantics, batch analog: drop events older than max(ts) - 7 days.
+
+
+def q_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    horizon = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("horizon"))
+    return (
+        ev.join(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("horizon"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+
+
+_LATE_DATA_SQL = """
+SELECT event_type, count(*) AS n_recent
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY event_type
+"""
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(pround(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+_TOPK_USERS_SQL = f"""
+SELECT user_id, {pround_sql('sum(value)', 2)} AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# REAL Structured Streaming runs (availableNow) inside the caller's session.
+# The file source replays events.parquet as a stream; results land in a
+# memory sink and are returned as the sink table. Oracle: the batch
+# equivalent — streaming and batch must agree on the same input.
+# --------------------------------------------------------------------------
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # FileStreamSource internally sets basePath to the load path, so a
+    # single-file glob fails ("basePath must be a directory"); monitor the
+    # directory and filter to the events file instead.
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # LTZ (plain timestamp) here: watermarks/event-time require TimestampType;
+    # UTC is pinned above so epoch↔wall-clock is deterministic. Integer `div`:
+    # see sources/readers.py (ns epochs exceed double precision).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_stream(df_writer, spark: SparkSession, name: str) -> DataFrame:
+    query = df_writer.queryName(name).trigger(availableNow=True).format("memory").start()
+    query.awaitTermination(120)
+    query.stop()
+    return spark.table(name)
+
+
+def q_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    out = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", pround(F.col("value"), 2).alias("value_r")
+    )
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_filter_sink")
+
+
+_STREAM_FILTER_SQL = f"""
+SELECT event_id, user_id, {pround_sql('value', 2)} AS value_r
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"), "event_type", "n_events"
+        )
+    )
+    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_tumbling_sink")
+
+
+_STREAM_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
+    QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
+    QuerySpec("epoch_us_roundtrip", q_epoch_roundtrip, _EPOCH_SQL, ("scalar",)),
+    QuerySpec("tumbling_window_agg", q_tumbling_window, _TUMBLING_SQL, ("window", "streaming", "bench")),
+    QuerySpec("sliding_window_agg", q_sliding_window, _SLIDING_SQL, ("window", "streaming")),
+    QuerySpec("session_window_agg", q_session_window, _SESSION_SQL, ("window", "streaming")),
+    QuerySpec("dedup_earliest_event", q_dedup_earliest, _DEDUP_EARLIEST_SQL, ("dedup", "streaming")),
+    QuerySpec("late_data_filter", q_late_data_filter, _LATE_DATA_SQL, ("streaming",)),
+    QuerySpec("topk_users_by_value", q_topk_users, _TOPK_USERS_SQL, ("agg", "topk")),
+    QuerySpec("stream_filter_project", q_stream_filter, _STREAM_FILTER_SQL, ("streaming-live",)),
+    QuerySpec("stream_tumbling_counts", q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming-live",)),
+]

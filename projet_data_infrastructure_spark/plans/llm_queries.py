@@ -1,0 +1,462 @@
+"""Training-data-pipeline query surface: dedup, similarity search, text
+analysis, and the external-enrichment UDF — over ``documents`` and
+``embeddings`` (BASELINE.json north star; operators in
+``operators/{dedup,similarity,text}.py``).
+
+Every spec here is oracle-checked: the hashing primitives are md5-based and
+engine-portable (functions/hashing.py), float similarity is rounded at 1e-6
+before any ranking/thresholding, and ratio arithmetic mirrors operand order
+exactly so IEEE doubles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+from projet_data_infrastructure_spark.operators import dedup, similarity
+from projet_data_infrastructure_spark.operators.text import (
+    LANG_MARKERS,
+    bpe_ish_tokens,
+    fingerprint,
+    predict_lang,
+    tokens,
+)
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table
+
+# DuckDB-side token expression (mirror of operators.text.tokens)
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+_DEDUP_GROUPS_SQL = """
+SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keep(docs)
+
+
+_DEDUP_KEEP_SQL = """
+SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs)
+
+
+def _minhash_sig_sql(n_hashes: int = dedup.MINHASH_HASHES) -> str:
+    mins = ",\n           ".join(
+        f"min({hash64_sql('shingle', seed=j)}) AS m{j}" for j in range(n_hashes)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    return dedup.lsh_candidate_pairs(sig)
+
+
+def _minhash_pairs_sql() -> str:
+    sig = _minhash_sig_sql()
+    n_bands = dedup.MINHASH_HASHES // dedup.MINHASH_BAND_ROWS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(m{b * dedup.MINHASH_BAND_ROWS} AS VARCHAR) || '_' || "
+        f"CAST(m{b * dedup.MINHASH_BAND_ROWS + 1} AS VARCHAR) AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({sig}),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash32(docs)
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), tok AS (
+    SELECT doc_id, unnest(t) AS token FROM toks
+), bits AS (
+    SELECT doc_id, ({hash64_sql('token')}) % 4294967296 AS h32,
+           unnest(generate_series(0, 31)) AS bit
+    FROM tok
+), votes AS (
+    SELECT doc_id, bit,
+           sum(CAST(floor(h32 / power(2.0, bit)) AS BIGINT) % 2 * 2 - 1) AS vote
+    FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, max_id=60)
+    return pairs.select("doc_a", "doc_b", pround(F.col("jaccard_raw"), 4).alias("jaccard"))
+
+
+_JACCARD_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents WHERE doc_id < 60
+), tok AS (
+    SELECT doc_id, unnest(t) AS token FROM toks
+), sizes AS (
+    SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       {pround_sql('inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)', 4)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       {pround_sql('list_cosine_similarity(embedding::DOUBLE[], qv)', 6)} AS sim
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity.neardup_pairs(emb, threshold=0.3)
+
+
+_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {pround_sql('list_cosine_similarity(a.v, b.v)', 6)} AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {pround_sql('list_cosine_similarity(a.v, b.v)', 6)} >= 0.3
+"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb)
+
+
+_IVF_ASSIGN_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), ranked AS (
+    SELECT vec_id, centroid_id, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM dists
+)
+SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, k=5)
+
+
+_IVF_TOPK_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), qbucket AS (SELECT centroid_id FROM assign WHERE vec_id = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {pround_sql('list_cosine_similarity(e.embedding::DOUBLE[], qv)', 6)} AS sim
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN qbucket ON a.centroid_id = qbucket.centroid_id, q
+WHERE e.vec_id != 0
+ORDER BY sim DESC, e.vec_id LIMIT 5
+"""
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(F.lower(t), "[a-z0-9\\s]", ""))
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"])))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        pround(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(n_tokens, F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+        pround(punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4).alias("punct_ratio"),
+        pround(stop / F.greatest(n_tokens, F.lit(1)).cast("double"), 4).alias("stopword_ratio"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+_PUNCT_SQL = "length(regexp_replace(lower(text), '[a-z0-9" + "\\" + "s]', '', 'g'))"
+_AVG_TOK_LEN = pround_sql(
+    "list_sum(list_transform(t, x -> length(x))) / CAST(greatest(len(t), 1) AS DOUBLE)", 4
+)
+_PUNCT_RATIO = pround_sql(f"{_PUNCT_SQL} / CAST(greatest(length(text), 1) AS DOUBLE)", 4)
+_STOP_RATIO = pround_sql(
+    f"len(list_filter(t, x -> x IN ({_EN}))) / CAST(greatest(len(t), 1) AS DOUBLE)", 4
+)
+_TEXT_STATS_SQL = f"""
+WITH base AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       {_AVG_TOK_LEN} AS avg_token_len,
+       {_PUNCT_RATIO} AS punct_ratio,
+       {_STOP_RATIO} AS stopword_ratio
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select("doc_id", F.col("lang").alias("lang_labeled"), predict_lang(toks).alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    hits = ",\n       ".join(
+        f"len(list_filter(t, x -> x IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS s_{lang}"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN s_{lg} = g THEN '{lg}'" for lg in langs)
+    return f"""
+WITH base AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+scored AS (SELECT doc_id, lang, {hits} FROM base),
+g AS (SELECT *, {greatest} AS g FROM scored)
+SELECT doc_id, lang AS lang_labeled,
+       CASE WHEN g = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+FROM g
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(F.lower(t), "[a-z0-9\\s]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    ).cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))) / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct)
+        + F.lit(0.3) * stop
+    )
+    return docs.select(
+        "doc_id",
+        pround(score, 4).alias("quality"),
+        F.when(score >= 0.6, F.lit("high"))
+        .when(score >= 0.4, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("quality_bucket"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH base AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+m AS (
+    SELECT doc_id,
+           0.4 * least(len(t) / 100.0, 1.0)
+         + 0.3 * (1.0 - {_PUNCT_SQL} / CAST(greatest(length(text), 1) AS DOUBLE))
+         + 0.3 * (len(list_filter(t, x -> x IN ({_EN}))) / CAST(greatest(len(t), 1) AS DOUBLE)) AS score
+    FROM base
+)
+SELECT doc_id, {pround_sql('score', 4)} AS quality,
+       CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'medium' ELSE 'low' END
+           AS quality_bucket
+FROM m
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"))
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# §2.9 external-enrichment UDF surface: the commute-distance call
+# (commute_validation.py:20-61) with a deterministic md5 stub (SURVEY §7.3) —
+# the only Python UDF in the engine, Arrow-batched, and still oracle-checked
+# because the stub is the portable hash.
+# --------------------------------------------------------------------------
+
+
+def _stub_distance_series(address):
+    # Deterministic stand-in for the Distance Matrix API: portable md5-based
+    # hash of the address → metres in [0, 30000). Vectorized over an Arrow
+    # batch (pandas Series in, Series out).
+    import hashlib
+
+    return address.map(lambda a: int(hashlib.md5(str(a).encode()).hexdigest()[:15], 16) % 30000)
+
+
+def q_commute_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    # No type annotations on purpose: `from __future__ import annotations`
+    # turns them into strings pandas_udf can't resolve; the explicit
+    # returnType + single-arg form selects the scalar pandas UDF path.
+    stub_distance_m = pandas_udf(_stub_distance_series, "long")
+
+    cust = read_table(spark, sf_dir, "customer")
+    mode = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("walking"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("bicycling"))
+        .otherwise(F.lit("other"))
+    )
+    dist = stub_distance_m(F.col("c_name"))
+    limit = F.when(mode == "walking", F.lit(15000)).when(mode == "bicycling", F.lit(25000))
+    return cust.select(
+        "c_custkey",
+        mode.alias("transport_mode"),
+        F.when(limit.isNotNull(), dist).alias("calculed_distance"),
+        F.when(limit.isNotNull(), dist <= limit).alias("is_valid"),
+        F.when(limit.isNull(), F.lit("unsupported transport mode")).alias("error_message"),
+    )
+
+
+_COMMUTE_SQL = f"""
+WITH base AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN 'walking'
+                WHEN c_custkey % 3 = 1 THEN 'bicycling'
+                ELSE 'other' END AS transport_mode,
+           {hash64_sql('c_name')} % 30000 AS dist
+    FROM customer
+)
+SELECT c_custkey, transport_mode,
+       CASE WHEN transport_mode IN ('walking', 'bicycling') THEN dist END AS calculed_distance,
+       CASE WHEN transport_mode = 'walking' THEN dist <= 15000
+            WHEN transport_mode = 'bicycling' THEN dist <= 25000 END AS is_valid,
+       CASE WHEN transport_mode NOT IN ('walking', 'bicycling')
+            THEN 'unsupported transport mode' END AS error_message
+FROM base
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_exact_groups", q_dedup_exact_groups, _DEDUP_GROUPS_SQL, ("dedup", "bench")),
+    QuerySpec("dedup_exact_keep", q_dedup_exact_keep, _DEDUP_KEEP_SQL, ("dedup",)),
+    QuerySpec("minhash_signatures", q_minhash_signatures, _minhash_sig_sql(), ("dedup", "bench")),
+    QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _minhash_pairs_sql(), ("dedup",)),
+    QuerySpec("simhash_32bit", q_simhash, _SIMHASH_SQL, ("dedup",)),
+    QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, _JACCARD_SQL, ("dedup",)),
+    QuerySpec("cosine_topk_bruteforce", q_cosine_topk, _COSINE_TOPK_SQL, ("similarity", "bench")),
+    QuerySpec("embedding_neardup_pairs", q_embedding_neardup, _NEARDUP_SQL, ("similarity",)),
+    QuerySpec("ivf_assign", q_ivf_assign, _IVF_ASSIGN_SQL, ("similarity",)),
+    QuerySpec("ivf_topk_ann", q_ivf_topk, _IVF_TOPK_SQL, ("similarity",)),
+    QuerySpec("text_stats", q_text_stats, _TEXT_STATS_SQL, ("text", "bench")),
+    QuerySpec("lang_id_heuristic", q_lang_id, _lang_id_sql(), ("text",)),
+    QuerySpec("quality_score", q_quality_score, _QUALITY_SQL, ("text",)),
+    QuerySpec("doc_fingerprint", q_fingerprint, _FINGERPRINT_SQL, ("text",)),
+    QuerySpec("token_count_bpe", q_token_count_bpe, _BPE_SQL, ("text",)),
+    QuerySpec("commute_enrichment_udf", q_commute_enrichment, _COMMUTE_SQL, ("udf",)),
+]

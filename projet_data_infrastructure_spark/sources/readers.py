@@ -1,0 +1,131 @@
+"""Batch sources (SURVEY.md §2.1).
+
+Spark-first equivalents of every scan the reference performs:
+
+* S3 Delta/parquet lake scan  (``/root/reference/airflow/config/read_delta.py:47-53``)
+* S4 JDBC scan                (``read_delta.py:87-103``)
+* S5/S6 cursor + projection scans (``commute_validation/sql_scripts.py:82-90``,
+  ``activity_generator/sql_manipulation.py:30-36``) — here just
+  ``read_table(...).select(...)``; Catalyst pushes the projection into the scan.
+* S7 Excel scan               (``commute_validation/commute_validation.py:186-209``)
+* S10 metadata scan           (``airflow/dags/data_validation_dag.py:68-106``)
+
+All readers return DataFrames and never collect; filters/projections applied
+by callers are pushed into the file scan by Catalyst (verify with
+``df.explain()`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables of the driver star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema table (parquet; Delta when available).
+
+    Columnar scan with predicate pushdown + column pruning for free; the
+    reference's equivalent is the Delta/JDBC load at ``read_delta.py:47-103``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL), so the events scan flips the runtime-settable
+    legacy conf to read raw ns longs and normalizes to a µs-truncated NTZ
+    timestamp — the same value DuckDB produces when it truncates ns → µs on
+    read. Session TZ is pinned to UTC first so the LTZ→NTZ hop is a no-op
+    regardless of the host session's zone.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, NOT `/`: ns epochs exceed 2^53, double division
+            # rounds and lands ±1 µs off (measured).
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every star-schema table and register temp views for spark.sql."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC scan (S4, ``read_delta.py:87-103``) with scale-aware partitioning.
+
+    The reference read whole Postgres tables through a single JDBC cursor;
+    at scale a single-cursor read is a driver-side bottleneck, so we expose
+    the partitioned read path (predicate-ranged parallel cursors).
+    Untestable in this container (no database); exercised only via its plan.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1))
+        )
+    return reader.load()
+
+
+def read_excel(spark: SparkSession, path: str, rename: dict[str, str] | None = None) -> DataFrame:
+    """Excel HR ingest (S7, ``commute_validation.py:186-209``).
+
+    Small-dimension path: pandas parses the sheet on the driver, Spark gets an
+    Arrow-backed DataFrame. Fine for dims; large files belong in parquet.
+    Requires openpyxl (absent in the test container → ImportError is raised
+    to the caller, who should fall back to a parquet/CSV dim).
+    """
+    import pandas as pd  # local import: driver-only dependency
+
+    pdf = pd.read_excel(path)  # needs openpyxl at runtime
+    if rename:
+        pdf = pdf.rename(columns=rename)
+    return spark.createDataFrame(pdf)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Metadata scan / existence gate (S10, ``data_validation_dag.py:68-106``)."""
+    return spark.catalog.tableExists(name)

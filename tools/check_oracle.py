@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB at a given SF,
+compares row count, column names, and an order-insensitive value hash.
+Usage: python tools/check_oracle.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from projet_data_infrastructure_spark.plans import all_specs  # noqa: E402
+from projet_data_infrastructure_spark.session import get_spark  # noqa: E402
+from projet_data_infrastructure_spark.sources.readers import TABLES  # noqa: E402
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    digests = sorted(
+        hashlib.md5("|".join(canon(r[i]) for i in order).encode()).hexdigest() for r in rows
+    )
+    return hashlib.md5("\n".join(digests).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    specs = [s for s in all_specs() if not only or s.name in only]
+    n_pass = n_fail = 0
+    for spec in specs:
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = [f.lower() for f in sdf.columns]
+        except Exception as e:
+            print(f"FAIL {spec.name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ok?  {spec.name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            ores = con.sql(spec.oracle)
+            ocols = [c.lower() for c in ores.columns]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL {spec.name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if not problems:
+            sh = value_hash([tuple(r) for r in srows], scols)
+            oh = value_hash(orows, ocols)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                # show a sample difference for debugging
+                skeys = {
+                    "|".join(canon(v) for v in sorted_row): None
+                    for sorted_row in (
+                        tuple(r[i] for i in sorted(range(len(scols)), key=lambda i: scols[i]))
+                        for r in (tuple(x) for x in srows)
+                    )
+                }
+                for orow in orows:
+                    key = "|".join(
+                        canon(orow[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
+                    )
+                    if key not in skeys:
+                        problems.append(f"oracle-only row: {key[:160]}")
+                        break
+        if problems:
+            print(f"FAIL {spec.name}: {'; '.join(problems[:3])}")
+            n_fail += 1
+        else:
+            print(f"PASS {spec.name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(specs)} total")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
