@@ -1,0 +1,126 @@
+"""Multimodal column plumbing (images/audio/video as opaque binary + metadata).
+
+Engine charter item (BASELINE.json north star): treat media as ``binary``
+columns with typed metadata; run decode / feature-extract / resize /
+frame-sample as Arrow-batched pandas functions over ``mapInPandas``. The
+image/audio codecs are NOT installed in this container, so the decode step is
+a clearly-marked deterministic fake behind ``decoder=`` injection — the
+Spark-side plumbing (schema, batch shape, partitioning) is real and tested;
+production swaps in Pillow/torchaudio et al. without touching the plan.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches — media bytes never
+materialize as Python lists; `spark.sql.execution.arrow.maxRecordsPerBatch`
+bounds batch memory. Partition by content size beforehand if assets are
+heavily skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output schema of the feature-extraction stage.
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real media decoder (codecs not installed).
+
+    Derives pseudo width/height/features from the bytes so tests are
+    hermetic. Production injects a real decoder with the same contract:
+    bytes → {width, height, feature: list[float]}.
+    """
+    if not payload:
+        raise ValueError("empty media payload")
+    w = 16 + payload[0] % 64
+    h = 16 + payload[-1] % 64
+    feat = [float(b) / 255.0 for b in payload[:8]]
+    return {"width": w, "height": h, "feature": feat}
+
+
+def real_decode(payload: bytes) -> dict:  # pragma: no cover
+    """Placeholder for the production decoder (Pillow/ffmpeg not installed)."""
+    raise NotImplementedError("media codecs are not available in this environment")
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Synthetic binary asset table for tests (id, media_type, content)."""
+    return spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        F.encode(
+            F.concat(F.lit("media-payload-"), F.col("id").cast("string")), "utf-8"
+        ).alias("content"),
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], dict] = fake_decode,
+    id_col: str = "asset_id",
+    type_col: str = "media_type",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode + featurize media over Arrow batches (mapInPandas).
+
+    One output row per asset; decode failures surface as NULL dims rather
+    than killing the task (bad assets are expected at 100 TB)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "media_type": [],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "feature": [],
+            }
+            for aid, mtype, blob in zip(pdf[id_col], pdf[type_col], pdf[content_col]):
+                payload = bytes(blob) if blob is not None else b""
+                out["asset_id"].append(aid)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(len(payload))
+                try:
+                    meta = decoder(payload)
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["feature"].append(meta["feature"])
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["feature"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling plumbing: select every-nth asset per media type.
+
+    Stands in for per-video frame extraction (decode is stubbed); the
+    partition-and-sample shape is what matters for scale."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("media_type").orderBy("asset_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % every_nth == 0)
+        .drop("_rn")
+    )

@@ -1,0 +1,141 @@
+"""CDC ingestion: Debezium envelope schema, parse, and apply (SURVEY §2.10).
+
+The reference consumed the Debezium topic with per-field ``get_json_object``
+and ignored its own declared schema (``/root/reference/spark/SaveDelta.scala:87-95``
+vs ``:140-147``), handled only ``payload.after``, and appended — no updates,
+no deletes. This module does CDC properly, Spark-first:
+
+* one ``from_json`` with the full envelope schema (before/after/op/ts_ms),
+* tombstone + malformed-row policy as explicit filters,
+* ``apply_cdc_batch``: op-aware upsert/delete semantics for ``foreachBatch``
+  (Delta ``MERGE`` when delta-spark is installed; a deterministic
+  keep-latest-by-key reduction otherwise — same semantics, parquet-friendly).
+
+Scale: parsing is JVM-side json decoding within whole-stage codegen; the
+apply step shuffles once on the key (latest-wins reduction), which is the
+minimum any CDC-apply can do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Row payload of the reference's sport_activities stream
+#: (SaveDelta.scala:87-95; µs-epoch start_datetime per FIXTURES.md).
+ACTIVITY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("id_employee", T.IntegerType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("start_datetime", T.LongType()),  # µs epoch
+        T.StructField("sport_type", T.StringType()),
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("activity_duration", T.IntegerType()),
+        T.StructField("comment", T.StringType()),
+    ]
+)
+
+
+def envelope_schema(row_schema: T.StructType = ACTIVITY_SCHEMA) -> T.StructType:
+    """Full Debezium envelope: payload.{before,after,op,ts_ms}."""
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", row_schema),
+                        T.StructField("after", row_schema),
+                        T.StructField("op", T.StringType()),
+                        T.StructField("ts_ms", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def parse_envelope(
+    raw: DataFrame,
+    value_col: str = "value",
+    row_schema: T.StructType = ACTIVITY_SCHEMA,
+    decode_micros: tuple[str, ...] = ("start_datetime",),
+) -> DataFrame:
+    """Kafka record value (JSON string) → typed change rows.
+
+    Output: one column per payload field, plus ``op`` and ``ts_ms``.
+    Tombstones (null after for op != 'd') and malformed JSON (null payload)
+    are dropped, mirroring the reference's ``id IS NOT NULL`` filter
+    (SaveDelta.scala:149) — but delete events are KEPT (op='d' carries its
+    key in ``before``).
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), envelope_schema(row_schema)).alias("j")
+    ).select("j.payload.*")
+    # For deletes the row image lives in `before`; otherwise in `after`.
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    out = parsed.select(img.alias("row"), "op", "ts_ms").filter(F.col("row.id").isNotNull())
+    cols = [F.col(f"row.{f.name}").alias(f.name) for f in row_schema.fields]
+    out = out.select(*cols, "op", "ts_ms")
+    for c in decode_micros:
+        # µs-epoch → timestamp; the reference's from_unixtime(x/1e6) dropped
+        # sub-second precision (SaveDelta.scala:143) — timestamp_micros keeps it.
+        out = out.withColumn(c, F.timestamp_micros(F.col(c)))
+    return out
+
+
+def latest_by_key(changes: DataFrame, key: str = "id") -> DataFrame:
+    """Keep the last change per key (by ts_ms, then op) — one shuffle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc("ts_ms"), F.desc("op"))
+    return changes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def apply_cdc_batch(target_path: str, changes: DataFrame, key: str = "id") -> None:
+    """Apply a micro-batch of parsed changes to a lakehouse table.
+
+    With delta-spark installed this is a ``MERGE`` (upsert for op in c/r/u,
+    delete for op=d). Without Delta (this container), the portable reduction:
+    read current + latest changes → keep-latest per key → drop deletes →
+    overwrite. Same end state, usable under ``foreachBatch``.
+    """
+    spark = changes.sparkSession
+    latest = latest_by_key(changes, key)
+    try:  # pragma: no cover - delta not installed in the test container
+        from delta.tables import DeltaTable  # type: ignore
+
+        tgt = DeltaTable.forPath(spark, target_path)
+        (
+            tgt.alias("t")
+            .merge(latest.alias("s"), f"t.{key} = s.{key}")
+            .whenMatchedDelete(condition="s.op = 'd'")
+            .whenMatchedUpdateAll(condition="s.op != 'd'")
+            .whenNotMatchedInsertAll(condition="s.op != 'd'")
+            .execute()
+        )
+        return
+    except ImportError:
+        pass
+    import os
+
+    current = None
+    if "://" in target_path or os.path.exists(target_path):
+        # local paths: cheap existence check avoids a noisy failed-read probe;
+        # object-store URIs still probe via read (the JVM owns those schemes).
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:
+            current = None
+    upserts = latest.filter(F.col("op") != "d").drop("op", "ts_ms")
+    if current is not None:
+        survivors = current.join(latest.select(key), key, "left_anti")
+        upserts = survivors.unionByName(upserts, allowMissingColumns=True)
+    # Two-phase write: localize to a temp dir then move is unnecessary for
+    # tests; production uses Delta's transactional MERGE above.
+    upserts.cache().count()
+    upserts.write.mode("overwrite").parquet(target_path)
+    upserts.unpersist()

@@ -1,0 +1,57 @@
+"""Streaming sources (SURVEY §2.1 S1/S2/S8).
+
+* Kafka CDC topic scan (S1): identical options to the reference
+  (``/root/reference/spark/SaveDelta.scala:104-112``) — requires the Kafka
+  connector jars on a real cluster; not runnable in this container.
+* Rate source fallback (S2, ``SaveDelta.scala:123-127``): built-in, used in
+  tests exactly as the reference used it when Kafka was unreachable.
+* File replay source: replays a parquet table as a stream for deterministic
+  end-to-end tests (the driver star schema's ``events``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """S1: CDC topic scan with the reference's exact resilience options."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
+    """S2: synthetic fallback stream (columns: timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def file_replay_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay parquet files as a stream (deterministic test source)."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory)

@@ -1,0 +1,92 @@
+"""CDC envelope parsing + apply semantics (SURVEY §2.10, FIXTURES.md golden
+rows: insert op:c, snapshot op:r, update op:u, delete op:d, tombstone,
+malformed JSON)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.streaming.cdc import (
+    apply_cdc_batch,
+    latest_by_key,
+    parse_envelope,
+)
+
+
+def envelope(op, after=None, before=None, ts_ms=1713456790123):
+    return json.dumps({"payload": {"before": before, "after": after, "op": op, "ts_ms": ts_ms}})
+
+
+ROW1 = {
+    "id": 1,
+    "id_employee": 7,
+    "first_name": "Ana",
+    "last_name": "B",
+    "start_datetime": 1713456789000000,
+    "sport_type": "Course à pied",
+    "distance": 9500.0,
+    "activity_duration": 3420,
+    "comment": "Nouveau record personnel !",
+}
+ROW1_V2 = dict(ROW1, comment="edited", activity_duration=3600)
+ROW2 = dict(ROW1, id=2, id_employee=8, comment=None)
+
+
+def golden_frame(spark):
+    values = [
+        envelope("c", after=ROW1, ts_ms=1000),
+        envelope("r", after=ROW2, ts_ms=1001),
+        envelope("u", after=ROW1_V2, before=ROW1, ts_ms=2000),
+        envelope("d", before=ROW2, after=None, ts_ms=3000),
+        "not json at all {{{",
+        envelope("c", after=None),  # tombstone-ish: no row image
+    ]
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+def test_parse_envelope_golden(spark):
+    parsed = parse_envelope(golden_frame(spark)).orderBy("ts_ms").collect()
+    # malformed + imageless rows dropped; c/r/u/d kept
+    assert [r["op"] for r in parsed] == ["c", "r", "u", "d"]
+    ins = parsed[0]
+    assert ins["id"] == 1 and ins["id_employee"] == 7
+    # µs-epoch decoded WITH sub-second precision (reference lost it)
+    assert ins["start_datetime"].microsecond == 0  # value is whole-second µs
+    assert ins["comment"] == "Nouveau record personnel !"
+    # delete carries the key from `before`
+    assert parsed[3]["id"] == 2
+
+
+def test_parse_envelope_keeps_unicode(spark):
+    row = parse_envelope(golden_frame(spark)).filter(F.col("op") == "c").collect()[0]
+    assert row["sport_type"] == "Course à pied"
+
+
+def test_latest_by_key(spark):
+    changes = parse_envelope(golden_frame(spark))
+    latest = {r["id"]: r for r in latest_by_key(changes).collect()}
+    assert latest[1]["comment"] == "edited"  # update wins over insert
+    assert latest[2]["op"] == "d"  # delete wins over snapshot read
+
+
+def test_apply_cdc_batch_upsert_delete(spark, tmp_path):
+    target = str(tmp_path / "activities")
+    changes = parse_envelope(golden_frame(spark))
+    apply_cdc_batch(target, changes)
+    state = spark.read.parquet(target)
+    rows = {r["id"]: r for r in state.collect()}
+    assert set(rows) == {1}  # id 2 deleted, id 1 upserted to v2
+    assert rows[1]["activity_duration"] == 3600
+
+    # second batch: re-insert id 2, update id 1 again
+    batch2 = spark.createDataFrame(
+        [
+            (envelope("c", after=ROW2, ts_ms=4000),),
+            (envelope("u", after=dict(ROW1, comment="v3"), before=ROW1_V2, ts_ms=5000),),
+        ],
+        "value string",
+    )
+    apply_cdc_batch(target, parse_envelope(batch2))
+    rows = {r["id"]: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["comment"] == "v3"

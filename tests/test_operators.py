@@ -1,0 +1,170 @@
+"""Batch operator units: transforms, joins, aggregates, dedup, similarity,
+text, multimodal — crafted inputs with known answers."""
+
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.operators import dedup, similarity
+from projet_data_infrastructure_spark.operators.aggregates import column_profile, top_k
+from projet_data_infrastructure_spark.operators.joins import fk_violation_count
+from projet_data_infrastructure_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_assets,
+)
+from projet_data_infrastructure_spark.operators.text import fingerprint, predict_lang, tokens
+from projet_data_infrastructure_spark.operators.transforms import align_key_type, mask_columns
+
+
+def test_mask_columns_role_gated(spark):
+    df = spark.createDataFrame([(1, "Ana", 50000)], "id int, name string, salary int")
+    masked = mask_columns(df, ["name"], role="bi")
+    assert masked.collect()[0]["name"] is None
+    assert masked.collect()[0]["salary"] == 50000
+    clear = mask_columns(df, ["name"], role="analyst")
+    assert clear.collect()[0]["name"] == "Ana"
+
+
+def test_align_key_type(spark):
+    a = spark.createDataFrame([(1,)], "id_employee string")
+    b = spark.createDataFrame([(1,)], "id_employee int")
+    aligned = align_key_type(a, "id_employee", b)
+    assert dict(aligned.dtypes)["id_employee"] == "int"
+
+
+def test_fk_violation_count(spark):
+    fact = spark.createDataFrame([(1,), (2,), (99,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,)], "k int")
+    assert fk_violation_count(fact, dim, "k") == 1
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), ("b",), ("c",)], "g string")
+    rows = top_k(df, "g", k=2).collect()
+    assert [(r["g"], r["cnt"]) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_column_profile(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, -1.0)], "a int, b double")
+    row = column_profile(df, ["b"]).collect()[0]
+    assert row["n_rows"] == 3 and row["b_nulls"] == 1
+    assert row["b_min"] == -1.0 and row["b_max"] == 5.0
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "HELLO  world"), (4, "unique")],
+        "doc_id long, text string",
+    )
+    groups = {r["keeper_id"]: r["n_docs"] for r in dedup.exact_dedup_groups(df).collect()}
+    assert groups[1] == 2  # raw-text dup
+    kept = {r["doc_id"] for r in dedup.exact_dedup_keep(df).collect()}
+    # normalized dedup collapses whitespace but NOT case-insensitive raw md5;
+    # normalize() lowercases → doc 3 also collapses into doc 1's cluster
+    assert kept == {1, 4}
+
+
+def test_minhash_identical_docs_pair(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely here today")],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(df)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine with columnar storage and fast joins"),
+            (2, "spark query engine with columnar storage and fast join"),
+            (3, "totally unrelated cooking recipe involving onions butter"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_jaccard_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard_raw"] for r in
+            dedup.ngram_jaccard_pairs(df).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (1, 3) not in rows or rows[(1, 3)] == 0.0  # no shared tokens → no join row
+
+
+def test_cosine_topk_self_similarity(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id = 0").select(F.col("embedding").alias("qvec"))
+    rows = similarity.brute_force_topk(df.filter("vec_id != 0"), q, k=3).collect()
+    assert rows[0]["vec_id"] == 1 and rows[0]["sim"] == 1.0
+    assert rows[-1]["vec_id"] == 2 and abs(rows[-1]["sim"]) < 1e-9
+
+
+def test_ivf_assign_buckets(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    assign = {r["vec_id"]: r["centroid_id"] for r in
+              similarity.ivf_assign(df, n_centroids=2).collect()}
+    assert assign[2] == 0 and assign[3] == 1
+
+
+def test_text_tokens_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   world "), (2, "hello world")], "doc_id long, text string"
+    )
+    out = df.select("doc_id", fingerprint(F.col("text")).alias("fp"),
+                    F.size(tokens(F.col("text"))).alias("n")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["fp"] == by_id[2]["fp"]  # whitespace/case-invariant
+    assert by_id[1]["n"] == 2
+
+
+def test_predict_lang_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "le chat et la maison est les"),
+            (3, "der hund und die katze ist nicht"),
+            (4, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["p"] for r in
+           df.select("doc_id", predict_lang(tokens(F.col("text"))).alias("p")).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "de" and out[4] == "und"
+
+
+def test_multimodal_features_and_sampling(spark):
+    assets = synthetic_assets(spark, n=30)
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["n_bytes"] > 0 and r["width"] is not None for r in rows)
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    assert all(again[r["asset_id"]] == r["feature"] for r in rows)
+    sampled = frame_sample_plan(assets, every_nth=5)
+    assert sampled.count() == 6  # 10 per type → every 5th → 2 per type × 3
+
+
+def test_multimodal_bad_payload_survives(spark):
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"ok")), (2, "image/png", None)],
+        "asset_id long, media_type string, content binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert rows[1]["width"] is not None
+    assert rows[2]["width"] is None  # empty payload → NULL dims, no crash

@@ -1,0 +1,144 @@
+"""Streaming sources/sinks/monitor: rate source (SaveDelta.scala:123-127
+analog), checkpointed append sink, foreachBatch HTTP sink (slack notifier
+analog), watermark late-data drop, listener metrics."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.streaming.monitor import attach_monitor, reconcile
+from projet_data_infrastructure_spark.streaming.sinks import (
+    csv_sink,
+    foreach_batch_http_sink,
+    stream_append_sink,
+    text_sink,
+    with_event_date,
+)
+from projet_data_infrastructure_spark.streaming.sources import file_replay_stream, rate_stream
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark, sf_dir="/root/testdata/sf0.001"):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = file_replay_stream(spark, sf_dir, EVENTS_SCHEMA, glob="events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_rate_source_produces_rows(spark, tmp_path):
+    q = (
+        rate_stream(spark, rows_per_second=50)
+        .writeStream.format("memory")
+        .queryName("rate_sink")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("rate_sink").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("rate_sink").count() > 0
+    finally:
+        q.stop()
+
+
+def test_stream_append_sink_checkpointed(spark, tmp_path):
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    stream = with_event_date(events_stream(spark), "ts")
+    q = stream_append_sink(stream, out, ckpt, available_now=True, partition_by="event_date")
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert written.count() == expected
+    # date partitioning materialized (pruning-ready layout)
+    assert "event_date" in written.columns
+
+    # idempotent restart: same checkpoint, no new data → no duplicates
+    q2 = stream_append_sink(events_stream(spark).transform(lambda d: with_event_date(d, "ts")),
+                            out, ckpt, available_now=True, partition_by="event_date")
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == expected
+
+
+def test_foreach_batch_http_sink_collects(spark):
+    posted = []
+    stream = events_stream(spark).withColumn(
+        "comment", F.when(F.col("event_type") == "error", F.lit("failed run"))
+    )
+    q = foreach_batch_http_sink(stream, posted.extend, filter_expr="comment IS NOT NULL")
+    q.awaitTermination(120)
+    q.stop()
+    n_errors = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter("event_type = 'error'")
+        .count()
+    )
+    assert len(posted) == n_errors
+    assert all(p["comment"] == "failed run" for p in posted)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    # Two files arriving in order: recent events, then a very late one.
+    early = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:59:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 05:00:00")], "id long, ts string"  # hours behind watermark
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "src")
+    early.coalesce(1).write.parquet(src)
+
+    agg = (
+        file_replay_stream(spark, src, "id LONG, ts TIMESTAMP", max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    flat = agg.select(F.col("w.start").alias("wstart"), "n")
+
+    def run_once():
+        q = (
+            flat.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # the 05:00 window must NOT appear: it is behind the advanced watermark
+    finalized = {r["wstart"].hour for r in spark.read.parquet(out).collect()}
+    assert 5 not in finalized
+
+
+def test_monitor_listener_counts(spark, tmp_path):
+    monitor = attach_monitor(spark)
+    out, ckpt = str(tmp_path / "m_lake"), str(tmp_path / "m_ckpt")
+    q = stream_append_sink(
+        events_stream(spark), out, ckpt, available_now=True, query_name="monitored"
+    )
+    q.awaitTermination(120)
+    deadline = time.time() + 15
+    expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    while time.time() < deadline and monitor.stats.total_rows < expected:
+        time.sleep(0.5)
+    assert monitor.stats.total_rows == expected
+    assert monitor.stats.batches >= 1
+    rec = reconcile(monitor.stats.total_rows, spark.read.parquet(out).count())
+    assert rec["consistent"]
+    spark.streams.removeListener(monitor)
+
+
+def test_csv_and_text_sinks(spark, tmp_path):
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("twice"))
+    csv_sink(df, str(tmp_path / "csv"))
+    assert spark.read.option("header", "true").csv(str(tmp_path / "csv")).count() == 10
+    text_sink(df.select(F.col("id").cast("string")), str(tmp_path / "txt"))
+    assert spark.read.text(str(tmp_path / "txt")).count() == 10
