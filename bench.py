@@ -31,8 +31,13 @@ def main() -> None:
 
     specs = [s for s in all_specs() if "bench" in s.tags]
 
-    # Warmup: spin up executors/codegen on a trivial action (untimed).
+    # Warmup (untimed): spin up executors/codegen and touch every table's
+    # footer/listing so the first measured query doesn't pay cold IO setup.
+    from projet_data_infrastructure_spark.sources.readers import TABLES, read_table
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        read_table(spark, sf_dir, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for spec in specs:

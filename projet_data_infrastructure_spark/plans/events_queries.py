@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
-from projet_data_infrastructure_spark.sources.readers import read_table
+from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
 
 # --------------------------------------------------------------------------
 # F1/P2: JSON field extraction (get_json_object ≈ SaveDelta.scala:140-147)
@@ -29,7 +29,7 @@ from projet_data_infrastructure_spark.sources.readers import read_table
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table_balanced(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
@@ -57,7 +57,7 @@ _ENVELOPE_SCHEMA = (
 
 
 def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table_balanced(spark, sf_dir, "events")
     value_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))  # UTC pinned by read_table
     envelope = F.concat(

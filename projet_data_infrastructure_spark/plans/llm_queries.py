@@ -25,7 +25,7 @@ from projet_data_infrastructure_spark.operators.text import (
 )
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
-from projet_data_infrastructure_spark.sources.readers import read_table
+from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
 
 # DuckDB-side token expression (mirror of operators.text.tokens)
 _TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
@@ -36,7 +36,7 @@ _TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 
 
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs)
 
 
@@ -47,7 +47,7 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     return dedup.exact_dedup_keep(docs)
 
 
@@ -63,7 +63,7 @@ SELECT doc_id FROM (
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs)
 
 
@@ -86,7 +86,7 @@ FROM sh GROUP BY doc_id
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs)
     return dedup.lsh_candidate_pairs(sig)
 
@@ -109,7 +109,7 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     return dedup.simhash32(docs)
 
 
@@ -250,7 +250,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 5
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     t = F.col("text")
     toks = tokens(t)
     n_tokens = F.size(toks)
@@ -293,7 +293,7 @@ FROM base
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     return docs.select("doc_id", F.col("lang").alias("lang_labeled"), predict_lang(toks).alias("lang_pred"))
 
@@ -317,7 +317,7 @@ FROM g
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     t = F.col("text")
     toks = tokens(t)
     n_tokens = F.size(toks)
@@ -360,7 +360,7 @@ FROM m
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -370,7 +370,7 @@ SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FR
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_balanced(spark, sf_dir, "documents")
     return docs.select("doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"))
 
 

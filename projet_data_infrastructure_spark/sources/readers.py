@@ -66,6 +66,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_table_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + round-robin rebalance to the session's parallelism.
+
+    Parquet splits at row-group boundaries; a single-row-group file scans as
+    ONE task no matter ``maxPartitionBytes``, serializing any CPU-bound stage
+    after it (regex, hashing, JSON decode). Use this reader in front of
+    CPU-heavy transforms: the small shuffle buys full-core parallelism. At
+    100 TB inputs arrive as many files/row-groups and the repartition becomes
+    a no-op cost-wise (AQE coalesces), so this is safe to keep in the plan.
+    """
+    from projet_data_infrastructure_spark.session import default_parallelism
+
+    df = read_table(spark, sf_dir, name)
+    return df.repartition(default_parallelism())
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every star-schema table and register temp views for spark.sql."""
     dfs: dict[str, DataFrame] = {}
