@@ -1,0 +1,400 @@
+"""Advanced relational surface: as-of join, subqueries, pivot/unpivot,
+HAVING, full-outer/range joins, statistical aggregates, explode/wordcount,
+richer window and string functions.
+
+None of these exist in the reference (SURVEY §2.4-2.7 lists its minimal
+surface); they are part of the engine's completeness charter — a user of the
+reference switching to this engine gets the full relational toolbox. All
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projet_data_infrastructure_spark.operators.asof import asof_join
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
+
+# --------------------------------------------------------------------------
+# As-of join: last 'view' event at-or-before each 'purchase' per user.
+# Spark side: union+window formulation (operators/asof.py). Oracle: DuckDB's
+# native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(purchases, views, key="user_id", ts="ts", right_payload=["view_event_id"])
+    return out.select(
+        "event_id", "user_id", F.col("view_event_id_asof").alias("last_view_event_id")
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id, v.event_id AS last_view_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+# Range join: event pairs of the same user within 2 minutes (a < b).
+# Spark: shuffle both sides on user, range predicate inside the key-equal
+# join (sort-merge + band filter); at scale, bucket by (user, time-bucket)
+# to bound the pair search — here the per-user key equality already bounds it.
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = ev.select(F.col("event_id").alias("ev_a"), "user_id", F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("ev_b"), "user_id", F.col("ts").alias("ts_b"))
+    pair = a.join(b, "user_id").filter(
+        (F.col("ev_a") < F.col("ev_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 2 MINUTES"))
+    )
+    return pair.select("user_id", "ev_a", "ev_b")
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(F.count("*").alias("n_buys"))
+    )
+    clickers = (
+        ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    )
+    return buyers.join(clickers, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH buyers AS (SELECT user_id, count(*) AS n_buys FROM events WHERE event_type='purchase' GROUP BY 1),
+clickers AS (SELECT user_id, count(*) AS n_clicks FROM events WHERE event_type='click' GROUP BY 1)
+SELECT coalesce(b.user_id, c.user_id) AS user_id,
+       coalesce(n_buys, 0) AS n_buys, coalesce(n_clicks, 0) AS n_clicks
+FROM buyers b FULL OUTER JOIN clickers c ON b.user_id = c.user_id
+"""
+
+# --------------------------------------------------------------------------
+# Subqueries
+# --------------------------------------------------------------------------
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated EXISTS through spark.sql (Catalyst rewrites to a semi join).
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("_adv_customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _adv_customer c
+        WHERE EXISTS (SELECT 1 FROM _adv_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.lit(1.5) * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_SCALAR_SUB_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), pround(F.sum("o_totalprice"), 0).alias("total_spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+_HAVING_SQL = f"""
+SELECT o_custkey, count(*) AS n_orders, {pround_sql('sum(o_totalprice)', 0)} AS total_spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+"""
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*_STATUSES])
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"n_{s.lower()}") for s in _STATUSES],
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    wide = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "value")
+
+
+_UNPIVOT_SQL = """
+SELECT c_custkey, measure, value FROM (
+    SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+)
+"""
+
+# --------------------------------------------------------------------------
+# Explode / wordcount, array aggregation
+# --------------------------------------------------------------------------
+
+
+def q_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_WORDCOUNT_SQL = """
+SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) AS token
+    FROM documents
+) GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    small = orders.filter(F.col("o_custkey") < 20)
+    return small.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys, count(*) AS n
+FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
+"""
+
+# --------------------------------------------------------------------------
+# Statistical aggregates
+# --------------------------------------------------------------------------
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        pround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        pround(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        pround(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+_STATS_SQL = f"""
+SELECT l_returnflag,
+       {pround_sql('stddev_samp(l_quantity)', 4)} AS sd_qty,
+       {pround_sql('var_samp(l_quantity)', 4)} AS var_qty,
+       {pround_sql('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
+       {pround_sql('covar_samp(l_quantity, l_discount)', 6)} AS covar_qty_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        pround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        pround(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+    )
+
+
+_MEDIAN_SQL = f"""
+SELECT o_orderstatus,
+       {pround_sql('quantile_cont(o_totalprice, 0.5)', 2)} AS median_price,
+       {pround_sql('quantile_cont(o_totalprice, 0.9)', 2)} AS p90_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+# --------------------------------------------------------------------------
+# More window functions
+# --------------------------------------------------------------------------
+
+
+def q_window_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+_WINDOW2_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       {pround_sql('percent_rank() OVER w', 6)} AS pct_rank,
+       first_value(o_orderkey) OVER w AS first_order,
+       lead(o_orderkey) OVER w AS next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# --------------------------------------------------------------------------
+# More scalar functions (strings / conditionals)
+# --------------------------------------------------------------------------
+
+
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([A-Z]+)", 1).alias("first_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("p_brand", "#", "-").alias("brand_clean"),
+        F.reverse("p_type").alias("type_rev"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name5"),
+        F.contains(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+    )
+
+
+_STRING2_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([A-Z]+)', 1) AS first_word,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       replace(p_brand, '#', '-') AS brand_clean,
+       reverse(p_type) AS type_rev,
+       left(p_name, 5) AS name5,
+       contains(p_type, 'PROMO') AS is_promo
+FROM part
+"""
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.nvl(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("MASKED")).alias("seg_filled"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+        F.abs(F.col("c_acctbal")).alias("bal_abs"),
+        F.sign(F.col("c_acctbal")).alias("bal_sign"),
+    )
+
+
+_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'MASKED') AS seg_filled,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 1000.0) AS bal_cap1k,
+       abs(c_acctbal) AS bal_abs,
+       CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign
+FROM customer
+"""
+
+# Grouping sets (explicit, beyond rollup/cube)
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _adv_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
+    QuerySpec("range_join_pairs", q_range_join, _RANGE_JOIN_SQL, ("join", "timeseries")),
+    QuerySpec("full_outer_join", q_full_outer_join, _FULL_OUTER_SQL, ("join",)),
+    QuerySpec("exists_subquery", q_exists_subquery, _EXISTS_SQL, ("subquery",)),
+    QuerySpec("scalar_subquery", q_scalar_subquery, _SCALAR_SUB_SQL, ("subquery",)),
+    QuerySpec("having_filter", q_having, _HAVING_SQL, ("agg",)),
+    QuerySpec("pivot_status_counts", q_pivot, _PIVOT_SQL, ("reshape",)),
+    QuerySpec("unpivot_measures", q_unpivot, _UNPIVOT_SQL, ("reshape",)),
+    QuerySpec("wordcount_top20", q_wordcount_top20, _WORDCOUNT_SQL, ("text", "explode")),
+    QuerySpec("array_agg_sorted", q_array_agg, _ARRAY_AGG_SQL, ("agg", "array")),
+    QuerySpec("stats_aggregates", q_stats_agg, _STATS_SQL, ("agg", "stats")),
+    QuerySpec("median_percentile", q_median_percentile, _MEDIAN_SQL, ("agg", "stats")),
+    QuerySpec("window_funcs2", q_window_funcs2, _WINDOW2_SQL, ("window",)),
+    QuerySpec("string_funcs2", q_string_funcs2, _STRING2_SQL, ("scalar",)),
+    QuerySpec("conditional_funcs", q_conditional_funcs, _CONDITIONAL_SQL, ("scalar",)),
+    QuerySpec("grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, ("agg",)),
+]

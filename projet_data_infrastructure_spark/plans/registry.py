@@ -32,7 +32,9 @@ def all_specs() -> list[QuerySpec]:
     # Imported lazily so a syntax error in one domain module surfaces clearly
     # and module import order cannot create cycles.
     from projet_data_infrastructure_spark.plans import (
+        advanced,
         events_queries,
+        extras,
         llm_queries,
         relational,
     )
@@ -41,6 +43,8 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational.SPECS)
     specs.extend(events_queries.SPECS)
     specs.extend(llm_queries.SPECS)
+    specs.extend(advanced.SPECS)
+    specs.extend(extras.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     return specs
