@@ -20,12 +20,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: Boundary-bias epsilon. Averages of cent-grid sums (sum_cents/n) can land
+#: EXACTLY on a rounding boundary (e.g. 220721.135), where the two engines'
+#: different summation orders leave them on opposite sides by one ulp
+#: (observed on salted vs plain aggregation). The epsilon shifts the
+#: boundary off every short terminating-decimal point so exact-boundary
+#: values round up deterministically in both engines; it is ~1000x larger
+#: than cross-engine float noise at our magnitudes and ~1000x smaller than
+#: the rounding grid, so no legitimately distinct value is misrounded.
+_EPS = 1e-5
+
+
 def pround(col: Column, n: int = 2) -> Column:
     """Portable round-half-up, identical in Spark and DuckDB (see module doc)."""
     scale = float(10**n)
-    return (F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).alias("pround")
+    return (F.floor(col * F.lit(scale) + F.lit(0.5 + _EPS)) / F.lit(scale)).alias("pround")
 
 
 def pround_sql(expr: str, n: int = 2) -> str:
     scale = float(10**n)
-    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+    return f"(floor(({expr}) * {scale} + {0.5 + _EPS!r}) / {scale})"

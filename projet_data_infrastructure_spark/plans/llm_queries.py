@@ -442,6 +442,79 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# Composed corpus-curation pipeline — the operators above chained the way a
+# training-data pipeline actually runs them: quality score → language gate →
+# near-dup removal (minhash-LSH losers dropped) → curated doc set. One plan,
+# still whole-stage-codegen end to end, still oracle-checked.
+# --------------------------------------------------------------------------
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(F.lower(t), "[a-z0-9\\s]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    ).cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))) / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct)
+        + F.lit(0.3) * stop
+    )
+    scored = docs.select("doc_id", "lang", "text", score.alias("q"))
+    kept = scored.filter((F.col("q") >= 0.3) & F.col("lang").isin("en", "fr", "de", "es"))
+
+    # near-dup removal: drop the higher doc_id of every LSH candidate pair
+    sig = dedup.minhash_signatures(kept)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    curated = kept.join(losers, "doc_id", "left_anti")
+    return curated.select("doc_id", "lang", pround(F.col("q"), 4).alias("quality"))
+
+
+def _curation_sql() -> str:
+    pairs = _minhash_pairs_sql().replace("FROM documents", "FROM kept_docs")
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           0.4 * least(len({_TOKS_SQL}) / 100.0, 1.0)
+         + 0.3 * (1.0 - {_PUNCT_SQL} / CAST(greatest(length(text), 1) AS DOUBLE))
+         + 0.3 * (len(list_filter({_TOKS_SQL}, x -> x IN ({_EN})))
+                  / CAST(greatest(len({_TOKS_SQL}), 1) AS DOUBLE)) AS q
+    FROM documents
+), kept_docs AS (
+    SELECT * FROM scored WHERE q >= 0.3 AND lang IN ('en', 'fr', 'de', 'es')
+), losers AS (
+    SELECT DISTINCT doc_b AS doc_id FROM ({pairs})
+)
+SELECT k.doc_id, k.lang, {pround_sql('k.q', 4)} AS quality
+FROM kept_docs k LEFT JOIN losers l ON k.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+def q_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projet_data_infrastructure_spark.operators.scale import salted_count_avg
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = salted_count_avg(orders, "o_custkey", "o_totalprice", n_salts=16)
+    return out.select(
+        "o_custkey", "count_activity", pround(F.col("mean_duration"), 2).alias("mean_duration")
+    )
+
+
+_SALTED_SQL = f"""
+SELECT o_custkey, count(*) AS count_activity,
+       {pround_sql('avg(o_totalprice)', 2)} AS mean_duration
+FROM orders GROUP BY o_custkey
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact_groups", q_dedup_exact_groups, _DEDUP_GROUPS_SQL, ("dedup", "bench")),
     QuerySpec("dedup_exact_keep", q_dedup_exact_keep, _DEDUP_KEEP_SQL, ("dedup",)),
@@ -459,4 +532,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_fingerprint", q_fingerprint, _FINGERPRINT_SQL, ("text",)),
     QuerySpec("token_count_bpe", q_token_count_bpe, _BPE_SQL, ("text",)),
     QuerySpec("commute_enrichment_udf", q_commute_enrichment, _COMMUTE_SQL, ("udf",)),
+    QuerySpec(
+        "corpus_curation_pipeline", q_corpus_curation, _curation_sql(), ("text", "dedup", "bench")
+    ),
+    QuerySpec("salted_groupby_skew", q_salted_groupby, _SALTED_SQL, ("agg", "scale")),
 ]
