@@ -1,0 +1,44 @@
+"""Custom stateful streaming operator: state carried across micro-batches."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.streaming.sources import file_replay_stream
+from projet_data_infrastructure_spark.streaming.stateful import running_totals
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double")
+    b2 = spark.createDataFrame([(1, 2.0), (3, 7.0)], "user_id long, value double")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_replay_stream(
+        spark, src, "user_id LONG, value DOUBLE", max_files_per_trigger=1
+    )
+    out = running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    # memory sink in update mode appends each emission; the LAST row per key
+    # is the final running total. Across both batches user 1 saw 3 events.
+    rows = spark.table("state_sink").collect()
+    last = {}
+    for r in rows:
+        last[r["key"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, 17.0)
+    assert last[2] == (1, 1.0)
+    assert last[3] == (1, 7.0)
+    # state actually carried: user 1 must have an intermediate emission < 3
+    user1_emissions = [r["n_events"] for r in rows if r["key"] == 1]
+    assert len(user1_emissions) >= 2 and min(user1_emissions) < 3
