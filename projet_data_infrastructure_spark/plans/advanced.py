@@ -380,8 +380,197 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# --------------------------------------------------------------------------
+# More TPC-H-style analytics (bench headliners)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 analog: revenue lost to returned items, per customer, top 20."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = read_table(spark, sf_dir, "nation")
+    j = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey"
+        )
+        .join(F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal", "c_nationkey")), "o_custkey")
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")), "c_nationkey")
+    )
+    return (
+        j.groupBy(F.col("o_custkey").alias("c_custkey"), "c_name", "c_acctbal", "n_name")
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {pround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 analog: large-volume orders (total quantity > threshold)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    j = big.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_totalprice"),
+        "l_orderkey",
+    ).join(F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_name")), "o_custkey")
+    return j.select(
+        "c_name", F.col("o_custkey").alias("c_custkey"), F.col("l_orderkey").alias("o_orderkey"),
+        "o_totalprice", "total_qty"
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(50)
+
+
+_TPCH_Q18_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, {pround_sql('sum(l_quantity)', 2)} AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING {pround_sql('sum(l_quantity)', 2)} > 180
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 analog: shipping volume between two nation pairs, by year."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")), "l_suppkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey"
+        )
+        .join(F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")), "o_custkey")
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {pround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→purchase conversion: first view, first later purchase."""
+    ev = read_table(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        first_view.join(purchases, "user_id", "left")
+        .filter(F.col("ts").isNull() | (F.col("ts") >= F.col("first_view")))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return conv.select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            (F.unix_micros(F.col("first_purchase").cast("timestamp"))
+             - F.unix_micros(F.col("first_view").cast("timestamp"))) / F.lit(1000000.0),
+        ).alias("seconds_to_convert"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH first_view AS (
+    SELECT user_id, min(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+    SELECT f.user_id, f.first_view, min(p.ts) AS first_purchase
+    FROM first_view f
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON f.user_id = p.user_id AND p.ts >= f.first_view
+    GROUP BY f.user_id, f.first_view
+)
+SELECT user_id, first_view, first_purchase,
+       CASE WHEN first_purchase IS NOT NULL
+            THEN (epoch_us(first_purchase) - epoch_us(first_view)) / 1000000.0 END
+           AS seconds_to_convert
+FROM conv
+"""
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.date_sub(d, 7).alias("week_before"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.quarter(d).alias("qtr"),
+    )
+
+
+_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(o_orderdate AS DATE) - 7 AS week_before,
+       date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+FROM orders
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
+    QuerySpec("tpch_q10_returns", q_tpch_q10, _TPCH_Q10_SQL, ("tpch", "bench")),
+    QuerySpec("tpch_q18_large_orders", q_tpch_q18, _TPCH_Q18_SQL, ("tpch", "bench")),
+    QuerySpec("tpch_q7_nation_volume", q_tpch_q7, _TPCH_Q7_SQL, ("tpch", "bench")),
+    QuerySpec("funnel_conversion", q_funnel_conversion, _FUNNEL_SQL, ("timeseries",)),
+    QuerySpec("date_arithmetic", q_date_arithmetic, _DATE_ARITH_SQL, ("scalar",)),
     QuerySpec("range_join_pairs", q_range_join, _RANGE_JOIN_SQL, ("join", "timeseries")),
     QuerySpec("full_outer_join", q_full_outer_join, _FULL_OUTER_SQL, ("join",)),
     QuerySpec("exists_subquery", q_exists_subquery, _EXISTS_SQL, ("subquery",)),

@@ -467,7 +467,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * stop
     )
     scored = docs.select("doc_id", "lang", "text", score.alias("q"))
-    kept = scored.filter((F.col("q") >= 0.3) & F.col("lang").isin("en", "fr", "de", "es"))
+    # Persist the gated corpus: three consumers below (signature build, join
+    # back, final projection) would otherwise re-run the scoring scan each.
+    # At lake scale this intermediate is a checkpointed table.
+    kept = scored.filter((F.col("q") >= 0.3) & F.col("lang").isin("en", "fr", "de", "es")).persist()
 
     # near-dup removal: drop the higher doc_id of every LSH candidate pair
     sig = dedup.minhash_signatures(kept)
