@@ -85,6 +85,30 @@ class ValidationError(RuntimeError):
     pass
 
 
+def ensure_table(
+    spark,
+    name: str,
+    schema: str,
+    seed_rows: list | None = None,
+) -> bool:
+    """Table-existence gate with bootstrap (SURVEY §2.11 last row).
+
+    The reference's validation DAG retried existence checks and created a
+    seeded fallback table when missing
+    (``/root/reference/airflow/dags/data_validation_dag.py:32-173``). Catalog
+    equivalent: check, create-if-missing, optionally seed. Returns True if
+    the table already existed.
+    """
+    if spark.catalog.tableExists(name):
+        return True
+    if seed_rows:
+        spark.createDataFrame(seed_rows, schema).write.saveAsTable(name)
+    else:
+        empty = spark.createDataFrame([], schema)
+        empty.write.saveAsTable(name)
+    return False
+
+
 def validate(df: DataFrame, rules: list[Rule], raise_on_failure: bool = False) -> Report:
     """Evaluate all rules in one aggregation pass over ``df``."""
     aggs = [F.count(F.lit(1)).alias("_n")]
