@@ -67,6 +67,25 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def rolling_min_fingerprint(text: Column, gram: int = 8, stride: int = 4) -> Column:
+    """Winnowing-style rolling-hash sketch: min hash over char n-grams.
+
+    Hashes the normalized text's ``gram``-char windows at ``stride`` spacing
+    and keeps the minimum — a compact content sketch robust to local edits
+    (the classic rolling-hash / winnowing fingerprint, here with the
+    engine-portable md5 hash64 instead of Rabin-Karp so the DuckDB oracle
+    can reproduce it; the window/stride algebra is identical).
+    All JVM-side: transform + aggregate over a positions array.
+    """
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    norm = normalize(text)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1)), F.lit(stride))
+    grams = F.transform(positions, lambda i: F.substring(norm, i, gram))
+    hashes = F.transform(grams, lambda g: hash64(g))
+    return F.array_min(hashes)
+
+
 def lang_scores(toks: Column) -> list[tuple[str, Column]]:
     return [
         (lang, F.size(F.filter(toks, lambda x: x.isin(*words))))

@@ -501,6 +501,23 @@ WHERE l.doc_id IS NULL
 """
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projet_data_infrastructure_spark.operators.text import rolling_min_fingerprint
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_min_fingerprint(F.col("text")).alias("sketch"))
+
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_ROLLING_SQL = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+SELECT doc_id,
+       list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1), 4),
+                               i -> {hash64_sql('substr(norm, i, 8)')})) AS sketch
+FROM n
+"""
+
+
 def q_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_data_infrastructure_spark.operators.scale import salted_count_avg
 
@@ -539,4 +556,5 @@ SPECS: list[QuerySpec] = [
         "corpus_curation_pipeline", q_corpus_curation, _curation_sql(), ("text", "dedup", "bench")
     ),
     QuerySpec("salted_groupby_skew", q_salted_groupby, _SALTED_SQL, ("agg", "scale")),
+    QuerySpec("rolling_hash_fingerprint", q_rolling_fingerprint, _ROLLING_SQL, ("text", "dedup")),
 ]
