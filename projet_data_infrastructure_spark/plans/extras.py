@@ -109,7 +109,9 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     q.stop()
-    return spark.read.parquet(target)
+    from projet_data_infrastructure_spark.streaming.versioned import read_snapshot
+
+    return read_snapshot(spark, target)
 
 
 SPECS: list[QuerySpec] = [

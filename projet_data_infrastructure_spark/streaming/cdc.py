@@ -120,22 +120,16 @@ def apply_cdc_batch(target_path: str, changes: DataFrame, key: str = "id") -> No
         return
     except ImportError:
         pass
-    import os
+    from projet_data_infrastructure_spark.streaming import versioned
 
     current = None
-    if "://" in target_path or os.path.exists(target_path):
-        # local paths: cheap existence check avoids a noisy failed-read probe;
-        # object-store URIs still probe via read (the JVM owns those schemes).
-        try:
-            current = spark.read.parquet(target_path)
-        except Exception:
-            current = None
+    if versioned.snapshot_exists(target_path):
+        current = versioned.read_snapshot(spark, target_path)
     upserts = latest.filter(F.col("op") != "d").drop("op", "ts_ms")
     if current is not None:
         survivors = current.join(latest.select(key), key, "left_anti")
         upserts = survivors.unionByName(upserts, allowMissingColumns=True)
-    # Two-phase write: localize to a temp dir then move is unnecessary for
-    # tests; production uses Delta's transactional MERGE above.
-    upserts.cache().count()
-    upserts.write.mode("overwrite").parquet(target_path)
-    upserts.unpersist()
+    # Atomic publish: new immutable snapshot + pointer flip (see
+    # streaming/versioned.py) — readers never observe partial state. Delta's
+    # transactional MERGE replaces this whole branch when installed.
+    versioned.write_snapshot(upserts, target_path)

@@ -1,0 +1,64 @@
+"""Versioned snapshot table: atomic overwrite without Delta.
+
+Delta Lake gives transactional MERGE/overwrite via its commit log; this
+container has no delta-spark, and a plain ``mode("overwrite")`` parquet write
+deletes-then-writes — a concurrent reader can observe partial state. This is
+the minimal sound stand-in:
+
+* each write lands in a fresh ``v=<n>/`` subdirectory,
+* a tiny ``_LATEST`` pointer file is atomically renamed into place last,
+* readers resolve the pointer and read only that snapshot directory.
+
+Readers therefore always see a complete snapshot (writers never touch a
+published directory). This is the classic snapshot-pointer scheme Delta/
+Iceberg formalize; swap in Delta transparently when available
+(``streaming/sinks.py`` already prefers it).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _pointer_path(table_path: str) -> str:
+    return os.path.join(table_path, _POINTER)
+
+
+def latest_version(table_path: str) -> int | None:
+    try:
+        with open(_pointer_path(table_path)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def write_snapshot(df: DataFrame, table_path: str) -> int:
+    """Write a new immutable snapshot and atomically publish it."""
+    os.makedirs(table_path, exist_ok=True)
+    version = (latest_version(table_path) or 0) + 1
+    snap_dir = os.path.join(table_path, f"v={version}")
+    df.write.mode("overwrite").parquet(snap_dir)
+    # POSIX rename within the same directory is atomic: readers see either
+    # the old pointer or the new one, never a torn write.
+    fd, tmp = tempfile.mkstemp(dir=table_path, prefix="._latest_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer_path(table_path))
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
+    """Read the published (or a specific historical) snapshot — time travel."""
+    v = version if version is not None else latest_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no published snapshot at {table_path}")
+    return spark.read.parquet(os.path.join(table_path, f"v={v}"))
+
+
+def snapshot_exists(table_path: str) -> bool:
+    return latest_version(table_path) is not None

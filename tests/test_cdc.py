@@ -11,6 +11,7 @@ from projet_data_infrastructure_spark.streaming.cdc import (
     latest_by_key,
     parse_envelope,
 )
+from projet_data_infrastructure_spark.streaming.versioned import read_snapshot
 
 
 def envelope(op, after=None, before=None, ts_ms=1713456790123):
@@ -91,7 +92,7 @@ def test_streaming_cdc_apply_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
     q.stop()
-    rows = {r["id"]: r for r in spark.read.parquet(target).collect()}
+    rows = {r["id"]: r for r in read_snapshot(spark, target).collect()}
     assert set(rows) == {1}  # delete applied, update applied
     assert rows[1]["activity_duration"] == 3600
 
@@ -100,7 +101,7 @@ def test_apply_cdc_batch_upsert_delete(spark, tmp_path):
     target = str(tmp_path / "activities")
     changes = parse_envelope(golden_frame(spark))
     apply_cdc_batch(target, changes)
-    state = spark.read.parquet(target)
+    state = read_snapshot(spark, target)
     rows = {r["id"]: r for r in state.collect()}
     assert set(rows) == {1}  # id 2 deleted, id 1 upserted to v2
     assert rows[1]["activity_duration"] == 3600
@@ -114,6 +115,8 @@ def test_apply_cdc_batch_upsert_delete(spark, tmp_path):
         "value string",
     )
     apply_cdc_batch(target, parse_envelope(batch2))
-    rows = {r["id"]: r for r in spark.read.parquet(target).collect()}
+    rows = {r["id"]: r for r in read_snapshot(spark, target).collect()}
+    # time travel: v1 still shows the pre-batch-2 state
+    assert {r["id"] for r in read_snapshot(spark, target, version=1).collect()} == {1}
     assert set(rows) == {1, 2}
     assert rows[1]["comment"] == "v3"
