@@ -495,6 +495,66 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog: late shipments (> 90 days after order) by priority class."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"),
+        "l_orderkey",
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(late.alias("is_late"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("is_late")
+    )
+
+
+_TPCH_Q12_SQL = """
+SELECT l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY is_late ORDER BY is_late
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 analog: share of revenue from PROMO parts in one month."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_type")), "l_partkey"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        pround(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+_TPCH_Q14_SQL = f"""
+SELECT {pround_sql("100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount))", 4)}
+           AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user view→purchase conversion: first view, first later purchase."""
     ev = read_table(spark, sf_dir, "events")
@@ -569,6 +629,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q10_returns", q_tpch_q10, _TPCH_Q10_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q18_large_orders", q_tpch_q18, _TPCH_Q18_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q7_nation_volume", q_tpch_q7, _TPCH_Q7_SQL, ("tpch", "bench")),
+    QuerySpec("tpch_q12_late_shipments", q_tpch_q12, _TPCH_Q12_SQL, ("tpch", "bench")),
+    QuerySpec("tpch_q14_promo_share", q_tpch_q14, _TPCH_Q14_SQL, ("tpch",)),
     QuerySpec("funnel_conversion", q_funnel_conversion, _FUNNEL_SQL, ("timeseries",)),
     QuerySpec("date_arithmetic", q_date_arithmetic, _DATE_ARITH_SQL, ("scalar",)),
     QuerySpec("range_join_pairs", q_range_join, _RANGE_JOIN_SQL, ("join", "timeseries")),
