@@ -555,6 +555,143 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-0
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analog: orders with at least one late lineitem, counted by priority."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late_orders = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"),
+            "l_orderkey",
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey"), "o_orderpriority")
+        .distinct()
+    )
+    return late_orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    ).orderBy("o_orderpriority")
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count FROM (
+    SELECT DISTINCT o_orderkey, o_orderpriority
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+) GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: forecast revenue — filter + single sum, pure pushdown exercise."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+_TPCH_Q6_SQL = f"""
+SELECT {pround_sql('sum(l_extendedprice * l_discount)', 2)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-bucket histogram of account balances (portable manual binning)."""
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = F.floor((F.col("c_acctbal") - F.lit(-1000.0)) / F.lit(1000.0)).cast("int")
+    return (
+        cust.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("bucket")
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS INTEGER) AS bucket,
+       count(*) AS n_customers
+FROM customer GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: events per (day-of-week-name, hour). Portable via
+    day NAMES (numeric dayofweek conventions differ per engine)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "EEEE").alias("day_name"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_HEATMAP_SQL = """
+SELECT trim(strftime(ts, '%A')) AS day_name,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS n_events
+FROM events GROUP BY day_name, hour_of_day
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dim, value) —
+    the class-centroid computation of a training-data pipeline. Long format
+    keeps the oracle hash float-repr-free per cell."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode(F.col("embedding")).alias("dim", "v"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(pround(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+    )
+
+
+_CENTROIDS_SQL = f"""
+SELECT label, CAST(g.i - 1 AS INTEGER) AS dim,
+       {pround_sql('avg(CAST(embedding[g.i] AS DOUBLE))', 6)} AS centroid_v
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+GROUP BY label, dim
+"""
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 word bigrams across the corpus (n-gram frequency analysis)."""
+    from projet_data_infrastructure_spark.operators.dedup import shingles_from_tokens
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = toks.select(F.explode(shingles_from_tokens("toks", 2)).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+_BIGRAM_SQL = """
+WITH toks AS (
+    SELECT list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+    FROM documents
+)
+SELECT array_to_string(t[i:i+1], ' ') AS bigram, count(*) AS cnt
+FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+WHERE len(t) >= 2
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 25
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user view→purchase conversion: first view, first later purchase."""
     ev = read_table(spark, sf_dir, "events")
@@ -631,6 +768,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q7_nation_volume", q_tpch_q7, _TPCH_Q7_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q12_late_shipments", q_tpch_q12, _TPCH_Q12_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q14_promo_share", q_tpch_q14, _TPCH_Q14_SQL, ("tpch",)),
+    QuerySpec("tpch_q4_late_orders", q_tpch_q4, _TPCH_Q4_SQL, ("tpch",)),
+    QuerySpec("tpch_q6_forecast_revenue", q_tpch_q6, _TPCH_Q6_SQL, ("tpch",)),
+    QuerySpec("histogram_acctbal", q_histogram, _HISTOGRAM_SQL, ("agg", "stats")),
+    QuerySpec("hourly_heatmap", q_hourly_heatmap, _HEATMAP_SQL, ("agg", "timeseries")),
+    QuerySpec("label_centroids", q_label_centroids, _CENTROIDS_SQL, ("similarity", "agg")),
+    QuerySpec("bigram_topk", q_bigram_topk, _BIGRAM_SQL, ("text",)),
     QuerySpec("funnel_conversion", q_funnel_conversion, _FUNNEL_SQL, ("timeseries",)),
     QuerySpec("date_arithmetic", q_date_arithmetic, _DATE_ARITH_SQL, ("scalar",)),
     QuerySpec("range_join_pairs", q_range_join, _RANGE_JOIN_SQL, ("join", "timeseries")),
