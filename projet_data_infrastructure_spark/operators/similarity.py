@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from projet_data_infrastructure_spark.plans._portable import _EPS, pround
+
 
 def dot(a: str | Column, b: str | Column) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
@@ -61,8 +63,7 @@ def brute_force_topk(
 
     Rounds the similarity BEFORE ranking so ties break on ``id_col``
     deterministically (float noise below 1e-6 cannot reorder the cut)."""
-    scale = float(10**round_dp)
-    sim = F.floor(cosine(vec_col, query_col) * scale + F.lit(0.5)) / F.lit(scale)
+    sim = pround(cosine(vec_col, query_col), round_dp)
     return (
         emb.join(F.broadcast(query_vec))
         .select(F.col(id_col), sim.alias("sim"))
@@ -84,8 +85,7 @@ def neardup_pairs(
     the whole table."""
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    scale = float(10**round_dp)
-    sim = F.floor(cosine("va", "vb") * scale + F.lit(0.5)) / F.lit(scale)
+    sim = pround(cosine("va", "vb"), round_dp)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("sim"))
@@ -109,8 +109,7 @@ def ivf_assign(
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
-    scale = 1e6
-    dist = F.floor(l2_sq(vec_col, "cvec") * scale + F.lit(0.5)) / F.lit(scale)
+    dist = pround(l2_sq(vec_col, "cvec"), 6)
     w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("centroid_id"))
     return (
         emb.join(F.broadcast(cents))
@@ -147,7 +146,9 @@ def cosine_topk_pandas(
     def score(series):
         m = np.stack(series.map(lambda v: np.asarray(v, dtype=np.float64)))
         sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-        return pd.Series(np.floor(sims * 10**round_dp + 0.5) / 10**round_dp)
+        # Same portable-round constant as plans._portable.pround so this
+        # path cannot diverge from the JVM/oracle rounding on .5 boundaries.
+        return pd.Series(np.floor(sims * 10**round_dp + (0.5 + _EPS)) / 10**round_dp)
 
     sim_udf = pandas_udf(score, "double")
     return (

@@ -698,12 +698,21 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_view = (
         ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("first_view"))
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    # The time predicate belongs in the JOIN condition, not a post-join
+    # filter: a user whose purchases all precede the first view must keep
+    # their left row (NULL first_purchase), matching the oracle's LEFT JOIN
+    # ... ON u = u AND ts >= first_view semantics.
     conv = (
-        first_view.join(purchases, "user_id", "left")
-        .filter(F.col("ts").isNull() | (F.col("ts") >= F.col("first_view")))
+        first_view.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("first_view")),
+            "left",
+        )
         .groupBy("user_id", "first_view")
-        .agg(F.min("ts").alias("first_purchase"))
+        .agg(F.min("p_ts").alias("first_purchase"))
     )
     return conv.select(
         "user_id",

@@ -328,6 +328,25 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live session windows. Append mode cannot emit trailing sessions after
+    the final availableNow batch (the watermark never passes them), so the
+    live form runs in complete mode — total state is the session count, which
+    is bounded by active users × open sessions, not the input size."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_session_sink")
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
@@ -340,4 +359,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("topk_users_by_value", q_topk_users, _TOPK_USERS_SQL, ("agg", "topk")),
     QuerySpec("stream_filter_project", q_stream_filter, _STREAM_FILTER_SQL, ("streaming-live",)),
     QuerySpec("stream_tumbling_counts", q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming-live",)),
+    QuerySpec("stream_session_counts", q_stream_session, _SESSION_SQL, ("streaming-live",)),
 ]

@@ -28,6 +28,73 @@ class QuerySpec:
     doc: str = ""
 
 
+# Names the per-round correctness driver has NOT yet verified (it samples a
+# bounded window from the front of ``all_specs()``; round 1 covered the first
+# 50 in module order). These are promoted to the front so driver evidence
+# accumulates across rounds to the whole registry. Names absent from the
+# registry are ignored, so this list never blocks adding/removing specs.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # TPC-H analog family (unchecked in round 1)
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_share",
+    "tpch_q4_late_orders",
+    "tpch_q6_forecast_revenue",
+    # text-analysis family
+    "text_stats",
+    "lang_id_heuristic",
+    "quality_score",
+    "doc_fingerprint",
+    "token_count_bpe",
+    "rolling_hash_fingerprint",
+    "wordcount_top20",
+    "bigram_topk",
+    # similarity / ANN
+    "ivf_assign",
+    "ivf_topk_ann",
+    "embedding_neardup_bucketed",
+    "label_centroids",
+    # pipelines / UDF surface
+    "corpus_curation_pipeline",
+    "commute_enrichment_udf",
+    "salted_groupby_skew",
+    # time-series joins
+    "asof_join",
+    "range_join_pairs",
+    "funnel_conversion",
+    "hourly_heatmap",
+    "date_arithmetic",
+    # relational long tail from advanced/extras
+    "full_outer_join",
+    "exists_subquery",
+    "scalar_subquery",
+    "having_filter",
+    "pivot_status_counts",
+    "unpivot_measures",
+    "array_agg_sorted",
+    "stats_aggregates",
+    "median_percentile",
+    "window_funcs2",
+    "string_funcs2",
+    "conditional_funcs",
+    "grouping_sets",
+    "histogram_acctbal",
+    # new in round 2
+    "events_partitioned_dpp",
+    "jdbc_roundtrip_derby",
+    "stream_session_counts",
+    "excel_rename_roundtrip",
+    # rows-only tail (weaker check, still driver-visible)
+    "generator_activities",
+    "stream_cdc_apply",
+    "multimodal_features",
+    "approx_count_distinct",
+    "sampled_profile",
+)
+
+
 def all_specs() -> list[QuerySpec]:
     # Imported lazily so a syntax error in one domain module surfaces clearly
     # and module import order cannot create cycles.
@@ -47,6 +114,10 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(extras.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
+    # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the
+    # rest keep their module order behind them.
+    rank = {name: i for i, name in enumerate(_DRIVER_PRIORITY)}
+    specs.sort(key=lambda s: rank.get(s.name, len(rank)))
     return specs
 
 

@@ -155,7 +155,10 @@ def generate_activities(
         .withColumn("start_datetime", start_dt)
         .withColumn("comment", comment)
         .select(
-            F.monotonically_increasing_id().alias("id"),
+            # Deterministic id from the row identity — NOT
+            # monotonically_increasing_id(), whose value depends on partition
+            # layout and so would differ across parallelism/cluster settings.
+            F.xxhash64(F.col("id_employee"), F.col("day"), F.lit(seed)).alias("id"),
             "id_employee",
             "start_datetime",
             "sport_type",

@@ -72,14 +72,21 @@ def parse_envelope(
     (SaveDelta.scala:149) — but delete events are KEPT (op='d' carries its
     key in ``before``).
     """
+    # Carry the source's monotonic sequence (Kafka `offset`) through as
+    # `_seq` so latest_by_key can break equal-ts_ms ties deterministically.
+    # Inputs without an offset column (file replay, tests) keep the original
+    # schema — `_seq` is only added when the source provides one.
+    extra = [F.col("offset").cast("long").alias("_seq")] if "offset" in raw.columns else []
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), envelope_schema(row_schema)).alias("j")
-    ).select("j.payload.*")
+        F.from_json(F.col(value_col).cast("string"), envelope_schema(row_schema)).alias("j"),
+        *extra,
+    ).select("j.payload.*", *(["_seq"] if extra else []))
     # For deletes the row image lives in `before`; otherwise in `after`.
     img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
-    out = parsed.select(img.alias("row"), "op", "ts_ms").filter(F.col("row.id").isNotNull())
+    tail = ["op", "ts_ms"] + (["_seq"] if extra else [])
+    out = parsed.select(img.alias("row"), *tail).filter(F.col("row.id").isNotNull())
     cols = [F.col(f"row.{f.name}").alias(f.name) for f in row_schema.fields]
-    out = out.select(*cols, "op", "ts_ms")
+    out = out.select(*cols, *tail)
     for c in decode_micros:
         # µs-epoch → timestamp; the reference's from_unixtime(x/1e6) dropped
         # sub-second precision (SaveDelta.scala:143) — timestamp_micros keeps it.
@@ -88,10 +95,19 @@ def parse_envelope(
 
 
 def latest_by_key(changes: DataFrame, key: str = "id") -> DataFrame:
-    """Keep the last change per key (by ts_ms, then op) — one shuffle."""
+    """Keep the last change per key — one shuffle.
+
+    Order: ts_ms, then the source sequence ``_seq`` (Kafka offset, when
+    :func:`parse_envelope` saw one) which makes equal-millisecond batches
+    deterministic, then op as a documented last resort (update beats delete
+    only when the source provides no sequence at all)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key).orderBy(F.desc("ts_ms"), F.desc("op"))
+    order = [F.desc("ts_ms")]
+    if "_seq" in changes.columns:
+        order.append(F.desc("_seq"))
+    order.append(F.desc("op"))
+    w = Window.partitionBy(key).orderBy(*order)
     return changes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -105,16 +121,28 @@ def apply_cdc_batch(target_path: str, changes: DataFrame, key: str = "id") -> No
     """
     spark = changes.sparkSession
     latest = latest_by_key(changes, key)
+    meta_cols = [c for c in ("op", "ts_ms", "_seq") if c in latest.columns]
     try:  # pragma: no cover - delta not installed in the test container
         from delta.tables import DeltaTable  # type: ignore
 
+        if not DeltaTable.isDeltaTable(spark, target_path):
+            # Fresh target: bootstrap with the non-delete image instead of
+            # letting DeltaTable.forPath raise AnalysisException.
+            latest.filter(F.col("op") != "d").drop(*meta_cols).write.format(
+                "delta"
+            ).mode("overwrite").save(target_path)
+            return
         tgt = DeltaTable.forPath(spark, target_path)
+        # Explicit column maps: the meta columns (op/ts_ms/_seq) drive the
+        # merge but must not be written into the target table.
+        row_cols = [c for c in latest.columns if c not in meta_cols]
+        assign = {c: f"s.{c}" for c in row_cols}
         (
             tgt.alias("t")
             .merge(latest.alias("s"), f"t.{key} = s.{key}")
             .whenMatchedDelete(condition="s.op = 'd'")
-            .whenMatchedUpdateAll(condition="s.op != 'd'")
-            .whenNotMatchedInsertAll(condition="s.op != 'd'")
+            .whenMatchedUpdate(condition="s.op != 'd'", set=assign)
+            .whenNotMatchedInsert(condition="s.op != 'd'", values=assign)
             .execute()
         )
         return
@@ -125,7 +153,7 @@ def apply_cdc_batch(target_path: str, changes: DataFrame, key: str = "id") -> No
     current = None
     if versioned.snapshot_exists(target_path):
         current = versioned.read_snapshot(spark, target_path)
-    upserts = latest.filter(F.col("op") != "d").drop("op", "ts_ms")
+    upserts = latest.filter(F.col("op") != "d").drop(*meta_cols)
     if current is not None:
         survivors = current.join(latest.select(key), key, "left_anti")
         upserts = survivors.unionByName(upserts, allowMissingColumns=True)

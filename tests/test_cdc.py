@@ -97,6 +97,75 @@ def test_streaming_cdc_apply_end_to_end(spark, tmp_path):
     assert rows[1]["activity_duration"] == 3600
 
 
+def test_latest_by_key_offset_tiebreak(spark):
+    """Equal ts_ms resolves by the source sequence (Kafka offset), not op."""
+    raw = spark.createDataFrame(
+        [
+            (envelope("u", after=dict(ROW1, comment="resurrected"), before=ROW1, ts_ms=7000), 10),
+            (envelope("d", before=ROW1, after=None, ts_ms=7000), 11),
+        ],
+        "value string, offset long",
+    )
+    changes = parse_envelope(raw)
+    assert "_seq" in changes.columns
+    latest = {r["id"]: r for r in latest_by_key(changes).collect()}
+    # The delete has the later offset: it must win even though 'u' > 'd'
+    # in the op-only ordering.
+    assert latest[1]["op"] == "d"
+
+
+def test_streaming_cdc_restart_incremental(spark, tmp_path):
+    """Checkpointed restart: a second run with the same checkpoint processes
+    ONLY files that arrived after the first run (real file-source offset
+    tracking), and the applied state reflects both batches."""
+    src = tmp_path / "envelopes"
+    src.mkdir()
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema("value string").format("text").load(str(src))
+
+        def handle(batch_df, batch_id):
+            parsed = parse_envelope(batch_df)
+            if parsed.take(1):
+                apply_cdc_batch(target, parsed)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    (src / "batch1.jsonl").write_text(
+        "\n".join([envelope("c", after=ROW1, ts_ms=1000), envelope("c", after=ROW2, ts_ms=1001)])
+    )
+    run_once()
+    assert {r["id"] for r in read_snapshot(spark, target).collect()} == {1, 2}
+
+    (src / "batch2.jsonl").write_text(
+        "\n".join(
+            [
+                envelope("u", after=ROW1_V2, before=ROW1, ts_ms=2000),
+                envelope("d", before=ROW2, after=None, ts_ms=2001),
+            ]
+        )
+    )
+    run_once()
+    rows = {r["id"]: r for r in read_snapshot(spark, target).collect()}
+    assert set(rows) == {1} and rows[1]["activity_duration"] == 3600
+    # Restart with NO new files: no new snapshot version is published
+    # (the replayed source yields an empty batch, which we skip applying).
+    from projet_data_infrastructure_spark.streaming.versioned import latest_version
+
+    v_before = latest_version(target)
+    run_once()
+    assert latest_version(target) == v_before
+
+
 def test_apply_cdc_batch_upsert_delete(spark, tmp_path):
     target = str(tmp_path / "activities")
     changes = parse_envelope(golden_frame(spark))
