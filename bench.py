@@ -47,18 +47,50 @@ def main() -> None:
         timings[spec.name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall time (noop sink), sum over queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-query wall time (noop sink), sum over queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prior = _latest_prior_round()
+    if prior and prior.get("sf") == out["sf"]:  # same scale factor only
+        prior_q = prior.get("queries", {})
+        out["vs_prior"] = {
+            "prior_total": prior.get("value"),
+            "delta_total": round(total - prior.get("value", 0.0), 3),
+            # per-query delta (sec); only queries present in both rounds
+            "delta_queries": {
+                k: round(v - prior_q[k], 3) for k, v in timings.items() if k in prior_q
+            },
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_prior_round() -> dict | None:
+    """Newest BENCH_r{N}.json beside this script (the driver writes one per
+    round) — the baseline for per-query regression attribution."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    path = max(rounds)[1]
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # The driver wraps our JSON line under "parsed" alongside run metadata.
+    return data.get("parsed", data)
 
 
 if __name__ == "__main__":

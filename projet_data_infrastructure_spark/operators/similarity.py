@@ -93,6 +93,48 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_bucketed(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs via IVF buckets — the 100 TB shape.
+
+    Candidate pairs come from an EQUI-join on the IVF bucket id (hash/
+    sort-merge, never a nested loop): only vectors assigned to the same
+    centroid are compared, so work is sum over buckets of |bucket|², not
+    |table|². Pairs that straddle buckets are sacrificed for scale —
+    :func:`neardup_pairs` (bounded all-pairs) is the recall oracle in tests.
+    """
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col).select(id_col, "centroid_id")
+    # Precompute each vector's norm ONCE before the pair join (linear work);
+    # inside the join only the dot product remains — 3x fewer array folds
+    # per pair, and numerically identical to cosine() (same sequential
+    # aggregate producing the same norm doubles, just hoisted).
+    bucketed = emb.join(assign, id_col).withColumn("_norm", norm(vec_col))
+    a = bucketed.select(
+        F.col("centroid_id").alias("bkt_a"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("centroid_id").alias("bkt_b"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    sim = pround(dot("va", "vb") / (F.col("na") * F.col("nb")), round_dp)
+    return (
+        a.join(b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -770,8 +770,61 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning over the date-partitioned lake layout that
+# stream_append_sink produces (SCALE.md's partition-layout argument, proven).
+# ---------------------------------------------------------------------------
+
+_EVENTS_LAKE_CACHE: dict[str, str] = {}
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events re-materialized partitioned by event_date (hive layout).
+
+    This is the layout the K1 streaming sink writes at scale; cached per
+    sf_dir for the session since the content is deterministic."""
+    lake = _EVENTS_LAKE_CACHE.get(sf_dir)
+    if lake is None:
+        import tempfile
+
+        lake = tempfile.mkdtemp(prefix="events_bydate_")
+        ev = read_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(lake)
+        _EVENTS_LAKE_CACHE[sf_dir] = lake
+    return spark.read.parquet(lake)
+
+
+def q_events_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the partitioned fact to a calendar dim filtered on a derived
+    attribute (ISO week). The partition filter is only knowable at runtime
+    from the dim side, so Catalyst inserts a dynamicpruning subquery and the
+    fact scan reads 7 of ~30 date partitions (asserted in
+    tests/test_plans_quality.py). At 100 TB this is the difference between
+    scanning a week and scanning the table."""
+    fact = partitioned_events(spark, sf_dir)
+    dim = spark.sql(
+        "SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-02-29'), "
+        "interval 1 day)) AS day"
+    ).filter(F.weekofyear("day") == 2)
+    return (
+        fact.join(dim, fact.event_date == dim.day)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_EVENTS_DPP_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM events
+WHERE weekofyear(CAST(ts AS DATE)) = 2
+  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-02-29'
+GROUP BY event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
+    QuerySpec("events_partitioned_dpp", q_events_dpp, _EVENTS_DPP_SQL, ("scale", "join")),
     QuerySpec("tpch_q10_returns", q_tpch_q10, _TPCH_Q10_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q18_large_orders", q_tpch_q18, _TPCH_Q18_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q7_nation_volume", q_tpch_q7, _TPCH_Q7_SQL, ("tpch", "bench")),

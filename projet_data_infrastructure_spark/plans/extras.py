@@ -114,7 +114,98 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, target)
 
 
+# ---------------------------------------------------------------------------
+# Environment-executed source paths (S4 JDBC via embedded Derby, S7 dim
+# ingest via the CSV fallback) — previously plan-only, now driven end to end.
+# ---------------------------------------------------------------------------
+
+_DERBY_CACHE: dict[str, str] = {}
+_CSV_DIM_CACHE: dict[str, str] = {}
+
+#: The reference renames the HR sheet's French headers to schema names
+#: (commute_validation.py:186-209); same shape here, customer-flavored.
+_DIM_RENAME = {"id_client": "c_custkey", "nom": "c_name", "solde": "c_acctbal"}
+
+
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/K3 executed: bulk-insert customer into embedded Derby over JDBC
+    (``df.write.jdbc`` = read_delta.py:87-103's write direction), read it
+    back through the partitioned-cursor path (8 range-parallel cursors, not
+    the reference's single cursor), and aggregate per nation."""
+    from projet_data_infrastructure_spark.plans._portable import pround
+    from projet_data_infrastructure_spark.sources.readers import read_jdbc
+
+    db = _DERBY_CACHE.get(sf_dir)
+    if db is None:
+        import os
+        import tempfile
+
+        db = os.path.join(tempfile.mkdtemp(prefix="derby_"), "db")
+        cust = read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+        )
+        (
+            cust.write.format("jdbc")
+            .option("url", f"jdbc:derby:{db};create=true")
+            .option("dbtable", "customer")
+            .mode("overwrite")
+            .save()
+        )
+        _DERBY_CACHE[sf_dir] = db
+    back = read_jdbc(
+        spark,
+        f"jdbc:derby:{db}",
+        "customer",
+        partition_column="c_custkey",
+        num_partitions=8,
+        lower_bound=0,
+        upper_bound=1_000_000,
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        pround(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+def _jdbc_sql() -> str:
+    from projet_data_infrastructure_spark.plans._portable import pround_sql
+
+    return f"""
+SELECT c_nationkey, count(*) AS n_customers,
+       {pround_sql('avg(c_acctbal)', 2)} AS avg_acctbal
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_csv_dim_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 dim-ingest executed end to end via the CSV fallback: export the
+    customer dim with the reference's French-style headers, re-ingest through
+    the shared rename path (`read_csv_dim` = `read_excel` minus openpyxl)."""
+    from projet_data_infrastructure_spark.sources.readers import read_csv_dim
+
+    path = _CSV_DIM_CACHE.get(sf_dir)
+    if path is None:
+        import os
+        import tempfile
+
+        path = os.path.join(tempfile.mkdtemp(prefix="dim_csv_"), "hr.csv")
+        pdf = (
+            read_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+            .toPandas()
+            .rename(columns={v: k for k, v in _DIM_RENAME.items()})
+        )
+        pdf.to_csv(path, index=False)
+        _CSV_DIM_CACHE[sf_dir] = path
+    return read_csv_dim(spark, path, rename=_DIM_RENAME)
+
+
+_CSV_DIM_SQL = "SELECT c_custkey, c_name, c_acctbal FROM customer"
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("jdbc_roundtrip_derby", q_jdbc_roundtrip, _jdbc_sql(), ("source", "jdbc")),
+    QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, None, ("streaming-live", "rows-only")),
     QuerySpec("multimodal_features", q_multimodal, None, ("multimodal", "rows-only")),

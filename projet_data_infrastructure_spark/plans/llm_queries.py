@@ -194,6 +194,38 @@ WHERE {pround_sql('list_cosine_similarity(a.v, b.v)', 6)} >= 0.3
 """
 
 
+def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary near-dup query: IVF-bucketed candidates, full table, no
+    nested-loop join (plan shape asserted in tests/test_plans_quality.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_bucketed(emb, threshold=0.3, n_centroids=8)
+
+
+_NEARDUP_BUCKETED_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT e.vec_id, a.centroid_id, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN assign a USING (vec_id)
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} AS sim
+FROM bucketed x JOIN bucketed y
+  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+WHERE {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} >= 0.3
+"""
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_assign(emb)
@@ -544,6 +576,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, _JACCARD_SQL, ("dedup",)),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, _COSINE_TOPK_SQL, ("similarity", "bench")),
     QuerySpec("embedding_neardup_pairs", q_embedding_neardup, _NEARDUP_SQL, ("similarity",)),
+    QuerySpec(
+        "embedding_neardup_bucketed",
+        q_embedding_neardup_bucketed,
+        _NEARDUP_BUCKETED_SQL,
+        ("similarity", "scale", "bench"),
+    ),
     QuerySpec("ivf_assign", q_ivf_assign, _IVF_ASSIGN_SQL, ("similarity",)),
     QuerySpec("ivf_topk_ann", q_ivf_topk, _IVF_TOPK_SQL, ("similarity",)),
     QuerySpec("text_stats", q_text_stats, _TEXT_STATS_SQL, ("text", "bench")),

@@ -126,20 +126,35 @@ def read_jdbc(
     return reader.load()
 
 
+def _dim_from_pandas(spark: SparkSession, pdf, rename: dict[str, str] | None) -> DataFrame:
+    """Shared driver-side dim ingest: rename → Arrow-backed DataFrame.
+
+    Both the Excel and CSV dim readers funnel through here so the rename/
+    conversion logic is exercised even where openpyxl is unavailable."""
+    if rename:
+        pdf = pdf.rename(columns=rename)
+    return spark.createDataFrame(pdf)
+
+
 def read_excel(spark: SparkSession, path: str, rename: dict[str, str] | None = None) -> DataFrame:
     """Excel HR ingest (S7, ``commute_validation.py:186-209``).
 
     Small-dimension path: pandas parses the sheet on the driver, Spark gets an
     Arrow-backed DataFrame. Fine for dims; large files belong in parquet.
     Requires openpyxl (absent in the test container → ImportError is raised
-    to the caller, who should fall back to a parquet/CSV dim).
+    to the caller, who should fall back to :func:`read_csv_dim`).
     """
     import pandas as pd  # local import: driver-only dependency
 
-    pdf = pd.read_excel(path)  # needs openpyxl at runtime
-    if rename:
-        pdf = pdf.rename(columns=rename)
-    return spark.createDataFrame(pdf)
+    return _dim_from_pandas(spark, pd.read_excel(path), rename)  # needs openpyxl
+
+
+def read_csv_dim(spark: SparkSession, path: str, rename: dict[str, str] | None = None) -> DataFrame:
+    """CSV fallback for the S7 dim-ingest path — same rename/convert logic as
+    :func:`read_excel`, executable without openpyxl."""
+    import pandas as pd
+
+    return _dim_from_pandas(spark, pd.read_csv(path), rename)
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:

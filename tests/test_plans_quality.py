@@ -119,3 +119,118 @@ def test_salted_agg_matches_plain(spark):
              for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"),
                                           F.avg("v").alias("avg")).collect()}
     assert salted == plain
+
+
+def test_bucketed_neardup_has_no_nested_loop(spark):
+    # The primary near-dup query joins candidates on the IVF bucket id — an
+    # equi-join Catalyst plans as hash/sort-merge. A nested-loop or cartesian
+    # anywhere means the all-pairs shape leaked back in.
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_embedding_neardup_bucketed,
+    )
+
+    import re
+
+    df = q_embedding_neardup_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # The candidate-pair join keys on the bucket id.
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[bkt_a", plan)
+    # The only nested-loop allowed is the C-row centroid broadcast inside
+    # ivf_assign — a constant-size dim that appears once per self-join side
+    # (the exchange beneath is reused at execution). The vector-pair join
+    # itself must never be one, which the equi-join assertion above plus
+    # this bound guarantees.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_bucketed_neardup_recall_within_buckets(spark):
+    # Recall oracle: every same-bucket pair found by bounded all-pairs must
+    # be found by the bucketed form with the SAME similarity, and the
+    # bucketed result must be a subset of all-pairs (no phantom pairs).
+    from projet_data_infrastructure_spark.operators.similarity import (
+        ivf_assign,
+        neardup_pairs,
+        neardup_pairs_bucketed,
+    )
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    bucketed = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in neardup_pairs_bucketed(emb, threshold=0.3, n_centroids=4).collect()
+    }
+    allpairs = {
+        (r.vec_a, r.vec_b): r.sim for r in neardup_pairs(emb, threshold=0.3).collect()
+    }
+    assign = {r.vec_id: r.centroid_id for r in ivf_assign(emb, 4).collect()}
+    same_bucket = {
+        pair: sim for pair, sim in allpairs.items() if assign[pair[0]] == assign[pair[1]]
+    }
+    assert bucketed == same_bucket  # exact within-bucket recall, no phantoms
+
+
+def test_dynamic_partition_pruning_on_date_layout(spark):
+    # The partitioned-events query must carry a dynamicpruning subquery on
+    # the fact scan: the runtime dim filter (ISO week), not a static
+    # predicate, decides which date partitions are read.
+    from projet_data_infrastructure_spark.plans.advanced import q_events_dpp
+
+    df = q_events_dpp(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result agrees with the unpartitioned batch equivalent
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF, "events")
+    expected = (
+        ev.filter(F.weekofyear(F.to_date("ts")) == 2)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    got = {r.event_type: r.n_events for r in df.collect()}
+    assert got == {r.event_type: r["count"] for r in expected}
+
+
+def test_aqe_splits_skewed_join(spark):
+    # A deliberately skewed SMJ: one join key holds ~all left rows. After the
+    # action, the adaptive final plan must show the skewed side split
+    # (skew=true on the SortMergeJoin) instead of one straggler task.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        pad = F.lpad(F.lit("x"), 64, "x")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(0, 2_000).select(F.col("id").alias("k"), pad.alias("rpad"))
+        joined = left.join(right, "k").select("k")
+        # collect() executes THIS dataset's QueryExecution (count() would
+        # build a different one and leave this plan un-finalized).
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -32,6 +32,15 @@ def main() -> None:
         read_table(spark, sf_dir, t).limit(1).collect()
         con.sql(f"SELECT count(*) FROM {t}").fetchall()
 
+    # Prior round's per-query Spark times (driver-recorded BENCH_r{N}.json)
+    # for the regression-attribution column.
+    from bench import _latest_prior_round
+
+    prior = _latest_prior_round() or {}
+    prior_q = prior.get("queries", {}) if prior.get("sf") == float(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1] or 0
+    ) else {}
+
     rows = []
     for spec in all_specs():
         if "bench" not in spec.tags or spec.oracle is None:
@@ -42,7 +51,7 @@ def main() -> None:
         t0 = time.time()
         con.sql(spec.oracle).fetchall()
         t_duck = time.time() - t0
-        rows.append((spec.name, t_spark, t_duck))
+        rows.append((spec.name, t_spark, t_duck, prior_q.get(spec.name)))
         print(f"{spec.name}: spark {t_spark:.2f}s duckdb {t_duck:.2f}s")
 
     total_s = sum(r[1] for r in rows)
@@ -62,11 +71,13 @@ def main() -> None:
             "30 s micro-batch latency (BASELINE.md) — is far below either "
             "column. This table is the honest single-node floor, not the "
             "target regime.\n\n"
-            "| query | spark (s) | duckdb (s) |\n|---|---|---|\n"
+            "| query | spark (s) | duckdb (s) | vs prior round (s) |\n"
+            "|---|---|---|---|\n"
         )
-        for name, ts, td in rows:
-            f.write(f"| {name} | {ts:.2f} | {td:.2f} |\n")
-        f.write(f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** |\n")
+        for name, ts, td, tp in rows:
+            delta = f"{ts - tp:+.2f}" if tp is not None else "new"
+            f.write(f"| {name} | {ts:.2f} | {td:.2f} | {delta} |\n")
+        f.write(f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | |\n")
     print(f"\ntotals: spark {total_s:.2f}s, duckdb {total_d:.2f}s → BENCH_COMPARE.md")
     spark.stop()
 
