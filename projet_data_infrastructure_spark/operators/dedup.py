@@ -123,6 +123,53 @@ def lsh_candidate_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: node → component id
+    (= the minimum doc id reachable through dup edges).
+
+    Iterative min-label propagation: each round is one equi-join (edges ⋈
+    labels) + a min-aggregation, converging in ≤ diameter rounds — near-dup
+    clusters are shallow (a handful of hops), so this terminates in a few
+    rounds even at corpus scale. The per-round driver action is a LIMIT-1
+    convergence probe, not a data collect. At extreme scale swap the round
+    body for the large-star/small-star formulation (Kiveris et al.); the
+    outer loop and the output contract are unchanged.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # no-op on the unpersisted first-round frame
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document (bitwise majority over token hashes).
 

@@ -104,3 +104,27 @@ def predict_lang(toks: Column) -> Column:
     for lang, s in reversed(scores):
         pred = F.when(s == best, F.lit(lang)).otherwise(pred)
     return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+#: PII patterns, most-specific first so e.g. an email is redacted before the
+#: phone pattern can eat its digits. Kept to syntax shared by Java regex
+#: (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / SSN-shaped ids / phone runs from a text column.
+
+    Chained JVM regexp_replace — no Python in the path; the pattern set is
+    engine-portable so the op is oracle-checkable (DuckDB needs the explicit
+    'g' flag, Spark replaces all matches by default).
+    """
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

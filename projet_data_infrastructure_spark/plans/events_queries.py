@@ -347,6 +347,20 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_session_sink")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stateful dedup: the stream unioned with itself (every row arrives
+    twice) through dropDuplicates — state is the seen-id set, append mode.
+    Exercises streaming dedup state for real; the oracle is simply the
+    distinct input."""
+    s = _events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    out = doubled.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_dedup_sink")
+
+
+_STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
@@ -360,4 +374,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stream_filter_project", q_stream_filter, _STREAM_FILTER_SQL, ("streaming-live",)),
     QuerySpec("stream_tumbling_counts", q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming-live",)),
     QuerySpec("stream_session_counts", q_stream_session, _SESSION_SQL, ("streaming-live",)),
+    QuerySpec("stream_dedup_ids", q_stream_dedup, _STREAM_DEDUP_SQL, ("streaming-live", "dedup")),
 ]

@@ -108,6 +108,32 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters = connected components over the LSH candidate
+    graph (iterative min-label propagation; oracle is a recursive CTE)."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    return dedup.duplicate_clusters(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_balanced(spark, sf_dir, "documents")
     return dedup.simhash32(docs)
@@ -413,6 +439,96 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+
+    Two keyed aggregations + a broadcast scalar + one window — the shuffle
+    carries (doc_id, term) counts, never the documents. Score is rounded
+    BEFORE ranking so ties cut identically cross-engine."""
+    from pyspark.sql.window import Window
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(dfreq, "term").join(F.broadcast(n_docs))
+    tfidf = pround(
+        F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")), 4
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select("doc_id", "term", tfidf.alias("tfidf"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.term AS term,
+           {pround_sql('tf * ln((n_docs + 1) / CAST(df + 1 AS DOUBLE))', 4)} AS tfidf
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents salted with synthetic PII (email/IP/SSN/
+    phone derived from doc_id), so the redaction path is exercised on every
+    row, not just on whatever the corpus happens to contain."""
+    from projet_data_infrastructure_spark.operators.text import redact_pii
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 tel +1 555 000 1234"),
+    )
+    red = redact_pii(salted)
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        (red != F.col("text")).alias("was_redacted"),
+    )
+
+
+_PII_SQL = r"""
+WITH salted AS (
+    SELECT doc_id, text,
+           text || ' contact user' || doc_id || '@example.com at 10.0.'
+                || (doc_id % 256) || '.7 ssn 123-45-6789 tel +1 555 000 1234' AS s
+    FROM documents
+),
+red AS (
+    SELECT doc_id, text,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g') AS redacted
+    FROM salted
+)
+SELECT doc_id, redacted, redacted != text AS was_redacted FROM red
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.9 external-enrichment UDF surface: the commute-distance call
 # (commute_validation.py:20-61) with a deterministic md5 stub (SURVEY §7.3) —
@@ -573,6 +689,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("minhash_signatures", q_minhash_signatures, _minhash_sig_sql(), ("dedup", "bench")),
     QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _minhash_pairs_sql(), ("dedup",)),
     QuerySpec("simhash_32bit", q_simhash, _SIMHASH_SQL, ("dedup",)),
+    QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), ("dedup", "iterative")),
+    QuerySpec("tfidf_top_terms", q_tfidf_top_terms, _TFIDF_SQL, ("text",)),
+    QuerySpec("pii_redaction", q_pii_redaction, _PII_SQL, ("text", "governance")),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, _JACCARD_SQL, ("dedup",)),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, _COSINE_TOPK_SQL, ("similarity", "bench")),
     QuerySpec("embedding_neardup_pairs", q_embedding_neardup, _NEARDUP_SQL, ("similarity",)),

@@ -82,9 +82,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets",
     "histogram_acctbal",
     # new in round 2
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "pii_redaction",
     "events_partitioned_dpp",
     "jdbc_roundtrip_derby",
     "stream_session_counts",
+    "stream_dedup_ids",
     "excel_rename_roundtrip",
     # rows-only tail (weaker check, still driver-visible)
     "generator_activities",
