@@ -29,7 +29,11 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
-    specs = [s for s in all_specs() if "bench" in s.tags]
+    # Name order, NOT registry order: the registry is reordered per round for
+    # the correctness driver's window, and execution position shifts per-query
+    # timings (the first queries absorb residual JIT/codegen warm-up). A fixed
+    # order keeps vs-prior-round deltas attributable to code, not position.
+    specs = sorted((s for s in all_specs() if "bench" in s.tags), key=lambda s: s.name)
 
     # Warmup (untimed): spin up executors/codegen and touch every table's
     # footer/listing so the first measured query doesn't pay cold IO setup.
