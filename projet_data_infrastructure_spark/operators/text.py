@@ -128,3 +128,28 @@ def redact_pii(text: Column) -> Column:
     for pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    label_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-class Bernoulli sampling with a DETERMINISTIC hash draw.
+
+    Training-data balancing: keep each row with its class's rate, where the
+    uniform draw is the portable ``hash64`` of the row id — reproducible
+    across cluster sizes, partitionings, and engines (``df.sample`` is
+    engine-RNG-specific and partition-dependent). One narrow filter, no
+    shuffle; the common downsample-the-majority-class step at corpus scale.
+    """
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    u = F.pmod(hash64(F.col(id_col), seed=seed), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    rate = F.lit(float(default_rate))
+    for lbl, r in sorted(rates.items()):
+        rate = F.when(F.col(label_col) == lbl, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)

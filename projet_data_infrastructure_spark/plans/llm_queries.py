@@ -529,6 +529,105 @@ SELECT doc_id, redacted, redacted != text AS was_redacted FROM red
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus downsampling with a deterministic hash draw:
+    keep all minority-language docs, downsample English to 30%."""
+    from projet_data_infrastructure_spark.operators.text import stratified_sample_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
+    return stratified_sample_hash(docs, "lang", rates).select("doc_id", "lang")
+
+
+def _stratified_sql() -> str:
+    u = f"({hash64_sql('doc_id', seed=7)}) % 1000000 / 1000000.0"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {u} < CASE lang WHEN 'en' THEN 0.3
+                      WHEN 'fr' THEN 1.0 WHEN 'de' THEN 1.0
+                      WHEN 'es' THEN 1.0 WHEN 'zh' THEN 1.0
+                      ELSE 0.0 END
+"""
+
+
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: drop every cluster member except the
+    component representative (min doc id); singletons untouched. One
+    left-anti join against the (small) cluster assignment."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    clusters = dedup.duplicate_clusters(dedup.lsh_candidate_pairs(sig))
+    drop = clusters.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+def _dedup_cluster_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+LEFT JOIN cc ON d.doc_id = cc.node AND cc.node != cc.component
+WHERE cc.node IS NULL
+"""
+
+
+def q_token_length_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing histogram: docs bucketed by BPE-ish token count into
+    power-of-two context bins, with mean fill ratio per bin — the planning
+    input for length-grouped batch packing. Fixed when-chain (no float log2)
+    so the bin edges are engine-exact."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    n = F.size(bpe_ish_tokens(F.col("text")))
+    bucket = (
+        F.when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .when(n <= 256, 256)
+        .when(n <= 512, 512)
+        .when(n <= 1024, 1024)
+        .otherwise(2048)
+    )
+    return (
+        docs.select(bucket.cast("int").alias("ctx_bin"), n.alias("n_tok"))
+        .groupBy("ctx_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            pround(F.avg(F.col("n_tok") / F.col("ctx_bin").cast("double")), 4).alias(
+                "mean_fill"
+            ),
+        )
+    )
+
+
+_TOKEN_BINS_SQL = r"""
+WITH n AS (
+    SELECT CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+               AS n_tok
+    FROM documents
+), b AS (
+    SELECT n_tok,
+           CASE WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS ctx_bin
+    FROM n
+)
+SELECT CAST(ctx_bin AS INTEGER) AS ctx_bin, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       {MEAN_FILL} AS mean_fill
+FROM b GROUP BY ctx_bin
+""".replace("{MEAN_FILL}", pround_sql("avg(n_tok / CAST(ctx_bin AS DOUBLE))", 4))
+
+
 # --------------------------------------------------------------------------
 # §2.9 external-enrichment UDF surface: the commute-distance call
 # (commute_validation.py:20-61) with a deterministic md5 stub (SURVEY §7.3) —
@@ -690,8 +789,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _minhash_pairs_sql(), ("dedup",)),
     QuerySpec("simhash_32bit", q_simhash, _SIMHASH_SQL, ("dedup",)),
     QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), ("dedup", "iterative")),
+    QuerySpec(
+        "dedup_cluster_keep", q_dedup_cluster_keep, _dedup_cluster_keep_sql(), ("dedup",)
+    ),
     QuerySpec("tfidf_top_terms", q_tfidf_top_terms, _TFIDF_SQL, ("text",)),
     QuerySpec("pii_redaction", q_pii_redaction, _PII_SQL, ("text", "governance")),
+    QuerySpec("stratified_sample_lang", q_stratified_sample, _stratified_sql(), ("sampling",)),
+    QuerySpec("token_length_bins", q_token_length_bins, _TOKEN_BINS_SQL, ("text", "stats")),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, _JACCARD_SQL, ("dedup",)),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, _COSINE_TOPK_SQL, ("similarity", "bench")),
     QuerySpec("embedding_neardup_pairs", q_embedding_neardup, _NEARDUP_SQL, ("similarity",)),

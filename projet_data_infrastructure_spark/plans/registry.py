@@ -76,15 +76,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "array_agg_sorted",
     "stats_aggregates",
     "median_percentile",
-    "window_funcs2",
-    "string_funcs2",
-    "conditional_funcs",
     "grouping_sets",
     "histogram_acctbal",
     # new in round 2
     "dedup_clusters",
+    "dedup_cluster_keep",
     "tfidf_top_terms",
     "pii_redaction",
+    "stratified_sample_lang",
+    "token_length_bins",
     "events_partitioned_dpp",
     "jdbc_roundtrip_derby",
     "stream_session_counts",
@@ -96,6 +96,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "approx_count_distinct",
     "sampled_profile",
+    # near-duplicates of already-driver-verified family members — lowest
+    # marginal evidence, so they take the overflow slots
+    "window_funcs2",
+    "string_funcs2",
+    "conditional_funcs",
 )
 
 

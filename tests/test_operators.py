@@ -180,3 +180,26 @@ def test_multimodal_bad_payload_survives(spark):
     rows = {r["asset_id"]: r for r in extract_features(df).collect()}
     assert rows[1]["width"] is not None
     assert rows[2]["width"] is None  # empty payload → NULL dims, no crash
+
+
+def test_stratified_sample_partition_invariant(spark):
+    # The hash draw must select the SAME rows regardless of physical layout
+    # (df.sample would not) — the property that makes corpus downsampling
+    # reproducible across cluster sizes.
+    from projet_data_infrastructure_spark.operators.text import stratified_sample_hash
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rates = {"en": 0.3, "fr": 1.0}
+    a = {r.doc_id for r in stratified_sample_hash(docs, "lang", rates).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample_hash(docs.repartition(17), "lang", rates).collect()
+    }
+    assert a == b
+    # all French docs kept, English roughly 30%
+    n_fr = docs.filter("lang = 'fr'").count()
+    kept_fr = docs.filter("lang = 'fr'").join(
+        spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id"
+    ).count()
+    assert kept_fr == n_fr
