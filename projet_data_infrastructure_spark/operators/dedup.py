@@ -192,6 +192,54 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    The 32-bit signature splits into 4 byte-bands; by pigeonhole any pair
+    within hamming distance 3 shares at least one unchanged byte, so the
+    byte-band equi-join has EXACT recall for distance ≤ 3 while comparing
+    only same-band candidates (never all pairs). Verification is a single
+    ``bit_count(xor)`` on the joined signatures — no text re-reading.
+    """
+    sig = simhash32(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.floor(F.col("simhash") / F.lit(float(256**b))).cast("long") % 256).alias(
+                    "byte"
+                ),
+            )
+            for b in range(4)
+        ]
+    )
+    ex = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte")
+    )
+    left = ex.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "byte"
+    )
+    right = ex.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "byte"
+    )
+    cands = (
+        left.join(right, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

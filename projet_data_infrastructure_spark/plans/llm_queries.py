@@ -108,6 +108,31 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 """
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, max_distance=3)
+
+
+def _simhash_hamming_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"CAST(floor(simhash / {256**b}.0) AS BIGINT) % 256 AS byte FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS ({_SIMHASH_SQL}),
+bands AS ({band_selects}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters = connected components over the LSH candidate
     graph (iterative min-label propagation; oracle is a recursive CTE)."""
@@ -789,6 +814,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _minhash_pairs_sql(), ("dedup",)),
     QuerySpec("simhash_32bit", q_simhash, _SIMHASH_SQL, ("dedup",)),
     QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), ("dedup", "iterative")),
+    QuerySpec(
+        "simhash_hamming_pairs", q_simhash_hamming, _simhash_hamming_sql(), ("dedup",)
+    ),
     QuerySpec(
         "dedup_cluster_keep", q_dedup_cluster_keep, _dedup_cluster_keep_sql(), ("dedup",)
     ),

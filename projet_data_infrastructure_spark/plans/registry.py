@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 2
     "dedup_clusters",
     "dedup_cluster_keep",
+    "simhash_hamming_pairs",
     "tfidf_top_terms",
     "pii_redaction",
     "stratified_sample_lang",

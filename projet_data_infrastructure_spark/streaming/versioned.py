@@ -62,3 +62,34 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
 
 def snapshot_exists(table_path: str) -> bool:
     return latest_version(table_path) is not None
+
+
+def compact_snapshot(spark: SparkSession, table_path: str, target_files: int = 1) -> int:
+    """Rewrite the published snapshot into ``target_files`` files (OPTIMIZE
+    analog). Streaming CDC apply publishes one snapshot per micro-batch,
+    each fragmented by the batch's parallelism; compaction republishes the
+    same rows as few large files — readers flip atomically, history stays
+    readable. At scale run per partition and size target_files to ~1 GiB
+    outputs."""
+    df = read_snapshot(spark, table_path)
+    return write_snapshot(df.coalesce(target_files), table_path)
+
+
+def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
+    """Drop snapshot directories older than the newest ``keep_last`` (VACUUM
+    analog). Never touches the published version. Returns dropped versions."""
+    import shutil
+
+    current = latest_version(table_path)
+    if current is None:
+        return []
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    cutoff = max(current - keep_last + 1, 1)
+    dropped = [v for v in versions if v < cutoff and v != current]
+    for v in dropped:
+        shutil.rmtree(os.path.join(table_path, f"v={v}"), ignore_errors=True)
+    return dropped

@@ -33,3 +33,33 @@ def test_reader_never_sees_partial_state(spark, tmp_path):
     write_snapshot(spark.range(100), path)  # concurrent publish
     assert df.count() == 5  # the handle resolved v1 and still reads it
     assert read_snapshot(spark, path).count() == 100
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    from projet_data_infrastructure_spark.streaming.versioned import (
+        compact_snapshot,
+        latest_version,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    target = str(tmp_path / "t")
+    df = spark.range(1000).repartition(16)
+    write_snapshot(df, target)  # v1: 16 fragments
+    import glob
+
+    n_before = len(glob.glob(f"{target}/v=1/*.parquet"))
+    assert n_before >= 16
+    v2 = compact_snapshot(spark, target, target_files=1)
+    assert v2 == 2 and latest_version(target) == 2
+    assert len(glob.glob(f"{target}/v=2/*.parquet")) == 1
+    # identical content, history intact
+    assert read_snapshot(spark, target).count() == 1000
+    assert read_snapshot(spark, target, version=1).count() == 1000
+
+    write_snapshot(spark.range(5), target)  # v3
+    dropped = vacuum_snapshots(target, keep_last=2)
+    assert dropped == [1]
+    assert read_snapshot(spark, target, version=2).count() == 1000  # kept
+    assert read_snapshot(spark, target).count() == 5
