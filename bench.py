@@ -59,11 +59,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     prior = _latest_prior_round()
-    if prior and prior.get("sf") == out["sf"]:  # same scale factor only
+    # Compare only against a structurally complete prior at the same sf.
+    if prior and prior.get("sf") == out["sf"] and isinstance(prior.get("value"), (int, float)):
         prior_q = prior.get("queries", {})
         out["vs_prior"] = {
-            "prior_total": prior.get("value"),
-            "delta_total": round(total - prior.get("value", 0.0), 3),
+            "prior_total": prior["value"],
+            "delta_total": round(total - prior["value"], 3),
             # per-query delta (sec); only queries present in both rounds
             "delta_queries": {
                 k: round(v - prior_q[k], 3) for k, v in timings.items() if k in prior_q

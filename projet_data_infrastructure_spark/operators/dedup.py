@@ -149,6 +149,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neigh = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), F.col("label")
@@ -166,8 +167,24 @@ def duplicate_clusters(
         labels.unpersist()  # no-op on the unpersisted first-round frame
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    if not converged:
+        # Returning a partially-propagated labeling would be silently wrong
+        # (the caller gets split components with no signal). Near-dup graphs
+        # have tiny diameters; hitting this means the input is not one.
+        labels.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} iterations; "
+            "raise max_iter or switch to the large-star/small-star variant"
+        )
+    # Pin the result rows, then release the loop's cache: the returned frame
+    # must not depend on a persisted intermediate the caller can't unpersist.
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -206,6 +223,11 @@ def simhash_hamming_pairs(
     only same-band candidates (never all pairs). Verification is a single
     ``bit_count(xor)`` on the joined signatures — no text re-reading.
     """
+    if max_distance > 3:
+        raise ValueError(
+            "4 byte-bands guarantee exact recall only for max_distance <= 3; "
+            "use more/narrower bands for larger radii"
+        )
     sig = simhash32(df, text_col, id_col)
     bands = F.array(
         *[

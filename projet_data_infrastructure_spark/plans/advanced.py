@@ -785,11 +785,20 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir for the session since the content is deterministic."""
     lake = _EVENTS_LAKE_CACHE.get(sf_dir)
     if lake is None:
+        import os
         import tempfile
 
-        lake = tempfile.mkdtemp(prefix="events_bydate_")
-        ev = read_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(lake)
+        # Deterministic per-sf path, reused ACROSS processes: repeated
+        # bench/driver runs must not each leak a full table copy into /tmp.
+        # Content is a pure function of sf_dir, so an existing complete
+        # write (_SUCCESS marker) is always valid.
+        slug = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        lake = os.path.join(tempfile.gettempdir(), f"spark_graft_events_bydate_{slug}")
+        if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+            ev = read_table(spark, sf_dir, "events").withColumn(
+                "event_date", F.to_date("ts")
+            )
+            ev.write.mode("overwrite").partitionBy("event_date").parquet(lake)
         _EVENTS_LAKE_CACHE[sf_dir] = lake
     return spark.read.parquet(lake)
 

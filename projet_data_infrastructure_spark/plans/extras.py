@@ -140,7 +140,12 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile
 
-        db = os.path.join(tempfile.mkdtemp(prefix="derby_"), "db")
+        # Per-process dir (embedded Derby holds a JVM lock; cross-process
+        # reuse risks stale db.lck) but ONE per sf_dir per process.
+        db = os.path.join(
+            tempfile.mkdtemp(prefix=f"derby_{os.path.basename(sf_dir.rstrip('/'))}_"),
+            "db",
+        )
         cust = read_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_name", "c_acctbal", "c_nationkey"
         )
@@ -152,14 +157,22 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .save()
         )
         _DERBY_CACHE[sf_dir] = db
+    # Derive range bounds from the data: a hardcoded upper bound collapses
+    # the 8 cursors into one overflow partition at scale factors where keys
+    # exceed it (the 2-value agg is a metadata-cheap scan).
+    lo, hi = (
+        read_table(spark, sf_dir, "customer")
+        .agg(F.min("c_custkey"), F.max("c_custkey"))
+        .first()
+    )
     back = read_jdbc(
         spark,
         f"jdbc:derby:{db}",
         "customer",
         partition_column="c_custkey",
         num_partitions=8,
-        lower_bound=0,
-        upper_bound=1_000_000,
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
     )
     return back.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -525,10 +525,12 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".7 ssn 123-45-6789 tel +1 555 000 1234"),
     )
     red = redact_pii(salted)
+    # was_redacted compares against the SALTED input — comparing against the
+    # original text would be vacuously true (the salt itself differs).
     return docs.select(
         "doc_id",
         red.alias("redacted"),
-        (red != F.col("text")).alias("was_redacted"),
+        (red != salted).alias("was_redacted"),
     )
 
 
@@ -540,7 +542,7 @@ WITH salted AS (
     FROM documents
 ),
 red AS (
-    SELECT doc_id, text,
+    SELECT doc_id, s,
            regexp_replace(
              regexp_replace(
                regexp_replace(
@@ -550,7 +552,7 @@ red AS (
              '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g') AS redacted
     FROM salted
 )
-SELECT doc_id, redacted, redacted != text AS was_redacted FROM red
+SELECT doc_id, redacted, redacted != s AS was_redacted FROM red
 """
 
 

@@ -33,18 +33,26 @@ def main() -> None:
         con.sql(f"SELECT count(*) FROM {t}").fetchall()
 
     # Prior round's per-query Spark times (driver-recorded BENCH_r{N}.json)
-    # for the regression-attribution column.
+    # for the regression-attribution column. Only comparable when sf_dir has
+    # a parseable sfN suffix matching the prior run's sf — otherwise skip.
     from bench import _latest_prior_round
 
     prior = _latest_prior_round() or {}
-    prior_q = prior.get("queries", {}) if prior.get("sf") == float(
-        sf_dir.rstrip("/").rsplit("sf", 1)[-1] or 0
-    ) else {}
+    try:
+        this_sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        this_sf = None
+    prior_q = prior.get("queries", {}) if (this_sf is not None and prior.get("sf") == this_sf) else {}
 
+    # Name order, same as bench.py: registry order changes per round (driver
+    # priority window) and would shift warm-up between queries, polluting the
+    # vs-prior deltas with position noise.
+    bench_specs = sorted(
+        (s for s in all_specs() if "bench" in s.tags and s.oracle is not None),
+        key=lambda s: s.name,
+    )
     rows = []
-    for spec in all_specs():
-        if "bench" not in spec.tags or spec.oracle is None:
-            continue
+    for spec in bench_specs:
         t0 = time.time()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t_spark = time.time() - t0
