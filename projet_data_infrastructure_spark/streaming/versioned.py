@@ -93,3 +93,20 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     for v in dropped:
         shutil.rmtree(os.path.join(table_path, f"v={v}"), ignore_errors=True)
     return dropped
+
+
+def ensure_lake_table(spark: SparkSession, table_path: str, schema: str) -> bool:
+    """K7 analog: bootstrap the lake location if it does not exist.
+
+    The reference probes its object-store location on startup and creates it
+    with a marker write when absent (``/root/reference/spark/SaveDelta.scala:44-59``,
+    exists-check + test write against the MinIO bucket). Here the storage
+    primitive is the versioned-snapshot table, so bootstrap = publish an
+    empty v1 snapshot of the declared ``schema``: concurrent readers observe
+    a valid empty table, never a missing path. Returns True if the table
+    already existed.
+    """
+    if snapshot_exists(table_path):
+        return True
+    write_snapshot(spark.createDataFrame([], schema), table_path)
+    return False

@@ -189,3 +189,21 @@ def test_apply_cdc_batch_upsert_delete(spark, tmp_path):
     assert {r["id"] for r in read_snapshot(spark, target, version=1).collect()} == {1}
     assert set(rows) == {1, 2}
     assert rows[1]["comment"] == "v3"
+
+
+def test_parse_envelope_tolerates_schema_drift(spark):
+    """Producer-side drift must not break the consumer: unknown payload
+    fields are ignored (from_json drops them), fields missing from the JSON
+    come back NULL — the declared schema is the contract, as the reference's
+    schema SHOULD have been (SaveDelta.scala declared one, then bypassed it)."""
+    extra_field = envelope("c", after=dict(ROW1, brand_new_col="surprise"), ts_ms=1000)
+    missing_fields = json.dumps(
+        {"payload": {"after": {"id": 9, "id_employee": 3}, "op": "c", "ts_ms": 1001}}
+    )
+    raw = spark.createDataFrame([(extra_field,), (missing_fields,)], "value string")
+    rows = {r["id"]: r for r in parse_envelope(raw).collect()}
+    assert set(rows) == {1, 9}
+    assert rows[1]["comment"] == ROW1["comment"]  # known fields intact
+    assert "brand_new_col" not in rows[1].asDict()  # unknown field dropped
+    assert rows[9]["sport_type"] is None  # absent field → NULL, row kept
+    assert rows[9]["start_datetime"] is None  # µs decode passes NULL through

@@ -63,3 +63,20 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert dropped == [1]
     assert read_snapshot(spark, target, version=2).count() == 1000  # kept
     assert read_snapshot(spark, target).count() == 5
+
+
+def test_ensure_lake_table_bootstraps_once(spark, tmp_path):
+    from projet_data_infrastructure_spark.streaming.versioned import (
+        ensure_lake_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    target = str(tmp_path / "lake_t")
+    assert ensure_lake_table(spark, target, "id long, name string") is False
+    snap = read_snapshot(spark, target)
+    assert snap.count() == 0 and snap.columns == ["id", "name"]
+    # second call: table exists, no new version published
+    write_snapshot(spark.range(3).selectExpr("id", "'x' AS name"), target)
+    assert ensure_lake_table(spark, target, "id long, name string") is True
+    assert read_snapshot(spark, target).count() == 3
