@@ -361,6 +361,31 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
 
 
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live custom stateful operator: applyInPandasWithState running
+    (count, sum) per user. The file source delivers events.parquet as ONE
+    micro-batch under availableNow, so the update-mode emission is exactly
+    one final row per user — which makes this custom-state path
+    oracle-checkable against the batch aggregate."""
+    from projet_data_infrastructure_spark.streaming.stateful import running_totals
+
+    stream = _events_stream(spark, sf_dir)
+    rt = running_totals(stream)
+    res = _run_stream(rt.writeStream.outputMode("update"), spark, "stream_rt_sink")
+    return res.select(
+        F.col("key").alias("user_id"),
+        "n_events",
+        pround(F.col("total_value"), 2).alias("total_value_r"),
+    )
+
+
+_STREAM_RT_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       {pround_sql('sum(coalesce(value, 0))', 2)} AS total_value_r
+FROM events GROUP BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
@@ -375,4 +400,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stream_tumbling_counts", q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming-live",)),
     QuerySpec("stream_session_counts", q_stream_session, _SESSION_SQL, ("streaming-live",)),
     QuerySpec("stream_dedup_ids", q_stream_dedup, _STREAM_DEDUP_SQL, ("streaming-live", "dedup")),
+    QuerySpec(
+        "stream_running_totals",
+        q_stream_running_totals,
+        _STREAM_RT_SQL,
+        ("streaming-live", "stateful"),
+    ),
 ]

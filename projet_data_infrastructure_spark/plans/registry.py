@@ -88,9 +88,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_length_bins",
     "events_partitioned_dpp",
     "jdbc_roundtrip_derby",
-    "stream_session_counts",
-    "stream_dedup_ids",
     "excel_rename_roundtrip",
+    "stream_session_counts",
+    "stream_running_totals",
+    "stream_dedup_ids",
     # rows-only tail (weaker check, still driver-visible)
     "generator_activities",
     "stream_cdc_apply",
