@@ -262,6 +262,41 @@ def simhash_hamming_pairs(
     )
 
 
+def jaccard_on_candidates(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact unigram Jaccard computed ONLY on candidate pairs — the
+    production chaining of LSH: generate → verify, linear in candidates
+    instead of quadratic in documents. Token sets are aggregated once per
+    document (not per pair); the pair join then intersects two bounded
+    arrays JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(_sorted_tokens(text_col)).alias("tset")
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("tset").alias("ta"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("tset").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = inter / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= threshold)
+    )
+
+
+def _sorted_tokens(text_col: str):
+    # array_intersect is order-insensitive, but a canonical token order keeps
+    # the op deterministic under any upstream layout.
+    return F.array_sort(tokens(F.col(text_col)))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -133,6 +133,37 @@ FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
 
 
+def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash production chain in one plan: signatures → LSH band
+    join → exact Jaccard verification on candidates only (linear in
+    candidates, never all-pairs)."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    verified = dedup.jaccard_on_candidates(docs, pairs, threshold=0.5)
+    return verified.select(
+        "doc_a", "doc_b", pround(F.col("jaccard_raw"), 4).alias("jaccard")
+    )
+
+
+def _lsh_verified_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+tsets AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS tset FROM documents),
+j AS (
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(a.tset, b.tset))
+             / CAST(greatest(len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)), 1)
+                    AS DOUBLE) AS jaccard_raw
+    FROM pairs p
+    JOIN tsets a ON a.doc_id = p.doc_a
+    JOIN tsets b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, {pround_sql('jaccard_raw', 4)} AS jaccard
+FROM j WHERE jaccard_raw >= 0.5
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters = connected components over the LSH candidate
     graph (iterative min-label propagation; oracle is a recursive CTE)."""
@@ -815,6 +846,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("minhash_signatures", q_minhash_signatures, _minhash_sig_sql(), ("dedup", "bench")),
     QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _minhash_pairs_sql(), ("dedup",)),
     QuerySpec("simhash_32bit", q_simhash, _SIMHASH_SQL, ("dedup",)),
+    QuerySpec("lsh_verified_pairs", q_lsh_verified_pairs, _lsh_verified_sql(), ("dedup",)),
     QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), ("dedup", "iterative")),
     QuerySpec(
         "simhash_hamming_pairs", q_simhash_hamming, _simhash_hamming_sql(), ("dedup",)

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_cluster_keep",
     "simhash_hamming_pairs",
+    "lsh_verified_pairs",
     "tfidf_top_terms",
     "pii_redaction",
     "stratified_sample_lang",
