@@ -124,3 +124,33 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
         .filter((F.col("_rn") - 1) % every_nth == 0)
         .drop("_rn")
     )
+
+
+def partition_by_size_class(
+    df: DataFrame,
+    content_col: str = "content",
+    n_partitions_per_class: int = 4,
+    small_max: int = 1 << 20,
+    large_max: int = 64 << 20,
+) -> DataFrame:
+    """Repartition assets by payload size class before decode.
+
+    Media tables are heavily size-skewed (thumbnails to feature films); a
+    hash repartition on id alone lands a few giant assets in one task and
+    stalls the stage. Classing by size first, then spreading each class over
+    its own partition range, bounds per-task bytes — the decode stage's
+    skew mitigation promised in SCALE.md. Pure JVM expressions; the class
+    column stays available downstream for batch-size tuning.
+    """
+    size = F.length(F.col(content_col))
+    size_class = (
+        F.when(size <= small_max, F.lit("small"))
+        .when(size <= large_max, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    out = df.withColumn("size_class", size_class)
+    # Spread within each class by a content hash (layout-independent), so a
+    # class's assets fan across tasks instead of hashing to one partition.
+    return out.repartition(
+        3 * n_partitions_per_class, F.col("size_class"), F.xxhash64(F.col(content_col))
+    )

@@ -146,15 +146,55 @@ def ivf_assign(
     Deterministic centroid choice (vec_id 0..C-1) keeps this oracle-checkable;
     swap in trained centroids for production — the plan shape (broadcast
     centroids → per-row argmin) is unchanged and shuffle-free."""
-    from pyspark.sql.window import Window
-
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
+    return ivf_assign_to(emb, cents, id_col, vec_col)
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """TRAINED IVF centroids via MLlib k-means (kmeans|| init, seeded).
+
+    :func:`ivf_assign` uses deterministic seed vectors so it stays
+    oracle-checkable; this is the production path it promises — the learned
+    centroids drop into the SAME broadcast+argmin algebra (see
+    :func:`ivf_assign_to`), nothing else changes. Engine-specific (no DuckDB
+    k-means), so its registry exposure is rows-only; quality is pinned by a
+    recall-floor test against brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+    cents = model.clusterCenters()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, cvec array<double>",
+    )
+
+
+def ivf_assign_to(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to the nearest of an ARBITRARY centroid table — the
+    shared algebra behind seed-vector and k-means-trained IVF: broadcast C
+    centroids, per-row argmin, zero shuffle of the embedding table."""
+    from pyspark.sql.window import Window
+
     dist = pround(l2_sq(vec_col, "cvec"), 6)
     w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("centroid_id"))
     return (
-        emb.join(F.broadcast(cents))
+        emb.join(F.broadcast(centroids))
         .select(F.col(id_col), "centroid_id", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -216,8 +216,24 @@ def q_csv_dim_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_DIM_SQL = "SELECT c_custkey, c_name, c_acctbal FROM customer"
 
 
+def q_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment under k-means-TRAINED centroids (MLlib, seeded) —
+    the production path behind the oracle-checked seed-centroid form; the
+    broadcast+argmin algebra is shared (`operators/similarity.py:
+    ivf_assign_to`). k-means init is engine-specific → rows-only check;
+    recall quality is pinned by `test_trained_ivf_recall_floor`."""
+    from projet_data_infrastructure_spark.operators.similarity import (
+        ivf_assign_to,
+        ivf_train_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_assign_to(emb, ivf_train_centroids(emb, n_centroids=8))
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("jdbc_roundtrip_derby", q_jdbc_roundtrip, _jdbc_sql(), ("source", "jdbc")),
+    QuerySpec("ivf_trained_assign", q_ivf_trained_assign, None, ("similarity", "rows-only")),
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, None, ("streaming-live", "rows-only")),

@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_running_totals",
     "stream_dedup_ids",
     # rows-only tail (weaker check, still driver-visible)
+    "ivf_trained_assign",
     "generator_activities",
     "stream_cdc_apply",
     "multimodal_features",
