@@ -770,6 +770,149 @@ FROM orders
 """
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 analog: distribution of orders-per-customer (incl. zero-order
+    customers via left join), with urgent orders excluded — the classic
+    left-join + double-aggregation shape."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"), "c_custkey", "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips NULLs
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_TPCH_Q13_SQL = """
+WITH per_cust AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority != '1-URGENT') o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analog: revenue impact of small-quantity orders — correlated
+    scalar subquery (per-part average quantity) re-expressed as an
+    aggregate + re-join, the scalable Spark shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    )
+    joined = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))), "l_partkey"
+    )
+    avg_qty = joined.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_cut")
+    )
+    small = joined.join(avg_qty, "l_partkey").filter(F.col("l_quantity") < F.col("qty_cut"))
+    return small.agg(
+        pround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
+    )
+
+
+_TPCH_Q17_SQL = f"""
+WITH joined AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size < 15
+), cuts AS (
+    SELECT l_partkey, avg(l_quantity) * 0.5 AS qty_cut FROM joined GROUP BY l_partkey
+)
+SELECT {pround_sql('sum(j.l_extendedprice) / 7.0', 2)} AS avg_yearly
+FROM joined j JOIN cuts c ON c.l_partkey = j.l_partkey
+WHERE j.l_quantity < c.qty_cut
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 analog: disjunctive multi-branch predicate (brand × size ×
+    quantity OR-chains) — Catalyst pushes the common l_partkey equi-join
+    and evaluates the disjunction post-join without a cartesian."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 15))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(5, 20))
+        & (F.col("l_quantity").between(10, 25))
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(20, 35))
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_TPCH_Q19_SQL = f"""
+SELECT {pround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20 AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog: wealthy-but-inactive customers per nation — scalar
+    subquery (global average balance) + NOT EXISTS (anti-join) + final agg."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    wealthy = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("cut"))
+    # "inactive" = never placed an urgent order (plain no-orders is empty at
+    # small SFs, which would make the oracle check vacuous).
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    inactive = wealthy.join(urgent, "c_custkey", "left_anti")
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_TPCH_Q22_SQL = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       {pround_sql('sum(c_acctbal)', 2)} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dynamic partition pruning over the date-partitioned lake layout that
 # stream_append_sink produces (SCALE.md's partition-layout argument, proven).
@@ -841,6 +984,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q14_promo_share", q_tpch_q14, _TPCH_Q14_SQL, ("tpch",)),
     QuerySpec("tpch_q4_late_orders", q_tpch_q4, _TPCH_Q4_SQL, ("tpch",)),
     QuerySpec("tpch_q6_forecast_revenue", q_tpch_q6, _TPCH_Q6_SQL, ("tpch",)),
+    QuerySpec("tpch_q13_custdist", q_tpch_q13, _TPCH_Q13_SQL, ("tpch",)),
+    QuerySpec("tpch_q17_small_qty", q_tpch_q17, _TPCH_Q17_SQL, ("tpch",)),
+    QuerySpec("tpch_q19_disjunctive", q_tpch_q19, _TPCH_Q19_SQL, ("tpch",)),
+    QuerySpec("tpch_q22_inactive", q_tpch_q22, _TPCH_Q22_SQL, ("tpch",)),
     QuerySpec("histogram_acctbal", q_histogram, _HISTOGRAM_SQL, ("agg", "stats")),
     QuerySpec("hourly_heatmap", q_hourly_heatmap, _HEATMAP_SQL, ("agg", "timeseries")),
     QuerySpec("label_centroids", q_label_centroids, _CENTROIDS_SQL, ("similarity", "agg")),

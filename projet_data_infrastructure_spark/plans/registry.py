@@ -42,6 +42,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_share",
     "tpch_q4_late_orders",
     "tpch_q6_forecast_revenue",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q22_inactive",
     # text-analysis family
     "text_stats",
     "lang_id_heuristic",
