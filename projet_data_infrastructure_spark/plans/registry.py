@@ -42,10 +42,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_share",
     "tpch_q4_late_orders",
     "tpch_q6_forecast_revenue",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q22_inactive",
     # text-analysis family
     "text_stats",
     "lang_id_heuristic",
@@ -97,6 +93,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_session_counts",
     "stream_running_totals",
     "stream_dedup_ids",
+    # round-2 TPC-H additions: the family already earns driver evidence via
+    # the seven analogs at the top, so these take overflow slots first
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q22_inactive",
     # rows-only tail (weaker check, still driver-visible)
     "ivf_trained_assign",
     "generator_activities",
