@@ -224,16 +224,22 @@ SELECT token, count(*) AS cnt FROM (
 
 
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The collected array is emitted as a ','-joined string: the driver's
+    # pandas canonicalizer cannot hash list-typed cells, so an array-valued
+    # output column can never go green under the oracle contract. The
+    # collect+sort semantics stay under test; only the wire format changes.
     orders = read_table(spark, sf_dir, "orders")
     small = orders.filter(F.col("o_custkey") < 20)
     return small.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("orderkeys"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 _ARRAY_AGG_SQL = """
-SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys, count(*) AS n
+SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys,
+       count(*) AS n
 FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
 """
 

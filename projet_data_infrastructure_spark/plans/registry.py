@@ -28,89 +28,81 @@ class QuerySpec:
     doc: str = ""
 
 
-# Names the per-round correctness driver has NOT yet verified (it samples a
-# bounded window from the front of ``all_specs()``; round 1 covered the first
-# 50 in module order). These are promoted to the front so driver evidence
-# accumulates across rounds to the whole registry. Names absent from the
-# registry are ignored, so this list never blocks adding/removing specs.
+# Round-3 driver window. The per-round correctness driver samples a bounded
+# window (~50 names) from the front of ``all_specs()``; rounds 1-2 together
+# covered 100 of the 115 registered names. This ordering fronts (a) the 15
+# names with no driver row ever, (b) ``array_agg_sorted`` (red in r2 on a
+# harness list-hash issue, now emitted as a joined string), (c) specs new in
+# round 3, then (d) a rotating re-verify sample of the most load-bearing
+# previously-green specs so old evidence is periodically refreshed rather
+# than accumulating forever unchecked. Names absent from the registry are
+# ignored, so this list never blocks adding/removing specs.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H analog family (unchecked in round 1)
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q7_nation_volume",
-    "tpch_q12_late_shipments",
-    "tpch_q14_promo_share",
-    "tpch_q4_late_orders",
-    "tpch_q6_forecast_revenue",
-    # text-analysis family
-    "text_stats",
-    "lang_id_heuristic",
-    "quality_score",
-    "doc_fingerprint",
-    "token_count_bpe",
-    "rolling_hash_fingerprint",
-    "wordcount_top20",
-    "bigram_topk",
-    # similarity / ANN
-    "ivf_assign",
-    "ivf_topk_ann",
-    "embedding_neardup_bucketed",
-    "label_centroids",
-    # pipelines / UDF surface
-    "corpus_curation_pipeline",
-    "commute_enrichment_udf",
-    "salted_groupby_skew",
-    # time-series joins
-    "asof_join",
-    "range_join_pairs",
-    "funnel_conversion",
-    "hourly_heatmap",
-    "date_arithmetic",
-    # relational long tail from advanced/extras
-    "full_outer_join",
-    "exists_subquery",
-    "scalar_subquery",
-    "having_filter",
-    "pivot_status_counts",
-    "unpivot_measures",
-    "array_agg_sorted",
-    "stats_aggregates",
-    "median_percentile",
-    "grouping_sets",
-    "histogram_acctbal",
-    # new in round 2
-    "dedup_clusters",
-    "dedup_cluster_keep",
-    "simhash_hamming_pairs",
-    "lsh_verified_pairs",
-    "tfidf_top_terms",
-    "pii_redaction",
-    "stratified_sample_lang",
-    "token_length_bins",
-    "events_partitioned_dpp",
-    "jdbc_roundtrip_derby",
-    "excel_rename_roundtrip",
-    "stream_session_counts",
+    # (a) never driver-checked before round 3
     "stream_running_totals",
     "stream_dedup_ids",
-    # round-2 TPC-H additions: the family already earns driver evidence via
-    # the seven analogs at the top, so these take overflow slots first
     "tpch_q13_custdist",
     "tpch_q17_small_qty",
     "tpch_q19_disjunctive",
     "tpch_q22_inactive",
-    # rows-only tail (weaker check, still driver-visible)
     "ivf_trained_assign",
     "generator_activities",
     "stream_cdc_apply",
     "multimodal_features",
     "approx_count_distinct",
     "sampled_profile",
-    # near-duplicates of already-driver-verified family members — lowest
-    # marginal evidence, so they take the overflow slots
     "window_funcs2",
     "string_funcs2",
     "conditional_funcs",
+    # (b) needs a fresh green row after the string-form fix
+    "array_agg_sorted",
+    # (c) new in round 3
+    "multimodal_size_histogram",
+    # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
+    # heaviest/most load-bearing first
+    "flagship_bonus",
+    "scan_project",
+    "filter_pushdown",
+    "cdc_envelope_parse",
+    "epoch_us_roundtrip",
+    "json_extract",
+    "masked_view",
+    "inner_join_enrich",
+    "left_join_agg",
+    "semi_join",
+    "anti_join",
+    "groupby_count_avg",
+    "topk_groups",
+    "validation_profile",
+    "multiway_join_rollup",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_local_supplier",
+    "window_rank",
+    "window_running_sum",
+    "rollup_agg",
+    "cube_agg",
+    "string_funcs",
+    "date_funcs",
+    "cast_types",
+    "case_when_bonus",
+    "null_logic_coalesce",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "dedup_earliest_event",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_32bit",
+    "cosine_topk_bruteforce",
+    # r2 greens most worth a refresh if slots remain
+    "dedup_clusters",
+    "lsh_verified_pairs",
+    "embedding_neardup_bucketed",
+    "corpus_curation_pipeline",
+    "jdbc_roundtrip_derby",
+    "events_partitioned_dpp",
 )
 
 
