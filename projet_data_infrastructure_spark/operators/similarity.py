@@ -8,8 +8,9 @@ Scale design:
   TakeOrderedAndProject (per-partition heap of k, no global sort). Linear
   scan, embarrassingly parallel — the right baseline even at 100 TB.
 * **IVF-bucketed** (scale path): assign every vector to its nearest of C
-  centroids (one broadcast join), partition by bucket; a query probes only
-  its bucket(s) — C× less work per query. Centroid assignment here is
+  centroids (map-side argmin over an inlined centroid literal — no join, no
+  shuffle), partition by bucket; a query probes only its bucket(s) — C× less
+  work per query. Centroid assignment here is
   deterministic (seed vectors as centroids) so it is oracle-checkable;
   production would plug k-means centroids into the same algebra.
 * **Near-dup pairs**: embedding-cosine dedup — all-pairs within a bucket (or
@@ -144,8 +145,9 @@ def ivf_assign(
     """IVF assignment: nearest (L2) of the first ``n_centroids`` vectors.
 
     Deterministic centroid choice (vec_id 0..C-1) keeps this oracle-checkable;
-    swap in trained centroids for production — the plan shape (broadcast
-    centroids → per-row argmin) is unchanged and shuffle-free."""
+    swap in trained centroids for production — the plan shape (inlined
+    centroid literal → per-row map-side argmin) is unchanged and genuinely
+    shuffle-free (no Exchange in the executed plan)."""
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
@@ -168,7 +170,7 @@ def ivf_train_centroids(
     k-means), so its registry exposure is rows-only; quality is pinned by a
     recall-floor test against brute force."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
@@ -187,18 +189,47 @@ def ivf_assign_to(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign vectors to the nearest of an ARBITRARY centroid table — the
-    shared algebra behind seed-vector and k-means-trained IVF: broadcast C
-    centroids, per-row argmin, zero shuffle of the embedding table."""
-    from pyspark.sql.window import Window
+    shared algebra behind seed-vector and k-means-trained IVF.
 
-    dist = pround(l2_sq(vec_col, "cvec"), 6)
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("centroid_id"))
-    return (
-        emb.join(F.broadcast(centroids))
-        .select(F.col(id_col), "centroid_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id", "dist")
+    The ≤C centroid rows are materialized driver-side (bounded by
+    construction — C is a model parameter, not data-sized) and inlined as a
+    literal array-of-structs column; each row's argmin is a single
+    ``transform`` + ``array_min`` over that array, entirely map-side. The
+    executed plan contains NO Exchange (asserted in
+    ``tests/test_plans_quality.py``) — the earlier broadcast-join + Window
+    formulation shuffled ~N rows of (id, centroid, dist) to rank per id.
+
+    ``array_min`` over ``struct(dist, cid)`` uses struct ordering, which is
+    exactly the (min rounded dist, lowest centroid_id) tie-break the oracle's
+    ``row_number() OVER (ORDER BY dist, centroid_id)`` applies. For very
+    large C (tens of thousands) the literal expression grows with C·dim;
+    chunk the centroid set and ``least()`` the per-chunk minima if the
+    expression tree ever becomes the bottleneck.
+    """
+    rows = centroids.select("centroid_id", "cvec").orderBy("centroid_id").collect()
+    if not rows:
+        raise ValueError("ivf_assign_to: centroid table is empty")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in rows
+        ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            pround(l2_sq(F.col(vec_col), c["cvec"]), 6).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return emb.select(
+        F.col(id_col),
+        best["cid"].alias("centroid_id"),
+        best["dist"].alias("dist"),
     )
 
 

@@ -144,6 +144,23 @@ def test_bucketed_neardup_has_no_nested_loop(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_ivf_assign_is_shuffle_free(spark):
+    # Centroid assignment is a map-side argmin over an inlined centroid
+    # literal: the executed plan must contain NO Exchange, no join, and no
+    # Window — each embedding partition is scored in place. (The earlier
+    # broadcast-join + Window argmin shuffled ~N (id, centroid, dist) rows.)
+    from projet_data_infrastructure_spark.operators.similarity import ivf_assign
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    df = ivf_assign(emb, 4)
+    assert df.count() == emb.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
 def test_bucketed_neardup_recall_within_buckets(spark):
     # Recall oracle: every same-bucket pair found by bounded all-pairs must
     # be found by the bucketed form with the SAME similarity, and the
