@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 from projet_data_infrastructure_spark.plans._portable import _EPS, pround
 
 
+def derived_n_centroids(n_rows: int, floor: int = 8) -> int:
+    """Scale-derived IVF centroid count: ``max(floor, ⌊√N⌋)``.
+
+    Per-bucket near-dup work is Σ|bucket|² ≈ N²/C, so C must grow with N for
+    the bucketed path to stay sub-quadratic; C ≈ √N keeps expected total pair
+    comparisons ≈ N^1.5. Computed via double sqrt (not ``math.isqrt``) so it
+    is bit-identical to the oracle's ``floor(sqrt(count(*)::DOUBLE))``."""
+    import math
+
+    return max(floor, int(math.floor(math.sqrt(float(n_rows)))))
+
+
 def dot(a: str | Column, b: str | Column) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(

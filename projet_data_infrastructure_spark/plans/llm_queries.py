@@ -278,14 +278,27 @@ WHERE {pround_sql('list_cosine_similarity(a.v, b.v)', 6)} >= 0.3
 
 def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary near-dup query: IVF-bucketed candidates, full table, no
-    nested-loop join (plan shape asserted in tests/test_plans_quality.py)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs_bucketed(emb, threshold=0.3, n_centroids=8)
+    nested-loop join (plan shape asserted in tests/test_plans_quality.py).
 
+    ``n_centroids`` is derived from the table size (≈√N, floor 8) so the
+    registered query keeps the 100 TB shape at any scale factor: per-bucket
+    pair work is Σ|bucket|² ≈ N²/C, so C must grow with N — with C ≈ √N the
+    expected total pair comparisons stay ≈ N^1.5 instead of N²."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    c = similarity.derived_n_centroids(emb.count())
+    return similarity.neardup_pairs_bucketed(emb, threshold=0.3, n_centroids=c)
+
+
+# The oracle derives the SAME √N centroid count via a scalar subquery, so
+# both engines pick identical seed centroids at every scale factor.
+_DERIVED_C_SQL = (
+    "(SELECT greatest(8, CAST(floor(sqrt(count(*)::DOUBLE)) AS INT)) FROM embeddings)"
+)
 
 _NEARDUP_BUCKETED_SQL = f"""
 WITH cents AS (
-    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {_DERIVED_C_SQL}
 ), dists AS (
     SELECT e.vec_id, c.centroid_id,
            {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist

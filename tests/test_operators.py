@@ -132,6 +132,18 @@ def test_ivf_assign_buckets(spark):
     assert assign[2] == 0 and assign[3] == 1
 
 
+def test_derived_n_centroids_grows_with_table():
+    # The registered bucketed near-dup derives C ≈ √N (floor 8) so the query
+    # keeps its sub-quadratic shape at any scale factor instead of pinning
+    # the sf0.01 constant.
+    d = similarity.derived_n_centroids
+    assert d(0) == 8 and d(64) == 8  # floor dominates small tables
+    assert d(500) == 22  # sf0.01 embeddings
+    assert d(1_000_000) == 1_000
+    assert d(4 * 10**12) == 2 * 10**6  # 100 TB-ish row counts keep scaling
+    assert d(10_000, floor=16) == 100
+
+
 def test_text_tokens_and_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "  Hello   world "), (2, "hello world")], "doc_id long, text string"
