@@ -9,6 +9,11 @@ Runs the headline queries (registry specs tagged "bench") at
 
 Each query materializes through the noop sink (full execution, no
 driver-side row transfer) after one untimed warmup of the session/JIT.
+Each query is executed REPS (3) times across full name-order passes and the
+median is reported: run-to-run variance on identical code spans ~1.5x
+totals, which made single-shot per-query deltas (±3 s on a 4 s query)
+unattributable. Medians over interleaved passes absorb transient system
+noise without hiding a real regression.
 """
 
 from __future__ import annotations
@@ -43,19 +48,25 @@ def main() -> None:
     for t in TABLES:
         read_table(spark, sf_dir, t).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for spec in specs:
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.time() - t0, 3)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {s.name: [] for s in specs}
+    for _ in range(reps):
+        for spec in specs:
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[spec.name].append(time.time() - t0)
 
+    import statistics
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline-query wall time (noop sink), sum over queries",
+        "metric": f"headline-query wall time (noop sink), sum of per-query medians of {reps}",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     prior = _latest_prior_round()
