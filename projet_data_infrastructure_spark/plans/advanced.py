@@ -924,6 +924,186 @@ ORDER BY c_nationkey
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog: NATION_2's market share of PROMO-part volume sold into
+    ASIA, by order year — the widest join tree in the family (7 tables, two
+    nation roles). Every dimension is broadcast; the only exchanges are the
+    lineitem/orders fact-fact shuffle and the 2-row final agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_regionkey")
+    asia = region.filter(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("n_regionkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(promo), "l_partkey")
+        .join(
+            orders.filter(F.year("o_orderdate").between(1996, 1997)).select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")), "o_custkey")
+        .join(F.broadcast(n1), "c_nationkey")
+        .join(F.broadcast(asia), "n_regionkey")
+        .join(F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")), "l_suppkey")
+        .join(F.broadcast(n2), "s_nationkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_TPCH_Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {pround_sql("sum(CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount))", 6)}
+           AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND year(o_orderdate) BETWEEN 1996 AND 1997
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog: top supplier(s) by 1997Q1 revenue — derived revenue view
+    joined against its own max (scalar subquery shape). Revenue is rounded
+    portably BEFORE the max/equality compare so both engines pick the same
+    winners (unrounded double sums could tie-break differently)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_TPCH_Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS s_suppkey,
+           {pround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s_name, total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 analog: suppliers who were the SOLE late shipper on a finished
+    multi-supplier order. The testdata lacks l_commitdate/l_receiptdate, so
+    "late" = shipped >90 days after order date (same adaptation as the
+    Q4/Q12 analogs). The EXISTS / NOT EXISTS pair is expressed as one
+    per-(order, supplier) aggregate reused on both sides of a semi- and an
+    anti-join — the fact table is shuffled ONCE on the order key, not three
+    times as a literal triple self-join would."""
+    orders_f = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    pairs = (
+        li.join(orders_f, "l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("was_late"))
+    )
+    late_pairs = pairs.filter(F.col("was_late") == 1)
+    l1, l2, l3 = late_pairs.alias("l1"), pairs.alias("l2"), late_pairs.alias("l3")
+    sole_late = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+            "l_suppkey",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_TPCH_Q21_SQL = """
+WITH pairs AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS was_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, count(*) AS numwait
+FROM pairs l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.was_late = 1
+  AND EXISTS (SELECT 1 FROM pairs l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM pairs l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.was_late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dynamic partition pruning over the date-partitioned lake layout that
 # stream_append_sink produces (SCALE.md's partition-layout argument, proven).
@@ -1027,6 +1207,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q17_small_qty", q_tpch_q17, _TPCH_Q17_SQL, ("tpch",)),
     QuerySpec("tpch_q19_disjunctive", q_tpch_q19, _TPCH_Q19_SQL, ("tpch",)),
     QuerySpec("tpch_q22_inactive", q_tpch_q22, _TPCH_Q22_SQL, ("tpch",)),
+    QuerySpec("tpch_q8_mkt_share", q_tpch_q8, _TPCH_Q8_SQL, ("tpch",)),
+    QuerySpec("tpch_q15_top_supplier", q_tpch_q15, _TPCH_Q15_SQL, ("tpch",)),
+    QuerySpec("tpch_q21_waiting_supplier", q_tpch_q21, _TPCH_Q21_SQL, ("tpch",)),
     QuerySpec("histogram_acctbal", q_histogram, _HISTOGRAM_SQL, ("agg", "stats")),
     QuerySpec("hourly_heatmap", q_hourly_heatmap, _HEATMAP_SQL, ("agg", "timeseries")),
     QuerySpec("label_centroids", q_label_centroids, _CENTROIDS_SQL, ("similarity", "agg")),

@@ -30,6 +30,70 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthetic_assets(spark, n=128))
 
 
+def q_multimodal_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED multimodal path: documents' text bytes as the binary
+    payload, pushed through the real ``mapInPandas`` decode/featurize stage
+    (`operators/multimodal.py:extract_features`), then rolled into a
+    deterministic per-type size-class histogram.
+
+    The stub decoder derives width/height from the first/last payload byte;
+    the corpus is ASCII (asserted in tests), so DuckDB reproduces the same
+    numbers from ``ascii(substr(text, ...))`` — giving the multimodal family
+    a hash-matched driver row instead of rows-only. Every aggregate is an
+    integer, so no float-ordering divergence is possible.
+    """
+    from projet_data_infrastructure_spark.operators.multimodal import extract_features
+
+    assets = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_features(assets)
+    size_class = (
+        F.when(F.col("n_bytes") < 128, F.lit("small"))
+        .when(F.col("n_bytes") < 256, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return feats.groupBy("media_type", size_class.alias("size_class")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+        F.min(F.col("n_bytes").cast("long")).alias("min_bytes"),
+        F.max(F.col("n_bytes").cast("long")).alias("max_bytes"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+    )
+
+
+_MULTIMODAL_HIST_SQL = """
+WITH feats AS (
+    SELECT
+        CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+        octet_length(encode(text)) AS n_bytes,
+        16 + ascii(substr(text, 1, 1)) % 64 AS width,
+        16 + ascii(substr(text, length(text), 1)) % 64 AS height
+    FROM documents
+)
+SELECT media_type,
+       CASE WHEN n_bytes < 128 THEN 'small'
+            WHEN n_bytes < 256 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       count(*) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height
+FROM feats
+GROUP BY media_type, size_class
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counts (algorithm differs per engine → no oracle).
 
@@ -238,6 +302,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, None, ("streaming-live", "rows-only")),
     QuerySpec("multimodal_features", q_multimodal, None, ("multimodal", "rows-only")),
+    QuerySpec(
+        "multimodal_size_histogram",
+        q_multimodal_size_hist,
+        _MULTIMODAL_HIST_SQL,
+        ("multimodal",),
+    ),
     QuerySpec("approx_count_distinct", q_approx_distinct, None, ("agg", "rows-only")),
     QuerySpec("sampled_profile", q_sampled_profile, None, ("agg", "rows-only")),
 ]

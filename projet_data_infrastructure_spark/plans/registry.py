@@ -58,6 +58,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "array_agg_sorted",
     # (c) new in round 3
     "multimodal_size_histogram",
+    "tpch_q8_mkt_share",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_supplier",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

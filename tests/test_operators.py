@@ -184,6 +184,24 @@ def test_multimodal_features_and_sampling(spark):
     assert sampled.count() == 6  # 10 per type → every 5th → 2 per type × 3
 
 
+def test_multimodal_size_histogram_contract(spark):
+    # The oracled spec's DuckDB side reproduces the stub decoder via
+    # ascii(substr(text, ...)): valid ONLY while the corpus is pure ASCII
+    # and non-empty. Pin that precondition and the histogram's totals.
+    from projet_data_infrastructure_spark.plans.extras import q_multimodal_size_hist
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    bad = docs.filter(
+        (F.length("text") == 0)
+        | (F.length(F.encode(F.col("text"), "utf-8")) != F.length("text"))
+    ).count()
+    assert bad == 0  # ASCII + non-empty: the cross-engine width/height math holds
+    hist = q_multimodal_size_hist(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_assets"] for r in hist) == docs.count()
+    assert all(r["min_bytes"] > 0 and r["sum_width"] > 0 for r in hist)
+
+
 def test_multimodal_bad_payload_survives(spark):
     df = spark.createDataFrame(
         [(1, "image/png", bytearray(b"ok")), (2, "image/png", None)],
