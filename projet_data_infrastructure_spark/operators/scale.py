@@ -38,14 +38,25 @@ def salted_count_avg(
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, key: str, n_buckets: int = 32, sort_by: str | None = None
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist with a bucketed layout so future equi-joins/aggs on ``key``
     skip the shuffle entirely (both sides bucket-aligned ⇒ SortMergeJoin
-    without Exchange). This is the disk-layout half of join co-location."""
+    without Exchange). This is the disk-layout half of join co-location.
+
+    ``path`` makes the table external (data under an explicit directory
+    instead of the session warehouse) — needed when the host session's
+    warehouse location is unknown or read-only."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort_by:
         writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

@@ -280,6 +280,82 @@ def q_csv_dim_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_DIM_SQL = "SELECT c_custkey, c_name, c_acctbal FROM customer"
 
 
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Ensure bucketed (on the order key) copies of orders and lineitem exist
+    in this session's catalog; returns their table names.
+
+    Existence is checked against the session CATALOG, not a module cache —
+    the driver builds its own session, where a fresh write is needed even if
+    this process wrote the tables before under another session. Data lives
+    under a pid-scoped temp dir so concurrent driver processes never race on
+    the same files."""
+    import os
+    import re
+    import tempfile
+
+    from projet_data_infrastructure_spark.operators.scale import write_bucketed
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    orders_tbl = f"graft_bucketed_orders_{tag}"
+    li_tbl = f"graft_bucketed_lineitem_{tag}"
+    if not (spark.catalog.tableExists(orders_tbl) and spark.catalog.tableExists(li_tbl)):
+        base = tempfile.mkdtemp(prefix=f"bucketed_{tag}_")
+        orders = read_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        write_bucketed(
+            orders, orders_tbl, "l_orderkey", n_buckets=16,
+            sort_by="l_orderkey", path=os.path.join(base, "orders"),
+        )
+        write_bucketed(
+            li, li_tbl, "l_orderkey", n_buckets=16,
+            sort_by="l_orderkey", path=os.path.join(base, "lineitem"),
+        )
+    return orders_tbl, li_tbl
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join, driver-visible: both orders and
+    lineitem persisted bucketed+sorted on the order key (16 buckets), so the
+    SortMergeJoin consumes the disk layout directly — ZERO Exchange and ZERO
+    Sort on the join itself (asserted in tests/test_plans_quality.py). At
+    100 TB this converts every recurring join on the key from a full
+    fact-fact shuffle into a local merge per bucket. The merge hint keeps
+    the small-SF test honest (Spark would otherwise broadcast the small
+    side and never exercise the bucket alignment)."""
+    from projet_data_infrastructure_spark.plans._portable import pround
+
+    orders_tbl, li_tbl = _bucketed_fact_tables(spark, sf_dir)
+    j = spark.table(li_tbl).hint("merge").join(
+        spark.table(orders_tbl).hint("merge"), "l_orderkey"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _bucketed_join_sql() -> str:
+    from projet_data_infrastructure_spark.plans._portable import pround_sql
+
+    return f"""
+SELECT o_orderpriority, count(*) AS n_lines,
+       {pround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment under k-means-TRAINED centroids (MLlib, seeded) —
     the production path behind the oracle-checked seed-centroid form; the
@@ -297,6 +373,7 @@ def q_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPECS: list[QuerySpec] = [
     QuerySpec("jdbc_roundtrip_derby", q_jdbc_roundtrip, _jdbc_sql(), ("source", "jdbc")),
+    QuerySpec("bucketed_join_colocated", q_bucketed_join, _bucketed_join_sql(), ("scale", "join")),
     QuerySpec("ivf_trained_assign", q_ivf_trained_assign, None, ("similarity", "rows-only")),
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),

@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q8_mkt_share",
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_supplier",
+    "bucketed_join_colocated",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

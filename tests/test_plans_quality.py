@@ -106,6 +106,26 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_cust")
 
 
+def test_bucketed_spec_join_has_no_join_shuffle(spark):
+    # The registered bucketed_join_colocated spec: the fact-fact join must
+    # consume the bucketed layout (no Exchange on the join key, no Sort —
+    # the tables are written sorted). Only the final agg/orderBy exchange.
+    from projet_data_infrastructure_spark.plans.extras import _bucketed_fact_tables
+
+    orders_tbl, li_tbl = _bucketed_fact_tables(spark, "/root/testdata/sf0.001")
+    try:
+        j = spark.table(li_tbl).hint("merge").join(
+            spark.table(orders_tbl).hint("merge"), "l_orderkey"
+        )
+        j.collect()  # finalize AQE on THIS DataFrame's QueryExecution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket-aligned: join shuffles nothing
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+
+
 def test_salted_agg_matches_plain(spark):
     from projet_data_infrastructure_spark.operators.scale import salted_count_avg
 
