@@ -305,3 +305,114 @@ def ivf_topk(
     return brute_force_topk(
         candidates.filter(F.col(id_col) != query_id), qvec, k, id_col, vec_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane SimHash (cosine LSH) — the signature analog of the IVF
+# bucketing above: H seeded ±1 hyperplanes project every embedding to an
+# H-bit signature whose hamming distance estimates angular distance. Banding
+# the signature turns near-dup search into an equi-join, same as the token
+# SimHash in operators/dedup.py but for the embedding modality.
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix, seeded from md5 — no RNG state,
+    so the plan (and the DuckDB oracle built from the same literals) is
+    reproducible across engines, sessions, and cluster sizes."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"hp:{j}:{d}".encode()).hexdigest()[:8], 16) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _dot_expr_spark(plane: list[float], vec_col: str) -> str:
+    """Left-associated explicit sum — NOT aggregate()/zip_with — so the
+    float→double accumulation order is pinned and bit-identical to the
+    oracle's identically-shaped expression (a sign flip near 0 would
+    otherwise move a vector across a hyperplane in one engine only)."""
+    return " + ".join(
+        f"CAST({vec_col}[{d}] AS DOUBLE) * {w}" for d, w in enumerate(plane)
+    )
+
+
+def hyperplane_signature(
+    vec_col: str = "embedding", n_planes: int = 16, dim: int = 64
+) -> Column:
+    """H-bit SimHash signature column (bit j = sign of projection j)."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(hyperplanes(n_planes, dim)):
+        bit = F.when(F.expr(_dot_expr_spark(plane, vec_col)) >= 0, F.lit(1 << j)).otherwise(0)
+        sig = sig + bit.cast("long")
+    return sig
+
+
+def hyperplane_simhash_pairs(
+    emb: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup candidates via banded hyperplane SimHash.
+
+    Signatures are linear in N (one pass, no shuffle); banding the H bits
+    into ``n_bands`` equi-join keys finds every pair at hamming ≤
+    H/n_bands·(n_bands−1) collisions away without all-pairs (pigeonhole: a
+    pair within ``max_hamming ≤ n_bands−1`` bit flips must agree on ≥1
+    band). The final hamming filter runs only on candidates. At 100 TB:
+    grow H and n_bands together; the join stays an equi-join.
+    """
+    bits_per_band = n_planes // n_bands
+    assert n_planes % n_bands == 0
+    assert max_hamming <= n_bands - 1, "pigeonhole recall guarantee would break"
+    sig = emb.select(
+        F.col(id_col), hyperplane_signature(vec_col, n_planes, dim).alias("sig")
+    )
+    mask = (1 << bits_per_band) - 1
+    bands = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("sig", bits_per_band * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

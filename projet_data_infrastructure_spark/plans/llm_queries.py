@@ -853,6 +853,132 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    5-gram with the held-out eval split (doc_id % 10 == 0 — the benchmark
+    set stand-in). The eval gram set is tiny relative to the corpus (eval
+    suites are KBs, corpora are TBs), so it broadcasts; the train side is
+    one linear gram pass + a broadcast hash join — no all-pairs, no
+    fact-fact shuffle at 100 TB."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 5
+    )
+    grams = toks.select(
+        "doc_id", F.explode(dedup.shingles_from_tokens("t", 5)).alias("g")
+    ).distinct()
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAMINATION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - 4)) AS g_(i)
+    WHERE len(t) >= 5
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+SELECT doc_id, count(*) AS n_shared_grams
+FROM grams JOIN eval_grams USING (g)
+WHERE doc_id % 10 <> 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (Gopher-style quality filter):
+    fraction of word 3-grams that are duplicates of an earlier 3-gram in the
+    same doc. Pure per-doc aggregation — partial aggregates map-side, one
+    shuffle on doc_id; no cross-document state, so it scales linearly."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = toks.select(
+        "doc_id", F.explode(dedup.shingles_from_tokens("t", 3)).alias("g")
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            pround(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams").cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS g_(i)
+    WHERE len(t) >= 3
+)
+SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT g) AS n_distinct,
+       {pround_sql('1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE)', 6)} AS dup_ratio
+FROM grams
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_hyperplane_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane SimHash (cosine LSH): 16
+    seeded ±1 hyperplanes → 16-bit signature → 4-bit band equi-join →
+    hamming ≤ 2 filter (pigeonhole-exact at ≤ 3 collisions). The third
+    near-dup modality next to token MinHash-LSH and IVF-bucketed cosine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_simhash_pairs(
+        emb, n_planes=16, n_bands=4, max_hamming=2, dim=64
+    )
+
+
+def _hyperplane_simhash_sql() -> str:
+    # Identical ±1 literals and identically-shaped left-associated sums as
+    # the Spark plan (operators/similarity.py:hyperplane_signature) — the
+    # projection arithmetic is bit-for-bit the same, so the sign of a
+    # projection can never differ between engines. DuckDB lists are
+    # 1-indexed, Spark arrays 0-indexed.
+    bits = []
+    for j, plane in enumerate(similarity.hyperplanes(16, 64)):
+        expr = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {w}" for d, w in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN {expr} >= 0 THEN {1 << j} ELSE 0 END")
+    sig = "\n         + ".join(bits)
+    return f"""
+WITH sig AS (SELECT vec_id, {sig} AS sig FROM embeddings),
+bands AS (
+    SELECT vec_id, sig, b.b AS band_idx, (sig >> (4 * b.b)) & 15 AS band_val
+    FROM sig, unnest(generate_series(0, 3)) AS b(b)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact_groups", q_dedup_exact_groups, _DEDUP_GROUPS_SQL, ("dedup", "bench")),
     QuerySpec("dedup_exact_keep", q_dedup_exact_keep, _DEDUP_KEEP_SQL, ("dedup",)),
@@ -893,4 +1019,14 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("salted_groupby_skew", q_salted_groupby, _SALTED_SQL, ("agg", "scale")),
     QuerySpec("rolling_hash_fingerprint", q_rolling_fingerprint, _ROLLING_SQL, ("text", "dedup")),
+    QuerySpec(
+        "benchmark_decontamination", q_decontamination, _DECONTAMINATION_SQL, ("text", "dedup")
+    ),
+    QuerySpec("repetition_ngram_ratio", q_repetition_ratio, _REPETITION_SQL, ("text",)),
+    QuerySpec(
+        "embedding_simhash_pairs",
+        q_hyperplane_simhash,
+        _hyperplane_simhash_sql(),
+        ("similarity", "dedup"),
+    ),
 ]

@@ -62,6 +62,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_supplier",
     "bucketed_join_colocated",
+    "benchmark_decontamination",
+    "repetition_ngram_ratio",
+    "embedding_simhash_pairs",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

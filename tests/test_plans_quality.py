@@ -181,6 +181,34 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "Window" not in plan
 
 
+def test_hyperplane_simhash_pigeonhole_exact(spark):
+    # 4 bands of 4 bits, max_hamming=2 ≤ bands-1: the banded equi-join must
+    # find EXACTLY the pairs a brute-force signature comparison finds — the
+    # pigeonhole guarantee, not an approximation.
+    from projet_data_infrastructure_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_simhash_pairs,
+    )
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hyperplane_simhash_pairs(emb, max_hamming=2).collect()
+    }
+    sigs = sorted(
+        (r.vec_id, r.sig)
+        for r in emb.select("vec_id", hyperplane_signature().alias("sig")).collect()
+    )
+    brute = {
+        (a_id, b_id): bin(a_sig ^ b_sig).count("1")
+        for i, (a_id, a_sig) in enumerate(sigs)
+        for b_id, b_sig in sigs[i + 1 :]
+        if bin(a_sig ^ b_sig).count("1") <= 2
+    }
+    assert banded == brute
+
+
 def test_bucketed_neardup_recall_within_buckets(spark):
     # Recall oracle: every same-bucket pair found by bounded all-pairs must
     # be found by the bucketed form with the SAME similarity, and the
