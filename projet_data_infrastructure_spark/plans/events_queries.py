@@ -386,6 +386,61 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-stream interval join: purchases joined to the view that
+    preceded them (same user, ≤ 2 h gap), both sides watermarked — the
+    attribution join every event pipeline runs. State is bounded by the
+    watermark: each side buffers only 2 h + 1 h of events, however long the
+    streams run. availableNow delivers the file as one batch, so the append
+    output is the complete match set — oracle-checkable against the batch
+    self-join. gap_sec counts second-boundary crossings (µs epochs divided
+    to seconds BEFORE subtracting) to match DuckDB's date_diff semantics."""
+    s = _events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    out = j.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.expr(
+            "unix_micros(purchase_ts) div 1000000 - unix_micros(view_ts) div 1000000"
+        ).alias("gap_sec"),
+    )
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_ssj_sink")
+
+
+_STREAM_SSJ_SQL = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       date_diff('second', v.ts, p.ts) AS gap_sec
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
@@ -405,5 +460,11 @@ SPECS: list[QuerySpec] = [
         q_stream_running_totals,
         _STREAM_RT_SQL,
         ("streaming-live", "stateful"),
+    ),
+    QuerySpec(
+        "stream_stream_join",
+        q_stream_stream_join,
+        _STREAM_SSJ_SQL,
+        ("streaming-live", "join"),
     ),
 ]

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benchmark_decontamination",
     "repetition_ngram_ratio",
     "embedding_simhash_pairs",
+    "stream_stream_join",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
