@@ -113,6 +113,7 @@ def neardup_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    centroid_src: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via IVF buckets — the 100 TB shape.
 
@@ -121,13 +122,32 @@ def neardup_pairs_bucketed(
     centroid are compared, so work is sum over buckets of |bucket|², not
     |table|². Pairs that straddle buckets are sacrificed for scale —
     :func:`neardup_pairs` (bounded all-pairs) is the recall oracle in tests.
+
+    ``centroid_src`` (defaults to ``emb``): where the ≤C seed rows are
+    collected from. Pass the un-rebalanced scan when ``emb`` carries a
+    repartition — the id filter then pushes down to parquet instead of
+    paying the balance shuffle just to read C rows.
     """
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col).select(id_col, "centroid_id")
-    # Precompute each vector's norm ONCE before the pair join (linear work);
-    # inside the join only the dot product remains — 3x fewer array folds
-    # per pair, and numerically identical to cosine() (same sequential
-    # aggregate producing the same norm doubles, just hoisted).
-    bucketed = emb.join(assign, id_col).withColumn("_norm", norm(vec_col))
+    cent_rows = (
+        (centroid_src if centroid_src is not None else emb)
+        .filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    assign = centroid_argmin_col(
+        [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
+        vec_col,
+    )
+    # The bucket id is a map-side EXPRESSION on emb (no join back to the
+    # assignment — that re-shuffled the table on vec_id). Norms likewise
+    # precomputed ONCE per row before the pair join (linear work); inside
+    # the join only the dot product remains — 3x fewer array folds per
+    # pair, numerically identical to cosine() (same sequential aggregate
+    # producing the same norm doubles, just hoisted).
+    bucketed = emb.withColumn("centroid_id", assign["cid"]).withColumn(
+        "_norm", norm(vec_col)
+    )
     a = bucketed.select(
         F.col("centroid_id").alias("bkt_a"),
         F.col(id_col).alias("vec_a"),
@@ -213,36 +233,52 @@ def ivf_assign_to(
 
     ``array_min`` over ``struct(dist, cid)`` uses struct ordering, which is
     exactly the (min rounded dist, lowest centroid_id) tie-break the oracle's
-    ``row_number() OVER (ORDER BY dist, centroid_id)`` applies. For very
-    large C (tens of thousands) the literal expression grows with C·dim;
-    chunk the centroid set and ``least()`` the per-chunk minima if the
-    expression tree ever becomes the bottleneck.
+    ``row_number() OVER (ORDER BY dist, centroid_id)`` applies.
     """
     rows = centroids.select("centroid_id", "cvec").orderBy("centroid_id").collect()
-    if not rows:
-        raise ValueError("ivf_assign_to: centroid table is empty")
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
-            )
-            for r in rows
-        ]
+    best = centroid_argmin_col(
+        [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in rows], vec_col
     )
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            pround(l2_sq(F.col(vec_col), c["cvec"]), 6).alias("dist"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    best = F.array_min(scored)
     return emb.select(
         F.col(id_col),
         best["cid"].alias("centroid_id"),
         best["dist"].alias("dist"),
     )
+
+
+def centroid_argmin_col(
+    cents: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """Map-side nearest-centroid struct column over driver-side centroids.
+
+    The centroid matrix enters the plan as TWO array literals (an
+    array<array<double>> and an array<int>) instead of a C·dim-node
+    expression tree: the per-element ``F.array(F.lit(...))`` form made
+    Janino compile multi-second generated methods, paid again for every
+    fresh plan. Each literal is built from ONE parsed SQL string — a
+    ``F.lit(nested_list)`` would itself issue C·dim py4j calls (~4 s at
+    C=44 measured), so the string form matters as much as the node count.
+    ``repr(float)`` is shortest-roundtrip, so the parsed doubles are
+    bit-identical to the collected centroids."""
+    if not cents:
+        raise ValueError("centroid_argmin_col: centroid list is empty")
+    cvecs = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c[1]) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+    cids = F.expr("array(" + ",".join(str(c[0]) for c in cents) + ")")
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.struct(
+            pround(l2_sq(F.col(vec_col), cvecs[i]), 6).alias("dist"),
+            cids[i].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)
 
 
 def cosine_topk_pandas(

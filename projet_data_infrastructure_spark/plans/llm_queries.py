@@ -284,9 +284,17 @@ def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered query keeps the 100 TB shape at any scale factor: per-bucket
     pair work is Σ|bucket|² ≈ N²/C, so C must grow with N — with C ≈ √N the
     expected total pair comparisons stay ≈ N^1.5 instead of N²."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    c = similarity.derived_n_centroids(emb.count())
-    return similarity.neardup_pairs_bucketed(emb, threshold=0.3, n_centroids=c)
+    # Balanced read for the heavy argmin/norm map stage (the single
+    # row-group file would serialize it on one core); the row count and the
+    # ≤C centroid rows come from the PLAIN scan, where count() resolves from
+    # parquet metadata and the id filter pushes down — neither should pay
+    # the balance shuffle.
+    plain = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_balanced(spark, sf_dir, "embeddings")
+    c = similarity.derived_n_centroids(plain.count())
+    return similarity.neardup_pairs_bucketed(
+        emb, threshold=0.3, n_centroids=c, centroid_src=plain
+    )
 
 
 # The oracle derives the SAME √N centroid count via a scalar subquery, so
