@@ -386,6 +386,35 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-static enrichment join: the event stream against the
+    static customer dim (broadcast per micro-batch, re-read each batch so a
+    dim refresh is picked up without restarting the query). No watermark
+    needed — the static side is not stateful. The per-segment rollup keeps
+    the output bounded for the oracle."""
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    s = _events_stream(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = s.join(F.broadcast(dim), "user_id").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
+    )
+    return _run_stream(
+        enriched.writeStream.outputMode("complete"), spark, "stream_static_sink"
+    )
+
+
+_STREAM_STATIC_SQL = f"""
+SELECT c_mktsegment, count(*) AS n_events,
+       {pround_sql('sum(coalesce(value, 0))', 2)} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live stream-stream interval join: purchases joined to the view that
     preceded them (same user, ≤ 2 h gap), both sides watermarked — the
@@ -465,6 +494,12 @@ SPECS: list[QuerySpec] = [
         "stream_stream_join",
         q_stream_stream_join,
         _STREAM_SSJ_SQL,
+        ("streaming-live", "join"),
+    ),
+    QuerySpec(
+        "stream_static_join",
+        q_stream_static_join,
+        _STREAM_STATIC_SQL,
         ("streaming-live", "join"),
     ),
 ]

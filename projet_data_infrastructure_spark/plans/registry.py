@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "repetition_ngram_ratio",
     "embedding_simhash_pairs",
     "stream_stream_join",
+    "stream_static_join",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
