@@ -371,9 +371,41 @@ def q_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign_to(emb, ivf_train_centroids(emb, n_centroids=8))
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake time travel on the versioned-snapshot engine (the Delta-less
+    transactional store behind CDC apply): publish v1 (a filtered customer
+    slice), publish v2 (the full table), then read v1 BACK by version — the
+    old snapshot must be intact after the pointer moved on. Oracle = the v1
+    content recomputed relationally. Each publish is atomic (temp dir +
+    pointer flip), so a concurrent reader sees a complete version or the
+    prior one, never a mix."""
+    import os
+    import tempfile
+
+    from projet_data_infrastructure_spark.streaming.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="timetravel_"), "t")
+    v1 = write_snapshot(base.filter(F.col("c_nationkey") < 5), path)
+    write_snapshot(base, path)
+    return read_snapshot(spark, path, version=v1)
+
+
+_TIME_TRAVEL_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer WHERE c_nationkey < 5
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("jdbc_roundtrip_derby", q_jdbc_roundtrip, _jdbc_sql(), ("source", "jdbc")),
     QuerySpec("bucketed_join_colocated", q_bucketed_join, _bucketed_join_sql(), ("scale", "join")),
+    QuerySpec("snapshot_time_travel", q_snapshot_time_travel, _TIME_TRAVEL_SQL, ("lake",)),
     QuerySpec("ivf_trained_assign", q_ivf_trained_assign, None, ("similarity", "rows-only")),
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),

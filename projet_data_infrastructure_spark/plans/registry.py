@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_simhash_pairs",
     "stream_stream_join",
     "stream_static_join",
+    "snapshot_time_travel",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

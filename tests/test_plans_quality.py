@@ -181,6 +181,17 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "Window" not in plan
 
 
+def test_decontamination_broadcasts_eval_grams(spark):
+    # The 100 TB claim: the eval-suite gram set is tiny and must reach the
+    # train side as a broadcast hash join, never a fact-fact shuffle.
+    from projet_data_infrastructure_spark.plans.llm_queries import q_decontamination
+
+    df = q_decontamination(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_hyperplane_simhash_pigeonhole_exact(spark):
     # 4 bands of 4 bits, max_hamming=2 ≤ bands-1: the banded equi-join must
     # find EXACTLY the pairs a brute-force signature comparison finds — the
