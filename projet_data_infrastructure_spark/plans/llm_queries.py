@@ -946,6 +946,95 @@ ORDER BY doc_id
 """
 
 
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source sampling weight that
+    equalizes TOKEN contribution across sources (doc counts are uniform in
+    this corpus; token mass is not). One groupBy to per-source totals, then
+    empty-frame window functions over the ≤|sources| aggregate rows — the
+    global pass runs on the tiny aggregate, never the corpus. All shares
+    derive from exact integer token counts, so the doubles are identical
+    cross-engine."""
+    from pyspark.sql.window import Window
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    per_src = docs.select("source", F.size(tokens(F.col("text"))).alias("n_toks")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("total_tokens"))
+    w = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    out = per_src.withColumn("token_share", share).withColumn(
+        "sample_weight", F.min(F.col("token_share")).over(w) / F.col("token_share")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        pround(F.col("token_share"), 6).alias("token_share"),
+        pround(F.col("sample_weight"), 6).alias("sample_weight"),
+    ).orderBy("source")
+
+
+_MIXTURE_SQL = f"""
+WITH per_src AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+), shared AS (
+    SELECT source, n_docs, total_tokens,
+           total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
+    FROM per_src
+)
+SELECT source, n_docs, total_tokens,
+       {pround_sql('token_share', 6)} AS token_share,
+       {pround_sql('min(token_share) OVER () / token_share', 6)} AS sample_weight
+FROM shared
+ORDER BY source
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal (the cheap perplexity
+    proxy: gibberish and boilerplate sit at the entropy extremes). Explode
+    to (doc, char) → count → one windowed normalize + agg — two shuffles on
+    doc-sized keys, linear in corpus bytes."""
+    from pyspark.sql.window import Window
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / n.cast("double")
+    return (
+        cnt.withColumn("term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars_total"),
+            pround(F.sum("term"), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHAR_ENTROPY_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+), cnt AS (
+    SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch != '' GROUP BY doc_id, ch
+), normed AS (
+    SELECT doc_id, c,
+           c / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+    FROM cnt
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_total,
+       {pround_sql('-sum(p * log2(p))', 6)} AS entropy_bits
+FROM normed
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_hyperplane_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane SimHash (cosine LSH): 16
     seeded ±1 hyperplanes → 16-bit signature → 4-bit band equi-join →
@@ -1037,4 +1126,6 @@ SPECS: list[QuerySpec] = [
         _hyperplane_simhash_sql(),
         ("similarity", "dedup"),
     ),
+    QuerySpec("domain_mixture_weights", q_domain_mixture_weights, _MIXTURE_SQL, ("text", "sampling")),
+    QuerySpec("char_entropy", q_char_entropy, _CHAR_ENTROPY_SQL, ("text",)),
 ]

@@ -68,6 +68,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_static_join",
     "snapshot_time_travel",
+    "domain_mixture_weights",
+    "char_entropy",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
