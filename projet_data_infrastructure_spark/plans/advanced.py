@@ -1193,9 +1193,63 @@ GROUP BY event_type
 """
 
 
+_EVENTS_ZORDER_CACHE: dict[str, str] = {}
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping via Z-order layout: events rewritten
+    Morton-clustered on (user_id, value) — every parquet file covers a tight
+    rectangle in BOTH keys (`operators/scale.py:zorder_layout`, tightness
+    asserted in tests/test_plans_quality.py), so the min/max footer stats
+    prune files for this two-sided predicate. The Delta ZORDER effect with
+    plain parquet; same atomic publish + fingerprint cache discipline as
+    `partitioned_events`."""
+    import os
+    import shutil
+    import tempfile
+
+    from projet_data_infrastructure_spark.operators.scale import zorder_layout
+
+    fp = _events_fingerprint(sf_dir)
+    lake = _EVENTS_ZORDER_CACHE.get(fp)
+    if lake is None:
+        lake = os.path.join(tempfile.gettempdir(), f"spark_graft_events_zorder_{fp}")
+        if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+            ev = read_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "value"
+            )
+            laid = zorder_layout(ev, ["user_id", "value"], n_files=8)
+            tmp = f"{lake}.tmp-{os.getpid()}"
+            laid.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(lake, ignore_errors=True)
+            try:
+                os.rename(tmp, lake)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        _EVENTS_ZORDER_CACHE[fp] = lake
+    ev = spark.read.parquet(lake)
+    sel = ev.filter(
+        (F.col("user_id").between(10, 40)) & (F.col("value") >= 50.0)
+    )
+    return sel.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_ZORDER_SCAN_SQL = f"""
+SELECT event_type, count(*) AS n_events,
+       {pround_sql('sum(value)', 2)} AS total_value
+FROM events
+WHERE user_id BETWEEN 10 AND 40 AND value >= 50.0
+GROUP BY event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
     QuerySpec("events_partitioned_dpp", q_events_dpp, _EVENTS_DPP_SQL, ("scale", "join")),
+    QuerySpec("zorder_scan_filtered", q_zorder_scan, _ZORDER_SCAN_SQL, ("scale",)),
     QuerySpec("tpch_q10_returns", q_tpch_q10, _TPCH_Q10_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q18_large_orders", q_tpch_q18, _TPCH_Q18_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q7_nation_volume", q_tpch_q7, _TPCH_Q7_SQL, ("tpch", "bench")),

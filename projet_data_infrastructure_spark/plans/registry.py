@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_time_travel",
     "domain_mixture_weights",
     "char_entropy",
+    "zorder_scan_filtered",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

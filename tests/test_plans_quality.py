@@ -181,6 +181,40 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "Window" not in plan
 
 
+def test_zorder_layout_tightens_file_ranges(spark, tmp_path):
+    # Z-ordering by (user_id, value) must leave every output file covering a
+    # narrow user_id band AND a narrow value band — the property parquet
+    # min/max skipping needs. A single-column sort would tighten one
+    # dimension only; random layout tightens neither.
+    import glob
+
+    from projet_data_infrastructure_spark.operators.scale import zorder_layout
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "zorder")
+    zorder_layout(ev, ["user_id", "value"], n_files=8).write.parquet(out)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 4
+    total = ev.count()
+    glob_w = {}
+    for colname in ("user_id", "value"):
+        lo, hi = ev.agg(F.min(colname), F.max(colname)).first()
+        glob_w[colname] = float(hi) - float(lo)
+    for colname in ("user_id", "value"):
+        widths = []
+        n_back = 0
+        for f in files:
+            pf = spark.read.parquet(f)
+            n_back += pf.count()
+            lo, hi = pf.agg(F.min(colname), F.max(colname)).first()
+            widths.append(float(hi) - float(lo))
+        if colname == "user_id":
+            assert n_back == total  # layout is a permutation, not a filter
+        # every dimension's average per-file range is a fraction of global
+        assert sum(widths) / len(widths) < 0.6 * glob_w[colname], colname
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     # The 100 TB claim: the eval-suite gram set is tiny and must reach the
     # train side as a broadcast hash join, never a fact-fact shuffle.
