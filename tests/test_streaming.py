@@ -62,6 +62,38 @@ def test_stream_append_sink_checkpointed(spark, tmp_path):
     assert spark.read.parquet(out).count() == expected
 
 
+def test_incremental_microbatches_respect_max_files(spark, tmp_path):
+    # maxFilesPerTrigger=1 must split the backlog into one micro-batch per
+    # file (incremental processing with checkpointed offsets), not one giant
+    # availableNow batch — the property that bounds per-batch memory when a
+    # stream restarts against a deep backlog.
+    src = str(tmp_path / "src")
+    for i in range(3):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = file_replay_stream(spark, src, "id bigint, v bigint", max_files_per_trigger=1)
+    batches: list[tuple[int, int]] = []
+
+    def handle(df, bid):
+        batches.append((bid, df.count()))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert sum(c for _, c in batches) == 30
+    assert len(batches) >= 3
+
+
 def test_foreach_batch_http_sink_collects(spark):
     posted = []
     stream = events_stream(spark).withColumn(
