@@ -380,12 +380,18 @@ def _dot_expr_spark(plane: list[float], vec_col: str) -> str:
 def hyperplane_signature(
     vec_col: str = "embedding", n_planes: int = 16, dim: int = 64
 ) -> Column:
-    """H-bit SimHash signature column (bit j = sign of projection j)."""
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(hyperplanes(n_planes, dim)):
-        bit = F.when(F.expr(_dot_expr_spark(plane, vec_col)) >= 0, F.lit(1 << j)).otherwise(0)
-        sig = sig + bit.cast("long")
-    return sig
+    """H-bit SimHash signature column (bit j = sign of projection j).
+
+    Assembled as ONE parsed SQL string: building it from per-term Column
+    ops issued n_planes·dim py4j calls (~3 s of pure driver time per fresh
+    plan at 16×64); a single ``F.expr`` parse is milliseconds, and the text
+    mirrors the DuckDB oracle exactly."""
+    bits = " + ".join(
+        f"CAST(CASE WHEN {_dot_expr_spark(plane, vec_col)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END AS BIGINT)"
+        for j, plane in enumerate(hyperplanes(n_planes, dim))
+    )
+    return F.expr(f"({bits})")
 
 
 def hyperplane_simhash_pairs(
@@ -409,9 +415,15 @@ def hyperplane_simhash_pairs(
     bits_per_band = n_planes // n_bands
     assert n_planes % n_bands == 0
     assert max_hamming <= n_bands - 1, "pigeonhole recall guarantee would break"
+    # Signatures are computed ONCE and pinned: the band self-join would
+    # otherwise re-project every vector on both sides (2× the n_planes·dim
+    # arithmetic). At 100 TB the signature table (id + one long) is the
+    # thing you materialize to storage; localCheckpoint is the in-session
+    # analog and keeps the spec free of persist handles a caller would have
+    # to release.
     sig = emb.select(
         F.col(id_col), hyperplane_signature(vec_col, n_planes, dim).alias("sig")
-    )
+    ).localCheckpoint(eager=False)
     mask = (1 << bits_per_band) - 1
     bands = sig.select(
         id_col,

@@ -1039,8 +1039,10 @@ def q_hyperplane_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane SimHash (cosine LSH): 16
     seeded ±1 hyperplanes → 16-bit signature → 4-bit band equi-join →
     hamming ≤ 2 filter (pigeonhole-exact at ≤ 3 collisions). The third
-    near-dup modality next to token MinHash-LSH and IVF-bucketed cosine."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    near-dup modality next to token MinHash-LSH and IVF-bucketed cosine.
+    Balanced read: the projection stage is CPU-bound and the single
+    row-group file would pin it to one core."""
+    emb = read_table_balanced(spark, sf_dir, "embeddings")
     return similarity.hyperplane_simhash_pairs(
         emb, n_planes=16, n_bands=4, max_hamming=2, dim=64
     )
@@ -1117,14 +1119,17 @@ SPECS: list[QuerySpec] = [
     QuerySpec("salted_groupby_skew", q_salted_groupby, _SALTED_SQL, ("agg", "scale")),
     QuerySpec("rolling_hash_fingerprint", q_rolling_fingerprint, _ROLLING_SQL, ("text", "dedup")),
     QuerySpec(
-        "benchmark_decontamination", q_decontamination, _DECONTAMINATION_SQL, ("text", "dedup")
+        "benchmark_decontamination",
+        q_decontamination,
+        _DECONTAMINATION_SQL,
+        ("text", "dedup", "bench"),
     ),
     QuerySpec("repetition_ngram_ratio", q_repetition_ratio, _REPETITION_SQL, ("text",)),
     QuerySpec(
         "embedding_simhash_pairs",
         q_hyperplane_simhash,
         _hyperplane_simhash_sql(),
-        ("similarity", "dedup"),
+        ("similarity", "dedup", "bench"),
     ),
     QuerySpec("domain_mixture_weights", q_domain_mixture_weights, _MIXTURE_SQL, ("text", "sampling")),
     QuerySpec("char_entropy", q_char_entropy, _CHAR_ENTROPY_SQL, ("text",)),

@@ -74,6 +74,18 @@ def text_sink(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").text(path)
 
 
+def jsonl_sink(df: DataFrame, path: str, shard_by: str | None = None, n_shards: int = 0) -> None:
+    """➕ JSON-lines export — the interchange format training loaders read.
+
+    ``shard_by`` + ``n_shards`` hash-repartitions before writing so each
+    shard file groups the same key's rows deterministically (e.g. shard a
+    corpus by doc hash for parallel downstream consumption); default layout
+    keeps the upstream partitioning."""
+    if shard_by and n_shards:
+        df = df.repartition(n_shards, F.col(shard_by))
+    df.write.mode("overwrite").json(path)
+
+
 def foreach_batch_http_sink(
     df: DataFrame,
     post: Callable[[list[dict]], None],

@@ -10,6 +10,7 @@ from projet_data_infrastructure_spark.streaming.monitor import attach_monitor, r
 from projet_data_infrastructure_spark.streaming.sinks import (
     csv_sink,
     foreach_batch_http_sink,
+    jsonl_sink,
     stream_append_sink,
     text_sink,
     with_event_date,
@@ -60,6 +61,30 @@ def test_stream_append_sink_checkpointed(spark, tmp_path):
                             out, ckpt, available_now=True, partition_by="event_date")
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == expected
+
+
+def test_jsonl_sink_roundtrip_and_sharding(spark, tmp_path):
+    # Training-export format: JSON lines, optionally hash-sharded so a key's
+    # rows land in one shard file. Roundtrip must preserve rows; sharding
+    # must keep each doc_id in exactly one file.
+    import glob
+    import json
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "jsonl")
+    jsonl_sink(docs, out, shard_by="doc_id", n_shards=4)
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "text", "lang"}
+    seen: dict[int, str] = {}
+    for f in glob.glob(f"{out}/part-*"):
+        with open(f) as fh:
+            for line in fh:
+                d = json.loads(line)
+                assert seen.setdefault(d["doc_id"], f) == f
+    assert len(seen) == docs.count()
 
 
 def test_incremental_microbatches_respect_max_files(spark, tmp_path):
