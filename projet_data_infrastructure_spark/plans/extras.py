@@ -107,6 +107,24 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna): the 100 TB replacement for
+    exact percentile_approx=0 wherever bounded error is acceptable — one
+    pass, mergeable per-partition sketches, no global sort. Sketch internals
+    are engine-specific → rows-only check; accuracy vs the exact quantiles
+    is pinned by `test_approx_quantiles_within_tolerance`."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 1000
+    )
+    return li.agg(
+        qs.getItem(0).alias("p25"),
+        qs.getItem(1).alias("p50"),
+        qs.getItem(2).alias("p75"),
+        qs.getItem(3).alias("p95"),
+    )
+
+
 def q_sampled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample → profile (sampling is engine-specific RNG)."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -418,5 +436,6 @@ SPECS: list[QuerySpec] = [
         ("multimodal",),
     ),
     QuerySpec("approx_count_distinct", q_approx_distinct, None, ("agg", "rows-only")),
+    QuerySpec("approx_quantiles", q_approx_quantiles, None, ("agg", "rows-only")),
     QuerySpec("sampled_profile", q_sampled_profile, None, ("agg", "rows-only")),
 ]

@@ -184,6 +184,26 @@ def test_multimodal_features_and_sampling(spark):
     assert sampled.count() == 6  # 10 per type → every 5th → 2 per type × 3
 
 
+def test_approx_quantiles_within_tolerance(spark):
+    # The sketch's quantiles must land within 2% RELATIVE rank error of the
+    # exact values — the accuracy contract that justifies replacing the
+    # exact global-sort percentile at scale.
+    from projet_data_infrastructure_spark.plans.extras import q_approx_quantiles
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    approx = q_approx_quantiles(spark, "/root/testdata/sf0.001").first()
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.23, 0.27, 0.48, 0.52, 0.73, 0.77, 0.93, 0.97))"
+        )
+    ).first()[0]
+    # each approx quantile must sit between the exact (q-2%) and (q+2%) values
+    for i, col in enumerate(("p25", "p50", "p75", "p95")):
+        lo, hi = exact[2 * i], exact[2 * i + 1]
+        assert lo <= approx[col] <= hi, col
+
+
 def test_multimodal_size_histogram_contract(spark):
     # The oracled spec's DuckDB side reproduces the stub decoder via
     # ascii(substr(text, ...)): valid ONLY while the corpus is pure ASCII
