@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_mixture_weights",
     "char_entropy",
     "zorder_scan_filtered",
+    "approx_quantiles",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
