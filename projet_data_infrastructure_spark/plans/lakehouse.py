@@ -1,0 +1,221 @@
+"""Lakehouse-maintenance operators: SCD Type-2 history building, incremental
+aggregate maintenance, and a deterministic KMV distinct sketch.
+
+These close the "warehouse lifecycle" side of the reference's CDC pipeline
+(`/root/reference/spark/SaveDelta.scala:104-163` lands Debezium changes into a
+lake table; a real warehouse then needs dimension histories and incrementally
+maintained rollups on top of that change stream):
+
+* ``scd2_user_history`` — the classic Type-2 slowly-changing-dimension build:
+  collapse a change stream to genuine attribute transitions (lag), then derive
+  validity intervals (lead). Two window passes over ONE shuffle/sort — Spark
+  reuses the (user_id, ts, event_id) sort for both lag and lead.
+* ``incremental_agg_merge`` — algebraic partial-aggregate maintenance: the
+  historical partition's partial aggs are combined with a fresh delta's
+  partial aggs instead of rescanning history. At 100 TB the base partials are
+  a stored rollup ~1e4× smaller than the fact table, so a daily refresh costs
+  O(delta) not O(history). Verified here by proving merge(base, delta) is
+  bit-identical to a full recompute (the DuckDB oracle recomputes from
+  scratch). Money is summed in integer cents so the merge is order-exact.
+* ``kmv_distinct_sketch`` — k-minimum-values distinct-count sketch over the
+  portable 60-bit md5 hash (`functions/hashing.py`): the k-th smallest hash
+  value estimates n_distinct as (k-1)·M/h_k (Bar-Yossef et al. 2002, the
+  same bottom-k family DataSketches' theta sketch uses). Unlike HLL this is
+  fully deterministic given the hash, so the DuckDB oracle reproduces the
+  estimate EXACTLY — a sketch whose implementation is hash-checkable
+  cross-engine. Mergeable at scale: union bottom-k sets, re-take bottom k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projet_data_infrastructure_spark.functions.hashing import (
+    HEX_PREFIX_LEN,
+    hash64,
+    hash64_sql,
+)
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension history from a change stream
+# --------------------------------------------------------------------------
+
+
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's ``event_type`` attribute.
+
+    Stage 1 (change detection): order each user's events by (ts, event_id)
+    and keep only rows where the attribute actually changed vs the previous
+    row. Stage 2 (validity intervals): over the surviving transitions,
+    effective_to = next transition's timestamp; the open row is current.
+    Both windows share partition key AND sort order, so Catalyst plans one
+    Exchange + one Sort for the whole query.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from_us = F.unix_micros(F.col("ts").cast("timestamp"))  # UTC pinned by read_table
+    to_us = F.lead(from_us).over(w2)
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        from_us.alias("effective_from_us"),
+        to_us.alias("effective_to_us"),
+        to_us.isNull().cast("int").alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+), changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       event_type AS attr_value,
+       epoch_us(ts) AS effective_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS effective_to_us,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS INTEGER) AS is_current
+FROM changes
+"""
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-agg merge == full recompute)
+# --------------------------------------------------------------------------
+
+_CUTOFF = "2000-01-01"
+
+
+def _partial_orders_agg(df: DataFrame) -> DataFrame:
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return df.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("total_cents"),
+    )
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the stored base rollup with a delta rollup; avg derived at the end.
+
+    count/sum are algebraic, so merge = re-sum the partials; avg is derived
+    from the merged sums (never averaged across partials). Integer cents make
+    the result independent of summation order — the merged output is
+    bit-identical to the oracle's full recompute.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    date = F.col("o_orderdate").cast("date")
+    base = _partial_orders_agg(orders.filter(date < F.lit(_CUTOFF)))
+    delta = _partial_orders_agg(orders.filter(date >= F.lit(_CUTOFF)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("total_cents").alias("total_cents"))
+    )
+    avg = pround(F.col("total_cents") / 100.0 / F.col("n_orders"), 4)
+    return merged.select("o_custkey", "n_orders", "total_cents", avg.alias("avg_price"))
+
+
+_INCR_AGG_SQL = f"""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       {pround_sql('sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 / count(*)', 4)}
+           AS avg_price
+FROM orders
+GROUP BY o_custkey
+"""
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch — deterministic, oracle-exact
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+#: Hash domain size: 15 hex chars = 16^15 = 2^60, exactly representable.
+_KMV_M = float(16**HEX_PREFIX_LEN)
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact distinct users vs the KMV estimate.
+
+    Plan shape: one distinct (shuffle on (event_type, h)), one window sort per
+    event_type to rank hashes, one final agg. The rank window is trimmed by
+    Spark's WindowGroupLimit to ~k rows per group before the exchange. At
+    100 TB you'd keep only the per-partition bottom-k before the shuffle
+    (mergeable sketch property); the estimate algebra is identical.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select("event_type", hash64(F.col("user_id")).alias("h")).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    ranked = d.withColumn("rn", rn)
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_min_hash"),
+    )
+    est = F.when(
+        F.col("kth_min_hash").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(pround(F.lit(float(_KMV_K - 1)) * F.lit(_KMV_M) / F.col("kth_min_hash"), 3))
+    return agg.select("event_type", "n_exact", "kth_min_hash", est.alias("est_distinct"))
+
+
+_KMV_SQL = f"""
+WITH d AS (
+    SELECT DISTINCT event_type, {hash64_sql('user_id')} AS h FROM events
+), ranked AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM d
+), agg AS (
+    SELECT event_type,
+           count(*) AS n_exact,
+           max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_min_hash
+    FROM ranked
+    GROUP BY event_type
+)
+SELECT event_type, n_exact, kth_min_hash,
+       CASE WHEN kth_min_hash IS NULL THEN CAST(n_exact AS DOUBLE)
+            ELSE {pround_sql(f'{float(_KMV_K - 1)!r} * {_KMV_M!r} / kth_min_hash', 3)}
+       END AS est_distinct
+FROM agg
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "scd2_user_history",
+        q_scd2_user_history,
+        _SCD2_SQL,
+        ("window", "cdc"),
+        doc="Type-2 SCD build: lag change-collapse + lead validity intervals",
+    ),
+    QuerySpec(
+        "incremental_agg_merge",
+        q_incremental_agg_merge,
+        _INCR_AGG_SQL,
+        ("agg",),
+        doc="Partial-agg merge (base ⊕ delta) == full recompute, cent-exact",
+    ),
+    QuerySpec(
+        "kmv_distinct_sketch",
+        q_kmv_distinct_sketch,
+        _KMV_SQL,
+        ("sketch",),
+        doc="Deterministic bottom-k distinct estimate, oracle-exact cross-engine",
+    ),
+]

@@ -931,6 +931,61 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span signal (ExactSubstr-dedup-style, Lee et
+    al. 2022 scaled to n-gram granularity): per doc, the fraction of its
+    distinct word 8-grams that also occur in at least one OTHER document.
+
+    Plan shape: shingle → distinct(doc_id, hash) → ONE shuffle on the shingle
+    hash for the sharing count (window, not a self-join) → per-doc agg. The
+    shuffle key is the 60-bit portable hash, never the string, so at 100 TB
+    the exchange carries 8-byte digests; the window's per-key state is a
+    count, so skewed boilerplate shingles stream instead of buffering."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from pyspark.sql.window import Window
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(F.size("t") >= 8)
+    sh = toks.select(
+        "doc_id", F.explode(dedup.shingles_from_tokens("t", 8)).alias("g")
+    ).select("doc_id", hash64(F.col("g")).alias("h")).distinct()
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        sh.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            pround(F.col("n_shared") / F.col("n_shingles").cast("double"), 6).alias(
+                "shared_ratio"
+            ),
+        )
+    )
+
+
+_CROSSDOC_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, {hash64_sql("array_to_string(t[i:i+7], ' ')")} AS h
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS g_(i)
+    WHERE len(t) >= 8
+), counted AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY h) AS nd FROM sh
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       {pround_sql('sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 6)}
+           AS shared_ratio
+FROM counted
+GROUP BY doc_id
+"""
+
+
 _REPETITION_SQL = f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 grams AS (
@@ -1125,6 +1180,7 @@ SPECS: list[QuerySpec] = [
         ("text", "dedup", "bench"),
     ),
     QuerySpec("repetition_ngram_ratio", q_repetition_ratio, _REPETITION_SQL, ("text",)),
+    QuerySpec("crossdoc_dup_ngrams", q_crossdoc_dup_ngrams, _CROSSDOC_SQL, ("dedup", "text")),
     QuerySpec(
         "embedding_simhash_pairs",
         q_hyperplane_simhash,

@@ -72,6 +72,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "char_entropy",
     "zorder_scan_filtered",
     "approx_quantiles",
+    "scd2_user_history",
+    "incremental_agg_merge",
+    "kmv_distinct_sketch",
+    "crossdoc_dup_ngrams",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
@@ -127,6 +131,7 @@ def all_specs() -> list[QuerySpec]:
         advanced,
         events_queries,
         extras,
+        lakehouse,
         llm_queries,
         relational,
     )
@@ -137,6 +142,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_queries.SPECS)
     specs.extend(advanced.SPECS)
     specs.extend(extras.SPECS)
+    specs.extend(lakehouse.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

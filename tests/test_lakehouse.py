@@ -1,0 +1,120 @@
+"""Semantics tests for plans/lakehouse.py (SCD2, incremental agg, KMV sketch)
+and the cross-document duplicated-ngram signal."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.plans import lakehouse
+from projet_data_infrastructure_spark.plans.llm_queries import q_crossdoc_dup_ngrams
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_collapses_and_tiles(spark):
+    """Consecutive equal attribute values collapse to one interval; intervals
+    tile the timeline (each effective_to == next effective_from) and exactly
+    one row per user is current."""
+    rows = [
+        (1, "a", _ts("2024-01-01T00:00:00"), 10),
+        (1, "a", _ts("2024-01-02T00:00:00"), 11),  # no change — collapsed
+        (1, "b", _ts("2024-01-03T00:00:00"), 12),
+        (1, "a", _ts("2024-01-04T00:00:00"), 13),  # back to a — NEW interval
+        (2, "x", _ts("2024-01-01T00:00:00"), 14),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp_ntz, event_id long")
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+    import projet_data_infrastructure_spark.sources.readers as readers
+
+    orig = readers.read_table
+    try:
+        readers_patch = lambda sp, sf, name: df  # noqa: E731
+        lh.read_table = readers_patch
+        out = lh.q_scd2_user_history(spark, SF).orderBy("user_id", "effective_from_us").collect()
+    finally:
+        lh.read_table = orig
+
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.attr_value for r in u1] == ["a", "b", "a"]
+    # intervals tile: effective_to of row i == effective_from of row i+1
+    for prev, nxt in zip(u1, u1[1:]):
+        assert prev.effective_to_us == nxt.effective_from_us
+    assert [r.is_current for r in u1] == [0, 0, 1]
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current == 1
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """The algebraic-merge result is identical to a single full aggregation."""
+    merged = lakehouse.q_incremental_agg_merge(spark, SF)
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    orders = read_table(spark, SF, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    full = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("total_cents")
+    )
+    diff = (
+        merged.select("o_custkey", "n_orders", "total_cents")
+        .exceptAll(full)
+        .unionAll(full.exceptAll(merged.select("o_custkey", "n_orders", "total_cents")))
+    )
+    assert diff.count() == 0
+
+
+def test_kmv_exact_path_for_small_groups(spark):
+    """Groups with fewer than k distinct values report the exact count."""
+    df = spark.createDataFrame(
+        [("t", i % 10, i) for i in range(100)], "event_type string, user_id long, event_id long"
+    )
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+
+    orig = lh.read_table
+    try:
+        lh.read_table = lambda sp, sf, name: df
+        out = lh.q_kmv_distinct_sketch(spark, SF).collect()
+    finally:
+        lh.read_table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_exact == 10
+    assert r.kth_min_hash is None
+    assert r.est_distinct == 10.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    """On the real table the KMV estimate lands within the sketch's standard
+    error envelope (~1/sqrt(k-1) ≈ 12.6% at k=64; allow 3σ)."""
+    out = lakehouse.q_kmv_distinct_sketch(spark, "/root/testdata/sf0.01").collect()
+    assert out, "no groups"
+    for r in out:
+        if r.kth_min_hash is None:
+            assert r.est_distinct == float(r.n_exact)
+        else:
+            rel = abs(r.est_distinct - r.n_exact) / r.n_exact
+            assert rel < 3 / (lakehouse._KMV_K - 1) ** 0.5, (r.event_type, rel)
+
+
+def test_crossdoc_dup_ngrams_flags_exact_copies(spark):
+    """Two verbatim copies of the same 12-token doc share every 8-gram →
+    ratio 1.0; an unrelated doc shares none → ratio 0.0."""
+    base = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    import projet_data_infrastructure_spark.plans.llm_queries as lq
+
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        out = {r.doc_id: r for r in q_crossdoc_dup_ngrams(spark, SF).collect()}
+    finally:
+        lq.read_table_balanced = orig
+    assert out[1].n_shingles == 5  # 12 tokens → 5 distinct 8-grams
+    assert out[1].shared_ratio == 1.0 and out[2].shared_ratio == 1.0
+    assert out[3].shared_ratio == 0.0
