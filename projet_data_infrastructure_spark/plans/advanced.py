@@ -1246,8 +1246,116 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Per-entity OLS trend: slope of event value over time, computed from the
+# ALGEBRAIC sums (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) in exact integer arithmetic
+# (x = seconds since the user's first event, y = value in cents), so the
+# result is bit-identical cross-engine with no rounding guard. This is the
+# map-side-combinable formulation — at 100 TB the five sums partial-aggregate
+# before the single shuffle, unlike a sort-based per-group regression.
+# Bounds at this shape: x ≤ ~1e6 s, y ≤ 1e5 cents, n ≤ 1e4 per user keeps
+# every product < 2^62; for wider windows, rescale x to minutes.
+# --------------------------------------------------------------------------
+
+
+def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    x_abs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        (x_abs - F.min(x_abs).over(w)).alias("x"),
+        y.alias("y"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den != 0, num.cast("double") / den.cast("double"))
+    return agg.select(
+        "user_id", F.col("n").alias("n_events"), slope.alias("slope_cents_per_sec")
+    )
+
+
+_REGRESSION_SQL = """
+WITH base AS (
+    SELECT user_id,
+           epoch_us(ts) // 1000000
+               - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+), sums AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM base GROUP BY user_id
+)
+SELECT user_id, n AS n_events,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_sec
+FROM sums
+"""
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching: Levenshtein near-pairs within blocking keys.
+# Never all-pairs — candidates are generated by an equi-join on the blocking
+# key (brand), then the edit-distance verify runs on the candidate set only.
+# Same generate→verify shape as the LSH dedup chain; at 100 TB the block key
+# would be a coarser canopy (sorted-neighborhood or phonetic key) chosen so
+# block sizes stay bounded.
+# --------------------------------------------------------------------------
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = part.alias("a")
+    b = part.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return cand.select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.col("a.p_brand").alias("p_brand"),
+        dist.alias("edit_dist"),
+    ).filter((dist <= 2) & (F.col("a.p_name") != F.col("b.p_name")))
+
+
+_LEVENSHTEIN_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand AS p_brand,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
+    QuerySpec(
+        "regression_slope_by_user",
+        q_regression_slope,
+        _REGRESSION_SQL,
+        ("agg", "stats"),
+        doc="Exact algebraic OLS slope per entity (integer sums, map-combinable)",
+    ),
+    QuerySpec(
+        "levenshtein_blocked_pairs",
+        q_levenshtein_pairs,
+        _LEVENSHTEIN_SQL,
+        ("dedup", "join"),
+        doc="Blocked edit-distance near-pairs (equi-join candidates, bounded verify)",
+    ),
     QuerySpec("events_partitioned_dpp", q_events_dpp, _EVENTS_DPP_SQL, ("scale", "join")),
     QuerySpec("zorder_scan_filtered", q_zorder_scan, _ZORDER_SCAN_SQL, ("scale",)),
     QuerySpec("tpch_q10_returns", q_tpch_q10, _TPCH_Q10_SQL, ("tpch", "bench")),

@@ -931,6 +931,48 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length gate: keep docs between the p5 and p95
+    nearest-rank percentiles of token count (a standard pretraining-corpus
+    trim of truncated/run-on outliers). Nearest-rank (ceil(p·n)-th order
+    statistic with a deterministic doc_id tie-break) is integer-exact, so
+    both engines select the identical doc set — no interpolation ulps.
+    One shuffle: rank and count share the per-lang window sort."""
+    from pyspark.sql.window import Window
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wall = Window.partitionBy("lang")
+    ranked = base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    lo = F.ceil(F.lit(0.05) * F.col("n"))
+    hi = F.ceil(F.lit(0.95) * F.col("n"))
+    return ranked.filter((F.col("rn") >= lo) & (F.col("rn") <= hi)).select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+_LENGTH_PCTL_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens FROM documents
+), ranked AS (
+    SELECT doc_id, lang, n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM base
+)
+SELECT doc_id, lang, n_tokens
+FROM ranked
+WHERE rn >= ceil(0.05 * n) AND rn <= ceil(0.95 * n)
+"""
+
+
 def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span signal (ExactSubstr-dedup-style, Lee et
     al. 2022 scaled to n-gram granularity): per doc, the fraction of its
@@ -1181,6 +1223,13 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("repetition_ngram_ratio", q_repetition_ratio, _REPETITION_SQL, ("text",)),
     QuerySpec("crossdoc_dup_ngrams", q_crossdoc_dup_ngrams, _CROSSDOC_SQL, ("dedup", "text")),
+    QuerySpec(
+        "length_percentile_filter",
+        q_length_percentile_filter,
+        _LENGTH_PCTL_SQL,
+        ("text", "window"),
+        doc="p5-p95 nearest-rank token-length gate per language, integer-exact",
+    ),
     QuerySpec(
         "embedding_simhash_pairs",
         q_hyperplane_simhash,

@@ -76,6 +76,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_agg_merge",
     "kmv_distinct_sketch",
     "crossdoc_dup_ngrams",
+    "regression_slope_by_user",
+    "levenshtein_blocked_pairs",
+    "length_percentile_filter",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

@@ -1,0 +1,79 @@
+"""Semantics tests for the analytic specs: exact OLS slope, blocked
+Levenshtein pairs, nearest-rank percentile length gate."""
+
+import datetime as dt
+
+import projet_data_infrastructure_spark.plans.advanced as adv
+import projet_data_infrastructure_spark.plans.llm_queries as lq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_regression_slope_exact_on_linear_data(spark):
+    """y(cents) = 7x + 500 exactly → slope is exactly 7.0 (integer algebra,
+    no float noise)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(seconds=i * 10), (7 * (i * 10) + 500) / 100.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz, value double")
+    orig = adv.read_table
+    try:
+        adv.read_table = lambda sp, sf, name: df
+        out = adv.q_regression_slope(spark, SF).collect()
+    finally:
+        adv.read_table = orig
+    assert len(out) == 1
+    assert out[0].n_events == 20
+    assert out[0].slope_cents_per_sec == 7.0
+
+
+def test_regression_slope_null_for_single_point(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0, 5.0)], "user_id long, event_id long, ts timestamp_ntz, value double"
+    )
+    orig = adv.read_table
+    try:
+        adv.read_table = lambda sp, sf, name: df
+        out = adv.q_regression_slope(spark, SF).collect()
+    finally:
+        adv.read_table = orig
+    assert out[0].slope_cents_per_sec is None
+
+
+def test_levenshtein_pairs_block_and_threshold(spark):
+    """Only same-brand pairs are candidates; distance > 2 and identical
+    names are excluded; each unordered pair appears once."""
+    rows = [
+        (1, "red widget", "B1"),
+        (2, "red widgets", "B1"),   # dist 1 → pair (1,2)
+        (3, "red widget", "B2"),    # other block: never joined to 1/2
+        (4, "blue cog", "B1"),      # dist > 2 from both → excluded
+        (5, "red widget", "B1"),    # identical name to 1 → excluded
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string, p_brand string")
+    orig = adv.read_table
+    try:
+        adv.read_table = lambda sp, sf, name: df
+        out = adv.q_levenshtein_pairs(spark, SF).collect()
+    finally:
+        adv.read_table = orig
+    pairs = {(r.key_a, r.key_b): r.edit_dist for r in out}
+    assert pairs == {(1, 2): 1, (2, 5): 1}
+
+
+def test_length_percentile_filter_drops_tails(spark):
+    """20 docs of one language: nearest-rank p5..p95 keeps ranks 1..19 —
+    the single longest doc is dropped, shortest kept (ceil(0.05*20)=1)."""
+    rows = [(i, " ".join(["w"] * (i + 1)), "en") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        out = lq.q_length_percentile_filter(spark, SF).collect()
+    finally:
+        lq.read_table_balanced = orig
+    kept = sorted(r.doc_id for r in out)
+    assert kept == list(range(19))  # doc 19 (longest) trimmed

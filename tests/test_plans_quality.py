@@ -344,3 +344,39 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """A selective filter on one shuffle-join side injects a bloom filter of
+    its join keys into the fact scan (Spark's runtime row-level filtering).
+    Thresholds are forced down so the optimization fires at test scale; on a
+    real cluster the defaults gate it to genuinely large scans."""
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "100GB")
+        spark.conf.set(keys[1], "0")
+        spark.conf.set(keys[2], "-1")  # force the shuffle join bloom targets
+        from projet_data_infrastructure_spark.sources.readers import read_table
+
+        li = read_table(spark, SF, "lineitem")
+        orders = read_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
