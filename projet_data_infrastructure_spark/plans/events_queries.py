@@ -470,8 +470,85 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series resample + forward-fill: per user, an hourly grid from first
+# to last activity, carrying the last observed value forward through silent
+# hours (gap-filling for downstream models). The per-hour representative is
+# the LAST event by (ts, event_id) — deterministic under ties. Money in
+# integer cents; grid densification is sequence+explode (generator-style,
+# no driver loop); the fill is one ignore-nulls running window per user.
+# --------------------------------------------------------------------------
+
+
+def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ev2 = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    hourly = ev2.withColumn("rn", rn).filter(F.col("rn") == 1).select("user_id", "hr", "cents")
+    bounds = ev2.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    fill = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.col("hr").alias("hour_ts"),
+            F.last("cents", ignorenulls=True).over(fill).alias("filled_cents"),
+        )
+    )
+
+
+_RESAMPLE_SQL = """
+WITH ev2 AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), hourly AS (
+    SELECT user_id, hr, cents FROM (
+        SELECT user_id, hr, cents,
+               row_number() OVER (PARTITION BY user_id, hr
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev2
+    ) WHERE rn = 1
+), bounds AS (
+    SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev2 GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+    FROM bounds
+)
+SELECT g.user_id, g.hr AS hour_ts,
+       last_value(h.cents IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
+    QuerySpec(
+        "resample_hourly_ffill",
+        q_resample_hourly_ffill,
+        _RESAMPLE_SQL,
+        ("timeseries", "window"),
+        doc="Hourly grid densification + ignore-nulls forward fill per user",
+    ),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
     QuerySpec("epoch_us_roundtrip", q_epoch_roundtrip, _EPOCH_SQL, ("scalar",)),
     QuerySpec("tumbling_window_agg", q_tumbling_window, _TUMBLING_SQL, ("window", "streaming", "bench")),

@@ -196,6 +196,104 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# KMV sketch set algebra: union / intersection / Jaccard from the two
+# bottom-k sketches ALONE (the full distinct sets are only used to emit the
+# exact values alongside, so the driver's hash check pins both the sketch
+# algebra and its inputs). Merge rule: bottom-k(A ∪ B) == bottom-k of the
+# union of the two retained sets, because kth(A∪B) ≤ min(kth(A), kth(B)) —
+# so a member of the merged bottom-k that belongs to A is necessarily in
+# A's retained set, making intersection membership decidable sketch-side.
+# ρ = |{h ∈ bottom-k(A∪B) : h ∈ A ∧ h ∈ B}| / k estimates Jaccard;
+# |A∩B| ≈ ρ · |A∪B|_est (Beyer et al., SIGMOD 2007).
+# --------------------------------------------------------------------------
+
+_TYPE_A = "click"
+_TYPE_B = "purchase"
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: exact vs sketch-estimated union/intersection/Jaccard
+    of the distinct-user sets of two event types.
+
+    Every window here runs over ≤ 2k retained hashes (bounded by the sketch
+    parameter, not the data), so the single-partition global rank is safe at
+    any scale; the only data-sized stage is the initial distinct."""
+    ev = read_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type").isin(_TYPE_A, _TYPE_B))
+        .select("event_type", hash64(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    # exact reference values (from the full distinct sets)
+    byh_exact = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_types"))
+    exact = byh_exact.agg(
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum((F.col("n_types") == 2).cast("long")).alias("n_inter_exact"),
+    )
+    # per-type bottom-k retained sets
+    rn_t = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    ret = d.withColumn("rn", rn_t).filter(F.col("rn") <= _KMV_K).select("event_type", "h")
+    # merged sketch: bottom-k of the union of retained sets
+    byh = ret.groupBy("h").agg(F.count(F.lit(1)).alias("n_types"))
+    rn_u = F.row_number().over(Window.partitionBy().orderBy("h"))
+    merged = byh.withColumn("rn", rn_u).filter(F.col("rn") <= _KMV_K)
+    sk = merged.agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        F.sum((F.col("n_types") == 2).cast("long")).alias("n_match"),
+    )
+    est_union = F.when(F.col("kth").isNull(), F.col("n_vals").cast("double")).otherwise(
+        pround(F.lit(float(_KMV_K - 1)) * F.lit(_KMV_M) / F.col("kth"), 3)
+    )
+    rho = F.col("n_match") / F.least(F.lit(_KMV_K), F.col("n_vals")).cast("double")
+    out = sk.crossJoin(exact).select(
+        F.lit(_KMV_K).alias("k"),
+        "n_union_exact",
+        "n_inter_exact",
+        est_union.alias("est_union"),
+        pround(rho, 6).alias("jaccard_est"),
+        pround(rho * est_union, 3).alias("est_intersection"),
+    )
+    return out
+
+
+_KMV_SET_SQL = f"""
+WITH d AS (
+    SELECT DISTINCT event_type, {hash64_sql('user_id')} AS h
+    FROM events WHERE event_type IN ('{_TYPE_A}', '{_TYPE_B}')
+), exact AS (
+    SELECT count(*) AS n_union_exact,
+           CAST(sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact
+    FROM (SELECT h, count(*) AS n_types FROM d GROUP BY h)
+), ret AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d
+    ) WHERE rn <= {_KMV_K}
+), merged AS (
+    SELECT h, n_types, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT h, count(*) AS n_types FROM ret GROUP BY h)
+), sk AS (
+    SELECT count(*) AS n_vals,
+           max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+           CAST(sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM merged WHERE rn <= {_KMV_K}
+)
+SELECT {_KMV_K} AS k, n_union_exact, n_inter_exact,
+       CASE WHEN kth IS NULL THEN CAST(n_vals AS DOUBLE)
+            ELSE {pround_sql(f'{float(_KMV_K - 1)!r} * {_KMV_M!r} / kth', 3)} END AS est_union,
+       {pround_sql(f'n_match / CAST(least({_KMV_K}, n_vals) AS DOUBLE)', 6)} AS jaccard_est,
+       {pround_sql(
+           f'(n_match / CAST(least({_KMV_K}, n_vals) AS DOUBLE)) * '
+           f'(CASE WHEN kth IS NULL THEN CAST(n_vals AS DOUBLE) '
+           f'ELSE {pround_sql(f"{float(_KMV_K - 1)!r} * {_KMV_M!r} / kth", 3)} END)', 3)}
+           AS est_intersection
+FROM sk CROSS JOIN exact
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "scd2_user_history",
@@ -217,5 +315,12 @@ SPECS: list[QuerySpec] = [
         _KMV_SQL,
         ("sketch",),
         doc="Deterministic bottom-k distinct estimate, oracle-exact cross-engine",
+    ),
+    QuerySpec(
+        "kmv_sketch_set_ops",
+        q_kmv_set_ops,
+        _KMV_SET_SQL,
+        ("sketch",),
+        doc="Union/intersection/Jaccard estimated from merged bottom-k sketches",
     ),
 ]

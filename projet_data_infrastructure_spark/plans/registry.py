@@ -79,6 +79,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "regression_slope_by_user",
     "levenshtein_blocked_pairs",
     "length_percentile_filter",
+    "kmv_sketch_set_ops",
+    "resample_hourly_ffill",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

@@ -118,3 +118,76 @@ def test_crossdoc_dup_ngrams_flags_exact_copies(spark):
     assert out[1].n_shingles == 5  # 12 tokens → 5 distinct 8-grams
     assert out[1].shared_ratio == 1.0 and out[2].shared_ratio == 1.0
     assert out[3].shared_ratio == 0.0
+
+
+def test_kmv_set_ops_identical_sets(spark):
+    """When both event types map to the SAME user set, the sketch must
+    report Jaccard exactly 1.0 and est_intersection == est_union."""
+    rows = [(t, u, i) for i, (t, u) in enumerate(
+        (t, u) for t in ("click", "purchase") for u in range(200)
+    )]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, event_id long")
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+
+    orig = lh.read_table
+    try:
+        lh.read_table = lambda sp, sf, name: df
+        r = lh.q_kmv_set_ops(spark, SF).collect()[0]
+    finally:
+        lh.read_table = orig
+    assert r.n_union_exact == 200 and r.n_inter_exact == 200
+    assert r.jaccard_est == 1.0
+    assert r.est_intersection == r.est_union
+
+
+def test_kmv_set_ops_disjoint_sets(spark):
+    """Disjoint user sets → Jaccard and intersection estimate exactly 0."""
+    rows = [("click", u, u) for u in range(100)] + [
+        ("purchase", u, 1000 + u) for u in range(500, 600)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, event_id long")
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+
+    orig = lh.read_table
+    try:
+        lh.read_table = lambda sp, sf, name: df
+        r = lh.q_kmv_set_ops(spark, SF).collect()[0]
+    finally:
+        lh.read_table = orig
+    assert r.n_inter_exact == 0
+    assert r.jaccard_est == 0.0 and r.est_intersection == 0.0
+
+
+def test_kmv_set_ops_union_estimate_envelope(spark):
+    """On real data the union estimate stays inside 3σ ≈ 3/sqrt(k-1)."""
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+
+    r = lh.q_kmv_set_ops(spark, "/root/testdata/sf0.01").collect()[0]
+    if r.est_union != float(r.n_union_exact):  # estimate path only
+        rel = abs(r.est_union - r.n_union_exact) / r.n_union_exact
+        assert rel < 3 / (lh._KMV_K - 1) ** 0.5, rel
+
+
+def test_resample_ffill_fills_gaps(spark):
+    """User with events at hours 0 and 3 gets a 4-row grid; silent hours 1-2
+    carry hour 0's LAST value (deterministic tie-break by ts, event_id)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (7, t0, 1, 1.00),
+        (7, t0.replace(minute=30), 2, 2.00),            # later in hour 0 → wins
+        (7, t0 + dt.timedelta(hours=3), 3, 9.00),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long, value double")
+    import projet_data_infrastructure_spark.plans.events_queries as eq
+
+    orig = eq.read_table
+    try:
+        eq.read_table = lambda sp, sf, name: df
+        out = sorted(
+            eq.q_resample_hourly_ffill(spark, SF).collect(), key=lambda r: r.hour_ts
+        )
+    finally:
+        eq.read_table = orig
+    assert [r.filled_cents for r in out] == [200, 200, 200, 900]

@@ -380,3 +380,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_single_exchange(spark):
+    """The SCD2 build's lag and lead windows share partition key and sort
+    order, so the whole query plans exactly one Exchange and one Sort."""
+    from projet_data_infrastructure_spark.plans.lakehouse import q_scd2_user_history
+
+    plan = (
+        q_scd2_user_history(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1
