@@ -420,10 +420,58 @@ FROM customer WHERE c_nationkey < 5
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshot versions (Delta CDF analog).
+
+    v1 = customers of nations 0-14; v2 = every customer except nation 7,
+    with nation 0-4 balances bumped. The diff must classify exactly:
+    nation ≥ 15 → insert, nation 7 → delete, nation < 5 → update, and emit
+    nothing for the untouched 5-14 band. Oracle = the classification
+    recomputed relationally from the base table."""
+    import os
+    import tempfile
+
+    from projet_data_infrastructure_spark.streaming.versioned import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cdfdiff_"), "t")
+    v1 = write_snapshot(base.filter(F.col("c_nationkey") < 15), path)
+    v2_df = base.filter(F.col("c_nationkey") != 7).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_nationkey") < 5, F.col("c_acctbal") + 10.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    v2 = write_snapshot(v2_df, path)
+    return snapshot_diff(spark, path, v1, v2, key_cols=["c_custkey"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_nationkey >= 15 THEN 'insert'
+            WHEN c_nationkey = 7 THEN 'delete'
+            ELSE 'update' END AS _change_type
+FROM customer
+WHERE c_nationkey >= 15 OR c_nationkey = 7 OR c_nationkey < 5
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("jdbc_roundtrip_derby", q_jdbc_roundtrip, _jdbc_sql(), ("source", "jdbc")),
     QuerySpec("bucketed_join_colocated", q_bucketed_join, _bucketed_join_sql(), ("scale", "join")),
     QuerySpec("snapshot_time_travel", q_snapshot_time_travel, _TIME_TRAVEL_SQL, ("lake",)),
+    QuerySpec(
+        "snapshot_diff_cdf",
+        q_snapshot_diff,
+        _SNAPSHOT_DIFF_SQL,
+        ("lake", "cdc"),
+        doc="Change-data-feed between snapshot versions (insert/delete/update)",
+    ),
     QuerySpec("ivf_trained_assign", q_ivf_trained_assign, None, ("similarity", "rows-only")),
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),

@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "length_percentile_filter",
     "kmv_sketch_set_ops",
     "resample_hourly_ffill",
+    "snapshot_diff_cdf",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

@@ -110,3 +110,45 @@ def ensure_lake_table(spark: SparkSession, table_path: str, schema: str) -> bool
         return True
     write_snapshot(spark.createDataFrame([], schema), table_path)
     return False
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two published versions (Delta CDF analog:
+    ``table_changes`` in `read_delta.py`'s Delta stack would serve this).
+
+    Emits one row per changed key with ``_change_type`` ∈ {insert, delete,
+    update}; unchanged rows are dropped. Non-key columns are compared via a
+    single md5 fingerprint computed scan-side, so the full-outer join
+    carries (keys + 32-byte digest) per row, never the payload — at 100 TB
+    the exchange is key-width, and the join is the only shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, table_path, v_old)
+    new = read_snapshot(spark, table_path, v_new)
+    data_cols = [c for c in old.columns if c not in key_cols]
+
+    def fingerprinted(df: DataFrame):
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in data_cols
+        ]
+        return df.select(*key_cols, F.md5(F.concat_ws("\x1f", *parts)).alias("_fp"))
+
+    o, n = fingerprinted(old).alias("o"), fingerprinted(new).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col(f"o.{key_cols[0]}").isNull(), F.lit("insert"))
+        .when(F.col(f"n.{key_cols[0]}").isNull(), F.lit("delete"))
+        .when(F.col("o._fp") != F.col("n._fp"), F.lit("update"))
+    )
+    keys = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key_cols]
+    return joined.select(*keys, change.alias("_change_type")).filter(
+        F.col("_change_type").isNotNull()
+    )

@@ -80,3 +80,27 @@ def test_ensure_lake_table_bootstraps_once(spark, tmp_path):
     write_snapshot(spark.range(3).selectExpr("id", "'x' AS name"), target)
     assert ensure_lake_table(spark, target, "id long, name string") is True
     assert read_snapshot(spark, target).count() == 3
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """insert/delete/update classification, unchanged rows suppressed, and
+    null-valued data columns compared safely."""
+    from projet_data_infrastructure_spark.streaming.versioned import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, score int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 30), (4, "d", 41), (5, "e", 50)],
+        "id long, name string, score int",
+    )
+    v1 = write_snapshot(old, path)
+    v2 = write_snapshot(new, path)
+    out = {r.id: r._change_type for r in snapshot_diff(spark, path, v1, v2, ["id"]).collect()}
+    assert out == {1: "delete", 3: "update", 4: "update", 5: "insert"}
+    # id 2 (identical incl. the NULL) must NOT appear
