@@ -199,3 +199,59 @@ def test_csv_and_text_sinks(spark, tmp_path):
     assert spark.read.option("header", "true").csv(str(tmp_path / "csv")).count() == 10
     text_sink(df.select(F.col("id").cast("string")), str(tmp_path / "txt"))
     assert spark.read.text(str(tmp_path / "txt")).count() == 10
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark window
+    are suppressed, but — unlike dropDuplicates — the seen-key state is
+    EVICTED once the watermark passes, so a key recurring long after its
+    first arrival is emitted again. That bounded-state contract is what
+    makes streaming dedup viable on an infinite stream."""
+    batch1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:00:30"),  # duplicate within the window
+            (2, "2024-01-01 10:01:00"),
+        ],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    # advances the watermark past id 1's expiry (10:00 + 10 min): the
+    # eviction takes effect at this batch's END, so the recurrence goes in a
+    # third batch
+    batch2 = spark.createDataFrame(
+        [(99, "2024-01-01 11:30:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    batch3 = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+
+    src = str(tmp_path / "src")
+    batch1.coalesce(1).write.parquet(src)
+    dedup = (
+        file_replay_stream(spark, src, "id LONG, ts TIMESTAMP", max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    batch3.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = sorted((r.id, str(r.ts)) for r in spark.read.parquet(out).collect())
+    ids = [r[0] for r in rows]
+    assert ids.count(2) == 1
+    # id 1: once from batch1 (dup suppressed) and AGAIN at 12:00 after eviction
+    assert ids.count(1) == 2
