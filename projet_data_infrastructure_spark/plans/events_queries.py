@@ -546,7 +546,7 @@ SPECS: list[QuerySpec] = [
         "resample_hourly_ffill",
         q_resample_hourly_ffill,
         _RESAMPLE_SQL,
-        ("timeseries", "window"),
+        ("timeseries", "window", "bench"),
         doc="Hourly grid densification + ignore-nulls forward fill per user",
     ),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),

@@ -931,6 +931,32 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by portable doc_id hash
+    (80/10/10). Hash-based splits are reproducible across runs, engines and
+    cluster sizes — no sampling state, no shuffle at all: the assignment is
+    a per-row projection, and downstream consumers filter on it with
+    predicate pushdown."""
+    docs = read_table(spark, sf_dir, "documents")
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    bucket = F.pmod(hash64(F.col("doc_id")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+_CORPUS_SPLIT_SQL = f"""
+SELECT doc_id,
+       {hash64_sql('doc_id')} % 100 AS bucket,
+       CASE WHEN {hash64_sql('doc_id')} % 100 < 80 THEN 'train'
+            WHEN {hash64_sql('doc_id')} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length gate: keep docs between the p5 and p95
     nearest-rank percentiles of token count (a standard pretraining-corpus
@@ -1222,7 +1248,16 @@ SPECS: list[QuerySpec] = [
         ("text", "dedup", "bench"),
     ),
     QuerySpec("repetition_ngram_ratio", q_repetition_ratio, _REPETITION_SQL, ("text",)),
-    QuerySpec("crossdoc_dup_ngrams", q_crossdoc_dup_ngrams, _CROSSDOC_SQL, ("dedup", "text")),
+    QuerySpec(
+        "crossdoc_dup_ngrams", q_crossdoc_dup_ngrams, _CROSSDOC_SQL, ("dedup", "text", "bench")
+    ),
+    QuerySpec(
+        "corpus_split_assign",
+        q_corpus_split_assign,
+        _CORPUS_SPLIT_SQL,
+        ("text",),
+        doc="Hash-deterministic 80/10/10 train/val/test assignment, shuffle-free",
+    ),
     QuerySpec(
         "length_percentile_filter",
         q_length_percentile_filter,

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "kmv_sketch_set_ops",
     "resample_hourly_ffill",
     "snapshot_diff_cdf",
+    "corpus_split_assign",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
