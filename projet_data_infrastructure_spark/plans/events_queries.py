@@ -540,8 +540,62 @@ FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
 """
 
 
+# --------------------------------------------------------------------------
+# Per-event sessionization: assign a session ordinal to EVERY event (the
+# row-level complement of session_window_agg's per-session aggregate) — the
+# standard feature-engineering precursor to funnels/attribution. A new
+# session starts after a >30 min silence. Gap arithmetic is integer seconds
+# (µs div 1e6, matching DuckDB's boundary-count date_diff); the lag and the
+# running sum share one (user_id, ts, event_id) sort → one Exchange.
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = (gap.isNull() | (gap > _SESSION_GAP_S)).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(run).alias("session_id"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH g AS (
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+FROM g
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
+    QuerySpec(
+        "sessionize_events",
+        q_sessionize_events,
+        _SESSIONIZE_SQL,
+        ("timeseries", "window"),
+        doc="Row-level session ordinals from a 30-min inactivity gap, one Exchange",
+    ),
     QuerySpec(
         "resample_hourly_ffill",
         q_resample_hourly_ffill,

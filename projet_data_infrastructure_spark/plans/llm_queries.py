@@ -931,6 +931,41 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 ``@udtf``) driven through a correlated
+    LATERAL join: one (pos, token) row per token per document.
+
+    This is deliberately the *API* demonstration, not the hot path — the
+    engine's production tokenization is the JVM ``tokens()`` family
+    (`operators/text.py`, asserted Python-free by
+    ``test_no_python_in_hot_paths``). A UDTF is the right tool when a Python
+    library must emit a VARIABLE number of rows per input (parsers,
+    chunkers); rows stream back via Arrow batches like any Python source."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class Tokenize:
+        def eval(self, text):
+            if text:
+                for i, tok in enumerate(text.split()):
+                    yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM docs_for_udtf d, LATERAL tokenize_udtf(d.text) t"
+    )
+
+
+_UDTF_TOKENIZE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id, i - 1 AS pos, t[i] AS token
+FROM toks, unnest(generate_series(1, len(t))) AS g_(i)
+"""
+
+
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by portable doc_id hash
     (80/10/10). Hash-based splits are reproducible across runs, engines and
@@ -1250,6 +1285,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("repetition_ngram_ratio", q_repetition_ratio, _REPETITION_SQL, ("text",)),
     QuerySpec(
         "crossdoc_dup_ngrams", q_crossdoc_dup_ngrams, _CROSSDOC_SQL, ("dedup", "text", "bench")
+    ),
+    QuerySpec(
+        "udtf_tokenize_positions",
+        q_udtf_tokenize,
+        _UDTF_TOKENIZE_SQL,
+        ("udf", "text"),
+        doc="Python UDTF via correlated LATERAL join (API demo; JVM path is the hot path)",
     ),
     QuerySpec(
         "corpus_split_assign",

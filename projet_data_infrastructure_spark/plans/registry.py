@@ -83,6 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "resample_hourly_ffill",
     "snapshot_diff_cdf",
     "corpus_split_assign",
+    "sessionize_events",
+    "udtf_tokenize_positions",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

@@ -77,3 +77,29 @@ def test_length_percentile_filter_drops_tails(spark):
         lq.read_table_balanced = orig
     kept = sorted(r.doc_id for r in out)
     assert kept == list(range(19))  # doc 19 (longest) trimmed
+
+
+def test_sessionize_splits_on_gap(spark):
+    """Events ≤ 30 min apart share a session; a 31-min silence opens a new
+    one; session ordinals are per-user."""
+    import datetime as dt
+
+    import projet_data_infrastructure_spark.plans.events_queries as eq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1),
+        (2, t0 + dt.timedelta(minutes=29), 1),   # same session
+        (3, t0 + dt.timedelta(minutes=61), 1),   # 32-min gap → new session
+        (4, t0, 2),                               # other user restarts at 1
+    ]
+    df = spark.createDataFrame(
+        [(e, u, ts) for e, ts, u in rows], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    orig = eq.read_table
+    try:
+        eq.read_table = lambda sp, sf, name: df
+        out = {r.event_id: r.session_id for r in eq.q_sessionize_events(spark, SF).collect()}
+    finally:
+        eq.read_table = orig
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
