@@ -236,9 +236,9 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = d.withColumn("rn", rn_t).filter(F.col("rn") <= _KMV_K).select("event_type", "h")
     # merged sketch: bottom-k of the union of retained sets
     byh = ret.groupBy("h").agg(F.count(F.lit(1)).alias("n_types"))
-    # constant partition key: same single-partition execution (bounded at
-    # ≤ 2k rows by the sketch), but without WindowExec's no-partition warning
-    rn_u = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("h"))
+    # Global rank: WindowExec warns about the single partition, but the
+    # input is bounded at ≤ 2k rows by the sketch parameter, never by data.
+    rn_u = F.row_number().over(Window.partitionBy().orderBy("h"))
     merged = byh.withColumn("rn", rn_u).filter(F.col("rn") <= _KMV_K)
     sk = merged.agg(
         F.count(F.lit(1)).alias("n_vals"),
