@@ -1340,8 +1340,137 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
 """
 
 
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest run of consecutive active days per user. The
+# date minus row_number anchor collapses each consecutive run to one group
+# key — two windows + one agg, all sharing the per-user shuffle, integers
+# end to end.
+# --------------------------------------------------------------------------
+
+
+def q_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    anchored = days.select("user_id", "d", F.date_sub(F.col("d"), rn).alias("anchor"))
+    runs = anchored.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_streak"))
+
+
+_STREAK_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), anchored AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+               AS anchor
+    FROM days
+), runs AS (
+    SELECT user_id, anchor, count(*) AS run_len
+    FROM anchored GROUP BY user_id, anchor
+)
+SELECT user_id, max(run_len) AS longest_streak FROM runs GROUP BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active day, counted per day
+# offset — the canonical product-analytics triangle. Distinct days → one
+# per-user window min (cohort) → one agg; day arithmetic on DATE is integer
+# in both engines.
+# --------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
+    tagged = days.select(
+        "user_id", cohort.alias("cohort_day"), F.datediff(F.col("d"), cohort).alias("day_offset")
+    )
+    return tagged.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_COHORT_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), tagged AS (
+    SELECT user_id,
+           min(d) OVER (PARTITION BY user_id) AS cohort_day,
+           date_diff('day', min(d) OVER (PARTITION BY user_id), d) AS day_offset
+    FROM days
+)
+SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_users
+FROM tagged GROUP BY cohort_day, day_offset
+"""
+
+# --------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of global revenue. Revenue summed in
+# integer cents; the share divides two exact integers, so the doubles agree
+# bit-for-bit and pround only guards the display grid.
+# --------------------------------------------------------------------------
+
+
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    total = F.sum("rev_cents").over(Window.partitionBy())
+    return rev.select(
+        "n_name",
+        "rev_cents",
+        pround(F.col("rev_cents").cast("double") / total.cast("double"), 6).alias("rev_share"),
+    )
+
+
+_RATIO_SQL = f"""
+WITH rev AS (
+    SELECT n_name,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, rev_cents,
+       {pround_sql('CAST(rev_cents AS DOUBLE) / CAST(sum(rev_cents) OVER () AS DOUBLE)', 6)}
+           AS rev_share
+FROM rev
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
+    QuerySpec(
+        "longest_daily_streak",
+        q_longest_daily_streak,
+        _STREAK_SQL,
+        ("window", "timeseries"),
+        doc="Gaps-and-islands consecutive-day runs, integer date arithmetic",
+    ),
+    QuerySpec(
+        "cohort_retention",
+        q_cohort_retention,
+        _COHORT_SQL,
+        ("window", "timeseries"),
+        doc="First-active-day cohorts × day offset retention triangle",
+    ),
+    QuerySpec(
+        "ratio_to_report",
+        q_ratio_to_report,
+        _RATIO_SQL,
+        ("window", "agg"),
+        doc="Share-of-total window over exact integer revenue",
+    ),
     QuerySpec(
         "regression_slope_by_user",
         q_regression_slope,

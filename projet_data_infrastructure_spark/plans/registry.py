@@ -85,6 +85,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_split_assign",
     "sessionize_events",
     "udtf_tokenize_positions",
+    "longest_daily_streak",
+    "cohort_retention",
+    "ratio_to_report",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

@@ -103,3 +103,38 @@ def test_sessionize_splits_on_gap(spark):
     finally:
         eq.read_table = orig
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_longest_streak_islands(spark):
+    """Days {1,2,3, 5,6, 9} → longest consecutive run is 3; multiple events
+    on one day count once."""
+    import datetime as dt
+
+    t = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [(1, t(1)), (1, t(1, 5)), (1, t(2)), (1, t(3)), (1, t(5)), (1, t(6)), (1, t(9)),
+            (2, t(4))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    orig = adv.read_table
+    try:
+        adv.read_table = lambda sp, sf, name: df
+        out = {r.user_id: r.longest_streak for r in adv.q_longest_daily_streak(spark, SF).collect()}
+    finally:
+        adv.read_table = orig
+    assert out == {1: 3, 2: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    """Two users starting Jan 1 (one returns Jan 3), one starting Jan 2."""
+    import datetime as dt
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    rows = [(1, d(1)), (1, d(3)), (2, d(1)), (3, d(2))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    orig = adv.read_table
+    try:
+        adv.read_table = lambda sp, sf, name: df
+        out = {(str(r.cohort_day), r.day_offset): r.n_users
+               for r in adv.q_cohort_retention(spark, SF).collect()}
+    finally:
+        adv.read_table = orig
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1, ("2024-01-02", 0): 1}
