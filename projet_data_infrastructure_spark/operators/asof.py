@@ -75,3 +75,33 @@ def asof_join(
         *lcols, *[f"{c}{suffix}" for c in right_payload]
     )
     return out
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average via ``applyInPandas``.
+
+    The recurrence s_i = α·x_i + (1−α)·s_{i−1} is inherently sequential per
+    key — the canonical grouped-map case the declarative API can't express.
+    One shuffle on the key; each group arrives as a single Arrow batch and
+    is computed vectorized by pandas ``ewm`` (adjust=False = the literal
+    recurrence). At scale the constraint is group size (a group must fit an
+    executor's memory) and key cardinality ≥ cluster parallelism — for
+    per-user series both hold by construction.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols)
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, schema=out_schema)

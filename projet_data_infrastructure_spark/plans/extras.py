@@ -420,6 +420,18 @@ FROM customer WHERE c_nationkey < 5
 """
 
 
+def q_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map (``applyInPandas``) surface: per-user EWMA of event
+    value ordered by (ts, event_id). Inherently sequential per key, hence
+    rows-only (no closed-form SQL oracle); the recurrence itself is pinned
+    by ``tests/test_analytics.py::test_ewma_matches_recurrence``."""
+    from projet_data_infrastructure_spark.operators.asof import ewma_by_key
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma_by_key(ev, "user_id", ["ts", "event_id"], "value", alpha=0.2)
+    return out.select("user_id", "event_id", "ewma")
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two snapshot versions (Delta CDF analog).
 
@@ -473,6 +485,14 @@ SPECS: list[QuerySpec] = [
         doc="Change-data-feed between snapshot versions (insert/delete/update)",
     ),
     QuerySpec("ivf_trained_assign", q_ivf_trained_assign, None, ("similarity", "rows-only")),
+    QuerySpec(
+        "ewma_by_user",
+        q_ewma_by_user,
+        None,
+        ("timeseries", "rows-only"),
+        doc="applyInPandas grouped-map EWMA (sequential recurrence per key); "
+        "semantics pinned against the literal recurrence in tests",
+    ),
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, None, ("streaming-live", "rows-only")),

@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "longest_daily_streak",
     "cohort_retention",
     "ratio_to_report",
+    "ewma_by_user",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

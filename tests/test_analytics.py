@@ -138,3 +138,28 @@ def test_cohort_retention_offsets(spark):
     finally:
         adv.read_table = orig
     assert out == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1, ("2024-01-02", 0): 1}
+
+
+def test_ewma_matches_recurrence(spark):
+    """applyInPandas EWMA equals the literal recurrence s_i = a*x_i + (1-a)*s_{i-1}."""
+    import datetime as dt
+
+    import projet_data_infrastructure_spark.plans.extras as ex
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 5.0, 40.0]
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz, value double")
+    orig = ex.read_table
+    try:
+        ex.read_table = lambda sp, sf, name: df
+        out = {r.event_id: r.ewma for r in ex.q_ewma_by_user(spark, SF).collect()}
+    finally:
+        ex.read_table = orig
+    a, s = 0.2, vals[0]
+    expect = {0: s}
+    for i, x in enumerate(vals[1:], start=1):
+        s = a * x + (1 - a) * s
+        expect[i] = s
+    for i in range(len(vals)):
+        assert abs(out[i] - expect[i]) < 1e-12, (i, out[i], expect[i])
