@@ -296,6 +296,79 @@ FROM sk CROSS JOIN exact
 """
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): d seeded hash rows × w
+# buckets of COUNTS — mergeable by cell-wise sum, point estimate =
+# min over rows, always ≥ the true count, within εN w.h.p. (ε = e/w).
+# Built from the portable seeded hash, so the sketch AND the estimates are
+# deterministic — the oracle reproduces them exactly. At 100 TB the sketch
+# is a d×w grid per partition summed in one exchange (bytes, not keys);
+# the estimate join is a broadcast of that grid.
+# --------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+
+
+def q_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates from a count-min sketch vs the truth.
+
+    One pass builds the d×w grid (explode d seeded bucket ids map-side, one
+    keyed agg); the estimate side joins each distinct user's d buckets back
+    to the grid and takes the min. est_n ≥ n_exact ALWAYS (test-pinned)."""
+    ev = read_table(spark, sf_dir, "events")
+    rows = ev.select("user_id")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(hash64(F.col("user_id"), seed=s), F.lit(_CM_WIDTH)).alias("bucket"),
+            )
+            for s in range(_CM_DEPTH)
+        ]
+    )
+    grid = (
+        rows.select(F.explode(buckets).alias("b"))
+        .groupBy(F.col("b.seed").alias("seed"), F.col("b.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = rows.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "user_id", "n_exact", F.explode(buckets).alias("b")
+    ).select("user_id", "n_exact", "b.seed", "b.bucket")
+    return (
+        probes.join(F.broadcast(grid), ["seed", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+
+
+# Oracle: the d seeded projections as a UNION ALL — identical cells to the
+# Spark explode, plain SQL.
+def _countmin_sql() -> str:
+    seed_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT user_id, {s} AS seed, "
+        f"{hash64_sql('user_id', seed=s)} % {_CM_WIDTH} AS bucket FROM events"
+        for s in range(_CM_DEPTH)
+    )
+    return f"""
+WITH hashed AS (
+    {seed_rows}
+), grid AS (
+    SELECT seed, bucket, count(*) AS cell_n FROM hashed GROUP BY seed, bucket
+), exact AS (
+    SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+), probes AS (
+    SELECT DISTINCT user_id, seed, bucket FROM hashed
+)
+SELECT p.user_id, e.n_exact, min(g.cell_n) AS est_n
+FROM probes p
+JOIN exact e USING (user_id)
+JOIN grid g ON g.seed = p.seed AND g.bucket = p.bucket
+GROUP BY p.user_id, e.n_exact
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "scd2_user_history",
@@ -324,5 +397,12 @@ SPECS: list[QuerySpec] = [
         _KMV_SET_SQL,
         ("sketch",),
         doc="Union/intersection/Jaccard estimated from merged bottom-k sketches",
+    ),
+    QuerySpec(
+        "countmin_user_counts",
+        q_countmin_user_counts,
+        _countmin_sql(),
+        ("sketch",),
+        doc="Count-min sketch point estimates vs exact counts, oracle-exact",
     ),
 ]

@@ -191,3 +191,20 @@ def test_resample_ffill_fills_gaps(spark):
     finally:
         eq.read_table = orig
     assert [r.filled_cents for r in out] == [200, 200, 200, 900]
+
+
+def test_countmin_overestimates_only_and_bounds(spark):
+    """Count-min guarantees est ≥ exact for every key; with d=4, w=256 and
+    N=15000 events over 150 users, the expected overshoot per cell is
+    N/w ≈ 59 — assert the classical εN bound with ε = e/w at 3× slack."""
+    import math
+
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+
+    rows = lh.q_countmin_user_counts(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    n_total = sum(r.n_exact for r in rows)
+    bound = 3 * math.e / lh._CM_WIDTH * n_total
+    for r in rows:
+        assert r.est_n >= r.n_exact, (r.user_id, r.est_n, r.n_exact)
+        assert r.est_n - r.n_exact <= bound, (r.user_id, r.est_n - r.n_exact, bound)
