@@ -53,3 +53,50 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """The same running (count, sum) on the NEW ``transformWithStateInPandas``
+    API (Spark 4 StatefulProcessor): typed state handles (value/list/map
+    state), explicit lifecycle (init/close), and timer support replace the
+    single opaque tuple of ``applyInPandasWithState``. Functionally identical
+    here by design, so one test matrix pins both APIs to the same semantics;
+    prefer this API for new operators — per-state TTL and composite state
+    don't exist on the legacy path.
+
+    Container note: executing TWS requires ``google.protobuf`` (the state
+    server protocol), absent here — the pinning test skips when it's
+    missing and runs anywhere protobuf exists.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

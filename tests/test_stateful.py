@@ -42,3 +42,47 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     # state actually carried: user 1 must have an intermediate emission < 3
     user1_emissions = [r["n_events"] for r in rows if r["key"] == 1]
     assert len(user1_emissions) >= 2 and min(user1_emissions) < 3
+
+
+def test_transform_with_state_matches_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) accumulates the
+    same running totals as the applyInPandasWithState path.
+
+    Environment-gated: the TWS state-server protocol needs google.protobuf,
+    which this container lacks (no installs) — same class as Kafka jars /
+    delta-spark. The operator itself is exercised on any cluster with
+    protobuf present."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent — transformWithState needs it")
+    from projet_data_infrastructure_spark.streaming.stateful import running_totals_tws
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double")
+    b2 = spark.createDataFrame([(1, 2.0), (3, 7.0)], "user_id long, value double")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_replay_stream(
+        spark, src, "user_id LONG, value DOUBLE", max_files_per_trigger=1
+    )
+    out = running_totals_tws(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    last = {}
+    for r in spark.table("tws_sink").collect():
+        last[r["key"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, 17.0)
+    assert last[2] == (1, 1.0)
+    assert last[3] == (1, 7.0)
