@@ -392,3 +392,15 @@ def test_scd2_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_window_topk_uses_group_limit(spark):
+    """Per-group top-k via rank filter must plan WindowGroupLimit in BOTH
+    Partial (map-side, before the exchange) and Final modes — each input
+    partition forwards only k rows per group, so the shuffle carries
+    O(groups × k), not the fact table."""
+    from projet_data_infrastructure_spark.plans.relational import q_window_rank
+
+    plan = q_window_rank(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
