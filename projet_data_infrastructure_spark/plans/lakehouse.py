@@ -343,6 +343,75 @@ def q_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Distribution drift monitoring: population stability index between a
+# reference and a current slice over FIXED bucket edges (the production
+# pattern: edges frozen from the reference snapshot so day-over-day PSI is
+# comparable). Laplace-smoothed shares keep empty buckets finite. Counts are
+# integers, shares/contributions are identical IEEE expressions per bucket;
+# only the 12-term total is order-sensitive, absorbed by pround(6).
+# PSI reading: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 drifted.
+# --------------------------------------------------------------------------
+
+_PSI_BUCKETS = 12
+_PSI_LO, _PSI_WIDTH = -1000.0, 1000.0  # covers acctbal [-1000, 10000) exactly
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of c_acctbal between two customer populations (nations < 12 as
+    the reference snapshot, the rest as current). One scan, one small agg:
+    bucket ids and both counts come from a single groupBy via conditional
+    aggregation — no join of two profiled sides."""
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = F.least(
+        F.lit(_PSI_BUCKETS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("c_acctbal") - _PSI_LO) / _PSI_WIDTH)),
+    ).cast("int")
+    is_ref = (F.col("c_nationkey") < 12).cast("long")
+    counts = cust.select(bucket.alias("bucket"), is_ref.alias("r")).groupBy("bucket").agg(
+        F.sum("r").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("r")).alias("n_cur"),
+    )
+    tot = Window.partitionBy()
+    p = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(tot) + 0.5 * _PSI_BUCKETS)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(tot) + 0.5 * _PSI_BUCKETS)
+    contrib = (p - q) * F.log(p / q)
+    out = counts.select(
+        "bucket", "n_ref", "n_cur", pround(contrib, 9).alias("psi_contrib")
+    )
+    return out.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "psi_contrib",
+        pround(F.sum("psi_contrib").over(Window.partitionBy()), 6).alias("psi_total"),
+    )
+
+
+_PSI_SQL = f"""
+WITH counts AS (
+    SELECT CAST(least({_PSI_BUCKETS - 1},
+                      greatest(0, floor((c_acctbal - ({_PSI_LO!r})) / {_PSI_WIDTH!r})))
+                AS INTEGER) AS bucket,
+           CAST(sum(CASE WHEN c_nationkey < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(sum(CASE WHEN c_nationkey < 12 THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+    FROM customer GROUP BY 1
+), shares AS (
+    SELECT bucket, n_ref, n_cur,
+           {pround_sql(
+               '((n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * ' + str(_PSI_BUCKETS) + ')'
+               ' - (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * ' + str(_PSI_BUCKETS) + '))'
+               ' * ln(((n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * ' + str(_PSI_BUCKETS) + '))'
+               ' / ((n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * ' + str(_PSI_BUCKETS) + ')))', 9)}
+               AS psi_contrib
+    FROM counts
+)
+SELECT bucket, n_ref, n_cur, psi_contrib,
+       {pround_sql('sum(psi_contrib) OVER ()', 6)} AS psi_total
+FROM shares
+"""
+
+
 # Oracle: the d seeded projections as a UNION ALL — identical cells to the
 # Spark explode, plain SQL.
 def _countmin_sql() -> str:
@@ -404,5 +473,12 @@ SPECS: list[QuerySpec] = [
         _countmin_sql(),
         ("sketch",),
         doc="Count-min sketch point estimates vs exact counts, oracle-exact",
+    ),
+    QuerySpec(
+        "psi_drift_profile",
+        q_psi_drift,
+        _PSI_SQL,
+        ("quality",),
+        doc="Population stability index between slices over frozen buckets",
     ),
 ]

@@ -208,3 +208,21 @@ def test_countmin_overestimates_only_and_bounds(spark):
     for r in rows:
         assert r.est_n >= r.n_exact, (r.user_id, r.est_n, r.n_exact)
         assert r.est_n - r.n_exact <= bound, (r.user_id, r.est_n - r.n_exact, bound)
+
+
+def test_psi_zero_for_identical_populations(spark):
+    """Splitting one population uniformly at random-ish by key parity gives
+    near-identical distributions → PSI ≈ 0 (well under the 0.1 'stable'
+    threshold); and the bucket shares must sum the smoothing correctly
+    (contributions finite even for sparse buckets)."""
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+
+    rows = lh.q_psi_drift(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    psi = rows[0].psi_total
+    assert all(r.psi_total == psi for r in rows)
+    import math
+
+    assert all(math.isfinite(r.psi_contrib) for r in rows)
+    # nation assignment is hash-uniform over acctbal → distributions agree
+    assert psi < 0.1, psi
