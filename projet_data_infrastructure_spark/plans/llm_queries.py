@@ -1039,11 +1039,13 @@ def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2022 scaled to n-gram granularity): per doc, the fraction of its
     distinct word 8-grams that also occur in at least one OTHER document.
 
-    Plan shape: shingle → distinct(doc_id, hash) → ONE shuffle on the shingle
-    hash for the sharing count (window, not a self-join) → per-doc agg. The
-    shuffle key is the 60-bit portable hash, never the string, so at 100 TB
-    the exchange carries 8-byte digests; the window's per-key state is a
-    count, so skewed boilerplate shingles stream instead of buffering."""
+    Plan shape (3 keyed exchanges, verified): distinct on (doc_id, hash),
+    then the sharing count as a window over the hash alone (one digest-keyed
+    exchange — a count, never a self-join), then the per-doc aggregate.
+    Every shuffle key includes the 60-bit portable hash, never the shingle
+    string, so at 100 TB the exchanges carry 8-byte digests; the window's
+    per-key state is a count, so skewed boilerplate shingles stream instead
+    of buffering."""
     from projet_data_infrastructure_spark.functions.hashing import hash64
     from pyspark.sql.window import Window
 

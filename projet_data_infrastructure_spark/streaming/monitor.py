@@ -25,6 +25,10 @@ class StreamStats:
     last_input_rps: float = 0.0
     last_processed_rps: float = 0.0
     by_query: dict[str, int] = field(default_factory=dict)
+    #: latest df.observe() metric values per observation name — data-path
+    #: quality counters (null counts, value sums) computed inside the query
+    #: itself, surfaced per batch with zero extra scans.
+    observed: dict[str, dict] = field(default_factory=dict)
 
 
 class ProgressMonitor(StreamingQueryListener):
@@ -49,6 +53,12 @@ class ProgressMonitor(StreamingQueryListener):
             s.last_processed_rps = float(p.processedRowsPerSecond or 0.0)
             name = p.name or p.id
             s.by_query[str(name)] = s.by_query.get(str(name), 0) + rows
+            try:
+                obs = dict(p.observedMetrics or {})
+            except Exception:  # pragma: no cover - defensive: API surface varies
+                obs = {}
+            for obs_name, row in obs.items():
+                s.observed[obs_name] = row.asDict() if hasattr(row, "asDict") else dict(row)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

@@ -255,3 +255,39 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert ids.count(2) == 1
     # id 1: once from batch1 (dup suppressed) and AGAIN at 12:00 after eviction
     assert ids.count(1) == 2
+
+
+def test_observe_metrics_reach_monitor(spark, tmp_path):
+    """df.observe() quality counters computed ON the data path (no extra
+    scan) surface in the progress listener per batch — the modern
+    replacement for the reference's O(table) re-read loop, now carrying
+    semantic metrics (null count, value sum), not just row counts."""
+    from projet_data_infrastructure_spark.streaming.monitor import attach_monitor
+
+    monitor = attach_monitor(spark)
+    src = str(tmp_path / "obs_src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id long, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = file_replay_stream(spark, src, "id LONG, value DOUBLE")
+    observed = stream.observe(
+        "quality",
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+    )
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "obs_out"))
+        .option("checkpointLocation", str(tmp_path / "obs_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    deadline = time.time() + 15
+    while time.time() < deadline and "quality" not in monitor.stats.observed:
+        time.sleep(0.5)
+    m = monitor.stats.observed.get("quality")
+    assert m is not None, "observed metrics never arrived"
+    assert m["n"] == 3 and m["n_null_value"] == 1
+    spark.streams.removeListener(monitor)
