@@ -3,8 +3,10 @@ aggregate maintenance, and a deterministic KMV distinct sketch.
 
 These close the "warehouse lifecycle" side of the reference's CDC pipeline
 (`/root/reference/spark/SaveDelta.scala:104-163` lands Debezium changes into a
-lake table; a real warehouse then needs dimension histories and incrementally
-maintained rollups on top of that change stream):
+lake table; `/root/reference/airflow/config/read_delta.py:114-127` then
+recomputes its per-employee rollup from scratch each run — a real warehouse
+instead needs dimension histories, incrementally maintained rollups, and
+cheap distinct/drift telemetry on top of that change stream):
 
 * ``scd2_user_history`` — the classic Type-2 slowly-changing-dimension build:
   collapse a change stream to genuine attribute transitions (lag), then derive

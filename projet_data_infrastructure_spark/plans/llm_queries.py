@@ -190,6 +190,29 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health telemetry over the duplicate graph: how many clusters
+    exist at each size (pairs, triples, …). A curation run watches this
+    histogram drift — a sudden fat tail means a boilerplate source started
+    flooding the corpus. One extra two-level agg on the component labels."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    comp = dedup.duplicate_clusters(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+def _dedup_cluster_sizes_sql() -> str:
+    return f"""
+WITH comp AS ({_dedup_clusters_sql()}),
+sizes AS (
+    SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_balanced(spark, sf_dir, "documents")
     return dedup.simhash32(docs)
@@ -1246,6 +1269,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("simhash_32bit", q_simhash, _SIMHASH_SQL, ("dedup",)),
     QuerySpec("lsh_verified_pairs", q_lsh_verified_pairs, _lsh_verified_sql(), ("dedup",)),
     QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), ("dedup", "iterative")),
+    QuerySpec(
+        "dedup_cluster_sizes",
+        q_dedup_cluster_sizes,
+        _dedup_cluster_sizes_sql(),
+        ("dedup", "quality"),
+        doc="Cluster-size histogram over the duplicate graph (corpus health)",
+    ),
     QuerySpec(
         "simhash_hamming_pairs", q_simhash_hamming, _simhash_hamming_sql(), ("dedup",)
     ),

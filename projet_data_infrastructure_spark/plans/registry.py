@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ewma_by_user",
     "countmin_user_counts",
     "psi_drift_profile",
+    "dedup_cluster_sizes",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
