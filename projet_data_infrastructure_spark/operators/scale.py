@@ -121,3 +121,14 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def range_sorted_layout(df: DataFrame, col: str, n_files: int = 8) -> DataFrame:
+    """1-D clustered layout: range-partition + sort by one key so output
+    files cover DISJOINT key ranges (parquet footer min/max then prunes
+    every file outside a predicate's range — the single-column complement
+    of :func:`zorder_layout`, and strictly tighter for one key). Spark
+    samples the key distribution for balanced range bounds, so skewed keys
+    still yield even files. One range exchange; run per compaction window,
+    not per query."""
+    return df.repartitionByRange(n_files, col).sortWithinPartitions(col)

@@ -404,3 +404,32 @@ def test_window_topk_uses_group_limit(spark):
     plan = q_window_rank(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_range_sorted_layout_files_are_disjoint(spark, tmp_path):
+    """range_sorted_layout writes files whose [min, max] key ranges do not
+    overlap — the property file-skipping relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from projet_data_infrastructure_spark.operators.scale import range_sorted_layout
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    out = str(tmp_path / "sorted_lake")
+    ev = read_table(spark, "/root/testdata/sf0.01", "events").select("user_id", "value")
+    range_sorted_layout(ev, "user_id", n_files=6).write.parquet(out)
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "user_id"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4  # sampling may merge a near-empty band
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
