@@ -281,6 +281,73 @@ def centroid_argmin_col(
     return F.array_min(scored)
 
 
+def centroid_topn_col(
+    cents: list[tuple[int, list[float]]], vec_col: str, nprobe: int
+) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for each row — the
+    multi-probe generalization of :func:`centroid_argmin_col` (same two
+    inlined literals, same (dist, cid) tie-break via struct sort), still
+    entirely map-side."""
+    if not cents:
+        raise ValueError("centroid_topn_col: centroid list is empty")
+    cvecs = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c[1]) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+    cids = F.expr("array(" + ",".join(str(c[0]) for c in cents) + ")")
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.struct(
+            pround(l2_sq(F.col(vec_col), cvecs[i]), 6).alias("dist"),
+            cids[i].alias("cid"),
+        ),
+    )
+    topn = F.slice(F.array_sort(scored), 1, nprobe)
+    return F.transform(topn, lambda s: s["cid"])
+
+
+def ivf_topk_multiprobe(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search probing the query's ``nprobe`` nearest IVF buckets.
+
+    The recall lever real IVF deployments turn: nprobe=1 is fastest,
+    nprobe=C degenerates to exact brute force (pinned by
+    ``test_multiprobe_full_probe_equals_bruteforce``). Work scales with
+    nprobe/C of the corpus; the probed-bucket set is a one-row broadcast,
+    so the candidate filter is map-side on the assignment table."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    rows = cents.orderBy("centroid_id").collect()
+    topn = centroid_topn_col(
+        [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in rows],
+        vec_col,
+        nprobe,
+    )
+    qbuckets = emb.filter(F.col(id_col) == query_id).select(topn.alias("qbuckets"))
+    candidates = (
+        assign.join(F.broadcast(qbuckets), F.expr("array_contains(qbuckets, centroid_id)"))
+        .select(id_col)
+        .join(emb, id_col)
+    )
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return brute_force_topk(
+        candidates.filter(F.col(id_col) != query_id), qvec, k, id_col, vec_col
+    )
+
+
 def cosine_topk_pandas(
     emb: DataFrame,
     query: list[float],

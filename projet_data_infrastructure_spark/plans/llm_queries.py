@@ -402,6 +402,41 @@ WHERE e.vec_id != 0
 ORDER BY sim DESC, e.vec_id LIMIT 5
 """
 
+def q_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_multiprobe(emb, query_id=0, k=5, n_centroids=8, nprobe=3)
+
+
+_IVF_MULTIPROBE_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), qbuckets AS (
+    SELECT centroid_id FROM (
+        SELECT centroid_id,
+               row_number() OVER (ORDER BY dist, centroid_id) AS rn
+        FROM dists WHERE vec_id = 0
+    ) WHERE rn <= 3
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {pround_sql('list_cosine_similarity(e.embedding::DOUBLE[], qv)', 6)} AS sim
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN qbuckets qb ON a.centroid_id = qb.centroid_id, q
+WHERE e.vec_id != 0
+ORDER BY sim DESC, e.vec_id LIMIT 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -1297,6 +1332,13 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("ivf_assign", q_ivf_assign, _IVF_ASSIGN_SQL, ("similarity",)),
     QuerySpec("ivf_topk_ann", q_ivf_topk, _IVF_TOPK_SQL, ("similarity",)),
+    QuerySpec(
+        "ivf_topk_multiprobe",
+        q_ivf_topk_multiprobe,
+        _IVF_MULTIPROBE_SQL,
+        ("similarity",),
+        doc="Multi-probe IVF ANN (nprobe=3 of 8 buckets) — the recall lever",
+    ),
     QuerySpec("text_stats", q_text_stats, _TEXT_STATS_SQL, ("text", "bench")),
     QuerySpec("lang_id_heuristic", q_lang_id, _lang_id_sql(), ("text",)),
     QuerySpec("quality_score", q_quality_score, _QUALITY_SQL, ("text",)),

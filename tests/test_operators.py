@@ -306,3 +306,19 @@ def test_trained_ivf_recall_floor(spark):
     # single-probe IVF trades recall for C× less work; trained centroids
     # should still find a solid share of the true neighbors
     assert hits / total >= 0.4, f"recall {hits}/{total}"
+
+
+def test_multiprobe_full_probe_equals_bruteforce(spark):
+    """nprobe = C probes every bucket, so multi-probe IVF must return
+    exactly the brute-force top-k; nprobe=1 must match single-bucket IVF."""
+    from projet_data_infrastructure_spark.operators import similarity
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = similarity.ivf_topk_multiprobe(emb, query_id=0, k=5, n_centroids=8, nprobe=8)
+    qvec = emb.filter("vec_id = 0").selectExpr("embedding AS qvec")
+    brute = similarity.brute_force_topk(emb.filter("vec_id != 0"), qvec, k=5)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in brute.collect()]
+    one = similarity.ivf_topk_multiprobe(emb, query_id=0, k=5, n_centroids=8, nprobe=1)
+    single = similarity.ivf_topk(emb, query_id=0, k=5, n_centroids=8)
+    assert [tuple(r) for r in one.collect()] == [tuple(r) for r in single.collect()]
