@@ -154,3 +154,61 @@ def partition_by_size_class(
     return out.repartition(
         3 * n_partitions_per_class, F.col("size_class"), F.xxhash64(F.col(content_col))
     )
+
+
+RESIZED_SCHEMA = (
+    "asset_id LONG, media_type STRING, width INT, height INT, "
+    "target_w INT, target_h INT, resized BINARY"
+)
+
+
+def resize_assets(
+    df: DataFrame,
+    max_side: int = 32,
+    decoder: Callable[[bytes], dict] = fake_decode,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    id_col: str = "asset_id",
+    type_col: str = "media_type",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize plumbing (charter: decode / feature-extract / RESIZE /
+    frame-sample): decode dims, compute an aspect-preserving target bounded
+    by ``max_side``, and emit a resized payload. The resizer is injected
+    like the decoder — production plugs Pillow/ffmpeg; the default emits a
+    deterministic fake (truncated payload) so the Arrow plumbing, schema and
+    aspect math are fully tested without codecs. Same mapInPandas batch
+    shape as :func:`extract_features`; one output row per asset, failures
+    yield NULL dims instead of killing the task."""
+    import pandas as pd
+
+    def default_resizer(payload: bytes, w: int, h: int) -> bytes:
+        return payload[: max(1, (w * h) % 97)]
+
+    rz = resizer or default_resizer
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "media_type", "width", "height",
+                "target_w", "target_h", "resized",
+            )}
+            for aid, mtype, blob in zip(pdf[id_col], pdf[type_col], pdf[content_col]):
+                payload = bytes(blob) if blob is not None else b""
+                out["asset_id"].append(aid)
+                out["media_type"].append(mtype)
+                try:
+                    meta = decoder(payload)
+                    w, h = int(meta["width"]), int(meta["height"])
+                    scale = min(1.0, max_side / max(w, h))
+                    tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["target_w"].append(tw)
+                    out["target_h"].append(th)
+                    out["resized"].append(rz(payload, tw, th))
+                except Exception:
+                    for k in ("width", "height", "target_w", "target_h", "resized"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

@@ -322,3 +322,29 @@ def test_multiprobe_full_probe_equals_bruteforce(spark):
     one = similarity.ivf_topk_multiprobe(emb, query_id=0, k=5, n_centroids=8, nprobe=1)
     single = similarity.ivf_topk(emb, query_id=0, k=5, n_centroids=8)
     assert [tuple(r) for r in one.collect()] == [tuple(r) for r in single.collect()]
+
+
+def test_resize_assets_aspect_and_bounds(spark):
+    """Resize targets preserve aspect ratio, never exceed max_side, never
+    upscale; empty payloads yield NULL dims, not task failure."""
+    from projet_data_infrastructure_spark.operators.multimodal import (
+        resize_assets,
+        synthetic_assets,
+    )
+    from pyspark.sql import functions as F
+
+    assets = synthetic_assets(spark, n=32).union(
+        spark.createDataFrame([(999, "image/png", None)],
+                              "asset_id long, media_type string, content binary")
+    )
+    out = resize_assets(assets, max_side=32).collect()
+    by_id = {r.asset_id: r for r in out}
+    assert by_id[999].width is None and by_id[999].resized is None
+    for r in out:
+        if r.asset_id == 999:
+            continue
+        assert max(r.target_w, r.target_h) <= 32
+        assert r.target_w <= r.width and r.target_h <= r.height
+        # aspect preserved within rounding
+        assert abs(r.target_w / r.target_h - r.width / r.height) < 0.2
+        assert r.resized is not None
