@@ -207,3 +207,21 @@ def test_parse_envelope_tolerates_schema_drift(spark):
     assert "brand_new_col" not in rows[1].asDict()  # unknown field dropped
     assert rows[9]["sport_type"] is None  # absent field → NULL, row kept
     assert rows[9]["start_datetime"] is None  # µs decode passes NULL through
+
+
+def test_apply_cdc_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying the SAME micro-batch (foreachBatch retry after a sink
+    failure — the at-least-once case) leaves the table state unchanged:
+    keep-latest upsert + delete is a natural idempotent reduction, so
+    retries are exactly-once-equivalent without a batch-id ledger."""
+    target = str(tmp_path / "replay")
+    changes = parse_envelope(golden_frame(spark))
+    apply_cdc_batch(target, changes)
+    before = sorted(
+        tuple(r) for r in read_snapshot(spark, target).select("id", "comment").collect()
+    )
+    apply_cdc_batch(target, changes)  # replay, verbatim
+    after = sorted(
+        tuple(r) for r in read_snapshot(spark, target).select("id", "comment").collect()
+    )
+    assert after == before
