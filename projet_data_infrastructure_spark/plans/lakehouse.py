@@ -440,6 +440,85 @@ GROUP BY p.user_id, e.n_exact
 """
 
 
+# --------------------------------------------------------------------------
+# Bloom filter membership (Bloom 1970) — the third sketch next to KMV
+# (distinct) and count-min (frequency): d seeded hash bit-positions in an
+# m-bit array; a key is CLAIMED present iff all d bits are set. No false
+# negatives ever; false-positive rate ≈ (1 − e^(−dn/m))^d. The bit set is
+# ≤ m rows — broadcast to the probe side, which is exactly what Spark's
+# runtime bloom join does internally; here it's exposed as a data operator
+# (e.g. ship a compact member filter to another pipeline without the
+# member list). Deterministic portable hashing → the DuckDB oracle
+# reproduces every claimed bit and every false positive exactly.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_D = 3
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a bloom over customers of nations 0-9, probe EVERY customer:
+    per key, the true membership and the bloom's claim. Test pins zero
+    false negatives and the theoretical FP envelope."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    members = cust.filter(F.col("c_nationkey") < 10)
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.array(
+            *[
+                F.pmod(hash64(F.col("c_custkey"), seed=s), F.lit(_BLOOM_M))
+                for s in range(_BLOOM_D)
+            ]
+        )
+        return df.select("c_custkey", F.explode(pos).alias("bit"))
+
+    bits = positions(members).select("bit").distinct()
+    probes = positions(cust)
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    return (
+        cust.join(hits, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") < 10).cast("int").alias("is_member"),
+            (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_D).cast("int").alias("claimed"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    seed_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT c_custkey, {hash64_sql('c_custkey', seed=s)} % {_BLOOM_M} AS bit"
+        f" FROM customer WHERE c_nationkey < 10"
+        for s in range(_BLOOM_D)
+    )
+    probe_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT c_custkey, {hash64_sql('c_custkey', seed=s)} % {_BLOOM_M} AS bit"
+        f" FROM customer"
+        for s in range(_BLOOM_D)
+    )
+    return f"""
+WITH bits AS (
+    SELECT DISTINCT bit FROM (
+        {seed_rows}
+    )
+), probes AS (
+    {probe_rows}
+), hits AS (
+    SELECT p.c_custkey, count(*) AS n_set
+    FROM probes p JOIN bits b ON p.bit = b.bit
+    GROUP BY p.c_custkey
+)
+SELECT c.c_custkey,
+       CAST(c.c_nationkey < 10 AS INTEGER) AS is_member,
+       CAST(coalesce(h.n_set, 0) = {_BLOOM_D} AS INTEGER) AS claimed
+FROM customer c LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "scd2_user_history",
@@ -482,5 +561,12 @@ SPECS: list[QuerySpec] = [
         _PSI_SQL,
         ("quality",),
         doc="Population stability index between slices over frozen buckets",
+    ),
+    QuerySpec(
+        "bloom_membership",
+        q_bloom_membership,
+        _bloom_sql(),
+        ("sketch",),
+        doc="Deterministic bloom membership filter, oracle-exact incl. false positives",
     ),
 ]

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "psi_drift_profile",
     "dedup_cluster_sizes",
     "ivf_topk_multiprobe",
+    "bloom_membership",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",

@@ -226,3 +226,21 @@ def test_psi_zero_for_identical_populations(spark):
     assert all(math.isfinite(r.psi_contrib) for r in rows)
     # nation assignment is hash-uniform over acctbal → distributions agree
     assert psi < 0.1, psi
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every true member must be claimed (bloom's hard guarantee); the
+    false-positive rate stays within 3x the theoretical (1-e^(-dn/m))^d."""
+    import math
+
+    import projet_data_infrastructure_spark.plans.lakehouse as lh
+
+    rows = lh.q_bloom_membership(spark, "/root/testdata/sf0.01").collect()
+    members = [r for r in rows if r.is_member]
+    non = [r for r in rows if not r.is_member]
+    assert members and non
+    assert all(r.claimed for r in members), "false negative!"
+    n = len(members)
+    theo = (1 - math.exp(-lh._BLOOM_D * n / lh._BLOOM_M)) ** lh._BLOOM_D
+    fp = sum(r.claimed for r in non) / len(non)
+    assert fp <= 3 * theo + 0.01, (fp, theo)
