@@ -16,6 +16,8 @@ session TZ to UTC so NTZ↔epoch conversions are total functions of the data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -284,8 +286,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # LTZ (plain timestamp) here: watermarks/event-time require TimestampType;
     # UTC is pinned above so epoch↔wall-clock is deterministic. Integer `div`:
-    # see sources/readers.py (ns epochs exceed double precision).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # see sources/readers.py (ns epochs exceed double precision). The divisor
+    # is unit-detected from parquet metadata — the testdata has shipped ts at
+    # both ns and µs across driver rounds (streaming/sources.py).
+    from projet_data_infrastructure_spark.streaming.sources import epoch_us_divisor
+
+    div = epoch_us_divisor(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {div}")))
 
 
 def _run_stream(df_writer, spark: SparkSession, name: str) -> DataFrame:

@@ -41,6 +41,27 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
     )
 
 
+def epoch_us_divisor(parquet_path: str, ts_field: str = "ts") -> int:
+    """Divisor that converts the raw epoch longs a ``readStream`` with a
+    BIGINT schema yields for ``ts_field`` into MICROSECONDS.
+
+    The driver's testdata generation has shipped ``events.ts`` as both
+    parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; a stream
+    schema declaring ``ts BIGINT`` surfaces the raw stored longs at either
+    unit (ns under ``spark.sql.legacy.parquet.nanosAsLong``), so a
+    hard-coded ``div 1000`` silently compresses every timestamp 1000× the
+    moment the data is regenerated at µs. Read the unit from parquet
+    metadata (driver-side, no Spark job) and divide accordingly — the
+    stream-side analog of ``read_table``'s dtype-gated normalization."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(parquet_path).field(ts_field).type
+    unit = getattr(t, "unit", "us")
+    if unit not in ("ns", "us"):
+        raise ValueError(f"epoch_us_divisor: unsupported parquet unit {unit!r}")
+    return 1000 if unit == "ns" else 1
+
+
 def file_replay_stream(
     spark: SparkSession,
     directory: str,

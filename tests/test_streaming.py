@@ -23,10 +23,60 @@ EVENTS_SCHEMA = (
 
 
 def events_stream(spark, sf_dir="/root/testdata/sf0.001"):
+    from projet_data_infrastructure_spark.streaming.sources import epoch_us_divisor
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = file_replay_stream(spark, sf_dir, EVENTS_SCHEMA, glob="events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    div = epoch_us_divisor(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {div}")))
+
+
+def test_epoch_us_divisor_adapts_to_parquet_unit(tmp_path):
+    # The driver's testdata has shipped events.ts at both TIMESTAMP(NANOS)
+    # and TIMESTAMP(MICROS) across rounds; a hard-coded ns divide compressed
+    # every streamed timestamp 1000x when the data flipped to us (every
+    # ts-dependent live-stream spec silently broke). Pin unit detection.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from projet_data_infrastructure_spark.streaming.sources import epoch_us_divisor
+
+    base = 1_700_000_000_000_000  # us epoch
+    for unit, expect in (("us", 1), ("ns", 1000)):
+        t = pa.table({"ts": pa.array([base * expect], type=pa.timestamp(unit))})
+        path = str(tmp_path / f"ev_{unit}.parquet")
+        pq.write_table(t, path)
+        assert epoch_us_divisor(path) == expect
+
+
+def test_events_stream_ts_matches_batch_read(spark):
+    # End-to-end pin: the streamed ts must equal the batch reader's
+    # dtype-gated normalization on the real testdata, whatever unit the
+    # driver generated it at.
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        events_stream(spark, sf)
+        .select("event_id", "ts")
+        .writeStream.format("memory")
+        .queryName("ts_unit_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    got.awaitTermination(60)
+    got.stop()
+    streamed = {
+        r["event_id"]: r["ts"] for r in spark.table("ts_unit_probe").collect()
+    }
+    batch = {
+        r["event_id"]: r["ts"]
+        for r in read_table(spark, sf, "events").select("event_id", "ts").collect()
+    }
+    assert len(streamed) == len(batch)
+    mismatched = [k for k in batch if streamed[k] != batch[k]]
+    assert not mismatched, f"{len(mismatched)} ts mismatches, e.g. {mismatched[:3]}"
 
 
 def test_rate_source_produces_rows(spark, tmp_path):
