@@ -247,7 +247,7 @@ def ivf_assign_to(
 
 
 def centroid_argmin_col(
-    cents: list[tuple[int, list[float]]], vec_col: str
+    cents: list[tuple[int, list[float]]], vec_col: str | Column
 ) -> Column:
     """Map-side nearest-centroid struct column over driver-side centroids.
 
@@ -271,10 +271,11 @@ def centroid_argmin_col(
         + ")"
     )
     cids = F.expr("array(" + ",".join(str(c[0]) for c in cents) + ")")
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     scored = F.transform(
         F.sequence(F.lit(0), F.lit(len(cents) - 1)),
         lambda i: F.struct(
-            pround(l2_sq(F.col(vec_col), cvecs[i]), 6).alias("dist"),
+            pround(l2_sq(vec, cvecs[i]), 6).alias("dist"),
             cids[i].alias("cid"),
         ),
     )
@@ -530,4 +531,137 @@ def hyperplane_simhash_pairs(
         cand.filter(hamming <= max_hamming)
         .select("id_a", "id_b", hamming.alias("hamming"))
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path for 100 TB ANN. A 64-dim
+# float vector is 256 B; its PQ code (8 subspaces x 1 byte) is 8 B — a 32x
+# compression that lets a 1000-executor cluster hold the whole corpus's codes
+# in memory and scan them at cache speed, refining only a candidate set with
+# full vectors. Codebooks are seeded from the first `n_codes` vectors (the
+# same deterministic seed discipline as `ivf_centroids`, so every stage is
+# oracle-checkable); production swaps in k-means sub-codebooks through the
+# identical algebra. Everything is map-side: the codebooks enter the plan as
+# literals, encode is a per-row argmin per subspace (no join, no shuffle),
+# and ADC search is a literal-lookup sum — the only shuffle in the top-k is
+# TakeOrderedAndProject's per-partition heap merge.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks seeded from the first ``n_codes`` vectors.
+
+    Returns ``books[m] = [(code_id, subvector), ...]`` — bounded at
+    ``n_codes`` rows collected driver-side (same boundedness argument as the
+    IVF centroid collect)."""
+    rows = (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: no seed rows (need ids < n_codes)")
+    dim = len(rows[0][vec_col])
+    if dim % n_sub:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    return [
+        [
+            (int(r[id_col]), [float(x) for x in r[vec_col][m * d : (m + 1) * d]])
+            for r in rows
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def _pq_code_cols(
+    books: list[list[tuple[int, list[float]]]], vec_col: str
+) -> list[Column]:
+    """One argmin code column per subspace, all map-side (reuses the IVF
+    centroid-literal argmin on a sliced view of the vector)."""
+    d = len(books[0][0][1])
+    return [
+        centroid_argmin_col(book, F.slice(F.col(vec_col), m * d + 1, d))["cid"]
+        for m, book in enumerate(books)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: ``(id, pq_code)`` with the code emitted as a
+    comma-joined string (portable across the driver's pandas canonicalizer,
+    which cannot hash array-typed cells — the `array_agg_sorted` lesson)."""
+    books = pq_codebooks(emb, n_sub, n_codes, id_col, vec_col)
+    codes = _pq_code_cols(books, vec_col)
+    return emb.select(
+        F.col(id_col),
+        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("pq_code"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The query stays un-quantized; each corpus vector's approximate L2
+    distance is the sum over subspaces of the *exact* distance from the
+    query's subvector to that subspace's assigned codeword. Both the
+    codebooks and the query enter the plan as literals, so scoring a row is
+    a pure projection over its (tiny) code — at scale this scans the 8-byte
+    codes, not the 256-byte vectors. Distances are portable-rounded per
+    subspace and summed left-associated, mirroring the oracle exactly."""
+    books = pq_codebooks(emb, n_sub, n_codes, id_col, vec_col)
+    codes = _pq_code_cols(books, vec_col)
+    qrows = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrows:
+        raise ValueError(f"pq_adc_topk: query id {query_id} not found")
+    q = [float(x) for x in qrows[0][vec_col]]
+    d = len(books[0][0][1])
+
+    def _sub_dist(m: int, cw: list[float]) -> float:
+        # Sequential left-fold, identical to l2_sq's aggregate() order and
+        # the oracle's list_sum — then the same portable round.
+        acc = 0.0
+        for i in range(d):
+            acc += (q[m * d + i] - cw[i]) ** 2
+        import math
+
+        return math.floor(acc * 1e6 + (0.5 + _EPS)) / 1e6
+
+    adc: Column | None = None
+    for m, book in enumerate(books):
+        # Lookup table for subspace m as a literal array indexed by code id
+        # (seed ids are 0..n_codes-1 by construction, so index == code).
+        table = F.expr(
+            "array("
+            + ",".join(f"CAST({_sub_dist(m, cw)!r} AS DOUBLE)" for _, cw in book)
+            + ")"
+        )
+        term = F.get(table, codes[m])
+        adc = term if adc is None else adc + term
+    return (
+        emb.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), pround(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
     )

@@ -153,3 +153,39 @@ def stratified_sample_hash(
     for lbl, r in sorted(rates.items()):
         rate = F.when(F.col(label_col) == lbl, F.lit(float(r))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def mixture_resample_hash(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Importance-resample toward a UNIFORM class mixture, deterministically.
+
+    The complement of :func:`stratified_sample_hash`'s fixed rates: per-class
+    acceptance is DERIVED from the data — ``rate_c = min(1, (total/k) / n_c)``
+    (k classes), so over-represented classes are thinned toward the uniform
+    share and the rarest class is kept whole. The class-count aggregate is
+    ≤k rows, broadcast back onto the corpus; the accept draw is the portable
+    ``hash64`` of the row id — reproducible across engines, partitionings,
+    and cluster sizes. One small shuffle (the class counts), one broadcast
+    join, one narrow filter — the domain-rebalancing step every training-
+    mixture pipeline runs at 100 TB.
+    """
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.plans._portable import pround
+
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("total"), F.count(F.lit(1)).cast("double").alias("k")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        label_col,
+        pround(
+            F.least(F.lit(1.0), F.col("total") / (F.col("k") * F.col("n").cast("double"))),
+            6,
+        ).alias("rate"),
+    )
+    u = F.pmod(hash64(F.col(id_col), seed=seed), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    return df.join(F.broadcast(rates), label_col).filter(u < F.col("rate"))

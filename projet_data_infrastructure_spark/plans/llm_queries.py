@@ -1296,6 +1296,92 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization: pq_encode (32x vector compression) + ADC top-k over
+# the codes — operators/similarity.py PQ section. Codebooks are seeded from
+# vec_id < 16 (8 subspaces x 8 dims over the 64-dim embeddings), so every
+# stage is reproducible in DuckDB list algebra.
+# --------------------------------------------------------------------------
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb)
+
+
+_PQ_CODEBOOK_CTES = f"""
+subspaces AS (SELECT unnest(generate_series(0, 7)) AS m),
+codebook AS (
+    SELECT s.m, e.vec_id AS code,
+           (e.embedding::DOUBLE[])[s.m*8+1 : s.m*8+8] AS cw
+    FROM subspaces s, embeddings e WHERE e.vec_id < 16
+),
+subdists AS (
+    SELECT e.vec_id, c.m, c.code,
+           {pround_sql('list_sum(list_transform(generate_series(1, 8), i -> (e.embedding[c.m*8+i]::DOUBLE - c.cw[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, codebook c
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        FROM subdists
+    ) WHERE rn = 1
+)"""
+
+_PQ_ENCODE_SQL = f"""
+WITH {_PQ_CODEBOOK_CTES}
+SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY m) AS pq_code
+FROM codes GROUP BY vec_id
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, query_id=0, k=10)
+
+
+_PQ_ADC_SQL = f"""
+WITH {_PQ_CODEBOOK_CTES},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (
+    SELECT c.m, c.code,
+           {pround_sql('list_sum(list_transform(generate_series(1, 8), i -> (qv[c.m*8+i] - c.cw[i]) ^ 2))', 6)} AS d
+    FROM codebook c, q
+),
+adc AS (
+    SELECT cs.vec_id, {pround_sql('sum(qd.d)', 6)} AS adc_dist
+    FROM codes cs JOIN qd ON qd.m = cs.m AND qd.code = cs.code
+    WHERE cs.vec_id <> 0
+    GROUP BY cs.vec_id
+)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling toward a uniform source mixture
+    (operators/text.py:mixture_resample_hash) — rates derived from the
+    per-source counts, accept draw = portable hash of doc_id."""
+    from projet_data_infrastructure_spark.operators.text import mixture_resample_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mixture_resample_hash(docs, "source", seed=11).select("doc_id", "source")
+
+
+_MIXTURE_RESAMPLE_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS k FROM counts),
+rates AS (
+    SELECT source, {pround_sql('least(1.0, total / (k * n::DOUBLE))', 6)} AS rate
+    FROM counts, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ({hash64_sql('d.doc_id', seed=11)}) % 1000000 / 1000000.0 < r.rate
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact_groups", q_dedup_exact_groups, _DEDUP_GROUPS_SQL, ("dedup", "bench")),
     QuerySpec("dedup_exact_keep", q_dedup_exact_keep, _DEDUP_KEEP_SQL, ("dedup",)),
@@ -1389,4 +1475,25 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("domain_mixture_weights", q_domain_mixture_weights, _MIXTURE_SQL, ("text", "sampling")),
     QuerySpec("char_entropy", q_char_entropy, _CHAR_ENTROPY_SQL, ("text",)),
+    QuerySpec(
+        "pq_encode",
+        q_pq_encode,
+        _PQ_ENCODE_SQL,
+        ("similarity", "compression"),
+        doc="Product-quantization codes: 32x embedding compression, map-side argmin per subspace",
+    ),
+    QuerySpec(
+        "pq_adc_topk",
+        q_pq_adc_topk,
+        _PQ_ADC_SQL,
+        ("similarity", "compression"),
+        doc="Asymmetric-distance top-k over PQ codes (scan 8-byte codes, not 256-byte vectors)",
+    ),
+    QuerySpec(
+        "mixture_resample",
+        q_mixture_resample,
+        _MIXTURE_RESAMPLE_SQL,
+        ("text", "sampling"),
+        doc="Deterministic importance resampling toward a uniform source mixture",
+    ),
 ]

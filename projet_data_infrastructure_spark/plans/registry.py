@@ -94,6 +94,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "ivf_topk_multiprobe",
     "bloom_membership",
+    "pq_encode",
+    "pq_adc_topk",
+    "mixture_resample",
+    # live-stream specs re-fronted: the round-3 testdata regeneration flipped
+    # events.ts ns→µs and silently broke every ts-dependent stream spec (fixed
+    # by unit detection in streaming/sources.epoch_us_divisor) — fresh rows
+    # prove the fix under the driver's own harness.
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "stream_session_counts",
+    "stream_filter_project",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
