@@ -594,17 +594,61 @@ def _pq_code_cols(
     ]
 
 
+def pq_train_codebooks(
+    emb: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[tuple[int, list[float]]]]:
+    """TRAINED per-subspace codebooks via MLlib k-means on the subvectors.
+
+    The production path :func:`pq_codebooks` promises: learned sub-codebooks
+    drop into the exact same literal-inline encode/ADC algebra, nothing else
+    changes (mirrors ``ivf_train_centroids`` vs seed centroids). ``n_sub``
+    bounded fits (default 8), each over d-dim subvectors — training cost is
+    n_sub small k-means runs, amortized over every later encode/search.
+    Engine-specific (no DuckDB k-means) → rows-only registry exposure;
+    quality pinned by the trained-vs-seed quantization-error test (the
+    objective k-means minimizes; per-query recall is too noisy to compare
+    codebooks on a single probe)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col])
+    if dim % n_sub:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by {n_sub}")
+    d = dim // n_sub
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(n_sub):
+        feats = emb.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * d + 1, d).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + m, maxIter=max_iter).fit(feats)
+        books.append(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        )
+    return books
+
+
 def pq_encode(
     emb: DataFrame,
     n_sub: int = 8,
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """PQ-encode every vector: ``(id, pq_code)`` with the code emitted as a
     comma-joined string (portable across the driver's pandas canonicalizer,
     which cannot hash array-typed cells — the `array_agg_sorted` lesson)."""
-    books = pq_codebooks(emb, n_sub, n_codes, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(emb, n_sub, n_codes, id_col, vec_col)
+    n_sub = len(books)
     codes = _pq_code_cols(books, vec_col)
     return emb.select(
         F.col(id_col),
@@ -620,6 +664,7 @@ def pq_adc_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes.
 
@@ -630,7 +675,8 @@ def pq_adc_topk(
     a pure projection over its (tiny) code — at scale this scans the 8-byte
     codes, not the 256-byte vectors. Distances are portable-rounded per
     subspace and summed left-associated, mirroring the oracle exactly."""
-    books = pq_codebooks(emb, n_sub, n_codes, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(emb, n_sub, n_codes, id_col, vec_col)
     codes = _pq_code_cols(books, vec_col)
     qrows = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
     if not qrows:
@@ -665,3 +711,77 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 40,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF+PQ search (the FAISS IVFADC architecture, Spark-first).
+
+    Three refinement stages, each cutting the candidate set before the next
+    touches anything bigger: (1) probe the query's ``nprobe`` nearest IVF
+    buckets — map-side bucket expression + a one-row broadcast, so the scan
+    reads ~nprobe/C of the corpus; (2) rank survivors by ADC over their PQ
+    codes (literal-lookup sum — 8-byte codes, not 256-byte vectors) and keep
+    a ``shortlist``; (3) exact-cosine rerank of the shortlist against the
+    full vectors, TakeOrderedAndProject top-k. Degenerate settings recover
+    exact brute force (nprobe=C, shortlist≥N — pinned in tests), which is
+    the knob story real deployments tune. Every stage is deterministic
+    (rounded dists, id tie-breaks) so the whole composition is
+    oracle-checkable in DuckDB."""
+    if books is None:
+        books = pq_codebooks(emb, n_sub, n_codes, id_col, vec_col)
+    cent_rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    cents = [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
+    bkt = centroid_argmin_col(cents, vec_col)["cid"]
+    qbuckets = emb.filter(F.col(id_col) == query_id).select(
+        centroid_topn_col(cents, vec_col, nprobe).alias("qbuckets")
+    )
+    candidates = (
+        emb.withColumn("_bkt", bkt)
+        .join(F.broadcast(qbuckets), F.expr("array_contains(qbuckets, _bkt)"))
+        .filter(F.col(id_col) != query_id)
+    )
+    codes = _pq_code_cols(books, vec_col)
+    qrows = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrows:
+        raise ValueError(f"ivfpq_topk: query id {query_id} not found")
+    q = [float(x) for x in qrows[0][vec_col]]
+    d = len(books[0][0][1])
+    import math
+
+    adc: Column | None = None
+    for m, book in enumerate(books):
+        vals = []
+        for _, cw in book:
+            acc = 0.0
+            for i in range(d):
+                acc += (q[m * d + i] - cw[i]) ** 2
+            vals.append(math.floor(acc * 1e6 + (0.5 + _EPS)) / 1e6)
+        table = F.expr(
+            "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+        )
+        term = F.get(table, codes[m])
+        adc = term if adc is None else adc + term
+    short = (
+        candidates.select(F.col(id_col), F.col(vec_col), pround(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return brute_force_topk(short, qvec, k, id_col, vec_col)

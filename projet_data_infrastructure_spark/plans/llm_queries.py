@@ -1359,6 +1359,76 @@ SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, query_id=0, k=5, n_centroids=8, nprobe=2, shortlist=40)
+
+
+_IVFPQ_SQL = f"""
+WITH {_PQ_CODEBOOK_CTES},
+cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qcd AS (
+    SELECT c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(qv)), i -> (qv[i] - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM cents c, q
+),
+qbuckets AS (
+    SELECT centroid_id FROM (
+        SELECT centroid_id, row_number() OVER (ORDER BY dist, centroid_id) AS rn FROM qcd
+    ) WHERE rn <= 2
+),
+vdists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM vdists
+    ) WHERE rn = 1
+),
+cand AS (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+    FROM embeddings e
+    JOIN assign a USING (vec_id)
+    JOIN qbuckets b ON a.centroid_id = b.centroid_id
+    WHERE e.vec_id <> 0
+),
+qd AS (
+    SELECT c.m, c.code,
+           {pround_sql('list_sum(list_transform(generate_series(1, 8), i -> (qv[c.m*8+i] - c.cw[i]) ^ 2))', 6)} AS d
+    FROM codebook c, q
+),
+adc AS (
+    SELECT cs.vec_id, {pround_sql('sum(qd.d)', 6)} AS adc_dist
+    FROM codes cs
+    JOIN qd ON qd.m = cs.m AND qd.code = cs.code
+    WHERE cs.vec_id IN (SELECT vec_id FROM cand)
+    GROUP BY cs.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 40)
+SELECT c.vec_id, {pround_sql('list_cosine_similarity(c.v, qv)', 6)} AS sim
+FROM cand c JOIN short s USING (vec_id), q
+ORDER BY sim DESC, c.vec_id LIMIT 5
+"""
+
+
+def q_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook PQ encode (MLlib k-means per subspace) — the
+    production path through the identical literal-inline algebra.
+    Engine-specific training → rows-only check; quality pinned by the
+    trained-vs-seed quantization-error test."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_codebooks(emb)
+    return similarity.pq_encode(emb, books=books)
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic importance resampling toward a uniform source mixture
     (operators/text.py:mixture_resample_hash) — rates derived from the
@@ -1488,6 +1558,20 @@ SPECS: list[QuerySpec] = [
         _PQ_ADC_SQL,
         ("similarity", "compression"),
         doc="Asymmetric-distance top-k over PQ codes (scan 8-byte codes, not 256-byte vectors)",
+    ),
+    QuerySpec(
+        "ivfpq_topk",
+        q_ivfpq_topk,
+        _IVFPQ_SQL,
+        ("similarity", "compression"),
+        doc="IVF+PQ (IVFADC): probe nprobe buckets -> ADC shortlist over codes -> exact rerank",
+    ),
+    QuerySpec(
+        "pq_trained_encode",
+        q_pq_trained_encode,
+        None,
+        ("similarity", "compression"),
+        doc="PQ encode with MLlib k-means sub-codebooks (rows-only; quantization-error cut pinned in tests)",
     ),
     QuerySpec(
         "mixture_resample",

@@ -96,6 +96,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_membership",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_topk",
+    "pq_trained_encode",
     "mixture_resample",
     # live-stream specs re-fronted: the round-3 testdata regeneration flipped
     # events.ts ns→µs and silently broke every ts-dependent stream spec (fixed

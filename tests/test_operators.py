@@ -422,3 +422,48 @@ def test_mixture_resample_rebalances_toward_uniform(spark):
     # Deterministic under repartitioning.
     out2 = {r["doc_id"] for r in mixture_resample_hash(docs.repartition(5), "source", seed=11).select("doc_id").collect()}
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == out2
+
+
+def test_ivfpq_degenerates_to_bruteforce(spark):
+    # nprobe=C and shortlist>=N disable both refinement cuts; the result
+    # must be EXACTLY the brute-force cosine top-k — the invariant that
+    # makes (nprobe, shortlist) honest recall/latency knobs.
+    emb = spark.read.parquet(_EMB)
+    n = emb.count()
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=5
+    ).collect()
+    full = similarity.ivfpq_topk(
+        emb, query_id=0, k=5, n_centroids=8, nprobe=8, shortlist=n
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in exact] == [
+        (r["vec_id"], r["sim"]) for r in full
+    ]
+
+
+def test_trained_pq_cuts_quantization_error(spark):
+    # Per-query recall is too noisy to compare codebooks on one probe; the
+    # robust invariant is the objective k-means actually minimizes — total
+    # quantization error (sum over rows/subspaces of the vector-to-assigned-
+    # codeword distance ADC accumulates). Measured: seed 376.2 vs trained
+    # 270.1 on sf0.001; require a >=10% cut so a regression to seed-level
+    # codebooks fails loudly.
+    from projet_data_infrastructure_spark.operators.similarity import centroid_argmin_col
+
+    emb = spark.read.parquet(_EMB)
+
+    def qerr(books):
+        d = len(books[0][0][1])
+        terms = [
+            centroid_argmin_col(b, F.slice(F.col("embedding"), m * d + 1, d))["dist"]
+            for m, b in enumerate(books)
+        ]
+        tot = terms[0]
+        for t in terms[1:]:
+            tot = tot + t
+        return emb.agg(F.sum(tot)).collect()[0][0]
+
+    seed_err = qerr(similarity.pq_codebooks(emb))
+    trained_err = qerr(similarity.pq_train_codebooks(emb))
+    assert trained_err <= 0.9 * seed_err, (trained_err, seed_err)
