@@ -1448,6 +1448,137 @@ FROM rev
 """
 
 
+# --------------------------------------------------------------------------
+# Time-based rolling window (RANGE frame), equi-depth histogram, and robust
+# MAD outlier detection — the remaining analytics shapes a monitoring/
+# feature pipeline leans on.
+# --------------------------------------------------------------------------
+
+
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day purchase revenue at every purchase event — a
+    RANGE window over epoch seconds (time-based frame, not row-count), the
+    feature-engineering staple. Money in integer cents so the rolling sums
+    are exact; one shuffle (the user partition), per-row frame scan is
+    bounded by the 7-day horizon however long the history grows."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", sec.alias("sec"), cents.alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).alias("roll7d_cents"),
+    )
+
+
+_ROLLING_7D_SQL = """
+WITH p AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) // 1000000 AS sec,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       CAST(sum(cents) OVER (
+           PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS roll7d_cents
+FROM p
+"""
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of customer balances (ntile deciles): equal row
+    mass per bucket, data-driven boundaries — the histogram optimizers and
+    drift monitors actually want (the equi-WIDTH form is
+    ``histogram_acctbal``). Cents + (cents, custkey) ordering make bucket
+    edges deterministic; the global sort runs on the aggregate-input rows
+    once, and each bucket reduces to (count, min, max)."""
+    cust = read_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    w = Window.orderBy("cents", "c_custkey")
+    return (
+        cust.select(F.col("c_custkey"), cents.alias("cents"))
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH c AS (
+    SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+    FROM customer
+), b AS (
+    SELECT cents, ntile(10) OVER (ORDER BY cents, c_custkey) AS bucket FROM c
+)
+SELECT bucket, count(*) AS n,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier flags: |value − median| > 3·MAD, medians via
+    the interpolating percentile on integer cents (portable at pround-2,
+    the ``median_percentile`` discipline). Two small aggregates (per-user
+    median, then per-user MAD) broadcast back onto the events — the spend-
+    anomaly monitor shape. Users whose MAD is 0 (constant spend) flag
+    nothing, by definition."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", cents.alias("cents")
+    )
+    med = p.groupBy("user_id").agg(
+        pround(F.expr("percentile(cents, 0.5)"), 2).alias("med")
+    )
+    dev = p.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        pround(F.expr("percentile(adev, 0.5)"), 2).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .filter((F.col("mad") > 0) & (F.col("adev") > 3 * F.col("mad")))
+        .select("user_id", "event_id", "cents", "med", "mad")
+    )
+
+
+_ROBUST_OUTLIERS_SQL = f"""
+WITH p AS (
+    SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), med AS (
+    SELECT user_id, {pround_sql('quantile_cont(cents, 0.5)', 2)} AS med
+    FROM p GROUP BY user_id
+), dev AS (
+    SELECT p.user_id, p.event_id, p.cents, med.med, abs(p.cents - med.med) AS adev
+    FROM p JOIN med USING (user_id)
+), mad AS (
+    SELECT user_id, {pround_sql('quantile_cont(adev, 0.5)', 2)} AS mad
+    FROM dev GROUP BY user_id
+)
+SELECT d.user_id, d.event_id, d.cents, d.med, mad.mad AS mad
+FROM dev d JOIN mad USING (user_id)
+WHERE mad.mad > 0 AND d.adev > 3 * mad.mad
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
     QuerySpec(
@@ -1522,4 +1653,25 @@ SPECS: list[QuerySpec] = [
     QuerySpec("string_funcs2", q_string_funcs2, _STRING2_SQL, ("scalar",)),
     QuerySpec("conditional_funcs", q_conditional_funcs, _CONDITIONAL_SQL, ("scalar",)),
     QuerySpec("grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, ("agg",)),
+    QuerySpec(
+        "rolling_7day_revenue",
+        q_rolling_7day_revenue,
+        _ROLLING_7D_SQL,
+        ("window", "timeseries"),
+        doc="Trailing-7-day per-user revenue via a time-RANGE window frame, cents-exact",
+    ),
+    QuerySpec(
+        "equidepth_histogram",
+        q_equidepth_histogram,
+        _EQUIDEPTH_SQL,
+        ("agg", "stats"),
+        doc="ntile-decile equi-depth histogram with deterministic (cents, key) edges",
+    ),
+    QuerySpec(
+        "robust_outliers",
+        q_robust_outliers,
+        _ROBUST_OUTLIERS_SQL,
+        ("agg", "stats", "quality"),
+        doc="Per-user |x-median| > 3*MAD spend anomalies, portable interpolated medians",
+    ),
 ]

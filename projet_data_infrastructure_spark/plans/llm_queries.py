@@ -1549,7 +1549,7 @@ SPECS: list[QuerySpec] = [
         "pq_encode",
         q_pq_encode,
         _PQ_ENCODE_SQL,
-        ("similarity", "compression"),
+        ("similarity", "compression", "bench"),
         doc="Product-quantization codes: 32x embedding compression, map-side argmin per subspace",
     ),
     QuerySpec(

@@ -99,6 +99,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "pq_trained_encode",
     "mixture_resample",
+    "rolling_7day_revenue",
+    "equidepth_histogram",
+    "robust_outliers",
     # live-stream specs re-fronted: the round-3 testdata regeneration flipped
     # events.ts ns→µs and silently broke every ts-dependent stream spec (fixed
     # by unit detection in streaming/sources.epoch_us_divisor) — fresh rows
