@@ -477,6 +477,73 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-stream LEFT OUTER interval join — the attribution join
+    with abandonment tracking: views that never converted surface as
+    null-purchase rows. The part worth pinning is WHEN Spark emits them:
+    an unmatched view leaves state (and is emitted null-augmented) only
+    once the watermark has passed the last instant it could still match,
+    i.e. ``view_ts + 2h < max(event_ts) − 1h delay``. Views younger than
+    that trailing window are withheld — the oracle reproduces exactly that
+    cutoff, so the result is deterministic and hash-checkable, not
+    "whatever happened to flush"."""
+    s = _events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    )
+    out = j.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.expr(
+            "unix_micros(purchase_ts) div 1000000 - unix_micros(view_ts) div 1000000"
+        ).alias("gap_sec"),
+    )
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_ssj_left_sink")
+
+
+_STREAM_SSJ_LEFT_SQL = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       date_diff('second', v.ts, p.ts) AS gap_sec
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+UNION ALL
+SELECT v.event_id AS view_id, NULL AS purchase_id, v.user_id, NULL AS gap_sec
+FROM events v, (SELECT max(ts) AS m FROM events) mx
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+  )
+  AND v.ts + INTERVAL 2 HOUR < mx.m - INTERVAL 1 HOUR
+"""
+
+
 # --------------------------------------------------------------------------
 # Time-series resample + forward-fill: per user, an hourly grid from first
 # to last activity, carrying the last observed value forward through silent
@@ -633,6 +700,13 @@ SPECS: list[QuerySpec] = [
         q_stream_stream_join,
         _STREAM_SSJ_SQL,
         ("streaming-live", "join"),
+    ),
+    QuerySpec(
+        "stream_stream_left_join",
+        q_stream_stream_left_join,
+        _STREAM_SSJ_LEFT_SQL,
+        ("streaming-live", "join"),
+        doc="Left-outer interval join; unmatched emission pinned to the watermark-eviction cutoff",
     ),
     QuerySpec(
         "stream_static_join",

@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # by unit detection in streaming/sources.epoch_us_divisor) — fresh rows
     # prove the fix under the driver's own harness.
     "stream_stream_join",
+    "stream_stream_left_join",
     "stream_tumbling_counts",
     "stream_session_counts",
     "stream_filter_project",
