@@ -56,7 +56,27 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "conditional_funcs",
     # (b) needs a fresh green row after the string-form fix
     "array_agg_sorted",
-    # (c) new in round 3
+    # (c) new in round 3 — newest first: the driver window covers ~50 names,
+    # so the specs with the least accumulated evidence (added latest in the
+    # round) must sit ahead of the ones already exercised by the builder's
+    # local gate runs all round. Live-stream specs lead with them: the
+    # round-3 testdata regeneration flipped events.ts ns→µs and silently
+    # broke every ts-dependent stream spec (fixed by unit detection in
+    # streaming/sources.epoch_us_divisor) — fresh driver rows prove the fix
+    # under the driver's own harness.
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "pq_trained_encode",
+    "mixture_resample",
+    "rolling_7day_revenue",
+    "equidepth_histogram",
+    "robust_outliers",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_tumbling_counts",
+    "stream_session_counts",
+    "stream_filter_project",
     "multimodal_size_histogram",
     "tpch_q8_mkt_share",
     "tpch_q15_top_supplier",
@@ -65,7 +85,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benchmark_decontamination",
     "repetition_ngram_ratio",
     "embedding_simhash_pairs",
-    "stream_stream_join",
     "stream_static_join",
     "snapshot_time_travel",
     "domain_mixture_weights",
@@ -94,23 +113,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "ivf_topk_multiprobe",
     "bloom_membership",
-    "pq_encode",
-    "pq_adc_topk",
-    "ivfpq_topk",
-    "pq_trained_encode",
-    "mixture_resample",
-    "rolling_7day_revenue",
-    "equidepth_histogram",
-    "robust_outliers",
-    # live-stream specs re-fronted: the round-3 testdata regeneration flipped
-    # events.ts ns→µs and silently broke every ts-dependent stream spec (fixed
-    # by unit detection in streaming/sources.epoch_us_divisor) — fresh rows
-    # prove the fix under the driver's own harness.
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_tumbling_counts",
-    "stream_session_counts",
-    "stream_filter_project",
     # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
     # heaviest/most load-bearing first
     "flagship_bonus",
