@@ -1304,6 +1304,72 @@ ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 
 
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM log-probability per document — the actual
+    perplexity-style quality signal (``char_entropy`` is the cheap proxy):
+    docs whose word transitions are improbable under the corpus's own
+    bigram statistics score low (gibberish, boilerplate, wrong-language).
+
+    Two passes, both linear: (1) global bigram + prefix counts (map-side
+    partial aggregation; the bigram table is the only big intermediate and
+    shuffles once on (w1, w2)); (2) per-doc average of ln(c(w1,w2)/c(w1·))
+    over the doc's bigrams — the score join keys on the same (w1, w2), so
+    Catalyst reuses the partitioning. Unsmoothed is total here because the
+    model is trained on the scored corpus itself (every doc bigram was
+    counted). ln noise across engines is ≤1 ulp — invisible at pround-6."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = t.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, size(toks)-1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2)))"
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cw = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    lp = cb.join(cw, "w1").select(
+        "w1", "w2", F.log(F.col("cb").cast("double") / F.col("cw").cast("double")).alias("logp")
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            pround(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LM_BIGRAM_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), big AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg
+    FROM toks WHERE len(t) >= 2
+), pairs AS (
+    SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big
+), cb AS (
+    SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2
+), cw AS (
+    SELECT w1, count(*) AS cw FROM pairs GROUP BY w1
+), lp AS (
+    SELECT cb.w1, cb.w2, ln(cb.cb::DOUBLE / cw.cw::DOUBLE) AS logp
+    FROM cb JOIN cw USING (w1)
+)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {pround_sql('avg(lp.logp)', 6)} AS avg_logprob
+FROM pairs p JOIN lp ON p.w1 = lp.w1 AND p.w2 = lp.w2
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.pq_encode(emb)
@@ -1558,6 +1624,13 @@ SPECS: list[QuerySpec] = [
         _PQ_ADC_SQL,
         ("similarity", "compression"),
         doc="Asymmetric-distance top-k over PQ codes (scan 8-byte codes, not 256-byte vectors)",
+    ),
+    QuerySpec(
+        "lm_bigram_score",
+        q_lm_bigram_score,
+        _LM_BIGRAM_SQL,
+        ("text", "quality"),
+        doc="Corpus-trained bigram-LM avg log-probability per doc (perplexity-style quality)",
     ),
     QuerySpec(
         "ivfpq_topk",

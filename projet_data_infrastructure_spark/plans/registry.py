@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rolling_7day_revenue",
     "equidepth_histogram",
     "robust_outliers",
+    "lm_bigram_score",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_tumbling_counts",
