@@ -42,12 +42,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Columnar scan with predicate pushdown + column pruning for free; the
     reference's equivalent is the Delta/JDBC load at ``read_delta.py:47-103``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright
-    (PARQUET_TYPE_ILLEGAL), so the events scan flips the runtime-settable
-    legacy conf to read raw ns longs and normalizes to a µs-truncated NTZ
-    timestamp — the same value DuckDB produces when it truncates ns → µs on
-    read. Session TZ is pinned to UTC first so the LTZ→NTZ hop is a no-op
-    regardless of the host session's zone.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) *and*
+    TIMESTAMP(MICROS) across testdata generations. Spark 4 rejects the ns
+    form outright (PARQUET_TYPE_ILLEGAL), so the events scan flips the
+    runtime-settable legacy conf; when the file IS ns the column surfaces
+    as a raw long and is normalized to a µs-truncated NTZ timestamp (the
+    value DuckDB produces truncating ns → µs on read), and when it is µs
+    the dtype gate below leaves the native timestamp untouched. The
+    streaming analog detects the unit from parquet metadata
+    (``streaming/sources.epoch_us_divisor``). Session TZ is pinned to UTC
+    first so the LTZ→NTZ hop is a no-op regardless of the host session's
+    zone.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
