@@ -1304,6 +1304,40 @@ ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters — the embedding modality's end-to-end
+    composition, mirroring the token-LSH ``dedup_clusters``: IVF-bucketed
+    cosine near-dup pairs (equi-join, √N centroids, no nested loop) feed
+    the same iterative min-label connected-components operator. The oracle
+    nests the bucketed-pairs SQL inside the recursive-CTE reachability
+    closure, so the whole two-stage pipeline is hash-checked."""
+    plain = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_balanced(spark, sf_dir, "embeddings")
+    c = similarity.derived_n_centroids(plain.count())
+    pairs = similarity.neardup_pairs_bucketed(
+        emb, threshold=0.3, n_centroids=c, centroid_src=plain
+    )
+    comp = dedup.duplicate_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    return comp.select(F.col("doc_id").alias("vec_id"), "component")
+
+
+def _embedding_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_NEARDUP_BUCKETED_SQL}),
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION
+    SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS vec_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
 def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM log-probability per document — the actual
     perplexity-style quality signal (``char_entropy`` is the cheap proxy):
@@ -1624,6 +1658,13 @@ SPECS: list[QuerySpec] = [
         _PQ_ADC_SQL,
         ("similarity", "compression"),
         doc="Asymmetric-distance top-k over PQ codes (scan 8-byte codes, not 256-byte vectors)",
+    ),
+    QuerySpec(
+        "embedding_dup_clusters",
+        q_embedding_dup_clusters,
+        _embedding_dup_clusters_sql(),
+        ("dedup", "similarity", "iterative"),
+        doc="Semantic dup clusters: IVF-bucketed cosine pairs -> connected components, end to end",
     ),
     QuerySpec(
         "lm_bigram_score",

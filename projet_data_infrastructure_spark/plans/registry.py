@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "equidepth_histogram",
     "robust_outliers",
     "lm_bigram_score",
+    "embedding_dup_clusters",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_tumbling_counts",
