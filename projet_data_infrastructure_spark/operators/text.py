@@ -155,6 +155,47 @@ def stratified_sample_hash(
     return df.filter(u < rate)
 
 
+def greedy_pack(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "shard",
+    order_col: str = "doc_id",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing: greedily fill fixed token-capacity windows per
+    shard — the sample-packing step before LLM training (documents
+    concatenated into ≤cap-token contexts; a doc longer than cap gets its
+    own window rather than being split).
+
+    The fold is inherently sequential (each assignment depends on the
+    running fill), so this is a legitimate Python boundary: ONE Arrow-
+    batched ``applyInPandas`` per shard, a tight loop over the shard's
+    precomputed token counts — the counts themselves are JVM-side. Shards
+    are hash-assigned and independently packed, so at 100 TB the work is
+    embarrassingly parallel across shards and each shard's state is one
+    integer. Deterministic: (shard, order_col) fixes the fold order."""
+    import pandas as pd
+
+    out_schema = f"{group_col} long, {order_col} long, {n_col} long, pack_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        packs: list[int] = []
+        pack_id = 0
+        cum = 0
+        for n in pdf[n_col]:
+            if cum + n > cap and cum > 0:
+                pack_id += 1
+                cum = 0
+            packs.append(pack_id)
+            cum += int(n)
+        return pdf.assign(pack_id=packs)[
+            [group_col, order_col, n_col, "pack_id"]
+        ]
+
+    return df.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
 def mixture_resample_hash(
     df: DataFrame,
     label_col: str,

@@ -1304,6 +1304,51 @@ ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing for training: hash-shard the corpus, then greedily
+    fill 256-token windows per shard in doc_id order
+    (operators/text.py:greedy_pack — the sequential fold is the one
+    legitimate applyInPandas boundary; token counts are JVM-side). Oracle
+    is a per-shard recursive CTE running the identical fold."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.operators.text import greedy_pack
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        F.pmod(hash64(F.col("doc_id"), seed=5), F.lit(8)).alias("shard"),
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return greedy_pack(with_n, cap=256)
+
+
+_SEQ_PACK_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT ({hash64_sql('doc_id', seed=5)}) % 8 AS shard, doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           row_number() OVER (
+               PARTITION BY ({hash64_sql('doc_id', seed=5)}) % 8
+               ORDER BY doc_id
+           ) AS rn
+    FROM documents
+),
+packed AS (
+    SELECT shard, doc_id, n_tokens, rn,
+           0::BIGINT AS pack_id, n_tokens::BIGINT AS cum
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.cum + d.n_tokens > 256 THEN p.pack_id + 1
+                ELSE p.pack_id END,
+           CASE WHEN p.cum + d.n_tokens > 256 THEN d.n_tokens::BIGINT
+                ELSE p.cum + d.n_tokens END
+    FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pack_id
+FROM packed
+"""
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic duplicate clusters — the embedding modality's end-to-end
     composition, mirroring the token-LSH ``dedup_clusters``: IVF-bucketed
@@ -1658,6 +1703,13 @@ SPECS: list[QuerySpec] = [
         _PQ_ADC_SQL,
         ("similarity", "compression"),
         doc="Asymmetric-distance top-k over PQ codes (scan 8-byte codes, not 256-byte vectors)",
+    ),
+    QuerySpec(
+        "sequence_packing",
+        q_sequence_packing,
+        _SEQ_PACK_SQL,
+        ("text", "packing"),
+        doc="Greedy sample packing into 256-token windows per hash shard (applyInPandas fold)",
     ),
     QuerySpec(
         "embedding_dup_clusters",

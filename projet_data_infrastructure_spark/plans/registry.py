@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "robust_outliers",
     "lm_bigram_score",
     "embedding_dup_clusters",
+    "sequence_packing",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_tumbling_counts",

@@ -467,3 +467,32 @@ def test_trained_pq_cuts_quantization_error(spark):
     seed_err = qerr(similarity.pq_codebooks(emb))
     trained_err = qerr(similarity.pq_train_codebooks(emb))
     assert trained_err <= 0.9 * seed_err, (trained_err, seed_err)
+
+
+def test_greedy_pack_capacity_and_determinism(spark):
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.operators.text import greedy_pack, tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with_n = docs.select(
+        F.pmod(hash64(F.col("doc_id"), seed=5), F.lit(8)).alias("shard"),
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = greedy_pack(with_n, cap=256).collect()
+    assert len(out) == docs.count()
+    # Every window respects the capacity unless it holds a single over-long doc.
+    sums: dict[tuple, int] = {}
+    counts: dict[tuple, int] = {}
+    for r in out:
+        key = (r["shard"], r["pack_id"])
+        sums[key] = sums.get(key, 0) + r["n_tokens"]
+        counts[key] = counts.get(key, 0) + 1
+    for key, s in sums.items():
+        assert s <= 256 or counts[key] == 1, (key, s, counts[key])
+    # Deterministic under input repartitioning (the fold orders by doc_id).
+    again = {
+        (r["shard"], r["doc_id"]): r["pack_id"]
+        for r in greedy_pack(with_n.repartition(13), cap=256).collect()
+    }
+    assert {(r["shard"], r["doc_id"]): r["pack_id"] for r in out} == again
