@@ -496,3 +496,18 @@ def test_greedy_pack_capacity_and_determinism(spark):
         for r in greedy_pack(with_n.repartition(13), cap=256).collect()
     }
     assert {(r["shard"], r["doc_id"]): r["pack_id"] for r in out} == again
+
+
+def test_pq_adc_plan_take_ordered_no_python(spark):
+    # ADC top-k must plan as a scan -> projection -> TakeOrderedAndProject
+    # (per-partition heap of k): no Python evaluation anywhere, no global
+    # sort. The codebook lookups are literal array indexing.
+    emb = spark.read.parquet(_EMB)
+    plan = (
+        similarity.pq_adc_topk(emb, query_id=0, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
