@@ -114,3 +114,97 @@ def test_portable_round_halfway_bias(spark):
     )
     assert s == d
     assert not any(v is None or math.isnan(v) for v in s.values())
+
+
+def test_vector_fold_cross_engine_agreement(spark):
+    # The sequential array folds (l2_sq / cosine) against DuckDB's
+    # list_sum/list_cosine_similarity, rounded at 1e-6 — the algebra every
+    # similarity/PQ/IVF oracle rests on. One random batch through both
+    # engines.
+    import duckdb as _dd
+
+    from projet_data_infrastructure_spark.operators.similarity import cosine, l2_sq
+    from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+
+    floats = st.floats(min_value=-100.0, max_value=100.0,
+                       allow_nan=False, allow_infinity=False, width=32)
+
+    from hypothesis import HealthCheck
+
+    @settings(
+        max_examples=1,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.large_base_example,
+            HealthCheck.data_too_large,
+        ],
+    )
+    @given(st.lists(st.tuples(st.lists(floats, min_size=8, max_size=8),
+                              st.lists(floats, min_size=8, max_size=8)),
+                    min_size=30, max_size=30))
+    def run(pairs):
+        # Guard the cosine denominator: zero vectors are not in the contract.
+        pairs = [(a, b) for a, b in pairs
+                 if sum(x * x for x in a) > 1e-6 and sum(x * x for x in b) > 1e-6]
+        if not pairs:
+            return
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "i long, a array<float>, b array<float>",
+        )
+        got = {
+            r["i"]: (r["d"], r["c"])
+            for r in df.select(
+                "i",
+                pround(l2_sq(F.col("a"), F.col("b")), 6).alias("d"),
+                pround(cosine(F.col("a"), F.col("b")), 6).alias("c"),
+            ).collect()
+        }
+        con = _dd.connect()
+        con.execute("CREATE TABLE v (i BIGINT, a FLOAT[], b FLOAT[])")
+        con.executemany("INSERT INTO v VALUES (?, ?, ?)",
+                        [(i, a, b) for i, (a, b) in enumerate(pairs)])
+        l2 = "list_sum(list_transform(generate_series(1, len(a)), j -> (a[j]::DOUBLE - b[j]::DOUBLE) ^ 2))"
+        cos = "list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])"
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.sql(
+                f"SELECT i, {pround_sql(l2, 6)}, {pround_sql(cos, 6)} FROM v"
+            ).fetchall()
+        }
+        for i in got:
+            assert got[i] == want[i], f"vector fold mismatch at row {i}: {got[i]} vs {want[i]}"
+
+    run()
+
+
+def test_greedy_pack_matches_reference_fold(spark):
+    # Property: the distributed applyInPandas packing equals a plain-Python
+    # greedy fold on any token-count sequence, and never overfills a window
+    # except for single over-long docs.
+    from projet_data_infrastructure_spark.operators.text import greedy_pack
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=400),
+                    min_size=1, max_size=120))
+    def run(counts):
+        cap = 256
+        rows = [(i % 3, i, n) for i, n in enumerate(counts)]  # 3 shards
+        df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+        got = {
+            (r["shard"], r["doc_id"]): r["pack_id"]
+            for r in greedy_pack(df.repartition(5), cap=cap).collect()
+        }
+        want = {}
+        for shard in {s for s, _, _ in rows}:
+            pack, cum = 0, 0
+            for s, doc, n in sorted(rows):
+                if s != shard:
+                    continue
+                if cum + n > cap and cum > 0:
+                    pack, cum = pack + 1, 0
+                want[(s, doc)] = pack
+                cum += n
+        assert got == want
+
+    run()
