@@ -544,6 +544,99 @@ WHERE v.event_type = 'view'
 """
 
 
+def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer stream-stream interval join, completing the join-type
+    matrix (inner/left/full). The view side's unmatched emission follows
+    the derived state watermark exactly (``view_ts + 2h < wm`` — measured
+    at two scale factors). The purchase side's boundary is NOT a closed
+    form of the data: Spark guarantees eviction for ``purchase_ts + 2h <
+    wm`` but may opportunistically emit younger unmatched purchases
+    depending on batch/cleanup internals (measured: the boundary moved
+    between wm−2h and wm across scale factors). The spec therefore trims
+    the unmatched-purchase side to the GUARANTEED band — every row of the
+    trimmed result came out of the real streaming join, and the result is
+    deterministic and hash-checkable instead of depending on emission
+    timing."""
+    s = _events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "fullOuter",
+    )
+    out = j.select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        F.expr(
+            "unix_micros(purchase_ts) div 1000000 - unix_micros(view_ts) div 1000000"
+        ).alias("gap_sec"),
+        "purchase_ts",
+    )
+    res = _run_stream(
+        out.writeStream.outputMode("append"), spark, "stream_ssj_full_sink"
+    )
+    # Deterministic projection of the nondeterministic emission band (see
+    # docstring): unmatched purchases younger than wm - 2h are dropped.
+    cut = read_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("cut")
+    )
+    return (
+        res.join(F.broadcast(cut))
+        .filter(~(F.col("view_id").isNull() & (F.col("purchase_ts") >= F.col("cut"))))
+        .select("view_id", "purchase_id", "user_id", "gap_sec")
+    )
+
+
+_STREAM_SSJ_FULL_SQL = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       date_diff('second', v.ts, p.ts) AS gap_sec
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+UNION ALL
+SELECT v.event_id AS view_id, NULL AS purchase_id, v.user_id, NULL AS gap_sec
+FROM events v, (SELECT max(ts) AS m FROM events) mx
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+  )
+  AND v.ts + INTERVAL 2 HOUR < mx.m - INTERVAL 1 HOUR
+UNION ALL
+SELECT NULL AS view_id, p.event_id AS purchase_id, p.user_id, NULL AS gap_sec
+FROM events p, (SELECT max(ts) AS m FROM events) mx
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+      SELECT 1 FROM events v
+      WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+  )
+  AND p.ts + INTERVAL 2 HOUR < mx.m - INTERVAL 1 HOUR
+"""
+
+
 # --------------------------------------------------------------------------
 # Time-series resample + forward-fill: per user, an hourly grid from first
 # to last activity, carrying the last observed value forward through silent
@@ -707,6 +800,13 @@ SPECS: list[QuerySpec] = [
         _STREAM_SSJ_LEFT_SQL,
         ("streaming-live", "join"),
         doc="Left-outer interval join; unmatched emission pinned to the watermark-eviction cutoff",
+    ),
+    QuerySpec(
+        "stream_stream_full_join",
+        q_stream_stream_full_join,
+        _STREAM_SSJ_FULL_SQL,
+        ("streaming-live", "join"),
+        doc="Full-outer interval join; per-side derived state-watermark eviction pinned",
     ),
     QuerySpec(
         "stream_static_join",

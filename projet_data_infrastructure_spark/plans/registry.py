@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sequence_packing",
     "stream_stream_join",
     "stream_stream_left_join",
+    "stream_stream_full_join",
     "stream_tumbling_counts",
     "stream_session_counts",
     "stream_filter_project",
