@@ -416,6 +416,60 @@ FROM shares
 
 # Oracle: the d seeded projections as a UNION ALL — identical cells to the
 # Spark explode, plain SQL.
+_HH_THRESHOLD = 80
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters: which keys exceed N occurrences, without
+    exact state for the long tail. Pass 1 probes the count-min grid (bytes
+    of state, one exchange) for CANDIDATES whose estimate clears the
+    threshold — the sketch never underestimates, so candidates ⊇ the true
+    heavy hitters by construction. Pass 2 computes exact counts ONLY for
+    the candidate keys (a broadcast semi-join prunes the scan-side
+    aggregation) and trims the sketch's false positives. The result equals
+    the exact answer — the 100 TB shape when the key space dwarfs memory
+    but the heavy-hitter set is small. Deterministic end to end (portable
+    seeded hashes), so the oracle is simply the exact HAVING query."""
+    ev = read_table(spark, sf_dir, "events")
+    rows = ev.select("user_id")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(hash64(F.col("user_id"), seed=s), F.lit(_CM_WIDTH)).alias("bucket"),
+            )
+            for s in range(_CM_DEPTH)
+        ]
+    )
+    grid = (
+        rows.select(F.explode(buckets).alias("b"))
+        .groupBy(F.col("b.seed").alias("seed"), F.col("b.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    probes = rows.distinct().select("user_id", F.explode(buckets).alias("b")).select(
+        "user_id", "b.seed", "b.bucket"
+    )
+    cand = (
+        probes.join(F.broadcast(grid), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell_n").alias("est_n"))
+        .filter(F.col("est_n") >= _HH_THRESHOLD)
+        .select("user_id")
+    )
+    return (
+        ev.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _HH_THRESHOLD)
+    )
+
+
+_HEAVY_HITTERS_SQL = f"""
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id HAVING count(*) >= {_HH_THRESHOLD}
+"""
+
+
 def _countmin_sql() -> str:
     seed_rows = "\n    UNION ALL\n    ".join(
         f"SELECT user_id, {s} AS seed, "
@@ -554,6 +608,13 @@ SPECS: list[QuerySpec] = [
         _countmin_sql(),
         ("sketch",),
         doc="Count-min sketch point estimates vs exact counts, oracle-exact",
+    ),
+    QuerySpec(
+        "heavy_hitters",
+        q_heavy_hitters,
+        _HEAVY_HITTERS_SQL,
+        ("sketch", "scale"),
+        doc="Two-pass heavy hitters: count-min candidates (no false negatives) -> exact verify",
     ),
     QuerySpec(
         "psi_drift_profile",

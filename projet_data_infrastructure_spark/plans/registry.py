@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lm_bigram_score",
     "embedding_dup_clusters",
     "sequence_packing",
+    "heavy_hitters",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_stream_full_join",
