@@ -754,6 +754,75 @@ FROM g
 """
 
 
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session PATHS — the ordered event-type sequence each session
+    walked (view>view>purchase…), counted across the corpus: the
+    product-analytics staple behind funnel discovery. Builds on the same
+    sessionization window; the path is one grouped ``collect_list`` of
+    (ts, event_id, event_type) structs, sorted by struct order (ts, then
+    event_id — deterministic under timestamp ties) and joined to a string;
+    per-path counting is an ordinary hash agg over short strings. State per
+    session is its event list — bounded by session length, never by user
+    history."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = (gap.isNull() | (gap > _SESSION_GAP_S)).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(run).alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+_SESSION_PATHS_SQL = f"""
+WITH g AS (
+    SELECT event_id, user_id, ts, event_type,
+           epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+), se AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM g
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM se GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
     QuerySpec(
@@ -762,6 +831,13 @@ SPECS: list[QuerySpec] = [
         _SESSIONIZE_SQL,
         ("timeseries", "window"),
         doc="Row-level session ordinals from a 30-min inactivity gap, one Exchange",
+    ),
+    QuerySpec(
+        "session_paths_topk",
+        q_session_paths_topk,
+        _SESSION_PATHS_SQL,
+        ("timeseries", "window", "agg"),
+        doc="Top-20 ordered event-type paths per session (funnel discovery)",
     ),
     QuerySpec(
         "resample_hourly_ffill",

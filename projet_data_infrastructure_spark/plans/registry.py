@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dup_clusters",
     "sequence_packing",
     "heavy_hitters",
+    "session_paths_topk",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_stream_full_join",
