@@ -1531,6 +1531,71 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (days since last
+    purchase, against the corpus max date), Frequency (purchase count) and
+    Monetary (cents-exact spend), each scored into ntile quintiles. The
+    heavy pass is ONE aggregation over purchases; the three ntile windows
+    then run on the ≤|users| aggregate rows, not the corpus — the standard
+    one-big-agg-then-tiny-window shape. Quintile edges are deterministic:
+    every ORDER BY carries user_id as the tie-break (recency DESC scores
+    recent buyers high, 5 = best across all three)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d"), cents.alias("cents")
+    )
+    agg = p.groupBy("user_id").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    mx = p.agg(F.max("d").alias("corpus_max_d"))
+    base = agg.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("corpus_max_d", "last_d").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), "user_id")
+    f_w = Window.orderBy(F.asc("frequency"), "user_id")
+    m_w = Window.orderBy(F.asc("monetary_cents"), "user_id")
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+
+
+_RFM_SQL = """
+WITH p AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), agg AS (
+    SELECT user_id, max(d) AS last_d, count(*) AS frequency,
+           CAST(sum(cents) AS BIGINT) AS monetary_cents
+    FROM p GROUP BY user_id
+), base AS (
+    SELECT user_id,
+           date_diff('day', last_d, (SELECT max(d) FROM p)) AS recency_days,
+           frequency, monetary_cents
+    FROM agg
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+       ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+       ntile(5) OVER (ORDER BY monetary_cents ASC, user_id) AS m_score
+FROM base
+"""
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user robust outlier flags: |value − median| > 3·MAD, medians via
     the interpolating percentile on integer cents (portable at pround-2,
@@ -1666,6 +1731,13 @@ SPECS: list[QuerySpec] = [
         _EQUIDEPTH_SQL,
         ("agg", "stats"),
         doc="ntile-decile equi-depth histogram with deterministic (cents, key) edges",
+    ),
+    QuerySpec(
+        "rfm_segmentation",
+        q_rfm_segmentation,
+        _RFM_SQL,
+        ("agg", "window", "stats"),
+        doc="RFM quintile scores: one corpus agg, three tiny ntile windows, cents-exact",
     ),
     QuerySpec(
         "robust_outliers",

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sequence_packing",
     "heavy_hitters",
     "session_paths_topk",
+    "rfm_segmentation",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_stream_full_join",
