@@ -823,6 +823,53 @@ ORDER BY n_sessions DESC, path LIMIT 20
 """
 
 
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    (from, to) pair of consecutive events per user, the count and the
+    conditional probability P(to | from). One lag window (shared
+    (user_id, ts, event_id) sort — same Exchange as sessionization), one
+    small agg, and the normalizing row-sum is a window over the ≤|types|²
+    matrix, not the corpus. The behavioral-model baseline next to
+    ``session_paths_topk``'s exact paths."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        pround(F.col("n_transitions") / total.cast("double"), 6).alias("p"),
+    )
+
+
+_TRANSITION_SQL = f"""
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+), counts AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM pairs WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       {pround_sql('n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)', 6)} AS p
+FROM counts
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
     QuerySpec(
@@ -838,6 +885,13 @@ SPECS: list[QuerySpec] = [
         _SESSION_PATHS_SQL,
         ("timeseries", "window", "agg"),
         doc="Top-20 ordered event-type paths per session (funnel discovery)",
+    ),
+    QuerySpec(
+        "event_transition_matrix",
+        q_event_transition_matrix,
+        _TRANSITION_SQL,
+        ("timeseries", "window", "stats"),
+        doc="First-order Markov transition counts and P(to|from) over event types",
     ),
     QuerySpec(
         "resample_hourly_ffill",

@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitters",
     "session_paths_topk",
     "rfm_segmentation",
+    "event_transition_matrix",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_stream_full_join",
