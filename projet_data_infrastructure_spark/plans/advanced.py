@@ -1531,6 +1531,56 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fact reconciliation: recompute every order's total from its
+    line items (Σ extendedprice·(1−discount)·(1+tax)) and compare against
+    the stored ``o_totalprice`` — the consistency audit a warehouse runs
+    between a header table and its detail table. One fact-fact equi-join
+    on the order key and one agg, both sharing the same key partitioning;
+    at 100 TB this is the co-partitioned/bucketed join case. Per-order
+    sums span ≤7 rows, so pround(2) is orders of magnitude above float
+    noise; `matched` tolerates one cent of representation drift."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        pround(F.sum(charge), 2).alias("recomputed_total")
+    )
+    return (
+        orders.join(recomputed, orders.o_orderkey == recomputed.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            pround(F.col("o_totalprice"), 2).alias("stored_total"),
+            F.coalesce(F.col("recomputed_total"), F.lit(0.0)).alias("recomputed_total"),
+            (
+                F.abs(
+                    pround(F.col("o_totalprice"), 2)
+                    - F.coalesce(F.col("recomputed_total"), F.lit(0.0))
+                )
+                <= 0.01
+            ).alias("matched"),
+        )
+    )
+
+
+_ORDER_RECON_SQL = f"""
+WITH rec AS (
+    SELECT l_orderkey,
+           {pround_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)}
+               AS recomputed_total
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+       {pround_sql('o.o_totalprice', 2)} AS stored_total,
+       coalesce(rec.recomputed_total, 0.0) AS recomputed_total,
+       abs({pround_sql('o.o_totalprice', 2)} - coalesce(rec.recomputed_total, 0.0)) <= 0.01
+           AS matched
+FROM orders o LEFT JOIN rec ON o.o_orderkey = rec.l_orderkey
+"""
+
+
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-user Recency (days since last
     purchase, against the corpus max date), Frequency (purchase count) and
@@ -1731,6 +1781,13 @@ SPECS: list[QuerySpec] = [
         _EQUIDEPTH_SQL,
         ("agg", "stats"),
         doc="ntile-decile equi-depth histogram with deterministic (cents, key) edges",
+    ),
+    QuerySpec(
+        "order_total_reconciliation",
+        q_order_total_reconciliation,
+        _ORDER_RECON_SQL,
+        ("quality", "join"),
+        doc="Header-vs-detail consistency audit: recompute order totals from line items",
     ),
     QuerySpec(
         "rfm_segmentation",

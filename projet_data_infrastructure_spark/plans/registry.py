@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "session_paths_topk",
     "rfm_segmentation",
     "event_transition_matrix",
+    "order_total_reconciliation",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_stream_full_join",
