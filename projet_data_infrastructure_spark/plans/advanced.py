@@ -1531,6 +1531,54 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto question): rank users into spend
+    deciles and report each decile's share of total revenue. One corpus
+    aggregation to per-user cents; the ntile and the share normalization
+    are windows over the ≤|users| aggregate. Integer cents end to end —
+    only the final share ratio is floating, identical IEEE division on
+    both engines, pround(6)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    decile = F.ntile(10).over(Window.orderBy(F.desc("rev"), "user_id"))
+    by_decile = (
+        per_user.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("rev").alias("decile_cents"))
+    )
+    total = F.sum("decile_cents").over(Window.partitionBy())
+    return by_decile.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        pround(F.col("decile_cents") / total.cast("double"), 6).alias("rev_share"),
+    ).orderBy("decile")
+
+
+_REVENUE_DECILE_SQL = f"""
+WITH per_user AS (
+    SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), d AS (
+    SELECT rev, ntile(10) OVER (ORDER BY rev DESC, user_id) AS decile FROM per_user
+), by_decile AS (
+    SELECT decile, count(*) AS n_users, CAST(sum(rev) AS BIGINT) AS decile_cents
+    FROM d GROUP BY decile
+)
+SELECT decile, n_users, decile_cents,
+       {pround_sql('decile_cents / CAST(sum(decile_cents) OVER () AS DOUBLE)', 6)} AS rev_share
+FROM by_decile ORDER BY decile
+"""
+
+
 def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-fact reconciliation: recompute every order's total from its
     line items (Σ extendedprice·(1−discount)·(1+tax)) and compare against
@@ -1781,6 +1829,13 @@ SPECS: list[QuerySpec] = [
         _EQUIDEPTH_SQL,
         ("agg", "stats"),
         doc="ntile-decile equi-depth histogram with deterministic (cents, key) edges",
+    ),
+    QuerySpec(
+        "revenue_decile_share",
+        q_revenue_decile_share,
+        _REVENUE_DECILE_SQL,
+        ("agg", "window", "stats"),
+        doc="Pareto revenue concentration by spend decile, cents-exact",
     ),
     QuerySpec(
         "order_total_reconciliation",

@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rfm_segmentation",
     "event_transition_matrix",
     "order_total_reconciliation",
+    "revenue_decile_share",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_stream_full_join",
