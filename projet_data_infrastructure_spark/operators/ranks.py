@@ -1,0 +1,145 @@
+"""Scale-safe exact global rank / ntile (no single-partition sort).
+
+A bare ``Window.orderBy(...)`` (no ``partitionBy``) funnels the ENTIRE input
+through one task — fine on 1 500 customers, fatal on the ~10⁹-row per-user
+aggregate a 100 TB corpus produces. These operators return numbers that are
+hash-identical to SQL ``row_number()`` / ``ntile()`` over a global ORDER BY,
+but every per-task working set stays bounded:
+
+1. one ``approx_percentile`` aggregate over the numeric sort key → up to
+   P−1 range bounds, broadcast as literals (never a row-level shuffle key);
+2. deterministic range bucketing — *strict* comparisons put every tie of a
+   boundary value into the same bucket, so bucket order == total order
+   (skew from a single hot value is bounded by that value's row count, and
+   the approx bounds only steer balance, never correctness);
+3. ``row_number`` windowed PER BUCKET — P parallel sorts of ~N/P rows;
+4. one tiny ``groupBy(bucket).count()`` whose ≤P rows are collected to the
+   driver (model-parameter-class collect, same discipline as the IVF
+   centroid / PQ codebook collects) and turned into broadcast prefix
+   offsets.
+
+``global rank = per-bucket row_number + prefix offset(bucket)``; ``ntile``
+is then a pure integer formula of (rank, N, n) — no window at all.
+
+Correctness requires a TOTAL order: callers must pass tie-break columns
+that make (key, *ties) unique, exactly as they would for a deterministic
+SQL ``ntile``. The key must be numeric and non-null (nulls would sort
+differently across engines anyway). Exactness of the bucket formula holds
+for N < 2⁵³ (double-precision floor division) — comfortably past 100 TB of
+rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "_gr_pid"
+_KEY = "_gr_key"
+_RN = "_gr_rn"
+
+
+def global_rank(
+    df: DataFrame,
+    key: str,
+    ties: Sequence[str] = (),
+    descending: bool = False,
+    rank_col: str = "rank",
+    n_ranges: int | None = None,
+    cache: bool = True,
+) -> tuple[DataFrame, int]:
+    """Exact dense 1-based global rank by (key [DESC], *ties ASC).
+
+    Returns ``(df + rank_col, total_row_count)``. Two extra driver actions
+    run (bounds + bucket counts); pass ``cache=False`` when the caller
+    already persisted ``df`` (e.g. one base aggregate ranked three ways).
+    """
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Ascending internal key: negate for DESC (numeric keys only).
+    keyexpr = (-F.col(key)) if descending else F.col(key)
+    work = df.withColumn(_KEY, keyexpr)
+    if cache:
+        work = work.persist()
+
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    brow = work.agg(F.percentile_approx(_KEY, probs, 10_000).alias("b")).first()
+    bounds = sorted(set(brow["b"] or []))
+
+    # Strictly-greater bucketing keeps all ties of a bound in one bucket.
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col(_KEY) > F.lit(b), 1).otherwise(0)
+    work = work.withColumn(_PID, pid.cast("int"))
+
+    counts = work.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r[_PID]):
+        offsets[row[_PID]] = acc
+        acc += row["c"]
+    n_total = acc
+
+    w = Window.partitionBy(_PID).orderBy(
+        F.asc(_KEY), *[F.asc(t) for t in ties]
+    )
+    off_map = F.create_map(
+        *[F.lit(x) for p_off in offsets.items() for x in p_off]
+    )
+    ranked = (
+        work.withColumn(_RN, F.row_number().over(w))
+        .withColumn(
+            rank_col,
+            (F.col(_RN).cast("long") + off_map[F.col(_PID)].cast("long")),
+        )
+        .drop(_PID, _KEY, _RN)
+    )
+    return ranked, n_total
+
+
+def ntile_from_rank(rank: Column, n: int, n_total: int) -> Column:
+    """SQL ``ntile(n)`` as a pure expression over an exact global rank.
+
+    ntile semantics: with N = q·n + rem, buckets 1..rem hold q+1 rows and
+    buckets rem+1..n hold q rows. Integer-exact for N < 2⁵³.
+    """
+    q, rem = divmod(n_total, n)
+    if q == 0:  # fewer rows than buckets: bucket == rank
+        return rank.cast("int")
+    boundary = rem * (q + 1)
+    big = F.floor((rank + F.lit(q)) / F.lit(q + 1))
+    small = F.lit(rem) + F.floor(
+        (rank - F.lit(boundary) + F.lit(q - 1)) / F.lit(q)
+    )
+    return F.when(rank <= F.lit(boundary), big).otherwise(small).cast("int")
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    key: str,
+    ties: Sequence[str] = (),
+    descending: bool = False,
+    bucket_col: str = "bucket",
+    n_ranges: int | None = None,
+    cache: bool = True,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY key [DESC], *ties)`` without the global
+    single-partition sort. Hash-identical to the SQL form."""
+    ranked, n_total = global_rank(
+        df,
+        key,
+        ties=ties,
+        descending=descending,
+        rank_col="_gr_rank",
+        n_ranges=n_ranges,
+        cache=cache,
+    )
+    return ranked.withColumn(
+        bucket_col, ntile_from_rank(F.col("_gr_rank"), n, n_total)
+    ).drop("_gr_rank")

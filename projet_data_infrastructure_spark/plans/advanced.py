@@ -1496,18 +1496,21 @@ FROM p
 
 
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram of customer balances (ntile deciles): equal row
+    """Equi-DEPTH histogram of customer balances (exact deciles): equal row
     mass per bucket, data-driven boundaries — the histogram optimizers and
     drift monitors actually want (the equi-WIDTH form is
-    ``histogram_acctbal``). Cents + (cents, custkey) ordering make bucket
-    edges deterministic; the global sort runs on the aggregate-input rows
-    once, and each bucket reduces to (count, min, max)."""
+    ``histogram_acctbal``). Buckets come from ``operators.ranks.exact_ntile``
+    — range-bucketed parallel rank, NOT a global single-partition ntile
+    window — so the same plan holds on a 10⁹-row input; the numbers are
+    hash-identical to SQL ``ntile(10)`` with the (cents, custkey)
+    tie-broken total order."""
+    from projet_data_infrastructure_spark.operators.ranks import exact_ntile
+
     cust = read_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
-    w = Window.orderBy("cents", "c_custkey")
+    base = cust.select(F.col("c_custkey"), cents.alias("cents"))
     return (
-        cust.select(F.col("c_custkey"), cents.alias("cents"))
-        .withColumn("bucket", F.ntile(10).over(w))
+        exact_ntile(base, 10, "cents", ties=["c_custkey"], bucket_col="bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1537,8 +1540,12 @@ def q_revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation to per-user cents; the ntile and the share normalization
     are windows over the ≤|users| aggregate. Integer cents end to end —
     only the final share ratio is floating, identical IEEE division on
-    both engines, pround(6)."""
-    from pyspark.sql.window import Window
+    both engines, pround(6). Deciles via ``operators.ranks.exact_ntile``
+    (range-bucketed parallel rank; at 100 TB the per-user aggregate is
+    ~10⁹ rows and a global ntile window would sort the world in one
+    task) — hash-identical to SQL ``ntile(10) OVER (ORDER BY rev DESC,
+    user_id)``."""
+    from projet_data_infrastructure_spark.operators.ranks import exact_ntile
 
     ev = read_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -1548,19 +1555,29 @@ def q_revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("cents").alias("rev"))
     )
-    decile = F.ntile(10).over(Window.orderBy(F.desc("rev"), "user_id"))
     by_decile = (
-        per_user.withColumn("decile", decile)
+        exact_ntile(
+            per_user, 10, "rev", ties=["user_id"], descending=True, bucket_col="decile"
+        )
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_users"), F.sum("rev").alias("decile_cents"))
     )
-    total = F.sum("decile_cents").over(Window.partitionBy())
-    return by_decile.select(
-        "decile",
-        "n_users",
-        "decile_cents",
-        pround(F.col("decile_cents") / total.cast("double"), 6).alias("rev_share"),
-    ).orderBy("decile")
+    # Share-of-total via a broadcast scalar, not a global window — keeps the
+    # whole plan free of single-partition exchanges (the exact_ntile input
+    # frame is persisted, so both branches reuse one computation).
+    total = by_decile.agg(F.sum("decile_cents").alias("_total"))
+    return (
+        by_decile.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "decile_cents",
+            pround(
+                F.col("decile_cents") / F.col("_total").cast("double"), 6
+            ).alias("rev_share"),
+        )
+        .orderBy("decile")
+    )
 
 
 _REVENUE_DECILE_SQL = f"""
@@ -1633,12 +1650,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-user Recency (days since last
     purchase, against the corpus max date), Frequency (purchase count) and
     Monetary (cents-exact spend), each scored into ntile quintiles. The
-    heavy pass is ONE aggregation over purchases; the three ntile windows
-    then run on the ≤|users| aggregate rows, not the corpus — the standard
-    one-big-agg-then-tiny-window shape. Quintile edges are deterministic:
-    every ORDER BY carries user_id as the tie-break (recency DESC scores
-    recent buyers high, 5 = best across all three)."""
-    from pyspark.sql.window import Window
+    heavy pass is ONE aggregation over purchases; the three quintile
+    scorings then run on the ≤|users| aggregate rows via
+    ``operators.ranks.exact_ntile`` — range-bucketed parallel rank, not a
+    global single-partition ntile window, because at 100 TB "≤|users|" is
+    ~10⁹ rows. The persisted base aggregate is ranked three ways without
+    rescanning the corpus. Quintile edges stay deterministic: every order
+    carries user_id as the tie-break (recency DESC scores recent buyers
+    high, 5 = best across all three); results are hash-identical to the
+    three-ntile-window SQL form."""
+    from projet_data_infrastructure_spark.operators.ranks import exact_ntile
 
     ev = read_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -1651,23 +1672,39 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("monetary_cents"),
     )
     mx = p.agg(F.max("d").alias("corpus_max_d"))
-    base = agg.crossJoin(F.broadcast(mx)).select(
-        "user_id",
-        F.datediff("corpus_max_d", "last_d").cast("long").alias("recency_days"),
-        "frequency",
-        "monetary_cents",
+    base = (
+        agg.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("corpus_max_d", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .persist()
     )
-    r_w = Window.orderBy(F.desc("recency_days"), "user_id")
-    f_w = Window.orderBy(F.asc("frequency"), "user_id")
-    m_w = Window.orderBy(F.asc("monetary_cents"), "user_id")
-    return base.select(
+    scored = exact_ntile(
+        base,
+        5,
+        "recency_days",
+        ties=["user_id"],
+        descending=True,
+        bucket_col="r_score",
+        cache=False,
+    )
+    scored = exact_ntile(
+        scored, 5, "frequency", ties=["user_id"], bucket_col="f_score", cache=False
+    )
+    scored = exact_ntile(
+        scored, 5, "monetary_cents", ties=["user_id"], bucket_col="m_score", cache=False
+    )
+    return scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

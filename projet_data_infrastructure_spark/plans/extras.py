@@ -21,13 +21,59 @@ def q_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns → Arrow-batched feature extraction (stub decode)."""
+    """Binary media columns → Arrow-batched feature extraction (stub decode).
+
+    The library call (`extract_features`) returns the raw ``feature``
+    array<float> for downstream consumers; the SPEC projects it to scalar
+    fingerprints (dimension + exact byte-sum recovered via ``round(255*Σ)``)
+    because the driver's pandas canonicalizer cannot hash list-typed cells
+    (the round-2 `array_agg_sorted` lesson) — and integer scalars also make
+    the fake-decode path fully DuckDB-oracleable: the payload is ASCII
+    (``media-payload-<id>``), so every output column is reproducible in SQL.
+    """
     from projet_data_infrastructure_spark.operators.multimodal import (
         extract_features,
         synthetic_assets,
     )
 
-    return extract_features(synthetic_assets(spark, n=128))
+    feats = extract_features(synthetic_assets(spark, n=128))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        F.size("feature").alias("feature_dim"),
+        # feature[i] = byte_i/255 (float32); 255*Σ recovers the integer byte
+        # sum exactly (float32 noise ≪ 0.5), so the hash is float-safe.
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x) * 255.0
+        )
+        .cast("long")
+        .alias("feature_byte_sum"),
+    )
+
+
+_MULTIMODAL_FEATURES_SQL = """
+WITH assets AS (
+    SELECT id,
+           'media-payload-' || CAST(id AS VARCHAR) AS payload
+    FROM range(128) t(id)
+)
+SELECT
+    id AS asset_id,
+    CASE id % 3 WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+    CAST(length(payload) AS INT) AS n_bytes,
+    CAST(16 + ascii(payload[1]) % 64 AS INT) AS width,
+    CAST(16 + ascii(payload[length(payload)]) % 64 AS INT) AS height,
+    CAST(least(length(payload), 8) AS INT) AS feature_dim,
+    CAST(list_sum(list_transform(range(1, least(length(payload), 8) + 1),
+                                 i -> ascii(payload[i]))) AS BIGINT)
+        AS feature_byte_sum
+FROM assets
+"""
 
 
 def q_multimodal_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,7 +542,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, None, ("streaming-live", "rows-only")),
-    QuerySpec("multimodal_features", q_multimodal, None, ("multimodal", "rows-only")),
+    QuerySpec(
+        "multimodal_features",
+        q_multimodal,
+        _MULTIMODAL_FEATURES_SQL,
+        ("multimodal",),
+    ),
     QuerySpec(
         "multimodal_size_histogram",
         q_multimodal_size_hist,

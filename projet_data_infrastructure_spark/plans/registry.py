@@ -38,66 +38,8 @@ class QuerySpec:
 # than accumulating forever unchecked. Names absent from the registry are
 # ignored, so this list never blocks adding/removing specs.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked before round 3
-    "stream_running_totals",
-    "stream_dedup_ids",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q22_inactive",
-    "ivf_trained_assign",
-    "generator_activities",
-    "stream_cdc_apply",
-    "multimodal_features",
-    "approx_count_distinct",
-    "sampled_profile",
-    "window_funcs2",
-    "string_funcs2",
-    "conditional_funcs",
-    # (b) needs a fresh green row after the string-form fix
-    "array_agg_sorted",
-    # (c) new in round 3 — newest first: the driver window covers ~50 names,
-    # so the specs with the least accumulated evidence (added latest in the
-    # round) must sit ahead of the ones already exercised by the builder's
-    # local gate runs all round. Live-stream specs lead with them: the
-    # round-3 testdata regeneration flipped events.ts ns→µs and silently
-    # broke every ts-dependent stream spec (fixed by unit detection in
-    # streaming/sources.epoch_us_divisor) — fresh driver rows prove the fix
-    # under the driver's own harness.
-    "pq_encode",
-    "pq_adc_topk",
-    "ivfpq_topk",
-    "pq_trained_encode",
-    "mixture_resample",
-    "rolling_7day_revenue",
-    "equidepth_histogram",
-    "robust_outliers",
-    "lm_bigram_score",
-    "embedding_dup_clusters",
-    "sequence_packing",
-    "heavy_hitters",
-    "session_paths_topk",
-    "rfm_segmentation",
-    "event_transition_matrix",
-    "order_total_reconciliation",
-    "revenue_decile_share",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_stream_full_join",
-    "stream_tumbling_counts",
-    "stream_session_counts",
-    "stream_filter_project",
-    "multimodal_size_histogram",
-    "tpch_q8_mkt_share",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_supplier",
-    "bucketed_join_colocated",
-    "benchmark_decontamination",
-    "repetition_ngram_ratio",
-    "embedding_simhash_pairs",
-    "stream_static_join",
-    "snapshot_time_travel",
-    "domain_mixture_weights",
+    # (a) the 25 specs with no driver row in rounds 1-3 (verdict r3 item 2) —
+    # all pass the local gate, so these are the highest-value window slots.
     "char_entropy",
     "zorder_scan_filtered",
     "approx_quantiles",
@@ -123,51 +65,44 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "ivf_topk_multiprobe",
     "bloom_membership",
-    # (d) rotating re-verify sample — round 1 greens not re-checked since r1,
-    # heaviest/most load-bearing first
+    # (b) specs changed in round 4 — need fresh driver rows under the new
+    # form: multimodal_features (scalarized + oracled, was the only r3 red),
+    # stream_cdc_apply (rows-only → keep-latest SQL oracle), the quantile
+    # family rewritten from global ntile to broadcast range-lookup edges,
+    # and pq_trained_encode (retrained from a cached sample).
+    "multimodal_features",
+    "stream_cdc_apply",
+    "rfm_segmentation",
+    "equidepth_histogram",
+    "revenue_decile_share",
+    "pq_trained_encode",
+    "sequence_packing",
+    "stream_stream_left_join",
+    "stream_stream_full_join",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
+    # cumulative driver evidence keeps refreshing against regenerated data.
     "flagship_bonus",
-    "scan_project",
-    "filter_pushdown",
     "cdc_envelope_parse",
     "epoch_us_roundtrip",
-    "json_extract",
-    "masked_view",
-    "inner_join_enrich",
-    "left_join_agg",
-    "semi_join",
-    "anti_join",
-    "groupby_count_avg",
-    "topk_groups",
-    "validation_profile",
     "multiway_join_rollup",
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "tpch_q5_local_supplier",
+    "validation_profile",
+    "groupby_count_avg",
+    "topk_groups",
     "window_rank",
     "window_running_sum",
     "rollup_agg",
     "cube_agg",
-    "string_funcs",
-    "date_funcs",
-    "cast_types",
-    "case_when_bonus",
-    "null_logic_coalesce",
-    "tumbling_window_agg",
-    "session_window_agg",
-    "dedup_earliest_event",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_32bit",
     "cosine_topk_bruteforce",
-    # r2 greens most worth a refresh if slots remain
     "dedup_clusters",
-    "lsh_verified_pairs",
-    "embedding_neardup_bucketed",
-    "corpus_curation_pipeline",
-    "jdbc_roundtrip_derby",
-    "events_partitioned_dpp",
+    "masked_view",
+    "json_extract",
 )
 
 

@@ -433,3 +433,32 @@ def test_range_sorted_layout_files_are_disjoint(spark, tmp_path):
     assert len(ranges) >= 4  # sampling may merge a near-empty band
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_quantile_specs_have_no_global_ntile_window(spark):
+    """rfm_segmentation / equidepth_histogram / revenue_decile_share were
+    rewritten from global-ORDER-BY ntile windows (one task sorts the world
+    at 100 TB) to operators.ranks.exact_ntile. This pins the rewrite: no
+    ntile window anywhere in their plans, and no single-partition exchange
+    either (revenue_decile_share's share-of-total is a broadcast scalar
+    join, not a global window)."""
+    from projet_data_infrastructure_spark.plans.advanced import (
+        q_equidepth_histogram,
+        q_revenue_decile_share,
+        q_rfm_segmentation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q, allow_single in (
+        (q_rfm_segmentation, False),
+        (q_equidepth_histogram, False),
+        (q_revenue_decile_share, False),
+    ):
+        plan = q(spark, sf)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "ntile(" not in plan, q.__name__
+        if not allow_single:
+            assert "Exchange SinglePartition" not in plan, q.__name__

@@ -1,0 +1,72 @@
+"""Exact-ntile / global-rank operator: hash-identical to the SQL window
+forms, partition-invariant, and free of single-partition sorts."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projet_data_infrastructure_spark.operators.ranks import (
+    exact_ntile,
+    global_rank,
+)
+
+
+def _data(spark, n_rows, n_distinct, parts=1, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(n_distinct)) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    return df.repartition(parts) if parts > 1 else df
+
+
+@pytest.mark.parametrize(
+    "n_rows,n_buckets,descending",
+    [(1, 4, False), (7, 10, False), (100, 5, True), (1003, 10, False), (1003, 7, True)],
+)
+def test_exact_ntile_matches_window_ntile(spark, n_rows, n_buckets, descending):
+    df = _data(spark, n_rows, n_distinct=max(2, n_rows // 5))
+    order = [F.desc("v") if descending else F.asc("v"), F.asc("id")]
+    ref = df.withColumn("bucket", F.ntile(n_buckets).over(Window.orderBy(*order)))
+    got = exact_ntile(
+        df, n_buckets, "v", ties=["id"], descending=descending, n_ranges=8
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_global_rank_matches_row_number(spark):
+    df = _data(spark, 500, n_distinct=20)
+    ref = df.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id"))).cast("long"),
+    )
+    got, n_total = global_rank(df, "v", ties=["id"], n_ranges=8)
+    assert n_total == 500
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_exact_ntile_partition_invariant(spark):
+    a = exact_ntile(_data(spark, 400, 11, parts=1), 10, "v", ties=["id"], n_ranges=8)
+    b = exact_ntile(_data(spark, 400, 11, parts=13), 10, "v", ties=["id"], n_ranges=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_exact_ntile_single_hot_value(spark):
+    # every row the same key: one bucket boundary can't split ties across
+    # range buckets; result must still equal the SQL ntile.
+    df = spark.createDataFrame([(i, 42) for i in range(97)], "id long, v long")
+    ref = df.withColumn(
+        "bucket", F.ntile(10).over(Window.orderBy(F.asc("v"), F.asc("id")))
+    )
+    got = exact_ntile(df, 10, "v", ties=["id"], n_ranges=8)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_exact_ntile_plan_has_no_global_window(spark):
+    df = _data(spark, 300, 9)
+    got = exact_ntile(df, 10, "v", ties=["id"], n_ranges=8)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ntile(" not in plan
+    assert "Exchange SinglePartition" not in plan
