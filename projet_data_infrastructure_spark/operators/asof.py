@@ -89,19 +89,34 @@ def ewma_by_key(
 
     The recurrence s_i = α·x_i + (1−α)·s_{i−1} is inherently sequential per
     key — the canonical grouped-map case the declarative API can't express.
-    One shuffle on the key; each group arrives as a single Arrow batch and
-    is computed vectorized by pandas ``ewm`` (adjust=False = the literal
-    recurrence). At scale the constraint is group size (a group must fit an
-    executor's memory) and key cardinality ≥ cluster parallelism — for
-    per-user series both hold by construction.
+    One shuffle on the key; each group arrives as a single Arrow batch. The
+    loop applies the LITERAL recurrence with a fixed float op order
+    (``α·x + (1−α)·s``, products then one add) instead of pandas ``ewm`` —
+    ``ewm`` round-trips alpha through center-of-mass and divides by
+    ``(old_wt+new_wt)`` internally, which is numerically equivalent but not
+    bit-identical, and bit-identical matters: the DuckDB oracle replays the
+    exact same IEEE ops via a recursive CTE, so results hash-match with no
+    rounding fudge. At scale the constraint is group size (a group must fit
+    an executor's memory) and key cardinality ≥ cluster parallelism — for
+    per-user series both hold by construction; the per-row Python step is
+    the cost of exactness on an operator that is sequential by definition.
     """
+    import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+    om = 1.0 - alpha
 
     def fn(pdf):
         pdf = pdf.sort_values(order_cols)
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty(len(vals), dtype="float64")
+        s = 0.0
+        for i in range(len(vals)):
+            x = float(vals[i])
+            s = x if i == 0 else alpha * x + om * s
+            out[i] = s
+        pdf[out_col] = out
         return pdf
 
     return df.groupBy(key).applyInPandas(fn, schema=out_schema)

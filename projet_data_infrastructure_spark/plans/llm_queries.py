@@ -1338,9 +1338,9 @@ packed AS (
     FROM d WHERE rn = 1
     UNION ALL
     SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
-           CASE WHEN p.cum + d.n_tokens > 256 THEN p.pack_id + 1
+           CASE WHEN p.cum + d.n_tokens > 256 AND p.cum > 0 THEN p.pack_id + 1
                 ELSE p.pack_id END,
-           CASE WHEN p.cum + d.n_tokens > 256 THEN d.n_tokens::BIGINT
+           CASE WHEN p.cum + d.n_tokens > 256 AND p.cum > 0 THEN d.n_tokens::BIGINT
                 ELSE p.cum + d.n_tokens END
     FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
 )
