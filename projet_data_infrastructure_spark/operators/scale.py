@@ -37,6 +37,39 @@ def salted_count_avg(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof fact⋈dim equi-join: join on (key, salt) instead of key.
+
+    A single hot key funnels its whole row mass through ONE shuffle task
+    under a plain sort-merge join. The fact side draws a uniform salt per
+    row; the dim side is replicated ``n_salts`` times, so the hot key's
+    rows spread across ``n_salts`` tasks. The result is EXACTLY the plain
+    join's (the salt is internal and dropped). Cost model: dim shuffle
+    volume × n_salts — use when the dim is too big to broadcast but cheap
+    to replicate. AQE's skew-join splits sort-merge partitions
+    automatically when runtime stats expose the skew; the explicit form is
+    for skew you already know about, for streaming joins (no AQE replan),
+    and for pinning the plan in tests."""
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    left = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    right = dim.withColumn("_salt", F.explode(salts))
+    joined = left.join(
+        right,
+        (left[fact_key] == right[dim_key]) & (left["_salt"] == right["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -816,3 +816,151 @@ def ivfpq_topk(
     )
     qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
     return brute_force_topk(short, qvec, k, id_col, vec_col)
+
+
+def _centroid_matrix_lit(cents: list[tuple[int, list[float]]]) -> Column:
+    """The array<array<double>> literal used by the argmin helpers, exposed
+    so residual computation can index the SAME matrix by bucket id."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c[1]) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 40,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full FAISS IVFPQ architecture.
+
+    :func:`ivfpq_topk` PQ-encodes raw vectors; production IVFADC encodes
+    the residual ``v − centroid(v)`` so the 2^bits codebook describes the
+    within-cell distribution instead of re-spending codes on the coarse
+    grid — materially better recall at the same 8-byte code size. The
+    Spark shape is unchanged (map-side bucket + code expressions over
+    inlined literals, equi-join candidate pruning, TakeOrdered top-k);
+    the new pieces are the residual column (``zip_with`` against the
+    assigned centroid, selected by ``F.get`` on the literal centroid
+    matrix — still map-side, no join) and per-probed-bucket ADC tables:
+    the query residual differs per coarse cell, so the lookup is a
+    when-chain over the ``nprobe`` cells. Every stage uses the same
+    rounded-distance/tie-break discipline as the PQ family, so the whole
+    composition stays hash-checkable in DuckDB. Reference parity: the
+    reference has no ANN surface; this extends the engine charter."""
+    import math
+
+    cent_rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .collect()
+    )
+    cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
+    if [c[0] for c in cents] != list(range(n_centroids)):
+        raise ValueError(
+            "ivfpq_residual_topk: seed centroid ids must be contiguous 0..C-1"
+        )
+    cmat = {cid: v for cid, v in cents}
+
+    # Driver-side replicas of the plan's rounded argmin (same Σ(x−y)² fold
+    # order, same portable half-up rounding) — applied only to the bounded
+    # model parameters: 16 seed vectors and 1 query vector.
+    def _pl2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) ** 2
+        return acc
+
+    def _p6(x: float) -> float:
+        return math.floor(x * 1e6 + (0.5 + _EPS)) / 1e6
+
+    def _bucket_of(v: list[float]) -> int:
+        return min((_p6(_pl2(v, c)), cid) for cid, c in cents)[1]
+
+    def _residual(v: list[float]) -> list[float]:
+        c = cmat[_bucket_of(v)]
+        return [x - y for x, y in zip(v, c)]
+
+    seed_rows = (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    seeds = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in seed_rows]
+    if [s[0] for s in seeds] != list(range(n_codes)):
+        raise ValueError("ivfpq_residual_topk: seed code ids must be 0..n_codes-1")
+    dim = len(seeds[0][1])
+    if dim % n_sub:
+        raise ValueError(f"ivfpq_residual_topk: dim {dim} not divisible by {n_sub}")
+    d = dim // n_sub
+    seed_res = [(sid, _residual(v)) for sid, v in seeds]
+    books = [
+        [(sid, rv[m * d : (m + 1) * d]) for sid, rv in seed_res]
+        for m in range(n_sub)
+    ]
+
+    # Map-side per-row bucket + residual (no join: the centroid matrix is a
+    # literal, F.get selects the assigned row).
+    bkt = centroid_argmin_col(cents, vec_col)["cid"]
+    work = emb.withColumn("_bkt", bkt)
+    res_col = F.zip_with(
+        F.col(vec_col),
+        F.get(_centroid_matrix_lit(cents), F.col("_bkt")),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    codes = [
+        centroid_argmin_col(book, F.slice(res_col, m * d + 1, d))["cid"]
+        for m, book in enumerate(books)
+    ]
+
+    qrows = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrows:
+        raise ValueError(f"ivfpq_residual_topk: query id {query_id} not found")
+    q = [float(x) for x in qrows[0][vec_col]]
+    probed = [
+        cid for _, cid in sorted((_p6(_pl2(q, c)), cid) for cid, c in cents)[:nprobe]
+    ]
+    qres = {b: [x - y for x, y in zip(q, cmat[b])] for b in probed}
+
+    # Per-(bucket, subspace) ADC tables: query-residual-to-code distances as
+    # literal arrays, selected by the row's coarse cell.
+    adc: Column | None = None
+    for m, book in enumerate(books):
+        term: Column | None = None
+        for b in probed:
+            vals = [_p6(_pl2(qres[b][m * d : (m + 1) * d], cw)) for _, cw in book]
+            table = F.expr(
+                "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+            )
+            picked = F.get(table, codes[m])
+            term = (
+                picked
+                if term is None
+                else F.when(F.col("_bkt") == b, picked).otherwise(term)
+            )
+        adc = term if adc is None else adc + term
+    candidates = work.filter(
+        F.col("_bkt").isin(probed) & (F.col(id_col) != query_id)
+    )
+    short = (
+        candidates.select(
+            F.col(id_col), F.col(vec_col), pround(adc, 6).alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return brute_force_topk(short, qvec, k, id_col, vec_col)

@@ -619,6 +619,105 @@ SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM ranked WHERE rnk <=
 """
 
 
+#: Fixed retrieval query for the BM25 spec — mid-frequency corpus terms so
+#: the idf actually discriminates (the vocabulary is synthetic and stable).
+_BM25_QUERY = ("spark", "join", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed query — the retrieval scorer
+    TF-IDF (``tfidf_top_terms``) is not: saturating tf and length
+    normalization (k1=1.2, b=0.75, Lucene idf = ln(1 + (N−df+0.5)/(df+0.5))).
+
+    Scale shape: one token explode feeds both the per-doc length and the
+    per-(doc, query-term) tf; df and the corpus stats are tiny broadcast
+    aggregates; the score is map-side arithmetic. Per-term contributions
+    are summed via FIXED-ORDER conditional aggregates (one sum per query
+    term, added left-to-right) so float addition order is identical in
+    both engines — a bare sum over the exploded rows would be
+    partition-order-dependent at the ULP level."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(list(_BM25_QUERY)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    base = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+    )
+    contrib = idf * tfn
+    per_term = base.select("doc_id", "term", contrib.alias("c"))
+    parts = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0))
+        for t in _BM25_QUERY
+    ]
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return (
+        per_term.groupBy("doc_id")
+        .agg(pround(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_BM25_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok
+    WHERE term IN ('spark', 'join', 'scan') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+base AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl, stats.sum_dl, stats.n_docs
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+per_term AS (
+    SELECT doc_id, term,
+           ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+              + CAST(1.0 AS DOUBLE))
+           * ((tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+              / (tf + CAST({_BM25_K1!r} AS DOUBLE)
+                     * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                        + CAST({_BM25_B!r} AS DOUBLE) * dl
+                          / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS c
+    FROM base
+),
+scored AS (
+    SELECT doc_id,
+           {pround_sql(
+               "coalesce(sum(CASE WHEN term = 'spark' THEN c END), 0.0)"
+               " + coalesce(sum(CASE WHEN term = 'join' THEN c END), 0.0)"
+               " + coalesce(sum(CASE WHEN term = 'scan' THEN c END), 0.0)", 4)} AS bm25
+    FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents salted with synthetic PII (email/IP/SSN/
     phone derived from doc_id), so the redaction path is exercised on every
@@ -916,6 +1015,46 @@ _SALTED_SQL = f"""
 SELECT o_custkey, count(*) AS count_activity,
        {pround_sql('avg(o_totalprice)', 2)} AS mean_duration
 FROM orders GROUP BY o_custkey
+"""
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim JOIN via key salting (the join-side companion of
+    ``salted_groupby_skew``): a synthetic hot key (a third of orders
+    rerouted to customer 1) would funnel through one sort-merge task; the
+    salted form joins on (key, salt) with the dim replicated, spreading the
+    hot key across 8 tasks. The ``merge`` hint pins the shuffle join (a
+    broadcast would hide the pattern at test SF), and the oracle is the
+    PLAIN join — salting must not change a single row."""
+    from projet_data_infrastructure_spark.operators.scale import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("skew_key"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).hint("merge")
+    joined = salted_join(orders, cust, "skew_key", "c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+WITH f AS (
+    SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS skew_key,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(sum(f.cents) AS BIGINT) AS sum_cents
+FROM f JOIN customer c ON f.skew_key = c.c_custkey
+GROUP BY c.c_mktsegment
 """
 
 
@@ -1564,6 +1703,105 @@ ORDER BY sim DESC, c.vec_id LIMIT 5
 """
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC (the full FAISS IVFPQ architecture): codes
+    describe v − centroid(v), ADC tables are per probed cell. See
+    operators/similarity.py:ivfpq_residual_topk."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_residual_topk(
+        emb, query_id=0, k=5, n_centroids=8, nprobe=2, shortlist=40
+    )
+
+
+# Residual-PQ CTE chain: assign each vector to its coarse cell, subtract the
+# cell centroid, build the 16-seed codebook FROM RESIDUALS, encode residuals,
+# and run per-cell query-residual ADC — mirroring the plan's rounded-argmin
+# discipline term for term.
+_IVFPQ_RESIDUAL_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vdists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM vdists
+    ) WHERE rn = 1
+),
+resid AS (
+    SELECT e.vec_id, a.centroid_id,
+           list_transform(generate_series(1, len(e.embedding)),
+                          i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS rv,
+           e.embedding::DOUBLE[] AS v
+    FROM embeddings e
+    JOIN assign a USING (vec_id)
+    JOIN cents c ON a.centroid_id = c.centroid_id
+),
+subspaces AS (SELECT unnest(generate_series(0, 7)) AS m),
+codebook AS (
+    SELECT s.m, r.vec_id AS code, r.rv[s.m*8+1 : s.m*8+8] AS cw
+    FROM subspaces s, resid r WHERE r.vec_id < 16
+),
+subdists AS (
+    SELECT r.vec_id, c.m, c.code,
+           {pround_sql('list_sum(list_transform(generate_series(1, 8), i -> (r.rv[c.m*8+i] - c.cw[i]) ^ 2))', 6)} AS dist
+    FROM resid r, codebook c
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        FROM subdists
+    ) WHERE rn = 1
+),
+qcd AS (
+    SELECT c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(qv)), i -> (qv[i] - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM cents c, q
+),
+qbuckets AS (
+    SELECT centroid_id FROM (
+        SELECT centroid_id, row_number() OVER (ORDER BY dist, centroid_id) AS rn FROM qcd
+    ) WHERE rn <= 2
+),
+qres AS (
+    SELECT b.centroid_id,
+           list_transform(generate_series(1, len(qv)), i -> qv[i] - c.cvec[i]) AS qrv
+    FROM qbuckets b JOIN cents c USING (centroid_id), q
+),
+qd AS (
+    SELECT qr.centroid_id, c.m, c.code,
+           {pround_sql('list_sum(list_transform(generate_series(1, 8), i -> (qr.qrv[c.m*8+i] - c.cw[i]) ^ 2))', 6)} AS d
+    FROM qres qr, codebook c
+),
+cand AS (
+    SELECT r.vec_id, r.centroid_id, r.v
+    FROM resid r
+    JOIN qbuckets b USING (centroid_id)
+    WHERE r.vec_id <> 0
+),
+adc AS (
+    SELECT cand.vec_id, {pround_sql('sum(qd.d)', 6)} AS adc_dist
+    FROM cand
+    JOIN codes cs ON cs.vec_id = cand.vec_id
+    JOIN qd ON qd.centroid_id = cand.centroid_id
+            AND qd.m = cs.m AND qd.code = cs.code
+    GROUP BY cand.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 40)
+SELECT c.vec_id, {pround_sql('list_cosine_similarity(c.v, qv)', 6)} AS sim
+FROM cand c JOIN short s USING (vec_id), q
+ORDER BY sim DESC, c.vec_id LIMIT 5
+"""
+
+
 def q_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-codebook PQ encode (MLlib k-means per subspace) — the
     production path through the identical literal-inline algebra.
@@ -1619,6 +1857,14 @@ SPECS: list[QuerySpec] = [
         "dedup_cluster_keep", q_dedup_cluster_keep, _dedup_cluster_keep_sql(), ("dedup",)
     ),
     QuerySpec("tfidf_top_terms", q_tfidf_top_terms, _TFIDF_SQL, ("text",)),
+    QuerySpec(
+        "bm25_topk",
+        q_bm25_topk,
+        _BM25_SQL,
+        ("text", "retrieval"),
+        doc="Okapi BM25 top-20 for a fixed query; fixed-order per-term sums "
+        "keep float addition engine-identical",
+    ),
     QuerySpec("pii_redaction", q_pii_redaction, _PII_SQL, ("text", "governance")),
     QuerySpec("stratified_sample_lang", q_stratified_sample, _stratified_sql(), ("sampling",)),
     QuerySpec("token_length_bins", q_token_length_bins, _TOKEN_BINS_SQL, ("text", "stats")),
@@ -1650,6 +1896,14 @@ SPECS: list[QuerySpec] = [
         "corpus_curation_pipeline", q_corpus_curation, _curation_sql(), ("text", "dedup", "bench")
     ),
     QuerySpec("salted_groupby_skew", q_salted_groupby, _SALTED_SQL, ("agg", "scale")),
+    QuerySpec(
+        "salted_skew_join",
+        q_salted_skew_join,
+        _SALTED_JOIN_SQL,
+        ("join", "scale"),
+        doc="Hot-key fact-dim join salted across 8 tasks; oracle is the plain "
+        "join (salting is result-invariant)",
+    ),
     QuerySpec("rolling_hash_fingerprint", q_rolling_fingerprint, _ROLLING_SQL, ("text", "dedup")),
     QuerySpec(
         "benchmark_decontamination",
@@ -1731,6 +1985,14 @@ SPECS: list[QuerySpec] = [
         _IVFPQ_SQL,
         ("similarity", "compression"),
         doc="IVF+PQ (IVFADC): probe nprobe buckets -> ADC shortlist over codes -> exact rerank",
+    ),
+    QuerySpec(
+        "ivfpq_residual_topk",
+        q_ivfpq_residual_topk,
+        _IVFPQ_RESIDUAL_SQL,
+        ("similarity", "compression"),
+        doc="Residual-encoded IVFADC (FAISS IVFPQ): codes describe v - centroid(v), "
+        "per-probed-cell query-residual ADC tables",
     ),
     QuerySpec(
         "pq_trained_encode",

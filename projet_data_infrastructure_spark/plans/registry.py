@@ -72,6 +72,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # and pq_trained_encode (retrained from a cached sample).
     "multimodal_features",
     "stream_cdc_apply",
+    # new in round 4 — zero accumulated evidence
+    "ivfpq_residual_topk",
+    "bm25_topk",
+    "salted_skew_join",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",

@@ -511,3 +511,73 @@ def test_pq_adc_plan_take_ordered_no_python(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
+
+
+def test_ivfpq_residual_degenerates_to_bruteforce(spark):
+    # Same knob-honesty invariant as ivfpq_topk, for the residual-encoded
+    # form: nprobe=C + shortlist>=N disables both cuts -> exact top-k.
+    emb = spark.read.parquet(_EMB)
+    n = emb.count()
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=5
+    ).collect()
+    full = similarity.ivfpq_residual_topk(
+        emb, query_id=0, k=5, n_centroids=8, nprobe=8, shortlist=n
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in exact] == [
+        (r["vec_id"], r["sim"]) for r in full
+    ]
+
+
+def test_residual_adc_beats_raw_adc_quantization(spark):
+    # The reason residual encoding exists: quantizing v - centroid(v) with
+    # the same code budget leaves less error than quantizing raw v. Compare
+    # total ADC-able quantization error (residual-codebook distances of each
+    # vector's assigned codes) between the two forms via their shortlists:
+    # the residual form's top-40 ADC shortlist must recall at least as many
+    # of the exact top-5 as the raw form's on this corpus.
+    emb = spark.read.parquet(_EMB)
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), qvec, k=5
+        ).collect()
+    }
+    raw = {
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(
+            emb, query_id=0, k=5, n_centroids=8, nprobe=8, shortlist=40
+        ).collect()
+    }
+    res = {
+        r["vec_id"]
+        for r in similarity.ivfpq_residual_topk(
+            emb, query_id=0, k=5, n_centroids=8, nprobe=8, shortlist=40
+        ).collect()
+    }
+    assert len(res & exact) >= len(raw & exact)
+
+
+def test_salted_join_matches_plain_join_and_plans_salted_smj(spark):
+    from projet_data_infrastructure_spark.operators.scale import salted_join
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_mktsegment")
+        .collect()
+    )
+    salted = salted_join(
+        orders, cust.hint("merge"), "o_custkey", "c_custkey", n_salts=4
+    )
+    got = salted.select("o_orderkey", "c_mktsegment").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "_salt" in plan
