@@ -335,6 +335,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live SLIDING windows (2 h length / 1 h slide) — every event lands in
+    two overlapping windows, completing the streaming window matrix
+    (tumbling / sliding / session). Complete mode for the same reason as
+    the session spec: append can't flush trailing windows after the final
+    availableNow batch. Oracle: each event counted under both its hourly
+    window starts (floor(ts) and floor(ts) − 1 h, epoch-aligned exactly as
+    Spark aligns them)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_sliding_sink")
+
+
+_STREAM_SLIDING_SQL = """
+WITH e AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS b, event_type FROM events),
+w AS (
+    SELECT b AS wstart, event_type FROM e
+    UNION ALL
+    SELECT b - INTERVAL 1 HOUR AS wstart, event_type FROM e
+)
+SELECT wstart, event_type, count(*) AS n_events FROM w GROUP BY 1, 2
+"""
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live session windows. Append mode cannot emit trailing sessions after
     the final availableNow batch (the watermark never passes them), so the
@@ -686,6 +719,103 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION — the other standard
+    time-series repair next to ``resample_hourly_ffill``: a missing hour
+    gets ``pv + (nv − pv)·frac`` between its surrounding observations
+    (frac = integer hour offsets, so the division is the same IEEE op in
+    both engines; grid spans min..max observed, so both neighbors always
+    exist). Same scale shape as the ffill form: per-user windows over the
+    hourly aggregate, grid via sequence+explode, no global sort."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ev2 = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    hourly = ev2.withColumn("rn", rn).filter(F.col("rn") == 1).select("user_id", "hr", "cents")
+    bounds = ev2.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    back = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_hr = F.when(F.col("cents").isNotNull(), F.col("hr"))
+    pv = F.last("cents", ignorenulls=True).over(back)
+    pd_ = F.last(obs_hr, ignorenulls=True).over(back)
+    nv = F.first("cents", ignorenulls=True).over(fwd)
+    nd = F.first(obs_hr, ignorenulls=True).over(fwd)
+    hours = lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(3600000000)  # noqa: E731
+    frac = (hours(F.col("hr")) - hours(pd_)) / (hours(nd) - hours(pd_))
+    interp = F.when(
+        F.col("cents").isNotNull(), F.col("cents").cast("double")
+    ).otherwise(pv.cast("double") + (nv - pv).cast("double") * frac)
+    return joined.select(
+        "user_id",
+        F.col("hr").alias("hour_ts"),
+        pround(interp, 4).alias("interp_cents"),
+    )
+
+
+_RESAMPLE_INTERP_SQL = f"""
+WITH ev2 AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), hourly AS (
+    SELECT user_id, hr, cents FROM (
+        SELECT user_id, hr, cents,
+               row_number() OVER (PARTITION BY user_id, hr
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev2
+    ) WHERE rn = 1
+), bounds AS (
+    SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev2 GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+    FROM bounds
+), joined AS (
+    SELECT g.user_id, g.hr, h.cents FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+), winned AS (
+    SELECT user_id, hr, cents,
+           last_value(cents IGNORE NULLS) OVER back AS pv,
+           last_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER back AS pd,
+           first_value(cents IGNORE NULLS) OVER fwd AS nv,
+           first_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER fwd AS nd
+    FROM joined
+    WINDOW back AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fwd AS (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hr AS hour_ts,
+       {pround_sql(
+           "CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) "
+           "ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) "
+           "  * ((epoch_us(hr) / 3600000000) - (epoch_us(pd) / 3600000000)) "
+           "    / ((epoch_us(nd) / 3600000000) - (epoch_us(pd) / 3600000000)) END", 4)}
+    AS interp_cents
+FROM winned
+"""
+
+
 _RESAMPLE_SQL = """
 WITH ev2 AS (
     SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
@@ -905,6 +1035,14 @@ SPECS: list[QuerySpec] = [
         ("timeseries", "window", "bench"),
         doc="Hourly grid densification + ignore-nulls forward fill per user",
     ),
+    QuerySpec(
+        "resample_hourly_interp",
+        q_resample_hourly_interp,
+        _RESAMPLE_INTERP_SQL,
+        ("timeseries", "window"),
+        doc="Hourly grid densification + linear interpolation between "
+        "surrounding observations per user",
+    ),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
     QuerySpec("epoch_us_roundtrip", q_epoch_roundtrip, _EPOCH_SQL, ("scalar",)),
     QuerySpec("tumbling_window_agg", q_tumbling_window, _TUMBLING_SQL, ("window", "streaming", "bench")),
@@ -916,6 +1054,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stream_filter_project", q_stream_filter, _STREAM_FILTER_SQL, ("streaming-live",)),
     QuerySpec("stream_tumbling_counts", q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming-live",)),
     QuerySpec("stream_session_counts", q_stream_session, _SESSION_SQL, ("streaming-live",)),
+    QuerySpec(
+        "stream_sliding_counts",
+        q_stream_sliding,
+        _STREAM_SLIDING_SQL,
+        ("streaming-live",),
+        doc="Live 2h/1h sliding windows (complete mode) — streaming window "
+        "matrix: tumbling/sliding/session",
+    ),
     QuerySpec("stream_dedup_ids", q_stream_dedup, _STREAM_DEDUP_SQL, ("streaming-live", "dedup")),
     QuerySpec(
         "stream_running_totals",

@@ -76,6 +76,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_residual_topk",
     "bm25_topk",
     "salted_skew_join",
+    "stream_sliding_counts",
+    "resample_hourly_interp",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",
