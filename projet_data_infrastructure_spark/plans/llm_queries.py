@@ -1861,7 +1861,7 @@ SPECS: list[QuerySpec] = [
         "bm25_topk",
         q_bm25_topk,
         _BM25_SQL,
-        ("text", "retrieval"),
+        ("text", "retrieval", "bench"),
         doc="Okapi BM25 top-20 for a fixed query; fixed-order per-term sums "
         "keep float addition engine-identical",
     ),
@@ -1990,7 +1990,7 @@ SPECS: list[QuerySpec] = [
         "ivfpq_residual_topk",
         q_ivfpq_residual_topk,
         _IVFPQ_RESIDUAL_SQL,
-        ("similarity", "compression"),
+        ("similarity", "compression", "bench"),
         doc="Residual-encoded IVFADC (FAISS IVFPQ): codes describe v - centroid(v), "
         "per-probed-cell query-residual ADC tables",
     ),

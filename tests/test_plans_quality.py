@@ -462,3 +462,24 @@ def test_quantile_specs_have_no_global_ntile_window(spark):
         assert "ntile(" not in plan, q.__name__
         if not allow_single:
             assert "Exchange SinglePartition" not in plan, q.__name__
+
+
+def test_ivfpq_residual_candidate_stage_is_mapside(spark):
+    """Residual IVFADC: bucket assignment, residual computation, PQ encode
+    and per-cell ADC lookup are ALL expressions over inlined literals — the
+    plan up to the shortlist TakeOrdered must contain no join and no
+    nested loop; the only allowed Exchange is the top-k's."""
+    from projet_data_infrastructure_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    df = ivfpq_residual_topk(emb, query_id=0, k=5, n_centroids=4, nprobe=2, shortlist=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the single allowed nested-loop is the rerank's ONE-ROW query-vector
+    # broadcast (IdentityBroadcastMode over a 1-row dim); sort-merge
+    # anywhere means a data-sized shuffle snuck in
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan
