@@ -1412,6 +1412,48 @@ FROM tagged GROUP BY cohort_day, day_offset
 # --------------------------------------------------------------------------
 
 
+def q_spend_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user spend percentile (SQL ``percent_rank``) computed
+    scale-safe: ``operators.ranks.global_rank`` gives the exact 1-based
+    rank with range-bucketed parallel sorts (no single-partition window),
+    and percent_rank is then the closed form ``(rank−1)/(N−1)`` — the
+    direct consumer of the rank operator next to ``exact_ntile``'s three.
+    Hash-identical to the window form; pround(6) guards the one division."""
+    from projet_data_infrastructure_spark.operators.ranks import global_rank
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("spend_cents"))
+    )
+    ranked, n_total = global_rank(
+        per_user, "spend_cents", ties=["user_id"], rank_col="rnk"
+    )
+    denom = max(n_total - 1, 1)
+    return ranked.select(
+        "user_id",
+        "spend_cents",
+        pround((F.col("rnk") - F.lit(1)).cast("double") / F.lit(float(denom)), 6).alias(
+            "spend_pctile"
+        ),
+    )
+
+
+_SPEND_PCTILE_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, spend_cents,
+       {pround_sql('percent_rank() OVER (ORDER BY spend_cents, user_id)', 6)} AS spend_pctile
+FROM per_user
+"""
+
+
 def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1794,6 +1836,14 @@ SPECS: list[QuerySpec] = [
         _COHORT_SQL,
         ("window", "timeseries"),
         doc="First-active-day cohorts × day offset retention triangle",
+    ),
+    QuerySpec(
+        "spend_percentile_rank",
+        q_spend_percentile_rank,
+        _SPEND_PCTILE_SQL,
+        ("window", "scale"),
+        doc="Exact percent_rank via the scale-safe global_rank operator "
+        "(no single-partition window)",
     ),
     QuerySpec(
         "ratio_to_report",

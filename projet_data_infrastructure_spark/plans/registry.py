@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "salted_skew_join",
     "stream_sliding_counts",
     "resample_hourly_interp",
+    "spend_percentile_rank",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",
