@@ -221,6 +221,95 @@ def duplicate_clusters(
     )
 
 
+def duplicate_clusters_starstar(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    extreme-scale alternative to :func:`duplicate_clusters`' min-label
+    propagation, with the same output contract (node → min reachable id).
+
+    Why it matters at 100 TB: min-label propagation needs O(diameter)
+    rounds (O(log d) with path halving) and each round joins the FULL edge
+    list against the labels. Star operations instead rewrite the edge list
+    itself toward star graphs in O(log² n) rounds with provably
+    non-increasing edge counts — no separate label table, every round is
+    one groupBy(min) + one equi-join back, and the fixed point IS the
+    answer (each surviving edge points a node at its component minimum).
+
+    Per round: large-star hangs every neighbor v > u under m = min(Γ(u) ∪
+    {u}); small-star re-hangs the ≤u neighborhood under its minimum. Both
+    are a symmetric/directed projection + per-node min + join — two
+    shuffles each, lineage cut per round (same localCheckpoint/unpersist
+    discipline and non-reliable-checkpoint caveat as the min-label form).
+    Equivalence with :func:`duplicate_clusters` is pinned in tests on
+    random graphs and by the shared recursive-CTE registry oracle."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not edges.take(1):
+        schema_src = pairs.select(
+            F.col(a_col).alias("doc_id"), F.col(a_col).alias("component")
+        )
+        return schema_src.limit(0)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = directed.join(mins, "u").filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfs = mins.select(F.col("u"), F.col("m").alias("v"))
+        return nbrs.unionByName(selfs).distinct()
+
+    converged = False
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        same = (
+            new_edges.count() == edges.count()
+            and not new_edges.exceptAll(edges).take(1)
+        )
+        edges.unpersist()
+        edges = new_edges
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters_starstar did not converge in {max_iter} rounds"
+        )
+    # Fixed point = stars: every (u, v) edge has v = component min; roots
+    # (the minima themselves) label themselves.
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    labels = labels.unionByName(
+        roots.select("node", F.col("node").alias("label"))
+    ).distinct()
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    edges.unpersist()
+    return out
+
+
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document (bitwise majority over token hashes).
 

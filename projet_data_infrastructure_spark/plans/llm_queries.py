@@ -190,6 +190,17 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 
+def q_dedup_clusters_starstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster output through the O(log² n)-round
+    large-star/small-star CC (operators/dedup.py:duplicate_clusters_starstar)
+    — the extreme-scale formulation; shares the recursive-CTE oracle with
+    ``dedup_clusters``, so both algorithms are pinned to identical labels."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    return dedup.duplicate_clusters_starstar(pairs)
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health telemetry over the duplicate graph: how many clusters
     exist at each size (pairs, triples, …). A curation run watches this
@@ -1843,6 +1854,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("simhash_32bit", q_simhash, _SIMHASH_SQL, ("dedup",)),
     QuerySpec("lsh_verified_pairs", q_lsh_verified_pairs, _lsh_verified_sql(), ("dedup",)),
     QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), ("dedup", "iterative")),
+    QuerySpec(
+        "dedup_clusters_starstar",
+        q_dedup_clusters_starstar,
+        _dedup_clusters_sql(),
+        ("dedup", "iterative", "scale"),
+        doc="Large-star/small-star connected components (Kiveris et al.) — "
+        "same labels as min-label CC, O(log^2 n) rounds, edge-rewrite form",
+    ),
     QuerySpec(
         "dedup_cluster_sizes",
         q_dedup_cluster_sizes,

@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sliding_counts",
     "resample_hourly_interp",
     "spend_percentile_rank",
+    "dedup_clusters_starstar",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",

@@ -581,3 +581,39 @@ def test_salted_join_matches_plain_join_and_plans_salted_smj(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan and "_salt" in plan
+
+
+def test_starstar_cc_matches_minlabel_cc_on_random_graphs(spark):
+    """Large-star/small-star CC and min-label CC must produce IDENTICAL
+    (node -> min reachable id) labelings — on chainy graphs (worst case for
+    propagation), random sparse graphs, and graphs with isolated edges."""
+    import random
+
+    from projet_data_infrastructure_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_starstar,
+    )
+
+    cases = []
+    # long chain — maximal diameter
+    cases.append([(i, i + 1) for i in range(40)])
+    # random sparse graph
+    rng = random.Random(11)
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(50)])
+    # disjoint pairs + a triangle
+    cases.append([(100, 101), (102, 103), (1, 2), (2, 3), (3, 1)])
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        a = {(r.doc_id, r.component) for r in duplicate_clusters(df).collect()}
+        b = {(r.doc_id, r.component) for r in duplicate_clusters_starstar(df).collect()}
+        assert a == b, (sorted(a - b)[:5], sorted(b - a)[:5])
+
+
+def test_starstar_cc_empty_input(spark):
+    from projet_data_infrastructure_spark.operators.dedup import (
+        duplicate_clusters_starstar,
+    )
+
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_clusters_starstar(df).count() == 0
