@@ -28,15 +28,14 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-3 driver window. The per-round correctness driver samples a bounded
-# window (~50 names) from the front of ``all_specs()``; rounds 1-2 together
-# covered 100 of the 115 registered names. This ordering fronts (a) the 15
-# names with no driver row ever, (b) ``array_agg_sorted`` (red in r2 on a
-# harness list-hash issue, now emitted as a joined string), (c) specs new in
-# round 3, then (d) a rotating re-verify sample of the most load-bearing
-# previously-green specs so old evidence is periodically refreshed rather
-# than accumulating forever unchecked. Names absent from the registry are
-# ignored, so this list never blocks adding/removing specs.
+# Round-4 driver window. The per-round correctness driver samples a bounded
+# window (~50 names) from the front of ``all_specs()``; rounds 1-3 together
+# covered 146 of the then-171 registered names. This ordering fronts (a) the
+# 25 names with no driver row ever, (b) specs changed or added in round 4,
+# then (c) a rotating re-verify sample of the oldest-evidence greens so
+# cumulative driver coverage keeps refreshing against regenerated testdata.
+# Names absent from the registry are ignored, so this list never blocks
+# adding/removing specs.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 25 specs with no driver row in rounds 1-3 (verdict r3 item 2) —
     # all pass the local gate, so these are the highest-value window slots.
