@@ -311,6 +311,113 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
+def q_window_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface, third slice: cume_dist, dense_rank,
+    nth_value, lag with an explicit default — completing the analytic
+    window family next to ``window_rank``/``window_funcs2``."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pround(F.cume_dist().over(w), 6).alias("cdist"),
+        F.dense_rank().over(w).alias("drank"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_order"),
+    )
+
+
+_WINDOW3_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       {pround_sql('cume_dist() OVER w', 6)} AS cdist,
+       dense_rank() OVER w AS drank,
+       nth_value(o_orderkey, 2) OVER wf AS second_order,
+       lag(o_orderkey, 1, -1) OVER w AS prev_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface — transform / filter / exists /
+    forall / aggregate over a per-order quantity array (sorted collect, the
+    ``array_agg_sorted`` determinism discipline). These lambdas run INSIDE
+    codegen as JVM expressions — the point of HOFs is array logic without a
+    Python boundary or an explode+reaggregate shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys")
+    )
+    arr = F.col("qtys")
+    return per_order.select(
+        "l_orderkey",
+        F.size(F.filter(arr, lambda x: x > 25)).alias("n_over_25"),
+        F.aggregate(
+            F.transform(arr, lambda x: x * 2), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("doubled_sum"),
+        F.exists(arr, lambda x: x >= 45).alias("any_ge_45"),
+        F.forall(arr, lambda x: x > 0).alias("all_positive"),
+        F.array_join(arr, ",").alias("qtys_csv"),
+    )
+
+
+_HOF_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)) AS qtys
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_over_25,
+       CAST(list_sum(list_transform(qtys, x -> x * 2)) AS BIGINT) AS doubled_sum,
+       coalesce(list_sum(list_transform(qtys, x -> CASE WHEN x >= 45 THEN 1 ELSE 0 END)) > 0,
+                FALSE) AS any_ge_45,
+       coalesce(list_sum(list_transform(qtys, x -> CASE WHEN x > 0 THEN 0 ELSE 1 END)) = 0,
+                TRUE) AS all_positive,
+       array_to_string(qtys, ',') AS qtys_csv
+FROM per_order
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): customers with
+    a nullified nation key (every 7th) still match each other under the
+    null-safe operator — the semantics ordinary ``=`` silently drops.
+    Catalyst plans ``<=>`` as a hash-join key, so this stays an equi-join,
+    not a nested loop."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    grouped = cust.groupBy("nk").agg(F.count(F.lit(1)).alias("n_cust"))
+    pairs = cust.alias("a").join(
+        F.broadcast(grouped).alias("g"), F.col("a.nk").eqNullSafe(F.col("g.nk"))
+    )
+    return pairs.select(
+        F.col("a.c_custkey").alias("c_custkey"),
+        F.col("a.nk").alias("nk"),
+        F.col("g.n_cust").alias("nation_group_size"),
+    )
+
+
+_NULL_SAFE_JOIN_SQL = """
+WITH cust AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+    FROM customer
+), grouped AS (
+    SELECT nk, count(*) AS n_cust FROM cust GROUP BY nk
+)
+SELECT a.c_custkey, a.nk, g.n_cust AS nation_group_size
+FROM cust a JOIN grouped g ON a.nk IS NOT DISTINCT FROM g.nk
+"""
+
+
 # --------------------------------------------------------------------------
 # More scalar functions (strings / conditionals)
 # --------------------------------------------------------------------------
@@ -1900,6 +2007,29 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stats_aggregates", q_stats_agg, _STATS_SQL, ("agg", "stats")),
     QuerySpec("median_percentile", q_median_percentile, _MEDIAN_SQL, ("agg", "stats")),
     QuerySpec("window_funcs2", q_window_funcs2, _WINDOW2_SQL, ("window",)),
+    QuerySpec(
+        "window_funcs3",
+        q_window_funcs3,
+        _WINDOW3_SQL,
+        ("window",),
+        doc="cume_dist / dense_rank / nth_value / lag-with-default",
+    ),
+    QuerySpec(
+        "higher_order_funcs",
+        q_higher_order_funcs,
+        _HOF_SQL,
+        ("scalar", "array"),
+        doc="transform/filter/exists/forall/aggregate array lambdas — "
+        "JVM-side array logic, no explode shuffle, no Python",
+    ),
+    QuerySpec(
+        "null_safe_join",
+        q_null_safe_join,
+        _NULL_SAFE_JOIN_SQL,
+        ("join",),
+        doc="<=> null-safe equi-join (IS NOT DISTINCT FROM), planned as a "
+        "hash join",
+    ),
     QuerySpec("string_funcs2", q_string_funcs2, _STRING2_SQL, ("scalar",)),
     QuerySpec("conditional_funcs", q_conditional_funcs, _CONDITIONAL_SQL, ("scalar",)),
     QuerySpec("grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, ("agg",)),

@@ -79,6 +79,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "resample_hourly_interp",
     "spend_percentile_rank",
     "dedup_clusters_starstar",
+    "window_funcs3",
+    "higher_order_funcs",
+    "null_safe_join",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",
