@@ -221,6 +221,49 @@ def duplicate_clusters(
     )
 
 
+def apply_signature_dedup_batch(
+    target_path: str,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of INCREMENTAL signature dedup against a lakehouse
+    signature store (the streaming form of exact-MinHash dedup: a corpus
+    that arrives continuously, deduped as it lands, not re-scanned).
+
+    Batch semantics: compute each doc's MinHash signature, keep the
+    min-``id_col`` winner per signature WITHIN the batch, then anti-join
+    against the stored signature set — a signature seen in ANY earlier
+    batch keeps its original winner regardless of id (first-arrival wins,
+    the only order a stream can honor). State is one row per distinct
+    signature (k×8-byte key + id), published atomically via the versioned
+    snapshot store; at scale swap the store for a Delta table and the
+    anti-join stays the plan.
+    """
+    from pyspark.sql.window import Window
+
+    from projet_data_infrastructure_spark.streaming import versioned
+
+    sig = minhash_signatures(batch_df, text_col=text_col, id_col=id_col)
+    sigkey = F.concat_ws(
+        ",", *[F.col(f"m{j}").cast("string") for j in range(MINHASH_HASHES)]
+    )
+    keyed = sig.select(F.col(id_col), sigkey.alias("sig"))
+    w = Window.partitionBy("sig").orderBy(id_col)
+    winners = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if versioned.snapshot_exists(target_path):
+        current = versioned.read_snapshot(batch_df.sparkSession, target_path)
+        fresh = winners.join(current.select("sig"), "sig", "left_anti")
+        out = current.unionByName(fresh)
+    else:
+        out = winners
+    versioned.write_snapshot(out, target_path)
+
+
 def duplicate_clusters_starstar(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -251,6 +251,58 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, target)
 
 
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental dedup: the documents corpus replayed as a file
+    stream through ``foreachBatch(apply_signature_dedup_batch)`` — each
+    batch MinHash-signs its docs, anti-joins the persisted signature
+    store, and appends only first-seen signatures. Final state = one
+    winning doc per distinct signature, which for a single availableNow
+    batch is exactly min(doc_id) per signature → hash-checked in DuckDB
+    over the same signature SQL. Cross-batch first-arrival-wins ordering
+    is pinned separately in tests with two controlled batches."""
+    import tempfile
+
+    from projet_data_infrastructure_spark.operators.dedup import (
+        apply_signature_dedup_batch,
+    )
+    from projet_data_infrastructure_spark.streaming.versioned import read_snapshot
+
+    work = tempfile.mkdtemp(prefix="stream_mhdedup_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = f"{work}/docs"
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).format("parquet").load(src)
+    target = f"{work}/state"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        apply_signature_dedup_batch(target, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return read_snapshot(spark, target).select("doc_id", "sig")
+
+
+def _stream_minhash_dedup_sql() -> str:
+    from projet_data_infrastructure_spark.operators.dedup import MINHASH_HASHES
+
+    from .llm_queries import _minhash_sig_sql
+
+    cols = ", ".join(f"CAST(m{j} AS VARCHAR)" for j in range(MINHASH_HASHES))
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+keyed AS (
+    SELECT doc_id, array_to_string([{cols}], ',') AS sig FROM sig
+)
+SELECT min(doc_id) AS doc_id, sig FROM keyed GROUP BY sig
+"""
+
+
 _STREAM_CDC_APPLY_SQL = """
 WITH ch AS (
     SELECT event_id,
@@ -605,6 +657,14 @@ SPECS: list[QuerySpec] = [
         ("streaming-live", "cdc"),
         doc="Debezium c/u/d envelope stream through foreachBatch apply; "
         "final state oracled as keep-latest-minus-deletes",
+    ),
+    QuerySpec(
+        "stream_minhash_dedup",
+        q_stream_minhash_dedup,
+        _stream_minhash_dedup_sql(),
+        ("streaming-live", "dedup"),
+        doc="Incremental signature-store dedup via foreachBatch: MinHash "
+        "sign -> anti-join store -> append first-seen; state hash-checked",
     ),
     QuerySpec(
         "multimodal_features",

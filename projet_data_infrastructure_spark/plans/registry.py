@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_funcs3",
     "higher_order_funcs",
     "null_safe_join",
+    "stream_minhash_dedup",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",

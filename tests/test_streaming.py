@@ -341,3 +341,26 @@ def test_observe_metrics_reach_monitor(spark, tmp_path):
     assert m is not None, "observed metrics never arrived"
     assert m["n"] == 3 and m["n_null_value"] == 1
     spark.streams.removeListener(monitor)
+
+
+def test_signature_dedup_first_arrival_wins_across_batches(spark, tmp_path):
+    """Incremental signature dedup: a signature seen in batch 1 keeps its
+    original winner even when batch 2 brings a SMALLER doc_id with the same
+    text — first-arrival-wins is the only order a stream can honor. New
+    signatures in batch 2 still land."""
+    from projet_data_infrastructure_spark.operators.dedup import (
+        apply_signature_dedup_batch,
+    )
+    from projet_data_infrastructure_spark.streaming.versioned import read_snapshot
+
+    target = str(tmp_path / "sig_store")
+    t_dup = "alpha beta gamma delta epsilon zeta"
+    t_new = "one two three four five six seven"
+    b1 = spark.createDataFrame([(10, t_dup)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(5, t_dup), (20, t_new)], "doc_id long, text string"
+    )
+    apply_signature_dedup_batch(target, b1)
+    apply_signature_dedup_batch(target, b2)
+    state = {r.doc_id for r in read_snapshot(spark, target).collect()}
+    assert state == {10, 20}, state
