@@ -251,6 +251,66 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, target)
 
 
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 API): schema + partition planning
+    + per-partition executor-side reads from ``sources/pydatasource.py``.
+    The source is a deterministic multiplicative-hash stream, so a custom
+    PYTHON source gets a full DuckDB oracle — the API surface is verified,
+    not just demonstrated."""
+    from projet_data_infrastructure_spark.sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("deterministic_range")
+        .option("n", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+_PY_DATASOURCE_SQL = """
+SELECT id,
+       CAST((id * 2654435761) % 4294967296 % 7 AS INT) AS bucket,
+       ((id * 2654435761) % 4294967296 % 1000) / 100.0 AS score
+FROM range(2000) t(id)
+"""
+
+
+def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured surface (Spark 4): build a nested JSON
+    document per event, ``parse_json`` it into a VARIANT, and extract
+    typed fields with ``variant_get`` path expressions — plus the raw
+    ``props`` column through the same path. The oracle is the identity
+    the round-trip must preserve, so the whole variant encode/decode is
+    hash-checked."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.struct(F.col("event_type").alias("t"), cents.alias("v")).alias("m"),
+        )
+    )
+    v = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.u", "bigint").alias("u"),
+        F.variant_get(v, "$.m.t", "string").alias("t"),
+        F.variant_get(v, "$.m.v", "bigint").alias("v_cents"),
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "int").alias("k"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       user_id AS u,
+       event_type AS t,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+       CAST(json_extract(props, '$.k') AS INT) AS k
+FROM events
+"""
+
+
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE incremental dedup: the documents corpus replayed as a file
     stream through ``foreachBatch(apply_signature_dedup_batch)`` — each
@@ -657,6 +717,21 @@ SPECS: list[QuerySpec] = [
         ("streaming-live", "cdc"),
         doc="Debezium c/u/d envelope stream through foreachBatch apply; "
         "final state oracled as keep-latest-minus-deletes",
+    ),
+    QuerySpec(
+        "python_datasource_scan",
+        q_python_datasource_scan,
+        _PY_DATASOURCE_SQL,
+        ("source", "spark4"),
+        doc="Custom Python Data Source API: partition-planned executor-side "
+        "reads, deterministic hash stream, full oracle",
+    ),
+    QuerySpec(
+        "variant_json_extract",
+        q_variant_json_extract,
+        _VARIANT_SQL,
+        ("scalar", "json", "spark4"),
+        doc="VARIANT parse_json/variant_get round-trip, identity-oracled",
     ),
     QuerySpec(
         "stream_minhash_dedup",

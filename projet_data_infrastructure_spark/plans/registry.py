@@ -83,6 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "higher_order_funcs",
     "null_safe_join",
     "stream_minhash_dedup",
+    "python_datasource_scan",
+    "variant_json_extract",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",

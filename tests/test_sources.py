@@ -70,3 +70,25 @@ def test_read_excel_raises_without_openpyxl(spark, tmp_path):
         pass
     with pytest.raises(Exception):
         read_excel(spark, str(tmp_path / "missing.xlsx"))
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom Python Data Source must parallelize: 8 planned partitions
+    -> 8 scan partitions, and the union of per-partition reads equals the
+    full deterministic stream."""
+    from projet_data_infrastructure_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("deterministic_range")
+        .option("n", 400)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    assert len(rows) == 400
+    assert {r.id for r in rows} == set(range(400))
+    h = (37 * 2654435761) % 2**32
+    r37 = next(r for r in rows if r.id == 37)
+    assert (r37.bucket, r37.score) == (h % 7, (h % 1000) / 100.0)
