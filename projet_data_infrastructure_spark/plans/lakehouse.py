@@ -573,7 +573,51 @@ FROM customer c LEFT JOIN hits h ON c.c_custkey = h.c_custkey
 """
 
 
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across lake generations: generation 1 writes
+    (c_custkey, c_name), generation 2 adds c_acctbal — the additive column
+    case every long-lived lake hits. A ``mergeSchema`` read unifies the
+    generations (old rows surface NULL for the new column) and downstream
+    logic coalesces a default. Parquet-native (Delta's schema evolution is
+    this plus a transaction log); the oracle recomputes the unified view
+    relationally."""
+    import tempfile
+
+    cust = read_table(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="schema_evo_")
+    g1 = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    g2 = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("c_acctbal")
+    )
+    g1.write.parquet(f"{work}/t", mode="overwrite")
+    g2.write.parquet(f"{work}/t", mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{work}/t")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").isNotNull().alias("has_balance"),
+        pround(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2).alias("balance_or_zero"),
+    )
+
+
+_SCHEMA_EVO_SQL = f"""
+SELECT c_custkey, c_name,
+       (c_custkey % 2 = 1) AS has_balance,
+       {pround_sql("CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0.0 END", 2)}
+           AS balance_or_zero
+FROM customer
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "schema_evolution_merge",
+        q_schema_evolution_merge,
+        _SCHEMA_EVO_SQL,
+        ("lake", "source"),
+        doc="mergeSchema read across lake generations with an added column; "
+        "unified view oracle-checked",
+    ),
     QuerySpec(
         "scd2_user_history",
         q_scd2_user_history,

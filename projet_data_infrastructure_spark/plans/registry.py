@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_minhash_dedup",
     "python_datasource_scan",
     "variant_json_extract",
+    "schema_evolution_merge",
     "rfm_segmentation",
     "equidepth_histogram",
     "revenue_decile_share",
