@@ -964,3 +964,122 @@ def ivfpq_residual_topk(
     )
     qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
     return brute_force_topk(short, qvec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the simplest vector-compression path. Each
+# dimension is affinely mapped to an 8-bit code against per-dimension
+# [min, max] corpus bounds: a 64-dim float vector (256 B) becomes 64 B with
+# no codebook training at all. FAISS ships this as IndexScalarQuantizer
+# (QT_8bit); it complements PQ: SQ8 is 4x compression with near-exact
+# recall, PQ is 32x with coarser distances. Bounds come from ONE aggregate
+# pass (2*dim scalar min/max — map-side partial, no explode, no shuffle
+# beyond the single reduce) and enter the plan as literals, so encode and
+# asymmetric-distance scoring are pure per-row projections: the only
+# shuffle in the top-k is TakeOrderedAndProject's heap merge.
+# ---------------------------------------------------------------------------
+
+
+def _arr_lit(vals: list[float]) -> Column:
+    """A literal array<double> column (plan-inlined, no join)."""
+    return F.expr("array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")")
+
+
+def sq8_bounds(
+    emb: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, spans) over the corpus in one aggregation pass.
+
+    2*dim scalar aggregates instead of posexplode+groupBy: the same answer
+    with zero shuffle rows (partial min/max combine map-side; the driver
+    collects exactly one row of 2*dim doubles — bounded by construction)."""
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = emb.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    spans = [float(row[f"mx{i}"]) - mins[i] for i in range(dim)]
+    return mins, spans
+
+
+def sq8_code_col(
+    vec_col: str, mins: list[float], spans: list[float]
+) -> Column:
+    """``array<int>`` of 8-bit codes: ``floor((x-mn)/span*255 + 0.5)``.
+
+    Plain 0.5 (no epsilon): Spark and the oracle compute bit-identical
+    doubles in the same order, so the floor can never disagree; corpus
+    values are inside [mn, mx] by construction, so codes land in [0, 255]
+    without clamping (x == mx maps to exactly 255.0)."""
+    mins_l, spans_l = _arr_lit(mins), _arr_lit(spans)
+    dim = len(mins)
+
+    def code(i: Column) -> Column:
+        x = F.element_at(F.col(vec_col), i).cast("double")
+        mn, sp = F.get(mins_l, i - 1), F.get(spans_l, i - 1)
+        return (
+            F.when(sp == 0.0, F.lit(0))
+            .otherwise(F.floor((x - mn) / sp * F.lit(255.0) + F.lit(0.5)))
+            .cast("int")
+        )
+
+    return F.transform(F.sequence(F.lit(1), F.lit(dim)), code)
+
+
+def sq8_encode(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """SQ8-encode every vector: ``(id, sq8_code)``, code emitted as a
+    comma-joined string (the driver's pandas canonicalizer cannot hash
+    array cells — same portability rule as ``pq_encode``)."""
+    mins, spans = bounds if bounds is not None else sq8_bounds(emb, dim, vec_col)
+    codes = sq8_code_col(vec_col, mins, spans)
+    return emb.select(
+        F.col(id_col), F.array_join(codes.cast("array<string>"), ",").alias("sq8_code")
+    )
+
+
+def sq8_adc_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over SQ8 codes.
+
+    The query stays un-quantized; each corpus vector is scored against its
+    decoded form ``mn_i + code_i*span_i/255`` — a left-folded sum of squared
+    per-dimension differences, mirroring the oracle's ``list_sum`` order
+    exactly. Bounds and the query enter the plan as literals: scoring is a
+    pure projection (no join, no Exchange before the top-k heap)."""
+    mins, spans = bounds if bounds is not None else sq8_bounds(emb, dim, vec_col)
+    qrows = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrows:
+        raise ValueError(f"sq8_adc_topk: query id {query_id} not found")
+    q = [float(x) for x in qrows[0][vec_col]]
+    mins_l, spans_l, q_l = _arr_lit(mins), _arr_lit(spans), _arr_lit(q)
+    codes = sq8_code_col(vec_col, mins, spans)
+
+    def sq_diff(i: Column) -> Column:
+        recon = F.get(mins_l, i - 1) + F.element_at(codes, i).cast("double") * F.get(
+            spans_l, i - 1
+        ) / F.lit(255.0)
+        return (F.get(q_l, i - 1) - recon) ** F.lit(2)
+
+    diffs = F.transform(F.sequence(F.lit(1), F.lit(dim)), sq_diff)
+    dist = F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        emb.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), pround(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1928,7 +1928,51 @@ WHERE mad.mad > 0 AND d.adev > 3 * mad.mad
 """
 
 
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user argmax: the event (type + timestamp) carrying each user's
+    maximum value, via struct-ordered ``max`` — Spark's ``max_by`` leaves
+    ties undefined, so the struct max (value, ts, event_type lexicographic)
+    pins a deterministic winner AND keeps the whole thing a hash aggregate
+    with map-side partial combine: no window, no per-user sort, one shuffle
+    on user_id. At 100 TB this is the scale-correct argmax shape (a
+    row_number window would sort every partition)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.max(F.struct(F.col("value"), F.col("ts"), F.col("event_type"))).alias("m"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return m.select(
+        "user_id",
+        pround(F.col("m.value"), 4).alias("max_value"),
+        F.col("m.ts").alias("at_ts"),
+        F.col("m.event_type").alias("at_event_type"),
+        "n_events",
+    ).orderBy("user_id")
+
+
+_ARGMAX_SQL = f"""
+SELECT user_id, {pround_sql('value', 4)} AS max_value, ts AS at_ts,
+       event_type AS at_event_type, n_events
+FROM (
+    SELECT user_id, value, ts, event_type,
+           count(*) OVER (PARTITION BY user_id) AS n_events,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY value DESC, ts DESC, event_type DESC) AS rn
+    FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "argmax_per_group",
+        q_argmax_per_group,
+        _ARGMAX_SQL,
+        ("agg",),
+        doc="Deterministic per-group argmax via struct-ordered max (hash agg, no window)",
+    ),
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
     QuerySpec(
         "longest_daily_streak",

@@ -1846,6 +1846,150 @@ WHERE ({hash64_sql('d.doc_id', seed=11)}) % 1000000 / 1000000.0 < r.rate
 """
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gates (Rae et al. 2021, MassiveText
+    filtering, §A1.1): word-count bounds, mean-word-length band, fraction of
+    words containing an alphabetic character, and a minimum stopword-hit
+    count. Pure Column expressions over one tokenization — linear scan,
+    whole-stage codegen, no shuffle; at 100 TB this is a map-only gate in
+    front of dedup. Flags compare the RAW doubles (both engines compute
+    bit-identical values from identical integer counts), display values are
+    portable-rounded."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    n1 = F.greatest(n, F.lit(1))
+    sum_len = F.aggregate(
+        F.transform("t", lambda x: F.length(x)), F.lit(0), lambda acc, v: acc + v
+    )
+    mean_len = sum_len / n1.cast("double")
+    alpha_ratio = F.size(F.filter("t", lambda x: x.rlike("[a-z]"))) / n1.cast("double")
+    stop_hits = F.size(F.filter("t", lambda x: x.isin(*LANG_MARKERS["en"])))
+    ok_wc = (n >= 50) & (n <= 100000)
+    ok_ml = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_al = alpha_ratio >= 0.8
+    ok_st = stop_hits >= 2
+    return base.select(
+        "doc_id",
+        n.alias("n_words"),
+        pround(mean_len, 4).alias("mean_word_len"),
+        pround(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_ml.cast("int").alias("ok_mean_len"),
+        ok_al.cast("int").alias("ok_alpha"),
+        ok_st.cast("int").alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_al & ok_st).cast("int").alias("keep"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+m AS (
+    SELECT doc_id, len(t) AS n_words,
+           list_sum(list_transform(t, x -> length(x))) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
+           len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_ratio,
+           len(list_filter(t, x -> x IN ({_EN}))) AS stop_hits
+    FROM base)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       {pround_sql('mean_len', 4)} AS mean_word_len,
+       {pround_sql('alpha_ratio', 4)} AS alpha_word_ratio,
+       CAST(stop_hits AS INTEGER) AS stop_hits,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS ok_word_count,
+       CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INTEGER) AS ok_mean_len,
+       CAST(alpha_ratio >= 0.8 AS INTEGER) AS ok_alpha,
+       CAST(stop_hits >= 2 AS INTEGER) AS ok_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+            AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS INTEGER) AS keep
+FROM m
+"""
+
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity repetition gates (the MassiveText 'fraction of
+    unique words' family): type-token ratio and the duplicated-bigram
+    fraction per document. Both are per-row array expressions — no shuffle,
+    no Python; the 100 TB shape is a map-only column append feeding the
+    quality gate. Bigrams guard ``size(t) >= 2`` because Spark's
+    ``sequence(1, 0)`` counts DOWN (would fabricate a phantom pair)."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    ttr = F.size(F.array_distinct("t")) / F.greatest(n, F.lit(1)).cast("double")
+    bg = F.expr(
+        "CASE WHEN size(t) >= 2 THEN"
+        " transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    nb = F.size(bg)
+    dup_frac = F.when(nb == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bg)) / nb.cast("double")
+    )
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        pround(ttr, 4).alias("ttr"),
+        pround(dup_frac, 4).alias("dup_bigram_frac"),
+    )
+
+
+_TOKEN_DIVERSITY_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+m AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= 2 THEN
+               list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+           ELSE [] END AS bg
+    FROM base)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       {pround_sql('len(list_distinct(t)) / CAST(greatest(len(t), 1) AS DOUBLE)', 4)} AS ttr,
+       {pround_sql('CASE WHEN len(bg) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) END', 4)} AS dup_bigram_frac
+FROM m
+"""
+
+
+def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_encode(emb)
+
+
+_SQ8_CTES = """
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+bounds AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM v, dims GROUP BY i),
+barr AS (SELECT list(mn ORDER BY i) AS mins, list(mx - mn ORDER BY i) AS sps FROM bounds),
+codes AS (
+    SELECT vec_id, v,
+           list_transform(generate_series(1, 64),
+               i -> CASE WHEN sps[i] = 0 THEN 0
+                         ELSE CAST(floor((v[i] - mins[i]) / sps[i] * 255.0 + 0.5) AS INTEGER) END) AS c
+    FROM v, barr)"""
+
+_SQ8_ENCODE_SQL = f"""
+WITH {_SQ8_CTES}
+SELECT vec_id, array_to_string(c, ',') AS sq8_code FROM codes
+"""
+
+
+def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_adc_topk(emb, query_id=0, k=10)
+
+
+_SQ8_ADC_SQL = f"""
+WITH {_SQ8_CTES},
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+SELECT vec_id,
+       {pround_sql("list_sum(list_transform(generate_series(1, 64), i -> (qv[i] - (mins[i] + c[i] * sps[i] / 255.0)) ^ 2))", 6)} AS adc_dist
+FROM codes, q, barr
+WHERE vec_id <> 0
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact_groups", q_dedup_exact_groups, _DEDUP_GROUPS_SQL, ("dedup", "bench")),
     QuerySpec("dedup_exact_keep", q_dedup_exact_keep, _DEDUP_KEEP_SQL, ("dedup",)),
@@ -2026,5 +2170,35 @@ SPECS: list[QuerySpec] = [
         _MIXTURE_RESAMPLE_SQL,
         ("text", "sampling"),
         doc="Deterministic importance resampling toward a uniform source mixture",
+    ),
+    QuerySpec(
+        "gopher_quality_flags",
+        q_gopher_quality_flags,
+        _GOPHER_SQL,
+        ("text", "quality"),
+        doc="Gopher/MassiveText quality gates: word count, mean word length, "
+        "alpha-word fraction, stopword hits — map-only flags",
+    ),
+    QuerySpec(
+        "token_diversity",
+        q_token_diversity,
+        _TOKEN_DIVERSITY_SQL,
+        ("text", "quality"),
+        doc="Type-token ratio + duplicated-bigram fraction (repetition gate)",
+    ),
+    QuerySpec(
+        "sq8_encode",
+        q_sq8_encode,
+        _SQ8_ENCODE_SQL,
+        ("similarity", "compression"),
+        doc="SQ8 scalar quantization: per-dim [min,max] affine 8-bit codes, "
+        "bounds from one agg pass, map-side encode",
+    ),
+    QuerySpec(
+        "sq8_adc_topk",
+        q_sq8_adc_topk,
+        _SQ8_ADC_SQL,
+        ("similarity", "compression"),
+        doc="Asymmetric-distance top-k over SQ8 codes (FAISS IndexScalarQuantizer shape)",
     ),
 ]

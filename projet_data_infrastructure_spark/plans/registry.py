@@ -72,6 +72,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "stream_cdc_apply",
     # new in round 4 — zero accumulated evidence
+    "gopher_quality_flags",
+    "token_diversity",
+    "sq8_encode",
+    "sq8_adc_topk",
+    "argmax_per_group",
     "ivfpq_residual_topk",
     "bm25_topk",
     "salted_skew_join",

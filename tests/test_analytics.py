@@ -163,3 +163,67 @@ def test_ewma_matches_recurrence(spark):
         expect[i] = s
     for i in range(len(vals)):
         assert abs(out[i] - expect[i]) < 1e-12, (i, out[i], expect[i])
+
+
+def test_gopher_flags_crafted_docs(spark):
+    """Hand-built docs on both sides of every gate: a 60-word doc with
+    stopwords passes all; a 10-word doc fails word count; a digit-only doc
+    fails the alpha-word fraction; a no-stopword doc fails the hit floor."""
+    good = "the cattle sat upon a mattress and the doggy is nearby " * 5 + "end of story here now"
+    short = "tiny doc with the a and of is words here"
+    digits = " ".join(str(i) for i in range(60))
+    nostop = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, good), (2, short), (3, digits), (4, nostop)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        out = {r["doc_id"]: r.asDict() for r in lq.q_gopher_quality_flags(spark, SF).collect()}
+    finally:
+        lq.read_table_balanced = orig
+    assert out[1]["keep"] == 1 and out[1]["ok_word_count"] == 1
+    assert out[2]["ok_word_count"] == 0 and out[2]["ok_stopwords"] == 1
+    assert out[3]["ok_alpha"] == 0 and out[3]["keep"] == 0
+    assert out[4]["ok_stopwords"] == 0 and out[4]["ok_alpha"] == 1
+
+
+def test_token_diversity_known_ratios(spark):
+    """'a a a a' → TTR 0.25 and bigram dup fraction 1 - 1/3 ≈ 0.6667; an
+    all-distinct doc → TTR 1.0, dup fraction 0; a 1-token doc → defined
+    zeros, no phantom bigram from Spark's descending sequence(1, 0)."""
+    rows = [(1, "a a a a"), (2, "w x y z"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        out = {r["doc_id"]: r.asDict() for r in lq.q_token_diversity(spark, SF).collect()}
+    finally:
+        lq.read_table_balanced = orig
+    assert out[1]["ttr"] == 0.25 and abs(out[1]["dup_bigram_frac"] - 0.6667) < 1e-9
+    assert out[2]["ttr"] == 1.0 and out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1 and out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_argmax_struct_max_breaks_ties_deterministically(spark):
+    """Two events share the max value → the struct max picks the later ts;
+    equal ts too → the lexicographically larger event_type. A window-less
+    hash aggregate must still pin one winner."""
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    rows = [
+        (1, 10, t0, "view", 5.0),
+        (1, 11, t1, "click", 5.0),  # same value, later ts -> winner
+        (2, 20, t0, "aa", 3.0),
+        (2, 21, t0, "zz", 3.0),  # same value+ts, larger type -> winner
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    orig = adv.read_table
+    try:
+        adv.read_table = lambda sp, sf, name: df
+        out = {r["user_id"]: r.asDict() for r in adv.q_argmax_per_group(spark, SF).collect()}
+    finally:
+        adv.read_table = orig
+    assert out[1]["at_event_type"] == "click" and out[1]["at_ts"] == t1
+    assert out[2]["at_event_type"] == "zz" and out[2]["n_events"] == 2

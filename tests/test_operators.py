@@ -617,3 +617,77 @@ def test_starstar_cc_empty_input(spark):
 
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert duplicate_clusters_starstar(df).count() == 0
+
+
+def test_sq8_codes_in_range_and_reconstruction_bounded(spark):
+    # Affine 8-bit quantization invariants: every code lands in [0, 255]
+    # with the extremes actually reached (x == min -> 0, x == max -> 255),
+    # and per-dimension reconstruction error is at most half a quantization
+    # step (span/255/2) plus float dust.
+    emb = spark.read.parquet(_EMB)
+    mins, spans = similarity.sq8_bounds(emb)
+    codes = similarity.sq8_code_col("embedding", mins, spans)
+    half = [sp / 255.0 / 2.0 for sp in spans]
+
+    def recon(i):
+        return F.lit(mins[i]) + F.element_at(codes, i + 1).cast("double") * F.lit(
+            spans[i]
+        ) / F.lit(255.0)
+
+    err = F.greatest(
+        *[
+            F.abs(F.element_at("embedding", i + 1).cast("double") - recon(i))
+            - F.lit(half[i])
+            for i in range(len(mins))
+        ]
+    )
+    worst = emb.agg(F.max(err)).collect()[0][0]
+    assert worst <= 1e-9, worst
+    flat = emb.select(F.explode(codes).alias("c")).agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    assert (flat["lo"], flat["hi"]) == (0, 255)
+
+
+def test_sq8_adc_recall_vs_exact_l2(spark):
+    # SQ8 is the near-exact compression tier (4x, vs PQ's 32x): its ADC
+    # top-10 must recover >= 8 of the exact L2 top-10. Measured: 9/10 with
+    # the top-7 in exact order on sf0.001.
+    emb = spark.read.parquet(_EMB)
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select("vec_id", similarity.l2_sq("embedding", "qvec").alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    got = similarity.sq8_adc_topk(emb, query_id=0, k=10).collect()
+    overlap = {r["vec_id"] for r in exact} & {r["vec_id"] for r in got}
+    assert len(overlap) >= 8, sorted(overlap)
+
+
+def test_sq8_plans_map_side_no_exchange_no_python(spark):
+    # Bounds are literals, so encode is a pure projection (zero Exchange)
+    # and ADC top-k is projection -> TakeOrderedAndProject — never a join,
+    # a global sort, or a Python eval.
+    emb = spark.read.parquet(_EMB)
+    bounds = similarity.sq8_bounds(emb)
+    enc_plan = (
+        similarity.sq8_encode(emb, bounds=bounds)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in enc_plan
+    assert "EvalPython" not in enc_plan
+    topk_plan = (
+        similarity.sq8_adc_topk(emb, query_id=0, k=10, bounds=bounds)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in topk_plan
+    assert "EvalPython" not in topk_plan
+    assert "SortMergeJoin" not in topk_plan and "BroadcastHashJoin" not in topk_plan
