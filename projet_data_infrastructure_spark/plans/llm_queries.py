@@ -1950,6 +1950,57 @@ FROM m
 """
 
 
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: LSH-verified near-duplicate pairs
+    whose two documents live in DIFFERENT sources, rolled up to an unordered
+    (source_a, source_b) matrix with pair counts and mean Jaccard — the
+    dataset-level view a training pipeline needs before mixing corpora
+    (eval-set leakage shows up as a hot row). Reuses the production MinHash
+    chain (signatures → banded LSH equi-join → Jaccard on candidates only),
+    then joins the tiny verified-pair set back to doc sources and aggregates:
+    at 100 TB the matrix is |sources|² rows — driver-safe by construction."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    verified = dedup.jaccard_on_candidates(docs, pairs, threshold=0.5).select(
+        "doc_a", "doc_b", pround(F.col("jaccard_raw"), 4).alias("jaccard")
+    )
+    src = docs.select("doc_id", "source")
+    labeled = verified.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a"
+    ).join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+    cross = labeled.filter(F.col("sa") != F.col("sb")).select(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+        "jaccard",
+    )
+    return (
+        cross.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            pround(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _cross_source_sql() -> str:
+    return f"""
+WITH v AS ({_lsh_verified_sql()}),
+lab AS (
+    SELECT v.doc_a, v.doc_b, v.jaccard, a.source AS sa, b.source AS sb
+    FROM v JOIN documents a ON a.doc_id = v.doc_a
+           JOIN documents b ON b.doc_id = v.doc_b
+)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {pround_sql('avg(jaccard)', 4)} AS avg_jaccard
+FROM lab WHERE sa <> sb
+GROUP BY least(sa, sb), greatest(sa, sb)
+ORDER BY source_a, source_b
+"""
+
+
 def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.sq8_encode(emb)
@@ -2175,7 +2226,7 @@ SPECS: list[QuerySpec] = [
         "gopher_quality_flags",
         q_gopher_quality_flags,
         _GOPHER_SQL,
-        ("text", "quality"),
+        ("text", "quality", "bench"),
         doc="Gopher/MassiveText quality gates: word count, mean word length, "
         "alpha-word fraction, stopword hits — map-only flags",
     ),
@@ -2185,6 +2236,13 @@ SPECS: list[QuerySpec] = [
         _TOKEN_DIVERSITY_SQL,
         ("text", "quality"),
         doc="Type-token ratio + duplicated-bigram fraction (repetition gate)",
+    ),
+    QuerySpec(
+        "cross_source_contamination",
+        q_cross_source_contamination,
+        _cross_source_sql(),
+        ("dedup", "quality"),
+        doc="Cross-source near-dup contamination matrix over LSH-verified pairs",
     ),
     QuerySpec(
         "sq8_encode",
@@ -2198,7 +2256,7 @@ SPECS: list[QuerySpec] = [
         "sq8_adc_topk",
         q_sq8_adc_topk,
         _SQ8_ADC_SQL,
-        ("similarity", "compression"),
+        ("similarity", "compression", "bench"),
         doc="Asymmetric-distance top-k over SQ8 codes (FAISS IndexScalarQuantizer shape)",
     ),
 ]

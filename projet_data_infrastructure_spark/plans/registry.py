@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 4 — zero accumulated evidence
     "gopher_quality_flags",
     "token_diversity",
+    "cross_source_contamination",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
