@@ -230,3 +230,34 @@ def mixture_resample_hash(
     )
     u = F.pmod(hash64(F.col(id_col), seed=seed), F.lit(1_000_000)) / F.lit(1_000_000.0)
     return df.join(F.broadcast(rates), label_col).filter(u < F.col("rate"))
+
+
+def gopher_metrics(toks: Column) -> dict[str, Column]:
+    """The Gopher/MassiveText quality-gate metrics (Rae et al. 2021, §A1.1)
+    as pure Column expressions over a token array: word count, mean word
+    length, fraction of words containing an alphabetic character, and
+    English stopword hits. Map-only — shared by the batch flags query and
+    the streaming curation pipeline so both gates are one definition."""
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, v: acc + v
+    )
+    return {
+        "n_words": n,
+        "mean_len": sum_len / n1.cast("double"),
+        "alpha_ratio": F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n1.cast("double"),
+        "stop_hits": F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))),
+    }
+
+
+def gopher_keep(m: dict[str, Column]) -> Column:
+    """The combined Gopher keep decision over :func:`gopher_metrics`."""
+    return (
+        (m["n_words"] >= 50)
+        & (m["n_words"] <= 100000)
+        & (m["mean_len"] >= 3.0)
+        & (m["mean_len"] <= 10.0)
+        & (m["alpha_ratio"] >= 0.8)
+        & (m["stop_hits"] >= 2)
+    )

@@ -1855,31 +1855,26 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     front of dedup. Flags compare the RAW doubles (both engines compute
     bit-identical values from identical integer counts), display values are
     portable-rounded."""
+    from projet_data_infrastructure_spark.operators.text import gopher_keep, gopher_metrics
+
     docs = read_table_balanced(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    n = F.size("t")
-    n1 = F.greatest(n, F.lit(1))
-    sum_len = F.aggregate(
-        F.transform("t", lambda x: F.length(x)), F.lit(0), lambda acc, v: acc + v
-    )
-    mean_len = sum_len / n1.cast("double")
-    alpha_ratio = F.size(F.filter("t", lambda x: x.rlike("[a-z]"))) / n1.cast("double")
-    stop_hits = F.size(F.filter("t", lambda x: x.isin(*LANG_MARKERS["en"])))
-    ok_wc = (n >= 50) & (n <= 100000)
-    ok_ml = (mean_len >= 3.0) & (mean_len <= 10.0)
-    ok_al = alpha_ratio >= 0.8
-    ok_st = stop_hits >= 2
+    m = gopher_metrics(F.col("t"))
+    ok_wc = (m["n_words"] >= 50) & (m["n_words"] <= 100000)
+    ok_ml = (m["mean_len"] >= 3.0) & (m["mean_len"] <= 10.0)
+    ok_al = m["alpha_ratio"] >= 0.8
+    ok_st = m["stop_hits"] >= 2
     return base.select(
         "doc_id",
-        n.alias("n_words"),
-        pround(mean_len, 4).alias("mean_word_len"),
-        pround(alpha_ratio, 4).alias("alpha_word_ratio"),
-        stop_hits.alias("stop_hits"),
+        m["n_words"].alias("n_words"),
+        pround(m["mean_len"], 4).alias("mean_word_len"),
+        pround(m["alpha_ratio"], 4).alias("alpha_word_ratio"),
+        m["stop_hits"].alias("stop_hits"),
         ok_wc.cast("int").alias("ok_word_count"),
         ok_ml.cast("int").alias("ok_mean_len"),
         ok_al.cast("int").alias("ok_alpha"),
         ok_st.cast("int").alias("ok_stopwords"),
-        (ok_wc & ok_ml & ok_al & ok_st).cast("int").alias("keep"),
+        gopher_keep(m).cast("int").alias("keep"),
     )
 
 
@@ -1903,6 +1898,52 @@ SELECT doc_id,
        CAST(n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
             AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS INTEGER) AS keep
 FROM m
+"""
+
+
+def q_stream_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Structured Streaming corpus curation: the documents table
+    replayed through a file-source stream (availableNow), the Gopher gates
+    applied as a map-only projection (one shared definition with the batch
+    spec — ``operators.text.gopher_metrics``), then STATEFUL exact dedup
+    (``dropDuplicates`` on the text digest — a global signature store, the
+    same state shape as ``stream_minhash_dedup``) emitting each surviving
+    digest once. Output is the deterministic SET of kept digests (duplicate
+    texts share flags, so which copy wins never shows), which is why this
+    streaming pipeline can be hash-matched against a batch DISTINCT oracle.
+    At scale: the gate drops rows before they ever reach the dedup state
+    store, and the store holds one 32-char digest per unique kept doc."""
+    from projet_data_infrastructure_spark.operators.text import gopher_keep, gopher_metrics
+    from projet_data_infrastructure_spark.plans.events_queries import _run_stream
+
+    raw = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    m = gopher_metrics(tokens(F.col("text")))
+    kept = raw.filter(gopher_keep(m)).select(F.md5("text").alias("digest"))
+    out = kept.dropDuplicates(["digest"])
+    return _run_stream(
+        out.writeStream.outputMode("append"), spark, "stream_quality_curation_sink"
+    )
+
+
+_STREAM_CURATION_SQL = f"""
+WITH base AS (SELECT text, {_TOKS_SQL} AS t FROM documents),
+m AS (
+    SELECT text, len(t) AS n_words,
+           list_sum(list_transform(t, x -> length(x))) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
+           len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_ratio,
+           len(list_filter(t, x -> x IN ({_EN}))) AS stop_hits
+    FROM base)
+SELECT DISTINCT md5(text) AS digest
+FROM m
+WHERE n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+  AND alpha_ratio >= 0.8 AND stop_hits >= 2
 """
 
 
@@ -2236,6 +2277,14 @@ SPECS: list[QuerySpec] = [
         _TOKEN_DIVERSITY_SQL,
         ("text", "quality"),
         doc="Type-token ratio + duplicated-bigram fraction (repetition gate)",
+    ),
+    QuerySpec(
+        "stream_quality_curation",
+        q_stream_quality_curation,
+        _STREAM_CURATION_SQL,
+        ("text", "quality", "streaming"),
+        doc="LIVE streaming curation: Gopher gate -> stateful exact dedup, "
+        "hash-matched against the batch DISTINCT oracle",
     ),
     QuerySpec(
         "cross_source_contamination",

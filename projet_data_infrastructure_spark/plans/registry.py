@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gopher_quality_flags",
     "token_diversity",
     "cross_source_contamination",
+    "stream_quality_curation",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
