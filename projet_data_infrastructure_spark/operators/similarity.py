@@ -915,16 +915,27 @@ def ivfpq_residual_topk(
     # Map-side per-row bucket + residual (no join: the centroid matrix is a
     # literal, F.get selects the assigned row).
     bkt = centroid_argmin_col(cents, vec_col)["cid"]
-    work = emb.withColumn("_bkt", bkt)
-    res_col = F.zip_with(
-        F.col(vec_col),
-        F.get(_centroid_matrix_lit(cents), F.col("_bkt")),
-        lambda x, y: x.cast("double") - y.cast("double"),
+    # The residual and the 8 code columns are MATERIALIZED as projections
+    # (withColumn), not shared expressions: a shared res_col referenced from
+    # inside each subspace's argmin lambda is re-evaluated per codeword per
+    # probe (8 subspaces × 16 codewords × nprobe ≈ 256 recomputes of the
+    # 64-wide zip_with per row). CollapseProject keeps a non-cheap alias
+    # referenced more than once materialized, so each row computes its
+    # residual exactly once. (Same O(dim²) hazard fixed in sq8_adc_topk.)
+    work = emb.withColumn("_bkt", bkt).withColumn(
+        "_res",
+        F.zip_with(
+            F.col(vec_col),
+            F.get(_centroid_matrix_lit(cents), F.col("_bkt")),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ),
     )
-    codes = [
-        centroid_argmin_col(book, F.slice(res_col, m * d + 1, d))["cid"]
-        for m, book in enumerate(books)
-    ]
+    for m, book in enumerate(books):
+        work = work.withColumn(
+            f"_c{m}",
+            centroid_argmin_col(book, F.slice(F.col("_res"), m * d + 1, d))["cid"],
+        )
+    codes = [F.col(f"_c{m}") for m in range(n_sub)]
 
     qrows = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
     if not qrows:
