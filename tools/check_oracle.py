@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -52,6 +53,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
+    results: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -66,10 +68,12 @@ def main() -> int:
             scols = [f.lower() for f in sdf.columns]
         except Exception as e:
             print(f"FAIL {spec.name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            results[spec.name] = {"status": "fail", "err": f"{type(e).__name__}: {str(e)[:300]}"}
             n_fail += 1
             continue
         if spec.oracle is None:
             print(f"ok?  {spec.name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[spec.name] = {"status": "rows_only", "spark_rows": len(srows)}
             n_pass += 1
             continue
         try:
@@ -78,6 +82,7 @@ def main() -> int:
             orows = ores.fetchall()
         except Exception as e:
             print(f"FAIL {spec.name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            results[spec.name] = {"status": "fail", "err": f"duckdb {type(e).__name__}: {str(e)[:300]}"}
             n_fail += 1
             continue
         problems = []
@@ -107,11 +112,31 @@ def main() -> int:
                         break
         if problems:
             print(f"FAIL {spec.name}: {'; '.join(problems[:3])}")
+            results[spec.name] = {"status": "fail", "err": "; ".join(problems[:3])}
             n_fail += 1
         else:
             print(f"PASS {spec.name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[spec.name] = {"status": "pass", "rows": len(srows)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail / {len(specs)} total")
+    # Full-registry runs leave an evidence artifact next to the driver's
+    # CORRECTNESS_r{N}.json (the driver window covers ~50 specs/round; this
+    # records the local gate's verdict on every registered spec).
+    if not only:
+        import json
+
+        out = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_total": len(specs),
+            "results": results,
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "LOCAL_ORACLE_LATEST.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {path}")
     spark.stop()
     return 1 if n_fail else 0
 
