@@ -2042,6 +2042,49 @@ ORDER BY source_a, source_b
 """
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-window prep): each doc is
+    split into 32-token chunks with stride 24 (8-token overlap), the
+    standard long-document treatment before tokenized training or embedding
+    indexing. Pure array expressions — ``transform`` over a chunk-index
+    sequence + ``slice`` + ``explode``, all JVM-side; the explode multiplies
+    rows by ~n/stride map-side with no shuffle at all, so at 100 TB this is
+    a linear re-scan. Chunk text is emitted as an md5 digest (constant-width
+    output; the driver canonicalizer never sees long strings)."""
+    chunk, stride = 32, 24
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(t) / {stride}.0) as int) - 1),"
+        f" i -> struct(i AS chunk_idx,"
+        f"            slice(t, i * {stride} + 1, {chunk}) AS ct))"
+    )
+    ex = base.select("doc_id", F.explode(chunks).alias("c")).filter(
+        F.size("c.ct") > 0
+    )
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.ct").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c.ct", " ")).alias("chunk_digest"),
+    )
+
+
+_DOC_CHUNK_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+ex AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 24.0) AS INTEGER) - 1),
+                                 i -> struct_pack(chunk_idx := i,
+                                                  ct := t[i * 24 + 1 : i * 24 + 32]))) AS c
+    FROM base)
+SELECT doc_id, c.chunk_idx AS chunk_idx,
+       CAST(len(c.ct) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(c.ct, ' ')) AS chunk_digest
+FROM ex WHERE len(c.ct) > 0
+"""
+
+
 def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.sq8_encode(emb)
@@ -2292,6 +2335,14 @@ SPECS: list[QuerySpec] = [
         _cross_source_sql(),
         ("dedup", "quality"),
         doc="Cross-source near-dup contamination matrix over LSH-verified pairs",
+    ),
+    QuerySpec(
+        "doc_chunking",
+        q_doc_chunking,
+        _DOC_CHUNK_SQL,
+        ("text",),
+        doc="Sliding-window 32-token chunks with stride 24 (context-window prep), "
+        "map-side explode",
     ),
     QuerySpec(
         "sq8_encode",

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_diversity",
     "cross_source_contamination",
     "stream_quality_curation",
+    "doc_chunking",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

@@ -227,3 +227,20 @@ def test_argmax_struct_max_breaks_ties_deterministically(spark):
         adv.read_table = orig
     assert out[1]["at_event_type"] == "click" and out[1]["at_ts"] == t1
     assert out[2]["at_event_type"] == "zz" and out[2]["n_events"] == 2
+
+
+def test_doc_chunking_overlap_and_coverage(spark):
+    """A 40-token doc with chunk=32/stride=24 yields chunk0 = tokens 1..32
+    and chunk1 = tokens 25..40 (16 tokens): chunks overlap by 8 and jointly
+    cover every token; a 10-token doc yields exactly one short chunk."""
+    long = " ".join(f"tok{i}" for i in range(1, 41))
+    short = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame([(1, long), (2, short)], "doc_id long, text string")
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        rows = lq.q_doc_chunking(spark, SF).collect()
+    finally:
+        lq.read_table_balanced = orig
+    by = {(r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"] for r in rows}
+    assert by == {(1, 0): 32, (1, 1): 16, (2, 0): 10}
