@@ -132,8 +132,9 @@ def main() -> int:
             "n_total": len(specs),
             "results": results,
         }
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "LOCAL_ORACLE_LATEST.json")
+                            f"LOCAL_ORACLE_{sf_tag}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(f"wrote {path}")
