@@ -478,7 +478,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EN = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
 _PUNCT_SQL = "length(regexp_replace(lower(text), '[a-z0-9" + "\\" + "s]', '', 'g'))"
 _AVG_TOK_LEN = pround_sql(
-    "list_sum(list_transform(t, x -> length(x))) / CAST(greatest(len(t), 1) AS DOUBLE)", 4
+    "coalesce(list_sum(list_transform(t, x -> length(x))), 0) / CAST(greatest(len(t), 1) AS DOUBLE)", 4
 )
 _PUNCT_RATIO = pround_sql(f"{_PUNCT_SQL} / CAST(greatest(length(text), 1) AS DOUBLE)", 4)
 _STOP_RATIO = pround_sql(
@@ -1882,7 +1882,7 @@ _GOPHER_SQL = f"""
 WITH base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 m AS (
     SELECT doc_id, len(t) AS n_words,
-           list_sum(list_transform(t, x -> length(x))) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
+           coalesce(list_sum(list_transform(t, x -> length(x))), 0) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
            len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_ratio,
            len(list_filter(t, x -> x IN ({_EN}))) AS stop_hits
     FROM base)
@@ -1936,7 +1936,7 @@ _STREAM_CURATION_SQL = f"""
 WITH base AS (SELECT text, {_TOKS_SQL} AS t FROM documents),
 m AS (
     SELECT text, len(t) AS n_words,
-           list_sum(list_transform(t, x -> length(x))) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
+           coalesce(list_sum(list_transform(t, x -> length(x))), 0) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
            len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_ratio,
            len(list_filter(t, x -> x IN ({_EN}))) AS stop_hits
     FROM base)
