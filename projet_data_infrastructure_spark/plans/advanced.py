@@ -1965,7 +1965,54 @@ ORDER BY user_id
 """
 
 
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of orders — the Pareto frontier maximizing (price, date):
+    orders not dominated by any other on both axes. Spark side runs the
+    distributed sort-based decomposition (``operators/skyline.py``, the
+    EDBT 2023 Spark-SQL-skyline shape: distinct pairs → hash-bucketed
+    parallel local prune → global pass over the tiny survivor set); the
+    oracle states the dominance semantics directly as a quadratic
+    NOT EXISTS — two entirely different plans, one answer. Price is
+    compared in exact cents (no float dominance ties)."""
+    from projet_data_infrastructure_spark.operators.skyline import skyline_2d_max
+
+    orders = read_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    out = skyline_2d_max(pts, x="cents", y="odate", key="o_orderkey")
+    return out.select("o_orderkey", "cents", "odate").orderBy(F.desc("cents"))
+
+
+_SKYLINE_SQL = """
+WITH pts AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderdate AS odate,
+           min(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT a.o_orderkey, a.cents, a.odate
+FROM pts a
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.cents >= a.cents AND b.odate >= a.odate
+      AND (b.cents > a.cents OR b.odate > a.odate)
+)
+ORDER BY a.cents DESC
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "skyline_orders",
+        q_skyline_orders,
+        _SKYLINE_SQL,
+        ("window", "stats"),
+        doc="2-D Pareto skyline (EDBT'23 Spark-SQL shape): bucketed local prune "
+        "-> global pass on survivors; oracle is the quadratic NOT EXISTS",
+    ),
     QuerySpec(
         "argmax_per_group",
         q_argmax_per_group,

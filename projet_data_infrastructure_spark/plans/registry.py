@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_source_contamination",
     "stream_quality_curation",
     "doc_chunking",
+    "skyline_orders",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

@@ -244,3 +244,39 @@ def test_doc_chunking_overlap_and_coverage(spark):
         lq.read_table_balanced = orig
     by = {(r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"] for r in rows}
     assert by == {(1, 0): 32, (1, 1): 16, (2, 0): 10}
+
+
+def test_skyline_crafted_dominance(spark):
+    """Known frontier: (5,50) dominates (5,40) (x tie, y strict) and (3,30);
+    (1,90) survives on y; exact duplicates collapse to min key."""
+    from projet_data_infrastructure_spark.operators.skyline import skyline_2d_max
+
+    rows = [
+        (1, 5, 50), (2, 5, 40), (3, 3, 30), (4, 1, 90),
+        (5, 5, 50),              # duplicate of (5,50) -> representative key 1
+        (6, 4, 60),              # survives: nothing has x>=4 AND y>=60
+        (7, 2, 55),              # dominated by (4,60)
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    out = {(r["x"], r["y"]): r["k"] for r in skyline_2d_max(df, "x", "y", "k").collect()}
+    assert out == {(5, 50): 1, (4, 60): 6, (1, 90): 4}
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    """Exactness of the bucketed two-phase decomposition vs the O(n^2)
+    dominance definition on 300 deterministic pseudo-random points
+    (duplicates and axis ties included by construction: coords mod 40)."""
+    from projet_data_infrastructure_spark.operators.skyline import skyline_2d_max
+
+    pts = [(i, (i * 7919) % 40, (i * 104729) % 40) for i in range(300)]
+    df = spark.createDataFrame(pts, "k long, x long, y long")
+    got = {(r["x"], r["y"]) for r in skyline_2d_max(df, "x", "y", "k").collect()}
+    uniq = {(x, y) for _, x, y in pts}
+    expect = {
+        (x, y)
+        for x, y in uniq
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for bx, by in uniq
+        )
+    }
+    assert got == expect
