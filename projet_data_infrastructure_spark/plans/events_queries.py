@@ -1005,8 +1005,98 @@ FROM counts
 """
 
 
+def q_user_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity between users: Pearson correlation of their
+    hourly activity-value series, top-20 most-correlated pairs (the
+    distributed-similarity-search family — EDBT'19 streaming-similarity
+    theme — expressed relationally).
+
+    Determinism: values are compared in exact cents, so every pairwise
+    accumulator (n, Σx, Σy, Σxy, Σx², Σy²) is an INTEGER sum — no float
+    addition order anywhere until the single closed-form division at the
+    end, which both engines evaluate identically. Pairs need ≥ 8
+    overlapping hours and nonzero variance on both sides.
+
+    Scale shape: the hour bucket is the blocking key — users only pair up
+    within hours where both were active, so the join is an equi-join on
+    hour with per-hour fan-out (never a global cross join), followed by
+    one hash aggregate on (user_a, user_b) with map-side partials and a
+    TakeOrderedAndProject top-k."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id", "h")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    a = hourly.select(
+        F.col("user_id").alias("ua"), F.col("h").alias("h"), F.col("cents").alias("xa")
+    )
+    b = hourly.select(
+        F.col("user_id").alias("ub"), F.col("h").alias("h"), F.col("cents").alias("xb")
+    )
+    joined = a.join(b, "h").filter(F.col("ua") < F.col("ub"))
+    acc = joined.groupBy("ua", "ub").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    corr = cov / F.sqrt(vx * vy)
+    return (
+        acc.filter((n >= 8) & (vx > 0) & (vy > 0))
+        .select("ua", "ub", n.alias("n_hours"), pround(corr, 6).alias("corr"))
+        .orderBy(F.desc("corr"), F.asc("ua"), F.asc("ub"))
+        .limit(20)
+    )
+
+
+_USER_CORR_SQL = f"""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+pairs AS (
+    SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n,
+           CAST(sum(a.cents) AS BIGINT) AS sx, CAST(sum(b.cents) AS BIGINT) AS sy,
+           CAST(sum(a.cents * b.cents) AS BIGINT) AS sxy,
+           CAST(sum(a.cents * a.cents) AS BIGINT) AS sxx,
+           CAST(sum(b.cents * b.cents) AS BIGINT) AS syy
+    FROM hourly a JOIN hourly b ON a.h = b.h AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+),
+scored AS (
+    SELECT ua, ub, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+           CAST(n * syy - sy * sy AS DOUBLE) AS vy
+    FROM pairs
+)
+SELECT ua, ub, n AS n_hours,
+       {pround_sql('cov / sqrt(vx * vy)', 6)} AS corr
+FROM scored
+WHERE n >= 8 AND vx > 0 AND vy > 0
+ORDER BY corr DESC, ua, ub
+LIMIT 20
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("json_extract", q_json_extract, _JSON_EXTRACT_SQL, ("json",)),
+    QuerySpec(
+        "user_series_correlation",
+        q_user_series_correlation,
+        _USER_CORR_SQL,
+        ("timeseries", "stats"),
+        doc="Top-20 user pairs by Pearson correlation of hourly cents series "
+        "(integer accumulators, hour-blocked equi-join)",
+    ),
     QuerySpec(
         "sessionize_events",
         q_sessionize_events,

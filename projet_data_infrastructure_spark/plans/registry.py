@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_quality_curation",
     "doc_chunking",
     "skyline_orders",
+    "user_series_correlation",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

@@ -280,3 +280,28 @@ def test_skyline_matches_bruteforce_on_random_points(spark):
         )
     }
     assert got == expect
+
+
+def test_user_series_correlation_perfect_pairs(spark):
+    """User 2 = 2x user 1 (corr exactly +1); user 3 anti-moves (corr -1);
+    users share 10 hourly buckets (>= the 8-hour overlap gate)."""
+    import projet_data_infrastructure_spark.plans.events_queries as eq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for hr in range(10):
+        base = float(hr + 1)
+        rows.append((hr * 3 + 1, 1, t0 + dt.timedelta(hours=hr), base, "view"))
+        rows.append((hr * 3 + 2, 2, t0 + dt.timedelta(hours=hr), 2 * base, "view"))
+        rows.append((hr * 3 + 3, 3, t0 + dt.timedelta(hours=hr), 11.0 - base, "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double, event_type string"
+    )
+    orig = eq.read_table
+    try:
+        eq.read_table = lambda sp, sf, name: df
+        out = {(r.ua, r.ub): r.corr for r in eq.q_user_series_correlation(spark, SF).collect()}
+    finally:
+        eq.read_table = orig
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == -1.0 and out[(2, 3)] == -1.0
