@@ -51,16 +51,30 @@ def main() -> None:
         (s for s in all_specs() if "bench" in s.tags and s.oracle is not None),
         key=lambda s: s.name,
     )
+    # Median of 3 interleaved passes on BOTH engines — the same protocol as
+    # bench.py, so the "vs prior round" column compares like with like
+    # (single-shot numbers embed first-run codegen and made the deltas
+    # unattributable).
+    REPS = 3
+    t_spark: dict[str, list[float]] = {s.name: [] for s in bench_specs}
+    t_duck: dict[str, list[float]] = {s.name: [] for s in bench_specs}
+    for _ in range(REPS):
+        for spec in bench_specs:
+            t0 = time.time()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t_spark[spec.name].append(time.time() - t0)
+            t0 = time.time()
+            con.sql(spec.oracle).fetchall()
+            t_duck[spec.name].append(time.time() - t0)
+
+    def med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
     rows = []
     for spec in bench_specs:
-        t0 = time.time()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t_spark = time.time() - t0
-        t0 = time.time()
-        con.sql(spec.oracle).fetchall()
-        t_duck = time.time() - t0
-        rows.append((spec.name, t_spark, t_duck, prior_q.get(spec.name)))
-        print(f"{spec.name}: spark {t_spark:.2f}s duckdb {t_duck:.2f}s")
+        ts, td = med(t_spark[spec.name]), med(t_duck[spec.name])
+        rows.append((spec.name, ts, td, prior_q.get(spec.name)))
+        print(f"{spec.name}: spark {ts:.2f}s duckdb {td:.2f}s")
 
     total_s = sum(r[1] for r in rows)
     total_d = sum(r[2] for r in rows)
@@ -68,7 +82,9 @@ def main() -> None:
         f.write(
             "# BENCH_COMPARE — Spark engine vs DuckDB oracle, same parquet, "
             f"same queries\n\nsf_dir: `{sf_dir}`; Spark runs the registry plan "
-            "through the noop sink, DuckDB runs the oracle SQL and fetches.\n\n"
+            "through the noop sink, DuckDB runs the oracle SQL and fetches; both\n"
+            "report the per-query median of 3 interleaved passes (the bench.py\n"
+            "protocol).\n\n"
             "Reading this honestly: at sf0.1 (600 k-row fact table) every Spark "
             "query pays a ~0.5-1 s fixed scheduling/codegen/AQE cost that "
             "dominates its data-proportional cost, while DuckDB is an embedded "
