@@ -2004,7 +2004,66 @@ ORDER BY a.cents DESC
 """
 
 
+def q_customer_frontier_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Pareto frontier: per nation, the customers not dominated on
+    (total spend, order count) by any fellow citizen. Unlike the global
+    ``skyline_orders`` two-phase form, the grouped skyline needs NO global
+    pass at all — the window partitions by nation, so every nation's
+    sort-based running-max prune runs in parallel and the plan's only
+    exchanges are the aggregate and the window hash partitioning. Spend is
+    exact cents (integer dominance)."""
+    from projet_data_infrastructure_spark.operators.skyline import _sort_based_skyline
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    pts = (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "cents", "n_orders")
+        .agg(F.min("c_custkey").alias("c_custkey"))
+    )
+    out = _sort_based_skyline(pts, "cents", "n_orders", ["c_nationkey"])
+    return out.select("c_nationkey", "c_custkey", "cents", "n_orders").orderBy(
+        "c_nationkey", F.desc("cents")
+    )
+
+
+_FRONTIER_BY_NATION_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+pts AS (
+    SELECT c.c_nationkey, p.cents, p.n_orders, min(c.c_custkey) AS c_custkey
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, p.cents, p.n_orders
+)
+SELECT a.c_nationkey, a.c_custkey, a.cents, a.n_orders
+FROM pts a
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.c_nationkey = a.c_nationkey
+      AND b.cents >= a.cents AND b.n_orders >= a.n_orders
+      AND (b.cents > a.cents OR b.n_orders > a.n_orders)
+)
+ORDER BY a.c_nationkey, a.cents DESC
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "customer_frontier_by_nation",
+        q_customer_frontier_by_nation,
+        _FRONTIER_BY_NATION_SQL,
+        ("window", "stats", "agg"),
+        doc="Grouped Pareto skyline per nation — partitioned sort-based prune, "
+        "no global pass needed",
+    ),
     QuerySpec(
         "skyline_orders",
         q_skyline_orders,

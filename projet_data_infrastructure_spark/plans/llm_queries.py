@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
 from projet_data_infrastructure_spark.operators import dedup, similarity
 from projet_data_infrastructure_spark.operators.text import (
     LANG_MARKERS,
@@ -1846,6 +1846,46 @@ WHERE ({hash64_sql('d.doc_id', seed=11)}) % 1000000 / 1000000.0 < r.rate
 """
 
 
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-Res reservoir keys: each doc draws key = ln(u)/w (u uniform, w =
+    n_chars) and the k largest keys form an exact weighted
+    without-replacement sample. The uniform is the portable hash64 of
+    doc_id — reproducible across engines, cluster sizes, and partitionings
+    (engine RNG is neither). Map-only key computation + a
+    TakeOrderedAndProject top-k: the distributed-reservoir shape (each
+    partition keeps its k best, the driver merges heaps). Keys are rounded
+    to 1e-6 BEFORE ranking so cross-libm ln noise at the cut is impossible;
+    ties (identical rounded keys) break on doc_id."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    u = (F.pmod(hash64(F.col("doc_id"), seed=13), F.lit(1_000_000)) + 1) / F.lit(
+        1_000_001.0
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            pround(key, 6).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars AS w,
+           (({hash64_sql('doc_id', seed=13)}) % 1000000 + 1) / 1000001.0 AS u
+    FROM documents
+)
+SELECT doc_id, w, {pround_sql('ln(u) / CAST(w AS DOUBLE)', 6)} AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule document quality gates (Rae et al. 2021, MassiveText
     filtering, §A1.1): word-count bounds, mean-word-length band, fraction of
@@ -2305,6 +2345,14 @@ SPECS: list[QuerySpec] = [
         _MIXTURE_RESAMPLE_SQL,
         ("text", "sampling"),
         doc="Deterministic importance resampling toward a uniform source mixture",
+    ),
+    QuerySpec(
+        "weighted_sample_topk",
+        q_weighted_sample_topk,
+        _WEIGHTED_SAMPLE_SQL,
+        ("text", "sampling"),
+        doc="Efraimidis-Spirakis A-Res weighted sampling without replacement "
+        "(deterministic hash uniforms, reservoir top-k)",
     ),
     QuerySpec(
         "gopher_quality_flags",

@@ -79,6 +79,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_chunking",
     "skyline_orders",
     "user_series_correlation",
+    "weighted_sample_topk",
+    "customer_frontier_by_nation",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

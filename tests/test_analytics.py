@@ -305,3 +305,38 @@ def test_user_series_correlation_perfect_pairs(spark):
         eq.read_table = orig
     assert out[(1, 2)] == 1.0
     assert out[(1, 3)] == -1.0 and out[(2, 3)] == -1.0
+
+
+def test_weighted_sampling_favors_heavy_weights(spark):
+    """Statistical property of A-Res keys: with weights 1000 vs 1, heavy
+    docs dominate the top of the key order. 200 docs, half heavy — the
+    top-20 must be (almost) all heavy; exact determinism is pinned by the
+    oracle, this pins the SEMANTICS (weighting actually biases the draw)."""
+    rows = [(i, "x", 1000 if i % 2 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        out = [r["doc_id"] for r in lq.q_weighted_sample_topk(spark, SF).collect()]
+    finally:
+        lq.read_table_balanced = orig
+    heavy = sum(1 for d in out if d % 2 == 0)
+    assert len(out) == 20 and heavy >= 18, heavy
+
+
+def test_grouped_skyline_independent_per_group(spark):
+    """A point dominated inside its own nation survives in another: (10,1)
+    is dominated by (20,2) in nation A but the identical point in nation B
+    is that nation's whole frontier."""
+    from projet_data_infrastructure_spark.operators.skyline import _sort_based_skyline
+
+    rows = [
+        (0, 1, 20, 2), (0, 2, 10, 1), (0, 3, 5, 9),
+        (1, 4, 10, 1),
+    ]
+    df = spark.createDataFrame(rows, "c_nationkey long, c_custkey long, cents long, n_orders long")
+    out = {
+        (r["c_nationkey"], r["cents"], r["n_orders"])
+        for r in _sort_based_skyline(df, "cents", "n_orders", ["c_nationkey"]).collect()
+    }
+    assert out == {(0, 20, 2), (0, 5, 9), (1, 10, 1)}
