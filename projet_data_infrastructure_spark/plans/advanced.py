@@ -2055,7 +2055,59 @@ ORDER BY a.c_nationkey, a.cents DESC
 """
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function surface: ``map_from_entries`` over a SORTED entry
+    array (deterministic key order — Spark maps preserve entry order, so
+    sorting the struct array first makes ``map_keys`` output stable),
+    ``map_filter`` (keep event types with ≥ 13 hits), ``transform_values``
+    (doubled counts), ``map_keys``/``map_values``. Maps are flattened to
+    csv strings on output (the driver canonicalizer cannot hash map cells —
+    the array rule, one type further). The oracle needs no map type at all:
+    ordered filtered list aggregates state identical semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    hot = F.map_filter("m", lambda k, v: v >= 13)
+    doubled = F.transform_values(hot, lambda k, v: v * 2)
+    return per_user.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.array_join(F.map_keys(doubled), ",").alias("hot_types"),
+        F.array_join(F.map_values(doubled).cast("array<string>"), ",").alias(
+            "hot_counts_x2"
+        ),
+    ).orderBy("user_id")
+
+
+_MAP_FUNCS_SQL = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_types,
+       coalesce(array_to_string(list(event_type ORDER BY event_type)
+                                FILTER (WHERE n >= 13), ','), '') AS hot_types,
+       coalesce(array_to_string(list(CAST(n * 2 AS VARCHAR) ORDER BY event_type)
+                                FILTER (WHERE n >= 13), ','), '') AS hot_counts_x2
+FROM counts
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "map_funcs",
+        q_map_funcs,
+        _MAP_FUNCS_SQL,
+        ("functions",),
+        doc="Map-type surface: map_from_entries / map_filter / transform_values "
+        "/ map_keys / map_values, deterministic key order",
+    ),
     QuerySpec(
         "customer_frontier_by_nation",
         q_customer_frontier_by_nation,

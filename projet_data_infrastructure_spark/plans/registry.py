@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_series_correlation",
     "weighted_sample_topk",
     "customer_frontier_by_nation",
+    "map_funcs",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
