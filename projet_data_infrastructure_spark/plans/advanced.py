@@ -2099,7 +2099,97 @@ ORDER BY user_id
 """
 
 
+def q_recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE surface (SPARK-24497): a 30-day calendar
+    generated by ``WITH RECURSIVE`` anchored at ``min(date(ts))``,
+    left-joined to daily event counts with zero-fill. Depth is a CONSTANT
+    30 regardless of SF (recursion over data-sized structures would blow
+    the 100-level default limit and scale with the fact table; a bounded
+    dimension build is the honest use of the feature — Spark's recursion
+    only supports UNION ALL, so unbounded/cyclic recursion cannot
+    terminate anyway). Oracle: DuckDB's recursive CTE, date+integer
+    arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_rc_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(d) AS (
+            SELECT min(CAST(ts AS DATE)) FROM _rc_events
+            UNION ALL
+            SELECT date_add(d, 1) FROM cal
+            WHERE d < date_add((SELECT min(CAST(ts AS DATE)) FROM _rc_events), 29)
+        )
+        SELECT cal.d AS day, coalesce(cnt.n, 0) AS n_events
+        FROM cal
+        LEFT JOIN (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS n
+            FROM _rc_events GROUP BY CAST(ts AS DATE)
+        ) cnt ON cal.d = cnt.d
+        ORDER BY day
+        """
+    )
+
+
+_RECURSIVE_CAL_SQL = """
+WITH RECURSIVE cal(d) AS (
+    SELECT min(CAST(ts AS DATE)) FROM events
+    UNION ALL
+    SELECT d + 1 FROM cal
+    WHERE d < (SELECT min(CAST(ts AS DATE)) FROM events) + 29
+)
+SELECT cal.d AS day, coalesce(cnt.n, 0) AS n_events
+FROM cal
+LEFT JOIN (
+    SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY CAST(ts AS DATE)
+) cnt ON cal.d = cnt.d
+ORDER BY day
+"""
+
+
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe function surface: ``try_cast`` (malformed input →
+    NULL instead of a failed job — at 100 TB one bad row must never kill a
+    scan) and ``try_divide`` (NULL on zero divisor). Every 5th event gets a
+    deliberately malformed numeric string so the NULL path is exercised on
+    real rows."""
+    ev = read_table(spark, sf_dir, "events")
+    dirty = F.concat(
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("x")).otherwise(F.lit("")),
+    )
+    return ev.select(
+        "event_id",
+        dirty.try_cast("long").alias("parsed_id"),
+        pround(F.try_divide(F.col("value"), (F.col("user_id") % 3).cast("double")), 4).alias(
+            "value_per_bucket"
+        ),
+    )
+
+
+_TRY_FUNCS_SQL = f"""
+SELECT event_id,
+       TRY_CAST(event_id || (CASE WHEN event_id % 5 = 0 THEN 'x' ELSE '' END) AS BIGINT)
+           AS parsed_id,
+       {pround_sql('value / NULLIF(CAST(user_id % 3 AS DOUBLE), 0.0)', 4)} AS value_per_bucket
+FROM events
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "recursive_cte_calendar",
+        q_recursive_cte_calendar,
+        _RECURSIVE_CAL_SQL,
+        ("sql4",),
+        doc="Spark 4 WITH RECURSIVE: constant-depth calendar dimension + zero-filled daily counts",
+    ),
+    QuerySpec(
+        "try_functions",
+        q_try_functions,
+        _TRY_FUNCS_SQL,
+        ("functions", "sql4"),
+        doc="try_cast / try_divide error-safe surface (bad rows -> NULL, never a failed job)",
+    ),
     QuerySpec(
         "map_funcs",
         q_map_funcs,

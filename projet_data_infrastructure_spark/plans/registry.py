@@ -82,6 +82,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample_topk",
     "customer_frontier_by_nation",
     "map_funcs",
+    "recursive_cte_calendar",
+    "try_functions",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
