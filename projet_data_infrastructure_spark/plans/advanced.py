@@ -2175,7 +2175,54 @@ FROM events
 """
 
 
+def q_lateral_subquery_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): top-3 customers
+    by account balance PER NATION, written as the natural per-row
+    subquery instead of the window/filter idiom. Catalyst decorrelates
+    this into a ranked join — same physical shape as the
+    WindowGroupLimit form, so the ergonomic SQL costs nothing. Balances
+    compared in exact cents; probed unsupported alternatives (QUALIFY,
+    GROUPS frames) are documented as absent in OSS Spark 4.1."""
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.cents
+        FROM _lat_nation n,
+        LATERAL (
+            SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM _lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY cents DESC, c_custkey
+            LIMIT 3
+        ) c
+        ORDER BY n.n_name, c.cents DESC, c.c_custkey
+        """
+    )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT n.n_name, c.c_custkey, c.cents
+FROM nation n,
+LATERAL (
+    SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY cents DESC, c_custkey
+    LIMIT 3
+) c
+ORDER BY n.n_name, c.cents DESC, c.c_custkey
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "lateral_subquery_topn",
+        q_lateral_subquery_topn,
+        _LATERAL_TOPN_SQL,
+        ("sql4", "join"),
+        doc="Correlated LATERAL top-3-per-nation (Spark 4 SQL), decorrelated by Catalyst",
+    ),
     QuerySpec(
         "recursive_cte_calendar",
         q_recursive_cte_calendar,

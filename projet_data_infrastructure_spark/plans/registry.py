@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "map_funcs",
     "recursive_cte_calendar",
     "try_functions",
+    "lateral_subquery_topn",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
