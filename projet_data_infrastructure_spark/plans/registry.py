@@ -71,6 +71,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # and pq_trained_encode (retrained from a cached sample).
     "multimodal_features",
     "stream_cdc_apply",
+    # changed in round 4 — their r1-r3 driver rows predate the rewrite
+    # (global-ntile family → exact_ntile; PQ training → sampled Lloyd's;
+    # packing + stream-stream oracles hardened), so stale green rows are
+    # actively misleading and these outrank brand-new specs for slots.
+    "rfm_segmentation",
+    "equidepth_histogram",
+    "revenue_decile_share",
+    "pq_trained_encode",
+    "sequence_packing",
+    "stream_stream_left_join",
+    "stream_stream_full_join",
     # new in round 4 — zero accumulated evidence
     "gopher_quality_flags",
     "token_diversity",
@@ -102,13 +113,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "python_datasource_scan",
     "variant_json_extract",
     "schema_evolution_merge",
-    "rfm_segmentation",
-    "equidepth_histogram",
-    "revenue_decile_share",
-    "pq_trained_encode",
-    "sequence_packing",
-    "stream_stream_left_join",
-    "stream_stream_full_join",
     # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
     # cumulative driver evidence keeps refreshing against regenerated data.
     # pq_adc_topk / ivfpq_topk demoted here: r3 driver rows, behavior
