@@ -1,0 +1,453 @@
+"""Graph, geospatial, and market-basket analytics.
+
+Engine-charter additions (none exist in the reference — its analytics stop at
+grouped rollups, `/root/reference/airflow/config/read_delta.py:114-127`): a
+training-data platform routinely needs link-analysis scores for source
+weighting, spatial blocking for location dedup, and co-occurrence mining for
+curriculum mixing. Every spec here is hash-checkable cross-engine because the
+numeric cores are pure integer arithmetic:
+
+* ``pagerank_fixed_point`` — PageRank over the customer↔supplier trade graph
+  in **fixed-point integer micro-units**: ranks start at 1 000 000, each step
+  is ``150000 + (85 * Σ incoming(rank DIV degree)) DIV 100``. Integer floor
+  division is bit-identical in every engine, so a 3-iteration PageRank —
+  normally FP-order-dependent and unverifiable — becomes oracle-EXACT. The
+  quantization loss (≤ degree ulps per node per step) is the documented cost
+  of determinism, the same trade money-in-cents makes.
+* ``geo_cell_neighbor_pairs`` — within-radius spatial pairs via grid-cell
+  blocking: points bucketed into 1°×1° cells, candidates only from the 3×3
+  neighborhood (radius < cell edge ⇒ complete), distance in integer
+  milli-degrees² so the band filter never touches libm. The oracle states
+  the semantics as the quadratic self-join — two different plans, one answer
+  (the skyline pattern).
+* ``copurchase_brand_pairs`` — market-basket pair mining (the A-Priori k=2
+  step): brands co-purchased within an order. Baskets are bounded (≤ distinct
+  brands per order), so the per-basket self-join is linear in baskets — the
+  scalable form; unbounded baskets would first take a per-basket top-cap.
+* ``benford_digit_profile`` — first-significant-digit distribution of order
+  totals vs Benford's law. Digit extraction is string-on-integer-cents
+  (never log10), expected shares are inlined literals, so the only doubles
+  are ratios of integers — deterministic.
+* ``bitwise_funcs`` — the bitwise expression + aggregate surface
+  (&, |, xor, ~, shifts, bit_count, bit_and/bit_or/bit_xor aggregates).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table
+
+# --------------------------------------------------------------------------
+# PageRank in fixed-point integer arithmetic (oracle-exact link analysis)
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_UNIT = 1_000_000  # initial rank mass per node, in micro-units
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer↔supplier trade edges as two directed arcs."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(line, orders.o_orderkey == line.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cust = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    supp = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    fwd = pairs.select(cust.alias("src"), supp.alias("dst"))
+    rev = pairs.select(supp.alias("src"), cust.alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trade-graph nodes by 3-iteration fixed-point PageRank.
+
+    Plan shape per iteration: edges ⋈ ranks on src (shuffle on the 8-byte-ish
+    node key), hash aggregate on dst (map-side partial sums), left join back
+    onto the node list — the standard Pregel-on-DataFrames step. At 100 TB
+    you would `localCheckpoint` every few iterations to cut lineage (the CC
+    operator in ``operators/dedup.py`` shows that discipline); 3 bounded
+    iterations here keep the plan explainable. All rank arithmetic is
+    integer, so the result hash-matches the unrolled-CTE DuckDB oracle
+    exactly — no FP summation-order leeway.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = nodes.select("node", F.lit(_PR_UNIT).cast("long").alias("pr_score"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select(F.col("dst"), F.expr("pr_score DIV degree").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(150_000)
+                + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
+            )
+            .cast("long")
+            .alias("pr_score"),
+        )
+    return ranks.orderBy(F.desc("pr_score"), F.asc("node")).limit(20)
+
+
+def _pr_oracle() -> str:
+    head = """
+WITH e0 AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM e0
+    UNION ALL
+    SELECT 's' || CAST(sk AS VARCHAR) AS src, 'c' || CAST(ck AS VARCHAR) AS dst FROM e0
+),
+deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr_score FROM deg)
+"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""",
+c{i} AS (
+    SELECT e.dst AS node, SUM(r.pr_score // d.degree) AS inc
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON e.src = r.node
+    GROUP BY e.dst
+),
+r{i} AS (
+    SELECT n.node,
+           CAST(150000 + (85 * COALESCE(c.inc, 0)) // 100 AS BIGINT) AS pr_score
+    FROM (SELECT src AS node FROM deg) n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, pr_score FROM r{_PR_ITERS} ORDER BY pr_score DESC, node LIMIT 20"
+    )
+
+
+_PAGERANK_SQL = _pr_oracle()
+
+
+# --------------------------------------------------------------------------
+# Grid-cell blocked spatial neighbor pairs (integer milli-degrees)
+# --------------------------------------------------------------------------
+
+_GEO_BOX_MILLI = 10_000  # synthetic coordinates span a 10°×10° box
+_GEO_CELL_MILLI = 1_000  # 1° cells
+_GEO_RADIUS_MILLI = 500  # pair radius — MUST stay < cell edge for 3×3 completeness
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.pmod(hash64(F.col("c_custkey"), seed=101), F.lit(_GEO_BOX_MILLI)).alias("lat_m"),
+        F.pmod(hash64(F.col("c_custkey"), seed=102), F.lit(_GEO_BOX_MILLI)).alias("lon_m"),
+    )
+
+
+def q_geo_cell_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer pairs within 0.5° (planar milli-degree metric), grid-blocked.
+
+    Candidate generation is an EQUI-join on neighboring cell ids (left side
+    exploded ×9), never an all-pairs product: at 100 TB the shuffle key is
+    the cell id and each task sees one cell neighborhood. Because the radius
+    is strictly less than the cell edge, the 3×3 neighborhood is provably
+    complete, and each unordered pair surfaces exactly once (the matching
+    offset is unique). The distance test is integer arithmetic; only the
+    display column takes a sqrt (IEEE-exact, correctly rounded) — no libm
+    trig anywhere, which is what makes the spec hash-checkable. Production
+    haversine would swap the metric expression only; the blocking algebra —
+    the part that matters at scale — is identical.
+    """
+    pts = _geo_points(spark, sf_dir)
+    cx = F.expr(f"lat_m DIV {_GEO_CELL_MILLI}")
+    cy = F.expr(f"lon_m DIV {_GEO_CELL_MILLI}")
+    right = pts.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("lat_m").alias("lat_b"),
+        F.col("lon_m").alias("lon_b"),
+        cx.alias("cbx"),
+        cy.alias("cby"),
+    )
+    offsets = F.expr(
+        "explode(array(-1, 0, 1)) "
+    )
+    left = (
+        pts.select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("lat_m").alias("lat_a"),
+            F.col("lon_m").alias("lon_a"),
+            cx.alias("cax"),
+            cy.alias("cay"),
+        )
+        .withColumn("dx", offsets)
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    out = (
+        left.join(
+            right,
+            (left.cax + left.dx == right.cbx) & (left.cay + left.dy == right.cby),
+        )
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(_GEO_RADIUS_MILLI * _GEO_RADIUS_MILLI))
+    )
+    return out.select(
+        "cust_a",
+        "cust_b",
+        F.col("d2").cast("long").alias("d2"),
+        pround(F.sqrt(F.col("d2").cast("double")), 3).alias("dist_milli"),
+    )
+
+
+_GEO_SQL = f"""
+WITH pts AS (
+    SELECT c_custkey,
+           ({hash64_sql('c_custkey', seed=101)}) % {_GEO_BOX_MILLI} AS lat_m,
+           ({hash64_sql('c_custkey', seed=102)}) % {_GEO_BOX_MILLI} AS lon_m
+    FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST((a.lat_m - b.lat_m) * (a.lat_m - b.lat_m)
+          + (a.lon_m - b.lon_m) * (a.lon_m - b.lon_m) AS BIGINT) AS d2,
+       {pround_sql('sqrt(CAST((a.lat_m - b.lat_m) * (a.lat_m - b.lat_m) + (a.lon_m - b.lon_m) * (a.lon_m - b.lon_m) AS DOUBLE))', 3)} AS dist_milli
+FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+WHERE (a.lat_m - b.lat_m) * (a.lat_m - b.lat_m)
+    + (a.lon_m - b.lon_m) * (a.lon_m - b.lon_m) <= {_GEO_RADIUS_MILLI * _GEO_RADIUS_MILLI}
+"""
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining: brands co-purchased within an order
+# --------------------------------------------------------------------------
+
+
+def q_copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 brand pairs by co-purchase support (A-Priori candidate step).
+
+    Baskets collapse to distinct (order, brand) first — the per-basket item
+    set is bounded by the brand catalog (≤ a few dozen), so the within-basket
+    self-join emits O(k²) pairs per basket = linear in baskets overall. The
+    pair aggregate shuffles on the (brand_a, brand_b) key (tiny domain → the
+    hash aggregate is map-side-combined to almost nothing), and the final
+    top-20 is a TakeOrderedAndProject. The brand dimension reaches baskets
+    via a broadcast join (part is a dimension table).
+    """
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        baskets.join(b2, (baskets.l_orderkey == b2.ok) & (baskets.p_brand < b2.brand_b))
+        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(F.desc("n_orders"), "brand_a", "brand_b").limit(20)
+
+
+_COPURCHASE_SQL = """
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+FROM baskets a JOIN baskets b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit profile (data-quality forensics)
+# --------------------------------------------------------------------------
+
+#: Expected Benford shares log10(1 + 1/d), precomputed so neither engine
+#: evaluates a logarithm at query time (libm results are not portable).
+_BENFORD_EXPECTED = {d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+def q_benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford.
+
+    The digit comes from the decimal string of integer cents (never a
+    log10), the observed share is a ratio of two integers, and the expected
+    share is an inlined literal — every number is deterministic. One hash
+    aggregate over a 9-value key; the global total is a window over 9 rows.
+    Flags digits whose observed share deviates from Benford by > 0.02
+    absolute (order totals are sums of uniform-ish draws, so real testdata
+    deviates — the flag column is the interesting output, and it is exact).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    byd = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD_EXPECTED.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    share = F.col("n").cast("double") / total.cast("double")
+    return (
+        byd.select(
+            "digit",
+            "n",
+            pround(share, 6).alias("observed"),
+            expected.alias("expected"),
+            (F.abs(share - expected) > 0.02).alias("deviates"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({v!r} AS DOUBLE)" for d, v in _BENFORD_EXPECTED.items()
+)
+
+_BENFORD_SQL = f"""
+WITH byd AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           count(*) AS n
+    FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       {pround_sql('CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)', 6)} AS observed,
+       CASE digit {_BENFORD_CASE} END AS expected,
+       abs(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+           - CASE digit {_BENFORD_CASE} END) > 0.02 AS deviates
+FROM byd
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
+# Bitwise expression + aggregate surface
+# --------------------------------------------------------------------------
+
+
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: per-customer bit_and/bit_or/bit_xor aggregates over
+    order-key low bits, plus scalar &, |, xor, ~, shifts, and popcount on the
+    group key. All integer ops — exact everywhere, single hash aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    low = F.col("o_orderkey").bitwiseAND(F.lit(0xFFFF))
+    agg = (
+        orders.select(F.col("o_custkey").alias("custkey"), low.alias("low"))
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_and(low)").alias("and_bits"),
+            F.expr("bit_or(low)").alias("or_bits"),
+            F.expr("bit_xor(low)").alias("xor_bits"),
+        )
+    )
+    return agg.select(
+        "custkey",
+        "n",
+        "and_bits",
+        "or_bits",
+        "xor_bits",
+        F.col("custkey").bitwiseAND(F.lit(255)).alias("key_and"),
+        F.col("custkey").bitwiseOR(F.lit(4096)).alias("key_or"),
+        F.col("custkey").bitwiseXOR(F.lit(0x5A5A)).alias("key_xor"),
+        F.bitwise_not(F.col("custkey")).alias("key_not"),
+        F.shiftleft(F.col("custkey"), 3).alias("key_shl"),
+        F.shiftright(F.col("custkey"), 2).alias("key_shr"),
+        F.bit_count(F.col("custkey")).alias("key_popcount"),
+    ).orderBy("custkey")
+
+
+_BITWISE_SQL = """
+WITH agg AS (
+    SELECT o_custkey AS custkey, count(*) AS n,
+           bit_and(o_orderkey & 65535) AS and_bits,
+           bit_or(o_orderkey & 65535) AS or_bits,
+           bit_xor(o_orderkey & 65535) AS xor_bits
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, n, and_bits, or_bits, xor_bits,
+       custkey & 255 AS key_and,
+       custkey | 4096 AS key_or,
+       xor(custkey, 23130) AS key_xor,
+       ~custkey AS key_not,
+       custkey << 3 AS key_shl,
+       custkey >> 2 AS key_shr,
+       CAST(bit_count(custkey) AS INTEGER) AS key_popcount
+FROM agg
+ORDER BY custkey
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "pagerank_fixed_point",
+        q_pagerank_fixed_point,
+        _PAGERANK_SQL,
+        ("graph", "iterative"),
+        doc="3-iteration PageRank on the trade graph in integer micro-units — "
+        "floor-division fixed point makes an iterative FP algorithm oracle-exact",
+    ),
+    QuerySpec(
+        "geo_cell_neighbor_pairs",
+        q_geo_cell_neighbor_pairs,
+        _GEO_SQL,
+        ("geo", "join", "dedup"),
+        doc="Grid-cell blocked within-radius spatial pairs; oracle is the "
+        "quadratic self-join semantics",
+    ),
+    QuerySpec(
+        "copurchase_brand_pairs",
+        q_copurchase_brand_pairs,
+        _COPURCHASE_SQL,
+        ("basket", "join", "agg"),
+        doc="A-Priori pair support over per-order brand baskets, top-20",
+    ),
+    QuerySpec(
+        "benford_digit_profile",
+        q_benford_digit_profile,
+        _BENFORD_SQL,
+        ("quality", "stats"),
+        doc="Benford first-digit forensics over integer cents, literal expectations",
+    ),
+    QuerySpec(
+        "bitwise_funcs",
+        q_bitwise_funcs,
+        _BITWISE_SQL,
+        ("scalar", "agg"),
+        doc="Bitwise expression and aggregate surface, integer-exact",
+    ),
+]

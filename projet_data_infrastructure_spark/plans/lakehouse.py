@@ -609,7 +609,115 @@ FROM customer
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. 2007) over the portable hash.
+# Spark's approx_count_distinct is HLL++ with an engine-private hash, so its
+# estimate can only get a rows-only check; THIS spec builds the registers
+# from hash64 explicitly, making the whole sketch — bucket split, leading-
+# zero ranks, register maxima, harmonic mean — reproducible in DuckDB and
+# therefore hash-checkable. The integer discipline mirrors KMV above:
+# Z^-1 is accumulated as Σ 2^(55-M_j) in BIGINT (exact; ≤ 64·2^55), and the
+# only floating op is one literal/integer division at the end.
+# --------------------------------------------------------------------------
+
+_HLL_P = 6  # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+#: max rho: hash is 60-bit, bucket eats p bits -> 54-bit word, rho in [1, 55]
+_HLL_RHO_CAP = 60 - _HLL_P + 1
+#: alpha_64 * m^2 * 2^55 precomputed in Python, inlined as ONE double literal
+#: so neither engine evaluates the HLL constants at query time.
+_HLL_NUMER = 0.709 * _HLL_M * _HLL_M * float(1 << _HLL_RHO_CAP)
+
+
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact distinct events vs the 64-register HLL estimate.
+
+    Plan: one projection computes (bucket, rho) map-side, a hash aggregate
+    takes register maxima on the (event_type, bucket) key (≤ 64·n_types
+    groups — map-side combine collapses everything), and a second tiny
+    aggregate folds registers into the harmonic sum. At 100 TB the register
+    aggregate IS the mergeable-sketch property: partial register maxima
+    combine associatively, exactly like production HLL. n ≫ 2.5m here, so
+    the raw (uncorrected) HLL regime applies — the canonical estimator, not
+    a simplification."""
+    ev = read_table(spark, sf_dir, "events")
+    h = hash64(F.col("event_id"))
+    base = ev.select("event_type", h.alias("h")).select(
+        "event_type",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        F.expr(f"h DIV {_HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(F.col("w")))
+    )
+    regs = base.withColumn("rho", rho).groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("m")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("event_id")).alias("n_exact")
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_CAP} - m AS INT))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(
+        1 << _HLL_RHO_CAP
+    ).cast("long")
+    est = pround(F.lit(_HLL_NUMER) / s_total.cast("double"), 3)
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.lit(_HLL_M) - F.col("n_present")).cast("long").alias("n_empty_registers"),
+            s_total.cast("long").alias("harmonic_denom"),
+            est.alias("est_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_SQL = f"""
+WITH base AS (
+    SELECT event_type,
+           ({hash64_sql('event_id')}) % {_HLL_M} AS bucket,
+           ({hash64_sql('event_id')}) // {_HLL_M} AS w
+    FROM events
+), regs AS (
+    SELECT event_type, bucket,
+           max(CASE WHEN w = 0 THEN {_HLL_RHO_CAP}
+                    ELSE {_HLL_RHO_CAP} - length(bin(w)) END) AS m
+    FROM base GROUP BY event_type, bucket
+), per_type AS (
+    SELECT event_type,
+           sum(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m)) AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY event_type
+), exact AS (
+    SELECT event_type, count(DISTINCT event_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT p.event_type, e.n_exact,
+       CAST({_HLL_M} - p.n_present AS BIGINT) AS n_empty_registers,
+       CAST(p.s_present + ({_HLL_M} - p.n_present) * {1 << _HLL_RHO_CAP} AS BIGINT)
+           AS harmonic_denom,
+       {pround_sql(f'{_HLL_NUMER!r} / CAST(p.s_present + ({_HLL_M} - p.n_present) * {1 << _HLL_RHO_CAP} AS DOUBLE)', 3)}
+           AS est_distinct
+FROM per_type p JOIN exact e ON p.event_type = e.event_type
+ORDER BY p.event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "hll_distinct_sketch",
+        q_hll_distinct_sketch,
+        _HLL_SQL,
+        ("sketch",),
+        doc="Explicit-register HyperLogLog over the portable hash — the whole "
+        "sketch is reproduced in DuckDB, so the estimate is oracle-EXACT",
+    ),
     QuerySpec(
         "schema_evolution_merge",
         q_schema_evolution_merge,

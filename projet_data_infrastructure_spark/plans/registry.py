@@ -96,6 +96,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "recursive_cte_calendar",
     "try_functions",
     "lateral_subquery_topn",
+    "pagerank_fixed_point",
+    "geo_cell_neighbor_pairs",
+    "copurchase_brand_pairs",
+    "benford_digit_profile",
+    "bitwise_funcs",
+    "hll_distinct_sketch",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
@@ -150,6 +156,7 @@ def all_specs() -> list[QuerySpec]:
         advanced,
         events_queries,
         extras,
+        graph_geo,
         lakehouse,
         llm_queries,
         relational,
@@ -162,6 +169,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(advanced.SPECS)
     specs.extend(extras.SPECS)
     specs.extend(lakehouse.SPECS)
+    specs.extend(graph_geo.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

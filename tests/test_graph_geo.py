@@ -1,0 +1,124 @@
+"""Semantics tests for the graph/geo/basket specs: fixed-point PageRank vs a
+pure-Python reference recurrence, blocked geo pairs vs brute force, HLL
+estimate accuracy, Benford share algebra, basket pair multiplicity."""
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+import projet_data_infrastructure_spark.plans.graph_geo as gg
+from projet_data_infrastructure_spark.plans.lakehouse import q_hll_distinct_sketch
+
+SF = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def _pr_reference(edges):
+    """The exact integer recurrence the operator claims, in plain Python."""
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    ranks = {n: 1_000_000 for n in deg}
+    for _ in range(gg._PR_ITERS):
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += ranks[s] // deg[s]
+        ranks = {n: 150_000 + (85 * inc.get(n, 0)) // 100 for n in deg}
+    return ranks
+
+
+def _with_tables(monkeypatch, tables):
+    monkeypatch.setattr(
+        gg, "read_table", lambda sp, sf, name: tables[name], raising=True
+    )
+
+
+def test_pagerank_matches_python_reference(spark, monkeypatch):
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 3), (103, 1)], "o_orderkey long, o_custkey long"
+    )
+    line = spark.createDataFrame(
+        [(100, 10), (100, 20), (101, 10), (102, 10), (103, 20)],
+        "l_orderkey long, l_suppkey long",
+    )
+    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    got = {r.node: r.pr_score for r in gg.q_pagerank_fixed_point(spark, SF).collect()}
+    pairs = [("c1", "s10"), ("c1", "s20"), ("c2", "s10"), ("c3", "s10")]
+    edges = pairs + [(b, a) for a, b in pairs]
+    assert got == _pr_reference(edges)
+    # hub supplier s10 (degree 3) must outrank the leaf customers
+    assert got["s10"] == max(got.values())
+
+
+def test_pagerank_partition_invariant(spark):
+    a = gg.q_pagerank_fixed_point(spark, SF).collect()
+    # integer fixed-point arithmetic owes bit-identical results under any
+    # physical partitioning; re-run under a different shuffle width
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = gg.q_pagerank_fixed_point(spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
+def test_geo_blocked_pairs_equal_bruteforce(spark):
+    blocked = {
+        (r.cust_a, r.cust_b, r.d2)
+        for r in gg.q_geo_cell_neighbor_pairs(spark, SF).collect()
+    }
+    pts = gg._geo_points(spark, SF)
+    b = pts.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("lat_m").alias("lat_b"),
+        F.col("lon_m").alias("lon_b"),
+    )
+    d2 = (F.col("lat_m") - F.col("lat_b")) * (F.col("lat_m") - F.col("lat_b")) + (
+        F.col("lon_m") - F.col("lon_b")
+    ) * (F.col("lon_m") - F.col("lon_b"))
+    brute = {
+        (r.cust_a, r.cust_b, r.d2)
+        for r in pts.crossJoin(b)
+        .filter(F.col("c_custkey") < F.col("cust_b"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= gg._GEO_RADIUS_MILLI**2)
+        .select(F.col("c_custkey").alias("cust_a"), "cust_b", "d2")
+        .collect()
+    }
+    assert blocked == brute
+    assert len(blocked) > 0
+
+
+def test_hll_estimate_within_expected_error(spark):
+    rows = q_hll_distinct_sketch(spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # sigma ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+        assert abs(r.est_distinct - r.n_exact) / r.n_exact < 0.40, r
+        # n >> 2.5m here, so most registers must be occupied
+        assert r.n_empty_registers <= 2, r
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = gg.q_benford_digit_profile(spark, SF).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.observed for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.expected for r in rows) - 1.0) < 1e-4
+
+
+def test_copurchase_counts_each_order_once(spark, monkeypatch):
+    line = spark.createDataFrame(
+        # order 1 buys brands A, A, B, C (A twice); order 2 buys A, B
+        [(1, 11), (1, 12), (1, 20), (1, 30), (2, 11), (2, 20)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(11, "A"), (12, "A"), (20, "B"), (30, "C")], "p_partkey long, p_brand string"
+    )
+    _with_tables(monkeypatch, {"lineitem": line, "part": part})
+    got = {
+        (r.brand_a, r.brand_b): r.n_orders
+        for r in gg.q_copurchase_brand_pairs(spark, SF).collect()
+    }
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
