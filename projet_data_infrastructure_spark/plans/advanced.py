@@ -268,6 +268,55 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Per-user autocorrelation (lag-1 and lag-2) of the event value series —
+# the time-series diagnostic a feature-drift monitor runs per entity.
+# One window sort per user produces BOTH lagged columns (same partition key
+# and order, so Catalyst plans a single Exchange + Sort), then a hash
+# aggregate computes the two Pearson terms. Scale: everything is keyed by
+# user_id — no global sort, no cross-user traffic.
+# --------------------------------------------------------------------------
+
+
+def q_acf_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("v1").alias("n_lag1_pairs"),
+            pround(F.corr("value", "v1"), 4).alias("acf1"),
+            pround(F.corr("value", "v2"), 4).alias("acf2"),
+        )
+        .filter(F.col("n_lag1_pairs") >= 10)
+        .orderBy("user_id")
+    )
+
+
+_ACF_SQL = f"""
+WITH lagged AS (
+    SELECT user_id, value,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+           lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2
+    FROM events
+)
+SELECT user_id,
+       count(v1) AS n_lag1_pairs,
+       {pround_sql('corr(value, v1)', 4)} AS acf1,
+       {pround_sql('corr(value, v2)', 4)} AS acf2
+FROM lagged
+GROUP BY user_id
+HAVING count(v1) >= 10
+ORDER BY user_id
+"""
+
+
 def q_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
@@ -2413,5 +2462,13 @@ SPECS: list[QuerySpec] = [
         _ROBUST_OUTLIERS_SQL,
         ("agg", "stats", "quality"),
         doc="Per-user |x-median| > 3*MAD spend anomalies, portable interpolated medians",
+    ),
+    QuerySpec(
+        "acf_by_user",
+        q_acf_by_user,
+        _ACF_SQL,
+        ("window", "stats", "timeseries"),
+        doc="Per-user lag-1/lag-2 autocorrelation; one shared window sort, "
+        "user-keyed — no global stage",
     ),
 ]

@@ -76,6 +76,48 @@ FROM assets
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing as a registry surface: every 5th asset per
+    media type (``frame_sample_plan``) is decoded through the Arrow-batched
+    stub and projected to scalar metadata. Stands in for per-video frame
+    extraction at the plan level — the per-type window rank + stride filter
+    is exactly the shape a frame sampler needs (partition by video, stride
+    over frame index); the decode is the injected fake, which makes every
+    output column reproducible in the DuckDB oracle from the ASCII payload.
+    """
+    from projet_data_infrastructure_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_assets,
+    )
+
+    sampled = frame_sample_plan(synthetic_assets(spark, n=128), every_nth=5)
+    return extract_features(sampled).select(
+        "asset_id", "media_type", "n_bytes", "width", "height"
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH assets AS (
+    SELECT id,
+           CASE id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS media_type,
+           'media-payload-' || CAST(id AS VARCHAR) AS payload
+    FROM range(128) t(id)
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY media_type ORDER BY id) AS rn
+    FROM assets
+)
+SELECT id AS asset_id, media_type,
+       CAST(length(payload) AS INT) AS n_bytes,
+       CAST(16 + ascii(payload[1]) % 64 AS INT) AS width,
+       CAST(16 + ascii(payload[length(payload)]) % 64 AS INT) AS height
+FROM ranked
+WHERE (rn - 1) % 5 = 0
+"""
+
+
 def q_multimodal_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-CHECKED multimodal path: documents' text bytes as the binary
     payload, pushed through the real ``mapInPandas`` decode/featurize stage
@@ -752,6 +794,14 @@ SPECS: list[QuerySpec] = [
         q_multimodal_size_hist,
         _MULTIMODAL_HIST_SQL,
         ("multimodal",),
+    ),
+    QuerySpec(
+        "multimodal_frame_sample",
+        q_multimodal_frame_sample,
+        _FRAME_SAMPLE_SQL,
+        ("multimodal", "window"),
+        doc="Stride-sampled assets per media type through the Arrow decode stub; "
+        "window-rank + stride filter is the frame-sampler plan shape",
     ),
     QuerySpec("approx_count_distinct", q_approx_distinct, None, ("agg", "rows-only")),
     QuerySpec("approx_quantiles", q_approx_quantiles, None, ("agg", "rows-only")),

@@ -102,6 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benford_digit_profile",
     "bitwise_funcs",
     "hll_distinct_sketch",
+    "multimodal_frame_sample",
+    "acf_by_user",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

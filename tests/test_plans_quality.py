@@ -483,3 +483,58 @@ def test_ivfpq_residual_candidate_stage_is_mapside(spark):
     # anywhere means a data-sized shuffle snuck in
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_geo_pairs_plan_is_equi_join_not_nested_loop(spark):
+    from projet_data_infrastructure_spark.plans.graph_geo import q_geo_cell_neighbor_pairs
+
+    checks = explain_has(
+        q_geo_cell_neighbor_pairs(spark, SF),
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    )
+    # blocking must plan as a hash/sort-merge EQUI-join on the cell key;
+    # any nested-loop form means the 3x3 candidate algebra regressed to
+    # all-pairs and would not survive scale
+    assert not checks["BroadcastNestedLoopJoin"]
+    assert not checks["CartesianProduct"]
+
+
+def test_copurchase_broadcasts_part_dim(spark):
+    from projet_data_infrastructure_spark.plans.graph_geo import q_copurchase_brand_pairs
+
+    checks = explain_has(
+        q_copurchase_brand_pairs(spark, SF),
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "TakeOrderedAndProject",
+    )
+    assert checks["BroadcastHashJoin"]  # part dim reaches baskets broadcast
+    assert not checks["CartesianProduct"]
+    assert checks["TakeOrderedAndProject"]  # top-20 never global-sorts
+
+
+def test_pagerank_plan_has_no_cartesian_and_bounded_exchanges(spark):
+    from projet_data_infrastructure_spark.plans.graph_geo import q_pagerank_fixed_point
+
+    df = q_pagerank_fixed_point(spark, SF)
+    checks = explain_has(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
+
+
+def test_acf_shares_one_window_exchange(spark):
+    from projet_data_infrastructure_spark.plans.advanced import q_acf_by_user
+
+    df = q_acf_by_user(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # both lag columns must come from ONE window sort: exactly one Window
+    # operator, and no second Exchange between window and aggregate beyond
+    # the aggregate's own
+    assert plan.count("(2) Window") + plan.count(") Window") >= 1
+    import re
+
+    wins = len(re.findall(r"\)\s+Window\b", plan))
+    assert wins == 1, f"expected one Window operator, plan has {wins}"
