@@ -417,7 +417,7 @@ SPECS: list[QuerySpec] = [
         "pagerank_fixed_point",
         q_pagerank_fixed_point,
         _PAGERANK_SQL,
-        ("graph", "iterative"),
+        ("graph", "iterative", "bench"),
         doc="3-iteration PageRank on the trade graph in integer micro-units — "
         "floor-division fixed point makes an iterative FP algorithm oracle-exact",
     ),
@@ -425,7 +425,7 @@ SPECS: list[QuerySpec] = [
         "geo_cell_neighbor_pairs",
         q_geo_cell_neighbor_pairs,
         _GEO_SQL,
-        ("geo", "join", "dedup"),
+        ("geo", "join", "dedup", "bench"),
         doc="Grid-cell blocked within-radius spatial pairs; oracle is the "
         "quadratic self-join semantics",
     ),
