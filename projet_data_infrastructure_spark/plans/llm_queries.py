@@ -642,52 +642,59 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF (``tfidf_top_terms``) is not: saturating tf and length
     normalization (k1=1.2, b=0.75, Lucene idf = ln(1 + (N−df+0.5)/(df+0.5))).
 
-    Scale shape: one token explode feeds both the per-doc length and the
-    per-(doc, query-term) tf; df and the corpus stats are tiny broadcast
-    aggregates; the score is map-side arithmetic. Per-term contributions
-    are summed via FIXED-ORDER conditional aggregates (one sum per query
-    term, added left-to-right) so float addition order is identical in
-    both engines — a bare sum over the exploded rows would be
-    partition-order-dependent at the ULP level."""
+    Scale shape: ONE token explode feeds ONE per-doc aggregate that
+    produces both the doc length and the per-query-term tf as conditional
+    counts (the query is fixed, so terms become columns, not join rows) —
+    the corpus is tokenized exactly once and the only data-sized shuffle is
+    the doc_id aggregate. df and the corpus stats fold out of the same
+    per-doc frame into a one-row broadcast. Per-term contributions are
+    added left-to-right in fixed query order so float addition order is
+    identical in both engines — a bare sum over exploded rows would be
+    partition-order-dependent at the ULP level. (The previous form
+    aggregated tokens twice — per-doc length and (doc, term) tf separately
+    — and joined them back: same numbers, 2× the tokenize work and two
+    extra shuffles.)"""
     docs = read_table_balanced(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    nq = len(_BM25_QUERY)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_QUERY)
+        ],
     )
-    tf = (
-        tok.filter(F.col("term").isin(list(_BM25_QUERY)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(nq)
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    base = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
+    matched = per_doc.filter(
+        sum((F.col(f"tf{i}") for i in range(1, nq)), F.col("tf0")) > 0
     )
+    base = matched.join(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tfn = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
-    )
-    contrib = idf * tfn
-    per_term = base.select("doc_id", "term", contrib.alias("c"))
-    parts = [
-        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0))
-        for t in _BM25_QUERY
-    ]
-    score = parts[0]
-    for p in parts[1:]:
-        score = score + p
+
+    def contrib(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        tfn = (tf * F.lit(_BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+        return F.when(tf > 0, idf * tfn).otherwise(F.lit(0.0))
+
+    score = contrib(0)
+    for i in range(1, nq):
+        score = score + contrib(i)
     return (
-        per_term.groupBy("doc_id")
-        .agg(pround(score, 4).alias("bm25"))
+        base.select("doc_id", pround(score, 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
