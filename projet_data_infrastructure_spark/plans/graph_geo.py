@@ -53,7 +53,12 @@ _PR_UNIT = 1_000_000  # initial rank mass per node, in micro-units
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected customer↔supplier trade edges as two directed arcs."""
+    """Undirected customer↔supplier trade edges as two directed arcs.
+
+    Node ids are packed LONGS (customer k → 2k, supplier k → 2k+1): every
+    downstream shuffle, hash join and aggregate keys on 8 bytes instead of
+    a varchar — the same shuffle-key discipline the dedup operators follow.
+    The display label is reconstructed only for the final top-20 rows."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -61,8 +66,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    cust = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    supp = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    cust = (F.col("o_custkey") * 2).cast("long")
+    supp = (F.col("l_suppkey") * 2 + 1).cast("long")
     fwd = pairs.select(cust.alias("src"), supp.alias("dst"))
     rev = pairs.select(supp.alias("src"), cust.alias("dst"))
     return fwd.unionByName(rev)
@@ -71,28 +76,45 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 trade-graph nodes by 3-iteration fixed-point PageRank.
 
-    Plan shape per iteration: edges ⋈ ranks on src (shuffle on the 8-byte-ish
-    node key), hash aggregate on dst (map-side partial sums), left join back
-    onto the node list — the standard Pregel-on-DataFrames step. At 100 TB
-    you would `localCheckpoint` every few iterations to cut lineage (the CC
-    operator in ``operators/dedup.py`` shows that discipline); 3 bounded
-    iterations here keep the plan explainable. All rank arithmetic is
-    integer, so the result hash-matches the unrolled-CTE DuckDB oracle
-    exactly — no FP summation-order leeway.
+    Plan shape per iteration: the (rank DIV degree) emission table — |V|
+    rows — BROADCASTS into a map-side hash join against the edge list, and
+    the only exchange is the destination aggregate, map-side-combined from
+    |E| rows down to |V|. The edge list itself is never shuffled. That is
+    the right plan whenever |V| ≪ |E| and the vertex table fits executor
+    memory (entity graphs: customers, suppliers, domains, repos — even 10⁹
+    vertices × 16 B is broadcast-marginal but fine as an executor-memory
+    hash map at 100 TB edge scale); for web-scale vertex sets swap the
+    broadcast for a keyed shuffle join — the algebra is unchanged. All rank
+    arithmetic is integer, so the result hash-matches the unrolled-CTE
+    DuckDB oracle exactly — no FP summation-order leeway.
+
+    The edge list is ``localCheckpoint``ed ONCE before the loop: without it
+    every iteration's lineage re-derives orders ⋈ lineitem ⋈ distinct from
+    scratch (the 3-iteration plan embedded the edge build ~7×). The block
+    is freed by the ContextCleaner when the frame is collected
+    (non-reliable storage: an executor loss fails the job — the same
+    documented trade the CC operator makes).
     """
-    edges = _trade_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    # deg (|V| rows) is read by every iteration's emission join AND the node
+    # list — checkpoint the tiny aggregate once instead of re-scanning the
+    # edge list per iteration.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.select("node", F.lit(_PR_UNIT).cast("long").alias("pr_score"))
     for _ in range(_PR_ITERS):
+        emit = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select("node", F.expr("pr_score DIV degree").alias("c"))
+        )
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == ranks.node)
-            .select(F.col("dst"), F.expr("pr_score DIV degree").alias("c"))
+            edges.join(F.broadcast(emit), edges.src == emit.node)
             .groupBy("dst")
             .agg(F.sum("c").alias("inc"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
             "node",
             (
                 F.lit(150_000)
@@ -101,7 +123,16 @@ def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("pr_score"),
         )
-    return ranks.orderBy(F.desc("pr_score"), F.asc("node")).limit(20)
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("node DIV 2").cast("string"),
+    )
+    # tie-break on the STRING label (matches the oracle's ORDER BY node)
+    return (
+        ranks.select(label.alias("node"), "pr_score")
+        .orderBy(F.desc("pr_score"), F.asc("node"))
+        .limit(20)
+    )
 
 
 def _pr_oracle() -> str:
