@@ -175,6 +175,120 @@ _PAGERANK_SQL = _pr_oracle()
 
 
 # --------------------------------------------------------------------------
+# Triangle counting (degree-ordered node-iterator + Doulion sparsification)
+# --------------------------------------------------------------------------
+
+_TRI_KEEP_MOD = 10  # Doulion p = 1/10 edge sampling
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the (sparsified) supplier co-service graph.
+
+    Graph: suppliers are linked when they serve a common customer. The raw
+    co-service graph is near-complete (every big supplier meets every
+    other), so the spec applies Doulion (Tsourakakis et al., KDD 2009):
+    keep each edge iff a deterministic hash ∈ [0, p·M) — here p = 1/10 —
+    count triangles EXACTLY on the sparsified graph, and report t/p³ as the
+    unbiased estimate of the full count. The hash sparsifier makes the
+    whole pipeline reproducible in DuckDB, so even the "sampled" algorithm
+    is hash-checked, not tolerance-checked.
+
+    Count plan (Spark side): degree-ordered orientation — every edge points
+    from the (degree, id)-smaller endpoint to the larger, so each triangle
+    is counted exactly once and per-vertex wedge work is bounded by
+    O(arboricity · deg) instead of O(deg²) on hubs (the Schank/Wagner
+    node-iterator refinement; what GraphFrames' triangleCount does). Two
+    equi-joins: wedges (a→b, a→c) matched against the closing edge (b→c).
+    The oracle counts the same triangles with the simpler a<b<c id-ordered
+    triple join — two different orientations, one count.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    serves = (
+        orders.join(line, orders.o_orderkey == line.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    other = serves.select(
+        F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("s2")
+    )
+    pair_key = F.concat(
+        F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
+    )
+    edges = (
+        serves.join(other, (serves.o_custkey == other.ck) & (serves.l_suppkey < other.s2))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+        .filter(F.pmod(hash64(pair_key, seed=77), F.lit(_TRI_KEEP_MOD)) == 0)
+        .localCheckpoint()
+    )
+    # degree-ordered orientation: lo -> hi by (degree, id)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    w2 = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
+    wedges = oriented.join(
+        w2, (F.col("lo") == F.col("lo2")) & (F.col("hi") < F.col("hi2"))
+    ).select(F.col("hi").alias("x"), F.col("hi2").alias("y"))
+    # closing edge may be oriented either way between x and y -> id-canonical
+    closing = oriented.select(
+        F.least(F.col("lo"), F.col("hi")).alias("cx"),
+        F.greatest(F.col("lo"), F.col("hi")).alias("cy"),
+    )
+    tri = wedges.join(
+        closing, (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy"))
+    ).count()
+    n_edges = edges.count()
+    # multiply by (1/p)^3 rather than divide by p^3: 0.1 is not a binary
+    # double, and t/0.001 lands one ulp off t*1000 — the oracle multiplies
+    est = float(tri) * float(_TRI_KEEP_MOD) ** 3
+    return spark.createDataFrame(
+        [(int(n_edges), int(tri), est)],
+        "n_edges_sampled long, n_triangles long, doulion_estimate double",
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH serves AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT DISTINCT a.sk AS a, b.sk AS b
+    FROM serves a JOIN serves b ON a.ck = b.ck AND a.sk < b.sk
+),
+kept AS (
+    SELECT a, b FROM edges
+    WHERE ({hash64_sql("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)", seed=77)})
+          % {_TRI_KEEP_MOD} = 0
+),
+tri AS (
+    SELECT count(*) AS t
+    FROM kept e1
+    JOIN kept e2 ON e1.b = e2.a
+    JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_edges_sampled,
+       CAST(t AS BIGINT) AS n_triangles,
+       CAST(t AS DOUBLE) * {float(_TRI_KEEP_MOD) ** 3!r} AS doulion_estimate
+FROM tri
+"""
+
+
+# --------------------------------------------------------------------------
 # Grid-cell blocked spatial neighbor pairs (integer milli-degrees)
 # --------------------------------------------------------------------------
 
@@ -451,6 +565,15 @@ SPECS: list[QuerySpec] = [
         ("graph", "iterative", "bench"),
         doc="3-iteration PageRank on the trade graph in integer micro-units — "
         "floor-division fixed point makes an iterative FP algorithm oracle-exact",
+    ),
+    QuerySpec(
+        "triangle_count_suppliers",
+        q_triangle_count,
+        _TRIANGLE_SQL,
+        ("graph",),
+        doc="Doulion-sparsified triangle count on the supplier co-service "
+        "graph: deterministic hash edge sampling (p=1/10), degree-ordered "
+        "node-iterator exact count, t/p^3 unbiased estimate — all hash-checked",
     ),
     QuerySpec(
         "geo_cell_neighbor_pairs",

@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_distinct_sketch",
     "multimodal_frame_sample",
     "acf_by_user",
+    "triangle_count_suppliers",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

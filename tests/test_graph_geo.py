@@ -122,3 +122,52 @@ def test_copurchase_counts_each_order_once(spark, monkeypatch):
         for r in gg.q_copurchase_brand_pairs(spark, SF).collect()
     }
     assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_triangle_count_k4_complete_graph(spark, monkeypatch):
+    # 4 suppliers all serving one customer -> K4: 6 edges, 4 triangles
+    orders = spark.createDataFrame([(1, 100)], "o_orderkey long, o_custkey long")
+    line = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, 4)], "l_orderkey long, l_suppkey long"
+    )
+    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    monkeypatch.setattr(gg, "_TRI_KEEP_MOD", 1)  # disable sparsification
+    row = gg.q_triangle_count(spark, SF).collect()[0]
+    assert (row.n_edges_sampled, row.n_triangles) == (6, 4)
+    assert row.doulion_estimate == 4.0
+
+
+def test_triangle_count_matches_id_ordered_bruteforce(spark):
+    import pyspark.sql.functions as FF
+
+    row = gg.q_triangle_count(spark, SF).collect()[0]
+    # rebuild the sampled edge set and count with the naive a<b<c triple join
+    orders = gg.read_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    line = gg.read_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    serves = (
+        orders.join(line, orders.o_orderkey == line.l_orderkey)
+        .select(FF.col("o_custkey").alias("ck"), FF.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    b = serves.select(FF.col("ck").alias("ck2"), FF.col("sk").alias("sk2"))
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    key = FF.concat(
+        FF.col("a").cast("string"), FF.lit(":"), FF.col("b").cast("string")
+    )
+    edges = (
+        serves.join(b, (serves.ck == b.ck2) & (serves.sk < b.sk2))
+        .select(FF.col("sk").alias("a"), FF.col("sk2").alias("b"))
+        .distinct()
+        .filter(FF.pmod(hash64(key, seed=77), FF.lit(gg._TRI_KEEP_MOD)) == 0)
+    )
+    e1 = edges
+    e2 = edges.select(FF.col("a").alias("b_"), FF.col("b").alias("c_"))
+    e3 = edges.select(FF.col("a").alias("a3"), FF.col("b").alias("c3"))
+    naive = (
+        e1.join(e2, e1.b == e2.b_)
+        .join(e3, (FF.col("a") == FF.col("a3")) & (FF.col("c_") == FF.col("c3")))
+        .count()
+    )
+    assert row.n_triangles == naive
+    assert row.n_edges_sampled == edges.count()
