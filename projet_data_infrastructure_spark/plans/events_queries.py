@@ -85,6 +85,60 @@ def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("id").isNotNull())
 
 
+def q_xml_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML surface (`from_xml`, SPARK-44751): the CDC
+    envelope exercise re-run over XML — build a deterministic XML document
+    per event, parse it back with a typed schema, extract and filter.
+    Element-only layout (attribute handling is prefix-configurable and adds
+    nothing here). DuckDB has no XML type, so the oracle builds the SAME
+    string and extracts the fields with anchored regexes — both engines
+    genuinely parse the document they were handed. Purchase-only filter
+    proves predicate pushdown through the parse projection."""
+    ev = read_table_balanced(spark, sf_dir, "events")
+    value_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    xml = F.concat(
+        F.lit("<event><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><user>"),
+        F.col("user_id").cast("string"),
+        F.lit("</user><type>"),
+        F.col("event_type"),
+        F.lit("</type><cents>"),
+        value_cents.cast("string"),
+        F.lit("</cents></event>"),
+    )
+    parsed = ev.select(xml.alias("doc")).select(
+        F.from_xml(
+            "doc", "id BIGINT, user BIGINT, type STRING, cents BIGINT"
+        ).alias("x")
+    )
+    return (
+        parsed.select(
+            F.col("x.id").alias("id"),
+            F.col("x.user").alias("user_id"),
+            F.col("x.type").alias("event_type"),
+            F.col("x.cents").alias("value_cents"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+
+
+_XML_ENVELOPE_SQL = """
+WITH doc AS (
+    SELECT '<event><id>' || event_id || '</id><user>' || user_id
+        || '</user><type>' || event_type || '</type><cents>'
+        || CAST(floor(value * 100 + 0.5) AS BIGINT) || '</cents></event>' AS x
+    FROM events
+)
+SELECT CAST(regexp_extract(x, '<id>([0-9]+)</id>', 1) AS BIGINT) AS id,
+       CAST(regexp_extract(x, '<user>([0-9]+)</user>', 1) AS BIGINT) AS user_id,
+       regexp_extract(x, '<type>([a-z]+)</type>', 1) AS event_type,
+       CAST(regexp_extract(x, '<cents>(-?[0-9]+)</cents>', 1) AS BIGINT) AS value_cents
+FROM doc
+WHERE regexp_extract(x, '<type>([a-z]+)</type>', 1) = 'purchase'
+"""
+
+
 _CDC_ENVELOPE_SQL = """
 WITH envelope AS (
     SELECT '{"payload":{"after":{"id":' || event_id
@@ -1134,6 +1188,14 @@ SPECS: list[QuerySpec] = [
         "surrounding observations per user",
     ),
     QuerySpec("cdc_envelope_parse", q_cdc_envelope, _CDC_ENVELOPE_SQL, ("cdc", "json", "bench")),
+    QuerySpec(
+        "xml_envelope_extract",
+        q_xml_envelope,
+        _XML_ENVELOPE_SQL,
+        ("xml", "scalar"),
+        doc="Spark 4 from_xml typed envelope parse; oracle re-parses the same "
+        "document with anchored regexes",
+    ),
     QuerySpec("epoch_us_roundtrip", q_epoch_roundtrip, _EPOCH_SQL, ("scalar",)),
     QuerySpec("tumbling_window_agg", q_tumbling_window, _TUMBLING_SQL, ("window", "streaming", "bench")),
     QuerySpec("sliding_window_agg", q_sliding_window, _SLIDING_SQL, ("window", "streaming")),

@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "acf_by_user",
     "triangle_count_suppliers",
+    "xml_envelope_extract",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
