@@ -317,6 +317,54 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Spark 4 SQL surface: listagg WITHIN GROUP (SPARK-42746) + parameterized
+# spark.sql (named :params, SPARK-41271) — the injection-safe way to thread
+# runtime values into SQL text, and the ANSI ordered string aggregation.
+# --------------------------------------------------------------------------
+
+_LISTAGG_CUTOFF = 30
+
+
+def q_listagg_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer DESC-ordered order-key roster via ``listagg ... WITHIN
+    GROUP``, for customers under a cutoff passed as a NAMED PARAMETER to
+    ``spark.sql`` (never string-interpolated — parameter binding survives
+    hostile values and keeps one plan cache entry). The deterministic
+    WITHIN GROUP order is what makes an aggregation over strings
+    hash-checkable; bare ``listagg`` without it is partition-order-dependent
+    and would flake. DuckDB spells the same thing ``string_agg(... ORDER
+    BY)``."""
+    from projet_data_infrastructure_spark.sources.readers import load_star
+
+    load_star(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                   WITHIN GROUP (ORDER BY o_orderkey DESC) AS orderkeys_desc
+        FROM orders
+        WHERE o_custkey < :cutoff
+        GROUP BY o_custkey
+        ORDER BY custkey
+        """,
+        args={"cutoff": _LISTAGG_CUTOFF},
+    )
+
+
+_LISTAGG_SQL = f"""
+SELECT o_custkey AS custkey,
+       count(*) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey DESC)
+           AS orderkeys_desc
+FROM orders
+WHERE o_custkey < {_LISTAGG_CUTOFF}
+GROUP BY o_custkey
+ORDER BY custkey
+"""
+
+
 def q_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
@@ -2470,5 +2518,13 @@ SPECS: list[QuerySpec] = [
         ("window", "stats", "timeseries"),
         doc="Per-user lag-1/lag-2 autocorrelation; one shared window sort, "
         "user-keyed — no global stage",
+    ),
+    QuerySpec(
+        "listagg_param_sql",
+        q_listagg_param_sql,
+        _LISTAGG_SQL,
+        ("agg", "scalar"),
+        doc="Spark 4 listagg WITHIN GROUP + named-parameter spark.sql; "
+        "deterministic ordered string aggregation",
     ),
 ]

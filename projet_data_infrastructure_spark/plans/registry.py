@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "acf_by_user",
     "triangle_count_suppliers",
     "xml_envelope_extract",
+    "listagg_param_sql",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
