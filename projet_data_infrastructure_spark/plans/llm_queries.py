@@ -1893,6 +1893,51 @@ LIMIT 20
 """
 
 
+def q_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED A-Res: the top-3 weighted-sample docs from EVERY language
+    in one pass — the per-stratum reservoir a mixture builder draws when
+    each language needs its own quota. Same Efraimidis–Spirakis keys as
+    ``weighted_sample_topk``; the global TakeOrdered becomes a
+    rank-per-group window, which Spark executes as Partial+Final
+    WindowGroupLimit — each task keeps only 3 rows per language before the
+    exchange, so the shuffle carries O(3·|langs|·P) rows, never the corpus.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    u = (F.pmod(hash64(F.col("doc_id"), seed=13), F.lit(1_000_000)) + 1) / F.lit(
+        1_000_001.0
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    keyed = docs.select(
+        "lang", "doc_id", F.col("n_chars").alias("w"), pround(key, 6).alias("es_key")
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    )
+    return (
+        keyed.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= 3)
+        .orderBy("lang", "rnk")
+    )
+
+
+_WEIGHTED_PER_LANG_SQL = f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars AS w,
+           {pround_sql(f"ln((({hash64_sql('doc_id', seed=13)}) % 1000000 + 1) / 1000001.0) / CAST(n_chars AS DOUBLE)", 6)} AS es_key
+    FROM documents
+)
+SELECT lang, doc_id, w, es_key, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rnk
+    FROM keyed)
+WHERE rnk <= 3
+ORDER BY lang, rnk
+"""
+
+
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule document quality gates (Rae et al. 2021, MassiveText
     filtering, §A1.1): word-count bounds, mean-word-length band, fraction of
@@ -2360,6 +2405,14 @@ SPECS: list[QuerySpec] = [
         ("text", "sampling"),
         doc="Efraimidis-Spirakis A-Res weighted sampling without replacement "
         "(deterministic hash uniforms, reservoir top-k)",
+    ),
+    QuerySpec(
+        "weighted_sample_per_lang",
+        q_weighted_sample_per_lang,
+        _WEIGHTED_PER_LANG_SQL,
+        ("text", "sampling", "window"),
+        doc="Stratified A-Res: per-language top-3 reservoir in one pass via "
+        "WindowGroupLimit — per-stratum quotas without per-stratum jobs",
     ),
     QuerySpec(
         "gopher_quality_flags",

@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "triangle_count_suppliers",
     "xml_envelope_extract",
     "listagg_param_sql",
+    "weighted_sample_per_lang",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
