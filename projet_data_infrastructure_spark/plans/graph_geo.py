@@ -382,6 +382,113 @@ WHERE (a.lat_m - b.lat_m) * (a.lat_m - b.lat_m)
 
 
 # --------------------------------------------------------------------------
+# Grid-based density clustering (the GDBSCAN / GriDBSCAN family shape)
+# --------------------------------------------------------------------------
+
+_DBSCAN_CELL_MILLI = 500  # 0.5° density cells
+_DBSCAN_MIN_PTS = 4  # a cell is dense when it holds >= this many points
+
+
+def q_geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clusters via the grid decomposition: count
+    points per 0.5° cell (one hash aggregate — the only stage that touches
+    point rows), keep dense cells (≥ minPts), link 8-adjacent dense cells,
+    and label components with the SAME distributed CC operator the dedup
+    family uses (`operators/dedup.py:duplicate_clusters` — min-label
+    propagation with path halving and per-round lineage cuts). This is the
+    grid variant of DBSCAN (GDBSCAN/GriDBSCAN): clusters of dense cells,
+    noise = sparse cells, no per-point pair distances at all — at 100 TB
+    the CC input is the DENSE-CELL graph, orders of magnitude smaller than
+    the point set. Output: one row per cluster with cell and point totals.
+    Isolated dense cells (no dense neighbor) never enter the edge list, so
+    their labels backfill as their own cell id — same convention as the CC
+    operator's singleton handling."""
+    from projet_data_infrastructure_spark.operators.dedup import duplicate_clusters
+
+    pts = _geo_points(spark, sf_dir)
+    cells = (
+        pts.groupBy(
+            F.expr(f"lat_m DIV {_DBSCAN_CELL_MILLI}").alias("cx"),
+            F.expr(f"lon_m DIV {_DBSCAN_CELL_MILLI}").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .filter(F.col("n_pts") >= _DBSCAN_MIN_PTS)
+        .withColumn("cell_id", (F.col("cx") * 100 + F.col("cy")).cast("long"))
+    )
+    right = cells.select(
+        F.col("cell_id").alias("cell_b"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    pairs = (
+        cells.withColumn("dx", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+        .join(
+            right,
+            (F.col("cx") + F.col("dx") == F.col("bx"))
+            & (F.col("cy") + F.col("dy") == F.col("by"))
+            & (F.col("cell_id") < F.col("cell_b")),
+        )
+        .select(F.col("cell_id").alias("a"), F.col("cell_b").alias("b"))
+    )
+    comp = duplicate_clusters(pairs, a_col="a", b_col="b")
+    labeled = cells.join(comp, cells.cell_id == comp.doc_id, "left").select(
+        "cell_id",
+        "n_pts",
+        F.coalesce(F.col("component"), F.col("cell_id")).alias("cluster"),
+    )
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_pts").alias("n_points"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE pts AS (
+    SELECT c_custkey,
+           ({hash64_sql('c_custkey', seed=101)}) % {_GEO_BOX_MILLI} AS lat_m,
+           ({hash64_sql('c_custkey', seed=102)}) % {_GEO_BOX_MILLI} AS lon_m
+    FROM customer
+),
+cells AS (
+    SELECT lat_m // {_DBSCAN_CELL_MILLI} AS cx, lon_m // {_DBSCAN_CELL_MILLI} AS cy,
+           count(*) AS n_pts
+    FROM pts GROUP BY 1, 2 HAVING count(*) >= {_DBSCAN_MIN_PTS}
+),
+ids AS (
+    SELECT CAST(cx * 100 + cy AS BIGINT) AS cell_id, cx, cy, n_pts FROM cells
+),
+pairs AS (
+    SELECT a.cell_id AS a, b.cell_id AS b
+    FROM ids a JOIN ids b
+      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+     AND a.cell_id < b.cell_id
+),
+edges AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION
+    SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT COALESCE(c.component, i.cell_id) AS cluster,
+       count(*) AS n_cells,
+       CAST(sum(i.n_pts) AS BIGINT) AS n_points
+FROM ids i LEFT JOIN comp c ON i.cell_id = c.node
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Market-basket pair mining: brands co-purchased within an order
 # --------------------------------------------------------------------------
 
@@ -582,6 +689,15 @@ SPECS: list[QuerySpec] = [
         ("geo", "join", "dedup", "bench"),
         doc="Grid-cell blocked within-radius spatial pairs; oracle is the "
         "quadratic self-join semantics",
+    ),
+    QuerySpec(
+        "geo_grid_dbscan",
+        q_geo_grid_dbscan,
+        _DBSCAN_SQL,
+        ("geo", "graph", "clustering"),
+        doc="Grid-based density clustering (GDBSCAN shape): dense 0.5-degree "
+        "cells linked by 8-adjacency, labeled by the shared distributed CC "
+        "operator; recursive-CTE oracle",
     ),
     QuerySpec(
         "copurchase_brand_pairs",

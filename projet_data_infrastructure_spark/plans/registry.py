@@ -108,6 +108,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "xml_envelope_extract",
     "listagg_param_sql",
     "weighted_sample_per_lang",
+    "geo_grid_dbscan",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

@@ -171,3 +171,28 @@ def test_triangle_count_matches_id_ordered_bruteforce(spark):
     )
     assert row.n_triangles == naive
     assert row.n_edges_sampled == edges.count()
+
+
+def test_grid_dbscan_separated_blocks_and_noise(spark, monkeypatch):
+    # two dense blocks far apart + isolated noise points
+    rows = []
+    # block A: 6 points in cell (0,0); block B: 5 points in cell (10,10)
+    rows += [(i, 100 + i, 100 + i) for i in range(6)]
+    rows += [(10 + i, 5100 + i, 5100 + i) for i in range(5)]
+    # noise: 3 points alone in distinct far cells (below minPts)
+    rows += [(100, 9900, 100), (101, 100, 9900), (102, 9900, 9900)]
+    pts = spark.createDataFrame(rows, "c_custkey long, lat_m long, lon_m long")
+    monkeypatch.setattr(gg, "_geo_points", lambda sp, sf: pts)
+    out = {r.cluster: (r.n_cells, r.n_points) for r in gg.q_geo_grid_dbscan(spark, SF).collect()}
+    # cell ids: (0,0) -> 0; (10,10) -> 1010; noise cells never appear
+    assert out == {0: (1, 6), 1010: (1, 5)}
+
+
+def test_grid_dbscan_adjacent_cells_merge(spark, monkeypatch):
+    # two dense cells sharing a corner merge into one cluster
+    rows = [(i, 400 + i, 400 + i) for i in range(4)]          # cell (0,0)
+    rows += [(10 + i, 600 + i, 600 + i) for i in range(4)]    # cell (1,1)
+    pts = spark.createDataFrame(rows, "c_custkey long, lat_m long, lon_m long")
+    monkeypatch.setattr(gg, "_geo_points", lambda sp, sf: pts)
+    out = {r.cluster: (r.n_cells, r.n_points) for r in gg.q_geo_grid_dbscan(spark, SF).collect()}
+    assert out == {0: (2, 8)}
