@@ -370,6 +370,45 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_stream_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE: the XML envelope parse running under Structured Streaming —
+    `from_xml` is a plain projection, so it drops into a micro-batch plan
+    unchanged (append mode, no state); the value is pinning that the typed
+    XML path produces byte-identical output batch vs stream. Oracle: the
+    batch XML SQL."""
+    stream = _events_stream(spark, sf_dir)
+    value_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    xml = F.concat(
+        F.lit("<event><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><user>"),
+        F.col("user_id").cast("string"),
+        F.lit("</user><type>"),
+        F.col("event_type"),
+        F.lit("</type><cents>"),
+        value_cents.cast("string"),
+        F.lit("</cents></event>"),
+    )
+    parsed = (
+        stream.select(xml.alias("doc"))
+        .select(
+            F.from_xml(
+                "doc", "id BIGINT, user BIGINT, type STRING, cents BIGINT"
+            ).alias("x")
+        )
+        .select(
+            F.col("x.id").alias("id"),
+            F.col("x.user").alias("user_id"),
+            F.col("x.type").alias("event_type"),
+            F.col("x.cents").alias("value_cents"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    return _run_stream(
+        parsed.writeStream.outputMode("append"), spark, "stream_xml_sink"
+    )
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     agg = (
@@ -1204,6 +1243,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("late_data_filter", q_late_data_filter, _LATE_DATA_SQL, ("streaming",)),
     QuerySpec("topk_users_by_value", q_topk_users, _TOPK_USERS_SQL, ("agg", "topk")),
     QuerySpec("stream_filter_project", q_stream_filter, _STREAM_FILTER_SQL, ("streaming-live",)),
+    QuerySpec(
+        "stream_xml_envelope",
+        q_stream_xml,
+        _XML_ENVELOPE_SQL,
+        ("streaming-live", "xml"),
+        doc="from_xml under Structured Streaming (append, stateless) — "
+        "stream output hash-matches the batch XML oracle",
+    ),
     QuerySpec("stream_tumbling_counts", q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming-live",)),
     QuerySpec("stream_session_counts", q_stream_session, _SESSION_SQL, ("streaming-live",)),
     QuerySpec(

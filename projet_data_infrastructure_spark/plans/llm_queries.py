@@ -1938,6 +1938,61 @@ ORDER BY lang, rnk
 """
 
 
+def q_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language slices — the corpus-mix
+    diagnostic that catches mislabeled languages (two 'different' languages
+    sharing most of their vocabulary) before training mixes are weighted.
+    Shape: distinct (lang, token) — one hash aggregate over the exploded
+    tokens — then a token-keyed self-join counts intersections; per-lang
+    vocabulary sizes broadcast back in. The join key is the token, so at
+    100 TB the shuffle carries the DISTINCT vocabulary (≪ corpus tokens),
+    and |langs|² output rows are trivially bounded."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    vb = vocab.select(F.col("lang").alias("lang_b"), F.col("token").alias("tb"))
+    inter = (
+        vocab.join(vb, (vocab.token == vb.tb) & (vocab.lang < vb.lang_b))
+        .groupBy(F.col("lang").alias("lang_a"), "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("v_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("v_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("v_a") + F.col("v_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a", "lang_b", "v_a", "v_b", "n_common",
+            pround(jac, 6).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_LANG_VOCAB_SQL = f"""
+WITH vocab AS (
+    SELECT DISTINCT lang, unnest({_TOKS_SQL}) AS token FROM documents
+),
+sizes AS (SELECT lang, count(*) AS v FROM vocab GROUP BY lang),
+inter AS (
+    SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_common
+    FROM vocab a JOIN vocab b ON a.token = b.token AND a.lang < b.lang
+    GROUP BY 1, 2
+)
+SELECT i.lang_a, i.lang_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+       {pround_sql('CAST(i.n_common AS DOUBLE) / CAST(sa.v + sb.v - i.n_common AS DOUBLE)', 6)} AS jaccard
+FROM inter i
+JOIN sizes sa ON i.lang_a = sa.lang
+JOIN sizes sb ON i.lang_b = sb.lang
+ORDER BY i.lang_a, i.lang_b
+"""
+
+
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule document quality gates (Rae et al. 2021, MassiveText
     filtering, §A1.1): word-count bounds, mean-word-length band, fraction of
@@ -2405,6 +2460,14 @@ SPECS: list[QuerySpec] = [
         ("text", "sampling"),
         doc="Efraimidis-Spirakis A-Res weighted sampling without replacement "
         "(deterministic hash uniforms, reservoir top-k)",
+    ),
+    QuerySpec(
+        "lang_vocab_overlap",
+        q_lang_vocab_overlap,
+        _LANG_VOCAB_SQL,
+        ("text", "quality"),
+        doc="Pairwise language vocabulary Jaccard — mislabeled-language "
+        "diagnostic; token-keyed join over the distinct vocabulary",
     ),
     QuerySpec(
         "weighted_sample_per_lang",

@@ -109,6 +109,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "listagg_param_sql",
     "weighted_sample_per_lang",
     "geo_grid_dbscan",
+    "stream_xml_envelope",
+    "skew_profile",
+    "lang_vocab_overlap",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",

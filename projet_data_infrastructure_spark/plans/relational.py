@@ -546,6 +546,53 @@ SELECT count(*) AS n_rows,
 FROM lineitem
 """
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report an operator reads BEFORE
+    choosing between a plain, salted, or broadcast join on a key. One
+    per-key hash aggregate (map-side combined) then one tiny rollup:
+    distinct keys, total rows, max/mean per-key load, the hottest key
+    (deterministic min-key tie-break via struct-ordered max), and the
+    max/mean skew ratio (ratio of integers — deterministic). At 100 TB
+    this is the cheap pre-flight that tells you whether
+    ``salted_skew_join`` is worth its replication factor."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.max(F.struct(F.col("cnt"), (-F.col("l_suppkey")).alias("nk"))).alias("m"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "min_cnt",
+        (-F.col("m.nk")).cast("long").alias("hottest_key"),
+        pround(
+            F.col("max_cnt").cast("double")
+            / (F.col("total_rows").cast("double") / F.col("n_keys").cast("double")),
+            4,
+        ).alias("skew_ratio"),
+    )
+
+
+_SKEW_PROFILE_SQL = f"""
+WITH per_key AS (
+    SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(min(cnt) AS BIGINT) AS min_cnt,
+       CAST(min(CASE WHEN cnt = (SELECT max(cnt) FROM per_key) THEN l_suppkey END)
+            AS BIGINT) AS hottest_key,
+       {pround_sql('CAST(max(cnt) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE))', 4)}
+           AS skew_ratio
+FROM per_key
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style analytics (bench headliners)
 # --------------------------------------------------------------------------
@@ -804,6 +851,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("date_funcs", q_date_funcs, _DATE_SQL, ("scalar",)),
     QuerySpec("null_logic_coalesce", q_null_logic, _NULL_LOGIC_SQL, ("semantics",)),
     QuerySpec("validation_profile", q_validation_profile, _PROFILE_SQL, ("quality",)),
+    QuerySpec(
+        "skew_profile",
+        q_skew_profile,
+        _SKEW_PROFILE_SQL,
+        ("quality", "scale"),
+        doc="Join-key skew pre-flight: per-key load stats + hottest key + "
+        "max/mean ratio from one keyed aggregate",
+    ),
     QuerySpec("tpch_q1_pricing", q_tpch_q1, _TPCH_Q1_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q3_priority", q_tpch_q3, _TPCH_Q3_SQL, ("tpch", "bench")),
     QuerySpec("tpch_q5_local_supplier", q_tpch_q5, _TPCH_Q5_SQL, ("tpch", "bench")),
