@@ -365,6 +365,38 @@ ORDER BY custkey
 """
 
 
+def q_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (SPARK-49555, the |> operator): the same
+    filter → aggregate → sort pipeline a DataFrame expresses, written as a
+    linear SQL flow. Pipe stages lower to the identical logical plan as
+    nested SELECTs — this spec pins that equivalence by hash-matching a
+    conventional-SQL oracle. Money is aggregated in integer cents."""
+    from projet_data_infrastructure_spark.sources.readers import load_star
+
+    load_star(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE count(*) AS n_orders, sum(cents) AS revenue_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+_PIPE_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
@@ -2526,5 +2558,13 @@ SPECS: list[QuerySpec] = [
         ("agg", "scalar"),
         doc="Spark 4 listagg WITHIN GROUP + named-parameter spark.sql; "
         "deterministic ordered string aggregation",
+    ),
+    QuerySpec(
+        "pipe_syntax_rollup",
+        q_pipe_syntax_rollup,
+        _PIPE_SQL,
+        ("agg", "scalar"),
+        doc="Spark 4 SQL pipe syntax (|>) filter->extend->aggregate->sort, "
+        "hash-matched against the conventional-SQL oracle",
     ),
 ]

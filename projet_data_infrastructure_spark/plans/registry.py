@@ -112,6 +112,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_xml_envelope",
     "skew_profile",
     "lang_vocab_overlap",
+    "pipe_syntax_rollup",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
