@@ -365,6 +365,74 @@ ORDER BY custkey
 """
 
 
+def q_view_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per-user MEDIAN delay from the last view to each
+    purchase. Composition of two scale-safe pieces: the as-of join
+    (union+window, one keyed shuffle — never a pairwise range join) binds
+    each purchase to its most recent view, then a user-keyed window takes
+    the nearest-rank median of the microsecond delays — integer-exact, no
+    interpolation ulps, and every stage is partitioned by user_id (the
+    global aggregate never materializes a global sort). The conversion
+    dashboards the reference's BI layer implies need exactly this shape."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("vts")
+    )
+    pairs = asof_join(purchases, views, key="user_id", ts="ts", right_payload=["vts"])
+    matched = pairs.filter(F.col("vts_asof").isNotNull()).select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))  # UTC pinned by read_table
+            - F.unix_micros(F.col("vts_asof").cast("timestamp"))
+        ).alias("delay_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("delay_us", "event_id")
+    wall = Window.partitionBy("user_id")
+    ranked = matched.select(
+        "user_id",
+        "delay_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")))
+        .select(
+            "user_id",
+            F.col("n").alias("n_pairs"),
+            F.col("delay_us").alias("median_delay_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_VIEW_PURCHASE_LATENCY_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+pairs AS (
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS vts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+),
+m AS (
+    SELECT user_id, event_id, epoch_us(ts) - epoch_us(vts) AS delay_us
+    FROM pairs WHERE vts IS NOT NULL
+),
+ranked AS (
+    SELECT user_id, delay_us,
+           row_number() OVER (PARTITION BY user_id ORDER BY delay_us, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM m
+)
+SELECT user_id, n AS n_pairs, delay_us AS median_delay_us
+FROM ranked
+WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+ORDER BY user_id
+"""
+
+
 def q_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL pipe syntax (SPARK-49555, the |> operator): the same
     filter → aggregate → sort pipeline a DataFrame expresses, written as a
@@ -2566,5 +2634,13 @@ SPECS: list[QuerySpec] = [
         ("agg", "scalar"),
         doc="Spark 4 SQL pipe syntax (|>) filter->extend->aggregate->sort, "
         "hash-matched against the conventional-SQL oracle",
+    ),
+    QuerySpec(
+        "view_purchase_latency",
+        q_view_purchase_latency,
+        _VIEW_PURCHASE_LATENCY_SQL,
+        ("timeseries", "join", "window"),
+        doc="Per-user nearest-rank median view->purchase delay: as-of join + "
+        "user-keyed window, integer microseconds end to end",
     ),
 ]

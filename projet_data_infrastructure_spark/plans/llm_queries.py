@@ -1938,6 +1938,99 @@ ORDER BY lang, rnk
 """
 
 
+_RECALL_MAX_ID = 200
+_RECALL_THRESHOLD = 0.5
+
+
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the dedup subsystem: on a bounded doc subset,
+    compare the LSH candidate stage against the exact-Jaccard ground truth
+    (the same unigram Jaccard `lsh_verified_pairs` verifies with) and
+    report recall + candidate efficiency. This is the tuning report a
+    pipeline owner reads before changing (n_hashes, band_rows) — recall is
+    the probability a true near-dup pair survives banding, efficiency is
+    the fraction of candidates worth verifying. Everything is
+    deterministic (hash minhashes, integer set sizes), so the evaluation
+    itself is hash-checked: the oracle recomputes both pair sets and the
+    FULL-OUTER reconciliation. Bounded all-pairs truth is the documented
+    verification-only shape (`ngram_jaccard_pairs`); at 100 TB you run
+    this report on a sampled shard exactly like this."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    docs_sub = docs.filter(F.col("doc_id") < _RECALL_MAX_ID)
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, max_id=_RECALL_MAX_ID)
+        .filter(F.col("jaccard_raw") >= _RECALL_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("it"))
+    )
+    cands = (
+        dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs_sub))
+        .select("doc_a", "doc_b", F.lit(1).alias("ic"))
+    )
+    full = truth.join(cands, ["doc_a", "doc_b"], "full")
+    agg = full.agg(
+        F.count("it").alias("n_truth"),
+        F.count("ic").alias("n_candidates"),
+        F.count(F.when(F.col("it").isNotNull() & F.col("ic").isNotNull(), 1)).alias(
+            "n_hits"
+        ),
+    )
+    recall = F.when(
+        F.col("n_truth") > 0,
+        pround(F.col("n_hits").cast("double") / F.col("n_truth").cast("double"), 6),
+    )
+    eff = F.when(
+        F.col("n_candidates") > 0,
+        pround(
+            F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"), 6
+        ),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        recall.alias("recall"),
+        eff.alias("candidate_efficiency"),
+    )
+
+
+def _lsh_recall_sql() -> str:
+    cands = _minhash_pairs_sql().replace(
+        "FROM documents", f"FROM (SELECT * FROM documents WHERE doc_id < {_RECALL_MAX_ID})"
+    )
+    return f"""
+WITH tok0 AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token
+    FROM documents WHERE doc_id < {_RECALL_MAX_ID}
+), sizes AS (
+    SELECT doc_id, count(*) AS sz FROM tok0 GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM tok0 a JOIN tok0 b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), truth AS (
+    SELECT doc_a, doc_b, 1 AS it
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {_RECALL_THRESHOLD}
+), cands AS (
+    SELECT doc_a, doc_b, 1 AS ic FROM ({cands})
+), rec AS (
+    SELECT count(t.it) AS n_truth, count(c.ic) AS n_candidates,
+           count(CASE WHEN t.it IS NOT NULL AND c.ic IS NOT NULL THEN 1 END) AS n_hits
+    FROM truth t FULL JOIN cands c USING (doc_a, doc_b)
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CASE WHEN n_truth > 0
+            THEN {pround_sql('CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)', 6)} END
+           AS recall,
+       CASE WHEN n_candidates > 0
+            THEN {pround_sql('CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)', 6)} END
+           AS candidate_efficiency
+FROM rec
+"""
+
+
 def q_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise vocabulary Jaccard between language slices — the corpus-mix
     diagnostic that catches mislabeled languages (two 'different' languages
@@ -2460,6 +2553,14 @@ SPECS: list[QuerySpec] = [
         ("text", "sampling"),
         doc="Efraimidis-Spirakis A-Res weighted sampling without replacement "
         "(deterministic hash uniforms, reservoir top-k)",
+    ),
+    QuerySpec(
+        "lsh_recall_report",
+        q_lsh_recall_report,
+        _lsh_recall_sql(),
+        ("dedup", "quality"),
+        doc="Dedup self-evaluation: LSH candidate recall + efficiency vs the "
+        "exact-Jaccard ground truth on a bounded shard, hash-checked",
     ),
     QuerySpec(
         "lang_vocab_overlap",

@@ -113,6 +113,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_profile",
     "lang_vocab_overlap",
     "pipe_syntax_rollup",
+    "view_purchase_latency",
+    "lsh_recall_report",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
