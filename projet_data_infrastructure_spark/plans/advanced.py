@@ -365,6 +365,46 @@ ORDER BY custkey
 """
 
 
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT a running count-distinct
+    (which no engine can do incrementally): reduce each user to their
+    first-seen day (one keyed aggregate), count arrivals per day, then a
+    running sum over the tiny per-day frame. The window is global but its
+    input is |days| rows — bounded by the calendar, not the data — so the
+    single-partition sort is safe at any scale (the same bounded-input
+    argument as the skyline global pass). The growth curve every DAU/MAU
+    dashboard needs."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "first_day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cumulative_users"),
+    ).orderBy("first_day")
+
+
+_CUMULATIVE_NEW_USERS_SQL = """
+WITH first_seen AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+per_day AS (
+    SELECT first_day, count(*) AS n_new_users FROM first_seen GROUP BY first_day
+)
+SELECT first_day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumulative_users
+FROM per_day
+ORDER BY first_day
+"""
+
+
 def q_view_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency: per-user MEDIAN delay from the last view to each
     purchase. Composition of two scale-safe pieces: the as-of join
@@ -2642,5 +2682,13 @@ SPECS: list[QuerySpec] = [
         ("timeseries", "join", "window"),
         doc="Per-user nearest-rank median view->purchase delay: as-of join + "
         "user-keyed window, integer microseconds end to end",
+    ),
+    QuerySpec(
+        "cumulative_new_users",
+        q_cumulative_new_users,
+        _CUMULATIVE_NEW_USERS_SQL,
+        ("timeseries", "window", "agg"),
+        doc="Growth curve without running count-distinct: first-seen day per "
+        "user, arrivals per day, running sum over the calendar-bounded frame",
     ),
 ]

@@ -115,6 +115,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipe_syntax_rollup",
     "view_purchase_latency",
     "lsh_recall_report",
+    "cumulative_new_users",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
