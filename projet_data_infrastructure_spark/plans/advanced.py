@@ -365,6 +365,116 @@ ORDER BY custkey
 """
 
 
+def q_interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps in power-of-two second
+    buckets — the arrival-process fingerprint behind session-timeout and
+    watermark tuning (pick the gap valley, set the session gap there).
+    The bucket index is floor(log2(gap))+1 computed as ``length(bin(gap))``
+    — INTEGER binary-string length, the same libm-free leading-bit trick
+    the HLL sketch uses — so the histogram is exact in both engines. One
+    keyed window (lag) + one tiny aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_s = F.expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - prev_us) DIV 1000000"
+    )
+    base = ev.select(
+        "user_id", "ts", "event_id", F.lag(ts_us).over(w).alias("prev_us")
+    ).filter(F.col("prev_us").isNotNull())
+    bucket = F.when(gap_s <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(gap_s)).cast("int")
+    )
+    hist = (
+        base.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+    lower = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    )
+    return hist.select(
+        "bucket", lower.cast("long").alias("lower_bound_s"), "n_gaps"
+    ).orderBy("bucket")
+
+
+_GAP_HIST_SQL = """
+WITH base AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+),
+bucketed AS (
+    SELECT CASE WHEN gap_us // 1000000 <= 0 THEN 0
+                ELSE CAST(length(bin(gap_us // 1000000)) AS INTEGER) END AS bucket
+    FROM base WHERE gap_us IS NOT NULL
+),
+hist AS (SELECT bucket, count(*) AS n_gaps FROM bucketed GROUP BY bucket)
+SELECT bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS BIGINT)
+           AS lower_bound_s,
+       n_gaps
+FROM hist
+ORDER BY bucket
+"""
+
+
+def q_max_drawdown_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative net value series (classic
+    risk analytics): running sum → running max → max(peak − current). Three
+    window functions over ONE per-user sort (identical partition key and
+    order ⇒ Catalyst plans a single Exchange + Sort for all of them —
+    the SCD2 single-exchange discipline). Values are integer cents with a
+    deterministic (ts, event_id) order, so every intermediate is exact."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    series = ev.select("user_id", "ts", "event_id", run.alias("run_sum"))
+    peak = F.max("run_sum").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = series.select("user_id", (peak - F.col("run_sum")).alias("drawdown"))
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.max("drawdown").alias("max_drawdown_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_MAX_DRAWDOWN_SQL = """
+WITH series AS (
+    SELECT user_id,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+           ts, event_id
+    FROM events
+),
+dd AS (
+    SELECT user_id,
+           max(run_sum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - run_sum
+               AS drawdown
+    FROM series
+)
+SELECT user_id,
+       CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+       count(*) AS n_events
+FROM dd
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day WITHOUT a running count-distinct
     (which no engine can do incrementally): reduce each user to their
@@ -2690,5 +2800,21 @@ SPECS: list[QuerySpec] = [
         ("timeseries", "window", "agg"),
         doc="Growth curve without running count-distinct: first-seen day per "
         "user, arrivals per day, running sum over the calendar-bounded frame",
+    ),
+    QuerySpec(
+        "max_drawdown_by_user",
+        q_max_drawdown_by_user,
+        _MAX_DRAWDOWN_SQL,
+        ("timeseries", "window"),
+        doc="Per-user maximum drawdown: running sum -> running max -> peak "
+        "deficit, all on one shared per-user sort, integer cents",
+    ),
+    QuerySpec(
+        "interevent_gap_histogram",
+        q_interevent_gap_histogram,
+        _GAP_HIST_SQL,
+        ("timeseries", "stats"),
+        doc="Power-of-two inter-event gap histogram (libm-free log2 via bin "
+        "length) - the session-timeout / watermark tuning fingerprint",
     ),
 ]

@@ -982,6 +982,79 @@ FROM g
 """
 
 
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one event —
+    the engagement KPI every web-analytics stack reports. Composes the
+    sessionization algebra above (gap ordinals on one per-user sort) with
+    a per-session rollup keyed on (user, session) and a per-day share; the
+    session's day is its FIRST event's date (min over the session — a
+    deterministic attribution rule both engines state identically). The
+    rate is a ratio of two integers, portable-rounded."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = (gap.isNull() | (gap > _SESSION_GAP_S)).cast("long")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.sum(new_sess).over(run).alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min("day").alias("day"), F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            pround(
+                F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+_SESSION_BOUNCE_SQL = f"""
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+),
+sess AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           sum(CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM g
+),
+per_session AS (
+    SELECT user_id, session_id, min(day) AS day, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT day,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       {pround_sql('CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)}
+           AS bounce_rate
+FROM per_session
+GROUP BY day
+ORDER BY day
+"""
+
+
 def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 session PATHS — the ordered event-type sequence each session
     walked (view>view>purchase…), counted across the corpus: the
@@ -1196,6 +1269,14 @@ SPECS: list[QuerySpec] = [
         _SESSIONIZE_SQL,
         ("timeseries", "window"),
         doc="Row-level session ordinals from a 30-min inactivity gap, one Exchange",
+    ),
+    QuerySpec(
+        "session_bounce_rate",
+        q_session_bounce_rate,
+        _SESSION_BOUNCE_SQL,
+        ("timeseries", "window", "agg"),
+        doc="Daily share of single-event sessions over the gap-sessionized "
+        "stream; first-event day attribution, integer-ratio rate",
     ),
     QuerySpec(
         "session_paths_topk",

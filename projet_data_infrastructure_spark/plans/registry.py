@@ -116,6 +116,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "view_purchase_latency",
     "lsh_recall_report",
     "cumulative_new_users",
+    "max_drawdown_by_user",
+    "interevent_gap_histogram",
+    "session_bounce_rate",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
