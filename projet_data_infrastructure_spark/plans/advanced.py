@@ -365,6 +365,99 @@ ORDER BY custkey
 """
 
 
+_AB_PURCHASE_CUT = 14
+
+
+def q_ab_test_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation primitive. Users split
+    into deterministic arms by id parity (a stand-in for an assignment
+    column); the tested proportion is the high-purchaser rate (≥ 14
+    purchase events). All proportions are ratios of integers and the z
+    statistic is one closed-form expression over them (sqrt is IEEE-exact),
+    so the whole test — including the |z| > 1.96 verdict — hash-matches the
+    oracle. Plan: one per-user aggregate, one 2-row arm aggregate, one
+    projection; at 100 TB the heavy stage is the user rollup (keyed,
+    map-side combined)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purch")
+    )
+    arms = (
+        per_user.select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            (F.col("n_purch") >= _AB_PURCHASE_CUT).cast("long").alias("hit"),
+        )
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hit").alias("k"))
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("k").alias("k0")
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    j = a0.crossJoin(a1)
+    p0 = F.col("k0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("k1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0").cast("double") + F.lit(1.0) / F.col("n1").cast("double"))
+    )
+    z = F.when(se > 0, (p1 - p0) / se)
+    return j.select(
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        pround(p0, 6).alias("rate0"),
+        pround(p1, 6).alias("rate1"),
+        pround(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+_AB_TEST_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT user_id % 2 AS arm, count(*) AS n,
+           CAST(sum(CASE WHEN n_purch >= {_AB_PURCHASE_CUT} THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM per_user GROUP BY 1
+),
+j AS (
+    SELECT a0.n AS n0, a0.k AS k0, a1.n AS n1, a1.k AS k1
+    FROM (SELECT n, k FROM arms WHERE arm = 0) a0
+    CROSS JOIN (SELECT n, k FROM arms WHERE arm = 1) a1
+),
+calc AS (
+    SELECT n0, k0, n1, k1,
+           CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+           CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+    FROM j
+),
+zc AS (
+    SELECT *,
+           CASE WHEN sqrt(pp * (1.0 - pp) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 0
+                THEN (p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           END AS z
+    FROM calc
+)
+SELECT n0, k0, n1, k1,
+       {pround_sql('p0', 6)} AS rate0,
+       {pround_sql('p1', 6)} AS rate1,
+       {pround_sql('z', 6)} AS z_score,
+       abs(z) > 1.96 AS significant_95
+FROM zc
+"""
+
+
 def q_interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of per-user inter-event gaps in power-of-two second
     buckets — the arrival-process fingerprint behind session-timeout and
@@ -2816,5 +2909,13 @@ SPECS: list[QuerySpec] = [
         ("timeseries", "stats"),
         doc="Power-of-two inter-event gap histogram (libm-free log2 via bin "
         "length) - the session-timeout / watermark tuning fingerprint",
+    ),
+    QuerySpec(
+        "ab_test_z_score",
+        q_ab_test_z_score,
+        _AB_TEST_SQL,
+        ("stats", "agg"),
+        doc="Two-proportion z-test between deterministic arms incl. the "
+        "significance verdict - fully hash-checked experimentation primitive",
     ),
 ]

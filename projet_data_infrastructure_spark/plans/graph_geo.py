@@ -522,6 +522,71 @@ def q_copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("n_orders"), "brand_a", "brand_b").limit(20)
 
 
+def q_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule LIFT over the co-purchase pairs: lift(A,B) =
+    P(A∧B) / (P(A)·P(B)) = (n_ab · n_baskets) / (n_a · n_b) — kept as ONE
+    division of exact integer products so both engines round identically.
+    The A-Priori counts come from the same bounded-basket self-join as
+    ``copurchase_brand_pairs``; the per-brand supports and the basket
+    total broadcast back in (tiny dims). Top-15 pairs by lift with full
+    deterministic tie-break. Lift > 1 = complementary brands — the signal
+    a curriculum/mixture designer reads the same way a merchandiser does."""
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    support = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    b2 = baskets.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        baskets.join(b2, (baskets.l_orderkey == b2.ok) & (baskets.p_brand < b2.brand_b))
+        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = support.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    sb = support.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    lift = (F.col("n_ab") * F.lit(int(n_baskets))).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "n_ab", "n_a", "n_b",
+            pround(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(15)
+    )
+
+
+_BRAND_LIFT_SQL = f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+support AS (SELECT p_brand, count(*) AS n FROM baskets GROUP BY p_brand),
+pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+       {pround_sql('CAST(p.n_ab * t.n_baskets AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE)', 6)} AS lift
+FROM pairs p
+JOIN support sa ON p.brand_a = sa.p_brand
+JOIN support sb ON p.brand_b = sb.p_brand
+CROSS JOIN tot t
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 15
+"""
+
+
 _COPURCHASE_SQL = """
 WITH baskets AS (
     SELECT DISTINCT l.l_orderkey, p.p_brand
@@ -705,6 +770,14 @@ SPECS: list[QuerySpec] = [
         _COPURCHASE_SQL,
         ("basket", "join", "agg"),
         doc="A-Priori pair support over per-order brand baskets, top-20",
+    ),
+    QuerySpec(
+        "brand_affinity_lift",
+        q_brand_affinity_lift,
+        _BRAND_LIFT_SQL,
+        ("basket", "stats"),
+        doc="Association-rule lift over co-purchase pairs: one division of "
+        "exact integer products, top-15 with deterministic tie-break",
     ),
     QuerySpec(
         "benford_digit_profile",

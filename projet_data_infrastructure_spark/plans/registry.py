@@ -119,6 +119,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "max_drawdown_by_user",
     "interevent_gap_histogram",
     "session_bounce_rate",
+    "brand_affinity_lift",
+    "ab_test_z_score",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
