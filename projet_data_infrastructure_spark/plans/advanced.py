@@ -365,6 +365,61 @@ ORDER BY custkey
 """
 
 
+def q_weekly_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 week-over-week customer revenue swings — the movers report an
+    account team reads every Monday. Weekly cents per customer (one keyed
+    aggregate on ISO-week starts via ``date_trunc('week', …)``, identical
+    Monday anchoring in both engines), consecutive-week delta via lag over
+    the per-customer window (weeks with no orders break the chain — the
+    lag is over OBSERVED weeks, a documented choice the oracle mirrors),
+    top-20 by absolute swing with full deterministic tie-break. Integer
+    cents end to end; the only global stage is the TakeOrdered heap."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    weekly = (
+        orders.select(
+            "o_custkey",
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+            cents.alias("cents"),
+        )
+        .groupBy("o_custkey", "wk")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("wk")
+    lagged = weekly.select(
+        F.col("o_custkey").alias("custkey"),
+        "wk",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+    ).filter(F.col("prev_rev").isNotNull())
+    delta = F.col("rev") - F.col("prev_rev")
+    return (
+        lagged.select("custkey", "wk", "rev", "prev_rev", delta.alias("delta_cents"))
+        .orderBy(F.abs(F.col("delta_cents")).desc(), "custkey", "wk")
+        .limit(20)
+    )
+
+
+_WEEKLY_MOVERS_SQL = """
+WITH weekly AS (
+    SELECT o_custkey AS custkey,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1, 2
+),
+lagged AS (
+    SELECT custkey, wk, rev,
+           lag(rev) OVER (PARTITION BY custkey ORDER BY wk) AS prev_rev
+    FROM weekly
+)
+SELECT custkey, wk, rev, prev_rev, rev - prev_rev AS delta_cents
+FROM lagged
+WHERE prev_rev IS NOT NULL
+ORDER BY abs(rev - prev_rev) DESC, custkey, wk
+LIMIT 20
+"""
+
+
 _AB_PURCHASE_CUT = 14
 
 
@@ -2917,5 +2972,13 @@ SPECS: list[QuerySpec] = [
         ("stats", "agg"),
         doc="Two-proportion z-test between deterministic arms incl. the "
         "significance verdict - fully hash-checked experimentation primitive",
+    ),
+    QuerySpec(
+        "weekly_revenue_movers",
+        q_weekly_revenue_movers,
+        _WEEKLY_MOVERS_SQL,
+        ("timeseries", "window"),
+        doc="Top-20 week-over-week customer revenue swings: weekly cents, "
+        "lag over observed weeks, TakeOrdered by absolute delta",
     ),
 ]

@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "session_bounce_rate",
     "brand_affinity_lift",
     "ab_test_z_score",
+    "weekly_revenue_movers",
     "sq8_encode",
     "sq8_adc_topk",
     "argmax_per_group",
