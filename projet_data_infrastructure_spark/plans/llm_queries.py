@@ -657,13 +657,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_balanced(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     nq = len(_BM25_QUERY)
+    # localCheckpoint: per_doc feeds BOTH the corpus-stats fold and the
+    # scoring projection, and their column pruning differs enough that
+    # Catalyst plans two separate subtrees (no ReusedExchange) — without the
+    # checkpoint the corpus is tokenized twice (verified in the executed
+    # plan; the plan gate asserts one Generate). per_doc is |docs| × 4 ints.
     per_doc = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
         *[
             F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
             for i, t in enumerate(_BM25_QUERY)
         ],
-    )
+    ).localCheckpoint()
     stats = per_doc.agg(
         F.sum("dl").alias("sum_dl"),
         F.count(F.lit(1)).alias("n_docs"),

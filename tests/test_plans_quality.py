@@ -538,3 +538,51 @@ def test_acf_shares_one_window_exchange(spark):
 
     wins = len(re.findall(r"\)\s+Window\b", plan))
     assert wins == 1, f"expected one Window operator, plan has {wins}"
+
+
+def test_bm25_tokenizes_exactly_once(spark):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_bm25_topk
+
+    df = q_bm25_topk(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    # single-pass contract: the tokenize explode runs once, inside the
+    # eagerly-materialized per_doc checkpoint, so the final plan shows at
+    # most one Generate (zero when the checkpoint already holds it). Two
+    # means the corpus is being tokenized twice again.
+    gens = len(re.findall(r"\)\s+Generate\b", plan))
+    assert gens <= 1, f"expected at most one Generate, plan has {gens}"
+
+
+def test_brand_lift_broadcasts_and_takeordered(spark):
+    from projet_data_infrastructure_spark.plans.graph_geo import q_brand_affinity_lift
+
+    checks = explain_has(
+        q_brand_affinity_lift(spark, SF),
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "TakeOrderedAndProject",
+    )
+    assert checks["BroadcastHashJoin"]
+    assert not checks["CartesianProduct"]
+    assert checks["TakeOrderedAndProject"]
+
+
+def test_weekly_movers_top20_never_global_sorts(spark):
+    from projet_data_infrastructure_spark.plans.advanced import q_weekly_revenue_movers
+
+    checks = explain_has(q_weekly_revenue_movers(spark, SF), "TakeOrderedAndProject")
+    assert checks["TakeOrderedAndProject"]
+
+
+def test_grid_dbscan_has_no_cartesian(spark):
+    from projet_data_infrastructure_spark.plans.graph_geo import q_geo_grid_dbscan
+
+    checks = explain_has(
+        q_geo_grid_dbscan(spark, SF), "CartesianProduct", "BroadcastNestedLoopJoin"
+    )
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
