@@ -1,0 +1,791 @@
+"""Pattern-mining, statistics, and Spark-4 Arrow-API specs.
+
+Engine-charter additions beyond the reference's grouped rollups
+(`/root/reference/airflow/config/read_delta.py:114-127`) — the analytics a
+training-data platform layers on the same tables once link, drift, and
+similarity questions appear. Design notes per spec:
+
+* ``bfs_khop_reachability`` — frontier BFS (3 hops) from a seed customer set
+  over the customer↔supplier trade graph. Each round is ONE equi-join of the
+  checkpointed edge list against the (tiny) frontier plus an anti-join
+  against the visited set — the textbook distributed BFS; no quadratic
+  closure, no driver-side traversal. Integer node ids and per-hop
+  count/checksum outputs make an iterative graph algorithm hash-exact.
+* ``cusum_drift_flags`` — CUSUM change-point detection on per-user daily
+  event counts. The positive-part recurrence S_i = max(0, S_{i-1} + d_i) is
+  NOT a prefix sum, but it has a closed windowed form:
+
+      S_i = P_i - min(0, min_{j<=i} P_j),   P_i = Σ_{j<=i} d_j
+
+  so the whole detector is two window passes (cumsum, then running min) —
+  fully declarative, integer-exact, one shuffle on user_id. This is the
+  standard drift monitor a streaming ingest pipeline runs over arrival
+  counts.
+* ``chi2_nation_priority`` — Pearson chi-squared independence test between
+  customer nation and order priority. Observed counts and marginals are
+  integer aggregates; the full r×c grid is rebuilt from the two broadcast
+  marginal frames so zero-observation cells still contribute their expected
+  mass. The only doubles are the final (obs-exp)²/exp terms (shared
+  expression strings evaluated by both engines → identical trees).
+* ``ols_two_feature_nation`` — per-nation multiple linear regression
+  (price_cents ~ quantity + discount_pct, with intercept) solved in closed
+  form from sufficient statistics: ONE aggregate pass collects the 9
+  moment sums as DECIMAL(25,0) (so the sums can never overflow int64 even
+  at 100 TB row counts), then the 2×2 normal equations are solved by
+  Cramer's rule in doubles. The distributed pattern is the point: model
+  fitting as map-side-combinable sums + an O(groups) closed-form solve —
+  no MLlib iteration, no driver data movement.
+* ``prefix_filter_jaccard`` — set-similarity self-join with PREFIX
+  FILTERING (SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al.
+  WWW'08): tokens are ordered by ascending document frequency; a pair with
+  Jaccard ≥ t must share a token within each side's first
+  |s| - ceil(t·|s|) + 1 tokens under that order, so candidates come from an
+  equi-join on RARE tokens only. The Zipf head that makes naive token
+  blocking explode is exactly what the ascending-df order pushes OUT of the
+  prefixes. Verification is exact set intersection on candidates only, with
+  the threshold tested in integers (3·inter ≥ |a|+|b| ⟺ J ≥ 0.5). The
+  oracle states the quadratic semantics; two plans, one answer.
+* ``attribution_last_touch`` — marketing-style last-touch revenue
+  attribution: each purchase credits the most recent view (≤ 2 h earlier)
+  by the same user, grouped by the view's campaign. Reuses the scalable
+  union+window as-of join (operators/asof.py) — never a range cross-join.
+  Views are deduplicated per (user, ts) first so the as-of tie is
+  deterministic in both engines.
+* ``mapinarrow_vector_norm`` / ``applyinarrow_label_stats`` — the Spark 4
+  Arrow-native UDF surface (SPARK-40307 ``DataFrame.mapInArrow``,
+  SPARK-44731 ``GroupedData.applyInArrow``): RecordBatch-in/RecordBatch-out
+  with no pandas materialization — the lowest-overhead Python boundary for
+  byte-oriented work. Kept off hot paths (the declarative specs do the real
+  aggregation); these pin the API contract: schema negotiation, batch
+  iteration, grouped single-batch delivery.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projet_data_infrastructure_spark.operators.asof import asof_join
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table
+
+# --------------------------------------------------------------------------
+# Frontier BFS: k-hop reachability on the trade graph
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+_BFS_SEED_MAX = 10  # seed set: customers with c_custkey < 10
+
+
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hop node count + id checksum for a 3-hop BFS from 10 seed
+    customers.
+
+    Round r: frontier (hop r-1 nodes, ≤|V|) broadcasts into one equi-join
+    against the checkpointed edge list; newly reached nodes are the
+    anti-join against the visited set. Visited/frontier frames are |V|-
+    bounded and re-checkpointed per round with the previous round's blocks
+    explicitly unpersisted (the duplicate_clusters discipline). The edge
+    list — the only O(|E|) object — is scanned once per round and never
+    shuffled (the join key is its own partitioning). Output is 1 row per
+    hop level: integer count + sum of packed node ids, so an iterative
+    traversal is order-insensitively hash-exact.
+    """
+    from projet_data_infrastructure_spark.plans.graph_geo import _trade_edges
+
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    cust = read_table(spark, sf_dir, "customer")
+    visited = (
+        cust.filter(F.col("c_custkey") < _BFS_SEED_MAX)
+        .select((F.col("c_custkey") * 2).cast("long").alias("node"))
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, _BFS_HOPS + 1):
+        frontier = visited.filter(F.col("hop") == i - 1).select("node")
+        nbrs = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(
+            F.broadcast(visited.select("node")), "node", "left_anti"
+        ).withColumn("hop", F.lit(i))
+        new_visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited.unpersist()
+        visited = new_visited
+    out = (
+        visited.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("hop")
+    )
+    # The aggregate is 4 rows — collect it off the checkpointed lineage.
+    return out
+
+
+def _bfs_oracle() -> str:
+    head = f"""
+WITH e0 AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT CAST(ck * 2 AS BIGINT) AS src, CAST(sk * 2 + 1 AS BIGINT) AS dst FROM e0
+    UNION ALL
+    SELECT CAST(sk * 2 + 1 AS BIGINT) AS src, CAST(ck * 2 AS BIGINT) AS dst FROM e0
+),
+h0 AS (
+    SELECT CAST(c_custkey * 2 AS BIGINT) AS node FROM customer
+    WHERE c_custkey < {_BFS_SEED_MAX}
+)"""
+    seen = ["h0"]
+    steps = []
+    for i in range(1, _BFS_HOPS + 1):
+        prior = " UNION ALL ".join(f"SELECT node FROM {s}" for s in seen)
+        steps.append(
+            f""",
+h{i} AS (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN h{i - 1} f ON e.src = f.node
+    WHERE e.dst NOT IN ({prior})
+)"""
+        )
+        seen.append(f"h{i}")
+    levels = " UNION ALL ".join(
+        f"SELECT node, {i} AS hop FROM h{i}" for i in range(_BFS_HOPS + 1)
+    )
+    return (
+        head
+        + "".join(steps)
+        + f""",
+lv AS ({levels})
+SELECT hop, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_checksum
+FROM lv GROUP BY hop ORDER BY hop"""
+    )
+
+
+_BFS_SQL = _bfs_oracle()
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (two window passes — the closed form of max(0, ·))
+# --------------------------------------------------------------------------
+
+_CUSUM_K = 3  # per-day drift allowance subtracted from each count
+_CUSUM_H = 8  # alarm threshold
+_CUSUM_USERS = 40
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM statistic + alarm flag per (user, observed day).
+
+    ``S_i = max(0, S_{i-1} + (cnt_i - k))`` rewritten as
+    ``P_i - min(0, cummin(P_i))`` — two stacked windows on the SAME
+    (user_id × day-order) partitioning: one shuffle total, no recurrence,
+    no Python. Days with zero events are simply absent (the detector runs
+    on observed arrivals); both engines group identically so the frame is
+    the same. All arithmetic is int64.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < _CUSUM_USERS)
+    # ONE hash exchange total: partitioning on user_id (a subset of the
+    # grouping key) satisfies the (user_id, day) aggregate's clustering
+    # requirement AND both downstream user_id windows, so Catalyst inserts
+    # no further shuffle (gated in tests/test_plans_quality.py).
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    cum = daily.withColumn(
+        "p", F.sum(F.col("cnt") - F.lit(_CUSUM_K)).over(w)
+    )
+    wmin = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cum.withColumn(
+            "cusum", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wmin))
+        )
+        .select(
+            "user_id",
+            "day",
+            "cnt",
+            "cusum",
+            (F.col("cusum") >= _CUSUM_H).alias("alarm"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events WHERE user_id < {_CUSUM_USERS}
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+cum AS (
+    SELECT user_id, day, cnt,
+           sum(cnt - {_CUSUM_K}) OVER (PARTITION BY user_id ORDER BY day) AS p
+    FROM daily
+)
+SELECT user_id, day, cnt,
+       p - least(CAST(0 AS BIGINT),
+                 min(p) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING)) AS cusum,
+       (p - least(CAST(0 AS BIGINT),
+                  min(p) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING))) >= {_CUSUM_H} AS alarm
+FROM cum
+ORDER BY user_id, day
+"""
+
+
+# --------------------------------------------------------------------------
+# Chi-squared independence test (nation × order priority)
+# --------------------------------------------------------------------------
+
+#: Shared double-arithmetic strings (parsed identically by Spark SQL and
+#: DuckDB → bit-identical expression trees; only the 125-term summation
+#: order differs, absorbed by pround).
+_CHI2_EXP = "((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(total AS DOUBLE))"
+_CHI2_TERM = (
+    f"(((CAST(obs AS DOUBLE) - {_CHI2_EXP}) * (CAST(obs AS DOUBLE) - {_CHI2_EXP}))"
+    f" / {_CHI2_EXP})"
+)
+
+
+def q_chi2_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row chi-squared test: is order priority independent of nation?
+
+    Observed counts, row/column marginals, and N are integer aggregates of
+    the orders⋈customer join (customer-keyed shuffle — correct at scale;
+    nation is broadcast). The full 25×5 grid is rebuilt by cross-joining
+    the two BROADCAST marginal frames (bounded by construction: |nations| ×
+    |priorities|), so zero-observation cells contribute their expected
+    mass. The statistic itself sums 125 shared-expression doubles.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority")
+    )
+    obs = base.groupBy("n_name", "o_orderpriority").agg(F.count(F.lit(1)).alias("obs"))
+    rows_m = obs.groupBy("n_name").agg(F.sum("obs").alias("rt"))
+    cols_m = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("ct"))
+    grid = F.broadcast(rows_m).crossJoin(F.broadcast(cols_m))
+    cells = (
+        grid.join(obs, ["n_name", "o_orderpriority"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0).cast("long")))
+        .withColumn("total", F.sum("obs").over(Window.partitionBy()))
+    )
+    return cells.agg(
+        F.sum("obs").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("n_name") - F.lit(1))
+            * (F.countDistinct("o_orderpriority") - F.lit(1))
+        ).cast("long").alias("dof"),
+        # NB: the Column pround, not F.expr(pround_sql(...)) — Spark SQL
+        # parses bare decimal literals (10000.0) as DECIMAL, silently
+        # turning the whole expression decimal-typed.
+        pround(F.expr(f"sum({_CHI2_TERM})"), 4).alias("chi2"),
+    )
+
+
+_CHI2_SQL = f"""
+WITH base AS (
+    SELECT n.n_name, o.o_orderpriority
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+obs AS (
+    SELECT n_name, o_orderpriority, count(*) AS obs FROM base GROUP BY 1, 2
+),
+rm AS (SELECT n_name, sum(obs) AS rt FROM obs GROUP BY 1),
+cm AS (SELECT o_orderpriority, sum(obs) AS ct FROM obs GROUP BY 1),
+cells AS (
+    SELECT rm.n_name, cm.o_orderpriority, rm.rt, cm.ct,
+           COALESCE(o.obs, 0) AS obs,
+           sum(COALESCE(o.obs, 0)) OVER () AS total
+    FROM rm CROSS JOIN cm
+    LEFT JOIN obs o ON o.n_name = rm.n_name AND o.o_orderpriority = cm.o_orderpriority
+)
+SELECT CAST(sum(obs) AS BIGINT) AS n_obs,
+       count(*) AS n_cells,
+       CAST((count(DISTINCT n_name) - 1) * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+       {pround_sql(f'sum({_CHI2_TERM})', 4)} AS chi2
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# Closed-form multiple regression from sufficient statistics
+# --------------------------------------------------------------------------
+
+#: The nine moment sums, written once and aggregated IDENTICALLY by both
+#: engines. Per-row products always fit int64 (≤ 5·10⁸); the SUMS are
+#: accumulated as DECIMAL(25,0), which holds 10²⁵ — safe past 100 TB row
+#: counts where a BIGINT sum of price_cents·qty (~10¹⁹) would overflow.
+_OLS_X1 = "CAST(l_quantity AS BIGINT)"
+_OLS_X2 = "CAST(round(l_discount * 100) AS BIGINT)"
+_OLS_Y = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_OLS_SUMS: dict[str, str] = {
+    "n": "count(*)",
+    "sx1": f"sum(CAST({_OLS_X1} AS DECIMAL(25,0)))",
+    "sx2": f"sum(CAST({_OLS_X2} AS DECIMAL(25,0)))",
+    "sy": f"sum(CAST({_OLS_Y} AS DECIMAL(25,0)))",
+    "sx1x1": f"sum(CAST({_OLS_X1} * {_OLS_X1} AS DECIMAL(25,0)))",
+    "sx2x2": f"sum(CAST({_OLS_X2} * {_OLS_X2} AS DECIMAL(25,0)))",
+    "sx1x2": f"sum(CAST({_OLS_X1} * {_OLS_X2} AS DECIMAL(25,0)))",
+    "sx1y": f"sum(CAST({_OLS_X1} * {_OLS_Y} AS DECIMAL(25,0)))",
+    "sx2y": f"sum(CAST({_OLS_X2} * {_OLS_Y} AS DECIMAL(25,0)))",
+    "syy": f"sum(CAST({_OLS_Y} * {_OLS_Y} AS DECIMAL(25,0)))",
+}
+
+
+def _ols_solve_exprs() -> dict[str, str]:
+    """Cramer's-rule solve of the centered 2×2 normal equations, as shared
+    SQL strings — both engines parse the same text, so given identical
+    (exact) sums every double op is bit-identical."""
+    d = {k: f"CAST({k} AS DOUBLE)" for k in _OLS_SUMS}
+    n = d["n"]
+    m11 = f"({d['sx1x1']} - ({d['sx1']} * {d['sx1']}) / {n})"
+    m22 = f"({d['sx2x2']} - ({d['sx2']} * {d['sx2']}) / {n})"
+    m12 = f"({d['sx1x2']} - ({d['sx1']} * {d['sx2']}) / {n})"
+    m1y = f"({d['sx1y']} - ({d['sx1']} * {d['sy']}) / {n})"
+    m2y = f"({d['sx2y']} - ({d['sx2']} * {d['sy']}) / {n})"
+    myy = f"({d['syy']} - ({d['sy']} * {d['sy']}) / {n})"
+    det = f"(({m11} * {m22}) - ({m12} * {m12}))"
+    b1 = f"((({m1y} * {m22}) - ({m2y} * {m12})) / {det})"
+    b2 = f"((({m2y} * {m11}) - ({m1y} * {m12})) / {det})"
+    alpha = f"(({d['sy']} / {n}) - ({b1} * ({d['sx1']} / {n})) - ({b2} * ({d['sx2']} / {n})))"
+    r2 = f"((({b1} * {m1y}) + ({b2} * {m2y})) / {myy})"
+    # (expr, rounding dp) — the CALLER applies pround: the Column form on
+    # the Spark side (a bare pround_sql literal like 10000.0 would parse as
+    # DECIMAL in Spark SQL), pround_sql on the DuckDB side.
+    return {
+        "beta_qty": (b1, 4),
+        "beta_disc": (b2, 4),
+        "intercept": (alpha, 2),
+        "r2": (r2, 6),
+    }
+
+
+def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS fit price_cents ~ qty + disc_pct, closed form.
+
+    ONE map-side-combinable aggregate pass collects the sufficient
+    statistics (the only shuffle: lineitem⋈supplier on s_suppkey, then a
+    25-key aggregate); the solve is an O(1) expression per nation. The
+    pattern — exact decimal moment sums + shared-text double solve — is
+    how distributed model fitting stays both scalable AND cross-engine
+    hash-checkable.
+    """
+    line = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        line.join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    sums = base.groupBy("n_name").agg(
+        *[F.expr(expr).alias(name) for name, expr in _OLS_SUMS.items()]
+    )
+    solved = sums.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_rows"),
+        *[
+            pround(F.expr(expr), dp).alias(name)
+            for name, (expr, dp) in _ols_solve_exprs().items()
+        ],
+    )
+    return solved.orderBy("n_name")
+
+
+_OLS_SQL = f"""
+WITH base AS (
+    SELECT n.n_name, l.l_quantity, l.l_discount, l.l_extendedprice
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+sums AS (
+    SELECT n_name,
+           {', '.join(f'{expr} AS {name}' for name, expr in _OLS_SUMS.items())}
+    FROM base GROUP BY n_name
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_rows,
+       {', '.join(f'{pround_sql(expr, dp)} AS {name}' for name, (expr, dp) in _ols_solve_exprs().items())}
+FROM sums
+ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity self-join (SSJoin / PPJoin family)
+# --------------------------------------------------------------------------
+
+_PF_MAX_ID = 120
+_PF_T_NUM, _PF_T_DEN = 1, 2  # Jaccard threshold t = 1/2, tested in integers
+
+
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with unigram Jaccard ≥ 0.5 via prefix filtering.
+
+    Tokens are globally ordered by (document frequency ASC, token ASC);
+    each document keeps only its first ``sz - ceil(sz/2) + 1`` tokens in
+    that order as its PREFIX. Completeness: for J(a,b) ≥ t, the overlap
+    forces at least one shared token inside both prefixes under any common
+    total order (Chaudhuri et al., ICDE'06), so the candidate equi-join on
+    prefix tokens misses nothing. Scale shape: the df-ascending order puts
+    Zipf-head tokens at the END of every document's ordering — prefixes
+    hold only RARE tokens, so the candidate join's per-key fan-out is tiny
+    exactly where naive token blocking explodes. Candidates are verified
+    with an exact intersection count restricted to candidate pairs, and
+    the threshold is the integer test 3·inter ≥ |a|+|b| — no float
+    comparison anywhere in the decision path.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PF_MAX_ID)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("token"),
+    ).filter(F.col("token") != "")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(df_tbl, "token")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+    )
+    # p = sz - ceil(t*sz) + 1, in integers: ceil(sz/2) = (sz+1) DIV 2
+    prefix = ordered.filter(
+        F.col("rn") <= F.col("sz") - F.expr("(sz + 1) DIV 2") + F.lit(1)
+    ).select("doc_id", "token")
+    pa_ = prefix.select(F.col("doc_id").alias("da"), "token")
+    pb_ = prefix.select(F.col("doc_id").alias("db"), "token")
+    cand = (
+        pa_.join(pb_, "token")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("da"), "token")
+    tb = tok.select(F.col("doc_id").alias("db"), "token")
+    # candidate pairs expanded by a-side tokens, then matched against the
+    # b-side posting list as an equi-join on (db, token) — the verification
+    # work is |cand| · |tokens per doc|, never a quadratic token join.
+    inter = (
+        cand.join(ta, "da")
+        .join(tb, ["db", "token"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .filter(
+            F.col("inter") * (_PF_T_DEN + _PF_T_NUM)
+            >= (F.col("sza") + F.col("szb")) * _PF_T_NUM
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            pround(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_PF_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+_PREFIX_FILTER_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct({_PF_TOKS}) AS t
+    FROM documents WHERE doc_id < {_PF_MAX_ID}
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {pround_sql('inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)', 4)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * {_PF_T_DEN + _PF_T_NUM} >= (sa.sz + sb.sz) * {_PF_T_NUM}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Last-touch revenue attribution (as-of join + rollup)
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7_200_000_000  # 2 h lookback
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attributed to the campaign of the last view ≤ 2 h before
+    each purchase, per user. One union+window as-of join (user-keyed
+    shuffle, linear) + a small rollup; purchase money is integer cents.
+    Views are deduplicated to one row per (user, ts) — max event_id wins —
+    so the as-of tie at identical timestamps is deterministic in both
+    engines (DuckDB's ASOF picks an arbitrary one among exact ties).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    vdw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("vrn", F.row_number().over(vdw))
+        .filter(F.col("vrn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("ts").alias("vts"),
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("campaign"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pairs = asof_join(
+        purchases, views, key="user_id", ts="ts", right_payload=["vts", "campaign"]
+    )
+    attributed = pairs.filter(
+        F.col("vts_asof").isNotNull()
+        & (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("vts_asof").cast("timestamp"))
+            <= _ATTR_WINDOW_US
+        )
+    )
+    return (
+        attributed.groupBy(F.col("campaign_asof").alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .orderBy("campaign")
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH v0 AS (
+    SELECT user_id, ts,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS campaign,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS vrn
+    FROM events WHERE event_type = 'view'
+),
+v AS (SELECT user_id, ts, campaign FROM v0 WHERE vrn = 1),
+p AS (
+    SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+    SELECT p.user_id, p.ts, p.cents, v.ts AS vts, v.campaign
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT campaign, count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM pairs
+WHERE vts IS NOT NULL AND epoch_us(ts) - epoch_us(vts) <= {_ATTR_WINDOW_US}
+GROUP BY campaign
+ORDER BY campaign
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Arrow-native UDF surface
+# --------------------------------------------------------------------------
+
+_MIA_MAX_ID = 400
+
+
+def q_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared L2 norm per embedding via ``DataFrame.mapInArrow``.
+
+    RecordBatch-in/RecordBatch-out — no pandas conversion on either side.
+    The fold accumulates float64 left-to-right in list order, the same
+    order DuckDB's ``list_sum`` folds, so the doubles agree to the last
+    ulp (pround is belt-and-braces). API-surface spec: the real vector
+    math elsewhere stays in JVM expressions (F.aggregate / zip_with).
+    """
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _MIA_MAX_ID)
+        .select("vec_id", "embedding")
+    )
+
+    def fold_norms(batches):
+        for b in batches:
+            vids = b.column(0).to_pylist()
+            vecs = b.column(1).to_pylist()
+            norms = []
+            for v in vecs:
+                s = 0.0
+                for x in v:
+                    xd = float(x)  # float32 → float64 widening is exact
+                    s = s + xd * xd
+                norms.append(s)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vids, pa.int64()), pa.array(norms, pa.float64())],
+                ["vec_id", "norm2"],
+            )
+
+    out = emb.mapInArrow(fold_norms, "vec_id long, norm2 double")
+    return out.select("vec_id", pround(F.col("norm2"), 6).alias("norm2")).orderBy(
+        "vec_id"
+    )
+
+
+_MAPINARROW_SQL = f"""
+SELECT vec_id,
+       {pround_sql("list_sum(list_transform(embedding::DOUBLE[], x -> x * x))", 6)} AS norm2
+FROM embeddings WHERE vec_id < {_MIA_MAX_ID}
+ORDER BY vec_id
+"""
+
+
+def q_applyinarrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label integer stats via ``GroupedData.applyInArrow``.
+
+    Each label's rows arrive as ONE Arrow table (group must fit executor
+    memory — fine for bounded label cardinality; unbounded groups belong
+    to the declarative aggregate path). Integer-only outputs: exact.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    def label_stats(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = tbl.column("vec_id")
+        return pa.Table.from_arrays(
+            [
+                pa.array([tbl.column("label")[0].as_py()], pa.int32()),
+                pa.array([tbl.num_rows], pa.int64()),
+                pa.array([pc.min(v).as_py()], pa.int64()),
+                pa.array([pc.max(v).as_py()], pa.int64()),
+                pa.array([pc.sum(v).as_py()], pa.int64()),
+            ],
+            ["label", "n", "min_vec", "max_vec", "sum_vec"],
+        )
+
+    out = emb.groupBy("label").applyInArrow(
+        label_stats, "label int, n long, min_vec long, max_vec long, sum_vec long"
+    )
+    return out.orderBy("label")
+
+
+_APPLYINARROW_SQL = """
+SELECT label, count(*) AS n,
+       min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "bfs_khop_reachability",
+        q_bfs_khop,
+        _BFS_SQL,
+        ("graph", "iterative"),
+        doc="Frontier BFS, 3 hops from 10 seed customers on the trade graph: "
+        "per-round broadcast frontier equi-join + anti-join, checkpointed "
+        "frontier frames; per-hop count/checksum output is hash-exact",
+    ),
+    QuerySpec(
+        "cusum_drift_flags",
+        q_cusum_drift,
+        _CUSUM_SQL,
+        ("stats", "window", "quality"),
+        doc="CUSUM change-point detector as two stacked windows "
+        "(cumsum then running min) — the closed form of max(0, S+d); "
+        "integer-exact, one shuffle",
+    ),
+    QuerySpec(
+        "chi2_nation_priority",
+        q_chi2_nation_priority,
+        _CHI2_SQL,
+        ("stats", "agg"),
+        doc="Pearson chi-squared independence test nation × priority with "
+        "full-grid expected mass from broadcast marginals",
+    ),
+    QuerySpec(
+        "ols_two_feature_nation",
+        q_ols_two_feature,
+        _OLS_SQL,
+        ("stats", "agg", "ml"),
+        doc="Per-nation 2-feature OLS via decimal sufficient statistics + "
+        "shared-text Cramer solve — distributed model fitting as one "
+        "map-side-combinable aggregate",
+    ),
+    QuerySpec(
+        "prefix_filter_jaccard",
+        q_prefix_filter_jaccard,
+        _PREFIX_FILTER_SQL,
+        ("dedup", "join", "text"),
+        doc="SSJoin/PPJoin prefix filtering: df-ascending token order, "
+        "rare-token candidate equi-join, integer-exact threshold verify; "
+        "oracle is the quadratic semantics",
+    ),
+    QuerySpec(
+        "attribution_last_touch",
+        q_attribution_last_touch,
+        _ATTRIBUTION_SQL,
+        ("events", "asof", "agg"),
+        doc="Last-touch revenue attribution: deduped views, union+window "
+        "as-of join, 2 h lookback, integer-cents rollup per campaign",
+    ),
+    QuerySpec(
+        "mapinarrow_vector_norm",
+        q_mapinarrow_norm,
+        _MAPINARROW_SQL,
+        ("arrow", "udf", "ann"),
+        doc="Spark 4 DataFrame.mapInArrow RecordBatch pipeline (squared L2 "
+        "norms), list-order fold matching DuckDB's list_sum",
+    ),
+    QuerySpec(
+        "applyinarrow_label_stats",
+        q_applyinarrow_stats,
+        _APPLYINARROW_SQL,
+        ("arrow", "udf", "agg"),
+        doc="Spark 4 GroupedData.applyInArrow grouped Arrow-table stats, "
+        "integer-exact",
+    ),
+]

@@ -139,6 +139,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "python_datasource_scan",
     "variant_json_extract",
     "schema_evolution_merge",
+    "bfs_khop_reachability",
+    "cusum_drift_flags",
+    "chi2_nation_priority",
+    "ols_two_feature_nation",
+    "prefix_filter_jaccard",
+    "attribution_last_touch",
+    "mapinarrow_vector_norm",
+    "applyinarrow_label_stats",
     # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
     # cumulative driver evidence keeps refreshing against regenerated data.
     # pq_adc_topk / ivfpq_topk demoted here: r3 driver rows, behavior
@@ -179,6 +187,7 @@ def all_specs() -> list[QuerySpec]:
         graph_geo,
         lakehouse,
         llm_queries,
+        mining,
         relational,
     )
 
@@ -190,6 +199,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(extras.SPECS)
     specs.extend(lakehouse.SPECS)
     specs.extend(graph_geo.SPECS)
+    specs.extend(mining.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

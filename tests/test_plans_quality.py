@@ -586,3 +586,68 @@ def test_grid_dbscan_has_no_cartesian(spark):
     )
     assert not checks["CartesianProduct"]
     assert not checks["BroadcastNestedLoopJoin"]
+
+
+def test_prefix_filter_join_is_equi_not_cartesian(spark):
+    # Prefix filtering's whole value is replacing the all-pairs product with
+    # equi-joins on rare prefix tokens — a cartesian anywhere defeats it.
+    from projet_data_infrastructure_spark.plans.mining import q_prefix_filter_jaccard
+
+    checks = explain_has(
+        q_prefix_filter_jaccard(spark, SF),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
+
+
+def test_cusum_single_hash_exchange(spark):
+    # repartition(user_id) must be the ONLY hash shuffle: hash(user_id)
+    # satisfies the (user_id, day) aggregate's clustering AND both windows.
+    import re
+
+    from projet_data_infrastructure_spark.plans.mining import q_cusum_drift
+
+    plan = q_cusum_drift(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    hashes = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hashes == 1, f"expected 1 hash exchange, plan has {hashes}"
+
+
+def test_ols_sums_are_decimal_and_single_agg(spark):
+    # The sufficient-statistics pass must aggregate DECIMAL sums (int64
+    # would overflow at 100 TB row counts) in one HashAggregate pair with
+    # broadcast dim joins — no sort-merge join, no second scan.
+    from projet_data_infrastructure_spark.plans.mining import q_ols_two_feature
+
+    from projet_data_infrastructure_spark.plans.mining import _OLS_SUMS
+
+    df = q_ols_two_feature(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "decimal(25,0)" in plan, "moment sums must accumulate as DECIMAL"
+    assert len(_OLS_SUMS) == 10
+    checks = explain_has(df, "BroadcastHashJoin", "SortMergeJoin", "HashAggregate")
+    assert checks["BroadcastHashJoin"] and checks["HashAggregate"]
+    assert not checks["SortMergeJoin"]
+
+
+def test_arrow_specs_use_arrow_nodes_not_pandas(spark):
+    # The Spark-4 Arrow surface must plan MapInArrow / FlatMapGroupsInArrow
+    # — not the pandas (ArrowEvalPython / FlatMapGroupsInPandas) operators.
+    from projet_data_infrastructure_spark.plans.mining import (
+        q_applyinarrow_stats,
+        q_mapinarrow_norm,
+    )
+
+    p1 = q_mapinarrow_norm(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "MapInArrow" in p1 and "ArrowEvalPython" not in p1
+    p2 = q_applyinarrow_stats(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FlatMapGroupsInArrow" in p2 and "FlatMapGroupsInPandas" not in p2
