@@ -719,6 +719,210 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# Bellman-Ford weighted shortest paths (min-plus fixed point)
+# --------------------------------------------------------------------------
+
+_BF_ROUNDS = 3
+
+
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 nearest nodes to customer 0 after 3 Bellman-Ford relaxations.
+
+    The weighted complement of ``bfs_khop_reachability``: edge weight =
+    max(1, 6 − #orders linking the pair), so frequent trade = short
+    distance; all weights integer → the min-plus fixed point is
+    hash-exact. Round r: the current distance frame (≤|V| rows) BROADCASTS
+    into one equi-join against the checkpointed edge list, then a min
+    aggregate merges relaxed candidates with the previous distances —
+    identical plan skeleton to the PageRank loop (edge list scanned, never
+    shuffled). Unreached nodes are simply absent (no ∞ sentinel to
+    overflow). Output is top-20 by (distance, label) via
+    TakeOrderedAndProject — no global sort.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(line, orders.o_orderkey == line.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.greatest(F.lit(1).cast("long"), (F.lit(6) - F.col("cnt")).cast("long"))
+    cust = (F.col("o_custkey") * 2).cast("long")
+    supp = (F.col("l_suppkey") * 2 + 1).cast("long")
+    edges = (
+        pairs.select(cust.alias("src"), supp.alias("dst"), w.alias("w"))
+        .unionByName(pairs.select(supp.alias("src"), cust.alias("dst"), w.alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            edges.join(F.broadcast(dist), edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed).groupBy("node").agg(F.min("d").alias("d"))
+        ).localCheckpoint(eager=True)
+        dist.unpersist()
+        dist = new_dist
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("node DIV 2").cast("string"),
+    )
+    return (
+        dist.select(label.alias("node"), "d")
+        .orderBy(F.asc("d"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _bf_oracle() -> str:
+    head = """
+WITH pairs AS (
+    SELECT o.o_custkey AS ck, l.l_suppkey AS sk, count(*) AS cnt
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT CAST(ck * 2 AS BIGINT) AS src, CAST(sk * 2 + 1 AS BIGINT) AS dst,
+           CAST(greatest(1, 6 - cnt) AS BIGINT) AS w
+    FROM pairs
+    UNION ALL
+    SELECT CAST(sk * 2 + 1 AS BIGINT), CAST(ck * 2 AS BIGINT),
+           CAST(greatest(1, 6 - cnt) AS BIGINT)
+    FROM pairs
+),
+r0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d)"""
+    steps = []
+    for i in range(1, _BF_ROUNDS + 1):
+        steps.append(
+            f""",
+r{i} AS (
+    SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM r{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.d + e.w AS d
+        FROM edges e JOIN r{i - 1} p ON e.src = p.node
+    ) GROUP BY node
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       d
+FROM r{_BF_ROUNDS}
+ORDER BY d, node LIMIT 20"""
+    )
+
+
+_BELLMAN_FORD_SQL = _bf_oracle()
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 100
+_RRF_QUERY = ("spark", "join", "scan")
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by reciprocal-rank fusion (Cormack et al., SIGIR'09)
+    of two rankings for a fixed query: raw query-term frequency vs
+    length-normalized frequency.
+
+    Scale shape: ONE tokenize pass feeds one per-doc aggregate (the BM25
+    discipline); each ranking's top-100 cut is ``orderBy().limit()`` —
+    planned as TakeOrderedAndProject per-partition heaps, never a global
+    sort — and rank positions are assigned by a window over the ALREADY
+    BOUNDED 100-row frame. The fusion itself is a full outer join of two
+    100-row broadcast frames. Tie-breaks are (score DESC, doc_id ASC)
+    everywhere; the normalized score is one integer division so both
+    engines order identical doubles. RRF score = Σ 1/(60 + rank), two
+    terms added in fixed order, prounded.
+    """
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.sum(F.col("term").isin(*_RRF_QUERY).cast("long")).alias("tfq"),
+    )
+    matched = per_doc.filter(F.col("tfq") > 0)
+    norm = F.col("tfq").cast("double") / F.col("dl").cast("double")
+    top_a = matched.orderBy(F.desc("tfq"), F.asc("doc_id")).limit(_RRF_TOPN)
+    top_b = (
+        matched.withColumn("nscore", norm)
+        .orderBy(F.desc("nscore"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
+    )
+    wa = Window.orderBy(F.desc("tfq"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("nscore"), F.asc("doc_id"))
+    ra = top_a.select("doc_id", F.row_number().over(wa).alias("rank_tf"))
+    rb = top_b.select("doc_id", F.row_number().over(wb).alias("rank_norm"))
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_tf",
+        "rank_norm",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_tf")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_norm")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.select(
+            "doc_id", "rank_tf", "rank_norm", pround(F.col("rrf_raw"), 6).alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_RRF_TERMS_IN = ", ".join(f"'{t}'" for t in _RRF_QUERY)
+
+_RRF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_PF_TOKS}) AS term FROM documents
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS dl,
+           CAST(sum(CASE WHEN term IN ({_RRF_TERMS_IN}) THEN 1 ELSE 0 END) AS BIGINT) AS tfq
+    FROM tok GROUP BY doc_id
+),
+matched AS (SELECT * FROM per_doc WHERE tfq > 0),
+ra AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY tfq DESC, doc_id) AS INTEGER) AS rank_tf
+    FROM matched ORDER BY tfq DESC, doc_id LIMIT {_RRF_TOPN}
+),
+rb AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY CAST(tfq AS DOUBLE) / CAST(dl AS DOUBLE) DESC, doc_id) AS INTEGER) AS rank_norm
+    FROM matched ORDER BY CAST(tfq AS DOUBLE) / CAST(dl AS DOUBLE) DESC, doc_id LIMIT {_RRF_TOPN}
+),
+fused AS (
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_tf, rb.rank_norm,
+           (COALESCE(CAST(1 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE) + rank_tf), CAST(0 AS DOUBLE))
+            + COALESCE(CAST(1 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE) + rank_norm), CAST(0 AS DOUBLE))) AS rrf_raw
+    FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_tf, rank_norm, {pround_sql('rrf_raw', 6)} AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bfs_khop_reachability",
@@ -771,6 +975,24 @@ SPECS: list[QuerySpec] = [
         ("events", "asof", "agg"),
         doc="Last-touch revenue attribution: deduped views, union+window "
         "as-of join, 2 h lookback, integer-cents rollup per campaign",
+    ),
+    QuerySpec(
+        "bellman_ford_distances",
+        q_bellman_ford,
+        _BELLMAN_FORD_SQL,
+        ("graph", "iterative"),
+        doc="3-round Bellman-Ford min-plus shortest paths on the weighted "
+        "trade graph (weight = max(1, 6 - trade count)); broadcast distance "
+        "frame per round, integer-exact, top-20 via TakeOrdered",
+    ),
+    QuerySpec(
+        "rrf_fusion",
+        q_rrf_fusion,
+        _RRF_SQL,
+        ("text", "retrieval", "window"),
+        doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
+        "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
+        "rank assignment, full-outer fuse",
     ),
     QuerySpec(
         "mapinarrow_vector_norm",

@@ -147,6 +147,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "mapinarrow_vector_norm",
     "applyinarrow_label_stats",
+    "bellman_ford_distances",
+    "rrf_fusion",
     # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
     # cumulative driver evidence keeps refreshing against regenerated data.
     # pq_adc_topk / ivfpq_topk demoted here: r3 driver rows, behavior

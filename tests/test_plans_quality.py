@@ -651,3 +651,20 @@ def test_arrow_specs_use_arrow_nodes_not_pandas(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "FlatMapGroupsInArrow" in p2 and "FlatMapGroupsInPandas" not in p2
+
+
+def test_rrf_single_tokenize_and_takeordered_cuts(spark):
+    # One Generate (single tokenize pass feeding both rankings) and the
+    # top-100 candidate cuts must be TakeOrderedAndProject heaps, not a
+    # global sort of the corpus. The only single-partition windows operate
+    # on the already-bounded 100-row frames.
+    import re
+
+    from projet_data_infrastructure_spark.plans.mining import q_rrf_fusion
+
+    plan = q_rrf_fusion(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "TakeOrderedAndProject" in plan
+    gens = len(re.findall(r"Generate\b", plan))
+    assert gens <= 2, f"expected a shared tokenize subtree, plan has {gens} Generates"
