@@ -963,7 +963,7 @@ SPECS: list[QuerySpec] = [
         "prefix_filter_jaccard",
         q_prefix_filter_jaccard,
         _PREFIX_FILTER_SQL,
-        ("dedup", "join", "text"),
+        ("dedup", "join", "text", "bench"),
         doc="SSJoin/PPJoin prefix filtering: df-ascending token order, "
         "rare-token candidate equi-join, integer-exact threshold verify; "
         "oracle is the quadratic semantics",
@@ -980,7 +980,7 @@ SPECS: list[QuerySpec] = [
         "bellman_ford_distances",
         q_bellman_ford,
         _BELLMAN_FORD_SQL,
-        ("graph", "iterative"),
+        ("graph", "iterative", "bench"),
         doc="3-round Bellman-Ford min-plus shortest paths on the weighted "
         "trade graph (weight = max(1, 6 - trade count)); broadcast distance "
         "frame per round, integer-exact, top-20 via TakeOrdered",
@@ -989,7 +989,7 @@ SPECS: list[QuerySpec] = [
         "rrf_fusion",
         q_rrf_fusion,
         _RRF_SQL,
-        ("text", "retrieval", "window"),
+        ("text", "retrieval", "window", "bench"),
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
