@@ -923,6 +923,146 @@ ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Gini coefficient of revenue concentration (scale-safe exact ranks)
+# --------------------------------------------------------------------------
+
+#: Shared double solve for G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n. Parsed by
+#: both engines → identical expression trees over identical exact sums.
+_GINI_EXPR = (
+    "(((CAST(2 AS DOUBLE) * CAST(srx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    " - ((CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE)))"
+)
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Gini coefficient of per-customer revenue concentration.
+
+    The rank-sum identity G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n needs an
+    exact GLOBAL ascending rank — the one thing a bare ``Window.orderBy``
+    cannot do at scale. This spec routes through ``operators/ranks.py
+    global_rank`` (approx-percentile range bounds → per-bucket row_number →
+    broadcast prefix offsets), so every task's working set stays bounded
+    while the ranks are hash-identical to SQL ``row_number()``. The
+    rank·cents products are DECIMAL(14,0)×DECIMAL(18,0) → DECIMAL(33,0)
+    (inside both engines' 38-digit cap) so neither the per-row product nor
+    the sum can overflow int64 at 100 TB row counts. Ties in cents don't
+    affect G (equal x swap ranks ⇒ same Σ rank·x), but the custkey
+    tie-break keeps ranks themselves deterministic anyway.
+    """
+    from projet_data_infrastructure_spark.operators.ranks import global_rank
+
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked, _n = global_rank(per_cust, key="cents", ties=["o_custkey"])
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CAST(rank AS DECIMAL(14,0)) * CAST(cents AS DECIMAL(18,0))")
+        ).alias("srx"),
+        F.sum(F.col("cents").cast("decimal(25,0)")).alias("sx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        pround(F.expr(_GINI_EXPR), 6).alias("gini"),
+    )
+
+
+_GINI_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS rank
+    FROM per_cust
+),
+sums AS (
+    SELECT count(*) AS n,
+           sum(CAST(rank AS DECIMAL(14,0)) * CAST(cents AS DECIMAL(18,0))) AS srx,
+           sum(CAST(cents AS DECIMAL(25,0))) AS sx
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS total_cents,
+       {pround_sql(_GINI_EXPR, 6)} AS gini
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality lift (temporal mixture diagnostics)
+# --------------------------------------------------------------------------
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week lift per event type: does 'purchase' over-index on
+    weekends relative to overall traffic?
+
+    lift(et, dow) = (n_{et,dow} · N) / (n_{et} · n_{dow}) — one division
+    of exact integer products (the brand-lift algebra applied to time).
+    Weekday numbering is pinned to ISO (1=Mon..7=Sun) on both engines:
+    Spark ``weekday()+1`` == DuckDB ``isodow()`` — ``dayofweek()`` starts
+    Sunday in Spark but Monday-ish in DuckDB, a classic cross-engine trap.
+    Plan: one fact aggregate over a ≤ |types|×7 key, two broadcast
+    marginal joins, one scalar broadcast. Bounded output.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    )
+    cell = base.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n_cell"))
+    et_m = cell.groupBy("event_type").agg(F.sum("n_cell").alias("n_et"))
+    dow_m = cell.groupBy("dow").agg(F.sum("n_cell").alias("n_dow"))
+    total = cell.agg(F.sum("n_cell").alias("n_all"))
+    lift = (
+        (F.col("n_cell").cast("double") * F.col("n_all").cast("double"))
+        / (F.col("n_et").cast("double") * F.col("n_dow").cast("double"))
+    )
+    return (
+        cell.join(F.broadcast(et_m), "event_type")
+        .join(F.broadcast(dow_m), "dow")
+        .join(F.broadcast(total))
+        .select(
+            "event_type",
+            "dow",
+            "n_cell",
+            pround(lift, 4).alias("lift"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_DOW_SQL = f"""
+WITH base AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow FROM events
+),
+cell AS (
+    SELECT event_type, dow, count(*) AS n_cell FROM base GROUP BY 1, 2
+),
+et_m AS (SELECT event_type, sum(n_cell) AS n_et FROM cell GROUP BY 1),
+dow_m AS (SELECT dow, sum(n_cell) AS n_dow FROM cell GROUP BY 1),
+total AS (SELECT sum(n_cell) AS n_all FROM cell)
+SELECT c.event_type, c.dow, c.n_cell,
+       {pround_sql('(CAST(n_cell AS DOUBLE) * CAST(n_all AS DOUBLE)) / (CAST(n_et AS DOUBLE) * CAST(n_dow AS DOUBLE))', 4)} AS lift
+FROM cell c
+JOIN et_m USING (event_type)
+JOIN dow_m USING (dow)
+CROSS JOIN total
+ORDER BY event_type, dow
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bfs_khop_reachability",
@@ -993,6 +1133,23 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "gini_revenue_concentration",
+        q_gini_revenue,
+        _GINI_SQL,
+        ("stats", "rank", "scale"),
+        doc="Gini coefficient via the rank-sum identity over the scale-safe "
+        "global_rank operator (no single-partition sort); decimal products "
+        "immune to int64 overflow",
+    ),
+    QuerySpec(
+        "dow_seasonality_lift",
+        q_dow_seasonality,
+        _DOW_SQL,
+        ("stats", "time", "agg"),
+        doc="Day-of-week lift per event type — brand-lift algebra on time; "
+        "ISO weekday pinned cross-engine (Spark weekday()+1 == DuckDB isodow)",
     ),
     QuerySpec(
         "mapinarrow_vector_norm",

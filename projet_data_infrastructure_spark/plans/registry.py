@@ -149,6 +149,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "applyinarrow_label_stats",
     "bellman_ford_distances",
     "rrf_fusion",
+    "gini_revenue_concentration",
+    "dow_seasonality_lift",
     # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
     # cumulative driver evidence keeps refreshing against regenerated data.
     # pq_adc_topk / ivfpq_topk demoted here: r3 driver rows, behavior
