@@ -1063,6 +1063,58 @@ ORDER BY event_type, dow
 """
 
 
+# --------------------------------------------------------------------------
+# Spark 4 SQL-function surface: SQL UDF + lateral alias + GROUP/ORDER BY ALL
+# --------------------------------------------------------------------------
+
+
+def q_sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority rollup through a SQL-defined scalar function (SPARK-46246
+    ``CREATE FUNCTION … RETURN``), lateral column aliases (SPARK-27561 —
+    ``avg_cents`` references ``total_cents``/``n_orders`` from the same
+    SELECT), and ``GROUP BY ALL`` / ``ORDER BY ALL``.
+
+    A SQL UDF is a catalog object, not a Python boundary: Catalyst inlines
+    the body, so the plan is identical to writing the expression by hand —
+    whole-stage codegen, pushdown, the lot. That inlining is exactly what
+    the oracle pins (same numbers as the hand-inlined DuckDB SQL). The
+    UDF converts money per ROW (exact integer cents) before the sum —
+    summing doubles first then rounding would be partition-order-dependent.
+
+    Probed limitation (Spark 4.1): a lateral alias referenced from
+    ``GROUP BY ALL`` raises UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_
+    GROUP_BY, so the grouping key is written explicitly and the lateral
+    references live in the SELECT/ORDER BY only.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               sum(order_cents(o_totalprice)) AS total_cents,
+               count(*) AS n_orders,
+               total_cents DIV n_orders AS avg_cents
+        FROM orders_v
+        GROUP BY o_orderpriority
+        ORDER BY ALL
+        """
+    )
+
+
+_SQL_UDF_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // count(*) AS avg_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority, total_cents, n_orders, avg_cents
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bfs_khop_reachability",
@@ -1133,6 +1185,15 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "sql_udf_rollup",
+        q_sql_udf_rollup,
+        _SQL_UDF_SQL,
+        ("sql", "spark4", "agg"),
+        doc="SQL-defined scalar function (Catalyst-inlined, no Python "
+        "boundary) + lateral column aliases + GROUP/ORDER BY ALL; per-row "
+        "integer cents before the sum",
     ),
     QuerySpec(
         "gini_revenue_concentration",

@@ -151,6 +151,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rrf_fusion",
     "gini_revenue_concentration",
     "dow_seasonality_lift",
+    "sql_udf_rollup",
     # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
     # cumulative driver evidence keeps refreshing against regenerated data.
     # pq_adc_topk / ivfpq_topk demoted here: r3 driver rows, behavior

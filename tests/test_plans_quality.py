@@ -668,3 +668,15 @@ def test_rrf_single_tokenize_and_takeordered_cuts(spark):
     assert "TakeOrderedAndProject" in plan
     gens = len(re.findall(r"Generate\b", plan))
     assert gens <= 2, f"expected a shared tokenize subtree, plan has {gens} Generates"
+
+
+def test_sql_udf_is_inlined_not_python(spark):
+    # A SQL-defined function must inline into the plan (whole-stage codegen
+    # eligible) — any Python eval operator means it regressed to a UDF server.
+    from projet_data_infrastructure_spark.plans.mining import q_sql_udf_rollup
+
+    checks = explain_has(
+        q_sql_udf_rollup(spark, SF), "BatchEvalPython", "ArrowEvalPython", "HashAggregate"
+    )
+    assert not checks["BatchEvalPython"] and not checks["ArrowEvalPython"]
+    assert checks["HashAggregate"]
