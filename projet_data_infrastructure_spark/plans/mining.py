@@ -1064,6 +1064,189 @@ ORDER BY event_type, dow
 
 
 # --------------------------------------------------------------------------
+# Fixed-point Lloyd's k-means (oracle-exact iterative ML)
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ROUNDS = 2
+_KM_MAX_ID = 2000
+_KM_SCALE = 1_000_000  # float coords → integer micro-units
+
+
+def _km_floordiv(s: str, n: str, floordiv_op: str) -> str:
+    """Exact floor division for possibly-negative integer sums.
+
+    Spark's ``DIV`` truncates toward zero while DuckDB's ``//`` floors, so
+    raw integer division diverges on negative sums. Both engines' ``%``
+    truncate identically, so subtracting the canonical non-negative
+    remainder first makes the quotient exact — the division then has no
+    remainder and truncate == floor in both engines.
+    """
+    rem = f"((({s}) % ({n}) + ({n})) % ({n}))"
+    return f"((({s}) - {rem}) {floordiv_op} ({n}))"
+
+
+def q_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Lloyd's k-means over 2 000 embeddings, bit-exact in both
+    engines — iterative ML as a deterministic DataFrame program.
+
+    The fixed-point-PageRank trick applied to clustering: coordinates are
+    floored to integer micro-units once, squared-L2 distances are then
+    exact BIGINT sums, argmin ties break on the smaller cluster id, and
+    each round's new centroids are exact integer floor-means — so the
+    classically FP-order-dependent algorithm hash-matches an unrolled
+    DuckDB oracle. Quantization costs ≤ 1 micro-unit per coordinate per
+    round — the same determinism trade money-in-cents makes.
+
+    Scale shape per round: centroids are K×dim integers COLLECTED to the
+    driver (model-parameter-class collect, the IVF-centroid discipline)
+    and inlined as literals, so ASSIGNMENT is map-side — zero Exchange,
+    no join, exactly like ``ivf_assign`` (plan-gated there). The UPDATE
+    is one posexplode → (cluster, dim) aggregate: a 64·K-key map-side-
+    combined shuffle, linear in rows. Empty clusters keep their previous
+    centroid. The driver never sees data rows — only the K×64 centroid
+    matrix per round.
+    """
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KM_MAX_ID)
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+            ).alias("q"),
+        )
+    )
+    emb = emb.localCheckpoint(eager=True)  # scanned K+1 times; decode once
+
+    # round-0 centroids: the first K vectors (deterministic seed)
+    cents = [
+        (int(r["vec_id"]), list(r["q"]))
+        for r in emb.filter(F.col("vec_id") < _KM_K).collect()
+    ]
+    cents.sort()
+    centroids = [c for _, c in cents]
+    dim = len(centroids[0])
+
+    def assign(df):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+        pick = F.array_min(
+            F.array(
+                *[
+                    F.struct(d.alias("dist"), F.lit(i).alias("cl"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        )
+        return df.withColumn("dist", pick["dist"]).withColumn("cl", pick["cl"])
+
+    for _ in range(_KM_ROUNDS):
+        assigned = assign(emb)
+        sums = (
+            assigned.select("cl", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("cl", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("c", F.expr(_km_floordiv("s", "n", "DIV")))
+            .collect()
+        )
+        bydim: dict[int, dict[int, int]] = {}
+        for r in sums:
+            bydim.setdefault(r["cl"], {})[r["dim"]] = r["c"]
+        centroids = [
+            [bydim.get(i, {}).get(d, centroids[i][d]) for d in range(dim)]
+            for i in range(_KM_K)
+        ]
+
+    final = assign(emb)
+    return (
+        final.groupBy("cl")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("vec_id").alias("id_checksum"),
+            F.sum("dist").alias("inertia"),
+        )
+        .orderBy("cl")
+    )
+
+
+def _km_oracle() -> str:
+    fd = _km_floordiv("sum(e.qv)", "count(*)", "//")
+    head = f"""
+WITH pts AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings WHERE vec_id < {_KM_MAX_ID}
+),
+e AS (
+    SELECT vec_id, dim, CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT) AS qv
+    FROM pts
+),
+c0 AS (
+    SELECT vec_id AS cl, dim, qv AS cv FROM e WHERE vec_id < {_KM_K}
+)"""
+    steps = []
+    for r in range(_KM_ROUNDS):
+        steps.append(
+            f""",
+d{r} AS (
+    SELECT e.vec_id, c.cl, sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+    FROM e JOIN c{r} c ON e.dim = c.dim
+    GROUP BY e.vec_id, c.cl
+),
+a{r} AS (
+    SELECT vec_id, cl, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d{r}
+),
+m{r} AS (SELECT vec_id, cl, dist FROM a{r} WHERE rn = 1),
+u{r} AS (
+    SELECT m.cl, e.dim, {fd} AS cv
+    FROM m{r} m JOIN e ON m.vec_id = e.vec_id
+    GROUP BY m.cl, e.dim
+),
+c{r + 1} AS (
+    SELECT p.cl, p.dim, COALESCE(u.cv, p.cv) AS cv
+    FROM c{r} p LEFT JOIN u{r} u ON p.cl = u.cl AND p.dim = u.dim
+)"""
+        )
+    r = _KM_ROUNDS
+    return (
+        head
+        + "".join(steps)
+        + f""",
+df AS (
+    SELECT e.vec_id, c.cl, sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+    FROM e JOIN c{r} c ON e.dim = c.dim
+    GROUP BY e.vec_id, c.cl
+),
+af AS (
+    SELECT vec_id, cl, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM df
+)
+SELECT cl, count(*) AS n_points,
+       CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+       CAST(sum(dist) AS BIGINT) AS inertia
+FROM af WHERE rn = 1
+GROUP BY cl ORDER BY cl"""
+    )
+
+
+_KMEANS_SQL = _km_oracle()
+
+
+# --------------------------------------------------------------------------
 # Spark 4 SQL-function surface: SQL UDF + lateral alias + GROUP/ORDER BY ALL
 # --------------------------------------------------------------------------
 
@@ -1185,6 +1368,16 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "kmeans_fixed_point",
+        q_kmeans_fixed_point,
+        _KMEANS_SQL,
+        ("ml", "iterative", "ann", "bench"),
+        doc="2-round Lloyd's k-means in integer micro-units: map-side "
+        "assignment against collected centroid literals (IVF discipline), "
+        "exact floor-mean updates, hash-exact vs the unrolled oracle — "
+        "iterative ML made oracle-checkable",
     ),
     QuerySpec(
         "sql_udf_rollup",

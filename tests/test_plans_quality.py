@@ -680,3 +680,18 @@ def test_sql_udf_is_inlined_not_python(spark):
     )
     assert not checks["BatchEvalPython"] and not checks["ArrowEvalPython"]
     assert checks["HashAggregate"]
+
+
+def test_kmeans_assignment_is_mapside(spark):
+    # Final-assignment plan: centroid literals are inlined, so there must be
+    # NO join anywhere — just scan → project → aggregate (+ the orderBy).
+    import re
+
+    from projet_data_infrastructure_spark.plans.mining import q_kmeans_fixed_point
+
+    plan = q_kmeans_fixed_point(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Join" not in plan
+    hashes = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hashes == 1, f"expected only the aggregate exchange, got {hashes}"
