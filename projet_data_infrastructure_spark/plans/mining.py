@@ -1064,6 +1064,96 @@ ORDER BY event_type, dow
 
 
 # --------------------------------------------------------------------------
+# Binned two-sample Kolmogorov–Smirnov drift statistic
+# --------------------------------------------------------------------------
+
+_KS_BINS = 256
+
+#: |cdfA − cdfB| compared as the INTEGER cross-product |cumA·nB − cumB·nA|
+#: (DECIMAL(18,0) factors → DECIMAL(37,0) products, inside both engines'
+#: cap and immune to int64 overflow at 100 TB counts); the single division
+#: happens once, on the maximum.
+_KS_NUM = (
+    "abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0))"
+    " - CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0)))"
+)
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the purchase and view value
+    distributions, over 256 fixed dollar bins.
+
+    Raw KS needs the merged order statistics — a global sort of the data.
+    The binned form is the scale-honest estimator: per-bin counts are one
+    map-side-combined aggregate, and every window after that runs on the
+    ≤256-row bin frame (bounded by the estimator parameter, never the
+    data — same argument as the KMV/count-min sketches). The sup-distance
+    is computed on exact integer cross-products; one division at the end.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    binc = F.least(
+        F.lit(_KS_BINS - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.expr("cents DIV 100")),
+    )
+    cell = (
+        ev.select(F.col("event_type").alias("t"), cents.alias("cents"))
+        .select("t", binc.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("t") == "view").cast("long")).alias("a"),
+            F.sum((F.col("t") == "purchase").cast("long")).alias("b"),
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    scored = cell.select(
+        "bin",
+        F.sum("a").over(wcum).alias("cum_a"),
+        F.sum("b").over(wcum).alias("cum_b"),
+        F.sum("a").over(wall).alias("n_a"),
+        F.sum("b").over(wall).alias("n_b"),
+    ).withColumn("num", F.expr(_KS_NUM))
+    return scored.agg(
+        F.max("n_a").cast("long").alias("n_views"),
+        F.max("n_b").cast("long").alias("n_purchases"),
+        pround(
+            F.max("num").cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
+            6,
+        ).alias("ks"),
+    )
+
+
+_KS_SQL = f"""
+WITH ev AS (
+    SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+cell AS (
+    SELECT least({_KS_BINS - 1}, greatest(0, cents // 100)) AS bin,
+           CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+    FROM ev GROUP BY 1
+),
+scored AS (
+    SELECT bin,
+           sum(a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_a,
+           sum(b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_b,
+           sum(a) OVER () AS n_a,
+           sum(b) OVER () AS n_b
+    FROM cell
+)
+SELECT CAST(max(n_a) AS BIGINT) AS n_views,
+       CAST(max(n_b) AS BIGINT) AS n_purchases,
+       {pround_sql('CAST(max(' + _KS_NUM + ') AS DOUBLE) / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE))', 6)} AS ks
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 # Fixed-point Lloyd's k-means (oracle-exact iterative ML)
 # --------------------------------------------------------------------------
 
@@ -1368,6 +1458,15 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "ks_drift_statistic",
+        q_ks_drift,
+        _KS_SQL,
+        ("stats", "quality", "sketch"),
+        doc="Binned two-sample KS between purchase and view value "
+        "distributions: 256 fixed bins, windows only over the bounded bin "
+        "frame, sup-distance on exact integer cross-products",
     ),
     QuerySpec(
         "kmeans_fixed_point",

@@ -210,3 +210,26 @@ def test_rrf_score_is_reciprocal_rank_sum(spark):
         assert abs(r["rrf"] - exp) < 1e-5
     scores = [r["rrf"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_kmeans_recovers_planted_clusters(spark, tmp_path):
+    # Four well-separated planted clusters, seeds 0..3 one per cluster →
+    # after 2 rounds every point must sit with its planted center and the
+    # per-cluster id checksums are fully determined.
+    sf = str(tmp_path / "sf")
+    dim = 8
+    rows = []
+    for c in range(4):
+        center = [float(10 * c)] * dim
+        for j in range(10):
+            vid = c + 4 * j  # vec_ids interleaved so seeds are 0,1,2,3
+            jitter = [(0.001 * ((vid + d) % 5)) for d in range(dim)]
+            rows.append((vid, [center[d] + jitter[d] for d in range(dim)]))
+    _write_parquet(spark, rows, "vec_id long, embedding array<float>", f"{sf}/embeddings.parquet")
+    got = {r["cl"]: (r["n_points"], r["id_checksum"]) for r in
+           mining.q_kmeans_fixed_point(spark, sf).collect()}
+    expected = {}
+    for c in range(4):
+        ids = [c + 4 * j for j in range(10)]
+        expected[c] = (10, sum(ids))
+    assert got == expected
