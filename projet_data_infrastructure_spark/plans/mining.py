@@ -58,6 +58,29 @@ similarity questions appear. Design notes per spec:
   byte-oriented work. Kept off hot paths (the declarative specs do the real
   aggregation); these pin the API contract: schema negotiation, batch
   iteration, grouped single-batch delivery.
+* ``bellman_ford_distances`` — the weighted complement of the BFS spec:
+  3-round min-plus fixed point with integer edge weights; same broadcast-
+  frame-vs-checkpointed-edges plan skeleton as PageRank.
+* ``rrf_fusion`` — reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+  retrieval rankings; TakeOrderedAndProject top-100 cuts, rank windows only
+  over bounded 100-row frames.
+* ``gini_revenue_concentration`` — the rank-sum Gini identity over the
+  scale-safe ``global_rank`` operator; DECIMAL rank·cents products so
+  nothing overflows int64.
+* ``dow_seasonality_lift`` — brand-lift integer algebra applied to time;
+  ISO weekday pinned cross-engine (Spark ``weekday()+1`` == DuckDB
+  ``isodow()`` — bare ``dayofweek()`` numbering disagrees between engines).
+* ``ks_drift_statistic`` — binned two-sample Kolmogorov–Smirnov: per-bin
+  counts are one aggregate, the sup-distance compares exact DECIMAL
+  cross-products (cumA·nB vs cumB·nA) and divides once, on the maximum.
+* ``kmeans_fixed_point`` — 2-round Lloyd's k-means in integer micro-units:
+  map-side assignment against collected centroid literals, exact floor-mean
+  updates via remainder-corrected division (Spark ``DIV`` truncates, DuckDB
+  ``//`` floors — they only agree after subtracting the canonical
+  non-negative remainder). Iterative ML, hash-exact.
+* ``sql_udf_rollup`` — Spark 4 SQL-defined function + lateral column
+  aliases + GROUP/ORDER BY ALL; Catalyst inlines the SQL UDF so there is no
+  Python boundary at all (plan-gated).
 """
 
 from __future__ import annotations
