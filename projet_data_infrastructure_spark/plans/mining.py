@@ -110,22 +110,24 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round r: frontier (hop r-1 nodes, ≤|V|) broadcasts into one equi-join
     against the checkpointed edge list; newly reached nodes are the
     anti-join against the visited set. Visited/frontier frames are |V|-
-    bounded and re-checkpointed per round with the previous round's blocks
-    explicitly unpersisted (the duplicate_clusters discipline). The edge
-    list — the only O(|E|) object — is scanned once per round and never
-    shuffled (the join key is its own partitioning). Output is 1 row per
-    hop level: integer count + sum of packed node ids, so an iterative
-    traversal is order-insensitively hash-exact.
+    bounded and stay lazy across the fixed 3 rounds — only the edge list
+    (the only O(|E|) object) is checkpointed; it is scanned once per round
+    and never shuffled. Output is 1 row per hop level: integer count + sum
+    of packed node ids, so an iterative traversal is order-insensitively
+    hash-exact. Open-ended traversals would re-checkpoint the visited
+    frame every few rounds (the duplicate_clusters discipline).
     """
     from projet_data_infrastructure_spark.plans.graph_geo import _trade_edges
 
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     cust = read_table(spark, sf_dir, "customer")
+    # Rounds stay LAZY over the checkpointed edge list (see the Bellman-Ford
+    # note): a fixed 3-hop frontier expansion collapses into one job.
+    # Checkpoint-per-round is reserved for open-ended loops (CC).
     visited = (
         cust.filter(F.col("c_custkey") < _BFS_SEED_MAX)
         .select((F.col("c_custkey") * 2).cast("long").alias("node"))
         .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=True)
     )
     for i in range(1, _BFS_HOPS + 1):
         frontier = visited.filter(F.col("hop") == i - 1).select("node")
@@ -137,9 +139,7 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = nbrs.join(
             F.broadcast(visited.select("node")), "node", "left_anti"
         ).withColumn("hop", F.lit(i))
-        new_visited = visited.unionByName(new).localCheckpoint(eager=True)
-        visited.unpersist()
-        visited = new_visited
+        visited = visited.unionByName(new)
     out = (
         visited.groupBy("hop")
         .agg(
@@ -778,19 +778,21 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(supp.alias("src"), cust.alias("dst"), w.alias("w")))
         .localCheckpoint(eager=True)
     )
+    # Rounds stay LAZY over the checkpointed edge list (the PageRank
+    # discipline): at a fixed 3 rounds the nested plan is small, and lazy
+    # rounds collapse the whole fixed point into ONE job instead of one
+    # materialization per round (measured ~1.5x faster). Checkpoint-per-
+    # round (the CC discipline) is for open-ended loops where lineage and
+    # optimizer time grow with the iteration count.
     dist = spark.range(1).select(
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(_BF_ROUNDS):
         relaxed = (
             edges.join(F.broadcast(dist), edges.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
-        new_dist = (
-            dist.unionByName(relaxed).groupBy("node").agg(F.min("d").alias("d"))
-        ).localCheckpoint(eager=True)
-        dist.unpersist()
-        dist = new_dist
+        dist = dist.unionByName(relaxed).groupBy("node").agg(F.min("d").alias("d"))
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         F.expr("node DIV 2").cast("string"),
