@@ -1089,6 +1089,115 @@ ORDER BY event_type, dow
 
 
 # --------------------------------------------------------------------------
+# Streaming CUSUM (stateful per-user drift detector, LIVE)
+# --------------------------------------------------------------------------
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM detector running LIVE as a stateful streaming operator:
+    per-user (P, minP, counters) state carried across micro-batches via
+    ``applyInPandasWithState``, emitting per-user drift telemetry
+    (n_days, final/max CUSUM, alarm-day count).
+
+    The closed-form identity S = P − min(0, cummin P) means the state is
+    just TWO integers per user (running P and running minP) plus counters —
+    a bounded-state streaming detector no windowed aggregation can express.
+    Under availableNow the file source delivers one batch, so the emission
+    equals the batch detector and the whole operator is hash-checked
+    against the DuckDB oracle (the same gate the batch ``cusum_drift_flags``
+    passes). Cross-batch caveat: a replay that SPLITS one calendar day
+    across batches would count that day twice in n_days — production
+    deployments put a day-aligned watermark upstream; the two-integer
+    recurrence itself is split-safe.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < _CUSUM_USERS)
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        p, minp, n_days, n_alarms, max_c, final_c = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        daily = pdf.groupby("day").size().sort_index()
+        for cnt in daily:
+            p += int(cnt) - _CUSUM_K
+            minp = min(minp, p)
+            s = p - min(0, minp)
+            n_days += 1
+            final_c = s
+            if s > max_c:
+                max_c = s
+            if s >= _CUSUM_H:
+                n_alarms += 1
+        state.update((p, minp, n_days, n_alarms, max_c, final_c))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_days": [n_days],
+                "final_cusum": [final_c],
+                "max_cusum": [max_c],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, n_days BIGINT, final_cusum BIGINT, "
+            "max_cusum BIGINT, n_alarms BIGINT"
+        ),
+        stateStructType=(
+            "p BIGINT, minp BIGINT, n_days BIGINT, n_alarms BIGINT, "
+            "max_c BIGINT, final_c BIGINT"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_stream(out.writeStream.outputMode("update"), spark, "stream_cusum_sink")
+    return res.orderBy("user_id")
+
+
+_STREAM_CUSUM_SQL = f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events WHERE user_id < {_CUSUM_USERS}
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT user_id, day,
+           sum(cnt - {_CUSUM_K}) OVER (PARTITION BY user_id ORDER BY day) AS p
+    FROM daily
+),
+sc AS (
+    SELECT user_id, day,
+           p - least(CAST(0 AS BIGINT),
+                     min(p) OVER (PARTITION BY user_id ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING)) AS s
+    FROM cum
+)
+SELECT user_id,
+       count(*) AS n_days,
+       CAST(arg_max(s, day) AS BIGINT) AS final_cusum,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(sum(CASE WHEN s >= {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+FROM sc
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Binned two-sample Kolmogorov–Smirnov drift statistic
 # --------------------------------------------------------------------------
 
@@ -1483,6 +1592,15 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "stream_cusum_telemetry",
+        q_stream_cusum,
+        _STREAM_CUSUM_SQL,
+        ("stream", "stats", "stateful"),
+        doc="LIVE streaming CUSUM via applyInPandasWithState: two-integer "
+        "per-user state (running P, running minP) + counters; availableNow "
+        "emission hash-checked against the batch-detector oracle",
     ),
     QuerySpec(
         "ks_drift_statistic",
