@@ -1089,6 +1089,81 @@ ORDER BY event_type, dow
 
 
 # --------------------------------------------------------------------------
+# Contrastive hard-negative mining (training-pair curation over ANN buckets)
+# --------------------------------------------------------------------------
+
+_HN_THRESHOLD = 0.25
+_HN_TOPK = 30
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 hard negatives for contrastive training: pairs that look
+    alike (same IVF bucket, cosine ≥ 0.25) but carry DIFFERENT labels.
+
+    Exactly the curation step an embedding-model training pipeline runs:
+    easy negatives are useless, and mining hard ones naively is an
+    all-pairs scan. This reuses the √N-centroid IVF bucketing (per-bucket
+    pair work ≈ N^1.5 total, no nested loop — the embedding_neardup
+    machinery), then joins the thin (id, label) side twice — keyed shuffle
+    joins, linear — and keeps cross-label pairs only. Top-30 by similarity
+    via TakeOrderedAndProject.
+    """
+    from projet_data_infrastructure_spark.operators import similarity
+    from projet_data_infrastructure_spark.sources.readers import read_table_balanced
+
+    plain = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_balanced(spark, sf_dir, "embeddings")
+    c = similarity.derived_n_centroids(plain.count())
+    pairs = similarity.neardup_pairs_bucketed(
+        emb, threshold=_HN_THRESHOLD, n_centroids=c, centroid_src=plain
+    )
+    la = plain.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
+    lb = plain.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"))
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", "sim")
+        .orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(_HN_TOPK)
+    )
+
+
+_HN_DERIVED_C = (
+    "(SELECT greatest(8, CAST(floor(sqrt(count(*)::DOUBLE)) AS INT)) FROM embeddings)"
+)
+
+_HARD_NEGATIVE_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {_HN_DERIVED_C}
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT e.vec_id, a.centroid_id, e.embedding::DOUBLE[] AS v, e.label
+    FROM embeddings e JOIN assign a USING (vec_id)
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       x.label AS label_a, y.label AS label_b,
+       {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} AS sim
+FROM bucketed x JOIN bucketed y
+  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+WHERE {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} >= {_HN_THRESHOLD}
+  AND x.label != y.label
+ORDER BY sim DESC, vec_a, vec_b
+LIMIT {_HN_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Streaming CUSUM (stateful per-user drift detector, LIVE)
 # --------------------------------------------------------------------------
 
@@ -1592,6 +1667,15 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "hard_negative_mining",
+        q_hard_negative_mining,
+        _HARD_NEGATIVE_SQL,
+        ("ann", "dedup", "ml"),
+        doc="Contrastive hard negatives: same IVF bucket, different label, "
+        "cosine >= 0.25 — the embedding-training curation step over the "
+        "sqrt(N)-centroid bucketed join; top-30 via TakeOrdered",
     ),
     QuerySpec(
         "stream_cusum_telemetry",
