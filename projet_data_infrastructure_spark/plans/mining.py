@@ -1089,6 +1089,128 @@ ORDER BY event_type, dow
 
 
 # --------------------------------------------------------------------------
+# T5-style span-corruption sample prep (denoising-objective training data)
+# --------------------------------------------------------------------------
+
+_SC_MAX_ID = 40
+_SC_RATE_MOD, _SC_RATE_HIT = 10, 2  # mask a token iff hash % 10 < 2 (~20%)
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style denoising pairs: ~20% of tokens are masked by a
+    DETERMINISTIC portable hash, consecutive masked tokens merge into
+    spans, the input text replaces each span with a ``<Xk>`` sentinel and
+    the target lists each sentinel with its hidden tokens.
+
+    The pipeline is one posexplode + ONE per-doc window pass (lag for
+    span starts, running sum for span ordinals) + one per-doc aggregate
+    that rebuilds both strings with order-pinned array_sort(collect_list)
+    — no Python anywhere, fully linear, and reproducible: the hash-based
+    mask makes a normally-random objective hash-checkable cross-engine
+    (the same trick the A-Res samplers and Doulion use).
+    """
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _SC_MAX_ID)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    h = hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")))
+    tok = tok.withColumn("masked", (h % _SC_RATE_MOD) < _SC_RATE_HIT)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = (
+        tok.withColumn(
+            "span_start",
+            F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+        )
+        .withColumn("span_id", F.sum(F.col("span_start").cast("long")).over(w))
+    )
+    sentinel = F.concat(F.lit("<X"), F.col("span_id").cast("string"), F.lit(">"))
+    piece_in = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("span_start"), sentinel)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    piece_tg = (
+        F.when(F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("tok")))
+        .when(F.col("masked"), F.col("tok"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    # build both strings in one aggregate; transform/filter applied to the
+    # order-pinned struct array
+    agg = tok.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("p"), piece_in.alias("x")))
+        ).alias("arr_in"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("p"), piece_tg.alias("x")))
+        ).alias("arr_tg"),
+        F.max("span_id").alias("n_spans"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    pick = lambda c: F.array_join(
+        F.filter(F.expr(f"transform({c}, s -> s.x)"), lambda x: x.isNotNull()), " "
+    )
+    return agg.select(
+        "doc_id",
+        pick("arr_in").alias("input_text"),
+        pick("arr_tg").alias("target_text"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
+from projet_data_infrastructure_spark.functions.hashing import hash64_sql as _h64sql
+
+_SC_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+_SC_HASH = _h64sql("(doc_id || ':' || pos)")
+
+_SPAN_CORRUPTION_SQL = f"""
+WITH tok0 AS (
+    SELECT doc_id, unnest({_SC_TOKS}) AS tok,
+           generate_subscripts({_SC_TOKS}, 1) - 1 AS pos
+    FROM documents WHERE doc_id < {_SC_MAX_ID}
+),
+tok1 AS (
+    SELECT doc_id, pos, tok,
+           ({_SC_HASH} % {_SC_RATE_MOD}) < {_SC_RATE_HIT} AS masked
+    FROM tok0
+),
+tok2 AS (
+    SELECT *,
+           masked AND NOT COALESCE(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS span_start
+    FROM tok1
+),
+tok3 AS (
+    SELECT *,
+           sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+    FROM tok2
+),
+pieces AS (
+    SELECT doc_id, pos, span_id,
+           CASE WHEN NOT masked THEN tok
+                WHEN span_start THEN '<X' || CAST(span_id AS VARCHAR) || '>'
+                ELSE NULL END AS piece_in,
+           CASE WHEN span_start THEN '<X' || CAST(span_id AS VARCHAR) || '> ' || tok
+                WHEN masked THEN tok
+                ELSE NULL END AS piece_tg
+    FROM tok3
+)
+SELECT doc_id,
+       COALESCE(string_agg(piece_in, ' ' ORDER BY pos) FILTER (WHERE piece_in IS NOT NULL), '') AS input_text,
+       COALESCE(string_agg(piece_tg, ' ' ORDER BY pos) FILTER (WHERE piece_tg IS NOT NULL), '') AS target_text,
+       CAST(max(span_id) AS BIGINT) AS n_spans,
+       count(*) AS n_tokens
+FROM pieces
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Contrastive hard-negative mining (training-pair curation over ANN buckets)
 # --------------------------------------------------------------------------
 
@@ -1667,6 +1789,15 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "span_corruption_prep",
+        q_span_corruption,
+        _SPAN_CORRUPTION_SQL,
+        ("text", "ml", "window"),
+        doc="T5/UL2 denoising pairs: hash-deterministic ~20% token masking, "
+        "lag/running-sum span detection in one per-doc window pass, "
+        "sentinel input/target rebuild with order-pinned array_sort",
     ),
     QuerySpec(
         "hard_negative_mining",
