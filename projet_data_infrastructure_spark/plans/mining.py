@@ -81,6 +81,16 @@ similarity questions appear. Design notes per spec:
 * ``sql_udf_rollup`` — Spark 4 SQL-defined function + lateral column
   aliases + GROUP/ORDER BY ALL; Catalyst inlines the SQL UDF so there is no
   Python boundary at all (plan-gated).
+* ``stream_cusum_telemetry`` — the CUSUM detector LIVE: the closed form
+  means per-user state is just (running P, running minP) + counters, so a
+  drift monitor no windowed aggregation can express runs with bounded
+  state under ``applyInPandasWithState``.
+* ``hard_negative_mining`` — contrastive-training curation: same-IVF-bucket
+  different-label pairs with cosine ≥ 0.25, reusing the √N-centroid
+  bucketed join (≈N^1.5 work, never all-pairs).
+* ``span_corruption_prep`` — T5/UL2 denoising pairs with hash-deterministic
+  masking: one per-doc window pass for span detection, order-pinned string
+  rebuild; the usually-random objective made hash-checkable.
 """
 
 from __future__ import annotations
