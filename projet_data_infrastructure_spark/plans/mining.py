@@ -1099,6 +1099,154 @@ ORDER BY event_type, dow
 
 
 # --------------------------------------------------------------------------
+# Label propagation (semi-supervised labeling over the similarity graph)
+# --------------------------------------------------------------------------
+
+_LP_SEED_MAX = 200
+_LP_SIM = 0.2
+_LP_ROUNDS = 2
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: 200 seed-labeled embeddings
+    spread their labels 2 hops over the IVF-bucketed similarity graph
+    (cosine ≥ 0.2); unlabeled nodes adopt the neighbor-majority label,
+    ties broken by the smaller label — fully deterministic, so a classic
+    iterative semi-supervised algorithm is hash-exact.
+
+    Clamped fix-once variant: once a node holds a label it never changes
+    (monotone → no oscillation, bounded rounds). Per round: one equi-join
+    of the edge list against the labeled frontier + a (node, label) vote
+    aggregate + a deterministic argmax window per node — all keyed on the
+    8-byte vec_id. The edge list comes from the same √N-centroid bucketed
+    machinery as near-dup/hard-negative mining (≈N^1.5 candidate work,
+    never all-pairs) and is checkpointed once before the loop. Output is
+    the label distribution (count + id-checksum per final label;
+    -1 = never reached).
+    """
+    from projet_data_infrastructure_spark.operators import similarity
+    from projet_data_infrastructure_spark.sources.readers import read_table_balanced
+
+    plain = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_balanced(spark, sf_dir, "embeddings")
+    c = similarity.derived_n_centroids(plain.count())
+    pairs = similarity.neardup_pairs_bucketed(
+        emb, threshold=_LP_SIM, n_centroids=c, centroid_src=plain
+    ).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = plain.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("vec_id") < _LP_SEED_MAX, F.col("label"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("lab"),
+    )
+    for _ in range(_LP_ROUNDS):
+        frontier = labels.filter(F.col("lab").isNotNull()).select(
+            F.col("node").alias("dst"), F.col("lab").alias("nlab")
+        )
+        votes = (
+            edges.join(frontier, "dst")
+            .groupBy(F.col("src").alias("node"), "nlab")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wv = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("nlab"))
+        pick = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlab").alias("plab"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce(F.col("lab"), F.col("plab")).alias("lab")
+        )
+    return (
+        labels.groupBy(F.coalesce(F.col("lab"), F.lit(-1)).alias("final_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("id_checksum"),
+        )
+        .orderBy("final_label")
+    )
+
+
+def _lp_oracle() -> str:
+    derived_c = (
+        "(SELECT greatest(8, CAST(floor(sqrt(count(*)::DOUBLE)) AS INT)) FROM embeddings)"
+    )
+    head = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {derived_c}
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT e.vec_id, a.centroid_id, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN assign a USING (vec_id)
+), pairs AS (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM bucketed x JOIN bucketed y
+      ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+    WHERE {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} >= {_LP_SIM}
+), edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+l0 AS (
+    SELECT vec_id AS node,
+           CASE WHEN vec_id < {_LP_SEED_MAX} THEN label ELSE NULL END AS lab
+    FROM embeddings
+)"""
+    steps = []
+    for r in range(1, _LP_ROUNDS + 1):
+        steps.append(
+            f""",
+v{r} AS (
+    SELECT e.src AS node, l.lab AS nlab, count(*) AS n
+    FROM edges e JOIN l{r - 1} l ON e.dst = l.node
+    WHERE l.lab IS NOT NULL
+    GROUP BY e.src, l.lab
+),
+p{r} AS (
+    SELECT node, nlab AS plab FROM (
+        SELECT node, nlab, row_number() OVER (PARTITION BY node ORDER BY n DESC, nlab) AS rn
+        FROM v{r}
+    ) WHERE rn = 1
+),
+l{r} AS (
+    SELECT l.node, COALESCE(l.lab, p.plab) AS lab
+    FROM l{r - 1} l LEFT JOIN p{r} p ON l.node = p.node
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT COALESCE(lab, -1) AS final_label, count(*) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS id_checksum
+FROM l{_LP_ROUNDS}
+GROUP BY COALESCE(lab, -1)
+ORDER BY final_label"""
+    )
+
+
+_LABEL_PROP_SQL = _lp_oracle()
+
+
+# --------------------------------------------------------------------------
 # T5-style span-corruption sample prep (denoising-objective training data)
 # --------------------------------------------------------------------------
 
@@ -1261,6 +1409,33 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_positive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 anchor-positive pairs: same IVF bucket, SAME label, cosine
+    ≥ 0.3 — the complement of ``hard_negative_mining``; together they emit
+    the (anchor, positive, hard-negative) triplets a contrastive trainer
+    consumes. Identical ≈N^1.5 bucketed plan; only the label predicate and
+    threshold differ."""
+    from projet_data_infrastructure_spark.operators import similarity
+    from projet_data_infrastructure_spark.sources.readers import read_table_balanced
+
+    plain = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_balanced(spark, sf_dir, "embeddings")
+    c = similarity.derived_n_centroids(plain.count())
+    pairs = similarity.neardup_pairs_bucketed(
+        emb, threshold=0.3, n_centroids=c, centroid_src=plain
+    )
+    la = plain.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
+    lb = plain.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"))
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .select("vec_a", "vec_b", F.col("label_a").alias("label"), "sim")
+        .orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(_HN_TOPK)
+    )
+
+
 _HN_DERIVED_C = (
     "(SELECT greatest(8, CAST(floor(sqrt(count(*)::DOUBLE)) AS INT)) FROM embeddings)"
 )
@@ -1290,6 +1465,34 @@ FROM bucketed x JOIN bucketed y
   ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
 WHERE {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} >= {_HN_THRESHOLD}
   AND x.label != y.label
+ORDER BY sim DESC, vec_a, vec_b
+LIMIT {_HN_TOPK}
+"""
+
+_POSITIVE_PAIR_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {_HN_DERIVED_C}
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT e.vec_id, a.centroid_id, e.embedding::DOUBLE[] AS v, e.label
+    FROM embeddings e JOIN assign a USING (vec_id)
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
+       {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} AS sim
+FROM bucketed x JOIN bucketed y
+  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+WHERE {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} >= 0.3
+  AND x.label = y.label
 ORDER BY sim DESC, vec_a, vec_b
 LIMIT {_HN_TOPK}
 """
@@ -1799,6 +2002,23 @@ SPECS: list[QuerySpec] = [
         doc="Reciprocal-rank fusion of raw-tf and length-normalized rankings "
         "(k=60): one tokenize pass, TakeOrdered top-100 cuts, bounded-window "
         "rank assignment, full-outer fuse",
+    ),
+    QuerySpec(
+        "positive_pair_mining",
+        q_positive_pair_mining,
+        _POSITIVE_PAIR_SQL,
+        ("ann", "ml"),
+        doc="Anchor-positive pairs (same bucket, same label, cosine >= 0.3) "
+        "— the contrastive-triplet complement of hard_negative_mining",
+    ),
+    QuerySpec(
+        "label_propagation",
+        q_label_propagation,
+        _LABEL_PROP_SQL,
+        ("graph", "ml", "iterative", "ann"),
+        doc="Semi-supervised label propagation: 200 seeds spread 2 hops over "
+        "the IVF-bucketed similarity graph; neighbor-majority with "
+        "smaller-label ties, clamped fix-once — deterministic and hash-exact",
     ),
     QuerySpec(
         "span_corruption_prep",

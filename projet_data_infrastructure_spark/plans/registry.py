@@ -157,6 +157,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_cusum_telemetry",
     "hard_negative_mining",
     "span_corruption_prep",
+    "label_propagation",
+    "positive_pair_mining",
     # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
     # cumulative driver evidence keeps refreshing against regenerated data.
     # pq_adc_topk / ivfpq_topk demoted here: r3 driver rows, behavior
