@@ -695,3 +695,32 @@ def test_kmeans_assignment_is_mapside(spark):
     assert "Join" not in plan
     hashes = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hashes == 1, f"expected only the aggregate exchange, got {hashes}"
+
+
+def test_label_propagation_no_cartesian(spark):
+    # Every round is an equi-join (edges ⋈ frontier) + vote aggregate +
+    # per-node window — a cartesian or nested loop means the bucketed
+    # candidate machinery leaked an all-pairs shape.
+    from projet_data_infrastructure_spark.plans.mining import q_label_propagation
+
+    checks = explain_has(
+        q_label_propagation(spark, SF), "CartesianProduct"
+    )
+    assert not checks["CartesianProduct"]
+
+
+def test_span_corruption_single_window_sort(spark):
+    # The lag window feeds the running-sum window, so Catalyst plans two
+    # Window operators — but they MUST share one (doc_id) sort/exchange:
+    # exactly one hash exchange (the window partitioning; the aggregate
+    # reuses it) and one sort below the window pair. A second window sort
+    # means span detection re-shuffles the exploded tokens.
+    import re
+
+    from projet_data_infrastructure_spark.plans.mining import q_span_corruption
+
+    plan = q_span_corruption(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    hashes = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hashes == 1, f"expected one hash exchange, plan has {hashes}"
