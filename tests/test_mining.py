@@ -233,3 +233,37 @@ def test_kmeans_recovers_planted_clusters(spark, tmp_path):
         ids = [c + 4 * j for j in range(10)]
         expected[c] = (10, sum(ids))
     assert got == expected
+
+
+def test_span_corruption_reconstructs_original(spark):
+    # Substituting each <Xk> sentinel in input_text with its hidden tokens
+    # from target_text must reproduce the original document exactly —
+    # lossless denoising pairs, span ordinals consistent on both sides.
+    import re
+
+    rows = {r["doc_id"]: r for r in mining.q_span_corruption(spark, SF).collect()}
+    orig = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE doc_id < {mining._SC_MAX_ID}"
+        ).fetchall()
+    )
+    assert set(rows) == set(orig)
+    for doc_id, r in rows.items():
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for tok in r["target_text"].split():
+            if re.fullmatch(r"<X\d+>", tok):
+                cur = tok
+                spans[cur] = []
+            else:
+                assert cur is not None
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in r["input_text"].split():
+            if re.fullmatch(r"<X\d+>", tok):
+                rebuilt.extend(spans.pop(tok))
+            else:
+                rebuilt.append(tok)
+        assert not spans, f"doc {doc_id}: unused target spans {list(spans)}"
+        assert rebuilt == orig[doc_id].split(), f"doc {doc_id} reconstruction mismatch"
+        assert r["n_tokens"] == len(orig[doc_id].split())
