@@ -168,6 +168,97 @@ def neardup_pairs_bucketed(
     )
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    centroid_src: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup pruning (Abbas et al. 2023, public).
+
+    The paper's recipe: cluster embeddings, call same-cluster pairs with
+    cosine ≥ τ *semantic duplicates*, and within each duplicate group keep
+    only the example FARTHEST from its cluster centroid (lowest
+    prototypicality — the one most likely to add information). The paper's
+    greedy sweep is iteration-order-dependent; this implementation uses the
+    deterministic set semantics *keep x iff no near-duplicate neighbor y in
+    x's cluster lies strictly farther from the shared centroid (ties on the
+    rounded distance broken by lower ``vec_id`` wins)* — order-free, hence
+    oracle-checkable in SQL.
+
+    Returns one row per vector with ≥1 semantic duplicate:
+    ``(vec_id, centroid_id, n_dups, keep)``. Vectors with no near-dup
+    neighbor are implicitly kept and omitted (bounded output).
+
+    Scale shape (100 TB): identical to :func:`neardup_pairs_bucketed` —
+    centroid assignment is a map-side argmin over an inlined literal (no
+    Exchange), candidate pairs come from an EQUI-join on the cluster id
+    (Σ|bucket|² ≈ N^1.5 with C ≈ √N centroids), and the keep decision is a
+    per-vector aggregate over its neighbor list (map-side combinable). The
+    centroid distance is computed ONCE per row before the pair join, so the
+    join adds only the dot product per candidate pair.
+    """
+    cent_rows = (
+        (centroid_src if centroid_src is not None else emb)
+        .filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    best = centroid_argmin_col(
+        [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
+        vec_col,
+    )
+    bucketed = emb.select(
+        F.col(id_col),
+        best["cid"].alias("centroid_id"),
+        best["dist"].alias("cdist"),
+        F.col(vec_col).alias("v"),
+        norm(vec_col).alias("_norm"),
+    )
+    a = bucketed.select(
+        F.col("centroid_id").alias("bkt_a"),
+        F.col(id_col).alias("vec_a"),
+        F.col("cdist").alias("da"),
+        F.col("v").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("centroid_id").alias("bkt_b"),
+        F.col(id_col).alias("vec_b"),
+        F.col("cdist").alias("db"),
+        F.col("v").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    sim = pround(dot("va", "vb") / (F.col("na") * F.col("nb")), round_dp)
+    pairs = (
+        a.join(b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("vec_a") != F.col("vec_b")))
+        .select(
+            "vec_a",
+            F.col("bkt_a").alias("centroid_id"),
+            "da",
+            "vec_b",
+            "db",
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    dominated = F.max(
+        F.when(
+            (F.col("db") > F.col("da"))
+            | ((F.col("db") == F.col("da")) & (F.col("vec_b") < F.col("vec_a"))),
+            1,
+        ).otherwise(0)
+    )
+    return pairs.groupBy(F.col("vec_a").alias(id_col), "centroid_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        (F.lit(1) - dominated).cast("int").alias("keep"),
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,

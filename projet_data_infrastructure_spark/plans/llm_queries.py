@@ -363,6 +363,53 @@ WHERE {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} >= 0.3
 """
 
 
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: IVF-cluster the embeddings, call same-cluster
+    cosine ≥ 0.3 pairs semantic duplicates, keep the member farthest from the
+    shared centroid (deterministic domination rule — see
+    ``operators.similarity.semdedup_prune``). Same √N-derived centroid count
+    and balanced-scan discipline as ``embedding_neardup_bucketed``."""
+    plain = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_balanced(spark, sf_dir, "embeddings")
+    c = similarity.derived_n_centroids(plain.count())
+    return similarity.semdedup_prune(
+        emb, threshold=0.3, n_centroids=c, centroid_src=plain
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {_DERIVED_C_SQL}
+), cdists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id, dist FROM (
+        SELECT vec_id, centroid_id, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM cdists
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT e.vec_id, a.centroid_id, a.dist AS cdist, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN assign a USING (vec_id)
+), pairs AS (
+    SELECT x.vec_id AS vec_a, x.centroid_id, x.cdist AS da,
+           y.vec_id AS vec_b, y.cdist AS db
+    FROM bucketed x JOIN bucketed y
+      ON x.centroid_id = y.centroid_id AND x.vec_id != y.vec_id
+    WHERE {pround_sql('list_cosine_similarity(x.v, y.v)', 6)} >= 0.3
+)
+SELECT vec_a AS vec_id, centroid_id, count(*) AS n_dups,
+       CASE WHEN max(CASE WHEN db > da OR (db = da AND vec_b < vec_a)
+                          THEN 1 ELSE 0 END) = 1
+            THEN 0 ELSE 1 END AS keep
+FROM pairs
+GROUP BY vec_a, centroid_id
+"""
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_assign(emb)
@@ -2419,6 +2466,13 @@ SPECS: list[QuerySpec] = [
         q_embedding_neardup_bucketed,
         _NEARDUP_BUCKETED_SQL,
         ("similarity", "scale", "bench"),
+    ),
+    QuerySpec(
+        "semdedup_prune",
+        q_semdedup_prune,
+        _SEMDEDUP_SQL,
+        ("similarity", "dedup", "scale"),
+        doc="SemDeDup semantic dedup: keep the duplicate farthest from its IVF centroid",
     ),
     QuerySpec("ivf_assign", q_ivf_assign, _IVF_ASSIGN_SQL, ("similarity",)),
     QuerySpec("ivf_topk_ann", q_ivf_topk, _IVF_TOPK_SQL, ("similarity",)),

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_left_join",
     "stream_stream_full_join",
     # new in round 4 — zero accumulated evidence
+    "semdedup_prune",
     "gopher_quality_flags",
     "token_diversity",
     "cross_source_contamination",

@@ -691,3 +691,36 @@ def test_sq8_plans_map_side_no_exchange_no_python(spark):
     assert "TakeOrderedAndProject" in topk_plan
     assert "EvalPython" not in topk_plan
     assert "SortMergeJoin" not in topk_plan and "BroadcastHashJoin" not in topk_plan
+
+
+def test_semdedup_prune_planted_clusters(spark):
+    # Two planted clusters (centroids = vec 0/1). With tau=0.99 the duplicate
+    # pairs are (0,2),(2,3) in cluster A and (1,4),(4,5) in cluster B; the
+    # domination rule keeps the member farthest from the shared centroid, so
+    # the chain ends (3 and 5) survive, everything nearer is pruned, and a
+    # vector with no near-dup neighbor never appears in the output.
+    emb = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0]),   # centroid A
+            (1, [0.0, 10.0]),   # centroid B
+            (2, [9.0, 1.0]),    # A: dup of 0 (cos .9938) and 3 (cos .9910)
+            (3, [8.0, 2.0]),    # A: dup of 2 only (cos(0,3)=.9701 < tau)
+            (4, [1.0, 9.0]),    # B: mirror of 2
+            (5, [2.0, 8.0]),    # B: mirror of 3
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: (r.centroid_id, r.n_dups, r.keep)
+        for r in similarity.semdedup_prune(
+            emb, threshold=0.99, n_centroids=2
+        ).collect()
+    }
+    assert rows == {
+        0: (0, 1, 0),  # nearer to centroid than its dup 2 -> pruned
+        2: (0, 2, 0),  # dominated by 3 (farther out)
+        3: (0, 1, 1),  # farthest of its group -> kept
+        1: (1, 1, 0),
+        4: (1, 2, 0),
+        5: (1, 1, 1),
+    }

@@ -724,3 +724,21 @@ def test_span_corruption_single_window_sort(spark):
     )
     hashes = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hashes == 1, f"expected one hash exchange, plan has {hashes}"
+
+
+def test_semdedup_prune_plan_equi_join_map_side_agg(spark):
+    # SemDeDup candidate pairs must come from an equi-join on the IVF bucket
+    # id (never a cartesian), and the keep/n_dups decision is a hash
+    # aggregate over the pair stream (partial map-side combine present).
+    import re
+
+    from projet_data_infrastructure_spark.plans.llm_queries import q_semdedup_prune
+
+    df = q_semdedup_prune(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[bkt_a", plan)
+    # Centroid argmin is inlined literal math; only the constant-size seed
+    # collect may broadcast-nested-loop (once per self-join side).
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "HashAggregate" in plan and "EvalPython" not in plan
