@@ -69,6 +69,74 @@ def shingles_from_tokens(toks_col: str, n: int = 3):
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022, §4.1 —
+    public): delete every word position covered by a word ``n``-gram that
+    occurs in at least ``min_docs`` DISTINCT documents, then reassemble the
+    surviving words in order. Returns
+    ``(doc_id, n_words, n_removed, kept_text)`` — one row per document with
+    ≥1 token (a fully-covered document keeps an empty ``kept_text``).
+
+    Plan shape (linear, never a self-join): per-doc gram starts carry the
+    60-bit portable hash; the shared-gram set comes from a distinct +
+    groupBy on the 8-byte digest; covered positions are an equi-join of the
+    gram stream against that set followed by a bounded ×n sequence explode;
+    the rewrite is a per-doc aggregate whose ``array_sort(struct(pos, w))``
+    restores order without a global sort. Every exchange keys on a digest
+    or (doc_id, pos) — at 100 TB no shuffle carries document text except
+    the final per-doc rebuild.
+    """
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            id_col,
+            F.posexplode(shingles_from_tokens("t", n)).alias("i", "g"),
+        )
+        .select(id_col, "i", hash64(F.col("g")).alias("h"))
+    )
+    shared = (
+        grams.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        grams.join(shared, "h")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cov", F.lit(1))
+    )
+    words = toks.select(id_col, F.posexplode("t").alias("pos", "w"))
+    flags = words.join(covered, [id_col, "pos"], "left_outer")
+    return flags.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("cov").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("cov").isNull(), F.struct("pos", "w")))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

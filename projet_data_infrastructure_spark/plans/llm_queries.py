@@ -1358,6 +1358,48 @@ GROUP BY doc_id
 """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022, §4.1 —
+    public): rewrite each document by deleting every word position covered
+    by a 5-gram that occurs in ≥2 DISTINCT documents, then reassemble the
+    surviving words in order. The complement of ``crossdoc_dup_ngrams``,
+    which only *reports* the shared ratio — this produces the cleaned text
+    the training pipeline actually feeds downstream.
+
+    Plan shape: see :func:`operators.dedup.remove_duplicated_spans`."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, n=5, min_docs=2)
+
+
+_DUP_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (
+    SELECT doc_id, i, {hash64_sql("array_to_string(t[i:i+4], ' ')")} AS h
+    FROM toks, unnest(generate_series(1, len(t) - 4)) AS g_(i)
+    WHERE len(t) >= 5
+), shared AS (
+    SELECT h FROM (
+        SELECT h, count(*) AS nd FROM (SELECT DISTINCT doc_id, h FROM grams)
+        GROUP BY h
+    ) WHERE nd >= 2
+), covered AS (
+    SELECT DISTINCT g.doc_id, g.i + off AS pos
+    FROM grams g JOIN shared USING (h), unnest(generate_series(0, 4)) AS o_(off)
+), words AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM toks, unnest(generate_series(1, len(t))) AS w_(i)
+)
+SELECT w.doc_id,
+       count(*) AS n_words,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(
+           string_agg(CASE WHEN c.doc_id IS NULL THEN w.w END, ' ' ORDER BY w.pos),
+           '') AS kept_text
+FROM words w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos
+GROUP BY w.doc_id
+"""
+
+
 _REPETITION_SQL = f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 grams AS (
@@ -2511,6 +2553,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("repetition_ngram_ratio", q_repetition_ratio, _REPETITION_SQL, ("text",)),
     QuerySpec(
         "crossdoc_dup_ngrams", q_crossdoc_dup_ngrams, _CROSSDOC_SQL, ("dedup", "text", "bench")
+    ),
+    QuerySpec(
+        "dup_span_removal",
+        q_dup_span_removal,
+        _DUP_SPAN_REMOVAL_SQL,
+        ("dedup", "text"),
+        doc="ExactSubstr-style duplicated-span removal: rewrite docs minus cross-doc 5-gram spans",
     ),
     QuerySpec(
         "udtf_tokenize_positions",

@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_full_join",
     # new in round 4 — zero accumulated evidence
     "semdedup_prune",
+    "dup_span_removal",
     "gopher_quality_flags",
     "token_diversity",
     "cross_source_contamination",

@@ -724,3 +724,33 @@ def test_semdedup_prune_planted_clusters(spark):
         4: (1, 2, 0),
         5: (1, 1, 1),
     }
+
+
+def test_remove_duplicated_spans_crafted(spark):
+    # Planted cross-doc 5-gram "a b c d e" is removed from both carriers;
+    # a <5-word doc is untouched; an exact duplicate pair is fully erased;
+    # a WITHIN-doc repeat that no other doc shares survives (the gate is
+    # distinct-document count, not raw occurrence count).
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),
+            (2, "q r a b c d e s"),
+            (3, "short doc only"),
+            (4, "u v w x1 y1"),
+            (5, "u v w x1 y1"),
+            (6, "m n o p q2 m n o p q2"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_words, r.n_removed, r.kept_text)
+        for r in dedup.remove_duplicated_spans(docs, n=5, min_docs=2).collect()
+    }
+    assert rows == {
+        1: (8, 5, "x y z"),
+        2: (8, 5, "q r s"),
+        3: (3, 0, "short doc only"),
+        4: (5, 5, ""),
+        5: (5, 5, ""),
+        6: (10, 0, "m n o p q2 m n o p q2"),
+    }
