@@ -201,6 +201,62 @@ def q_dedup_clusters_starstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters_starstar(pairs)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must land
+    in the SAME split, or eval metrics are contaminated by memorized
+    training twins (the standard reason naive per-doc hashing is wrong for
+    pretraining corpora). Group key = the doc's LSH duplicate-cluster
+    component (min reachable doc_id) when it has one, else its own doc_id;
+    the 80/10/10 assignment hashes the GROUP key, so a whole cluster moves
+    atomically. Composition of the CC operator (bounded rounds, lineage
+    cuts) + the shuffle-free hash-split projection; the only added exchange
+    over ``corpus_split_assign`` is the doc_id equi-join back to the
+    (duplicates-only, ≪N-row) component map. Same-split-per-pair is pinned
+    by test."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    comp = dedup.duplicate_clusters(pairs)
+    keyed = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(comp, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_key"),
+        )
+    )
+    bucket = F.pmod(hash64(F.col("group_key")), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return keyed.select(
+        "doc_id", "group_key", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_key,
+       {hash64_sql('coalesce(c.component, d.doc_id)')} % 100 AS bucket,
+       CASE WHEN {hash64_sql('coalesce(c.component, d.doc_id)')} % 100 < 80 THEN 'train'
+            WHEN {hash64_sql('coalesce(c.component, d.doc_id)')} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health telemetry over the duplicate graph: how many clusters
     exist at each size (pairs, triples, …). A curation run watches this
@@ -1443,6 +1499,72 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual/multi-source sampling weights
+    (mT5 / XLM-R recipe, α = 0.3 — public): sample source i with
+    probability p_i^α / Σ_j p_j^α where p_i is its exact token share.
+    α < 1 flattens the mixture — low-resource sources are up-sampled,
+    the head is down-sampled; ``boost`` is the resulting up/down-sampling
+    factor vs natural sampling.
+
+    Cross-engine float discipline: p_i derives from exact BIGINT token
+    sums; the Σ p^α denominator is a FOLD over the per-source powers in
+    source order (array_sort → sequential ``aggregate`` here,
+    ``list_reduce(list(... ORDER BY source))`` in the oracle), so float
+    addition order is pinned on both engines — a bare SUM() over an
+    unordered tiny frame would be nondeterministic in the last ulp. The
+    global pass runs over the ≤|sources| aggregate rows, never the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("total_tokens"))
+    )
+    w = Window.partitionBy()
+    p = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    q = F.pow(p, F.lit(0.3))
+    ordered_q = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("source"), q.alias("q"))).over(w)),
+        lambda s: s["q"],
+    )
+    denom = F.aggregate(ordered_q, F.lit(0.0), lambda a, b: a + b)
+    out = per_src.withColumn("token_share", p).withColumn(
+        "temp_weight", q / denom
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        pround(F.col("token_share"), 6).alias("token_share"),
+        pround(F.col("temp_weight"), 6).alias("temp_weight"),
+        pround(F.col("temp_weight") / F.col("token_share"), 6).alias("boost"),
+    ).orderBy("source")
+
+
+_TEMPERATURE_SQL = f"""
+WITH per_src AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+), shared AS (
+    SELECT source, n_docs, total_tokens,
+           total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE) AS p
+    FROM per_src
+), denom AS (
+    SELECT list_reduce(list(pow(p, 0.3) ORDER BY source), (a, b) -> a + b) AS d
+    FROM shared
+)
+SELECT source, n_docs, total_tokens,
+       {pround_sql('p', 6)} AS token_share,
+       {pround_sql('pow(p, 0.3) / d', 6)} AS temp_weight,
+       {pround_sql('(pow(p, 0.3) / d) / p', 6)} AS boost
+FROM shared, denom
+ORDER BY source
+"""
+
+
 _MIXTURE_SQL = f"""
 WITH per_src AS (
     SELECT source, count(*) AS n_docs,
@@ -2468,6 +2590,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("lsh_verified_pairs", q_lsh_verified_pairs, _lsh_verified_sql(), ("dedup",)),
     QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), ("dedup", "iterative")),
     QuerySpec(
+        "leakage_safe_split",
+        q_leakage_safe_split,
+        _leakage_safe_split_sql(),
+        ("dedup", "sampling"),
+        doc="Cluster-atomic 80/10/10 split: near-dup clusters hash as one unit",
+    ),
+    QuerySpec(
         "dedup_clusters_starstar",
         q_dedup_clusters_starstar,
         _dedup_clusters_sql(),
@@ -2589,6 +2718,13 @@ SPECS: list[QuerySpec] = [
         ("similarity", "dedup", "bench"),
     ),
     QuerySpec("domain_mixture_weights", q_domain_mixture_weights, _MIXTURE_SQL, ("text", "sampling")),
+    QuerySpec(
+        "temperature_mixture",
+        q_temperature_mixture,
+        _TEMPERATURE_SQL,
+        ("text", "sampling"),
+        doc="mT5/XLM-R temperature sampling weights (alpha=0.3) with order-pinned float folds",
+    ),
     QuerySpec("char_entropy", q_char_entropy, _CHAR_ENTROPY_SQL, ("text",)),
     QuerySpec(
         "pq_encode",

@@ -85,6 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 4 — zero accumulated evidence
     "semdedup_prune",
     "dup_span_removal",
+    "temperature_mixture",
+    "leakage_safe_split",
     "gopher_quality_flags",
     "token_diversity",
     "cross_source_contamination",

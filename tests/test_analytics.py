@@ -340,3 +340,41 @@ def test_grouped_skyline_independent_per_group(spark):
         for r in _sort_based_skyline(df, "cents", "n_orders", ["c_nationkey"]).collect()
     }
     assert out == {(0, 20, 2), (0, 5, 9), (1, 10, 1)}
+
+
+def test_temperature_mixture_flattens(spark):
+    # alpha < 1 must up-sample the rarest source (boost > 1), down-sample
+    # the heaviest (boost < 1), and the temperature weights must sum to 1.
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_temperature_mixture,
+    )
+
+    rows = q_temperature_mixture(spark, SF).collect()
+    assert abs(sum(r.temp_weight for r in rows) - 1.0) < 1e-4
+    lo = min(rows, key=lambda r: r.token_share)
+    hi = max(rows, key=lambda r: r.token_share)
+    assert lo.boost > 1.0 > hi.boost
+    # monotone: lower natural share never gets a smaller boost
+    by_share = sorted(rows, key=lambda r: r.token_share)
+    boosts = [r.boost for r in by_share]
+    assert all(b1 >= b2 - 1e-9 for b1, b2 in zip(boosts, boosts[1:]))
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    # Every LSH candidate pair must land in the SAME split (the whole point),
+    # and the overall assignment must still roughly respect 80/10/10.
+    from projet_data_infrastructure_spark.operators import dedup
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_leakage_safe_split,
+    )
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    split = {r.doc_id: r.split for r in q_leakage_safe_split(spark, SF).collect()}
+    docs = read_table(spark, SF, "documents")
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).collect()
+    assert pairs, "fixture should contain at least one near-dup pair"
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b]
+    n = len(split)
+    train = sum(1 for s in split.values() if s == "train")
+    assert 0.6 * n < train < 0.95 * n
