@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dup_span_removal",
     "temperature_mixture",
     "leakage_safe_split",
+    "k_anonymity_audit",
     "gopher_quality_flags",
     "token_diversity",
     "cross_source_contamination",

@@ -456,6 +456,66 @@ SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_mktsegment, c_acctbal FROM 
 """
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 governance: k-anonymity audit (k=5) over the quasi-identifier
+    tuple (nation, market segment, account-balance band). Each fine cell
+    reports its own size, the size of its one-step generalization (drop the
+    balance band), and the release decision a k-anonymous publisher would
+    make: release fine, generalize to coarse, or suppress — the standard
+    generalization-ladder audit run before sharing a slice.
+
+    Scale shape: ONE hash aggregate on the quasi-id tuple (linear,
+    map-side combinable); the coarse rollup is a window over the already
+    ≤|cells| aggregate rows, never the base table."""
+    from pyspark.sql.window import Window
+
+    cust = read_table(spark, sf_dir, "customer")
+    fine = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n_fine"))
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    out = fine.withColumn("n_coarse", F.sum("n_fine").over(w).cast("long"))
+    released = (
+        F.when(F.col("n_fine") >= 5, "fine")
+        .when(F.col("n_coarse") >= 5, "coarse")
+        .otherwise("suppressed")
+    )
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "n_fine",
+        "n_coarse",
+        released.alias("released_level"),
+    )
+
+
+_K_ANON_SQL = """
+WITH fine AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           count(*) AS n_fine
+    FROM customer GROUP BY c_nationkey, c_mktsegment, bal_band
+), x AS (
+    SELECT c_nationkey, c_mktsegment, bal_band, n_fine,
+           CAST(sum(n_fine) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT)
+               AS n_coarse
+    FROM fine
+)
+SELECT c_nationkey, c_mktsegment, bal_band, n_fine, n_coarse,
+       CASE WHEN n_fine >= 5 THEN 'fine'
+            WHEN n_coarse >= 5 THEN 'coarse'
+            ELSE 'suppressed' END AS released_level
+FROM x
+"""
+
+
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     return cust.select(
@@ -847,6 +907,13 @@ SPECS: list[QuerySpec] = [
         ("sort",),
     ),
     QuerySpec("masked_view", q_masked_view, _MASKED_SQL, ("governance",)),
+    QuerySpec(
+        "k_anonymity_audit",
+        q_k_anonymity_audit,
+        _K_ANON_SQL,
+        ("governance", "agg"),
+        doc="k=5 anonymity audit with one-step generalization ladder over customer quasi-ids",
+    ),
     QuerySpec("string_funcs", q_string_funcs, _STRING_SQL, ("scalar",)),
     QuerySpec("date_funcs", q_date_funcs, _DATE_SQL, ("scalar",)),
     QuerySpec("null_logic_coalesce", q_null_logic, _NULL_LOGIC_SQL, ("semantics",)),

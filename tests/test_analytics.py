@@ -378,3 +378,30 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     n = len(split)
     train = sum(1 for s in split.values() if s == "train")
     assert 0.6 * n < train < 0.95 * n
+
+
+def test_k_anonymity_release_ladder(spark):
+    # Crafted cells: one fine cell of size 5 releases fine; a small cell
+    # whose (nation, segment) rollup reaches k releases coarse; an isolated
+    # cell with a tiny rollup is suppressed.
+    import projet_data_infrastructure_spark.plans.relational as rel
+    from unittest import mock
+
+    rows = [(1, "AUTO", 500.0)] * 5          # fine cell n=5
+    rows += [(1, "AUTO", 1500.0)] * 2        # n_fine=2, coarse=7 -> coarse
+    rows += [(2, "SHIP", 500.0)]             # n_fine=1, coarse=1 -> suppressed
+    cust = spark.createDataFrame(
+        rows, "c_nationkey int, c_mktsegment string, c_acctbal double"
+    )
+    with mock.patch.object(rel, "read_table", return_value=cust):
+        got = {
+            (r.c_nationkey, r.c_mktsegment, r.bal_band): (
+                r.n_fine, r.n_coarse, r.released_level
+            )
+            for r in rel.q_k_anonymity_audit(spark, "unused").collect()
+        }
+    assert got == {
+        (1, "AUTO", 0): (5, 7, "fine"),
+        (1, "AUTO", 1): (2, 7, "coarse"),
+        (2, "SHIP", 0): (1, 1, "suppressed"),
+    }
