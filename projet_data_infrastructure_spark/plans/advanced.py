@@ -2460,6 +2460,59 @@ ORDER BY user_id
 """
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF-style preference-pair construction: for every user with ≥2
+    purchases, emit ONE (chosen, rejected) pair — the highest- and
+    lowest-valued purchase — the exact shape of a pairwise-preference
+    training row (prompt = user context, chosen/rejected = completions).
+
+    Both ends come from ONE struct-ordered min/max hash aggregate
+    (map-side combinable, single shuffle on user_id — the same scale
+    argument as ``argmax_per_group``; a per-user rank window would sort
+    every partition). Ties pin deterministically via (value, event_id)
+    struct order on both engines."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = F.struct(F.col("value"), F.col("event_id"))
+    g = ev.groupBy("user_id").agg(
+        F.max(s).alias("mx"), F.min(s).alias("mn"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        g.filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            F.col("mx.event_id").alias("chosen_event"),
+            F.col("mn.event_id").alias("rejected_event"),
+            pround(F.col("mx.value"), 4).alias("chosen_value"),
+            pround(F.col("mn.value"), 4).alias("rejected_value"),
+            pround(F.col("mx.value") - F.col("mn.value"), 4).alias("margin"),
+            F.col("n").alias("n_candidates"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_PREFERENCE_PAIRS_SQL = f"""
+WITH p AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'),
+ranked AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rhi,
+           row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rlo,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM p
+)
+SELECT hi.user_id,
+       hi.event_id AS chosen_event,
+       lo.event_id AS rejected_event,
+       {pround_sql('hi.value', 4)} AS chosen_value,
+       {pround_sql('lo.value', 4)} AS rejected_value,
+       {pround_sql('hi.value - lo.value', 4)} AS margin,
+       hi.n AS n_candidates
+FROM (SELECT * FROM ranked WHERE rhi = 1 AND n >= 2) hi
+JOIN (SELECT * FROM ranked WHERE rlo = 1) lo USING (user_id)
+ORDER BY hi.user_id
+"""
+
+
 def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline of orders — the Pareto frontier maximizing (price, date):
     orders not dominated by any other on both axes. Spark side runs the
@@ -2762,6 +2815,13 @@ SPECS: list[QuerySpec] = [
         _ARGMAX_SQL,
         ("agg",),
         doc="Deterministic per-group argmax via struct-ordered max (hash agg, no window)",
+    ),
+    QuerySpec(
+        "preference_pairs",
+        q_preference_pairs,
+        _PREFERENCE_PAIRS_SQL,
+        ("agg", "sampling"),
+        doc="RLHF preference-pair construction: per-user (chosen, rejected) from one min/max hash aggregate",
     ),
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, ("join", "timeseries", "bench")),
     QuerySpec(

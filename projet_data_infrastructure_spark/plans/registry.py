@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "temperature_mixture",
     "leakage_safe_split",
     "k_anonymity_audit",
+    "preference_pairs",
     "gopher_quality_flags",
     "token_diversity",
     "cross_source_contamination",
