@@ -742,3 +742,21 @@ def test_semdedup_prune_plan_equi_join_map_side_agg(spark):
     # collect may broadcast-nested-loop (once per self-join side).
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "HashAggregate" in plan and "EvalPython" not in plan
+
+
+def test_dup_span_removal_plan_no_cartesian_digest_joins(spark):
+    # The span-removal pipeline must stay equi-join + hash-aggregate shaped:
+    # no cartesian/nested-loop anywhere (the shared-gram set and coverage
+    # joins key on the digest / (doc_id, pos)), and no Python eval.
+    from projet_data_infrastructure_spark.plans.llm_queries import q_dup_span_removal
+
+    plan = (
+        q_dup_span_removal(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
