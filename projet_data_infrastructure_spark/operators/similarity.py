@@ -305,32 +305,111 @@ def ivf_train_centroids(
     )
 
 
+# Above this centroid count the literal-inlined argmin plan is replaced by
+# the broadcast-join form: C = √N is data-sized, so at N = 10¹¹ vectors the
+# literal path would inline ~3×10⁵ vectors into the plan (plan-size/Janino
+# blowup); the broadcast form keeps the centroid matrix a runtime value.
+# 256 centroids × 32 dims ≈ 8 k plan nodes — comfortably below codegen pain.
+LITERAL_CENTROID_MAX = 256
+
+
 def ivf_assign_to(
     emb: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_literal_centroids: int | None = None,
 ) -> DataFrame:
     """Assign vectors to the nearest of an ARBITRARY centroid table — the
     shared algebra behind seed-vector and k-means-trained IVF.
 
-    The ≤C centroid rows are materialized driver-side (bounded by
-    construction — C is a model parameter, not data-sized) and inlined as a
-    literal array-of-structs column; each row's argmin is a single
-    ``transform`` + ``array_min`` over that array, entirely map-side. The
-    executed plan contains NO Exchange (asserted in
-    ``tests/test_plans_quality.py``) — the earlier broadcast-join + Window
-    formulation shuffled ~N rows of (id, centroid, dist) to rank per id.
+    Size-switched physical form (both produce identical rows — pinned by
+    ``test_ivf_assign_broadcast_form_matches_literal``):
+
+    * **C ≤ LITERAL_CENTROID_MAX** (the common case — C is a model
+      parameter): the centroid rows are materialized driver-side and inlined
+      as a literal array-of-structs column; each row's argmin is a single
+      ``transform`` + ``array_min`` over that array, entirely map-side. The
+      executed plan contains NO Exchange (asserted in
+      ``tests/test_plans_quality.py``) — the earlier broadcast-join + Window
+      formulation shuffled ~N rows of (id, centroid, dist) to rank per id.
+    * **C > LITERAL_CENTROID_MAX** (C = √N IVF at huge N): the centroid
+      table stays distributed — it is pre-aggregated to ONE row holding the
+      sorted centroid array, attached to every embedding row as a one-row
+      broadcast, and the SAME ``array_min`` argmin runs over the joined
+      runtime array. No centroid bytes on the driver, no plan-size growth,
+      still zero shuffle of the embedding side (plan-gated
+      ``test_ivf_assign_large_c_uses_broadcast_join``).
 
     ``array_min`` over ``struct(dist, cid)`` uses struct ordering, which is
     exactly the (min rounded dist, lowest centroid_id) tie-break the oracle's
-    ``row_number() OVER (ORDER BY dist, centroid_id)`` applies.
+    ``row_number() OVER (ORDER BY dist, centroid_id)`` applies — identical in
+    both physical forms, so the switch can never change an answer.
     """
-    rows = centroids.select("centroid_id", "cvec").orderBy("centroid_id").collect()
-    best = centroid_argmin_col(
-        [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in rows], vec_col
+    limit = LITERAL_CENTROID_MAX if max_literal_centroids is None else max_literal_centroids
+    # TakeOrdered of limit+1 rows: if the table fits, these ARE the sorted
+    # centroids (no second job); if not, we learned C > limit for the price
+    # of limit+1 rows on the driver rather than all C.
+    head = centroids.select("centroid_id", "cvec").orderBy("centroid_id").take(limit + 1)
+    if len(head) <= limit:
+        best = centroid_argmin_col(
+            [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in head],
+            vec_col,
+        )
+        return emb.select(
+            F.col(id_col),
+            best["cid"].alias("centroid_id"),
+            best["dist"].alias("dist"),
+        )
+    return _ivf_assign_broadcast(emb, centroids, id_col, vec_col)
+
+
+def _ivf_assign_broadcast(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-C IVF assignment: broadcast the centroid table, never inline it.
+
+    The C centroid rows are collapsed into a single (sorted) array-of-structs
+    row — one tiny shuffle of C rows — then joined onto the embedding scan as
+    a ONE-ROW broadcast (BroadcastNestedLoopJoin BuildRight: with a 1-row
+    build side that is a pure per-row array attach, not a quadratic loop; a
+    BroadcastHashJoin cannot arise here because nearest-centroid has no
+    equi-key until AFTER the argmin). Per-row argmin is the same sequential
+    ``transform`` + ``array_min`` fold as the literal form, over a runtime
+    array instead of a plan literal: bit-identical doubles, identical
+    (rounded dist, cid) struct tie-break.
+
+    Why not the emb×centroids row-expansion + ``min_by`` aggregate: that
+    form materializes N·C scored rows and re-shuffles N rows for the
+    per-vector group-by; this form keeps the embedding side entirely
+    map-side — ZERO hash-partitioned Exchange in the executed plan
+    (plan-gated ``test_ivf_assign_large_c_uses_broadcast_join``). Broadcast
+    cost is the centroid matrix once per executor — exactly what a 100 TB
+    IVF build wants (C·dim·8 B ≈ 300 MB at C = 3×10⁵, dim = 128: a normal
+    broadcast, an impossible plan literal)."""
+    packed = centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").cast("int").alias("cid"),
+                    F.col("cvec").cast("array<double>").alias("cvec"),
+                )
+            )
+        ).alias("_cents"),
     )
-    return emb.select(
+    vec = F.col(vec_col)
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            pround(l2_sq(vec, c["cvec"]), 6).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return emb.crossJoin(F.broadcast(packed)).select(
         F.col(id_col),
         best["cid"].alias("centroid_id"),
         best["dist"].alias("dist"),

@@ -28,153 +28,100 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-4 driver window. The per-round correctness driver samples a bounded
-# window (~50 names) from the front of ``all_specs()``; rounds 1-3 together
-# covered 146 of the then-171 registered names. This ordering fronts (a) the
-# 25 names with no driver row ever, (b) specs changed or added in round 4,
-# then (c) a rotating re-verify sample of the oldest-evidence greens so
-# cumulative driver coverage keeps refreshing against regenerated testdata.
-# Names absent from the registry are ignored, so this list never blocks
-# adding/removing specs.
+# Round-5 driver window. The per-round correctness driver samples a bounded
+# window (~50 names) from the front of ``all_specs()``; rounds 1-4 together
+# hash-checked 187 of the 253 registered names, leaving 66 with zero driver
+# rows (verdict r4 item 1). This ordering fronts (a) all 66 never-checked
+# specs — the first ~50 land in the round-5 window, the tail carries into
+# round 6 — then (b) specs added or behavior-changed in round 5, then (c) a
+# rotating re-verify sample of the oldest-evidence greens. The 6 rows-only
+# specs are pinned to the very back (verdict r4 item 5): a `no_oracle` row
+# burns a window slot without producing hard signal. Names absent from the
+# registry are ignored, so this list never blocks adding/removing specs.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the 25 specs with no driver row in rounds 1-3 (verdict r3 item 2) —
-    # all pass the local gate, so these are the highest-value window slots.
-    "char_entropy",
-    "zorder_scan_filtered",
-    "approx_quantiles",
-    "scd2_user_history",
-    "incremental_agg_merge",
-    "kmv_distinct_sketch",
-    "crossdoc_dup_ngrams",
-    "regression_slope_by_user",
-    "levenshtein_blocked_pairs",
-    "length_percentile_filter",
-    "kmv_sketch_set_ops",
-    "resample_hourly_ffill",
-    "snapshot_diff_cdf",
-    "corpus_split_assign",
-    "sessionize_events",
-    "udtf_tokenize_positions",
-    "longest_daily_streak",
-    "cohort_retention",
-    "ratio_to_report",
-    "ewma_by_user",
-    "countmin_user_counts",
-    "psi_drift_profile",
-    "dedup_cluster_sizes",
-    "ivf_topk_multiprobe",
-    "bloom_membership",
-    # (b) specs changed in round 4 — need fresh driver rows under the new
-    # form: multimodal_features (scalarized + oracled, was the only r3 red),
-    # stream_cdc_apply (rows-only → keep-latest SQL oracle), the quantile
-    # family rewritten from global ntile to broadcast range-lookup edges,
-    # and pq_trained_encode (retrained from a cached sample).
-    "multimodal_features",
-    "stream_cdc_apply",
-    # changed in round 4 — their r1-r3 driver rows predate the rewrite
-    # (global-ntile family → exact_ntile; PQ training → sampled Lloyd's;
-    # packing + stream-stream oracles hardened), so stale green rows are
-    # actively misleading and these outrank brand-new specs for slots.
-    "rfm_segmentation",
-    "equidepth_histogram",
-    "revenue_decile_share",
-    "pq_trained_encode",
-    "sequence_packing",
-    "stream_stream_left_join",
-    "stream_stream_full_join",
-    # new in round 4 — zero accumulated evidence
-    "semdedup_prune",
-    "dup_span_removal",
-    "temperature_mixture",
-    "leakage_safe_split",
-    "k_anonymity_audit",
-    "preference_pairs",
-    "gopher_quality_flags",
-    "token_diversity",
-    "cross_source_contamination",
-    "stream_quality_curation",
-    "doc_chunking",
-    "skyline_orders",
-    "user_series_correlation",
-    "weighted_sample_topk",
-    "customer_frontier_by_nation",
-    "map_funcs",
-    "recursive_cte_calendar",
-    "try_functions",
-    "lateral_subquery_topn",
-    "pagerank_fixed_point",
-    "geo_cell_neighbor_pairs",
-    "copurchase_brand_pairs",
-    "benford_digit_profile",
-    "bitwise_funcs",
+    # (a) the 66 specs with no CORRECTNESS_r{1-4} row. Ordered risk-first:
+    # judge-named + iterative/graph + ANN + streaming early so round 5's
+    # window maximizes evidence on the algorithmically hard specs; the
+    # simple SQL-surface specs take the tail (round-6 slots).
+    "span_corruption_prep",
     "hll_distinct_sketch",
-    "multimodal_frame_sample",
-    "acf_by_user",
+    "pagerank_fixed_point",
     "triangle_count_suppliers",
-    "xml_envelope_extract",
-    "listagg_param_sql",
-    "weighted_sample_per_lang",
     "geo_grid_dbscan",
-    "stream_xml_envelope",
-    "skew_profile",
-    "lang_vocab_overlap",
-    "pipe_syntax_rollup",
-    "view_purchase_latency",
+    "lateral_subquery_topn",
+    "recursive_cte_calendar",
+    "sql_udf_rollup",
+    "dedup_clusters_starstar",
+    "label_propagation",
+    "bellman_ford_distances",
+    "bfs_khop_reachability",
+    "kmeans_fixed_point",
+    "ols_two_feature_nation",
+    "bm25_topk",
+    "geo_cell_neighbor_pairs",
+    "ivfpq_residual_topk",
+    "sq8_encode",
+    "sq8_adc_topk",
+    "hard_negative_mining",
+    "positive_pair_mining",
+    "prefix_filter_jaccard",
     "lsh_recall_report",
+    "rrf_fusion",
+    "mapinarrow_vector_norm",
+    "applyinarrow_label_stats",
+    "stream_cusum_telemetry",
+    "stream_minhash_dedup",
+    "stream_sliding_counts",
+    "stream_xml_envelope",
+    "multimodal_frame_sample",
+    "view_purchase_latency",
+    "salted_skew_join",
+    "schema_evolution_merge",
+    "python_datasource_scan",
+    "variant_json_extract",
+    "xml_envelope_extract",
+    "weighted_sample_per_lang",
+    "lang_vocab_overlap",
+    "copurchase_brand_pairs",
+    "brand_affinity_lift",
+    "attribution_last_touch",
+    "session_bounce_rate",
     "cumulative_new_users",
     "max_drawdown_by_user",
     "interevent_gap_histogram",
-    "session_bounce_rate",
-    "brand_affinity_lift",
+    "acf_by_user",
+    "resample_hourly_interp",
+    "cusum_drift_flags",
+    "ks_drift_statistic",
+    "chi2_nation_priority",
     "ab_test_z_score",
     "weekly_revenue_movers",
-    "sq8_encode",
-    "sq8_adc_topk",
-    "argmax_per_group",
-    "ivfpq_residual_topk",
-    "bm25_topk",
-    "salted_skew_join",
-    "stream_sliding_counts",
-    "resample_hourly_interp",
+    "dow_seasonality_lift",
+    "gini_revenue_concentration",
+    "benford_digit_profile",
+    "skew_profile",
     "spend_percentile_rank",
-    "dedup_clusters_starstar",
+    "argmax_per_group",
+    "null_safe_join",
     "window_funcs3",
     "higher_order_funcs",
-    "null_safe_join",
-    "stream_minhash_dedup",
-    "python_datasource_scan",
-    "variant_json_extract",
-    "schema_evolution_merge",
-    "bfs_khop_reachability",
-    "cusum_drift_flags",
-    "chi2_nation_priority",
-    "ols_two_feature_nation",
-    "prefix_filter_jaccard",
-    "attribution_last_touch",
-    "mapinarrow_vector_norm",
-    "applyinarrow_label_stats",
-    "bellman_ford_distances",
-    "rrf_fusion",
-    "gini_revenue_concentration",
-    "dow_seasonality_lift",
-    "sql_udf_rollup",
-    "kmeans_fixed_point",
-    "ks_drift_statistic",
-    "stream_cusum_telemetry",
-    "hard_negative_mining",
-    "span_corruption_prep",
-    "label_propagation",
-    "positive_pair_mining",
-    # (c) oldest-evidence greens (r1-only rows, heaviest first) — rotate so
-    # cumulative driver evidence keeps refreshing against regenerated data.
-    # pq_adc_topk / ivfpq_topk demoted here: r3 driver rows, behavior
-    # unchanged in round 4 (only a defensive contiguity assert added), so
-    # the zero-evidence round-4 specs take their window slots.
-    "pq_adc_topk",
-    "ivfpq_topk",
+    "bitwise_funcs",
+    "try_functions",
+    "listagg_param_sql",
+    "pipe_syntax_rollup",
+    # (b) round-5 additions / behavior changes — zero or stale evidence.
+    # ivf_trained_assign + pq_trained_encode graduate from rows-only to
+    # oracled (verdict r4 item 4); ivf_topk_batch is the new batched ANN
+    # probe (verdict r4 item 6); preference_pairs / the ADVICE-hardened
+    # specs changed NULL/degenerate semantics symmetrically on both sides.
+    "ivf_topk_batch",
+    "ivf_trained_assign",
+    "pq_trained_encode",
+    "preference_pairs",
+    # (c) oldest-evidence greens — rotate so cumulative driver evidence
+    # keeps refreshing against regenerated testdata.
     "flagship_bonus",
     "cdc_envelope_parse",
-    "epoch_us_roundtrip",
     "multiway_join_rollup",
     "tpch_q1_pricing",
     "tpch_q3_priority",
@@ -184,8 +131,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_groups",
     "window_rank",
     "window_running_sum",
-    "rollup_agg",
-    "cube_agg",
     "minhash_lsh_pairs",
     "simhash_32bit",
     "cosine_topk_bruteforce",
@@ -193,6 +138,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "masked_view",
     "json_extract",
 )
+
+# Rows-only specs (oracle=None) are pinned behind every oracled spec so they
+# never burn a bounded driver-window slot on a `no_oracle` row (verdict r4
+# item 5). They remain fully registered and locally gated.
 
 
 def all_specs() -> list[QuerySpec]:
@@ -221,9 +170,11 @@ def all_specs() -> list[QuerySpec]:
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the
-    # rest keep their module order behind them.
+    # rest keep their module order behind them, and rows-only specs
+    # (oracle=None) sink to the very back so the bounded driver window is
+    # spent only on hash-checkable specs.
     rank = {name: i for i, name in enumerate(_DRIVER_PRIORITY)}
-    specs.sort(key=lambda s: rank.get(s.name, len(rank)))
+    specs.sort(key=lambda s: (s.oracle is None, rank.get(s.name, len(rank))))
     return specs
 
 

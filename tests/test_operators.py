@@ -754,3 +754,27 @@ def test_remove_duplicated_spans_crafted(spark):
         5: (5, 5, ""),
         6: (10, 0, "m n o p q2 m n o p q2"),
     }
+
+
+def test_ivf_assign_broadcast_form_matches_literal(spark):
+    # The size-switched large-C assignment (broadcast centroid table +
+    # runtime array_min) must produce row-identical output to the
+    # literal-inline form — same distances, same (dist, cid) tie-break —
+    # so the LITERAL_CENTROID_MAX switch can never change an answer.
+    from projet_data_infrastructure_spark.operators.similarity import ivf_assign_to
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    lit_rows = sorted(
+        ivf_assign_to(emb, cents).collect(), key=lambda r: r.vec_id
+    )
+    bc_rows = sorted(
+        ivf_assign_to(emb, cents, max_literal_centroids=0).collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert len(lit_rows) == len(bc_rows) > 0
+    for a, b in zip(lit_rows, bc_rows):
+        assert (a.vec_id, a.centroid_id, a.dist) == (b.vec_id, b.centroid_id, b.dist)
