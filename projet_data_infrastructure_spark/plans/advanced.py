@@ -2470,8 +2470,14 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable, single shuffle on user_id — the same scale
     argument as ``argmax_per_group``; a per-user rank window would sort
     every partition). Ties pin deterministically via (value, event_id)
-    struct order on both engines."""
-    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    struct order on both engines. NULL purchase values are filtered on
+    BOTH sides (ADVICE r4): Spark's struct min/max null-field ordering and
+    DuckDB's NULLS LAST default would otherwise pick different rows."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+    )
     s = F.struct(F.col("value"), F.col("event_id"))
     g = ev.groupBy("user_id").agg(
         F.max(s).alias("mx"), F.min(s).alias("mn"), F.count(F.lit(1)).alias("n")
@@ -2492,7 +2498,8 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREFERENCE_PAIRS_SQL = f"""
-WITH p AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'),
+WITH p AS (SELECT user_id, event_id, value FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
 ranked AS (
     SELECT user_id, event_id, value,
            row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rhi,

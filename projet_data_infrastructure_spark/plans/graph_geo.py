@@ -45,6 +45,31 @@ from projet_data_infrastructure_spark.plans.registry import QuerySpec
 from projet_data_infrastructure_spark.sources.readers import read_table
 
 # --------------------------------------------------------------------------
+# Vertex-frame join strategy (shared by PageRank / BFS / Bellman-Ford)
+# --------------------------------------------------------------------------
+
+# |V|-row frames (rank emissions, frontiers, distance maps) broadcast while
+# the vertex set is executor-memory bounded — entity graphs (customers,
+# suppliers, domains) stay far below this even at 100 TB edge scale. Above
+# it (web graphs, |V| ≥ 10⁹) the SAME joins run as keyed SHUFFLE_HASH
+# joins: identical algebra, no broadcast of an unbounded frame. Tests force
+# the shuffle form by monkeypatching this to 0 and pin row-identical
+# results (``test_graph_shuffle_fallback_matches_broadcast``).
+BROADCAST_VERTEX_ROWS = 50_000_000
+
+
+def vertex_side(df: DataFrame, n_rows: int) -> DataFrame:
+    """Build-side wrapper for a |V|-bounded frame in an iterative graph
+    join: explicit broadcast below ``BROADCAST_VERTEX_ROWS``, explicit
+    ``SHUFFLE_HASH`` hint above it (the frames come from aggregates, whose
+    size estimates are unreliable — left to itself Catalyst would pick
+    sort-merge and sort the edge list every round)."""
+    if n_rows > BROADCAST_VERTEX_ROWS:
+        return df.hint("shuffle_hash")
+    return F.broadcast(df)
+
+
+# --------------------------------------------------------------------------
 # PageRank in fixed-point integer arithmetic (oracle-exact link analysis)
 # --------------------------------------------------------------------------
 
@@ -81,10 +106,12 @@ def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange is the destination aggregate, map-side-combined from
     |E| rows down to |V|. The edge list itself is never shuffled. That is
     the right plan whenever |V| ≪ |E| and the vertex table fits executor
-    memory (entity graphs: customers, suppliers, domains, repos — even 10⁹
-    vertices × 16 B is broadcast-marginal but fine as an executor-memory
-    hash map at 100 TB edge scale); for web-scale vertex sets swap the
-    broadcast for a keyed shuffle join — the algebra is unchanged. All rank
+    memory (entity graphs: customers, suppliers, domains, repos). For
+    web-scale vertex sets (|V| > ``BROADCAST_VERTEX_ROWS``) the SAME joins
+    run as keyed SHUFFLE_HASH joins via :func:`vertex_side` — the size
+    switch is on the exact |V| (``deg.count()``, free off the checkpointed
+    aggregate), and the shuffle form is row-identical to the broadcast form
+    (``test_graph_shuffle_fallback_matches_broadcast``). All rank
     arithmetic is integer, so the result hash-matches the unrolled-CTE
     DuckDB oracle exactly — no FP summation-order leeway.
 
@@ -100,6 +127,7 @@ def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list — checkpoint the tiny aggregate once instead of re-scanning the
     # edge list per iteration.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
+    n_vertices = deg.count()  # exact |V|, free off the checkpointed aggregate
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.select("node", F.lit(_PR_UNIT).cast("long").alias("pr_score"))
     for _ in range(_PR_ITERS):
@@ -108,12 +136,12 @@ def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.expr("pr_score DIV degree").alias("c"))
         )
         contrib = (
-            edges.join(F.broadcast(emit), edges.src == emit.node)
+            edges.join(vertex_side(emit, n_vertices), edges.src == emit.node)
             .groupBy("dst")
             .agg(F.sum("c").alias("inc"))
         )
         ranks = nodes.join(
-            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+            vertex_side(contrib, n_vertices), nodes.node == contrib.dst, "left"
         ).select(
             "node",
             (

@@ -122,14 +122,22 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join against the visited set. Visited/frontier frames are |V|-
     bounded and stay lazy across the fixed 3 rounds — only the edge list
     (the only O(|E|) object) is checkpointed; it is scanned once per round
-    and never shuffled. Output is 1 row per hop level: integer count + sum
-    of packed node ids, so an iterative traversal is order-insensitively
-    hash-exact. Open-ended traversals would re-checkpoint the visited
-    frame every few rounds (the duplicate_clusters discipline).
+    and never shuffled. Above ``graph_geo.BROADCAST_VERTEX_ROWS`` (using
+    the cheap bound |V| ≤ |E| off the checkpointed edge count) the same
+    joins run as keyed SHUFFLE_HASH joins via ``graph_geo.vertex_side`` —
+    identical rows, web-scale-safe (equivalence-tested). Output is 1 row
+    per hop level: integer count + sum of packed node ids, so an iterative
+    traversal is order-insensitively hash-exact. Open-ended traversals
+    would re-checkpoint the visited frame every few rounds (the
+    duplicate_clusters discipline).
     """
-    from projet_data_infrastructure_spark.plans.graph_geo import _trade_edges
+    from projet_data_infrastructure_spark.plans.graph_geo import (
+        _trade_edges,
+        vertex_side,
+    )
 
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_vertex_bound = edges.count()  # |V| <= |E|; free off the checkpoint
     cust = read_table(spark, sf_dir, "customer")
     # Rounds stay LAZY over the checkpointed edge list (see the Bellman-Ford
     # note): a fixed 3-hop frontier expansion collapses into one job.
@@ -142,12 +150,12 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, _BFS_HOPS + 1):
         frontier = visited.filter(F.col("hop") == i - 1).select("node")
         nbrs = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            edges.join(vertex_side(frontier, n_vertex_bound), edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
         new = nbrs.join(
-            F.broadcast(visited.select("node")), "node", "left_anti"
+            vertex_side(visited.select("node"), n_vertex_bound), "node", "left_anti"
         ).withColumn("hop", F.lit(i))
         visited = visited.unionByName(new)
     out = (
@@ -403,10 +411,15 @@ def _ols_solve_exprs() -> dict[str, str]:
     m2y = f"({d['sx2y']} - ({d['sx2']} * {d['sy']}) / {n})"
     myy = f"({d['syy']} - ({d['sy']} * {d['sy']}) / {n})"
     det = f"(({m11} * {m22}) - ({m12} * {m12}))"
-    b1 = f"((({m1y} * {m22}) - ({m2y} * {m12})) / {det})"
-    b2 = f"((({m2y} * {m11}) - ({m1y} * {m12})) / {det})"
+    # Degenerate-group guard (shared text ⇒ symmetric in both engines): a
+    # group with a constant regressor (or < 3 rows) has det = 0 and a
+    # constant response has myy = 0 — emit NULL coefficients instead of
+    # silently propagating Inf/NaN to consumers. alpha inherits NULL from
+    # b1/b2 through ordinary NULL arithmetic.
+    b1 = f"(CASE WHEN {det} = 0 THEN NULL ELSE (({m1y} * {m22}) - ({m2y} * {m12})) / {det} END)"
+    b2 = f"(CASE WHEN {det} = 0 THEN NULL ELSE (({m2y} * {m11}) - ({m1y} * {m12})) / {det} END)"
     alpha = f"(({d['sy']} / {n}) - ({b1} * ({d['sx1']} / {n})) - ({b2} * ({d['sx2']} / {n})))"
-    r2 = f"((({b1} * {m1y}) + ({b2} * {m2y})) / {myy})"
+    r2 = f"(CASE WHEN {myy} = 0 THEN NULL ELSE (({b1} * {m1y}) + ({b2} * {m2y})) / {myy} END)"
     # (expr, rounding dp) — the CALLER applies pround: the Column form on
     # the Spark side (a bare pround_sql literal like 10000.0 would parse as
     # DECIMAL in Spark SQL), pround_sql on the DuckDB side.
@@ -769,8 +782,11 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one equi-join against the checkpointed edge list, then a min
     aggregate merges relaxed candidates with the previous distances —
     identical plan skeleton to the PageRank loop (edge list scanned, never
-    shuffled). Unreached nodes are simply absent (no ∞ sentinel to
-    overflow). Output is top-20 by (distance, label) via
+    shuffled). Above ``graph_geo.BROADCAST_VERTEX_ROWS`` (bound |V| ≤ |E|
+    off the checkpointed edge count) the distance-frame join runs as a
+    keyed SHUFFLE_HASH join via ``graph_geo.vertex_side`` — identical rows
+    (equivalence-tested). Unreached nodes are simply absent (no ∞ sentinel
+    to overflow). Output is top-20 by (distance, label) via
     TakeOrderedAndProject — no global sort.
     """
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -788,6 +804,7 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(supp.alias("src"), cust.alias("dst"), w.alias("w")))
         .localCheckpoint(eager=True)
     )
+    n_vertex_bound = edges.count()  # |V| <= |E|; free off the checkpoint
     # Rounds stay LAZY over the checkpointed edge list (the PageRank
     # discipline): at a fixed 3 rounds the nested plan is small, and lazy
     # rounds collapse the whole fixed point into ONE job instead of one
@@ -797,9 +814,11 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.range(1).select(
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
     )
+    from projet_data_infrastructure_spark.plans.graph_geo import vertex_side
+
     for _ in range(_BF_ROUNDS):
         relaxed = (
-            edges.join(F.broadcast(dist), edges.src == dist.node)
+            edges.join(vertex_side(dist, n_vertex_bound), edges.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
         dist = dist.unionByName(relaxed).groupBy("node").agg(F.min("d").alias("d"))
@@ -1759,6 +1778,12 @@ def q_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < _KM_K).collect()
     ]
     cents.sort()
+    # Cluster ids are POSITIONAL (0.._KM_K-1) on both sides: the oracle
+    # labels clusters by seed vec_id, so the fixture must contain every
+    # seed id — fail loudly instead of silently relabeling (ADVICE r4).
+    assert [i for i, _ in cents] == list(range(_KM_K)), (
+        f"kmeans seeds: expected vec_ids 0..{_KM_K - 1}, got {[i for i, _ in cents]}"
+    )
     centroids = [c for _, c in cents]
     dim = len(centroids[0])
 
@@ -1939,8 +1964,9 @@ SPECS: list[QuerySpec] = [
         _BFS_SQL,
         ("graph", "iterative"),
         doc="Frontier BFS, 3 hops from 10 seed customers on the trade graph: "
-        "per-round broadcast frontier equi-join + anti-join, checkpointed "
-        "frontier frames; per-hop count/checksum output is hash-exact",
+        "per-round broadcast frontier equi-join + anti-join over the "
+        "checkpointed edge list, lazy frontier rounds; per-hop "
+        "count/checksum output is hash-exact",
     ),
     QuerySpec(
         "cusum_drift_flags",

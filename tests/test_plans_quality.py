@@ -789,3 +789,41 @@ def test_ivf_assign_large_c_uses_broadcast_join(spark):
     assert "collect_list" in final and "IdentityBroadcastMode" in final
     # embedding side never shuffles: no hash-partitioned exchange anywhere
     assert "Exchange hashpartitioning" not in final
+
+
+def test_graph_shuffle_fallback_matches_broadcast(spark, monkeypatch):
+    # Verdict r4 item 3: the keyed-shuffle form of the iterative graph
+    # joins (web-scale |V|, where broadcasting the vertex frame is the
+    # scale-killer) must be row-identical to the broadcast form. Force it
+    # by dropping the switch threshold to 0 and compare all three
+    # iterative specs against their default-mode output.
+    from projet_data_infrastructure_spark.plans import graph_geo, mining
+
+    fns = {
+        "pagerank": graph_geo.q_pagerank_fixed_point,
+        "bfs": mining.q_bfs_khop,
+        "bellman_ford": mining.q_bellman_ford,
+    }
+    base = {name: fn(spark, SF).collect() for name, fn in fns.items()}
+    monkeypatch.setattr(graph_geo, "BROADCAST_VERTEX_ROWS", 0)
+    for name, fn in fns.items():
+        got = fn(spark, SF).collect()
+        assert got == base[name], f"{name}: shuffle form diverged"
+
+
+def test_graph_shuffle_fallback_plans_keyed_join(spark, monkeypatch):
+    # In forced-shuffle mode the STATIC plan must request keyed
+    # ShuffledHashJoins with no vertex-frame broadcast — that is the plan a
+    # web-scale |V| would execute. (At sf0.001 AQE legitimately converts
+    # the tiny runtime shuffles back to broadcast, so the gate reads the
+    # pre-AQE initial plan, not the adaptively final one.)
+    from projet_data_infrastructure_spark.plans import graph_geo
+
+    monkeypatch.setattr(graph_geo, "BROADCAST_VERTEX_ROWS", 0)
+    df = graph_geo.q_pagerank_fixed_point(spark, SF)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "== Initial Plan ==" in full
+    initial = full.split("== Initial Plan ==")[1]
+    assert "ShuffledHashJoin" in initial
+    assert "BroadcastExchange" not in initial and "BroadcastHashJoin" not in initial
