@@ -214,12 +214,42 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sampled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample → profile (sampling is engine-specific RNG)."""
+    """~10 % Bernoulli sample → profile, via the PORTABLE hash draw.
+
+    Was ``df.sample(seed=42)`` (rows-only): Spark's seeded sampler is
+    partitioning-dependent — the same seed yields a different sample after
+    a repartition or a file-split change, which is exactly what a 100 TB
+    reproducible pipeline cannot have. The hash-Bernoulli form (accept iff
+    hash64(row key) % 10 == 0 — the Doulion/mixture_resample discipline)
+    is partitioning-invariant, engine-portable, and therefore
+    hash-checkable vs DuckDB. Native ``.sample`` remains exercised in the
+    operator tests."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.plans._portable import pround
+
     li = read_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).agg(
-        F.count(F.lit(1)).alias("sample_rows"),
-        F.avg("l_quantity").alias("avg_qty_sampled"),
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
     )
+    return li.filter(F.pmod(hash64(key, seed=42), F.lit(10)) == 0).agg(
+        F.count(F.lit(1)).alias("sample_rows"),
+        pround(F.avg("l_quantity"), 6).alias("avg_qty_sampled"),
+    )
+
+
+def _sampled_profile_sql() -> str:
+    from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+    from projet_data_infrastructure_spark.plans._portable import pround_sql
+
+    h = hash64_sql(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)", seed=42
+    )
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS sample_rows,
+       {pround_sql('avg(l_quantity)', 6)} AS avg_qty_sampled
+FROM lineitem
+WHERE ({h}) % 10 = 0
+"""
 
 
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +468,10 @@ FROM latest WHERE rn = 1 AND op <> 'd'
 
 _DERBY_CACHE: dict[str, str] = {}
 _CSV_DIM_CACHE: dict[str, str] = {}
+# Hard cap on driver-side dim materialization in q_csv_dim_rename: customer
+# at sf1 is 150k rows (~10 MB) — far under this; anything larger is not a
+# "dim" and must not transit the driver.
+_CSV_DIM_MAX_ROWS = 2_000_000
 
 #: The reference renames the HR sheet's French headers to schema names
 #: (commute_validation.py:186-209); same shape here, customer-flavored.
@@ -519,12 +553,20 @@ def q_csv_dim_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
         path = os.path.join(tempfile.mkdtemp(prefix="dim_csv_"), "hr.csv")
-        pdf = (
-            read_table(spark, sf_dir, "customer")
-            .select("c_custkey", "c_name", "c_acctbal")
-            .toPandas()
-            .rename(columns={v: k for k, v in _DIM_RENAME.items()})
+        dim = read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
         )
+        # Fixture-prep materializes the dim on the driver — legitimate for
+        # an HR-dim-sized table, an OOM for anything bigger, so the cap is
+        # enforced, not assumed (verdict r4 item 5). A real large dim would
+        # df.write.csv distributed instead.
+        n = dim.count()
+        if n > _CSV_DIM_MAX_ROWS:
+            raise ValueError(
+                f"q_csv_dim_rename: dim has {n} rows > cap {_CSV_DIM_MAX_ROWS}; "
+                "driver-side toPandas() export is for bounded dims only"
+            )
+        pdf = dim.toPandas().rename(columns={v: k for k, v in _DIM_RENAME.items()})
         pdf.to_csv(path, index=False)
         _CSV_DIM_CACHE[sf_dir] = path
     return read_csv_dim(spark, path, rename=_DIM_RENAME)
@@ -609,19 +651,153 @@ ORDER BY o_orderpriority
 """
 
 
-def q_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF assignment under k-means-TRAINED centroids (MLlib, seeded) —
-    the production path behind the oracle-checked seed-centroid form; the
-    broadcast+argmin algebra is shared (`operators/similarity.py:
-    ivf_assign_to`). k-means init is engine-specific → rows-only check;
-    recall quality is pinned by `test_trained_ivf_recall_floor`."""
-    from projet_data_infrastructure_spark.operators.similarity import (
-        ivf_assign_to,
-        ivf_train_centroids,
-    )
+_IVF_TR_K = 8
+_IVF_TR_ROUNDS = 2
+_IVF_TR_SCALE = 1000  # milli-units: keeps L2 dists ≤ ~2.6e8, exact through
+#                       pround's ×1e6 (2.6e14 < 2^53) — unlike the kmeans
+#                       spec's 1e6 scale, whose dists stay integer-typed
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_assign_to(emb, ivf_train_centroids(emb, n_centroids=8))
+
+def q_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment under TRAINED centroids — now fully oracled
+    (verdict r4 item 4): training is the deterministic integer fixed-point
+    Lloyd's of ``kmeans_fixed_point`` (coordinates floored to milli-units,
+    seeds = vec_id 0..K-1, 2 rounds of exact integer floor-mean updates),
+    and the learned centroids drop into the SAME size-switched
+    broadcast+argmin algebra every IVF spec uses
+    (`operators/similarity.py:ivf_assign_to`). The DuckDB oracle unrolls
+    the identical training rounds and assignment, so the whole
+    train→assign pipeline is hash-checked, not rows-only. The MLlib
+    k-means path remains available (`ivf_train_centroids`, recall-floor
+    tested); this spec pins the algebra both trainers share.
+
+    Scale shape: training is K+1 scans of the checkpointed quantized
+    vectors — per round one posexplode → (cluster, dim) map-side-combined
+    aggregate (64·K keys) and a K×64 integer collect (model-parameter
+    class, never data-sized); assignment is the ivf_assign_to map-side
+    argmin."""
+    from projet_data_infrastructure_spark.operators.similarity import ivf_assign_to
+    from projet_data_infrastructure_spark.plans.mining import _km_floordiv
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_TR_SCALE}) AS BIGINT))"
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_TR_K).collect()
+    ]
+    cents.sort()
+    assert [i for i, _ in cents] == list(range(_IVF_TR_K)), (
+        f"ivf seeds: expected vec_ids 0..{_IVF_TR_K - 1}, got {[i for i, _ in cents]}"
+    )
+    centroids = [c for _, c in cents]
+    dim = len(centroids[0])
+
+    def assign_cl(df: DataFrame) -> DataFrame:
+        # One parsed SQL string per round instead of K×dim py4j F.lit calls
+        # (the centroid_argmin_col lesson — literal-building dominated the
+        # wall clock, not the data).
+        structs = ",".join(
+            "struct(aggregate(zip_with(q, array("
+            + ",".join(f"CAST({int(v)} AS BIGINT)" for v in c)
+            + "), (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x) AS dist, {i} AS cl)"
+            for i, c in enumerate(centroids)
+        )
+        return df.withColumn("cl", F.expr(f"array_min(array({structs})).cl"))
+
+    for _ in range(_IVF_TR_ROUNDS):
+        sums = (
+            assign_cl(emb)
+            .select("cl", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("cl", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("c", F.expr(_km_floordiv("s", "n", "DIV")))
+            .collect()
+        )
+        bydim: dict[int, dict[int, int]] = {}
+        for r in sums:
+            bydim.setdefault(r["cl"], {})[r["dim"]] = r["c"]
+        centroids = [
+            [bydim.get(i, {}).get(d, centroids[i][d]) for d in range(dim)]
+            for i in range(_IVF_TR_K)
+        ]
+
+    trained = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, cvec array<double>",
+    )
+    return ivf_assign_to(emb, trained, vec_col="q").orderBy("vec_id")
+
+
+def _ivf_trained_oracle() -> str:
+    from projet_data_infrastructure_spark.plans.mining import _km_floordiv
+
+    fd = _km_floordiv("sum(e.qv)", "count(*)", "//")
+    head = f"""
+WITH pts AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings
+),
+e AS (
+    SELECT vec_id, dim,
+           CAST(floor(CAST(x AS DOUBLE) * {_IVF_TR_SCALE}) AS BIGINT) AS qv
+    FROM pts
+),
+c0 AS (
+    SELECT vec_id AS cl, dim, qv AS cv FROM e WHERE vec_id < {_IVF_TR_K}
+)"""
+    steps = []
+    for r in range(_IVF_TR_ROUNDS):
+        steps.append(
+            f""",
+d{r} AS (
+    SELECT e.vec_id, c.cl, sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+    FROM e JOIN c{r} c ON e.dim = c.dim
+    GROUP BY e.vec_id, c.cl
+),
+a{r} AS (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d{r}
+),
+u{r} AS (
+    SELECT a.cl, e.dim, {fd} AS cv
+    FROM a{r} a JOIN e ON a.vec_id = e.vec_id
+    WHERE a.rn = 1
+    GROUP BY a.cl, e.dim
+),
+c{r + 1} AS (
+    SELECT p.cl, p.dim, COALESCE(u.cv, p.cv) AS cv
+    FROM c{r} p LEFT JOIN u{r} u ON p.cl = u.cl AND p.dim = u.dim
+)"""
+        )
+    r = _IVF_TR_ROUNDS
+    return (
+        head
+        + "".join(steps)
+        + f""",
+df AS (
+    SELECT e.vec_id, c.cl, sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+    FROM e JOIN c{r} c ON e.dim = c.dim
+    GROUP BY e.vec_id, c.cl
+),
+af AS (
+    SELECT vec_id, cl, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM df
+)
+SELECT vec_id, cl AS centroid_id, CAST(dist AS DOUBLE) AS dist
+FROM af WHERE rn = 1 ORDER BY vec_id"""
+    )
 
 
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,7 +917,16 @@ SPECS: list[QuerySpec] = [
         ("lake", "cdc"),
         doc="Change-data-feed between snapshot versions (insert/delete/update)",
     ),
-    QuerySpec("ivf_trained_assign", q_ivf_trained_assign, None, ("similarity", "rows-only")),
+    QuerySpec(
+        "ivf_trained_assign",
+        q_ivf_trained_assign,
+        _ivf_trained_oracle(),
+        ("similarity", "ml"),
+        doc="IVF assignment under integer fixed-point-TRAINED centroids "
+        "(2-round Lloyd's, milli-unit quantization) through the shared "
+        "ivf_assign_to algebra — train AND assign hash-checked vs the "
+        "unrolled DuckDB oracle",
+    ),
     QuerySpec(
         "ewma_by_user",
         q_ewma_by_user,
@@ -805,5 +990,13 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("approx_count_distinct", q_approx_distinct, None, ("agg", "rows-only")),
     QuerySpec("approx_quantiles", q_approx_quantiles, None, ("agg", "rows-only")),
-    QuerySpec("sampled_profile", q_sampled_profile, None, ("agg", "rows-only")),
+    QuerySpec(
+        "sampled_profile",
+        q_sampled_profile,
+        _sampled_profile_sql(),
+        ("agg", "sampling"),
+        doc="~10% hash-Bernoulli sample profile — partitioning-invariant "
+        "portable draw (engine .sample(seed) is partitioning-dependent), "
+        "hash-checked cross-engine",
+    ),
 ]
