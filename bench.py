@@ -60,6 +60,40 @@ def main() -> None:
     import statistics
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    prior = _latest_prior_round()
+    prior_ok = (
+        prior is not None
+        and prior.get("sf") == sf_val
+        and isinstance(prior.get("value"), (int, float))
+    )
+    # Load-noise guard (verdict r4 item 8): a transient system spike during
+    # one pass can fake a per-query regression that an idle rerun dissolves
+    # (round 4 had three such phantoms). Any query whose median moved >20%
+    # AND >0.15 s vs the prior round is re-measured with `reps` fresh
+    # interleaved passes folded into its sample before reporting, so the
+    # emitted vs_prior deltas are trustworthy as-is.
+    requeried: list[str] = []
+    if prior_ok:
+        prior_q = prior.get("queries", {})
+        suspects = [
+            s
+            for s in specs
+            if s.name in prior_q
+            and isinstance(prior_q[s.name], (int, float))
+            and abs(timings[s.name] - prior_q[s.name])
+            > max(0.2 * prior_q[s.name], 0.15)
+        ]
+        for _ in range(reps):
+            for spec in suspects:
+                t0 = time.time()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[spec.name].append(time.time() - t0)
+        for spec in suspects:
+            timings[spec.name] = round(statistics.median(samples[spec.name]), 3)
+            requeried.append(spec.name)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": f"headline-query wall time (noop sink), sum of per-query medians of {reps}",
@@ -67,11 +101,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "reps": reps,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    prior = _latest_prior_round()
-    # Compare only against a structurally complete prior at the same sf.
-    if prior and prior.get("sf") == out["sf"] and isinstance(prior.get("value"), (int, float)):
+    if requeried:
+        out["requeried"] = requeried
+    if prior_ok:
         prior_q = prior.get("queries", {})
         out["vs_prior"] = {
             "prior_total": prior["value"],

@@ -2835,7 +2835,7 @@ SPECS: list[QuerySpec] = [
         "ivf_topk_batch",
         q_ivf_topk_batch,
         _IVF_BATCH_SQL,
-        ("similarity", "batch-retrieval"),
+        ("similarity", "batch-retrieval", "bench"),
         doc="Batched multi-query ANN: queries table -> map-side probe "
         "buckets (broadcast) -> one bucket equi-join -> per-query top-k "
         "via WindowGroupLimit; no cartesian (plan-gated)",
