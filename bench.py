@@ -139,8 +139,32 @@ def _latest_prior_round() -> dict | None:
             data = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
-    # The driver wraps our JSON line under "parsed" alongside run metadata.
-    return data.get("parsed", data)
+    # The driver wraps our JSON line under "parsed" alongside run metadata —
+    # but has also shipped rounds with parsed=null and only a FRONT-TRUNCATED
+    # stdout tail (BENCH_r04). Recover value/queries by regex from the tail
+    # and the sf from the driver's own metadata so vs_prior still engages.
+    parsed = data.get("parsed")
+    if isinstance(parsed, dict):
+        return parsed
+    if "queries" in data:
+        return data
+    tail = data.get("tail")
+    if not isinstance(tail, str):
+        return None
+    mv = re.search(r'"value": ([0-9.]+)', tail)
+    mq = re.search(r'"queries": (\{[^{}]*\})', tail)
+    if not (mv and mq):
+        return None
+    try:
+        queries = json.loads(mq.group(1))
+        sf_meta = data.get("sf")
+        return {
+            "value": float(mv.group(1)),
+            "queries": queries,
+            "sf": float(sf_meta) if sf_meta is not None else None,
+        }
+    except (ValueError, json.JSONDecodeError):
+        return None
 
 
 if __name__ == "__main__":

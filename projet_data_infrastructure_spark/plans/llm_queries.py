@@ -609,6 +609,149 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+# Data selection / tokenizer prep (round-5 additions)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_SEED = 29
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public): score every
+    document by the log-likelihood ratio of a TARGET distribution (here
+    the ``lang='en'`` slice) vs the raw corpus, over hashed word-unigram
+    features — the standard recipe for selecting web data that "looks
+    like" a curated target set.
+
+    Determinism discipline: the per-bucket log-ratio (Laplace-smoothed,
+    the only transcendental) is computed ONCE per bucket and immediately
+    quantized to integer micro-nats with the portable-round formula; every
+    per-document sum is then an exact INTEGER dot product — order-free, so
+    the spec hash-checks cross-engine (the `weighted_sample_topk` ln
+    treatment, moved from the cut to the weights).
+
+    Scale shape: tokens reduce to per-(doc, bucket) counts in one
+    map-side-combined shuffle; the corpus/target bucket tables derive from
+    THAT aggregate (≤ B rows — never a second corpus pass, checkpointed
+    once); scoring joins the B-row broadcast weight table and aggregates
+    ≤ B rows per doc; top-50 is TakeOrderedAndProject."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w"))
+    db = (
+        toks.withColumn(
+            "bkt", F.pmod(hash64(F.col("w"), seed=_DSIR_SEED), F.lit(_DSIR_BUCKETS))
+        )
+        .groupBy("doc_id", "lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # reused by the stats AND the scoring pass
+    )
+    bc = db.groupBy("bkt").agg(
+        F.sum("c").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))).alias("ct"),
+    )
+    tot = bc.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
+    B = float(_DSIR_BUCKETS)
+    lr = F.log(
+        ((F.col("ct") + 1).cast("double") / (F.col("tt") + B))
+        / ((F.col("cs") + 1).cast("double") / (F.col("ts") + B))
+    )
+    weights = bc.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.floor(lr * F.lit(1_000_000.0) + F.lit(0.50001)).cast("long").alias("lrq"),
+    )
+    return (
+        db.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lrq")).alias("score_unats"))
+        .orderBy(F.desc("score_unats"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def _dsir_sql() -> str:
+    h = hash64_sql("w", seed=_DSIR_SEED)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents
+),
+db AS (
+    SELECT doc_id, lang, ({h}) % {_DSIR_BUCKETS} AS bkt, count(*) AS c
+    FROM toks GROUP BY 1, 2, 3
+),
+bc AS (
+    SELECT bkt, sum(c) AS cs,
+           sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+    FROM db GROUP BY bkt
+),
+tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM bc),
+weights AS (
+    SELECT bkt,
+           CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / (tt + {_DSIR_BUCKETS}.0))
+                       / (CAST(cs + 1 AS DOUBLE) / (ts + {_DSIR_BUCKETS}.0)))
+                     * 1000000.0 + 0.50001) AS BIGINT) AS lrq
+    FROM bc, tot
+)
+SELECT db.doc_id, CAST(sum(db.c * w.lrq) AS BIGINT) AS score_unats
+FROM db JOIN weights w USING (bkt)
+GROUP BY db.doc_id
+ORDER BY score_unats DESC, db.doc_id
+LIMIT 50
+"""
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE/WordPiece merge step at corpus scale: the top-20 adjacent
+    character pairs by corpus frequency (Sennrich et al. 2016, public) —
+    what a tokenizer trainer computes before every merge.
+
+    The WordPiece scale trick: pair statistics are computed over the WORD
+    FREQUENCY TABLE, not the token stream — stage 1 is one map-side-
+    combined word count (the only corpus-sized shuffle), stage 2 explodes
+    adjacent pairs over DISTINCT words only (corpus-size-independent) and
+    aggregates weighted by the word count. All integer → hash-exact."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # length guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+    # ([1, 0]), it is not empty — 1-char words must never reach it.
+    pairs = words.filter(F.length("w") >= 2).select(
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+_BPE_MERGE_SQL = f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')) AS w
+    FROM documents
+),
+words AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+pairs AS (
+    SELECT c, unnest(list_transform(generate_series(1, length(w) - 1),
+                                    i -> substr(w, i, 2))) AS pair
+    FROM words
+    WHERE length(w) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
@@ -2831,6 +2974,25 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("ivf_assign", q_ivf_assign, _IVF_ASSIGN_SQL, ("similarity",)),
     QuerySpec("ivf_topk_ann", q_ivf_topk, _IVF_TOPK_SQL, ("similarity",)),
+    QuerySpec(
+        "dsir_importance_weights",
+        q_dsir_importance,
+        _dsir_sql(),
+        ("llm", "selection"),
+        doc="DSIR importance weighting (hashed-unigram log-likelihood ratio "
+        "target-vs-corpus, Xie et al. 2023) — per-bucket log-ratio quantized "
+        "to integer micro-nats once, per-doc scores are exact integer dot "
+        "products; top-50 selection",
+    ),
+    QuerySpec(
+        "bpe_merge_candidates",
+        q_bpe_merge_candidates,
+        _BPE_MERGE_SQL,
+        ("llm", "tokenizer"),
+        doc="First BPE merge step at corpus scale: adjacent char-pair counts "
+        "over the word-frequency table (distinct words only — corpus-size-"
+        "independent stage 2), top-20 merges, integer-exact",
+    ),
     QuerySpec(
         "ivf_topk_batch",
         q_ivf_topk_batch,

@@ -117,6 +117,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_topk_batch",
     "ivf_trained_assign",
     "pq_trained_encode",
+    "sampled_profile",
+    "dsir_importance_weights",
+    "bpe_merge_candidates",
     "preference_pairs",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
