@@ -128,22 +128,25 @@ def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge list per iteration.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
     n_vertices = deg.count()  # exact |V|, free off the checkpointed aggregate
-    nodes = deg.select(F.col("src").alias("node"))
-    ranks = nodes.select("node", F.lit(_PR_UNIT).cast("long").alias("pr_score"))
+    # Degree rides INSIDE the rank frame: emit needs no rank⋈degree join
+    # per iteration (one fewer |V|-join × _PR_ITERS than the textbook
+    # two-table loop), and the rank rebuild joins contrib back onto the
+    # checkpointed deg directly.
+    ranks = deg.select(
+        F.col("src").alias("node"), "degree", F.lit(_PR_UNIT).cast("long").alias("pr_score")
+    )
     for _ in range(_PR_ITERS):
-        emit = (
-            ranks.join(deg, ranks.node == deg.src)
-            .select("node", F.expr("pr_score DIV degree").alias("c"))
-        )
+        emit = ranks.select("node", F.expr("pr_score DIV degree").alias("c"))
         contrib = (
             edges.join(vertex_side(emit, n_vertices), edges.src == emit.node)
             .groupBy("dst")
             .agg(F.sum("c").alias("inc"))
         )
-        ranks = nodes.join(
-            vertex_side(contrib, n_vertices), nodes.node == contrib.dst, "left"
+        ranks = deg.join(
+            vertex_side(contrib, n_vertices), deg.src == contrib.dst, "left"
         ).select(
-            "node",
+            F.col("src").alias("node"),
+            "degree",
             (
                 F.lit(150_000)
                 + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
