@@ -1942,6 +1942,75 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
 """
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity-resolution pipeline over the part catalog — the
+    classic BLOCK → MATCH → CLUSTER → CANONICALIZE chain as one spec:
+
+    * BLOCK: brand equi-join candidates (never all-pairs — the
+      `levenshtein_blocked_pairs` discipline);
+    * MATCH: edit distance ≤ 2 on the blocked candidates only;
+    * CLUSTER: the shared connected-components operator
+      (`operators/dedup.py:duplicate_clusters` — path-halving min-label
+      propagation, per-round lineage cut), entity id = min member key;
+    * CANONICALIZE: the entity id's own record is the canonical row
+      (min-key survivorship rule — deterministic, no order-dependent
+      "first seen"); per-entity member count + id checksum make the
+      cluster content order-insensitively hash-exact.
+
+    The whole chain is hash-checked end to end against a recursive-CTE
+    DuckDB oracle — matcher, clustering, and survivorship together, not
+    as separate trust-me stages."""
+    from projet_data_infrastructure_spark.operators import dedup
+
+    pairs = q_levenshtein_pairs(spark, sf_dir)
+    comp = dedup.duplicate_clusters(pairs, a_col="key_a", b_col="key_b")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ent = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("doc_id").cast("long").alias("member_checksum"),
+    )
+    return (
+        ent.join(part, ent.component == part.p_partkey)
+        .select(
+            F.col("component").alias("entity_id"),
+            "n_members",
+            "member_checksum",
+            F.col("p_name").alias("canonical_name"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE cand AS (
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+),
+edges AS (
+    SELECT key_a AS src, key_b AS dst FROM cand
+    UNION
+    SELECT key_b AS src, key_a AS dst FROM cand
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+ent AS (
+    SELECT component, count(*) AS n_members,
+           CAST(sum(node) AS BIGINT) AS member_checksum
+    FROM comp GROUP BY component
+)
+SELECT e.component AS entity_id, e.n_members, e.member_checksum,
+       p.p_name AS canonical_name
+FROM ent e JOIN part p ON p.p_partkey = e.component
+ORDER BY entity_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Gaps-and-islands: longest run of consecutive active days per user. The
 # date minus row_number anchor collapses each consecutive run to one group
@@ -2873,6 +2942,15 @@ SPECS: list[QuerySpec] = [
         _LEVENSHTEIN_SQL,
         ("dedup", "join"),
         doc="Blocked edit-distance near-pairs (equi-join candidates, bounded verify)",
+    ),
+    QuerySpec(
+        "entity_resolution_clusters",
+        q_entity_resolution,
+        _ENTITY_RESOLUTION_SQL,
+        ("dedup", "iterative", "pipeline"),
+        doc="Composed entity resolution: brand-blocked edit-distance match "
+        "-> shared CC operator -> min-key canonical survivorship; whole "
+        "chain hash-checked vs a recursive-CTE oracle",
     ),
     QuerySpec("events_partitioned_dpp", q_events_dpp, _EVENTS_DPP_SQL, ("scale", "join")),
     QuerySpec("zorder_scan_filtered", q_zorder_scan, _ZORDER_SCAN_SQL, ("scale",)),

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sampled_profile",
     "dsir_importance_weights",
     "bpe_merge_candidates",
+    "entity_resolution_clusters",
     "preference_pairs",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
