@@ -1916,13 +1916,22 @@ FROM sums
 
 
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-blocked edit-distance near-pairs with the LOSSLESS length-band
+    prefilter: levenshtein(a,b) ≥ |len(a)−len(b)|, so a ≤2-edit match can
+    never straddle a >2 length gap — the cheap integer band runs in the
+    join condition and the O(mn) edit distance is computed only on
+    survivors (the standard ER matcher discipline)."""
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     a = part.alias("a")
     b = part.alias("b")
+    band = (
+        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2
+    )
     cand = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & band,
     )
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return cand.select(
@@ -1938,6 +1947,7 @@ SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand AS p_brand,
        levenshtein(a.p_name, b.p_name) AS edit_dist
 FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
 WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
 """
 
@@ -1986,6 +1996,7 @@ WITH RECURSIVE cand AS (
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
     WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
 ),
 edges AS (
