@@ -1788,26 +1788,17 @@ def q_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(centroids[0])
 
     def assign(df):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-        pick = F.array_min(
-            F.array(
-                *[
-                    F.struct(d.alias("dist"), F.lit(i).alias("cl"))
-                    for i, d in enumerate(dists)
-                ]
-            )
+        # One parsed SQL string instead of K×dim py4j F.lit calls per round
+        # (the centroid_argmin_col lesson — literal construction, not the
+        # data, dominated the wall clock).
+        structs = ",".join(
+            "struct(aggregate(zip_with(q, array("
+            + ",".join(f"CAST({int(v)} AS BIGINT)" for v in c)
+            + "), (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x) AS dist, {i} AS cl)"
+            for i, c in enumerate(centroids)
         )
+        pick = F.expr(f"array_min(array({structs}))")
         return df.withColumn("dist", pick["dist"]).withColumn("cl", pick["cl"])
 
     for _ in range(_KM_ROUNDS):
