@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "bpe_merge_candidates",
     "entity_resolution_clusters",
+    "dp_noisy_counts",
     "preference_pairs",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.

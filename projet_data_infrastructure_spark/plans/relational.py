@@ -24,6 +24,7 @@ from projet_data_infrastructure_spark.operators.aggregates import (
     scalar_count,
     top_k,
 )
+from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
 from projet_data_infrastructure_spark.operators.joins import anti_join, enrich, semi_join
 from projet_data_infrastructure_spark.operators.transforms import mask_columns, project
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
@@ -516,6 +517,76 @@ FROM x
 """
 
 
+_DP_EPSILON_INV = 2.0  # b = sensitivity/epsilon = 1/0.5 for a count release
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 governance: ε-differentially-private release of per-segment
+    customer counts AND a clipped account-balance sum (the Laplace
+    mechanism, Dwork et al. 2006 — the other standard privacy release next
+    to masking and k-anonymity).
+
+    The Laplace draw is DETERMINISTIC: u = portable-hash uniform of the
+    group key (seeded), noise = −b·sign(u−½)·ln(1−2|u−½|) — the inverse-CDF
+    transform over the same hash-RNG discipline every sampled spec uses, so
+    a privacy mechanism that is normally irreproducible randomness becomes
+    hash-checkable cross-engine (and auditable: the same release never
+    silently changes between runs). u = (k+0.5)/10⁶ can never hit 0, ½, or
+    1, so the transform never sees a log-of-zero. Count release uses
+    sensitivity 1 (b = 1/ε); the sum release first CLIPS each balance to
+    [0, 10000] — bounding per-row sensitivity is what makes a DP sum valid
+    — and scales b by the clip bound. One linear hash aggregate; noise and
+    release are projections on the ≤|segments| aggregate rows."""
+    cust = read_table(spark, sf_dir, "customer")
+    # Clip, then INTEGER CENTS before summing: a double sum's value depends
+    # on partition/accumulation order, which would break the cross-engine
+    # hash — exact BIGINT cents keep the DP release reproducible.
+    clipped = F.greatest(
+        F.lit(0.0), F.least(F.col("c_acctbal").cast("double"), F.lit(10_000.0))
+    )
+    cents = F.floor(clipped * F.lit(100.0) + F.lit(0.5)).cast("long")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_n"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("true_sum"),
+    )
+
+    def lap_noise(seed: int, b_expr: str) -> F.Column:
+        u = (F.pmod(hash64(F.col("c_mktsegment"), seed=seed), F.lit(1_000_000))
+             .cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
+        centered = u - F.lit(0.5)
+        mag = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+        return F.expr(b_expr) * F.signum(centered) * mag * F.lit(-1.0)
+
+    noisy_n = F.col("true_n").cast("double") + lap_noise(31, str(_DP_EPSILON_INV))
+    noisy_sum = F.col("true_sum") + lap_noise(37, str(10_000.0 * _DP_EPSILON_INV))
+    return agg.select(
+        "c_mktsegment",
+        pround(noisy_n, 4).alias("dp_count"),
+        pround(noisy_sum, 4).alias("dp_balance_sum"),
+    ).orderBy("c_mktsegment")
+
+
+def _dp_noisy_sql() -> str:
+    h31 = hash64_sql("c_mktsegment", seed=31)
+    h37 = hash64_sql("c_mktsegment", seed=37)
+    u31 = f"((({h31}) % 1000000) + 0.5) / 1000000.0"
+    u37 = f"((({h37}) % 1000000) + 0.5) / 1000000.0"
+    n31 = f"(-1.0 * {_DP_EPSILON_INV} * sign({u31} - 0.5) * ln(1.0 - 2.0 * abs({u31} - 0.5)))"
+    n37 = f"(-1.0 * {10_000.0 * _DP_EPSILON_INV} * sign({u37} - 0.5) * ln(1.0 - 2.0 * abs({u37} - 0.5)))"
+    return f"""
+WITH agg AS (
+    SELECT c_mktsegment, count(*) AS true_n,
+           CAST(sum(CAST(floor(greatest(0.0, least(CAST(c_acctbal AS DOUBLE), 10000.0))
+                              * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS true_sum
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       {pround_sql(f'CAST(true_n AS DOUBLE) + {n31}', 4)} AS dp_count,
+       {pround_sql(f'true_sum + {n37}', 4)} AS dp_balance_sum
+FROM agg ORDER BY c_mktsegment
+"""
+
+
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     return cust.select(
@@ -913,6 +984,15 @@ SPECS: list[QuerySpec] = [
         _K_ANON_SQL,
         ("governance", "agg"),
         doc="k=5 anonymity audit with one-step generalization ladder over customer quasi-ids",
+    ),
+    QuerySpec(
+        "dp_noisy_counts",
+        q_dp_noisy_counts,
+        _dp_noisy_sql(),
+        ("governance", "agg"),
+        doc="epsilon-DP Laplace release of per-segment counts + clipped "
+        "balance sums; noise drawn deterministically from the portable "
+        "hash inverse-CDF so the release is reproducible AND hash-checked",
     ),
     QuerySpec("string_funcs", q_string_funcs, _STRING_SQL, ("scalar",)),
     QuerySpec("date_funcs", q_date_funcs, _DATE_SQL, ("scalar",)),
