@@ -136,8 +136,8 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         vertex_side,
     )
 
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
-    n_vertex_bound = edges.count()  # |V| <= |E|; free off the checkpoint
+    edges = _trade_edges(spark, sf_dir)  # pair table checkpointed inside
+    n_vertex_bound = edges.count()  # |V| <= |E|; one in-memory pass
     cust = read_table(spark, sf_dir, "customer")
     # Rounds stay LAZY over the checkpointed edge list (see the Bellman-Ford
     # note): a fixed 3-hop frontier expansion collapses into one job.
@@ -795,16 +795,17 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(line, orders.o_orderkey == line.l_orderkey)
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # Half-checkpoint discipline (see graph_geo._trade_edges): persist
+        # the per-undirected-edge pair table, derive both arcs lazily.
+        .localCheckpoint(eager=True)
     )
     w = F.greatest(F.lit(1).cast("long"), (F.lit(6) - F.col("cnt")).cast("long"))
     cust = (F.col("o_custkey") * 2).cast("long")
     supp = (F.col("l_suppkey") * 2 + 1).cast("long")
-    edges = (
-        pairs.select(cust.alias("src"), supp.alias("dst"), w.alias("w"))
-        .unionByName(pairs.select(supp.alias("src"), cust.alias("dst"), w.alias("w")))
-        .localCheckpoint(eager=True)
+    edges = pairs.select(cust.alias("src"), supp.alias("dst"), w.alias("w")).unionByName(
+        pairs.select(supp.alias("src"), cust.alias("dst"), w.alias("w"))
     )
-    n_vertex_bound = edges.count()  # |V| <= |E|; free off the checkpoint
+    n_vertex_bound = pairs.count() * 2  # |V| <= |E|; free off the checkpoint
     # Rounds stay LAZY over the checkpointed edge list (the PageRank
     # discipline): at a fixed 3 rounds the nested plan is small, and lazy
     # rounds collapse the whole fixed point into ONE job instead of one
