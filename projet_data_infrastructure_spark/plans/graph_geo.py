@@ -92,19 +92,26 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is cheaper than materializing the doubled union (measured ~8%
     off the whole Bellman-Ford query at sf0.1) — callers must NOT re-
     checkpoint the returned frame."""
-    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(line, orders.o_orderkey == line.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     cust = (F.col("o_custkey") * 2).cast("long")
     supp = (F.col("l_suppkey") * 2 + 1).cast("long")
     fwd = pairs.select(cust.alias("src"), supp.alias("dst"))
     rev = pairs.select(supp.alias("src"), cust.alias("dst"))
     return fwd.unionByName(rev)
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed DISTINCT (customer, supplier) trade pairs — the one
+    O(|E|) materialization every trade-graph spec shares (see
+    :func:`_trade_edges` for the half-checkpoint rationale)."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(line, orders.o_orderkey == line.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +778,173 @@ ORDER BY custkey
 """
 
 
+# --------------------------------------------------------------------------
+# k-core decomposition (bounded peel rounds)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round survivor telemetry of a 3-round k-core peel (k=3) on the
+    trade graph — the standard coreness sieve for graph densification /
+    spam-node pruning, made hash-exact by fixing the round count (the CC
+    modules' bounded-round discipline; a production peel would iterate to
+    the fixpoint with periodic re-checkpoints).
+
+    Plan shape per round: one map-side-combined degree aggregate over the
+    current edge set, then two semi-joins (src∈keep, dst∈keep) against the
+    |V|-bounded survivor frame via :func:`vertex_side` (broadcast below
+    the size switch, keyed SHUFFLE_HASH above). The edge list derives
+    lazily from the checkpointed pair table and is never shuffled. Output
+    is one row per round: survivor count + order-free node-id checksum.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    n_vertex_bound = edges.count()  # |V| <= |E|; one in-memory pass
+    outs = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= _KCORE_K).select(F.col("src").alias("node"))
+        outs.append(
+            keep.agg(
+                F.lit(r).alias("round"),
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.coalesce(F.sum("node"), F.lit(0).cast("long")).alias("node_checksum"),
+            )
+        )
+        ka = keep.select(F.col("node").alias("ka"))
+        kb = keep.select(F.col("node").alias("kb"))
+        edges = (
+            edges.join(vertex_side(ka, n_vertex_bound), edges.src == ka.ka, "left_semi")
+            .join(vertex_side(kb, n_vertex_bound), F.col("dst") == kb.kb, "left_semi")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round")
+
+
+def _kcore_oracle() -> str:
+    head = """
+WITH e0 AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+g0 AS (
+    SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM e0
+    UNION ALL
+    SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM e0
+)"""
+    steps = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f""",
+k{r} AS (
+    SELECT src AS node FROM g{r - 1} GROUP BY src HAVING count(*) >= {_KCORE_K}
+),
+g{r} AS (
+    SELECT g.src, g.dst FROM g{r - 1} g
+    JOIN k{r} a ON g.src = a.node
+    JOIN k{r} b ON g.dst = b.node
+)"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, count(*) AS n_nodes,"
+        f" CAST(COALESCE(sum(node), 0) AS BIGINT) AS node_checksum FROM k{r}"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return head + "".join(steps) + f"\nSELECT * FROM ({rounds}) ORDER BY round"
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (integer max-normalized fixed point)
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_UNIT = 1_000_000
+
+
+def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by HITS authority on the directed customer→supplier
+    purchase graph (Kleinberg 1999, public), 2 mutual-reinforcement rounds.
+
+    Determinism: the usual L2 normalization is replaced by integer MAX
+    normalization (score·1e6 DIV max) — a monotone rescaling that preserves
+    the HITS ranking at each round while keeping every value an exact
+    BIGINT, so the iterative fixed point hash-checks against an
+    unrolled-CTE oracle (the PageRank treatment, applied to the
+    two-frame hub/authority recurrence).
+
+    Plan shape per half-round: the |V|-bounded score frame joins the
+    checkpointed arc list via :func:`vertex_side` (broadcast / keyed-
+    shuffle size switch) and aggregates map-side-combined onto the other
+    side; the max is a 1-row aggregate broadcast back. Arcs are scanned,
+    never shuffled. Top-20 is TakeOrderedAndProject."""
+    pairs = _trade_pairs(spark, sf_dir)
+    arcs = pairs.select(
+        (F.col("o_custkey") * 2).cast("long").alias("c"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
+    )
+    n_vertex_bound = pairs.count() * 2
+    # h0 = UNIT for every customer → a1 = UNIT · indeg(s)
+    auth = arcs.groupBy("s").agg((F.count(F.lit(1)) * F.lit(_HITS_UNIT)).alias("a"))
+    for it in range(_HITS_ITERS):
+        m_a = auth.agg(F.max("a").alias("m"))
+        authn = auth.crossJoin(F.broadcast(m_a)).select(
+            "s", F.expr(f"(a * {_HITS_UNIT}) DIV m").alias("an")
+        )
+        if it == _HITS_ITERS - 1:
+            final = authn
+            break
+        hub = (
+            arcs.join(vertex_side(authn, n_vertex_bound), "s")
+            .groupBy("c")
+            .agg(F.sum("an").alias("h"))
+        )
+        m_h = hub.agg(F.max("h").alias("m"))
+        hubn = hub.crossJoin(F.broadcast(m_h)).select(
+            "c", F.expr(f"(h * {_HITS_UNIT}) DIV m").alias("hn")
+        )
+        auth = (
+            arcs.join(vertex_side(hubn, n_vertex_bound), "c")
+            .groupBy("s")
+            .agg(F.sum("hn").alias("a"))
+        )
+    label = F.concat(F.lit("s"), F.expr("s DIV 2").cast("string"))
+    return (
+        final.select(label.alias("node"), F.col("an").alias("authority_micro"))
+        .orderBy(F.desc("authority_micro"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _hits_oracle() -> str:
+    u = _HITS_UNIT
+    return f"""
+WITH e0 AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+a1 AS (SELECT sk, count(*) * {u} AS a FROM e0 GROUP BY sk),
+a1n AS (SELECT sk, (a * {u}) // (SELECT max(a) FROM a1) AS an FROM a1),
+h1 AS (
+    SELECT e.ck, CAST(sum(a.an) AS BIGINT) AS h
+    FROM e0 e JOIN a1n a ON e.sk = a.sk GROUP BY e.ck
+),
+h1n AS (SELECT ck, (h * {u}) // (SELECT max(h) FROM h1) AS hn FROM h1),
+a2 AS (
+    SELECT e.sk, CAST(sum(h.hn) AS BIGINT) AS a
+    FROM e0 e JOIN h1n h ON e.ck = h.ck GROUP BY e.sk
+),
+a2n AS (SELECT sk, (a * {u}) // (SELECT max(a) FROM a2) AS an FROM a2)
+SELECT 's' || CAST(sk AS VARCHAR) AS node, CAST(an AS BIGINT) AS authority_micro
+FROM a2n
+ORDER BY authority_micro DESC, node
+LIMIT 20
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pagerank_fixed_point",
@@ -834,5 +1008,22 @@ SPECS: list[QuerySpec] = [
         _BITWISE_SQL,
         ("scalar", "agg"),
         doc="Bitwise expression and aggregate surface, integer-exact",
+    ),
+    QuerySpec(
+        "kcore_decomposition",
+        q_kcore_decomposition,
+        _kcore_oracle(),
+        ("graph", "iterative"),
+        doc="3-round k-core peel (k=3): per-round degree aggregate + two "
+        "semi-joins vs the survivor frame; per-round count + checksum "
+        "telemetry, hash-exact vs unrolled CTEs",
+    ),
+    QuerySpec(
+        "hits_authorities",
+        q_hits_authorities,
+        _hits_oracle(),
+        ("graph", "iterative"),
+        doc="HITS (Kleinberg) authorities, 2 rounds, integer MAX "
+        "normalization — rank-preserving, hash-exact iterative link analysis",
     ),
 ]

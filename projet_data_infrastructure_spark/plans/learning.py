@@ -1,0 +1,750 @@
+"""Classic-ML / evaluation operators over the training-data tables — each an
+iterative-or-transcendental algorithm re-derived in the repo's deterministic
+integer discipline so it hash-checks against a DuckDB oracle.
+
+* ``naive_bayes_lang`` — multinomial Naive Bayes language classifier
+  (train + score + confusion matrix) with Laplace-smoothed log-probs
+  quantized ONCE to integer micro-nats (the ``dsir_importance_weights``
+  treatment), so per-doc scores are order-free integer dot products.
+* ``decision_stump_quantity`` — exact best-split search (weighted Gini) over
+  every threshold of a numeric feature; impurity in integer micro-units via
+  cross-multiplied counts — the inner loop of every tree ensemble.
+* ``retrieval_eval_metrics`` — P@10 / MRR / NDCG@10 of the exact-cosine
+  ranking against label relevance, with the 1/log2(rank+1) discount table
+  quantized to integer micro-nats — the IR-eval triple for embedding
+  retrieval, hash-exact.
+* ``brand_cf_cosine`` — item-item collaborative-filtering cosine over binary
+  customer×brand incidence; cosine² in integer micro-units (one integer
+  division) so no sqrt ever runs.
+* ``winnowing_fingerprint`` — MOSS winnowing (Schleimer et al. 2003,
+  SIGMOD): per-window minimum k-gram hash with the rightmost tie rule,
+  distinct selected fingerprints per document.
+* ``twa_event_value`` — per-user time-weighted average event value
+  (piecewise-constant hold between events), second-resolution integer
+  weights.
+* ``l_diversity_audit`` — the l-diversity companion to the k-anonymity
+  audit: distinct-sensitive-value counts per quasi-identifier group.
+
+Scale notes are on each builder. Reference parity: the reference repo
+(yanggautier/Projet_Data_Infrastructure) has no ML surface — this module is
+part of the charter's training-data-pipeline extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
+from projet_data_infrastructure_spark.operators.text import tokens
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
+
+_TOKS_LOWER_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+)
+
+# Micro-nat quantization bias — same constant as dsir_importance_weights:
+# floor(x * 1e6 + 0.50001) rounds half-up with the boundary nudged off the
+# exact .5 grid so a 1-ulp cross-engine ln() difference cannot flip a bucket.
+_QBIAS = 0.50001
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier
+# --------------------------------------------------------------------------
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a multinomial NB language classifier trained on
+    the corpus's own (lang, word) counts — the classic supervised baseline
+    a data pipeline runs to audit its language labels.
+
+    Determinism: the two transcendentals (Laplace-smoothed class-
+    conditional log-prob, class prior) are computed once per (lang, word) /
+    per lang and immediately quantized to integer micro-nats; scoring is
+    then an exact integer dot product (order-free) and argmax ties break on
+    the smaller lang label — hash-exact cross-engine.
+
+    Scale shape: one corpus tokenize reduces to per-(doc, word) counts in a
+    single map-side-combined shuffle; the (lang, word) weight table derives
+    from THAT aggregate (vocabulary-bounded, never a second corpus pass).
+    Scoring joins doc-word counts × L langs (L=5 here; the lang list is a
+    broadcast) against the weight table on (lang, word) — an equi-join that
+    shuffles at most |doc words| × L rows with map-side partial aggregation
+    down to |docs| × L. The argmax is a row_number over the L-row per-doc
+    frame (bounded window)."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    dwc = (
+        docs.select("doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # reused by the stats AND the scoring pass
+    )
+    # class-conditional word counts + per-class totals, off the aggregate
+    wc = dwc.groupBy("lang", "w").agg(F.sum("c").alias("cw"))
+    tot = wc.groupBy("lang").agg(F.sum("cw").alias("tot"))
+    vocab = wc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    prior = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+
+    def _q(col):  # micro-nat quantization (dsir discipline)
+        return F.floor(col * F.lit(1_000_000.0) + F.lit(_QBIAS)).cast("long")
+
+    # per-(lang, word) smoothed log-prob + per-lang unseen-word default
+    weights = (
+        wc.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "w",
+            _q(
+                F.log(
+                    (F.col("cw") + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+            ).alias("lw_unats"),
+        )
+    )
+    cls = (
+        prior.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            _q(F.log(F.col("nd").cast("double") / F.col("n").cast("double"))).alias(
+                "prior_unats"
+            ),
+            _q(
+                F.log(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double"))
+            ).alias("default_unats"),
+        )
+    )
+    scored = (
+        dwc.withColumnRenamed("lang", "true_lang")
+        .join(F.broadcast(cls.select(F.col("lang").alias("cand"), "prior_unats", "default_unats")))
+        .join(
+            weights,
+            (F.col("cand") == weights.lang) & (dwc.w == weights.w),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand", "prior_unats")
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("lw_unats"), F.col("default_unats"))
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("prior_unats") + F.col("ll")).alias("score_unats"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("score_unats"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(w_doc)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"), F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+_NB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_TOKS_LOWER_SQL}) AS w FROM documents
+),
+dwc AS (
+    SELECT doc_id, lang AS true_lang, w, count(*) AS c FROM toks GROUP BY 1, 2, 3
+),
+wc AS (SELECT true_lang AS lang, w, CAST(sum(c) AS BIGINT) AS cw FROM dwc GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS tot FROM wc GROUP BY lang),
+vocab AS (SELECT count(DISTINCT w) AS v FROM wc),
+prior AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+ndocs AS (SELECT count(*) AS n FROM documents),
+weights AS (
+    SELECT wc.lang, wc.w,
+           CAST(floor(ln(CAST(cw + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+                      * 1000000.0 + {_QBIAS}) AS BIGINT) AS lw_unats
+    FROM wc JOIN tot USING (lang), vocab
+),
+cls AS (
+    SELECT p.lang,
+           CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000.0 + {_QBIAS}) AS BIGINT) AS prior_unats,
+           CAST(floor(ln(1.0 / CAST(tot + v AS DOUBLE))
+                      * 1000000.0 + {_QBIAS}) AS BIGINT) AS default_unats
+    FROM prior p JOIN tot USING (lang), vocab, ndocs
+),
+scored AS (
+    SELECT d.doc_id, d.true_lang, c.lang AS cand,
+           c.prior_unats
+           + CAST(sum(d.c * COALESCE(wt.lw_unats, c.default_unats)) AS BIGINT)
+             AS score_unats
+    FROM dwc d
+    CROSS JOIN cls c
+    LEFT JOIN weights wt ON wt.lang = c.lang AND wt.w = d.w
+    GROUP BY d.doc_id, d.true_lang, c.lang, c.prior_unats, c.default_unats
+),
+pred AS (
+    SELECT doc_id, true_lang, cand,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_unats DESC, cand) AS rn
+    FROM scored
+)
+SELECT true_lang AS lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY lang, pred_lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Decision-stump exact split search (weighted Gini)
+# --------------------------------------------------------------------------
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 split thresholds on l_quantity for predicting l_returnflag='R'
+    by exact weighted Gini impurity — the inner loop of tree induction,
+    run over EVERY candidate threshold at once.
+
+    Integer discipline: per-branch weighted Gini ``2·a·b/n`` is kept in
+    micro-units via ``(2000000·a·b) DIV n`` — one integer division per
+    branch, exact in both engines for non-negative operands. At sf0.1 the
+    products stay < 2e17 (int64-safe); a 100 TB run would lift the moment
+    products to DECIMAL(25,0) exactly as ``ols_two_feature_nation`` does.
+
+    Scale shape: one map-side-combined aggregate reduces the fact table to
+    ≤ |distinct feature values| rows (50 here); the cumulative scan, split
+    scoring and top-5 all run on that bounded frame — window over 50 rows,
+    TakeOrdered 5. One corpus-sized shuffle total."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    per_q = li.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    w_cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_q.select(
+        "q",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("al"),
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("pos").over(w_all).alias("pt"),
+    ).filter(F.col("nl") < F.col("nt"))
+    scored = cum.select(
+        F.col("q").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("nt") - F.col("nl")).alias("n_right"),
+        (
+            F.expr("(2000000 * al * (nl - al)) DIV nl")
+            + F.expr("(2000000 * (pt - al) * ((nt - nl) - (pt - al))) DIV (nt - nl)")
+        ).alias("impurity_micro"),
+    )
+    return scored.orderBy(F.asc("impurity_micro"), F.asc("threshold")).limit(5)
+
+
+_STUMP_SQL = """
+WITH li AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+per_q AS (SELECT q, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM li GROUP BY q),
+cum AS (
+    SELECT q,
+           CAST(sum(n) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+           CAST(sum(pos) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS al,
+           CAST(sum(n) OVER () AS BIGINT) AS nt,
+           CAST(sum(pos) OVER () AS BIGINT) AS pt
+    FROM per_q
+)
+SELECT q AS threshold, nl AS n_left, nt - nl AS n_right,
+       CAST((2000000 * al * (nl - al)) // nl
+            + (2000000 * (pt - al) * ((nt - nl) - (pt - al))) // (nt - nl)
+            AS BIGINT) AS impurity_micro
+FROM cum WHERE nl < nt
+ORDER BY impurity_micro, threshold
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-retrieval evaluation: P@10 / MRR / NDCG@10
+# --------------------------------------------------------------------------
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P@10, MRR and NDCG@10 of the exact-cosine top-10 for query vector 0,
+    with relevance = label match — the retrieval-eval triple every
+    embedding pipeline reports, in pure integers.
+
+    The only transcendental (the 1/log2(rank+1) NDCG discount) is
+    quantized per rank to integer micro-nats, so DCG/IDCG are integer dot
+    products and NDCG is one integer division; MRR is ``1e6 DIV rank``.
+
+    Scale shape: the ranking is the brute-force cosine scan (one map pass +
+    TakeOrderedAndProject top-10 — the `cosine_topk_bruteforce` plan); all
+    metric arithmetic runs on the bounded 10-row frame."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrow = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+        )
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qrow)
+        .select(
+            "vec_id",
+            "label",
+            "qlabel",
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+                    " CAST(qv AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+                    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                    " / (sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>),"
+                    "   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+                    " * sqrt(aggregate(CAST(qv AS ARRAY<DOUBLE>),"
+                    "   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))"
+                    " * 1000000.0 + 0.50001"
+                )
+            ).alias("sim_q")
+        )
+        .orderBy(F.desc("sim_q"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w10 = Window.orderBy(F.desc("sim_q"), F.asc("vec_id"))
+    ranked = sims.select(
+        F.row_number().over(w10).alias("rank"),
+        F.when(F.col("label") == F.col("qlabel"), F.lit(1)).otherwise(F.lit(0)).alias("rel"),
+    ).select(
+        "rank",
+        "rel",
+        # rank-discount table, quantized micro-nats (rank+1 ≥ 2 → log2 > 0)
+        F.floor(
+            F.lit(1_000_000.0) / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+            + F.lit(_QBIAS)
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    n_rel = ranked.agg(F.sum("rel").cast("long").alias("n_rel"))
+    return (
+        ranked.crossJoin(F.broadcast(n_rel))
+        .groupBy("n_rel")
+        .agg(
+            (F.sum("rel").cast("long") * F.lit(100_000)).alias("p_at_10_micro"),
+            F.coalesce(
+                F.expr("1000000 DIV min(CASE WHEN rel = 1 THEN rank END)"),
+                F.lit(0).cast("long"),
+            ).alias("mrr_micro"),
+            F.coalesce(
+                F.expr(
+                    "CASE WHEN sum(CASE WHEN rank <= n_rel THEN wq ELSE 0 END) > 0"
+                    " THEN (sum(rel * wq) * 1000000)"
+                    " DIV sum(CASE WHEN rank <= n_rel THEN wq ELSE 0 END)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("ndcg_micro"),
+        )
+    )
+
+
+_RETRIEVAL_EVAL_SQL = f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0
+),
+sims AS (
+    SELECT vec_id, label, qlabel,
+           CAST(floor(list_cosine_similarity(embedding::DOUBLE[], qv)
+                      * 1000000.0 + 0.50001) AS BIGINT) AS sim_q
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY sim_q DESC, vec_id
+    LIMIT 10
+),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY sim_q DESC, vec_id) AS rank,
+           CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+    FROM sims
+),
+wtab AS (
+    SELECT rank, rel,
+           CAST(floor(1000000.0 / log2(CAST(rank AS DOUBLE) + 1.0)
+                      + {_QBIAS}) AS BIGINT) AS wq
+    FROM ranked
+),
+nrel AS (SELECT CAST(sum(rel) AS BIGINT) AS n_rel FROM wtab)
+SELECT n_rel,
+       CAST(sum(rel) * 100000 AS BIGINT) AS p_at_10_micro,
+       CAST(COALESCE(1000000 // min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+           AS mrr_micro,
+       CAST(COALESCE(
+           CASE WHEN sum(CASE WHEN rank <= n_rel THEN wq ELSE 0 END) > 0
+                THEN (sum(rel * wq) * 1000000)
+                     // sum(CASE WHEN rank <= n_rel THEN wq ELSE 0 END)
+                ELSE 0 END, 0) AS BIGINT) AS ndcg_micro
+FROM wtab, nrel
+GROUP BY n_rel
+"""
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative-filtering cosine (binary incidence)
+# --------------------------------------------------------------------------
+
+
+def q_brand_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 brand pairs by item-item cosine over binary customer×brand
+    incidence — the classic neighborhood CF similarity, sqrt-free:
+    cos²(a,b) = |A∩B|² / (|A|·|B|) is emitted in integer micro-units via
+    one integer division per pair, so the ranking is hash-exact.
+
+    Scale shape: the incidence list is DISTINCT (customer, brand) — one
+    corpus shuffle; pair generation is the A-Priori bounded-basket
+    self-join on customer (≤ C(|brands|,2) = 300 pairs per customer —
+    bounded by the item vocabulary, not the fact table); the pair aggregate
+    map-side-combines. The item-count frame is broadcast back. No
+    all-pairs scan anywhere."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ub = (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .join(orders, line.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    ).localCheckpoint()  # reused: item counts + pair self-join
+    na = ub.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ub.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand_a"))
+    b = ub.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand_b"))
+    inter = (
+        a.join(b, "ck")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(na.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(na.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("(n_both * n_both * 1000000) DIV (n_a * n_b)").alias("cos2_micro"),
+        )
+        .orderBy(F.desc("cos2_micro"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(15)
+    )
+
+
+_BRAND_CF_SQL = """
+WITH ub AS (
+    SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+na AS (SELECT brand, count(*) AS n FROM ub GROUP BY brand),
+inter AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_both
+    FROM ub a JOIN ub b ON a.ck = b.ck AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT i.brand_a, i.brand_b,
+       CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST((i.n_both * i.n_both * 1000000) // (x.n * y.n) AS BIGINT) AS cos2_micro
+FROM inter i
+JOIN na x ON x.brand = i.brand_a
+JOIN na y ON y.brand = i.brand_b
+ORDER BY cos2_micro DESC, brand_a, brand_b
+LIMIT 15
+"""
+
+
+# --------------------------------------------------------------------------
+# MOSS winnowing document fingerprints
+# --------------------------------------------------------------------------
+
+_WIN_K = 3  # k-gram size (words)
+_WIN_W = 4  # winnowing window (k-grams)
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    public): per document, hash every word 3-gram, slide a 4-gram window,
+    select the window MINIMUM hash with the rightmost-position tie rule,
+    and keep the distinct selected (position, hash) fingerprints — the
+    guarantee-bearing sampling that powers MOSS-style plagiarism / overlap
+    detection. Output per doc: fingerprint count + an order-free checksum.
+
+    Scale shape: all map-side until one (doc, window) shuffle. The window
+    membership is expanded as an EQUI-join key (start = pos − j, j ∈
+    0..w−1) instead of a pos BETWEEN range join — 4× linear row expansion,
+    never a nested loop. Window frames are per-doc-bounded; the winner per
+    window is a row_number over ≤4 rows; everything integer."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks")).filter(
+        F.size("toks") >= _WIN_K
+    )
+    grams = t.select(
+        "doc_id",
+        (F.size("toks") - F.lit(_WIN_K - 1)).alias("m"),  # number of k-grams
+        F.expr(
+            f"explode(transform(sequence(1, size(toks) - {_WIN_K - 1}),"
+            f" i -> struct(i AS pos,"
+            f" concat_ws(' ', slice(toks, i, {_WIN_K})) AS g)))"
+        ).alias("kg"),
+    ).select("doc_id", "m", F.col("kg.pos").alias("pos"), hash64(F.col("kg.g")).alias("h"))
+    # window starts via equi-expansion: gram at pos belongs to windows
+    # start ∈ {pos-3 .. pos}, clamped to [1, max(1, m-3)]
+    expanded = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(0, {_WIN_W - 1}), j -> pos - j),"
+                f" s -> s >= 1 AND s <= greatest(1, m - {_WIN_W - 1}))"
+            )
+        ).alias("s"),
+    )
+    w_win = Window.partitionBy("doc_id", "s").orderBy(F.asc("h"), F.desc("pos"))
+    chosen = (
+        expanded.withColumn("rn", F.row_number().over(w_win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "h")
+        .distinct()
+    )
+    return (
+        chosen.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.pmod(F.col("h"), F.lit(1_000_000_007))).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WINNOW_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_LOWER_SQL} AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id, len(toks) - {_WIN_K - 1} AS m, i AS pos,
+           {hash64_sql(f"array_to_string(toks[i : i + {_WIN_K - 1}], ' ')")} AS h
+    FROM t, unnest(generate_series(1, len(toks) - {_WIN_K - 1})) AS u(i)
+    WHERE len(toks) >= {_WIN_K}
+),
+expanded AS (
+    SELECT doc_id, pos, h, pos - j AS s
+    FROM grams, unnest(generate_series(0, {_WIN_W - 1})) AS v(j)
+    WHERE pos - j >= 1 AND pos - j <= greatest(1, m - {_WIN_W - 1})
+),
+chosen AS (
+    SELECT DISTINCT doc_id, pos, h FROM (
+        SELECT doc_id, pos, h,
+               row_number() OVER (PARTITION BY doc_id, s
+                                  ORDER BY h, pos DESC) AS rn
+        FROM expanded
+    ) WHERE rn = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(h % 1000000007) AS BIGINT) AS fp_checksum
+FROM chosen GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average event value per user
+# --------------------------------------------------------------------------
+
+
+def q_twa_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` with piecewise-constant
+    hold between consecutive events (the metering/billing aggregate — a
+    plain AVG over-weights bursts). Weights are integer SECONDS between
+    events (the last observation carries no weight); the value is
+    quantized to integer micro-units once, so the weighted average is one
+    integer division — hash-exact.
+
+    Scale shape: one user-keyed window sort (the sessionize exchange),
+    then a map-side-combined per-user aggregate. Sub-second gaps weigh 0
+    by design (second-resolution billing grid)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(_QBIAS))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "v_micro",
+        (F.lead("ts_us").over(w_u) - F.col("ts_us")).alias("gap_us"),
+    ).select("user_id", "v_micro", F.expr("gap_us DIV 1000000").alias("gap_s"))
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("gap_s").alias("span_s"),
+        F.sum(F.col("v_micro") * F.col("gap_s")).alias("num"),
+    )
+    return (
+        agg.filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_s",
+            F.expr("num DIV span_s").alias("twa_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_TWA_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 1000000.0 + {_QBIAS}) AS BIGINT) AS v_micro
+    FROM events
+),
+gaps AS (
+    SELECT user_id, v_micro,
+           (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            - ts_us) // 1000000 AS gap_s
+    FROM ev
+),
+agg AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(gap_s) AS BIGINT) AS span_s,
+           CAST(sum(v_micro * gap_s) AS BIGINT) AS num
+    FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_events, span_s, CAST(num // span_s AS BIGINT) AS twa_micro
+FROM agg WHERE span_s > 0
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (governance)
+# --------------------------------------------------------------------------
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the customer quasi-identifier grouping
+    (nation × market segment): a group can be k-anonymous yet leak its
+    sensitive attribute if every member shares one value — l counts the
+    DISTINCT sensitive values (account-balance kilobucket) per group;
+    groups with l < 3 are flagged. One aggregation pass; the companion to
+    ``k_anonymity_audit``."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    )
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("k_count"),
+            F.countDistinct("bal_band").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k_count",
+            "l_distinct",
+            (F.col("l_distinct") < 3).alias("risky"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+_LDIV_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS k_count,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+           AS l_distinct,
+       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3 AS risky
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "naive_bayes_lang",
+        q_naive_bayes_lang,
+        _NB_SQL,
+        ("ml", "text"),
+        doc="Multinomial NB language classifier: Laplace log-probs quantized "
+        "to micro-nats once, integer dot-product scoring, confusion matrix "
+        "output — hash-exact supervised-ML audit of the lang labels",
+    ),
+    QuerySpec(
+        "decision_stump_quantity",
+        q_decision_stump,
+        _STUMP_SQL,
+        ("ml",),
+        doc="Exact best-Gini-split search over every l_quantity threshold; "
+        "impurity in integer micro-units via cross-multiplied counts",
+    ),
+    QuerySpec(
+        "retrieval_eval_metrics",
+        q_retrieval_eval,
+        _RETRIEVAL_EVAL_SQL,
+        ("ml", "similarity"),
+        doc="P@10 / MRR / NDCG@10 of the exact-cosine ranking vs label "
+        "relevance; log2 discounts quantized to micro-nats — integer IR eval",
+    ),
+    QuerySpec(
+        "brand_cf_cosine",
+        q_brand_cf_cosine,
+        _BRAND_CF_SQL,
+        ("ml", "similarity"),
+        doc="Item-item CF cosine over binary customer×brand incidence; "
+        "cos² in integer micro-units, bounded-basket pair generation",
+    ),
+    QuerySpec(
+        "winnowing_fingerprint",
+        q_winnowing_fingerprint,
+        _WINNOW_SQL,
+        ("text", "dedup"),
+        doc="MOSS winnowing (SIGMOD'03): window-min k-gram hash selection "
+        "with rightmost tie rule, equi-join window expansion (no range join)",
+    ),
+    QuerySpec(
+        "twa_event_value",
+        q_twa_event_value,
+        _TWA_SQL,
+        ("timeseries",),
+        doc="Per-user time-weighted average event value (piecewise-constant "
+        "hold, integer-second weights, one integer division)",
+    ),
+    QuerySpec(
+        "l_diversity_audit",
+        q_l_diversity_audit,
+        _LDIV_SQL,
+        ("governance",),
+        doc="l-diversity governance audit: distinct sensitive bands per "
+        "quasi-identifier group, l<3 flagged — k-anonymity's companion",
+    ),
+]

@@ -123,6 +123,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "entity_resolution_clusters",
     "dp_noisy_counts",
     "preference_pairs",
+    "naive_bayes_lang",
+    "decision_stump_quantity",
+    "retrieval_eval_metrics",
+    "brand_cf_cosine",
+    "winnowing_fingerprint",
+    "twa_event_value",
+    "l_diversity_audit",
+    "kcore_decomposition",
+    "hits_authorities",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",
@@ -158,6 +167,7 @@ def all_specs() -> list[QuerySpec]:
         extras,
         graph_geo,
         lakehouse,
+        learning,
         llm_queries,
         mining,
         relational,
@@ -172,6 +182,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(lakehouse.SPECS)
     specs.extend(graph_geo.SPECS)
     specs.extend(mining.SPECS)
+    specs.extend(learning.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

@@ -196,3 +196,75 @@ def test_grid_dbscan_adjacent_cells_merge(spark, monkeypatch):
     monkeypatch.setattr(gg, "_geo_points", lambda sp, sf: pts)
     out = {r.cluster: (r.n_cells, r.n_points) for r in gg.q_geo_grid_dbscan(spark, SF).collect()}
     assert out == {0: (2, 8)}
+
+
+# --------------------------------------------------------------------------
+# k-core peel + HITS
+# --------------------------------------------------------------------------
+
+
+def test_kcore_peels_pendant_and_keeps_core(spark, monkeypatch):
+    # complete bipartite 3×3 (all degrees 3 → stable core) plus a pendant
+    # customer c4–s1 that peels in round 1 (s1 drops 4→3, stays)
+    orders = spark.createDataFrame(
+        [(100 + i, i + 1) for i in range(3)] + [(200, 4)],
+        "o_orderkey long, o_custkey long",
+    )
+    li_rows = [(100 + c, s + 1) for c in range(3) for s in range(3)] + [(200, 1)]
+    line = spark.createDataFrame(li_rows, "l_orderkey long, l_suppkey long")
+    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    out = {r.round: (r.n_nodes, r.node_checksum) for r in
+           gg.q_kcore_decomposition(spark, SF).collect()}
+    core = [2, 4, 6, 3, 5, 7]  # c1,c2,c3 → 2k; s1,s2,s3 → 2k+1
+    assert out[1] == (6, sum(core))
+    assert out[2] == (6, sum(core))
+    assert out[3] == (6, sum(core))
+
+
+def test_kcore_fully_peels_sparse_graph(spark, monkeypatch):
+    # a single path c1–s1–c2: every degree ≤ 2 < k → empty after round 1
+    orders = spark.createDataFrame([(100, 1), (101, 2)], "o_orderkey long, o_custkey long")
+    line = spark.createDataFrame([(100, 1), (101, 1)], "l_orderkey long, l_suppkey long")
+    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    out = {r.round: (r.n_nodes, r.node_checksum) for r in
+           gg.q_kcore_decomposition(spark, SF).collect()}
+    assert out == {1: (0, 0), 2: (0, 0), 3: (0, 0)}
+
+
+def _hits_reference(pairs, iters=2, unit=1_000_000):
+    """The exact integer recurrence q_hits_authorities claims."""
+    from collections import defaultdict
+
+    auth = defaultdict(int)
+    for c, s in pairs:
+        auth[s] += unit
+    for it in range(iters):
+        m = max(auth.values())
+        authn = {s: (a * unit) // m for s, a in auth.items()}
+        if it == iters - 1:
+            return authn
+        hub = defaultdict(int)
+        for c, s in pairs:
+            hub[c] += authn[s]
+        mh = max(hub.values())
+        hubn = {c: (h * unit) // mh for c, h in hub.items()}
+        auth = defaultdict(int)
+        for c, s in pairs:
+            auth[s] += hubn[c]
+    return auth
+
+
+def test_hits_matches_python_reference(spark, monkeypatch):
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 3), (103, 1)], "o_orderkey long, o_custkey long"
+    )
+    line = spark.createDataFrame(
+        [(100, 10), (100, 20), (101, 10), (102, 10), (103, 30)],
+        "l_orderkey long, l_suppkey long",
+    )
+    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    got = {r.node: r.authority_micro for r in gg.q_hits_authorities(spark, SF).collect()}
+    ref = _hits_reference([(1, 10), (1, 20), (2, 10), (3, 10), (1, 30)])
+    assert got == {f"s{s}": a for s, a in ref.items()}
+    # s10 (indegree 3, all hubs point at it) is the max authority
+    assert got["s10"] == 1_000_000

@@ -1,0 +1,243 @@
+"""Semantics tests for the classic-ML spec family (plans/learning.py):
+Naive Bayes on a separable crafted corpus, exact stump split on a known
+boundary, winnowing vs a pure-Python reference, CF cosine algebra,
+time-weighted average arithmetic, l-diversity flags."""
+
+import hashlib
+import math
+from datetime import datetime, timezone
+
+import projet_data_infrastructure_spark.plans.learning as lrn
+
+SF = "/root/testdata/sf0.001"
+
+
+def _patch(monkeypatch, tables):
+    monkeypatch.setattr(lrn, "read_table", lambda sp, sf, name: tables[name], raising=True)
+    monkeypatch.setattr(
+        lrn, "read_table_balanced", lambda sp, sf, name: tables[name], raising=True
+    )
+
+
+def _hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes
+# --------------------------------------------------------------------------
+
+
+def test_naive_bayes_separable_corpus_is_diagonal(spark, monkeypatch):
+    rows = []
+    for i in range(4):
+        rows.append((i, "the cat sat", "en", "w", 11))
+    for i in range(4, 8):
+        rows.append((i, "le chat noir", "fr", "w", 12))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    _patch(monkeypatch, {"documents": docs})
+    got = {(r.lang, r.pred_lang): r.n_docs for r in lrn.q_naive_bayes_lang(spark, SF).collect()}
+    assert got == {("en", "en"): 4, ("fr", "fr"): 4}
+
+
+def test_naive_bayes_unseen_words_fall_back_to_prior(spark, monkeypatch):
+    # 3 'en' docs vs 1 'fr' doc; a doc of entirely novel words should take
+    # the majority prior (en) — its class-conditional mass is the same
+    # per-lang default for every candidate except the per-lang total size.
+    rows = [
+        (0, "alpha beta", "en", "w", 9),
+        (1, "alpha beta", "en", "w", 9),
+        (2, "alpha beta", "en", "w", 9),
+        (3, "gamma delta", "fr", "w", 10),
+        (4, "zzz qqq", "en", "w", 7),  # novel words, true lang en
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    _patch(monkeypatch, {"documents": docs})
+    got = {(r.lang, r.pred_lang): r.n_docs for r in lrn.q_naive_bayes_lang(spark, SF).collect()}
+    # the novel-word doc contributes to the (en, en) cell via the prior
+    assert got[("en", "en")] == 4
+
+
+# --------------------------------------------------------------------------
+# Decision stump
+# --------------------------------------------------------------------------
+
+
+def test_stump_finds_perfect_split(spark, monkeypatch):
+    # y = 1 exactly when q <= 2  →  threshold 2 is a pure split (Gini 0)
+    rows = [(1.0, "R"), (2.0, "R"), (3.0, "N"), (4.0, "N"), (1.0, "R"), (4.0, "N")]
+    li = spark.createDataFrame(rows, "l_quantity double, l_returnflag string")
+    _patch(monkeypatch, {"lineitem": li})
+    out = lrn.q_decision_stump(spark, SF).collect()
+    top = out[0]
+    assert top.threshold == 2
+    assert top.impurity_micro == 0
+    assert top.n_left == 3 and top.n_right == 3
+
+
+def test_stump_impurity_formula(spark, monkeypatch):
+    # one mixed side: q<=1 → (2 pos, 0 neg); right side (1 pos, 1 neg)
+    rows = [(1.0, "R"), (1.0, "R"), (2.0, "R"), (2.0, "N")]
+    li = spark.createDataFrame(rows, "l_quantity double, l_returnflag string")
+    _patch(monkeypatch, {"lineitem": li})
+    out = lrn.q_decision_stump(spark, SF).collect()
+    # only threshold 1 is a candidate (threshold 2 keeps nothing right)
+    assert [r.threshold for r in out] == [1]
+    # left pure → 0; right 1/1 → 2*1*1*1e6 // 2 = 1_000_000
+    assert out[0].impurity_micro == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# Retrieval eval
+# --------------------------------------------------------------------------
+
+
+def test_retrieval_eval_known_ranking(spark, monkeypatch):
+    # 2-d embeddings: cosine to q=(1,0) decreases with angle; labels make
+    # ranks 1 and 3 relevant → P@10 = 2/10, MRR = 1, NDCG computable.
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(0, vec(0.0), 7)]
+    angles = [5, 10, 15, 20, 25, 30, 35, 40, 45, 50]
+    labels = [7, 1, 7, 1, 1, 1, 1, 1, 1, 1]  # ranks 1,3 relevant
+    for i, (a, lb) in enumerate(zip(angles, labels), start=1):
+        rows.append((i, vec(float(a)), lb))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    _patch(monkeypatch, {"embeddings": emb})
+    got = lrn.q_retrieval_eval(spark, SF).collect()[0]
+    assert got.n_rel == 2
+    assert got.p_at_10_micro == 200_000
+    assert got.mrr_micro == 1_000_000
+    wq = lambda i: math.floor(1_000_000.0 / math.log2(i + 1.0) + lrn._QBIAS)  # noqa: E731
+    dcg = wq(1) + wq(3)
+    idcg = wq(1) + wq(2)
+    assert got.ndcg_micro == (dcg * 1_000_000) // idcg
+
+
+# --------------------------------------------------------------------------
+# CF cosine
+# --------------------------------------------------------------------------
+
+
+def test_brand_cf_cosine_algebra(spark, monkeypatch):
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 3)], "o_orderkey long, o_custkey long"
+    )
+    line = spark.createDataFrame(
+        [(100, 10), (100, 11), (101, 10), (101, 11), (102, 12)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(10, "A"), (11, "B"), (12, "C")], "p_partkey long, p_brand string"
+    )
+    _patch(monkeypatch, {"orders": orders, "lineitem": line, "part": part})
+    out = {(r.brand_a, r.brand_b): r for r in lrn.q_brand_cf_cosine(spark, SF).collect()}
+    # A and B co-bought by customers 1,2 → cos² = 2²/(2·2) = 1 → 1e6
+    assert out[("A", "B")].cos2_micro == 1_000_000
+    assert out[("A", "B")].n_both == 2
+    # C shares no customer with A/B → pair rows absent entirely
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+# --------------------------------------------------------------------------
+# Winnowing
+# --------------------------------------------------------------------------
+
+
+def _winnow_py(words, k=3, w=4):
+    """Pure-Python reference: window-min with rightmost tie rule."""
+    grams = [
+        (" ".join(words[i : i + k])) for i in range(len(words) - k + 1)
+    ]
+    hs = [_hash64(g) for g in grams]
+    m = len(hs)
+    chosen = set()
+    for s in range(1, max(1, m - w + 1) + 1):
+        frame = [(hs[p - 1], -p) for p in range(s, min(s + w - 1, m) + 1)]
+        hmin, negp = min(frame)
+        chosen.add((-negp, hmin))
+    return chosen
+
+
+def test_winnowing_matches_python_reference(spark, monkeypatch):
+    words = "a b c a b c d e f a b".lower().split()
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "w", len(text)), (2, "x y", "en", "w", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _patch(monkeypatch, {"documents": docs})
+    out = {r.doc_id: r for r in lrn.q_winnowing_fingerprint(spark, SF).collect()}
+    ref = _winnow_py(words)
+    assert out[1].n_fingerprints == len(ref)
+    assert out[1].fp_checksum == sum(h % 1_000_000_007 for _, h in ref)
+    # doc 2 has fewer than k words → no fingerprints, row absent
+    assert 2 not in out
+
+
+def test_winnowing_guarantee_on_real_docs(spark):
+    # Schleimer guarantee: ≥1 fingerprint per window ⇒ for a doc with m
+    # k-grams, the selection density is ≥ ceil(max(1, m-3) / 4) / m — at
+    # minimum, every doc with ≥k words has ≥1 fingerprint.
+    out = lrn.q_winnowing_fingerprint(spark, SF).collect()
+    assert len(out) > 0
+    assert all(r.n_fingerprints >= 1 for r in out)
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average
+# --------------------------------------------------------------------------
+
+
+def test_twa_piecewise_constant_hold(spark, monkeypatch):
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def ts(sec):
+        return datetime.fromtimestamp(t0.timestamp() + sec, tz=timezone.utc)
+
+    rows = [
+        (1, 1, ts(0), "view", 10.0, "{}"),
+        (2, 1, ts(10), "view", 20.0, "{}"),
+        (3, 1, ts(30), "view", 99.0, "{}"),  # terminal value carries no weight
+        (4, 2, ts(0), "view", 5.0, "{}"),  # single event → span 0 → excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    _patch(monkeypatch, {"events": ev})
+    out = {r.user_id: r for r in lrn.q_twa_event_value(spark, SF).collect()}
+    # (10·10 + 20·20) / 30 = 16.666666… → 16_666_666 micro (floor)
+    assert out[1].twa_micro == 16_666_666
+    assert out[1].span_s == 30
+    assert 2 not in out
+
+
+# --------------------------------------------------------------------------
+# l-diversity
+# --------------------------------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_group(spark, monkeypatch):
+    rows = [
+        # nation 1 / SEG-A: three customers all in band 1 → l=1 → risky
+        (1, "c1", 1, 1500.0, "A"),
+        (2, "c2", 1, 1600.0, "A"),
+        (3, "c3", 1, 1700.0, "A"),
+        # nation 2 / SEG-B: three distinct bands → l=3 → safe
+        (4, "c4", 2, 500.0, "B"),
+        (5, "c5", 2, 1500.0, "B"),
+        (6, "c6", 2, 2500.0, "B"),
+    ]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    _patch(monkeypatch, {"customer": cust})
+    out = {(r.c_nationkey, r.c_mktsegment): r for r in lrn.q_l_diversity_audit(spark, SF).collect()}
+    assert out[(1, "A")].l_distinct == 1 and out[(1, "A")].risky
+    assert out[(2, "B")].l_distinct == 3 and not out[(2, "B")].risky
