@@ -689,6 +689,394 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast error (MASE)
+# --------------------------------------------------------------------------
+
+
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the seasonal-naive forecaster (ŷ_t = y_{t−24h}) on the dense
+    hourly revenue series — the scale-free forecast-accuracy baseline
+    (Hyndman & Koehler 2006, public) every demand-forecasting pipeline
+    reports before trying anything fancier.
+
+    Integer discipline: hourly revenue is exact integer cents; both MAE
+    numerators are integer sums over the dense grid; each MAE is one
+    integer division to micro-cents and MASE is one more to milli-units —
+    deterministic, no float summation anywhere.
+
+    Scale shape: the corpus reduces to per-hour cents in ONE map-side-
+    combined aggregate; the dense calendar grid derives from the 1-row
+    min/max via sequence explode and left-joins the hourly aggregate —
+    every window after that runs on the |hours| frame (time-span-bounded,
+    ~constant per deployment, NOT data-sized), the `ks_drift_statistic`
+    bounded-frame discipline."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hour"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(_QBIAS)).cast("long").alias("cents"),
+    )
+    hourly = ev.groupBy("hour").agg(F.sum("cents").alias("y"))
+    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("hour"))
+    dense = grid.join(hourly, "hour", "left").select(
+        "hour", F.coalesce(F.col("y"), F.lit(0).cast("long")).alias("y")
+    )
+    w = Window.orderBy("hour")
+    lagged = dense.select(
+        "y",
+        (F.col("y") - F.lag("y", 1).over(w)).alias("e1"),
+        (F.col("y") - F.lag("y", 24).over(w)).alias("es"),
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count("e1").alias("n1"),
+        F.sum(F.abs("e1")).alias("s1"),
+        F.count("es").alias("ns"),
+        F.sum(F.abs("es")).alias("ss"),
+    )
+    return agg.select(
+        "n_hours",
+        F.expr("(s1 * 1000000) DIV n1").alias("mae1_micro"),
+        F.expr("(ss * 1000000) DIV ns").alias("maes_micro"),
+        F.expr(
+            "CASE WHEN (s1 * 1000000) DIV n1 > 0"
+            " THEN (((ss * 1000000) DIV ns) * 1000) DIV ((s1 * 1000000) DIV n1)"
+            " ELSE NULL END"
+        ).alias("mase_milli"),
+    )
+
+
+_MASE_SQL = f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // 3600000000 AS hour,
+           CAST(floor(value * 100.0 + {_QBIAS}) AS BIGINT) AS cents
+    FROM events
+),
+hourly AS (SELECT hour, CAST(sum(cents) AS BIGINT) AS y FROM ev GROUP BY hour),
+bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+grid AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds),
+dense AS (
+    SELECT g.hour, COALESCE(h.y, 0) AS y FROM grid g LEFT JOIN hourly h USING (hour)
+),
+lagged AS (
+    SELECT y,
+           y - lag(y, 1) OVER (ORDER BY hour) AS e1,
+           y - lag(y, 24) OVER (ORDER BY hour) AS es
+    FROM dense
+),
+agg AS (
+    SELECT count(*) AS n_hours,
+           count(e1) AS n1, CAST(sum(abs(e1)) AS BIGINT) AS s1,
+           count(es) AS ns, CAST(sum(abs(es)) AS BIGINT) AS ss
+    FROM lagged
+)
+SELECT n_hours,
+       CAST((s1 * 1000000) // n1 AS BIGINT) AS mae1_micro,
+       CAST((ss * 1000000) // ns AS BIGINT) AS maes_micro,
+       CAST(CASE WHEN (s1 * 1000000) // n1 > 0
+                 THEN (((ss * 1000000) // ns) * 1000) // ((s1 * 1000000) // n1)
+                 ELSE NULL END AS BIGINT) AS mase_milli
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-step Markov reachability (matrix multiply as a relational join)
+# --------------------------------------------------------------------------
+
+
+def q_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P²: two-step transition probabilities between event types — the
+    matrix square of ``event_transition_matrix``'s P, computed as a
+    RELATIONAL JOIN on the shared middle state (matrix multiplication in
+    SQL): P²(a,c) = Σ_b P(a,b)·P(b,c). Probabilities live in integer
+    micro-units (count·1e6 DIV row-total), the product-sum divides back
+    once — hash-exact.
+
+    Scale shape: the corpus-sized work is ONE lag-window pass (shared
+    (user, ts) sort) + one map-side-combined count aggregate; everything
+    after runs on the ≤|types|² matrix (tiny, broadcast self-join)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("a"), F.col("event_type").alias("b")
+    ).filter(F.col("a").isNotNull())
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    rowtot = counts.groupBy("a").agg(F.sum("n").alias("tot"))
+    p = counts.join(F.broadcast(rowtot), "a").select(
+        "a", "b", F.expr("(n * 1000000) DIV tot").alias("p_micro")
+    )
+    p1 = p.select(F.col("a"), F.col("b").alias("mid"), F.col("p_micro").alias("pab"))
+    p2 = p.select(F.col("a").alias("mid"), F.col("b").alias("c"), F.col("p_micro").alias("pbc"))
+    return (
+        p1.join(F.broadcast(p2), "mid")
+        .groupBy("a", "c")
+        .agg(F.expr("sum(pab * pbc) DIV 1000000").alias("p2_micro"))
+        .select(
+            F.col("a").alias("from_type"), F.col("c").alias("to_type"), "p2_micro"
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_MARKOV2_SQL = """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+           event_type AS b
+    FROM events
+),
+counts AS (
+    SELECT a, b, count(*) AS n FROM pairs WHERE a IS NOT NULL GROUP BY a, b
+),
+rowtot AS (SELECT a, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY a),
+p AS (
+    SELECT c.a, c.b, (c.n * 1000000) // r.tot AS p_micro
+    FROM counts c JOIN rowtot r USING (a)
+)
+SELECT p1.a AS from_type, p2.b AS to_type,
+       CAST(sum(p1.p_micro * p2.p_micro) // 1000000 AS BIGINT) AS p2_micro
+FROM p p1 JOIN p p2 ON p1.b = p2.a
+GROUP BY p1.a, p2.b
+ORDER BY from_type, to_type
+"""
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over corpus
+    bigrams (count ≥ 5) — the classic collocation-extraction statistic
+    (Church & Hanks 1990, public): PMI = ln(c_ab·N / (c_a·c_b)) with
+    marginals over the bigram stream, quantized to integer micro-nats so
+    the ranking is hash-exact (ties break on the bigram text).
+
+    Scale shape: one tokenize → bigram explode → (w1, w2) map-side-
+    combined count (the only corpus shuffle, checkpointed); both marginals
+    and the total derive from THAT aggregate, never a second corpus pass —
+    the dsir/bpe discipline."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.lower(F.col("text"))).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    cb = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint()  # marginals + total + scoring all read this
+    )
+    ca = cb.groupBy("w1").agg(F.sum("cab").alias("ca"))
+    cbm = cb.groupBy("w2").agg(F.sum("cab").alias("cbm"))
+    n = cb.agg(F.sum("cab").alias("nb"))
+    return (
+        cb.filter(F.col("cab") >= _PMI_MIN_COUNT)
+        .join(ca, "w1")
+        .join(cbm, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").alias("n_pair"),
+            F.floor(
+                F.log(
+                    (F.col("cab").cast("double") * F.col("nb").cast("double"))
+                    / (F.col("ca").cast("double") * F.col("cbm").cast("double"))
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(_QBIAS)
+            )
+            .cast("long")
+            .alias("pmi_unats"),
+        )
+        .orderBy(F.desc("pmi_unats"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+_PMI_SQL = f"""
+WITH t AS (
+    SELECT {_TOKS_LOWER_SQL} AS toks FROM documents
+),
+big AS (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+    FROM t WHERE len(toks) >= 2
+),
+cb AS (
+    SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cab FROM big GROUP BY 1, 2
+),
+ca AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca FROM cb GROUP BY w1),
+cbm AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS cbm FROM cb GROUP BY w2),
+n AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM cb)
+SELECT cb.w1, cb.w2, CAST(cb.cab AS BIGINT) AS n_pair,
+       CAST(floor(ln((CAST(cb.cab AS DOUBLE) * CAST(n.nb AS DOUBLE))
+                     / (CAST(ca.ca AS DOUBLE) * CAST(cbm.cbm AS DOUBLE)))
+                  * 1000000.0 + {_QBIAS}) AS BIGINT) AS pmi_unats
+FROM cb JOIN ca USING (w1) JOIN cbm USING (w2), n
+WHERE cb.cab >= {_PMI_MIN_COUNT}
+ORDER BY pmi_unats DESC, w1, w2
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# --------------------------------------------------------------------------
+
+_HRW_SHARDS = 16
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard assignment (Thaler & Ravishankar 1998, public):
+    each document goes to the shard with the highest seeded hash — the
+    consistent-sharding scheme where removing one shard reassigns ONLY that
+    shard's keys (1/S of the data moves, vs nearly all for mod-S). Output
+    is the per-shard occupancy profile (count + id checksum).
+
+    Scale shape: the argmax over the S=16 seeded hashes is one map-side
+    array expression per row (``array_max`` over (hash, shard) structs —
+    lexicographic max picks max hash, ties on the larger shard id, mirrored
+    in the oracle's ORDER BY h DESC, s DESC); then ONE 16-group aggregate.
+    No join, no window over data-sized frames."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    shard = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    hash64(F.col("doc_id"), seed=s).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(_HRW_SHARDS)
+            ]
+        )
+    )["s"]
+    return (
+        docs.select(shard.alias("shard"), "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+_HRW_SQL = f"""
+WITH choice AS (
+    SELECT doc_id, s,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':'
+                              || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) DESC,
+                        s DESC) AS rn
+    FROM documents, unnest(generate_series(0, {_HRW_SHARDS - 1})) AS u(s)
+)
+SELECT CAST(s AS INTEGER) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM choice WHERE rn = 1
+GROUP BY s ORDER BY shard
+"""
+
+
+# --------------------------------------------------------------------------
+# Asymmetric n-gram containment (quote / subset duplication)
+# --------------------------------------------------------------------------
+
+_CONTAIN_N = 5
+_CONTAIN_MIN_MICRO = 600_000  # containment ≥ 0.6
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered near-dup pairs by 5-gram CONTAINMENT C(a→b) = |Ga∩Gb|/|Ga| —
+    the asymmetric complement of Jaccard: a short document quoted inside a
+    long one scores ~1 on containment but near 0 on Jaccard, so this is
+    the gate that catches subset duplication (Broder's containment, 1997).
+
+    Scale shape: per-doc DISTINCT 5-gram digests (8-byte keys — text never
+    shuffles); candidate pairs come from the shared-digest equi-join.
+    Word-5-gram document frequency in natural text is ~1 (unlike unigrams
+    — the Zipf head that forces prefix filtering in `prefix_filter_jaccard`
+    never exists at n=5), so per-digest fan-out is bounded; a df-cap on
+    the digest table is the documented fallback for adversarial corpora."""
+    from projet_data_infrastructure_spark.operators.dedup import shingles_from_tokens
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("t")).filter(
+        F.size("t") >= _CONTAIN_N
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(shingles_from_tokens("t", _CONTAIN_N)).alias("g"),
+        )
+        .select("doc_id", hash64(F.col("g")).alias("h"))
+        .distinct()
+        .localCheckpoint()  # sizes + both join sides read this
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "h")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_grams_a")),
+            "doc_a",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_grams_a",
+            "n_shared",
+            F.expr("(n_shared * 1000000) DIV n_grams_a").alias("containment_micro"),
+        )
+        .filter(F.col("containment_micro") >= _CONTAIN_MIN_MICRO)
+        .orderBy(F.desc("containment_micro"), F.asc("doc_a"), F.asc("doc_b"))
+    )
+
+
+_CONTAIN_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_LOWER_SQL} AS toks FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           {hash64_sql(f"array_to_string(toks[i : i + {_CONTAIN_N - 1}], ' ')")} AS h
+    FROM t, unnest(generate_series(1, len(toks) - {_CONTAIN_N - 1})) AS u(i)
+    WHERE len(toks) >= {_CONTAIN_N}
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id != b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(s.n_grams AS BIGINT) AS n_grams_a,
+       CAST(i.n_shared AS BIGINT) AS n_shared,
+       CAST((i.n_shared * 1000000) // s.n_grams AS BIGINT) AS containment_micro
+FROM inter i JOIN sizes s ON s.doc_id = i.doc_a
+WHERE (i.n_shared * 1000000) // s.n_grams >= {_CONTAIN_MIN_MICRO}
+ORDER BY containment_micro DESC, doc_a, doc_b
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "naive_bayes_lang",
@@ -746,5 +1134,45 @@ SPECS: list[QuerySpec] = [
         ("governance",),
         doc="l-diversity governance audit: distinct sensitive bands per "
         "quasi-identifier group, l<3 flagged — k-anonymity's companion",
+    ),
+    QuerySpec(
+        "forecast_mase_seasonal",
+        q_forecast_mase,
+        _MASE_SQL,
+        ("timeseries", "ml"),
+        doc="MASE of the seasonal-naive hourly forecaster: integer-cents "
+        "MAEs over the dense calendar grid, two integer divisions",
+    ),
+    QuerySpec(
+        "markov_2step_matrix",
+        q_markov_2step,
+        _MARKOV2_SQL,
+        ("timeseries", "stats"),
+        doc="P² two-step Markov transitions: matrix multiply as a relational "
+        "join on the middle state, integer micro-probabilities",
+    ),
+    QuerySpec(
+        "pmi_collocations",
+        q_pmi_collocations,
+        _PMI_SQL,
+        ("text", "stats"),
+        doc="Top-20 PMI collocations (count ≥ 5), micro-nat quantized — "
+        "corpus bigram statistics from one checkpointed aggregate",
+    ),
+    QuerySpec(
+        "rendezvous_shards",
+        q_rendezvous_shards,
+        _HRW_SQL,
+        ("scale", "sampling"),
+        doc="Rendezvous/HRW consistent shard assignment: map-side argmax "
+        "over 16 seeded hashes, per-shard occupancy profile",
+    ),
+    QuerySpec(
+        "ngram_containment_pairs",
+        q_ngram_containment,
+        _CONTAIN_SQL,
+        ("dedup", "text"),
+        doc="Asymmetric 5-gram containment pairs (C ≥ 0.6): catches quote/"
+        "subset duplication Jaccard misses; digest-keyed equi-join",
     ),
 ]

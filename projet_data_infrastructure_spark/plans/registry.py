@@ -132,6 +132,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "l_diversity_audit",
     "kcore_decomposition",
     "hits_authorities",
+    "forecast_mase_seasonal",
+    "markov_2step_matrix",
+    "pmi_collocations",
+    "rendezvous_shards",
+    "ngram_containment_pairs",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

@@ -241,3 +241,129 @@ def test_l_diversity_flags_homogeneous_group(spark, monkeypatch):
     out = {(r.c_nationkey, r.c_mktsegment): r for r in lrn.q_l_diversity_audit(spark, SF).collect()}
     assert out[(1, "A")].l_distinct == 1 and out[(1, "A")].risky
     assert out[(2, "B")].l_distinct == 3 and not out[(2, "B")].risky
+
+
+# --------------------------------------------------------------------------
+# MASE
+# --------------------------------------------------------------------------
+
+
+def test_mase_perfect_seasonal_pattern_scores_zero(spark, monkeypatch):
+    # value repeats with period 24h exactly → seasonal-naive error 0 →
+    # MASE 0 while the hour-over-hour naive error is positive
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for h in range(48):
+        v = 10.0 if h % 24 == 0 else float(1 + (h % 24) % 3)
+        rows.append((h, 1, datetime.fromtimestamp(t0.timestamp() + 3600 * h, tz=timezone.utc),
+                     "view", v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    _patch(monkeypatch, {"events": ev})
+    got = lrn.q_forecast_mase(spark, SF).collect()[0]
+    assert got.n_hours == 48
+    assert got.maes_micro == 0 and got.mase_milli == 0
+    assert got.mae1_micro > 0
+
+
+# --------------------------------------------------------------------------
+# Markov P²
+# --------------------------------------------------------------------------
+
+
+def test_markov_2step_deterministic_cycle(spark, monkeypatch):
+    # chain A→B→C→A… : P is a permutation matrix → P² is too (p2 = 1e6)
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    seq = ["A", "B", "C"] * 4 + ["A"]
+    rows = [
+        (i, 1, datetime.fromtimestamp(t0.timestamp() + 60 * i, tz=timezone.utc), et, 1.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    _patch(monkeypatch, {"events": ev})
+    got = {(r.from_type, r.to_type): r.p2_micro for r in lrn.q_markov_2step(spark, SF).collect()}
+    assert got == {("A", "C"): 1_000_000, ("B", "A"): 1_000_000, ("C", "B"): 1_000_000}
+
+
+# --------------------------------------------------------------------------
+# PMI
+# --------------------------------------------------------------------------
+
+
+def test_pmi_collocation_beats_frequent_pair(spark, monkeypatch):
+    # "san francisco" always co-occurs (perfect collocation); "the end"
+    # shares 'the' with many other bigrams → lower PMI
+    docs = []
+    for i in range(6):
+        docs.append((i, "san francisco is the end of the line of the day", "en", "w", 40))
+    docs = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    _patch(monkeypatch, {"documents": docs})
+    out = lrn.q_pmi_collocations(spark, SF).collect()
+    pmi = {(r.w1, r.w2): r.pmi_unats for r in out}
+    assert ("san", "francisco") in pmi
+    assert pmi[("san", "francisco")] == max(pmi.values())
+    if ("the", "end") in pmi:
+        assert pmi[("san", "francisco")] > pmi[("the", "end")]
+
+
+# --------------------------------------------------------------------------
+# Rendezvous sharding
+# --------------------------------------------------------------------------
+
+
+def test_rendezvous_is_a_partition_and_matches_reference(spark):
+    out = lrn.q_rendezvous_shards(spark, SF).collect()
+    import duckdb
+
+    n_docs, sum_ids = duckdb.sql(
+        f"SELECT count(*), sum(doc_id) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    assert sum(r.n_docs for r in out) == n_docs
+    assert sum(r.id_checksum for r in out) == sum_ids
+    assert all(0 <= r.shard < lrn._HRW_SHARDS for r in out)
+
+
+def test_rendezvous_python_reference_small(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "w", 1) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _patch(monkeypatch, {"documents": docs})
+    got = {r.shard: (r.n_docs, r.id_checksum) for r in lrn.q_rendezvous_shards(spark, SF).collect()}
+
+    from collections import defaultdict
+
+    ref = defaultdict(lambda: [0, 0])
+    for d in range(40):
+        best = max((_hash64(f"{s}:{d}"), s) for s in range(lrn._HRW_SHARDS))[1]
+        ref[best][0] += 1
+        ref[best][1] += d
+    assert got == {s: tuple(v) for s, v in ref.items()}
+
+
+# --------------------------------------------------------------------------
+# Containment
+# --------------------------------------------------------------------------
+
+
+def test_containment_detects_subset_duplication(spark, monkeypatch):
+    quote = "alpha beta gamma delta epsilon zeta"          # 6 words → 2 grams
+    host = quote + " eta theta iota kappa lam mu nu xi"     # quote embedded
+    other = "one two three four five six seven eight nine"  # disjoint
+    docs = spark.createDataFrame(
+        [(1, quote, "en", "w", 1), (2, host, "en", "w", 1), (3, other, "en", "w", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _patch(monkeypatch, {"documents": docs})
+    out = {(r.doc_a, r.doc_b): r for r in lrn.q_ngram_containment(spark, SF).collect()}
+    # quote fully contained in host: C(1→2) = 1.0
+    assert out[(1, 2)].containment_micro == 1_000_000
+    # host only partially covered by quote → below the 0.6 gate → absent
+    assert (2, 1) not in out
+    # disjoint doc pairs never appear
+    assert all(3 not in k for k in out)
