@@ -1013,7 +1013,7 @@ SPECS: list[QuerySpec] = [
         "kcore_decomposition",
         q_kcore_decomposition,
         _kcore_oracle(),
-        ("graph", "iterative"),
+        ("graph", "iterative", "bench"),
         doc="3-round k-core peel (k=3): per-round degree aggregate + two "
         "semi-joins vs the survivor frame; per-round count + checksum "
         "telemetry, hash-exact vs unrolled CTEs",

@@ -801,7 +801,10 @@ def q_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         F.lag("event_type").over(w).alias("a"), F.col("event_type").alias("b")
     ).filter(F.col("a").isNotNull())
-    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    # checkpoint the ≤|types|² matrix: row totals, p1 and p2 all read it —
+    # without the cut the corpus lag-window subtree is embedded (and
+    # re-executed) once per consumer (plan-gated to ONE Window below)
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     rowtot = counts.groupBy("a").agg(F.sum("n").alias("tot"))
     p = counts.join(F.broadcast(rowtot), "a").select(
         "a", "b", F.expr("(n * 1000000) DIV tot").alias("p_micro")
@@ -1082,7 +1085,7 @@ SPECS: list[QuerySpec] = [
         "naive_bayes_lang",
         q_naive_bayes_lang,
         _NB_SQL,
-        ("ml", "text"),
+        ("ml", "text", "bench"),
         doc="Multinomial NB language classifier: Laplace log-probs quantized "
         "to micro-nats once, integer dot-product scoring, confusion matrix "
         "output — hash-exact supervised-ML audit of the lang labels",
@@ -1115,7 +1118,7 @@ SPECS: list[QuerySpec] = [
         "winnowing_fingerprint",
         q_winnowing_fingerprint,
         _WINNOW_SQL,
-        ("text", "dedup"),
+        ("text", "dedup", "bench"),
         doc="MOSS winnowing (SIGMOD'03): window-min k-gram hash selection "
         "with rightmost tie rule, equi-join window expansion (no range join)",
     ),

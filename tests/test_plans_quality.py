@@ -848,3 +848,116 @@ def test_ivf_topk_batch_plan(spark):
     assert len(rows) == 25
     assert {r.query_id for r in rows} == {3, 17, 33, 77, 91}
     assert all(1 <= r.rank <= 5 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Round-5 learning/graph spec gates
+# --------------------------------------------------------------------------
+
+
+def test_naive_bayes_tokenizes_once_no_cartesian(spark):
+    # the corpus tokenize lives inside the eager doc-word checkpoint, so
+    # the final plan re-tokenizes NOTHING (zero Generate); the only
+    # non-equi join is the bounded 5-row class-constant cross join
+    from projet_data_infrastructure_spark.plans.learning import q_naive_bayes_lang
+
+    df = q_naive_bayes_lang(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    assert not re.search(r"\)\s+Generate\b", plan), "corpus re-tokenized in final plan"
+    checks = explain_has(df, "CartesianProduct")
+    assert not checks["CartesianProduct"]
+
+
+def test_winnowing_window_expansion_is_equi_not_range(spark):
+    # window membership must expand as equi-join keys / explodes, never a
+    # pos BETWEEN range join (BroadcastNestedLoopJoin/CartesianProduct)
+    from projet_data_infrastructure_spark.plans.learning import q_winnowing_fingerprint
+
+    checks = explain_has(
+        q_winnowing_fingerprint(spark, SF),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
+
+
+def test_containment_join_is_equi_not_cartesian(spark):
+    from projet_data_infrastructure_spark.plans.learning import q_ngram_containment
+
+    checks = explain_has(
+        q_ngram_containment(spark, SF), "CartesianProduct", "BroadcastNestedLoopJoin"
+    )
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
+
+
+def test_brand_cf_bounded_basket_plan(spark):
+    # part dim broadcasts; pair generation is the customer equi-join; the
+    # top-15 never global-sorts
+    from projet_data_infrastructure_spark.plans.learning import q_brand_cf_cosine
+
+    checks = explain_has(
+        q_brand_cf_cosine(spark, SF),
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "TakeOrderedAndProject",
+    )
+    assert checks["BroadcastHashJoin"]
+    assert not checks["CartesianProduct"]
+    assert checks["TakeOrderedAndProject"]
+
+
+def test_rendezvous_has_no_join(spark):
+    # HRW assignment is one map-side argmax — the plan must contain no join
+    # operator of any kind, just scan → project → one aggregate exchange
+    from projet_data_infrastructure_spark.plans.learning import q_rendezvous_shards
+
+    checks = explain_has(
+        q_rendezvous_shards(spark, SF),
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    )
+    assert not any(checks.values()), f"unexpected join in HRW plan: {checks}"
+
+
+def test_markov_2step_single_corpus_window(spark):
+    # one corpus-sized lag-window sort; the matrix algebra never touches a
+    # data-sized frame again
+    from projet_data_infrastructure_spark.plans.learning import q_markov_2step
+
+    df = q_markov_2step(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    # the lag window runs ONCE inside the eager matrix checkpoint, so the
+    # final plan shows zero Window operators (≤1 tolerated if the
+    # checkpoint ever goes lazy); >1 means the corpus sort is duplicated
+    wins = len(re.findall(r"\)\s+Window\b", plan))
+    assert wins <= 1, f"corpus lag window duplicated: plan has {wins}"
+
+
+def test_kcore_and_hits_no_cartesian(spark):
+    from projet_data_infrastructure_spark.plans.graph_geo import (
+        q_hits_authorities,
+        q_kcore_decomposition,
+    )
+
+    checks = explain_has(
+        q_kcore_decomposition(spark, SF), "CartesianProduct", "BroadcastNestedLoopJoin"
+    )
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
+    # HITS: the 1-row max-normalizer broadcasts (a legitimate bounded
+    # BroadcastNestedLoopJoin); no cartesian anywhere
+    checks = explain_has(q_hits_authorities(spark, SF), "CartesianProduct")
+    assert not checks["CartesianProduct"]
