@@ -779,6 +779,112 @@ ORDER BY custkey
 
 
 # --------------------------------------------------------------------------
+# A-Priori frequent triples (k=3 with candidate pruning)
+# --------------------------------------------------------------------------
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand TRIPLES by A-Priori (Agrawal & Srikant 1994, public)
+    — the k=3 level with the real candidate-generation prune:
+    C₃ = {abc : ab, ac, bc all frequent}, built on the tiny F₂ frame, and
+    basket pair-extensions are semi-joined against F₂ BEFORE the third
+    item attaches and against C₃ BEFORE the support aggregate — the prune
+    is what keeps level-3 linear when baskets are wide.
+
+    minsup is data-derived (max(2, |baskets| DIV 300) — pitched at the mean
+    triple support for this catalog, so the cut is SELECTIVE at every SF:
+    ~half the possible triples survive, the rest are pruned) and all
+    support arithmetic is integer counts.
+
+    Scale shape: baskets are DISTINCT (order, brand) — one corpus shuffle;
+    per-basket pair generation is bounded by the basket width; F₂/C₃ are
+    item-vocabulary-bounded and broadcast; the only data-sized aggregates
+    are map-side-combined counts."""
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint()  # baskets: pair gen + third-item extension read it
+    )
+    n_orders = bi.select("oid").distinct().count()  # scalar for minsup
+    minsup = max(2, n_orders // 300)
+    ba = bi.select("oid", F.col("item").alias("a"))
+    bb = bi.select("oid", F.col("item").alias("b"))
+    bpairs = ba.join(bb, "oid").filter(F.col("a") < F.col("b"))
+    f2 = (
+        bpairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= minsup)
+        .select("a", "b")
+        .localCheckpoint()  # tiny; read by C3 gen (×3) and the prune
+    )
+    # C3 candidate generation entirely on the vocabulary-bounded F2 frame
+    c3 = (
+        f2.join(f2.select(F.col("a").alias("a"), F.col("b").alias("c")), "a")
+        .filter(F.col("c") > F.col("b"))
+        .join(
+            f2.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    bc = bi.select("oid", F.col("item").alias("c"))
+    triples = (
+        bpairs.join(F.broadcast(f2), ["a", "b"], "left_semi")  # A-Priori prune
+        .join(bc, "oid")
+        .filter(F.col("c") > F.col("b"))
+        .join(F.broadcast(c3), ["a", "b", "c"], "left_semi")
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    return (
+        triples.select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("c").alias("brand_c"),
+            "support",
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b", "brand_c")
+    )
+
+
+_TRIPLES_SQL = """
+WITH bi AS (
+    SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+ms AS (SELECT greatest(2, count(DISTINCT oid) // 300) AS minsup FROM bi),
+bpairs AS (
+    SELECT x.oid, x.item AS a, y.item AS b
+    FROM bi x JOIN bi y ON x.oid = y.oid AND x.item < y.item
+),
+f2 AS (
+    SELECT a, b FROM bpairs, ms GROUP BY a, b, minsup HAVING count(*) >= minsup
+),
+c3 AS (
+    SELECT p.a, p.b, q.b AS c
+    FROM f2 p JOIN f2 q ON p.a = q.a AND q.b > p.b
+    WHERE EXISTS (SELECT 1 FROM f2 r WHERE r.a = p.b AND r.b = q.b)
+),
+triples AS (
+    SELECT bp.a, bp.b, z.item AS c
+    FROM bpairs bp
+    JOIN f2 ON bp.a = f2.a AND bp.b = f2.b
+    JOIN bi z ON z.oid = bp.oid AND z.item > bp.b
+    WHERE EXISTS (SELECT 1 FROM c3 WHERE c3.a = bp.a AND c3.b = bp.b AND c3.c = z.item)
+)
+SELECT a AS brand_a, b AS brand_b, c AS brand_c, count(*) AS support
+FROM triples, ms
+GROUP BY a, b, c, minsup
+HAVING count(*) >= minsup
+ORDER BY support DESC, brand_a, brand_b, brand_c
+"""
+
+
+# --------------------------------------------------------------------------
 # k-core decomposition (bounded peel rounds)
 # --------------------------------------------------------------------------
 
@@ -1008,6 +1114,15 @@ SPECS: list[QuerySpec] = [
         _BITWISE_SQL,
         ("scalar", "agg"),
         doc="Bitwise expression and aggregate surface, integer-exact",
+    ),
+    QuerySpec(
+        "frequent_triples_apriori",
+        q_frequent_triples,
+        _TRIPLES_SQL,
+        ("basket", "join"),
+        doc="A-Priori level-3: C3 candidate generation on the F2 frame, "
+        "double semi-join prune before the support aggregate, data-derived "
+        "minsup — integer-exact",
     ),
     QuerySpec(
         "kcore_decomposition",

@@ -641,6 +641,15 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw (uncorrected) HLL regime applies — the canonical estimator, not
     a simplification."""
     ev = read_table(spark, sf_dir, "events")
+    regs = _hll_registers(ev)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("event_id")).alias("n_exact")
+    )
+    return _hll_report(regs, exact)
+
+
+def _hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, m) register maxima — the mergeable HLL state."""
     h = hash64(F.col("event_id"))
     base = ev.select("event_type", h.alias("h")).select(
         "event_type",
@@ -650,12 +659,14 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(F.col("w") == 0, F.lit(_HLL_RHO_CAP)).otherwise(
         F.lit(_HLL_RHO_CAP) - F.length(F.bin(F.col("w")))
     )
-    regs = base.withColumn("rho", rho).groupBy("event_type", "bucket").agg(
+    return base.withColumn("rho", rho).groupBy("event_type", "bucket").agg(
         F.max("rho").alias("m")
     )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct(F.col("event_id")).alias("n_exact")
-    )
+
+
+def _hll_report(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Fold register maxima into the harmonic estimate next to the exact
+    count — shared by the batch spec and the streaming merge."""
     per_type = regs.groupBy("event_type").agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_CAP} - m AS INT))")
@@ -677,6 +688,61 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental HyperLogLog: the events table replayed as a 4-file
+    stream (``maxFilesPerTrigger=1`` → four genuine micro-batches), each
+    batch's register maxima MERGED into the persisted sketch store via
+    ``foreachBatch``. Because register max is associative and commutative,
+    the merged state is BIT-IDENTICAL to the single-pass batch sketch no
+    matter how the stream was batched — so a live streaming sketch
+    hash-checks against the same DuckDB oracle as ``hll_distinct_sketch``.
+    That mergeability is exactly the production property (per-executor
+    partial sketches combine the same way).
+
+    State is ≤ 64·|event types| rows (p=6 registers), published atomically
+    through the versioned snapshot store; at scale the store becomes a
+    Delta table and the merge stays ``union → groupBy max``."""
+    import tempfile
+
+    from projet_data_infrastructure_spark.streaming import versioned
+
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = f"{work}/events"
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    target = f"{work}/state"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        regs = _hll_registers(batch_df)
+        if versioned.snapshot_exists(target):
+            current = versioned.read_snapshot(batch_df.sparkSession, target)
+            regs = (
+                current.unionByName(regs)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("m").alias("m"))
+            )
+        versioned.write_snapshot(regs, target)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("event_id")).alias("n_exact")
+    )
+    return _hll_report(versioned.read_snapshot(spark, target), exact)
 
 
 _HLL_SQL = f"""
@@ -717,6 +783,15 @@ SPECS: list[QuerySpec] = [
         ("sketch",),
         doc="Explicit-register HyperLogLog over the portable hash — the whole "
         "sketch is reproduced in DuckDB, so the estimate is oracle-EXACT",
+    ),
+    QuerySpec(
+        "stream_hll_cardinality",
+        q_stream_hll_cardinality,
+        _HLL_SQL,
+        ("sketch", "streaming"),
+        doc="LIVE streaming HLL: per-batch register maxima merged through "
+        "foreachBatch state — associative merge makes the streamed sketch "
+        "bit-identical to the batch sketch, same oracle",
     ),
     QuerySpec(
         "schema_evolution_merge",

@@ -1080,6 +1080,124 @@ ORDER BY containment_micro DESC, doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (±1 sign matrix)
+# --------------------------------------------------------------------------
+
+_JL_D = 64  # input dim
+_JL_K = 16  # projected dim
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix from the portable hash — a plan-
+    time CONSTANT (the SQ8-bounds discipline: model parameters enter the
+    plan as literals, both engines see the same matrix)."""
+    import hashlib
+
+    out = []
+    for j in range(_JL_K):
+        row = []
+        for i in range(_JL_D):
+            h = int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 with a ±1 sign matrix (Achlioptas 2003,
+    public) and its distortion report: for vector pairs (0, k), k ≤ 50,
+    the ratio of projected to original squared L2 distance, normalized by
+    K (E[‖P(a−b)‖²] = K·‖a−b‖² for ±1 projections) — the check every
+    embedding pipeline runs before trusting a cheap projected index.
+
+    Determinism: embeddings are quantized ONCE to integer milli-units;
+    the sign matrix is a compile-time literal; projections, distances and
+    the normalized ratio are then pure BIGINT arithmetic (one integer
+    division) — hash-exact.
+
+    Scale shape: the projection is one map-side expression over the
+    quantized array (no shuffle, no UDF — the kmeans literal-plan trick);
+    the report joins the 1-row query vector by broadcast against a
+    key-pruned scan."""
+    signs = _jl_signs()
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(floor(x * 1000.0 + {_QBIAS}) AS BIGINT))"
+        ).alias("q"),
+    )
+    proj_cols = [
+        F.expr(
+            " + ".join(f"({s}) * q[{i}]" for i, s in enumerate(row))
+        ).alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    pv = qv.select("vec_id", "q", *proj_cols)
+    a = pv.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qa"), *[F.col(f"p{j}").alias(f"pa{j}") for j in range(_JL_K)]
+    )
+    b = pv.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 50))
+    d2_orig = F.expr(
+        "aggregate(zip_with(qa, q, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    d2_proj = F.expr(
+        " + ".join(f"(pa{j} - p{j}) * (pa{j} - p{j})" for j in range(_JL_K))
+    )
+    return (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            F.col("vec_id").alias("vec_b"),
+            d2_orig.alias("d2_orig"),
+            d2_proj.alias("d2_proj"),
+        )
+        .select(
+            "vec_b",
+            "d2_orig",
+            "d2_proj",
+            F.expr(f"(d2_proj * 1000000) DIV ({_JL_K} * d2_orig)").alias("ratio_micro"),
+        )
+        .orderBy("vec_b")
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    proj = ",\n           ".join(
+        "("
+        + " + ".join(f"({s}) * q[{i + 1}]" for i, s in enumerate(row))
+        + f") AS p{j}"
+        for j, row in enumerate(signs)
+    )
+    d2p = " + ".join(f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_JL_K))
+    return f"""
+WITH qv AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000.0 + {_QBIAS}) AS BIGINT)) AS q
+    FROM embeddings
+),
+pv AS (
+    SELECT vec_id, q,
+           {proj}
+    FROM qv
+),
+a AS (SELECT * FROM pv WHERE vec_id = 0),
+b AS (SELECT * FROM pv WHERE vec_id BETWEEN 1 AND 50)
+SELECT b.vec_id AS vec_b,
+       CAST(list_sum(list_transform(generate_series(1, {_JL_D}),
+            i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT) AS d2_orig,
+       CAST({d2p} AS BIGINT) AS d2_proj,
+       CAST(({d2p}) * 1000000 // ({_JL_K} * CAST(list_sum(list_transform(generate_series(1, {_JL_D}),
+            i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT)) AS BIGINT) AS ratio_micro
+FROM b, a
+ORDER BY vec_b
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "naive_bayes_lang",
@@ -1177,5 +1295,13 @@ SPECS: list[QuerySpec] = [
         ("dedup", "text"),
         doc="Asymmetric 5-gram containment pairs (C ≥ 0.6): catches quote/"
         "subset duplication Jaccard misses; digest-keyed equi-join",
+    ),
+    QuerySpec(
+        "jl_projection_distortion",
+        q_jl_projection_distortion,
+        _jl_sql(),
+        ("similarity", "ml"),
+        doc="Johnson–Lindenstrauss ±1 projection 64→16 with per-pair "
+        "distortion ratios — literal sign matrix, pure BIGINT arithmetic",
     ),
 ]

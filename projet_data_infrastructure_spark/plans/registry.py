@@ -137,6 +137,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pmi_collocations",
     "rendezvous_shards",
     "ngram_containment_pairs",
+    "stream_hll_cardinality",
+    "jl_projection_distortion",
+    "frequent_triples_apriori",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

@@ -268,3 +268,34 @@ def test_hits_matches_python_reference(spark, monkeypatch):
     assert got == {f"s{s}": a for s, a in ref.items()}
     # s10 (indegree 3, all hubs point at it) is the max authority
     assert got["s10"] == 1_000_000
+
+
+def test_apriori_triples_on_crafted_baskets(spark, monkeypatch):
+    # orders 1-3 contain {A,B,C}; order 4 contains {A,B} only → with
+    # minsup=2: triple (A,B,C) support 3; no other triple exists
+    line_rows = []
+    parts = [(10, "A"), (11, "B"), (12, "C")]
+    for o in (100, 101, 102):
+        line_rows += [(o, 10), (o, 11), (o, 12)]
+    line_rows += [(103, 10), (103, 11)]
+    line = spark.createDataFrame(line_rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(parts, "p_partkey long, p_brand string")
+    _with_tables(monkeypatch, {"lineitem": line, "part": part})
+    out = [(r.brand_a, r.brand_b, r.brand_c, r.support)
+           for r in gg.q_frequent_triples(spark, SF).collect()]
+    assert out == [("A", "B", "C", 3)]
+
+
+def test_apriori_prune_kills_pairwise_only_combos(spark, monkeypatch):
+    # A,B / B,C / A,C each co-occur in 2 separate orders but never all
+    # three together → F2 holds all three pairs, C3 generates (A,B,C),
+    # but triple support is 0 → empty result
+    line_rows = [(100, 10), (100, 11), (101, 11), (101, 12),
+                 (102, 10), (102, 12), (103, 10), (103, 11),
+                 (104, 11), (104, 12), (105, 10), (105, 12)]
+    line = spark.createDataFrame(line_rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(10, "A"), (11, "B"), (12, "C")], "p_partkey long, p_brand string"
+    )
+    _with_tables(monkeypatch, {"lineitem": line, "part": part})
+    assert gg.q_frequent_triples(spark, SF).collect() == []

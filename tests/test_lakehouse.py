@@ -244,3 +244,42 @@ def test_bloom_no_false_negatives_and_fp_bound(spark):
     theo = (1 - math.exp(-lh._BLOOM_D * n / lh._BLOOM_M)) ** lh._BLOOM_D
     fp = sum(r.claimed for r in non) / len(non)
     assert fp <= 3 * theo + 0.01, (fp, theo)
+
+
+def test_stream_hll_equals_batch_sketch(spark):
+    # associative register merge ⇒ the streamed 4-batch sketch is
+    # bit-identical to the single-pass batch sketch
+    from projet_data_infrastructure_spark.plans.lakehouse import (
+        q_hll_distinct_sketch,
+        q_stream_hll_cardinality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, q_hll_distinct_sketch(spark, sf).collect()))
+    streamed = sorted(map(tuple, q_stream_hll_cardinality(spark, sf).collect()))
+    assert streamed == batch
+
+
+def test_hll_register_merge_is_split_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from projet_data_infrastructure_spark.plans.lakehouse import _hll_registers
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type"
+    )
+    whole = sorted(map(tuple, _hll_registers(ev).collect()))
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sorted(
+        map(
+            tuple,
+            _hll_registers(h1)
+            .unionByName(_hll_registers(h2))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m").alias("m"))
+            .collect(),
+        )
+    )
+    assert merged == whole

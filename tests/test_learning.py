@@ -367,3 +367,37 @@ def test_containment_detects_subset_duplication(spark, monkeypatch):
     assert (2, 1) not in out
     # disjoint doc pairs never appear
     assert all(3 not in k for k in out)
+
+
+# --------------------------------------------------------------------------
+# JL projection
+# --------------------------------------------------------------------------
+
+
+def test_jl_unit_vector_ratio_is_exact(spark, monkeypatch):
+    # b − a = 1000·e₀ after quantization → every projected coordinate
+    # differs by ±1000 → d2_proj = 16·10⁶ → normalized ratio exactly 1e6
+    zero = [0.0] * 64
+    e0 = [1.0] + [0.0] * 63
+    emb = spark.createDataFrame(
+        [(0, zero, 1), (1, e0, 1)], "vec_id long, embedding array<float>, label int"
+    )
+    _patch(monkeypatch, {"embeddings": emb})
+    out = lrn.q_jl_projection_distortion(spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.d2_orig == 1_000_000
+    assert r.d2_proj == lrn._JL_K * 1_000_000
+    assert r.ratio_micro == 1_000_000
+
+
+def test_jl_distortion_concentrates_on_real_embeddings(spark):
+    # JL guarantee: with K=16 the per-pair ratio concentrates around 1e6;
+    # all 50 pairs should land within a loose [0.2, 2.2]×1e6 band and the
+    # mean within [0.7, 1.3]×1e6
+    out = lrn.q_jl_projection_distortion(spark, SF).collect()
+    assert len(out) == 50
+    ratios = [r.ratio_micro for r in out]
+    assert all(200_000 <= x <= 2_200_000 for x in ratios), sorted(ratios)[:3]
+    mean = sum(ratios) / len(ratios)
+    assert 700_000 <= mean <= 1_300_000
