@@ -1051,6 +1051,88 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction over the trade graph
+# --------------------------------------------------------------------------
+
+#: common-neighbor degree cap: customers with more than this many distinct
+#: suppliers are DROPPED as common neighbors. Principled truncation, not a
+#: shortcut — AA weights hubs by 1/ln(deg), so a customer connected to
+#: hundreds of suppliers contributes ≈0 signal while generating O(deg²)
+#: candidate pairs; capping bounds the self-join fan-out at C(25,2)=300
+#: pairs per neighbor no matter how skewed the graph gets (the same
+#: rare-feature blocking the prefix-filter join uses on the Zipf head).
+_AA_DEG_CAP = 25
+#: micro-nat half-up rounding bias — same constant/rationale as the
+#: learning-module quantizer (_QBIAS there): nudges the boundary off the
+#: exact .5 grid so a 1-ulp cross-engine ln() difference can't flip a value.
+_AA_QBIAS = 0.50001
+_AA_TOPK = 30
+
+
+def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 predicted supplier–supplier links by Adamic-Adar score over
+    shared customers (Adamic & Adar 2003): score(s1,s2) = Σ_z 1/ln(deg z)
+    over common customer neighbors z — the classic link-prediction
+    heuristic, run here to propose supplier substitutions.
+
+    Determinism: 1e6/ln(d) is quantized ONCE per surviving degree value to
+    integer micro-units (half-up, biased off the .5 grid), so pair scores
+    are order-free integer sums and the ranking is hash-exact.
+
+    Scale shape: degrees come from one aggregate over the shared
+    checkpointed trade-pair table; the degree-capped edge list self-joins
+    on the customer key (an EQUI-join — per-key fan-out ≤ C(cap,2), so the
+    join is linear in kept edges, never quadratic in the graph); the score
+    aggregate is map-side combinable and the top-30 is a TakeOrdered cut.
+    """
+    pairs = _trade_pairs(spark, sf_dir)
+    deg = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("d"))
+    degw = deg.filter((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP)).select(
+        "o_custkey",
+        F.floor(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")) + F.lit(_AA_QBIAS))
+        .cast("long")
+        .alias("w"),
+    )
+    kept = pairs.join(F.broadcast(degw), "o_custkey")
+    a = kept.select("o_custkey", F.col("l_suppkey").alias("s1"), "w")
+    b = kept.select("o_custkey", F.col("l_suppkey").alias("s2"))
+    return (
+        a.join(b, "o_custkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_common"), F.sum("w").alias("aa_unats"))
+        .orderBy(F.desc("aa_unats"), F.asc("s1"), F.asc("s2"))
+        .limit(_AA_TOPK)
+    )
+
+
+_ADAMIC_ADAR_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey, l_suppkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT o_custkey, count(*) AS d FROM pairs GROUP BY o_custkey),
+degw AS (
+    SELECT o_custkey,
+           CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + {_AA_QBIAS}) AS BIGINT) AS w
+    FROM deg WHERE d BETWEEN 2 AND {_AA_DEG_CAP}
+),
+kept AS (
+    SELECT p.o_custkey, p.l_suppkey, degw.w
+    FROM pairs p JOIN degw USING (o_custkey)
+)
+SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(a.w) AS BIGINT) AS aa_unats
+FROM kept a JOIN kept b
+  ON a.o_custkey = b.o_custkey AND a.l_suppkey < b.l_suppkey
+GROUP BY s1, s2
+ORDER BY aa_unats DESC, s1, s2
+LIMIT {_AA_TOPK}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pagerank_fixed_point",
@@ -1140,5 +1222,14 @@ SPECS: list[QuerySpec] = [
         ("graph", "iterative"),
         doc="HITS (Kleinberg) authorities, 2 rounds, integer MAX "
         "normalization — rank-preserving, hash-exact iterative link analysis",
+    ),
+    QuerySpec(
+        "adamic_adar_links",
+        q_adamic_adar_links,
+        _ADAMIC_ADAR_SQL,
+        ("graph", "join"),
+        doc="Adamic-Adar supplier link prediction via shared low-degree "
+        "customers: micro-nat 1/ln(deg) weights, degree-capped equi self-join "
+        "(fan-out bounded), top-30",
     ),
 ]

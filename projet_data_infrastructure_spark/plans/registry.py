@@ -140,6 +140,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_hll_cardinality",
     "jl_projection_distortion",
     "frequent_triples_apriori",
+    "countmin_heavy_hitters",
+    "bloom_membership_audit",
+    "adamic_adar_links",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",
@@ -179,6 +182,7 @@ def all_specs() -> list[QuerySpec]:
         llm_queries,
         mining,
         relational,
+        sketches,
     )
 
     specs: list[QuerySpec] = []
@@ -191,6 +195,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(graph_geo.SPECS)
     specs.extend(mining.SPECS)
     specs.extend(learning.SPECS)
+    specs.extend(sketches.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the
