@@ -1198,6 +1198,271 @@ ORDER BY vec_b
 """
 
 
+# --------------------------------------------------------------------------
+# Kaplan-Meier retention (survival analysis)
+# --------------------------------------------------------------------------
+
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) of conversion
+    delay: the "event" is a user's FIRST purchase, duration = days from
+    their first event of any kind; users who never purchase are
+    right-censored at their last observed day (they leave the risk set
+    without counting as a conversion — the crafted-fixture test pins this).
+    One row per conversion day: risk-set size, conversions, and the
+    product-limit survival estimate (probability of still being
+    unconverted after t days).
+
+    Determinism: each step's ln(1 − d/n) = ln((n−d)/n) is quantized ONCE to
+    integer micro-nats, so the cumulative product becomes an order-pinned
+    integer cumulative SUM — the same log-space trick the NB/dsir specs
+    use. A step that empties the risk set (d = n, survival exactly 0) emits
+    NULL instead of ln(0) — the OLS degenerate-group discipline.
+
+    Scale shape: one (user) aggregate over events is the only corpus
+    shuffle; everything after runs on the ≤|distinct durations| frame
+    (calendar-bounded, the ks_drift discipline), where the two windows
+    (reverse-cumulative risk set, cumulative log-survival) are safe."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.max("ts").alias("l"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    d = pu.select(
+        F.when(
+            F.col("p").isNotNull(), F.datediff(F.to_date("p"), F.to_date("f"))
+        )
+        .otherwise(F.datediff(F.to_date("l"), F.to_date("f")))
+        .alias("dur_days"),
+        F.col("p").isNotNull().cast("int").alias("obs"),
+    )
+    day = d.groupBy("dur_days").agg(
+        F.sum("obs").cast("long").alias("n_deaths"), F.count(F.lit(1)).alias("r")
+    )
+    w_desc = Window.orderBy(F.desc("dur_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = day.withColumn("n_risk", F.sum("r").over(w_desc).cast("long"))
+    steps = risk.filter(F.col("n_deaths") > 0).withColumn(
+        "step",
+        F.when(
+            F.col("n_deaths") < F.col("n_risk"),
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("n_deaths")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(_QBIAS)
+            ).cast("long"),
+        ),
+    )
+    w_asc = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        steps.withColumn("cum", F.sum("step").over(w_asc).cast("long"))
+        .select(
+            "dur_days",
+            "n_risk",
+            "n_deaths",
+            F.when(F.col("n_deaths") < F.col("n_risk"), F.col("cum")).alias(
+                "surv_unats"
+            ),
+        )
+        .orderBy("dur_days")
+    )
+
+
+_KM_SQL = f"""
+WITH pu AS (
+    SELECT user_id, min(ts) AS f, max(ts) AS l,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+    FROM events GROUP BY user_id
+),
+d AS (
+    SELECT CASE WHEN p IS NOT NULL
+                THEN date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END
+               AS dur_days,
+           CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+    FROM pu
+),
+day AS (
+    SELECT dur_days, CAST(sum(obs) AS BIGINT) AS n_deaths, count(*) AS r
+    FROM d GROUP BY dur_days
+),
+risk AS (
+    SELECT dur_days, n_deaths,
+           CAST(sum(r) OVER (ORDER BY dur_days DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+    FROM day
+),
+steps AS (
+    SELECT dur_days, n_risk, n_deaths,
+           CASE WHEN n_deaths < n_risk THEN
+               CAST(floor(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)) * 1000000.0 + {_QBIAS})
+                    AS BIGINT)
+           END AS step
+    FROM risk WHERE n_deaths > 0
+)
+SELECT dur_days, n_risk, n_deaths,
+       CASE WHEN n_deaths < n_risk THEN
+           CAST(sum(step) OVER (ORDER BY dur_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       END AS surv_unats
+FROM steps
+ORDER BY dur_days
+"""
+
+
+# --------------------------------------------------------------------------
+# PCA top component by power iteration
+# --------------------------------------------------------------------------
+
+_PCA_D = 8  # leading embedding dims (algebra is dim-agnostic; 8 keeps the
+#             36-cell covariance cheap in BOTH engines' demo runs)
+_PCA_UNIT = 1_000_000
+
+
+def _pca_floordiv(s: str, n: str, floordiv_op: str) -> str:
+    """Exact floor division for possibly-negative sums (see
+    ``mining._km_floordiv`` — same remainder-correction trick; duplicated
+    to keep the module importable standalone)."""
+    rem = f"((({s}) % ({n}) + ({n})) % ({n}))"
+    return f"((({s}) - {rem}) {floordiv_op} ({n}))"
+
+
+def _pca_exprs(floordiv_op: str, idx_base: int) -> dict[str, str]:
+    """Shared expression text for both engines (Spark arrays are 0-based,
+    DuckDB 1-based; Spark integer floor-div is ``DIV`` after remainder
+    correction, DuckDB ``//``)."""
+    D = _PCA_D
+    q = lambda i: f"q[{i + idx_base}]"  # noqa: E731
+    mom = {f"sx{i}": f"CAST(sum({q(i)}) AS BIGINT)" for i in range(D)}
+    for i in range(D):
+        for j in range(i, D):
+            mom[f"sxy{i}_{j}"] = f"CAST(sum({q(i)} * {q(j)}) AS BIGINT)"
+    mom["n"] = "CAST(count(*) AS BIGINT)"
+
+    def cell(i: int, j: int) -> str:  # covariance numerator, symmetric
+        a, b = min(i, j), max(i, j)
+        return f"(n * sxy{a}_{b} - sx{i} * sx{j})"
+
+    # the trailing 1 clamps each normalizer away from 0 so a degenerate
+    # (all-constant) input yields an all-zero vector instead of a /0 —
+    # DuckDB errors on integer division by zero where Spark returns NULL
+    maxcov = "greatest(" + ", ".join(
+        f"abs({cell(i, j)})" for i in range(D) for j in range(i, D)
+    ) + ", 1)"
+    cunit = {
+        f"c{i}_{j}": _pca_floordiv(f"{cell(i, j)} * {_PCA_UNIT}", "maxcov", floordiv_op)
+        for i in range(D)
+        for j in range(D)
+    }
+    u1 = {f"u1_{i}": " + ".join(f"c{i}_{j} * {_PCA_UNIT}" for j in range(D)) for i in range(D)}
+    m1 = "greatest(" + ", ".join(f"abs(u1_{i})" for i in range(D)) + ", 1)"
+    v1 = {f"v1_{i}": _pca_floordiv(f"u1_{i} * {_PCA_UNIT}", "m1", floordiv_op) for i in range(D)}
+    u2 = {f"u2_{i}": " + ".join(f"c{i}_{j} * v1_{j}" for j in range(D)) for i in range(D)}
+    m2 = "greatest(" + ", ".join(f"abs(u2_{i})" for i in range(D)) + ", 1)"
+    v2 = {f"v2_{i}": _pca_floordiv(f"u2_{i} * {_PCA_UNIT}", "m2", floordiv_op) for i in range(D)}
+    return {"mom": mom, "maxcov": maxcov, "cunit": cunit, "u1": u1, "m1": m1,
+            "v1": v1, "u2": u2, "m2": m2, "v2": v2}
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the leading 8 embedding dims by two
+    power-iteration rounds — PCA's inner loop as a deterministic DataFrame
+    program (Mises & Pollaczek-Geiringer 1929 power method; the classic
+    big-data PCA: one pass for moments, iterate on the tiny Gram matrix).
+
+    Determinism: coordinates quantize once to integer millis, so the
+    covariance numerators N·Σxy − Σx·Σy are EXACT BIGINTs from ONE
+    aggregate pass; cells normalize to ±1e6 by max-|cell| integer floor
+    division (remainder-corrected — Spark DIV truncates, DuckDB // floors)
+    and both mat-vec rounds + max-norm normalizations stay in BIGINT — the
+    HITS normalization trick applied to PCA, hash-exact.
+
+    Scale shape: the ONLY data-sized stage is the 45-expression moment
+    aggregate (map-side combined, one scan, no explode); everything after
+    runs on a 1-row frame — no join, no window, no collect. At 100 TB the
+    moment pass is embarrassingly parallel and the d×d solve is O(d²)
+    driver-free arithmetic.
+
+    Convergence is (λ2/λ1)^rounds as always for the power method; the
+    synthetic embeddings are isotropic (near-flat spectrum), so the demo
+    pins the EXACT recurrence + monotone Rayleigh progress on real data and
+    full 2-round convergence on a crafted dominant-direction fixture
+    (``test_pca_converges_on_dominant_direction``). More rounds are more
+    projection layers, unchanged algebra."""
+    e = _pca_exprs("DIV", 0)
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.expr(
+            f"transform(slice(CAST(embedding AS ARRAY<DOUBLE>), 1, {_PCA_D}),"
+            f" x -> CAST(floor(x * 1000.0 + {_QBIAS}) AS BIGINT))"
+        ).alias("q")
+    )
+    mom = qv.agg(*[F.expr(x).alias(k) for k, x in e["mom"].items()])
+    step1 = mom.withColumn("maxcov", F.expr(e["maxcov"]))
+    step2 = step1.select("*", *[F.expr(x).alias(k) for k, x in e["cunit"].items()])
+    step3 = step2.select("*", *[F.expr(x).alias(k) for k, x in e["u1"].items()])
+    step4 = step3.withColumn("m1", F.expr(e["m1"]))
+    step5 = step4.select("*", *[F.expr(x).alias(k) for k, x in e["v1"].items()])
+    step6 = step5.select("*", *[F.expr(x).alias(k) for k, x in e["u2"].items()])
+    step7 = step6.withColumn("m2", F.expr(e["m2"]))
+    step8 = step7.select(*[F.expr(x).alias(k) for k, x in e["v2"].items()])
+    loadings = F.array(*[F.col(f"v2_{i}") for i in range(_PCA_D)])
+    return (
+        step8.select(F.posexplode(loadings).alias("dim_idx", "loading_unit"))
+        .orderBy("dim_idx")
+    )
+
+
+def _pca_sql() -> str:
+    e = _pca_exprs("//", 1)
+    mom_cols = ",\n           ".join(f"{x} AS {k}" for k, x in e["mom"].items())
+    cunit_cols = ",\n           ".join(f"{x} AS {k}" for k, x in e["cunit"].items())
+    u1_cols = ",\n           ".join(f"{x} AS u1_{i}" for i, x in
+                                    ((i, e["u1"][f"u1_{i}"]) for i in range(_PCA_D)))
+    v1_cols = ",\n           ".join(f"{x} AS v1_{i}" for i, x in
+                                    ((i, e["v1"][f"v1_{i}"]) for i in range(_PCA_D)))
+    u2_cols = ",\n           ".join(f"{x} AS u2_{i}" for i, x in
+                                    ((i, e["u2"][f"u2_{i}"]) for i in range(_PCA_D)))
+    v2_list = ", ".join(e["v2"][f"v2_{i}"] for i in range(_PCA_D))
+    return f"""
+WITH qv AS (
+    SELECT list_transform(embedding[1:{_PCA_D}]::DOUBLE[],
+                          x -> CAST(floor(x * 1000.0 + {_QBIAS}) AS BIGINT)) AS q
+    FROM embeddings
+),
+mom AS (
+    SELECT {mom_cols}
+    FROM qv
+),
+s1 AS (SELECT *, {e['maxcov']} AS maxcov FROM mom),
+s2 AS (SELECT *,
+           {cunit_cols}
+       FROM s1),
+s3 AS (SELECT *,
+           {u1_cols}
+       FROM s2),
+s4 AS (SELECT *, {e['m1']} AS m1 FROM s3),
+s5 AS (SELECT *,
+           {v1_cols}
+       FROM s4),
+s6 AS (SELECT *,
+           {u2_cols}
+       FROM s5),
+s7 AS (SELECT *, {e['m2']} AS m2 FROM s6),
+s8 AS (SELECT [{v2_list}] AS v FROM s7)
+SELECT CAST(i - 1 AS INT) AS dim_idx, CAST(v[i] AS BIGINT) AS loading_unit
+FROM s8, generate_series(1, {_PCA_D}) t(i)
+ORDER BY dim_idx
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "naive_bayes_lang",
@@ -1303,5 +1568,23 @@ SPECS: list[QuerySpec] = [
         ("similarity", "ml"),
         doc="Johnson–Lindenstrauss ±1 projection 64→16 with per-pair "
         "distortion ratios — literal sign matrix, pure BIGINT arithmetic",
+    ),
+    QuerySpec(
+        "kaplan_meier_retention",
+        q_kaplan_meier_retention,
+        _KM_SQL,
+        ("ml", "timeseries"),
+        doc="Kaplan-Meier survival curve of user lifetime with 7-day right-"
+        "censoring: per-step ln survival quantized to micro-nats, cumulative "
+        "product as an order-pinned integer sum",
+    ),
+    QuerySpec(
+        "pca_power_iteration",
+        q_pca_power_iteration,
+        _pca_sql(),
+        ("ml",),
+        doc="Top principal component by 2-round integer power iteration: "
+        "exact BIGINT covariance moments from ONE aggregate pass, max-norm "
+        "DIV normalization (HITS trick) — iterative PCA hash-exact",
     ),
 ]

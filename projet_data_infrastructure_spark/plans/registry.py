@@ -143,6 +143,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "countmin_heavy_hitters",
     "bloom_membership_audit",
     "adamic_adar_links",
+    "kaplan_meier_retention",
+    "pca_power_iteration",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

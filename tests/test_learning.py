@@ -401,3 +401,158 @@ def test_jl_distortion_concentrates_on_real_embeddings(spark):
     assert all(200_000 <= x <= 2_200_000 for x in ratios), sorted(ratios)[:3]
     mean = sum(ratios) / len(ratios)
     assert 700_000 <= mean <= 1_300_000
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier
+# --------------------------------------------------------------------------
+
+
+def _km_reference(users):
+    """users: list of (dur_days, observed). Returns the expected rows."""
+    from collections import defaultdict
+
+    day = defaultdict(lambda: [0, 0])  # dur -> [deaths, at_risk_entering... ]
+    for dur, obs in users:
+        day[dur][0] += obs
+        day[dur][1] += 1
+    out, cum = [], 0
+    total = len(users)
+    seen = 0
+    for t in sorted(day):
+        d, r = day[t]
+        n_risk = total - seen
+        seen += r
+        if d == 0:
+            continue
+        if d < n_risk:
+            cum += math.floor(
+                math.log((n_risk - d) / n_risk) * 1_000_000.0 + lrn._QBIAS
+            )
+            out.append((t, n_risk, d, cum))
+        else:
+            out.append((t, n_risk, d, None))
+    return out
+
+
+def test_kaplan_meier_crafted_censoring(spark, monkeypatch):
+    # day 0 = 2024-01-01. users 1,2 convert day 2; user 3 converts day 5;
+    # user 4 NEVER converts and is censored at day 3 (leaves the risk set
+    # without being a death); user 5 converts day 8 after the censoring.
+    def ts(day, hour=0):
+        return datetime(2024, 1, 1 + day, hour, tzinfo=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = []
+    eid = 0
+    for u, conv_day in ((1, 2), (2, 2), (3, 5), (5, 8)):
+        rows.append((eid, ts(0), u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, ts(conv_day), u, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, ts(0), 4, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, ts(3), 4, "click", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    _patch(monkeypatch, {"events": ev})
+    got = [
+        (r.dur_days, r.n_risk, r.n_deaths, r.surv_unats)
+        for r in lrn.q_kaplan_meier_retention(spark, SF).collect()
+    ]
+    want = _km_reference([(2, 1), (2, 1), (5, 1), (8, 1), (3, 0)])
+    assert got == want
+    # censored user 4 must shrink the risk set between day 2 and day 5
+    by_day = {t: n for t, n, _d, _s in got}
+    assert by_day[2] == 5 and by_day[5] == 2 and by_day[8] == 1
+    # the last conversion empties the risk set -> exact-zero survival = NULL
+    assert got[-1][3] is None
+
+
+def test_kaplan_meier_survival_monotone_on_real_data(spark):
+    rows = lrn.q_kaplan_meier_retention(spark, SF).collect()
+    assert len(rows) > 0
+    surv = [r.surv_unats for r in rows if r.surv_unats is not None]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+    assert all(s <= 0 for s in surv)  # log-space survival <= ln(1)
+
+
+# --------------------------------------------------------------------------
+# PCA power iteration
+# --------------------------------------------------------------------------
+
+
+def _pca_reference(q_rows):
+    """Pure-Python replica of the exact integer recurrence (floor division
+    throughout, max-norm clamped at 1)."""
+    D = lrn._PCA_D
+    n = len(q_rows)
+    sx = [sum(r[i] for r in q_rows) for i in range(D)]
+    sxy = [[sum(r[i] * r[j] for r in q_rows) for j in range(D)] for i in range(D)]
+    cov = [[n * sxy[i][j] - sx[i] * sx[j] for j in range(D)] for i in range(D)]
+    maxcov = max(1, max(abs(c) for row in cov for c in row))
+    c = [[(cov[i][j] * 1_000_000) // maxcov for j in range(D)] for i in range(D)]
+    v = [1_000_000] * D
+    for _ in range(2):
+        u = [sum(c[i][j] * v[j] for j in range(D)) for i in range(D)]
+        m = max(1, max(abs(x) for x in u))
+        v = [(u[i] * 1_000_000) // m for i in range(D)]
+    return v
+
+
+def _quantized_embeddings(sf):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").column("embedding").to_pylist()
+    return [
+        [math.floor(x * 1000.0 + lrn._QBIAS) for x in e[: lrn._PCA_D]] for e in emb
+    ]
+
+
+def test_pca_matches_python_reference_and_rayleigh_monotone(spark):
+    import numpy as np
+
+    rows = lrn.q_pca_power_iteration(spark, SF).collect()
+    assert [r.dim_idx for r in rows] == list(range(lrn._PCA_D))
+    v = [r.loading_unit for r in rows]
+    assert max(abs(x) for x in v) == 1_000_000  # max-normalized
+    q = _quantized_embeddings(SF)
+    assert v == _pca_reference(q)  # bit-exact integer recurrence
+    # the iterate really climbs the spectrum: Rayleigh quotient of the
+    # result beats the all-ones start (power-method progress guarantee)
+    qa = np.array(q, dtype=float)
+    cov = len(q) * (qa.T @ qa) - np.outer(qa.sum(0), qa.sum(0))
+    ray = lambda x: (x @ cov @ x) / (x @ x)  # noqa: E731
+    assert ray(np.array(v, dtype=float)) > ray(np.ones(lrn._PCA_D))
+
+
+def test_pca_converges_on_dominant_direction(spark, monkeypatch):
+    # embeddings with a strong first-axis component: after 2 integer
+    # power-iteration rounds the loading must align with axis 0
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 0.05, (200, lrn._PCA_D))
+    base[:, 0] += rng.choice([-1.0, 1.0], 200) * 0.9  # dominant axis
+    rows = [(i, [float(x) for x in base[i]] + [0.0] * 56, 0) for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    _patch(monkeypatch, {"embeddings": emb})
+    got = [r.loading_unit for r in lrn.q_pca_power_iteration(spark, SF).collect()]
+    v = np.array(got, dtype=float)
+    assert abs(v[0]) == 1_000_000  # axis 0 carries the max loading
+    assert (np.abs(v[1:]) < 250_000).all()  # the rest are noise-scale
+
+
+def test_pca_plan_has_single_aggregate_no_join(spark):
+    plan = (
+        lrn.q_pca_power_iteration(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only data-sized stage is the one moment aggregate; the solve is
+    # pure projection arithmetic on the 1-row frame
+    assert "Join" not in plan
+    assert "Window" not in plan
