@@ -1463,6 +1463,104 @@ ORDER BY dim_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Exact ROC AUC (Mann-Whitney U) without a global sort
+# --------------------------------------------------------------------------
+
+
+def q_roc_auc_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ISO-weekday ROC AUC of event value as a purchase-vs-view
+    classifier score — the ranking-quality metric every model-eval
+    pipeline needs, computed EXACTLY via the Mann-Whitney U identity
+    AUC = (Σ_pos rank − n⁺(n⁺+1)/2) / (n⁺·n⁻) with midrank tie handling.
+
+    Integer discipline: scores quantize to cents once; midranks are
+    half-integers, so everything is carried ×2 (u2 = 2U) and the single
+    division at the end is exact integer floor division of positive
+    operands — hash-identical cross-engine.
+
+    Scale shape: NO global sort over rows — ranks come from grouping by
+    DISTINCT score value (value-range-bounded: ≤ ~40k cents keys no matter
+    the corpus size) and one exclusive running sum per weekday over that
+    bounded frame (the ks_drift discipline). The fact-sized stage is one
+    map-side-combined (dow, cents) aggregate."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    base = ev.select(
+        (F.weekday("ts") + F.lit(1)).alias("dow"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(_QBIAS))
+        .cast("long")
+        .alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = base.groupBy("dow", "cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos")
+    )
+    w = Window.partitionBy("dow").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = g.withColumn("less", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    per_dow = ranked.groupBy("dow").agg(
+        # Σ over positives of 2·midrank, where the midrank of a tie group
+        # is less + (cnt+1)/2
+        F.sum(F.col("npos") * (F.lit(2) * F.col("less") + F.col("cnt") + 1)).alias(
+            "s2"
+        ),
+        F.sum("npos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("npos")).alias("n_neg"),
+    )
+    return (
+        per_dow.select(
+            "dow",
+            "n_pos",
+            "n_neg",
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        )
+        .select(
+            "dow",
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.expr("(u2 * 1000000) DIV (2 * n_pos * n_neg)").alias("auc_micro"),
+        )
+        .orderBy("dow")
+    )
+
+
+_AUC_SQL = f"""
+WITH base AS (
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(floor(value * 100.0 + {_QBIAS}) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+g AS (
+    SELECT dow, cents, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos
+    FROM base GROUP BY dow, cents
+),
+ranked AS (
+    SELECT dow, cnt, npos,
+           coalesce(sum(cnt) OVER (PARTITION BY dow ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+    FROM g
+),
+per_dow AS (
+    SELECT dow,
+           CAST(sum(npos * (2 * less + cnt + 1)) AS BIGINT) AS s2,
+           CAST(sum(npos) AS BIGINT) AS n_pos,
+           CAST(sum(cnt) - sum(npos) AS BIGINT) AS n_neg
+    FROM ranked GROUP BY dow
+)
+SELECT dow, n_pos, n_neg,
+       CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST((s2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+           AS auc_micro
+FROM per_dow
+ORDER BY dow
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "naive_bayes_lang",
@@ -1586,5 +1684,14 @@ SPECS: list[QuerySpec] = [
         doc="Top principal component by 2-round integer power iteration: "
         "exact BIGINT covariance moments from ONE aggregate pass, max-norm "
         "DIV normalization (HITS trick) — iterative PCA hash-exact",
+    ),
+    QuerySpec(
+        "roc_auc_by_dow",
+        q_roc_auc_by_dow,
+        _AUC_SQL,
+        ("ml", "stats"),
+        doc="Exact per-weekday ROC AUC via Mann-Whitney midranks — no "
+        "global row sort: ranks from the distinct-cents frame, one ×2 "
+        "integer carry, one exact division",
     ),
 ]

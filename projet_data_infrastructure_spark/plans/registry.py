@@ -145,6 +145,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "adamic_adar_links",
     "kaplan_meier_retention",
     "pca_power_iteration",
+    "roc_auc_by_dow",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

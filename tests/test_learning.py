@@ -556,3 +556,68 @@ def test_pca_plan_has_single_aggregate_no_join(spark):
     # pure projection arithmetic on the 1-row frame
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+# --------------------------------------------------------------------------
+# ROC AUC
+# --------------------------------------------------------------------------
+
+
+def _auc_reference(pairs):
+    """pairs: (cents, is_pos). Exact midrank Mann-Whitney, carried x2."""
+    from collections import Counter
+
+    cnt, pos = Counter(), Counter()
+    for c, p in pairs:
+        cnt[c] += 1
+        pos[c] += p
+    less, s2 = 0, 0
+    for c in sorted(cnt):
+        s2 += pos[c] * (2 * less + cnt[c] + 1)
+        less += cnt[c]
+    n_pos = sum(pos.values())
+    n_neg = sum(cnt.values()) - n_pos
+    u2 = s2 - n_pos * (n_pos + 1)
+    return n_pos, n_neg, u2, (u2 * 1_000_000) // (2 * n_pos * n_neg)
+
+
+def test_roc_auc_crafted_ties_and_perfect_split(spark, monkeypatch):
+    # Monday: positives always score higher -> AUC exactly 1.
+    # Tuesday: scores identical across classes -> AUC exactly 0.5 (midranks).
+    rows, eid = [], 0
+    for v, et in ((1.0, "view"), (2.0, "view"), (3.0, "purchase"), (4.0, "purchase")):
+        rows.append((eid, datetime(2024, 1, 1), v, et)); eid += 1  # a Monday
+    for v, et in ((5.0, "view"), (5.0, "purchase"), (5.0, "view"), (5.0, "purchase")):
+        rows.append((eid, datetime(2024, 1, 2), v, et)); eid += 1  # a Tuesday
+    ev = spark.createDataFrame(
+        [(i, ts, 7, et, v, "{}") for (i, ts, v, et) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _patch(monkeypatch, {"events": ev})
+    got = {r.dow: (r.n_pos, r.n_neg, r.u2, r.auc_micro)
+           for r in lrn.q_roc_auc_by_dow(spark, SF).collect()}
+    assert got[1] == (2, 2, 8, 1_000_000)  # perfect ranking
+    assert got[2] == (2, 2, 4, 500_000)  # all tied -> exactly 0.5
+
+
+def test_roc_auc_matches_python_reference(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    by_dow = {}
+    for ts, et, v in zip(
+        t.column("ts").to_pylist(),
+        t.column("event_type").to_pylist(),
+        t.column("value").to_pylist(),
+    ):
+        if et not in ("view", "purchase"):
+            continue
+        dow = ts.isoweekday()
+        by_dow.setdefault(dow, []).append(
+            (math.floor(v * 100.0 + lrn._QBIAS), int(et == "purchase"))
+        )
+    got = {r.dow: (r.n_pos, r.n_neg, r.u2, r.auc_micro)
+           for r in lrn.q_roc_auc_by_dow(spark, SF).collect()}
+    want = {d: _auc_reference(p) for d, p in by_dow.items()}
+    assert got == want
