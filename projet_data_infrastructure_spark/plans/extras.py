@@ -182,6 +182,98 @@ GROUP BY media_type, size_class
 """
 
 
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the REAL multimodal decode
+    path: documents' bytes stream through the Arrow-batched ``mapInPandas``
+    decode (`operators/multimodal.py:extract_features`), the stub feature
+    vector is re-quantized to an 8-byte perceptual code, and near-dup asset
+    pairs (≤ 1 differing code byte) come from byte-banded LSH — the
+    simhash_hamming_pairs discipline composed onto the multimodal family,
+    exactly how image pipelines dedup on pHash at scale.
+
+    Banding is pigeonhole-COMPLETE: 4 bands × 2 bytes, so one differing
+    byte corrupts at most one band and every qualifying pair survives in
+    ≥ 3 band buckets; candidates come only from band equi-joins (never an
+    all-pairs scan), then exact byte distance verifies on candidates.
+    The stub decode is deterministic ASCII algebra, so DuckDB reproduces
+    code bytes via ``ascii(substr(text, i, 1))`` and the whole pipeline —
+    Arrow UDF included — is hash-checked, not rows-only.
+    """
+    from projet_data_infrastructure_spark.operators.multimodal import extract_features
+
+    assets = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/png").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_features(assets).filter(F.col("n_bytes") >= 8)
+    byte_cols = [
+        F.round(F.element_at("feature", i + 1) * F.lit(255.0)).cast("int").alias(f"b{i}")
+        for i in range(8)
+    ]
+    codes = feats.select("asset_id", *byte_cols)
+    bands = [
+        (F.col(f"b{2 * k}") * 256 + F.col(f"b{2 * k + 1}")).alias(f"band{k}")
+        for k in range(4)
+    ]
+    coded = codes.select("asset_id", *[F.col(f"b{i}") for i in range(8)], *bands)
+    diff = sum(
+        (F.col(f"a.b{i}") != F.col(f"c.b{i}")).cast("int") for i in range(8)
+    )
+    pairs = None
+    for k in range(4):
+        a = coded.alias("a")
+        c = coded.alias("c")
+        p = (
+            a.join(
+                c,
+                (F.col(f"a.band{k}") == F.col(f"c.band{k}"))
+                & (F.col("a.asset_id") < F.col("c.asset_id")),
+            )
+            .select(
+                F.col("a.asset_id").alias("asset_a"),
+                F.col("c.asset_id").alias("asset_b"),
+                diff.alias("n_diff_bytes"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.filter(F.col("n_diff_bytes") <= 1)
+        .distinct()
+        .orderBy("asset_a", "asset_b")
+    )
+
+
+def _phash_sql() -> str:
+    b = lambda side, i: f"ascii(substr({side}.text, {i + 1}, 1))"  # noqa: E731
+    band_join = []
+    for k in range(4):
+        cond = (
+            f"{b('x', 2 * k)} * 256 + {b('x', 2 * k + 1)}"
+            f" = {b('y', 2 * k)} * 256 + {b('y', 2 * k + 1)}"
+        )
+        diff = " + ".join(
+            f"CASE WHEN {b('x', i)} != {b('y', i)} THEN 1 ELSE 0 END"
+            for i in range(8)
+        )
+        band_join.append(
+            f"SELECT x.doc_id AS asset_a, y.doc_id AS asset_b,\n"
+            f"       ({diff}) AS n_diff_bytes\n"
+            f"FROM docs x JOIN docs y ON {cond} AND x.doc_id < y.doc_id"
+        )
+    unions = "\nUNION\n".join(band_join)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents WHERE octet_length(encode(text)) >= 8
+)
+SELECT DISTINCT asset_a, asset_b, n_diff_bytes FROM (
+{unions}
+)
+WHERE n_diff_bytes <= 1
+ORDER BY asset_a, asset_b
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counts (algorithm differs per engine → no oracle).
 
@@ -936,6 +1028,15 @@ SPECS: list[QuerySpec] = [
         "replaying the identical IEEE op sequence",
     ),
     QuerySpec("excel_rename_roundtrip", q_csv_dim_rename, _CSV_DIM_SQL, ("source",)),
+    QuerySpec(
+        "multimodal_phash_neardup",
+        q_multimodal_phash_neardup,
+        _phash_sql(),
+        ("multimodal", "dedup"),
+        doc="Perceptual-hash near-dup pairs through the REAL mapInPandas "
+        "decode: 8-byte code from the stub feature vector, 4x2-byte "
+        "pigeonhole-complete banding, exact verify on candidates",
+    ),
     QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
     QuerySpec(
         "stream_cdc_apply",

@@ -146,6 +146,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "kaplan_meier_retention",
     "pca_power_iteration",
     "roc_auc_by_dow",
+    "multimodal_phash_neardup",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

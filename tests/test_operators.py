@@ -778,3 +778,35 @@ def test_ivf_assign_broadcast_form_matches_literal(spark):
     assert len(lit_rows) == len(bc_rows) > 0
     for a, b in zip(lit_rows, bc_rows):
         assert (a.vec_id, a.centroid_id, a.dist) == (b.vec_id, b.centroid_id, b.dist)
+
+
+def test_multimodal_phash_neardup_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: band-blocked pairs == quadratic ground truth
+    for hamming <= 1 byte on the 8-byte perceptual code (sf0.001 docs)."""
+    import pyarrow.parquet as pq
+
+    from projet_data_infrastructure_spark.plans.extras import (
+        q_multimodal_phash_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = q_multimodal_phash_neardup(spark, sf)
+    # the REAL Arrow decode path must be in the plan, not a SQL shortcut
+    assert "MapInPandas" in df._jdf.queryExecution().executedPlan().toString()
+    got = {(r.asset_a, r.asset_b): r.n_diff_bytes for r in df.collect()}
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    codes = {
+        d: tuple(text.encode("utf-8")[:8])
+        for d, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if len(text.encode("utf-8")) >= 8
+    }
+    want = {}
+    ids = sorted(codes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            nd = sum(x != y for x, y in zip(codes[a], codes[b]))
+            if nd <= 1:
+                want[(a, b)] = nd
+    assert got == want
+    assert len(want) > 0
