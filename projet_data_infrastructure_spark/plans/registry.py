@@ -147,6 +147,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pca_power_iteration",
     "roc_auc_by_dow",
     "multimodal_phash_neardup",
+    "stream_countmin_merge",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

@@ -80,6 +80,11 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``overcount`` column.
     """
     ev = read_table(spark, sf_dir, "events").select("user_id")
+    return _cms_probe(_cms_registers(ev), ev)
+
+
+def _cms_registers(ev: DataFrame) -> DataFrame:
+    """(s, bucket, cnt) Count-Min registers — the additive mergeable state."""
     seeds = F.array(*[F.lit(i) for i in range(_CMS_D)])
     updates = ev.select(
         F.explode(seeds).alias("s"),
@@ -90,8 +95,13 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
-    regs = updates.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return updates.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
+
+def _cms_probe(regs: DataFrame, ev: DataFrame) -> DataFrame:
+    """Point-query the exact top-20 keys through the registers — shared by
+    the batch spec and the streaming merge."""
+    seeds = F.array(*[F.lit(i) for i in range(_CMS_D)])
     exact = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
@@ -115,6 +125,57 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), F.asc("user_id"))
     )
+
+
+def q_stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental Count-Min: the events table replayed as a 4-file
+    stream (``maxFilesPerTrigger=1`` → four genuine micro-batches), each
+    batch's registers ADDED into the persisted sketch store via
+    ``foreachBatch``. Register addition is associative and commutative, so
+    the merged state is BIT-IDENTICAL to the single-pass batch sketch no
+    matter how the stream was batched — the streamed sketch hash-checks
+    against the same DuckDB oracle as ``countmin_heavy_hitters`` (the
+    stream_hll_cardinality discipline, SUM instead of MAX).
+
+    State is ≤ d·w = 1024 rows, published atomically through the
+    versioned snapshot store; at scale the store becomes a Delta table and
+    the merge stays ``union → groupBy sum``."""
+    import tempfile
+
+    from projet_data_infrastructure_spark.streaming import versioned
+
+    work = tempfile.mkdtemp(prefix="stream_cms_")
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    src = f"{work}/events"
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    target = f"{work}/state"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        regs = _cms_registers(batch_df)
+        if versioned.snapshot_exists(target):
+            current = versioned.read_snapshot(batch_df.sparkSession, target)
+            regs = (
+                current.unionByName(regs)
+                .groupBy("s", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        versioned.write_snapshot(regs, target)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return _cms_probe(versioned.read_snapshot(spark, target), ev)
 
 
 _CMS_SQL = f"""
@@ -278,6 +339,15 @@ SPECS: list[QuerySpec] = [
         doc="Count-Min sketch (d=4, w=256) over the portable hash, probed at "
         "the exact top-20 heavy hitters — whole sketch reproduced in DuckDB, "
         "one-sided overcount asserted",
+    ),
+    QuerySpec(
+        "stream_countmin_merge",
+        q_stream_countmin_merge,
+        _CMS_SQL,
+        ("sketch", "streaming"),
+        doc="LIVE streaming Count-Min: per-batch registers ADDED through "
+        "foreachBatch state — additive merge makes the streamed sketch "
+        "bit-identical to the batch sketch, same oracle",
     ),
     QuerySpec(
         "bloom_membership_audit",

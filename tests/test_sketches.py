@@ -165,3 +165,29 @@ def test_adamic_adar_plan_is_equi_join(spark):
     # a nested-loop form would be the quadratic all-pairs shape
     assert not checks["CartesianProduct"]
     assert not checks["BroadcastNestedLoopJoin"]
+
+
+def test_stream_countmin_equals_batch_sketch(spark):
+    # additive register merge ⇒ the streamed 4-batch sketch is
+    # bit-identical to the single-pass batch sketch
+    batch = sorted(map(tuple, sk.q_countmin_heavy_hitters(spark, SF).collect()))
+    streamed = sorted(map(tuple, sk.q_stream_countmin_merge(spark, SF).collect()))
+    assert streamed == batch
+
+
+def test_cms_register_merge_is_split_invariant(spark):
+    from pyspark.sql import functions as F
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF, "events").select("user_id")
+    whole = {
+        (r.s, r.bucket): r.cnt for r in sk._cms_registers(ev).collect()
+    }
+    # split the stream arbitrarily, sketch each half, merge by addition
+    a = sk._cms_registers(ev.filter(F.col("user_id") % 2 == 0))
+    b = sk._cms_registers(ev.filter(F.col("user_id") % 2 == 1))
+    merged = (
+        a.unionByName(b).groupBy("s", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r.s, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
