@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
 from projet_data_infrastructure_spark.operators.text import tokens
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
 from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
 
@@ -1561,6 +1562,170 @@ ORDER BY dow
 """
 
 
+# --------------------------------------------------------------------------
+# Calibration curve (reliability diagram)
+# --------------------------------------------------------------------------
+
+_CAL_BIN_CENTS = 4_000  # fixed-width 40-currency-unit score bins
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of event value as a purchase-probability score —
+    AUC's companion eval: per fixed-width score bin, the empirical purchase
+    rate vs the bin's mean score. A well-calibrated score has rate rising
+    monotonically with the bin; the table IS the calibration audit.
+
+    All integer: cents quantize once, bins are fixed-width integer DIV
+    (deterministic with no data-derived bounds pass), rates and means are
+    single exact floor divisions of positive sums. One map-side-combined
+    aggregate over the facts; output is ≤ score-range/width rows."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    base = ev.select(
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(_QBIAS))
+        .cast("long")
+        .alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    return (
+        base.groupBy(F.expr(f"cents DIV {_CAL_BIN_CENTS}").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "bin_id",
+            "n",
+            "n_pos",
+            F.expr("(n_pos * 1000000) DIV n").alias("rate_micro"),
+            F.expr("sum_cents DIV n").alias("mean_cents"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+_CAL_SQL = f"""
+WITH base AS (
+    SELECT CAST(floor(value * 100.0 + {_QBIAS}) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+g AS (
+    SELECT cents // {_CAL_BIN_CENTS} AS bin_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base GROUP BY bin_id
+)
+SELECT bin_id, n, n_pos,
+       CAST(n_pos * 1000000 // n AS BIGINT) AS rate_micro,
+       CAST(sum_cents // n AS BIGINT) AS mean_cents
+FROM g
+ORDER BY bin_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 1_000
+
+
+def q_zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of ln(freq) on ln(rank) over
+    the top-1000 words — the rank-frequency diagnostic (slope ≈ −1 for
+    natural language) every corpus health check runs before trusting
+    tokenizer/mixture decisions.
+
+    Determinism: ranks come from a TakeOrdered top-1000 cut (count desc,
+    word asc) + row_number over THAT bounded frame; ln(rank)/ln(freq)
+    quantize once to micro-nats, so the four moment sums are EXACT BIGINTs
+    (Σxy ≤ 1000·4e14 ≪ 2⁶³); only the final Cramer ratio runs in doubles —
+    identical op order on both sides, then the shared ``pround`` (the
+    ols_two_feature discipline).
+
+    Scale shape: ONE corpus tokenize → map-side-combined word count; the
+    top cut plans as TakeOrderedAndProject (every task keeps 1000 rows);
+    everything downstream is vocabulary-bounded."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_ZIPF_TOP)
+    )
+    ranked = wc.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1_000_000.0 + F.lit(_QBIAS))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000.0 + F.lit(_QBIAS))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # shared-text double solve (identical op order both engines)
+    return mom.select(
+        F.col("n").cast("long").alias("n_words"),
+        pround(F.expr(_ZIPF_SLOPE_EXPR), 6).alias("zipf_slope"),
+        pround(F.expr(_ZIPF_INTERCEPT_EXPR), 6).alias("intercept_nats"),
+    )
+
+
+_ZIPF_SLOPE_EXPR = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_ZIPF_INTERCEPT_EXPR = (
+    f"((CAST(sy AS DOUBLE) - ({_ZIPF_SLOPE_EXPR}) * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE)) / 1000000.0"
+)
+
+
+_ZIPF_SQL = f"""
+WITH t AS (
+    SELECT {_TOKS_LOWER_SQL} AS toks FROM documents
+),
+wc AS (
+    SELECT w, count(*) AS c
+    FROM (SELECT unnest(toks) AS w FROM t)
+    GROUP BY w
+    ORDER BY c DESC, w
+    LIMIT {_ZIPF_TOP}
+),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc
+),
+pts AS (
+    SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + {_QBIAS}) AS BIGINT) AS x,
+           CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + {_QBIAS}) AS BIGINT) AS y
+    FROM ranked
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT n AS n_words,
+       {pround_sql(_ZIPF_SLOPE_EXPR, 6)} AS zipf_slope,
+       {pround_sql(_ZIPF_INTERCEPT_EXPR, 6)} AS intercept_nats
+FROM mom
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "naive_bayes_lang",
@@ -1693,5 +1858,21 @@ SPECS: list[QuerySpec] = [
         doc="Exact per-weekday ROC AUC via Mann-Whitney midranks — no "
         "global row sort: ranks from the distinct-cents frame, one ×2 "
         "integer carry, one exact division",
+    ),
+    QuerySpec(
+        "calibration_bins",
+        q_calibration_bins,
+        _CAL_SQL,
+        ("ml", "stats"),
+        doc="Reliability diagram: fixed-width integer score bins, empirical "
+        "purchase rate + mean score per bin — one aggregate, all integer",
+    ),
+    QuerySpec(
+        "zipf_fit_slope",
+        q_zipf_fit_slope,
+        _ZIPF_SQL,
+        ("text", "stats"),
+        doc="Zipf rank-frequency OLS over the top-1000 words: micro-nat "
+        "quantized logs, exact BIGINT moments, shared-text double solve",
     ),
 ]

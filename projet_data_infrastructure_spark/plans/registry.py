@@ -148,6 +148,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "roc_auc_by_dow",
     "multimodal_phash_neardup",
     "stream_countmin_merge",
+    "calibration_bins",
+    "zipf_fit_slope",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

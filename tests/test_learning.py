@@ -621,3 +621,52 @@ def test_roc_auc_matches_python_reference(spark):
            for r in lrn.q_roc_auc_by_dow(spark, SF).collect()}
     want = {d: _auc_reference(p) for d, p in by_dow.items()}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Calibration + Zipf
+# --------------------------------------------------------------------------
+
+
+def test_calibration_bins_rates(spark, monkeypatch):
+    # bin 0: 3 views + 1 purchase -> 250000 micro; bin 1: pure purchases
+    rows = []
+    for i, (v, et) in enumerate(
+        [(10.0, "view"), (20.0, "view"), (30.0, "view"), (35.0, "purchase"),
+         (45.0, "purchase"), (50.0, "purchase")]
+    ):
+        rows.append((i, datetime(2024, 1, 1), 1, et, v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    _patch(monkeypatch, {"events": ev})
+    got = {r.bin_id: (r.n, r.n_pos, r.rate_micro) for r in
+           lrn.q_calibration_bins(spark, SF).collect()}
+    assert got[0] == (4, 1, 250_000)
+    assert got[1] == (2, 2, 1_000_000)
+
+
+def test_zipf_slope_negative_and_replica(spark):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    row = lrn.q_zipf_fit_slope(spark, SF).collect()[0]
+    assert row.zipf_slope < 0  # frequency falls with rank, always
+    # pure-Python replica of the whole pipeline
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc = Counter()
+    for text in t.column("text").to_pylist():
+        wc.update(w for w in text.lower().split() if w)
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[: lrn._ZIPF_TOP]
+    n = len(top)
+    xs = [math.floor(math.log(r) * 1e6 + lrn._QBIAS) for r in range(1, n + 1)]
+    ys = [math.floor(math.log(c) * 1e6 + lrn._QBIAS) for _w, c in top]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        float(n) * float(sxx) - float(sx) * float(sx)
+    )
+    assert row.n_words == n
+    assert abs(row.zipf_slope - slope) < 1e-5
