@@ -1032,7 +1032,7 @@ SPECS: list[QuerySpec] = [
         "multimodal_phash_neardup",
         q_multimodal_phash_neardup,
         _phash_sql(),
-        ("multimodal", "dedup"),
+        ("multimodal", "dedup", "bench"),
         doc="Perceptual-hash near-dup pairs through the REAL mapInPandas "
         "decode: 8-byte code from the stub feature vector, 4x2-byte "
         "pigeonhole-complete banding, exact verify on candidates",

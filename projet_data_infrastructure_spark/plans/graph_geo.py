@@ -1227,7 +1227,7 @@ SPECS: list[QuerySpec] = [
         "adamic_adar_links",
         q_adamic_adar_links,
         _ADAMIC_ADAR_SQL,
-        ("graph", "join"),
+        ("graph", "join", "bench"),
         doc="Adamic-Adar supplier link prediction via shared low-degree "
         "customers: micro-nat 1/ln(deg) weights, degree-capped equi self-join "
         "(fan-out bounded), top-30",

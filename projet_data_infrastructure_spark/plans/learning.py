@@ -1854,7 +1854,7 @@ SPECS: list[QuerySpec] = [
         "roc_auc_by_dow",
         q_roc_auc_by_dow,
         _AUC_SQL,
-        ("ml", "stats"),
+        ("ml", "stats", "bench"),
         doc="Exact per-weekday ROC AUC via Mann-Whitney midranks — no "
         "global row sort: ranks from the distinct-cents frame, one ×2 "
         "integer carry, one exact division",
@@ -1871,7 +1871,7 @@ SPECS: list[QuerySpec] = [
         "zipf_fit_slope",
         q_zipf_fit_slope,
         _ZIPF_SQL,
-        ("text", "stats"),
+        ("text", "stats", "bench"),
         doc="Zipf rank-frequency OLS over the top-1000 words: micro-nat "
         "quantized logs, exact BIGINT moments, shared-text double solve",
     ),

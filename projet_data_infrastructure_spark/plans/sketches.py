@@ -1,6 +1,6 @@
-"""Frequency / membership sketches over the portable hash — the two
-mergeable summaries (after KMV and HyperLogLog in ``lakehouse.py``) that a
-100 TB ingest pipeline keeps next to its tables:
+"""Frequency / membership sketches over the portable hash — the mergeable
+summaries (after KMV and HyperLogLog in ``lakehouse.py``) that a 100 TB
+ingest pipeline keeps next to its tables:
 
 * ``countmin_heavy_hitters`` — Count-Min sketch (Cormode & Muthukrishnan
   2005) with d=4 rows × w=256 buckets built from the seeded portable hash,
@@ -18,6 +18,10 @@ mergeable summaries (after KMV and HyperLogLog in ``lakehouse.py``) that a
   Parquet bloom filters and join-runtime filters rely on). Every customer
   is probed through the filter and the audit reports exact members, bloom
   positives, false positives and false negatives (provably 0) in one row.
+* ``stream_countmin_merge`` — the Count-Min sketch LIVE: per-micro-batch
+  registers ADDED into persisted state through ``foreachBatch``; additive
+  merge makes the streamed sketch bit-identical to the batch sketch, so it
+  shares the batch oracle (the ``stream_hll_cardinality`` discipline).
 
 Neither sketch exists in the reference repo
 (yanggautier/Projet_Data_Infrastructure) — its distinct/frequency telemetry
@@ -335,7 +339,7 @@ SPECS: list[QuerySpec] = [
         "countmin_heavy_hitters",
         q_countmin_heavy_hitters,
         _CMS_SQL,
-        ("sketch",),
+        ("sketch", "bench"),
         doc="Count-Min sketch (d=4, w=256) over the portable hash, probed at "
         "the exact top-20 heavy hitters — whole sketch reproduced in DuckDB, "
         "one-sided overcount asserted",

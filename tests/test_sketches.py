@@ -191,3 +191,26 @@ def test_cms_register_merge_is_split_invariant(spark):
     )
     got = {(r.s, r.bucket): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_phash_and_zipf_plan_gates(spark):
+    from projet_data_infrastructure_spark.plans.extras import (
+        q_multimodal_phash_neardup,
+    )
+    from projet_data_infrastructure_spark.plans.learning import q_zipf_fit_slope
+
+    checks = explain_has(
+        q_multimodal_phash_neardup(spark, SF),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )
+    # band candidates must come from equi-joins, never an all-pairs scan
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
+
+    plan = (
+        q_zipf_fit_slope(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the vocabulary cut must plan as TakeOrdered (every task keeps 1000
+    # rows), not a global sort of the word-count table
+    assert "TakeOrderedAndProject" in plan
