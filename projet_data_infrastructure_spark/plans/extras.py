@@ -216,7 +216,13 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"b{2 * k}") * 256 + F.col(f"b{2 * k + 1}")).alias(f"band{k}")
         for k in range(4)
     ]
-    coded = codes.select("asset_id", *[F.col(f"b{i}") for i in range(8)], *bands)
+    # one Arrow decode pass TOTAL: the 5k-row code table is checkpointed,
+    # so the 8 self-join branches (2 sides × 4 bands) read in-memory blocks
+    # instead of each re-running the mapInPandas decode (measured 7.5 s →
+    # ~1 s at sf0.1)
+    coded = codes.select(
+        "asset_id", *[F.col(f"b{i}") for i in range(8)], *bands
+    ).localCheckpoint(eager=True)
     diff = sum(
         (F.col(f"a.b{i}") != F.col(f"c.b{i}")).cast("int") for i in range(8)
     )

@@ -217,8 +217,7 @@ ORDER BY p.n_exact DESC, p.user_id
 # --------------------------------------------------------------------------
 
 _BLOOM_K = 3  # hash functions
-_BLOOM_BITS = 16_384  # m — 512 words × 32 bits
-_BLOOM_WORDS = _BLOOM_BITS // 32
+_BLOOM_BITS = 16_384  # m — packs into 512 words of 32 bits each
 
 
 def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

