@@ -1133,6 +1133,84 @@ LIMIT {_AA_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Point-in-polygon containment (integer half-plane test)
+# --------------------------------------------------------------------------
+
+#: convex service-area polygon in milli-degrees, counterclockwise — a plan
+#: literal, like the kmeans centroids / SQ8 bounds / JL sign matrix
+_PIP_POLY: tuple[tuple[int, int], ...] = (
+    (2_000, 2_000),
+    (8_000, 3_000),
+    (9_000, 7_000),
+    (5_000, 9_000),
+    (1_500, 6_000),
+)
+
+
+def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers inside vs outside a literal convex service-area polygon —
+    the spatial-containment primitive (geofencing, service-area rollups)
+    the radius/cell specs don't cover.
+
+    The test is the classic convex half-plane check: the point is inside
+    iff every edge's 2-D cross product (B−A)×(P−A) is ≥ 0 for the CCW
+    vertex order (boundary counts as inside). Coordinates are integer
+    milli-degrees, so all five cross products are exact BIGINTs — no
+    epsilon, no libm, hash-identical cross-engine.
+
+    Scale shape: the polygon is a plan-time literal and the test one
+    map-side boolean expression (whole-stage codegen, zero Exchange before
+    the final 2-row aggregate). A polygon-TABLE variant would broadcast
+    the vertex list and aggregate min(cross) per (point, polygon) — same
+    algebra through a join; the literal form is the hot path."""
+    pts = _geo_points(spark, sf_dir)
+    n = len(_PIP_POLY)
+    crosses = []
+    for i in range(n):
+        ax, ay = _PIP_POLY[i]
+        bx, by = _PIP_POLY[(i + 1) % n]
+        crosses.append(
+            f"(({bx - ax}) * (lon_m - {ay}) - ({by - ay}) * (lat_m - {ax})) >= 0"
+        )
+    inside = F.expr(" AND ".join(crosses))
+    return (
+        pts.select(inside.alias("inside"), "c_custkey")
+        .groupBy("inside")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("c_custkey").alias("key_checksum"),
+        )
+        .orderBy("inside")
+    )
+
+
+def _pip_sql() -> str:
+    n = len(_PIP_POLY)
+    crosses = []
+    for i in range(n):
+        ax, ay = _PIP_POLY[i]
+        bx, by = _PIP_POLY[(i + 1) % n]
+        crosses.append(
+            f"(({bx - ax}) * (lon_m - {ay}) - ({by - ay}) * (lat_m - {ax})) >= 0"
+        )
+    test = " AND ".join(crosses)
+    return f"""
+WITH pts AS (
+    SELECT c_custkey,
+           {hash64_sql('c_custkey', seed=101)} % {_GEO_BOX_MILLI} AS lat_m,
+           {hash64_sql('c_custkey', seed=102)} % {_GEO_BOX_MILLI} AS lon_m
+    FROM customer
+)
+SELECT ({test}) AS inside,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+FROM pts
+GROUP BY inside
+ORDER BY inside
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pagerank_fixed_point",
@@ -1222,6 +1300,14 @@ SPECS: list[QuerySpec] = [
         ("graph", "iterative"),
         doc="HITS (Kleinberg) authorities, 2 rounds, integer MAX "
         "normalization — rank-preserving, hash-exact iterative link analysis",
+    ),
+    QuerySpec(
+        "geo_point_in_polygon",
+        q_geo_point_in_polygon,
+        _pip_sql(),
+        ("geo",),
+        doc="Convex point-in-polygon containment: literal polygon, exact "
+        "BIGINT cross products, map-side test with zero pre-agg Exchange",
     ),
     QuerySpec(
         "adamic_adar_links",

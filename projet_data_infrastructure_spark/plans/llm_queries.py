@@ -751,6 +751,138 @@ LIMIT 20
 """
 
 
+_BPE_ROUNDS = 3
+
+
+def _bpe_pair_top1(words: DataFrame) -> DataFrame:
+    """Top adjacent-token pair (count desc, pair asc) over the wrapped-token
+    ``seq`` column, weighted by word frequency ``c``."""
+    toks = "filter(split(seq, '\\\\|'), x -> x != '')"
+    return (
+        words.select(
+            "c",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({toks}) >= 2 THEN "
+                    f"transform(sequence(1, size({toks}) - 1),"
+                    f" i -> struct({toks}[i-1] AS a, {toks}[i] AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+
+
+def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE unrolled rounds of actual BPE training (Sennrich et al. 2016):
+    pick the most frequent adjacent token pair, merge every non-overlapping
+    occurrence left-to-right across the vocabulary, recount, repeat — the
+    real tokenizer-training loop, not just the first candidate scan
+    (``bpe_merge_candidates``).
+
+    Canonical merge application without per-word Python: each token is
+    wrapped in its OWN delimiters (``the`` → ``|t||h||e|``), so the string
+    pattern ``|a||b|`` → ``|ab|`` never shares boundary characters between
+    adjacent matches and plain ``replace()`` (leftmost non-overlapping in
+    both engines) applies the merge exactly as the BPE training sweep does
+    — run-of-same-char words included (a shared-delimiter encoding silently
+    skips every second merge in ``aaaa``; the doubled form doesn't).
+
+    Scale shape: stage 1 is ONE corpus tokenize → word-frequency aggregate,
+    ``localCheckpoint``ed; every round after is vocabulary-bounded (pair
+    explode over distinct words, a 1-row top pair broadcast back, a
+    map-side replace). Corpus size never re-enters the loop — the
+    WordPiece trick that makes tokenizer training feasible at 100 TB."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "c",
+            F.expr(
+                "array_join(transform(sequence(1, length(w)),"
+                " i -> concat('|', substring(w, i, 1), '|')), '')"
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=True)  # corpus pass runs once, rounds are lazy
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = _bpe_pair_top1(words)
+        merges.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("token_a"),
+                F.col("b").alias("token_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        words = words.crossJoin(F.broadcast(top)).select(
+            "c",
+            F.expr(
+                "replace(seq, concat('|', a, '||', b, '|'),"
+                " concat('|', a, b, '|'))"
+            ).alias("seq"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
+
+
+def _bpe_train_sql() -> str:
+    toks = "list_filter(string_split(seq, '|'), x -> x != '')"
+    pair_cte = (
+        "SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS cnt FROM (\n"
+        "    SELECT c, unnest(CASE WHEN len({t}) >= 2 THEN\n"
+        "        list_transform(generate_series(1, len({t}) - 1),\n"
+        "                       i -> struct_pack(a := {t}[i], b := {t}[i+1]))\n"
+        "        ELSE [] END) AS p\n"
+        "    FROM {src}\n"
+        ") GROUP BY p.a, p.b ORDER BY cnt DESC, a, b LIMIT 1"
+    )
+    parts = [
+        f"""
+WITH wtab AS (
+    SELECT w, count(*) AS c FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t != '')) AS w
+        FROM documents
+    ) GROUP BY w
+),
+s0 AS (
+    SELECT c, array_to_string(list_transform(generate_series(1, length(w)),
+               i -> '|' || substr(w, i, 1) || '|'), '') AS seq
+    FROM wtab
+)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+p{r} AS (
+    {pair_cte.format(t=toks, src=f's{r - 1}')}
+),
+s{r} AS (
+    SELECT c, replace(seq, '|' || a || '||' || b || '|',
+                      '|' || a || b || '|') AS seq
+    FROM s{r - 1}, p{r}
+)"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS token_a, b AS token_b,"
+        f" a || b AS merged, cnt AS n_occurrences FROM p{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + f"\nSELECT * FROM ({rounds}) ORDER BY round"
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -2992,6 +3124,15 @@ SPECS: list[QuerySpec] = [
         doc="First BPE merge step at corpus scale: adjacent char-pair counts "
         "over the word-frequency table (distinct words only — corpus-size-"
         "independent stage 2), top-20 merges, integer-exact",
+    ),
+    QuerySpec(
+        "bpe_train_rounds",
+        q_bpe_train_rounds,
+        _bpe_train_sql(),
+        ("llm", "tokenizer", "iterative"),
+        doc="3 unrolled BPE TRAINING rounds: top pair → canonical left-to-"
+        "right non-overlapping merge across the vocabulary (own-delimiter "
+        "token encoding) → recount; corpus enters only the first aggregate",
     ),
     QuerySpec(
         "ivf_topk_batch",

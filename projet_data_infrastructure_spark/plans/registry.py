@@ -150,6 +150,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_countmin_merge",
     "calibration_bins",
     "zipf_fit_slope",
+    "geo_point_in_polygon",
+    "bpe_train_rounds",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

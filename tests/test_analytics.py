@@ -405,3 +405,82 @@ def test_k_anonymity_release_ladder(spark):
         (1, "AUTO", 1): (2, 7, "coarse"),
         (2, "SHIP", 0): (1, 1, "suppressed"),
     }
+
+
+# --------------------------------------------------------------------------
+# BPE training rounds
+# --------------------------------------------------------------------------
+
+
+def _bpe_reference(word_counts, rounds=3):
+    """Canonical BPE trainer (Sennrich et al.): pick max pair (ties: lexi),
+    merge all non-overlapping occurrences left-to-right, repeat."""
+    from collections import Counter
+
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, a, b, a + b, cnt))
+        new = {}
+        for toks, c in vocab.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            new[tuple(merged)] = new.get(tuple(merged), 0) + c
+        vocab = new
+    return out
+
+
+def test_bpe_train_rounds_matches_reference_incl_char_runs(spark):
+    # 'aaaa' exercises the run-of-same-char merge (a,a)x2 -> (aa,aa);
+    # 'lower'/'lowest' exercise the classic shared-prefix merges
+    docs_rows = []
+    corpus = ["low low low lower lowest", "aaaa aaaa aaaa aaaa aaaa aaaa"]
+    for i, text in enumerate(corpus):
+        docs_rows.append((i, text, "en", "w", len(text)))
+    df = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        got = [
+            (r.round, r.token_a, r.token_b, r.merged, r.n_occurrences)
+            for r in lq.q_bpe_train_rounds(spark, SF).collect()
+        ]
+    finally:
+        lq.read_table_balanced = orig
+    from collections import Counter
+
+    wc = Counter(w for t in corpus for w in t.lower().split())
+    assert got == _bpe_reference(wc)
+    # round 1 must be (a,a) with 18 occurrences: 3 non-overlapping per
+    # 'aaaa'... no — 'aaaa' has pairs (a,a)x3 counted, 6 words -> 18
+    assert got[0][:2] == (1, "a")
+    # and round 2 merges the MERGED token (aa,aa) — proving rounds compose
+    assert ("aa", "aa") in {(a, b) for _r, a, b, _m, _c in got}
+
+
+def test_bpe_train_rounds_on_real_corpus_matches_reference(spark):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc = Counter(
+        w for text in t.column("text").to_pylist() for w in text.lower().split() if w
+    )
+    got = [
+        (r.round, r.token_a, r.token_b, r.merged, r.n_occurrences)
+        for r in lq.q_bpe_train_rounds(spark, SF).collect()
+    ]
+    assert got == _bpe_reference(wc)
