@@ -888,13 +888,16 @@ ORDER BY support DESC, brand_a, brand_b, brand_c
 # k-core decomposition (bounded peel rounds)
 # --------------------------------------------------------------------------
 
-_KCORE_K = 3
+_KCORE_K = 40
 _KCORE_ROUNDS = 3
 
 
 def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-round survivor telemetry of a 3-round k-core peel (k=3) on the
-    trade graph — the standard coreness sieve for graph densification /
+    """Per-round survivor telemetry of a 3-round k-core peel (k=40) on the
+    trade graph — k sits inside the customer-degree range, so the peel
+    genuinely CASCADES on the test corpus (at sf0.001 the graph empties:
+    low-degree customers fall first, the suppliers they stranded follow)
+    instead of fixing immediately — the standard coreness sieve for graph densification /
     spam-node pruning, made hash-exact by fixing the round count (the CC
     modules' bounded-round discipline; a production peel would iterate to
     the fixpoint with periodic re-checkpoints).

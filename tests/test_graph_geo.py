@@ -213,6 +213,7 @@ def test_kcore_peels_pendant_and_keeps_core(spark, monkeypatch):
     li_rows = [(100 + c, s + 1) for c in range(3) for s in range(3)] + [(200, 1)]
     line = spark.createDataFrame(li_rows, "l_orderkey long, l_suppkey long")
     _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    monkeypatch.setattr(gg, "_KCORE_K", 3, raising=True)
     out = {r.round: (r.n_nodes, r.node_checksum) for r in
            gg.q_kcore_decomposition(spark, SF).collect()}
     core = [2, 4, 6, 3, 5, 7]  # c1,c2,c3 → 2k; s1,s2,s3 → 2k+1
@@ -226,6 +227,7 @@ def test_kcore_fully_peels_sparse_graph(spark, monkeypatch):
     orders = spark.createDataFrame([(100, 1), (101, 2)], "o_orderkey long, o_custkey long")
     line = spark.createDataFrame([(100, 1), (101, 1)], "l_orderkey long, l_suppkey long")
     _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    monkeypatch.setattr(gg, "_KCORE_K", 3, raising=True)
     out = {r.round: (r.n_nodes, r.node_checksum) for r in
            gg.q_kcore_decomposition(spark, SF).collect()}
     assert out == {1: (0, 0), 2: (0, 0), 3: (0, 0)}
