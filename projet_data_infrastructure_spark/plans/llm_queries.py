@@ -751,6 +751,101 @@ LIMIT 20
 """
 
 
+def q_wordpiece_merge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 merge candidates by the WORDPIECE criterion (Schuster &
+    Nakajima 2012; used by BERT): score(a,b) = count(ab) / (count(a)·
+    count(b)) — likelihood gain rather than BPE's raw pair count, so rare-
+    but-strongly-associated pairs win over frequent-by-chance ones.
+
+    Integer discipline: score_pico = count(ab)·10¹² DIV (count(a)·
+    count(b)) — one exact positive floor division per pair (counts ≤ ~10⁸
+    keep the product < 2⁶³ at any corpus the char-vocab bounds allow; at
+    larger corpora the same expression runs in DECIMAL). Ties break on the
+    pair text.
+
+    Scale shape: the dsir/bpe discipline — ONE corpus tokenize → word-
+    frequency aggregate; pair counts AND single-char marginals both derive
+    from that vocabulary-bounded table, never a second corpus pass."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # pairs + marginals read this twice
+    )
+    chars = (
+        words.select(
+            "c",
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("ch"),
+        )
+        .groupBy("ch")
+        .agg(F.sum("c").alias("n_ch"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> struct(substring(w, i, 1) AS a, substring(w, i+1, 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("c").alias("n_pair"))
+    )
+    return (
+        pairs.join(F.broadcast(chars.withColumnRenamed("ch", "a")), "a")
+        .withColumnRenamed("n_ch", "n_a")
+        .join(F.broadcast(chars.withColumnRenamed("ch", "b")), "b")
+        .withColumnRenamed("n_ch", "n_b")
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.expr("(n_pair * 1000000000000) DIV (n_a * n_b)").alias("score_pico"),
+        )
+        .orderBy(F.desc("score_pico"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+_WORDPIECE_SQL = """
+WITH wtab AS (
+    SELECT w, count(*) AS c FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t != '')) AS w
+        FROM documents
+    ) GROUP BY w
+),
+chars AS (
+    SELECT ch, CAST(sum(c) AS BIGINT) AS n_ch FROM (
+        SELECT c, unnest(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1))) AS ch
+        FROM wtab
+    ) GROUP BY ch
+),
+pairs AS (
+    SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS n_pair FROM (
+        SELECT c, unnest(list_transform(generate_series(1, length(w) - 1),
+                   i -> struct_pack(a := substr(w, i, 1), b := substr(w, i+1, 1)))) AS p
+        FROM wtab WHERE length(w) >= 2
+    ) GROUP BY p.a, p.b
+)
+SELECT pairs.a, pairs.b, pairs.n_pair,
+       CAST(pairs.n_pair * 1000000000000 // (ca.n_ch * cb.n_ch) AS BIGINT)
+           AS score_pico
+FROM pairs
+JOIN chars ca ON pairs.a = ca.ch
+JOIN chars cb ON pairs.b = cb.ch
+ORDER BY score_pico DESC, pairs.a, pairs.b
+LIMIT 20
+"""
+
+
 _BPE_ROUNDS = 3
 
 
@@ -3133,6 +3228,15 @@ SPECS: list[QuerySpec] = [
         doc="3 unrolled BPE TRAINING rounds: top pair → canonical left-to-"
         "right non-overlapping merge across the vocabulary (own-delimiter "
         "token encoding) → recount; corpus enters only the first aggregate",
+    ),
+    QuerySpec(
+        "wordpiece_merge_scores",
+        q_wordpiece_merge_scores,
+        _WORDPIECE_SQL,
+        ("llm", "tokenizer"),
+        doc="WordPiece likelihood-scored merge ranking: count(ab)/(count(a)"
+        "·count(b)) in exact pico-units — pair counts and marginals both "
+        "off the one word-frequency aggregate",
     ),
     QuerySpec(
         "ivf_topk_batch",

@@ -152,6 +152,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zipf_fit_slope",
     "geo_point_in_polygon",
     "bpe_train_rounds",
+    "wordpiece_merge_scores",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

@@ -484,3 +484,34 @@ def test_bpe_train_rounds_on_real_corpus_matches_reference(spark):
         for r in lq.q_bpe_train_rounds(spark, SF).collect()
     ]
     assert got == _bpe_reference(wc)
+
+
+def test_wordpiece_scores_match_reference(spark):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc = Counter(
+        w for text in t.column("text").to_pylist() for w in text.lower().split() if w
+    )
+    chars, pairs = Counter(), Counter()
+    for w, c in wc.items():
+        for ch in w:
+            chars[ch] += c
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += c
+    scored = sorted(
+        (
+            (-(n * 10**12 // (chars[a] * chars[b])), a, b, n)
+            for (a, b), n in pairs.items()
+        )
+    )[:20]
+    want = [(a, b, n, -s) for s, a, b, n in scored]
+    got = [
+        (r.a, r.b, r.n_pair, r.score_pico)
+        for r in lq.q_wordpiece_merge_scores(spark, SF).collect()
+    ]
+    assert got == want
+    # likelihood scoring is NOT count scoring: the top WordPiece pair need
+    # not be the most frequent pair (rare-but-exclusive pairs can win)
+    assert len(got) == 20
