@@ -143,3 +143,98 @@ def exact_ntile(
     return ranked.withColumn(
         bucket_col, ntile_from_rank(F.col("_gr_rank"), n, n_total)
     ).drop("_gr_rank")
+
+
+_SEP = "\x1f"  # group/bucket composite map key — never appears in data keys
+
+
+def grouped_rank(
+    df: DataFrame,
+    group: str,
+    key: str,
+    ties: Sequence[str] = (),
+    descending: bool = False,
+    rank_col: str = "rank",
+    total_col: str = "group_total",
+    n_ranges: int | None = None,
+    cache: bool = True,
+) -> DataFrame:
+    """Exact per-group 1-based rank by (key [DESC], *ties ASC) — the
+    scale-safe replacement for ``row_number() OVER (PARTITION BY group
+    ORDER BY ...)`` when single groups are corpus-sized (a per-language
+    window at 100 TB funnels each whole language through one task).
+
+    Same decomposition as :func:`global_rank`, with the group spliced into
+    the window key: the numeric sort key is range-bucketed GLOBALLY (one
+    ``approx_percentile``, bounds as literals), ``row_number`` runs per
+    (group, range-bucket) — |G|·P parallel sorts of bounded slices — and
+    the per-group rank is rebuilt from |G|·P collected prefix offsets
+    (model-parameter-class collect, same discipline as the range-bucket
+    offsets above). Adds ``total_col`` (per-group row count) so callers can
+    feed :func:`ntile_from_rank_cols` without another aggregate.
+
+    ``group`` must have bounded cardinality (languages, sources, shards —
+    not user ids); key numeric and non-null; (key, *ties) unique per group.
+    """
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    keyexpr = (-F.col(key)) if descending else F.col(key)
+    work = df.withColumn(_KEY, keyexpr)
+    if cache:
+        work = work.persist()
+
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    brow = work.agg(F.percentile_approx(_KEY, probs, 10_000).alias("b")).first()
+    bounds = sorted(set(brow["b"] or []))
+
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col(_KEY) > F.lit(b), 1).otherwise(0)
+    work = work.withColumn(_PID, pid.cast("int"))
+
+    counts = work.groupBy(group, _PID).agg(F.count(F.lit(1)).alias("c")).collect()
+    per_group: dict[str, list[tuple[int, int]]] = {}
+    for row in counts:
+        per_group.setdefault(str(row[group]), []).append((row[_PID], row["c"]))
+    off_entries: list[tuple[str, int]] = []
+    tot_entries: list[tuple[str, int]] = []
+    for g, lst in per_group.items():
+        acc = 0
+        for p, c in sorted(lst):
+            off_entries.append((f"{g}{_SEP}{p}", acc))
+            acc += c
+        tot_entries.append((g, acc))
+    off_map = F.create_map(*[F.lit(x) for kv in off_entries for x in kv])
+    tot_map = F.create_map(*[F.lit(x) for kv in tot_entries for x in kv])
+
+    w = Window.partitionBy(group, _PID).orderBy(
+        F.asc(_KEY), *[F.asc(t) for t in ties]
+    )
+    okey = F.concat_ws(
+        _SEP, F.col(group).cast("string"), F.col(_PID).cast("string")
+    )
+    return (
+        work.withColumn(_RN, F.row_number().over(w))
+        .withColumn(rank_col, F.col(_RN).cast("long") + off_map[okey].cast("long"))
+        .withColumn(total_col, tot_map[F.col(group).cast("string")].cast("long"))
+        .drop(_PID, _KEY, _RN)
+    )
+
+
+def ntile_from_rank_cols(rank: Column, n_total: Column, n: int) -> Column:
+    """:func:`ntile_from_rank` with a per-row (per-group) total — the same
+    integer ntile algebra, all operands Columns so one expression buckets
+    every group at once. Exact for totals < 2⁵³."""
+    q = F.floor(n_total / F.lit(n)).cast("long")
+    rem = (n_total % F.lit(n)).cast("long")
+    boundary = rem * (q + F.lit(1))
+    big = F.floor((rank + q) / (q + F.lit(1)))
+    small = rem + F.floor((rank - boundary + q - F.lit(1)) / q)
+    return (
+        F.when(q == F.lit(0), rank)
+        .when(rank <= boundary, big)
+        .otherwise(small)
+        .cast("int")
+    )

@@ -2197,6 +2197,13 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model is trained on the scored corpus itself (every doc bigram was
     counted). ln noise across engines is ≤1 ulp — invisible at pround-6."""
     docs = read_table_balanced(spark, sf_dir, "documents")
+    return _bigram_doc_scores(docs).orderBy("doc_id")
+
+
+def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under the corpus's own bigram LM —
+    the one scoring pass shared by ``lm_bigram_score`` and the CCNet
+    bucketing spec (one definition, two consumers)."""
     t = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -2219,12 +2226,10 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             pround(F.avg("logp"), 6).alias("avg_logprob"),
         )
-        .orderBy("doc_id")
     )
 
 
-_LM_BIGRAM_SQL = f"""
-WITH toks AS (
+_LM_CTES = f"""toks AS (
     SELECT doc_id, {_TOKS_SQL} AS t FROM documents
 ), big AS (
     SELECT doc_id,
@@ -2240,12 +2245,276 @@ WITH toks AS (
 ), lp AS (
     SELECT cb.w1, cb.w2, ln(cb.cb::DOUBLE / cw.cw::DOUBLE) AS logp
     FROM cb JOIN cw USING (w1)
+), lm_scores AS (
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           {pround_sql('avg(lp.logp)', 6)} AS avg_logprob
+    FROM pairs p JOIN lp ON p.w1 = lp.w1 AND p.w2 = lp.w2
+    GROUP BY p.doc_id
+)"""
+
+_LM_BIGRAM_SQL = f"""
+WITH {_LM_CTES}
+SELECT doc_id, n_bigrams, avg_logprob FROM lm_scores ORDER BY doc_id
+"""
+
+
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality terciles (Wenzek et al. 2020, §4.3:
+    split each language's crawl into head/middle/tail by LM perplexity;
+    public method). The corpus bigram LM (:func:`_bigram_doc_scores`, one
+    shared definition with ``lm_bigram_score``) scores every doc; each
+    language is then cut into ntile(3) buckets by score, best first.
+
+    Scale design: the per-language ntile is NOT a ``PARTITION BY lang``
+    window — one task per language would sort that language's entire corpus
+    at 100 TB. :func:`operators.ranks.grouped_rank` range-buckets the score
+    globally (one approx_percentile, bounds as literals), runs |lang|·P
+    parallel bounded row_numbers, and rebuilds the exact per-language rank
+    from |lang|·P broadcast prefix offsets; the tercile is then a pure
+    integer formula of (rank, per-lang total) — no corpus-sized window
+    partition anywhere, hash-identical to the SQL ntile."""
+    from projet_data_infrastructure_spark.operators.ranks import (
+        grouped_rank,
+        ntile_from_rank_cols,
+    )
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    scored = _bigram_doc_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    ranked = grouped_rank(
+        scored,
+        "lang",
+        "avg_logprob",
+        ties=("doc_id",),
+        descending=True,
+        rank_col="_lr",
+        total_col="_lt",
+    )
+    bucket = ntile_from_rank_cols(F.col("_lr"), F.col("_lt"), 3)
+    return ranked.select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    ).orderBy("doc_id")
+
+
+_CCNET_SQL = f"""
+WITH {_LM_CTES}
+SELECT s.doc_id, d.lang, s.avg_logprob,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_logprob DESC, s.doc_id) AS INTEGER) AS bucket
+FROM lm_scores s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: raw → exact-dedup survivors → Gopher
+    quality survivors, one row per (source, stage) with the survivor count
+    and an order-free doc-id checksum — the audit table a production corpus
+    build publishes so every downstream consumer can see where each
+    source's documents died (reuses the registry's own gate definitions:
+    ``dedup.fingerprint_col`` for the digest, ``text.gopher_metrics`` for
+    the quality gate — the funnel reports the same pipeline it audits).
+
+    Scale: two linear scans plus one digest groupBy (the only wide
+    shuffle); the keeper→document join keys on doc_id; per-stage reports
+    are map-side-combined aggregates down to |sources|·|stages| rows."""
+    from projet_data_infrastructure_spark.operators.text import gopher_keep, gopher_metrics
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    keepers = (
+        docs.select("doc_id", "source", dedup.fingerprint_col("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(source, doc_id)").alias("source"),
+        )
+    )
+    m = gopher_metrics(tokens(F.col("text")))
+    quality = (
+        docs.join(keepers.select("doc_id"), "doc_id")
+        .filter(gopher_keep(m))
+        .select("doc_id", "source")
+    )
+
+    def stage_report(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+
+    out = (
+        stage_report(docs, "raw")
+        .unionByName(stage_report(keepers, "exact_dedup"))
+        .unionByName(stage_report(quality, "quality"))
+    )
+    return out.select("source", "stage", "n_docs", "id_checksum").orderBy(
+        "source", "stage"
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH k AS (
+    SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+    FROM documents
+    GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+),
+gm AS (
+    SELECT doc_id, len(t) AS n_words,
+           coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+               / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
+           len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_ratio,
+           len(list_filter(t, x -> x IN ({_EN}))) AS stop_hits
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+),
+q AS (
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN k ON d.doc_id = k.doc_id JOIN gm ON d.doc_id = gm.doc_id
+    WHERE gm.n_words >= 50 AND gm.n_words <= 100000
+      AND gm.mean_len >= 3.0 AND gm.mean_len <= 10.0
+      AND gm.alpha_ratio >= 0.8 AND gm.stop_hits >= 2
 )
-SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       {pround_sql('avg(lp.logp)', 6)} AS avg_logprob
-FROM pairs p JOIN lp ON p.w1 = lp.w1 AND p.w2 = lp.w2
-GROUP BY p.doc_id
-ORDER BY p.doc_id
+SELECT * FROM (
+    SELECT source, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT source, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(doc_id) AS BIGINT) FROM k GROUP BY source
+    UNION ALL
+    SELECT source, 'quality', CAST(count(*) AS BIGINT),
+           CAST(sum(doc_id) AS BIGINT) FROM q GROUP BY source
+)
+ORDER BY source, stage
+"""
+
+
+_MMR_K = 8
+_MMR_TOPN = 3
+
+
+def q_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998,
+    public) of the query-0 top-8 cosine candidates: 3 greedy picks of
+    argmax(0.7·relevance − 0.3·max-sim-to-selected) — the standard RAG
+    diversity pass after dense retrieval, deterministic because every
+    similarity is rounded at 1e-6 BEFORE the argmax and ties break on
+    vec_id (the registry's ranking discipline).
+
+    Scale: retrieval bounds the candidate set to k rows, which are
+    ``localCheckpoint``ed once (model-parameter-class materialization — the
+    100 TB scan happens exactly once); everything after is k²-bounded pair
+    similarity plus per-round 1-row TakeOrdered argmaxes. The greedy
+    recurrence is inherently sequential in the number of PICKS, not in
+    corpus size — 3 unrolled rounds, like the BPE/PageRank fixed points."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    rel = pround(similarity.cosine("embedding", "qvec"), 6)
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_K)
+        .localCheckpoint(eager=True)
+    )
+    pair_sim = pround(similarity.cosine("va", "vb"), 6)
+    pairs = (
+        cand.select(F.col("vec_id").alias("ai"), F.col("embedding").alias("va"))
+        .crossJoin(cand.select(F.col("vec_id").alias("bi"), F.col("embedding").alias("vb")))
+        .filter(F.col("ai") != F.col("bi"))
+        .select("ai", "bi", pair_sim.alias("s"))
+    )
+
+    sel1 = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(F.col("vec_id").alias("s1"), F.col("rel").alias("score1"))
+    )
+    mmr2 = pround(F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("s"), 6)
+    m2 = (
+        cand.crossJoin(F.broadcast(sel1))
+        .filter(F.col("vec_id") != F.col("s1"))
+        .join(F.broadcast(pairs), (F.col("ai") == F.col("vec_id")) & (F.col("bi") == F.col("s1")))
+        .select("vec_id", mmr2.alias("mmr"))
+    )
+    sel2 = (
+        m2.orderBy(F.desc("mmr"), F.asc("vec_id"))
+        .limit(1)
+        .select(F.col("vec_id").alias("s2"), F.col("mmr").alias("score2"))
+    )
+    p1 = pairs.select(F.col("ai").alias("a1"), F.col("bi").alias("b1"), F.col("s").alias("sim1"))
+    p2 = pairs.select(F.col("ai").alias("a2"), F.col("bi").alias("b2"), F.col("s").alias("sim2"))
+    mmr3 = pround(
+        F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.greatest("sim1", "sim2"), 6
+    )
+    m3 = (
+        cand.crossJoin(F.broadcast(sel1))
+        .crossJoin(F.broadcast(sel2))
+        .filter((F.col("vec_id") != F.col("s1")) & (F.col("vec_id") != F.col("s2")))
+        .join(F.broadcast(p1), (F.col("a1") == F.col("vec_id")) & (F.col("b1") == F.col("s1")))
+        .join(F.broadcast(p2), (F.col("a2") == F.col("vec_id")) & (F.col("b2") == F.col("s2")))
+        .select("vec_id", mmr3.alias("mmr"))
+    )
+    sel3 = (
+        m3.orderBy(F.desc("mmr"), F.asc("vec_id"))
+        .limit(1)
+        .select(F.col("vec_id").alias("s3"), F.col("mmr").alias("score3"))
+    )
+
+    r1 = sel1.select(
+        F.lit(1).cast("int").alias("rank"),
+        F.col("s1").alias("vec_id"),
+        F.col("score1").alias("mmr_score"),
+    )
+    r2 = sel2.select(
+        F.lit(2).cast("int").alias("rank"),
+        F.col("s2").alias("vec_id"),
+        F.col("score2").alias("mmr_score"),
+    )
+    r3 = sel3.select(
+        F.lit(3).cast("int").alias("rank"),
+        F.col("s3").alias("vec_id"),
+        F.col("score3").alias("mmr_score"),
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("rank")
+
+
+_MMR_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {pround_sql('list_cosine_similarity(embedding::DOUBLE[], qv)', 6)} AS rel
+    FROM embeddings, q WHERE vec_id != 0
+    ORDER BY rel DESC, vec_id LIMIT {_MMR_K}
+),
+p AS (
+    SELECT a.vec_id AS ai, b.vec_id AS bi,
+           {pround_sql('list_cosine_similarity(a.v, b.v)', 6)} AS s
+    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+m2 AS (
+    SELECT c.vec_id, {pround_sql('0.7 * c.rel - 0.3 * p.s', 6)} AS mmr
+    FROM cand c JOIN s1 ON c.vec_id <> s1.vec_id
+    JOIN p ON p.ai = c.vec_id AND p.bi = s1.vec_id
+),
+s2 AS (SELECT vec_id, mmr FROM m2 ORDER BY mmr DESC, vec_id LIMIT 1),
+m3 AS (
+    SELECT c.vec_id, {pround_sql('0.7 * c.rel - 0.3 * greatest(p1.s, p2.s)', 6)} AS mmr
+    FROM cand c JOIN s1 ON c.vec_id <> s1.vec_id JOIN s2 ON c.vec_id <> s2.vec_id
+    JOIN p p1 ON p1.ai = c.vec_id AND p1.bi = s1.vec_id
+    JOIN p p2 ON p2.ai = c.vec_id AND p2.bi = s2.vec_id
+)
+SELECT * FROM (
+    SELECT CAST(1 AS INTEGER) AS rank, vec_id, rel AS mmr_score FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), vec_id, mmr FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), vec_id, mmr
+    FROM (SELECT vec_id, mmr FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1)
+)
+ORDER BY rank
 """
 
 
@@ -3360,6 +3629,33 @@ SPECS: list[QuerySpec] = [
         _LM_BIGRAM_SQL,
         ("text", "quality"),
         doc="Corpus-trained bigram-LM avg log-probability per doc (perplexity-style quality)",
+    ),
+    QuerySpec(
+        "ccnet_perplexity_buckets",
+        q_ccnet_perplexity_buckets,
+        _CCNET_SQL,
+        ("llm", "text", "quality", "scale", "bench"),
+        doc="CCNet head/middle/tail per-language LM-score terciles via "
+        "grouped_rank — per-language ntile with no corpus-sized window "
+        "partition (range-bucketed rank + |lang|·P broadcast offsets)",
+    ),
+    QuerySpec(
+        "curation_funnel_report",
+        q_curation_funnel_report,
+        _FUNNEL_SQL,
+        ("llm", "governance", "pipeline"),
+        doc="Per-source curation funnel audit (raw → exact-dedup → Gopher "
+        "quality): survivor counts + id checksums off the registry's own "
+        "gate definitions",
+    ),
+    QuerySpec(
+        "mmr_diverse_rerank",
+        q_mmr_diverse_rerank,
+        _MMR_SQL,
+        ("similarity", "llm"),
+        doc="Maximal-marginal-relevance re-rank of the top-8 cosine "
+        "candidates, 3 unrolled greedy picks (λ=0.7), k²-bounded pair "
+        "work off one checkpointed candidate set",
     ),
     QuerySpec(
         "ivfpq_topk",

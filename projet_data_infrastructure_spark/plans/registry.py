@@ -153,6 +153,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "geo_point_in_polygon",
     "bpe_train_rounds",
     "wordpiece_merge_scores",
+    "ccnet_perplexity_buckets",
+    "curation_funnel_report",
+    "mmr_diverse_rerank",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

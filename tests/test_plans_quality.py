@@ -961,3 +961,38 @@ def test_kcore_and_hits_no_cartesian(spark):
     # BroadcastNestedLoopJoin); no cartesian anywhere
     checks = explain_has(q_hits_authorities(spark, SF), "CartesianProduct")
     assert not checks["CartesianProduct"]
+
+
+def test_ccnet_buckets_plan_has_no_language_window(spark):
+    """ccnet_perplexity_buckets' per-language tercile must come from
+    operators.ranks.grouped_rank (range-bucketed rank + broadcast offsets),
+    never a PARTITION BY lang ntile window — a per-language window funnels
+    each language's whole corpus through one task at 100 TB."""
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_ccnet_perplexity_buckets,
+    )
+
+    plan = q_ccnet_perplexity_buckets(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ntile(" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_funnel_report_plan_is_all_equi_joins(spark):
+    """curation_funnel_report: digest groupBy + keeper equi-join + map-side
+    gate — no cartesian or nested-loop join anywhere, and no
+    single-partition exchange (per-stage reports are grouped aggregates)."""
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_curation_funnel_report,
+    )
+
+    checks = explain_has(
+        q_curation_funnel_report(spark, SF),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "Exchange SinglePartition",
+    )
+    assert not checks["CartesianProduct"]
+    assert not checks["BroadcastNestedLoopJoin"]
+    assert not checks["Exchange SinglePartition"]

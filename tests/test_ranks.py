@@ -10,6 +10,8 @@ from pyspark.sql.window import Window
 from projet_data_infrastructure_spark.operators.ranks import (
     exact_ntile,
     global_rank,
+    grouped_rank,
+    ntile_from_rank_cols,
 )
 
 
@@ -70,3 +72,63 @@ def test_exact_ntile_plan_has_no_global_window(spark):
     )
     assert "ntile(" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def _grouped_data(spark, parts=1, seed=11):
+    """Uneven groups (one hot, one tiny, one mid) with duplicate keys."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(400):
+        rows.append((i, "hot", rng.randrange(25)))
+    for i in range(400, 430):
+        rows.append((i, "mid", rng.randrange(7)))
+    rows.append((430, "tiny", 3))
+    rows.append((431, "tiny", 3))
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    return df.repartition(parts) if parts > 1 else df
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_grouped_rank_matches_partitioned_row_number(spark, descending):
+    df = _grouped_data(spark)
+    order = [F.desc("v") if descending else F.asc("v"), F.asc("id")]
+    ref = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy(*order)).cast("long")
+    )
+    got = grouped_rank(
+        df, "g", "v", ties=["id"], descending=descending, rank_col="r", n_ranges=8
+    ).drop("group_total")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_grouped_ntile_cols_matches_partitioned_window_ntile(spark):
+    # tiny group has fewer rows than buckets → exercises the q == 0 branch
+    df = _grouped_data(spark)
+    ref = df.withColumn(
+        "bucket",
+        F.ntile(3).over(Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))),
+    )
+    ranked = grouped_rank(
+        df, "g", "v", ties=["id"], descending=True, rank_col="_r", total_col="_t",
+        n_ranges=8,
+    )
+    got = ranked.withColumn(
+        "bucket", ntile_from_rank_cols(F.col("_r"), F.col("_t"), 3)
+    ).drop("_r", "_t")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_grouped_rank_partition_invariant(spark):
+    a = grouped_rank(_grouped_data(spark, parts=1), "g", "v", ties=["id"], n_ranges=8)
+    b = grouped_rank(_grouped_data(spark, parts=13), "g", "v", ties=["id"], n_ranges=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_grouped_rank_plan_has_no_single_partition_exchange(spark):
+    got = grouped_rank(_grouped_data(spark), "g", "v", ties=["id"], n_ranges=8)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange SinglePartition" not in plan
+    # the window partitions on (group, range-bucket), never on group alone
+    assert "ntile(" not in plan
