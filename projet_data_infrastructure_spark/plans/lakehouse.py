@@ -775,7 +775,74 @@ ORDER BY p.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Compaction (OPTIMIZE) bin-packing planner
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET = 8192  # bytes per output bin (scaled-down OPTIMIZE target)
+
+
+def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-OPTIMIZE-style compaction planning: per-(lang, source) corpus
+    partitions sized by total text bytes are packed sequentially into
+    target-size output bins — cumulative size DIV target, the same
+    scan-order bin packing OPTIMIZE's planner uses (first-fit-decreasing
+    would pack tighter but its tie order is engine-dependent; sequential
+    packing is deterministic and locality-preserving).
+
+    Scale: the windowed frame is PARTITION METADATA — |lang|·|source| rows
+    off one map-side-combined aggregate, not the corpus. The
+    single-partition cumulative window over that metadata is the planner's
+    collect-equivalent (the lakehouse manifest is always driver-sized);
+    the corpus itself is touched by exactly one linear scan+agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    parts = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("part_bytes")
+    )
+    w = (
+        Window.orderBy("lang", "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("part_bytes").over(w), F.lit(0).cast("long"))
+    return (
+        parts.withColumn("_cb", cum_before)
+        .select(
+            "lang",
+            "source",
+            "part_bytes",
+            F.expr(f"_cb DIV {_COMPACT_TARGET}").alias("bin_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH parts AS (
+    SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS part_bytes
+    FROM documents GROUP BY lang, source
+),
+c AS (
+    SELECT lang, source, part_bytes,
+           COALESCE(CAST(sum(part_bytes) OVER (
+               ORDER BY lang, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cb
+    FROM parts
+)
+SELECT lang, source, part_bytes, cb // {_COMPACT_TARGET} AS bin_id
+FROM c ORDER BY lang, source
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "compaction_bin_packing",
+        q_compaction_bin_packing,
+        _COMPACTION_SQL,
+        ("lake", "maintenance"),
+        doc="OPTIMIZE bin-packing planner: sequential target-size binning "
+        "of partition byte totals — metadata-sized window, one corpus scan",
+    ),
     QuerySpec(
         "hll_distinct_sketch",
         q_hll_distinct_sketch,

@@ -673,6 +673,99 @@ ORDER BY campaign
 """
 
 
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's cents split equally
+    across ALL deduplicated views in the 2 h lookback (the as-of spec's
+    definition family, equal-credit allocation rule). Integer-exact split:
+    every touch gets cents DIV n, the most recent touch (the last-touch
+    winner) absorbs the remainder — allocation conserves revenue
+    cent-for-cent, so the rollup hash-checks with no FP division anywhere.
+    Purchase values are non-negative, so Spark's DIV (truncating) and
+    DuckDB's // (flooring) agree.
+
+    Scale: a user-keyed equi-join bounded by the 2 h window (pairs per
+    purchase = that user's in-window views, not their history); the
+    per-purchase count/rank windows partition on the purchase event id —
+    touch-count-sized partitions, never corpus-sized."""
+    ev = read_table(spark, sf_dir, "events")
+    vdw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("vrn", F.row_number().over(vdw))
+        .filter(F.col("vrn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("campaign"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pairs = purchases.join(views, "user_id").filter(
+        (F.col("vts") <= F.col("ts"))
+        & (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("vts").cast("timestamp"))
+            <= _ATTR_WINDOW_US
+        )
+    )
+    pw = Window.partitionBy("pid")
+    rw = Window.partitionBy("pid").orderBy(F.desc("vts"))
+    alloc = (
+        pairs.withColumn("n_touch", F.count(F.lit(1)).over(pw))
+        .withColumn("trn", F.row_number().over(rw))
+        .withColumn(
+            "share",
+            F.expr("cents DIV n_touch")
+            + F.when(
+                F.col("trn") == 1, F.col("cents") % F.col("n_touch")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return (
+        alloc.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("share").alias("attributed_cents"),
+        )
+        .orderBy("campaign")
+    )
+
+
+_ATTRIBUTION_LINEAR_SQL = f"""
+WITH v0 AS (
+    SELECT user_id, ts,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS campaign,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS vrn
+    FROM events WHERE event_type = 'view'
+),
+v AS (SELECT user_id, ts AS vts, campaign FROM v0 WHERE vrn = 1),
+p AS (
+    SELECT event_id AS pid, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+    SELECT p.pid, p.cents, v.vts, v.campaign
+    FROM p JOIN v ON p.user_id = v.user_id
+    WHERE v.vts <= p.ts AND epoch_us(p.ts) - epoch_us(v.vts) <= {_ATTR_WINDOW_US}
+),
+alloc AS (
+    SELECT campaign,
+           cents // count(*) OVER (PARTITION BY pid)
+           + CASE WHEN row_number() OVER (PARTITION BY pid ORDER BY vts DESC) = 1
+                  THEN cents % count(*) OVER (PARTITION BY pid) ELSE 0 END AS share
+    FROM pairs
+)
+SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(share) AS BIGINT) AS attributed_cents
+FROM alloc GROUP BY campaign ORDER BY campaign
+"""
+
+
 # --------------------------------------------------------------------------
 # Spark 4 Arrow-native UDF surface
 # --------------------------------------------------------------------------
@@ -2002,6 +2095,15 @@ SPECS: list[QuerySpec] = [
         ("events", "asof", "agg"),
         doc="Last-touch revenue attribution: deduped views, union+window "
         "as-of join, 2 h lookback, integer-cents rollup per campaign",
+    ),
+    QuerySpec(
+        "attribution_linear",
+        q_attribution_linear,
+        _ATTRIBUTION_LINEAR_SQL,
+        ("events", "agg"),
+        doc="Linear multi-touch attribution: cents DIV n per in-window "
+        "touch, remainder to the most recent — integer-exact, revenue-"
+        "conserving equal-credit split",
     ),
     QuerySpec(
         "bellman_ford_distances",

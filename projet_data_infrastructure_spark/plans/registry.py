@@ -156,6 +156,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "curation_funnel_report",
     "mmr_diverse_rerank",
+    "attribution_linear",
+    "compaction_bin_packing",
     # (c) oldest-evidence greens — rotate so cumulative driver evidence
     # keeps refreshing against regenerated testdata.
     "flagship_bonus",

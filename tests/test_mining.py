@@ -267,3 +267,17 @@ def test_span_corruption_reconstructs_original(spark):
         assert not spans, f"doc {doc_id}: unused target spans {list(spans)}"
         assert rebuilt == orig[doc_id].split(), f"doc {doc_id} reconstruction mismatch"
         assert r["n_tokens"] == len(orig[doc_id].split())
+
+
+def test_attribution_linear_conserves_last_touch_total(spark):
+    """Linear and last-touch attribute the SAME qualifying purchases (>=1
+    deduped view in the 2 h lookback), so total allocated cents must be
+    identical — the equal-credit split only redistributes between
+    campaigns, never creates or destroys revenue."""
+    last = mining.q_attribution_last_touch(spark, SF).collect()
+    lin = mining.q_attribution_linear(spark, SF).collect()
+    assert sum(r["attributed_cents"] for r in lin) == sum(
+        r["attributed_cents"] for r in last
+    )
+    # linear fans out over touches: at least as many rows credited
+    assert sum(r["n_touches"] for r in lin) >= sum(r["n_purchases"] for r in last)
