@@ -3404,6 +3404,159 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# C4-style line-level curation (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning", §2.2). C4 deduplicates LINES globally across the whole
+# corpus, keeping exactly one occurrence of each, and drops lines below a
+# word-count floor. The test corpus has no newline/sentence delimiters, so
+# the line boundary rule is substituted with a deterministic fixed-width
+# segmenter (10-token windows); the dedup algorithm itself — global
+# keep-first by (doc_id, line_idx), then per-document text rebuild — is
+# C4's, unchanged. Scale shape: the segmenter is a map-side explode (rows
+# x ~n_tokens/10, no shuffle), the keep-first decision is ONE hash shuffle
+# on the line digest (window min-struct, no join-back needed), and the
+# rebuild is one shuffle on doc_id. At 100 TB that is the canonical
+# two-shuffle C4 pass; nothing is ever collected to the driver.
+# --------------------------------------------------------------------------
+
+_C4_LINE_WORDS = 10
+
+
+def _c4_lines(docs: DataFrame, min_words: int) -> DataFrame:
+    """Explode documents into fixed-width token 'lines' (map-side only)."""
+    w = _C4_LINE_WORDS
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    lines_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(t) / {w}.0) as int) - 1),"
+        f" i -> struct(i AS line_idx, slice(t, i * {w} + 1, {w}) AS lt))"
+    )
+    return (
+        base.select("doc_id", F.explode(lines_expr).alias("c"))
+        .filter(F.size("c.lt") >= min_words)
+        .select(
+            "doc_id",
+            F.col("c.line_idx").alias("line_idx"),
+            F.array_join("c.lt", " ").alias("line_text"),
+        )
+    )
+
+
+def _c4_lines_sql(min_words: int) -> str:
+    w = _C4_LINE_WORDS
+    return f"""
+base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+ln AS (
+    SELECT doc_id, c.line_idx AS line_idx, array_to_string(c.lt, ' ') AS line_text
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(0, CAST(ceil(len(t) / {w}.0) AS INTEGER) - 1),
+                        i -> struct_pack(line_idx := i, lt := t[i * {w} + 1 : i * {w} + {w}]))) AS c
+          FROM base)
+    WHERE len(c.lt) >= {min_words})"""
+
+
+def q_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 global line dedup: every distinct line survives exactly once
+    corpus-wide (first occurrence by (doc_id, line_idx)); lines under 3
+    words are dropped first (C4's word-count line filter). Emits per-doc
+    retention stats and the md5 of the rebuilt (deduplicated) text."""
+    from pyspark.sql.window import Window
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    keyed = _c4_lines(docs, min_words=3).withColumn("lk", F.md5("line_text"))
+    first = F.min(F.struct("doc_id", "line_idx")).over(Window.partitionBy("lk"))
+    kept = (
+        keyed.withColumn("first", first)
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("line_idx") == F.col("first.line_idx"))
+        )
+        .drop("first", "lk")
+    )
+    per_doc = keyed.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("line_idx", "line_text"))),
+            lambda s: s["line_text"],
+        ),
+        " ",
+    )
+    kept_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.md5(rebuilt).alias("kd")
+    )
+    n_kept = F.coalesce(F.col("k"), F.lit(0).cast("long"))
+    return (
+        per_doc.join(kept_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            n_kept.alias("n_kept"),
+            pround(n_kept / F.col("n_lines"), 6).alias("kept_ratio"),
+            F.coalesce(F.col("kd"), F.md5(F.lit(""))).alias("kept_digest"),
+        )
+    )
+
+
+_C4_LINE_DEDUP_SQL = f"""
+WITH {_c4_lines_sql(3)},
+keyed AS (SELECT doc_id, line_idx, line_text, md5(line_text) AS lk FROM ln),
+kept AS (
+    SELECT doc_id, line_idx, line_text FROM (
+        SELECT *, row_number() OVER (PARTITION BY lk ORDER BY doc_id, line_idx) AS rn
+        FROM keyed)
+    WHERE rn = 1),
+per_doc AS (SELECT doc_id, count(*) AS n_lines FROM keyed GROUP BY doc_id),
+kd AS (SELECT doc_id, count(*) AS k,
+              md5(string_agg(line_text, ' ' ORDER BY line_idx)) AS kd
+       FROM kept GROUP BY doc_id)
+SELECT p.doc_id AS doc_id, p.n_lines AS n_lines,
+       coalesce(kd.k, 0) AS n_kept,
+       {pround_sql('coalesce(kd.k, 0) * 1.0 / p.n_lines', 6)} AS kept_ratio,
+       coalesce(kd.kd, md5('')) AS kept_digest
+FROM per_doc p LEFT JOIN kd ON p.doc_id = kd.doc_id
+"""
+
+
+def q_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition signals (Rae et al. 2021, Table A1):
+    fraction of duplicate lines and fraction of characters sitting in the
+    duplicate occurrences (beyond each line's first). Same fixed-width line
+    segmenter as ``c4_line_dedup``; all lines participate (no word floor).
+    Two shuffles, both keyed by doc: (doc_id, line_text) count, then the
+    per-doc fold — partial aggregation makes both map-side combining."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    g = (
+        _c4_lines(docs, min_words=1)
+        .groupBy("doc_id", "line_text")
+        .agg(F.count("*").alias("c"))
+    )
+    chars = F.length("line_text")
+    stats = g.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("c") - F.lit(1)) * chars).alias("dup_chars"),
+        F.sum(F.col("c") * chars).alias("tot_chars"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_lines",
+        pround(
+            (F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"), 6
+        ).alias("dup_line_frac"),
+        pround(F.col("dup_chars") / F.col("tot_chars"), 6).alias("dup_char_frac"),
+    )
+
+
+_DUP_LINE_FRACTION_SQL = f"""
+WITH {_c4_lines_sql(1)},
+g AS (SELECT doc_id, line_text, count(*) AS c FROM ln GROUP BY doc_id, line_text)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       {pround_sql('(sum(c) - count(*)) * 1.0 / sum(c)', 6)} AS dup_line_frac,
+       {pround_sql('sum((c - 1) * length(line_text)) * 1.0 / sum(c * length(line_text))', 6)} AS dup_char_frac
+FROM g GROUP BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact_groups", q_dedup_exact_groups, _DEDUP_GROUPS_SQL, ("dedup", "bench")),
     QuerySpec("dedup_exact_keep", q_dedup_exact_keep, _DEDUP_KEEP_SQL, ("dedup",)),
@@ -3772,5 +3925,22 @@ SPECS: list[QuerySpec] = [
         _SQ8_ADC_SQL,
         ("similarity", "compression", "bench"),
         doc="Asymmetric-distance top-k over SQ8 codes (FAISS IndexScalarQuantizer shape)",
+    ),
+    QuerySpec(
+        "c4_line_dedup",
+        q_c4_line_dedup,
+        _C4_LINE_DEDUP_SQL,
+        ("dedup", "text", "bench"),
+        doc="C4 global line dedup (keep-first occurrence corpus-wide, <3-word "
+        "lines dropped) with per-doc retention stats and rebuilt-text digest; "
+        "one line-key shuffle + one doc-id shuffle",
+    ),
+    QuerySpec(
+        "dup_line_fraction",
+        q_dup_line_fraction,
+        _DUP_LINE_FRACTION_SQL,
+        ("text", "quality"),
+        doc="Gopher within-doc repetition: duplicate-line fraction and "
+        "duplicate-char fraction over fixed-width line segments",
     ),
 ]

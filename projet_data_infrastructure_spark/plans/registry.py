@@ -114,6 +114,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # oracled (verdict r4 item 4); ivf_topk_batch is the new batched ANN
     # probe (verdict r4 item 6); preference_pairs / the ADVICE-hardened
     # specs changed NULL/degenerate semantics symmetrically on both sides.
+    "c4_line_dedup",
+    "dup_line_fraction",
     "ivf_topk_batch",
     "ivf_trained_assign",
     "pq_trained_encode",

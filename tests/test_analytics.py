@@ -515,3 +515,63 @@ def test_wordpiece_scores_match_reference(spark):
     # likelihood scoring is NOT count scoring: the top WordPiece pair need
     # not be the most frequent pair (rare-but-exclusive pairs can win)
     assert len(got) == 20
+
+
+def test_c4_line_dedup_keep_first_and_rebuild(spark):
+    """C4 global line dedup on crafted docs: an exact-copy doc loses every
+    line (keep-first goes to the lower doc_id), a doc sharing one line keeps
+    only its unique line, and a trailing <3-word line segment is dropped by
+    the word-count floor before dedup."""
+    import hashlib
+
+    l0 = " ".join(f"a{i}" for i in range(10))
+    l1 = " ".join(f"b{i}" for i in range(10))
+    l2 = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, f"{l0} {l1}"),          # 2 unique lines, first occurrence
+        (2, f"{l0} {l1}"),          # exact copy: every line already kept by doc 1
+        (3, f"{l0} {l2}"),          # shares l0 with doc 1, keeps only l2
+        # 12 words: one full line + a 2-word tail dropped by the word floor
+        (4, " ".join(f"d{i}" for i in range(12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        out = {r["doc_id"]: r.asDict() for r in lq.q_c4_line_dedup(spark, SF).collect()}
+    finally:
+        lq.read_table_balanced = orig
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["kept_digest"] == hashlib.md5(f"{l0} {l1}".encode()).hexdigest()
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 0
+    assert out[2]["kept_ratio"] == 0.0
+    assert out[2]["kept_digest"] == hashlib.md5(b"").hexdigest()
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 1
+    assert out[3]["kept_ratio"] == 0.5
+    assert out[3]["kept_digest"] == hashlib.md5(l2.encode()).hexdigest()
+    # the 2-word tail segment of doc 4 is dropped pre-dedup
+    assert out[4]["n_lines"] == 1 and out[4]["n_kept"] == 1
+
+
+def test_dup_line_fraction_gopher_repetition(spark):
+    """Within-doc repetition: a doc whose 3 lines include one repeated line
+    has dup_line_frac 1/3 and (equal-length lines) dup_char_frac 1/3; an
+    all-distinct doc scores 0 on both."""
+    line_a = "aa bb cc dd ee ff gg hh ii jj"  # 10 words, 29 chars
+    line_b = "kk ll mm nn oo pp qq rr ss tt"
+    line_c = "uu vv ww xx yy zz ab cd ef gh"
+    rows = [
+        (1, f"{line_a} {line_a} {line_b}"),   # lines: a, a, b
+        (2, f"{line_a} {line_b} {line_c}"),   # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = lq.read_table_balanced
+    try:
+        lq.read_table_balanced = lambda sp, sf, name: df
+        out = {r["doc_id"]: r.asDict() for r in lq.q_dup_line_fraction(spark, SF).collect()}
+    finally:
+        lq.read_table_balanced = orig
+    assert out[1]["n_lines"] == 3
+    assert out[1]["dup_line_frac"] == 0.333333
+    assert out[1]["dup_char_frac"] == 0.333333
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_char_frac"] == 0.0

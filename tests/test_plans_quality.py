@@ -996,3 +996,25 @@ def test_funnel_report_plan_is_all_equi_joins(spark):
     assert not checks["CartesianProduct"]
     assert not checks["BroadcastNestedLoopJoin"]
     assert not checks["Exchange SinglePartition"]
+
+
+def test_c4_line_dedup_plan_two_key_shuffles_no_python(spark):
+    # The C4 pass must stay: map-side explode -> ONE line-key shuffle
+    # (window min-struct, no join-back on the line key) -> doc_id
+    # aggregates. No cartesian/nested-loop, no Python eval; the only joins
+    # are the doc_id-keyed stats join.
+    from projet_data_infrastructure_spark.plans.llm_queries import q_c4_line_dedup
+
+    plan = (
+        q_c4_line_dedup(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
+    # one line-key shuffle (the window) + doc_id-keyed aggregation/join
+    # exchanges; anything beyond ~6 means a join-back on lk crept in
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
