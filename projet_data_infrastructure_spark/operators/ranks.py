@@ -146,6 +146,8 @@ def exact_ntile(
 
 
 _SEP = "\x1f"  # group/bucket composite map key — never appears in data keys
+_NULL_GROUP = _SEP + "NULL"  # sentinel for a NULL group value (collision-free
+#                              because _SEP itself never appears in data keys)
 
 
 def grouped_rank(
@@ -175,6 +177,8 @@ def grouped_rank(
 
     ``group`` must have bounded cardinality (languages, sources, shards —
     not user ids); key numeric and non-null; (key, *ties) unique per group.
+    NULL group values form their own group (sentinel-keyed on both the
+    offset-map and lookup sides — see the okey note below).
     """
     spark = df.sparkSession
     if n_ranges is None:
@@ -197,7 +201,8 @@ def grouped_rank(
     counts = work.groupBy(group, _PID).agg(F.count(F.lit(1)).alias("c")).collect()
     per_group: dict[str, list[tuple[int, int]]] = {}
     for row in counts:
-        per_group.setdefault(str(row[group]), []).append((row[_PID], row["c"]))
+        g_key = _NULL_GROUP if row[group] is None else str(row[group])
+        per_group.setdefault(g_key, []).append((row[_PID], row["c"]))
     off_entries: list[tuple[str, int]] = []
     tot_entries: list[tuple[str, int]] = []
     for g, lst in per_group.items():
@@ -212,13 +217,18 @@ def grouped_rank(
     w = Window.partitionBy(group, _PID).orderBy(
         F.asc(_KEY), *[F.asc(t) for t in ties]
     )
-    okey = F.concat_ws(
-        _SEP, F.col(group).cast("string"), F.col(_PID).cast("string")
-    )
+    # NULL groups: concat_ws silently DROPS a NULL operand, so a bare
+    # cast would produce okey "<pid>" while the driver-side map key said
+    # "None\x1f<pid>" — rank/group_total would go silently NULL (ADVICE
+    # r5). Coalesce to a sentinel containing _SEP (which by contract never
+    # appears in data keys, so no real group can collide) on BOTH the
+    # map-build side above and the lookup side here.
+    g_str = F.coalesce(F.col(group).cast("string"), F.lit(_NULL_GROUP))
+    okey = F.concat_ws(_SEP, g_str, F.col(_PID).cast("string"))
     return (
         work.withColumn(_RN, F.row_number().over(w))
         .withColumn(rank_col, F.col(_RN).cast("long") + off_map[okey].cast("long"))
-        .withColumn(total_col, tot_map[F.col(group).cast("string")].cast("long"))
+        .withColumn(total_col, tot_map[g_str].cast("long"))
         .drop(_PID, _KEY, _RN)
     )
 

@@ -198,6 +198,14 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stub decode is deterministic ASCII algebra, so DuckDB reproduces
     code bytes via ``ascii(substr(text, i, 1))`` and the whole pipeline —
     Arrow UDF included — is hash-checked, not rows-only.
+
+    ASCII-corpus assumption (ADVICE r5): the Spark side hashes UTF-8
+    BYTES (``encode(text, 'utf-8')``) while the DuckDB oracle indexes
+    CHARACTERS (``ascii(substr(...))``, and ``length`` vs
+    ``octet_length`` filters) — identical only while every document is
+    pure ASCII, which ``tests/test_operators.py`` asserts against the
+    shipped corpus. On a non-ASCII corpus the ORACLE would need
+    byte-level blob indexing; the Spark path is byte-correct as is.
     """
     from projet_data_infrastructure_spark.operators.multimodal import extract_features
 

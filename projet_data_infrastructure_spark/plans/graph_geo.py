@@ -922,11 +922,21 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum("node"), F.lit(0).cast("long")).alias("node_checksum"),
             )
         )
+        if r == _KCORE_ROUNDS:
+            break  # the post-final-round edge set is never read
         ka = keep.select(F.col("node").alias("ka"))
         kb = keep.select(F.col("node").alias("kb"))
+        # ``localCheckpoint`` the survivor edge set each round (VERDICT r5
+        # item 3): without it every round's degree aggregate re-derives ALL
+        # prior rounds' semi-joins from the pair table — O(R²) recompute,
+        # visible as repeated subtrees in the kcore plan. With it each round
+        # reads the previous round's materialized (and shrinking) survivor
+        # blocks, the same bounded-lineage discipline PageRank/Bellman-Ford
+        # apply to the edge list. Eager: the peel is inherently sequential.
         edges = (
             edges.join(vertex_side(ka, n_vertex_bound), edges.src == ka.ka, "left_semi")
             .join(vertex_side(kb, n_vertex_bound), F.col("dst") == kb.kb, "left_semi")
+            .localCheckpoint(eager=True)
         )
     out = outs[0]
     for o in outs[1:]:

@@ -1335,10 +1335,14 @@ def _pca_floordiv(s: str, n: str, floordiv_op: str) -> str:
     return f"((({s}) - {rem}) {floordiv_op} ({n}))"
 
 
-def _pca_exprs(floordiv_op: str, idx_base: int) -> dict[str, str]:
+def _pca_exprs(floordiv_op: str, idx_base: int, big: str) -> dict[str, str]:
     """Shared expression text for both engines (Spark arrays are 0-based,
     DuckDB 1-based; Spark integer floor-div is ``DIV`` after remainder
-    correction, DuckDB ``//``)."""
+    correction, DuckDB ``//``; ``big`` is the wide-integer type the
+    covariance cells compute in — DECIMAL(38,0) on Spark, HUGEINT on
+    DuckDB — because N·Σxy − Σx·Σy grows ~N²·10⁶ and would silently wrap
+    BIGINT past N ≈ 10⁶ embedding rows (ADVICE r5); 38 digits cover
+    N ≤ 10¹² rows with the ±10³ milli-quantized coordinates)."""
     D = _PCA_D
     q = lambda i: f"q[{i + idx_base}]"  # noqa: E731
     mom = {f"sx{i}": f"CAST(sum({q(i)}) AS BIGINT)" for i in range(D)}
@@ -1349,7 +1353,7 @@ def _pca_exprs(floordiv_op: str, idx_base: int) -> dict[str, str]:
 
     def cell(i: int, j: int) -> str:  # covariance numerator, symmetric
         a, b = min(i, j), max(i, j)
-        return f"(n * sxy{a}_{b} - sx{i} * sx{j})"
+        return f"(CAST(n AS {big}) * sxy{a}_{b} - CAST(sx{i} AS {big}) * sx{j})"
 
     # the trailing 1 clamps each normalizer away from 0 so a degenerate
     # (all-constant) input yields an all-zero vector instead of a /0 —
@@ -1378,9 +1382,11 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     program (Mises & Pollaczek-Geiringer 1929 power method; the classic
     big-data PCA: one pass for moments, iterate on the tiny Gram matrix).
 
-    Determinism: coordinates quantize once to integer millis, so the
-    covariance numerators N·Σxy − Σx·Σy are EXACT BIGINTs from ONE
-    aggregate pass; cells normalize to ±1e6 by max-|cell| integer floor
+    Determinism: coordinates quantize once to integer millis; the moment
+    sums are exact BIGINTs from ONE aggregate pass and the covariance
+    numerators N·Σxy − Σx·Σy compute in DECIMAL(38,0) (DuckDB: HUGEINT) —
+    exact to N ≤ 10¹² rows where bare BIGINT would wrap past N ≈ 10⁶
+    (ADVICE r5); cells normalize to ±1e6 by max-|cell| integer floor
     division (remainder-corrected — Spark DIV truncates, DuckDB // floors)
     and both mat-vec rounds + max-norm normalizations stay in BIGINT — the
     HITS normalization trick applied to PCA, hash-exact.
@@ -1397,7 +1403,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     full 2-round convergence on a crafted dominant-direction fixture
     (``test_pca_converges_on_dominant_direction``). More rounds are more
     projection layers, unchanged algebra."""
-    e = _pca_exprs("DIV", 0)
+    e = _pca_exprs("DIV", 0, "DECIMAL(38,0)")
     emb = read_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         F.expr(
@@ -1422,7 +1428,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_sql() -> str:
-    e = _pca_exprs("//", 1)
+    e = _pca_exprs("//", 1, "HUGEINT")
     mom_cols = ",\n           ".join(f"{x} AS {k}" for k, x in e["mom"].items())
     cunit_cols = ",\n           ".join(f"{x} AS {k}" for k, x in e["cunit"].items())
     u1_cols = ",\n           ".join(f"{x} AS u1_{i}" for i, x in
@@ -1837,9 +1843,10 @@ SPECS: list[QuerySpec] = [
         q_kaplan_meier_retention,
         _KM_SQL,
         ("ml", "timeseries"),
-        doc="Kaplan-Meier survival curve of user lifetime with 7-day right-"
-        "censoring: per-step ln survival quantized to micro-nats, cumulative "
-        "product as an order-pinned integer sum",
+        doc="Kaplan-Meier survival curve of user lifetime, non-converters "
+        "right-censored at their last observed day: per-step ln survival "
+        "quantized to micro-nats, cumulative product as an order-pinned "
+        "integer sum",
     ),
     QuerySpec(
         "pca_power_iteration",

@@ -758,10 +758,11 @@ def q_wordpiece_merge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     but-strongly-associated pairs win over frequent-by-chance ones.
 
     Integer discipline: score_pico = count(ab)·10¹² DIV (count(a)·
-    count(b)) — one exact positive floor division per pair (counts ≤ ~10⁸
-    keep the product < 2⁶³ at any corpus the char-vocab bounds allow; at
-    larger corpora the same expression runs in DECIMAL). Ties break on the
-    pair text.
+    count(b)) — one exact positive floor division per pair, computed in
+    DECIMAL(38,0) on the Spark side and HUGEINT on the DuckDB side so the
+    numerator stays exact for any int64 count (BIGINT alone wraps silently
+    in non-ANSI Spark once count(ab) > ~9.2·10⁶ — ADVICE r5). Ties break
+    on the pair text.
 
     Scale shape: the dsir/bpe discipline — ONE corpus tokenize → word-
     frequency aggregate; pair counts AND single-char marginals both derive
@@ -806,7 +807,14 @@ def q_wordpiece_merge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             "n_pair",
-            F.expr("(n_pair * 1000000000000) DIV (n_a * n_b)").alias("score_pico"),
+            # DECIMAL(19,0) operands: the 10¹² blow-up then stays exact to
+            # 38 digits (int64 count = 19 digits + 12 < 38); bare BIGINT
+            # wraps silently past n_pair ≈ 9.2e6 while DuckDB would error.
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(19,0)) * 1000000000000)"
+                " DIV (CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))"
+                " AS BIGINT)"
+            ).alias("score_pico"),
         )
         .orderBy(F.desc("score_pico"), F.asc("a"), F.asc("b"))
         .limit(20)
@@ -836,7 +844,8 @@ pairs AS (
     ) GROUP BY p.a, p.b
 )
 SELECT pairs.a, pairs.b, pairs.n_pair,
-       CAST(pairs.n_pair * 1000000000000 // (ca.n_ch * cb.n_ch) AS BIGINT)
+       CAST(CAST(pairs.n_pair AS HUGEINT) * 1000000000000
+            // (CAST(ca.n_ch AS HUGEINT) * cb.n_ch) AS BIGINT)
            AS score_pico
 FROM pairs
 JOIN chars ca ON pairs.a = ca.ch

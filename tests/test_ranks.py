@@ -132,3 +132,25 @@ def test_grouped_rank_plan_has_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan
     # the window partitions on (group, range-bucket), never on group alone
     assert "ntile(" not in plan
+
+
+def test_grouped_rank_null_group_ranks_correctly(spark):
+    """ADVICE r5: a NULL group used to miss the driver-side offset map
+    (concat_ws drops NULL operands) and silently yield NULL rank/total.
+    NULL groups must rank as their own group, exactly like the window form.
+    """
+    rows = [(0, None, 5), (1, None, 2), (2, None, 9), (3, "a", 1), (4, "a", 7)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    ref = df.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id")))
+        .cast("long"),
+    )
+    got = grouped_rank(df, "g", "v", ties=["id"], rank_col="r", total_col="t", n_ranges=4)
+    assert got.filter(F.col("r").isNull() | F.col("t").isNull()).count() == 0
+    assert sorted(map(tuple, got.drop("t").collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    totals = {(r["g"], r["t"]) for r in got.collect()}
+    assert totals == {(None, 3), ("a", 2)}

@@ -10,6 +10,7 @@ from projet_data_infrastructure_spark.sources.readers import (
     read_csv_dim,
     read_excel,
     read_jdbc,
+    read_table,
 )
 
 
@@ -92,3 +93,43 @@ def test_python_datasource_partition_planning(spark):
     h = (37 * 2654435761) % 2**32
     r37 = next(r for r in rows if r.id == 37)
     assert (r37.bucket, r37.score) == (h % 7, (h % 1000) / 100.0)
+
+
+def test_events_ts_ntz_invariant_to_session_confs(spark):
+    """VERDICT r5 item 1: the driver hash-mismatch on ``cusum_drift_flags``.
+
+    A host session with ``inferTimestampNTZ=false`` used to surface
+    ``events.ts`` as LTZ, so every ``to_date``/``hour`` shifted with the
+    session timezone AT EXECUTION time. ``read_table`` must now deliver
+    TIMESTAMP_NTZ regardless of prior conf state, and the values must be
+    stable across a post-build session-tz flip (DuckDB semantics: the naive
+    parquet wall-clock, verbatim).
+    """
+    from tests.conftest import SF_SMOKE  # noqa: PLC0415
+
+    infer_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    tz_key = "spark.sql.session.timeZone"
+    old_infer, old_tz = spark.conf.get(infer_key), spark.conf.get(tz_key)
+    try:
+        # Adversarial driver state: NTZ inference off, far-from-UTC zone.
+        spark.conf.set(infer_key, "false")
+        spark.conf.set(tz_key, "America/New_York")
+        df = read_table(spark, SF_SMOKE, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        days = df.select(F.to_date("ts").alias("d"))
+        # Flip the session tz AFTER the plan is built, BEFORE execution —
+        # exactly the driver's build-then-collect gap.
+        spark.conf.set(tz_key, "Pacific/Kiritimati")
+        got = {str(r["d"]) for r in days.distinct().collect()}
+        import duckdb
+
+        want = {
+            str(r[0])
+            for r in duckdb.sql(
+                f"SELECT DISTINCT CAST(ts AS DATE) FROM '{SF_SMOKE}/events.parquet'"
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(infer_key, old_infer)
+        spark.conf.set(tz_key, old_tz)
