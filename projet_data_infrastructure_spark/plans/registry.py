@@ -198,6 +198,7 @@ def all_specs() -> list[QuerySpec]:
         learning,
         llm_queries,
         mining,
+        partsupp,
         relational,
         sketches,
     )
@@ -213,6 +214,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(mining.SPECS)
     specs.extend(learning.SPECS)
     specs.extend(sketches.SPECS)
+    specs.extend(partsupp.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the
