@@ -29,9 +29,34 @@ from projet_data_infrastructure_spark.plans import all_specs
 from projet_data_infrastructure_spark.session import get_spark
 
 
+def _calibration_run() -> float:
+    """Wall time of a fixed single-thread CPU workload (~0.3 s idle).
+
+    Pure CPU (md5 over ~160 MB), no IO, no allocation growth — under
+    container-level CPU contention the thread is descheduled and wall time
+    inflates roughly with load, giving each bench run a machine-load
+    fingerprint (VERDICT r5 item 5: round 5's uniform ~1.25x drift was
+    indistinguishable from a code regression without an idle rerun).
+    """
+    import hashlib
+
+    block = b"\xa5" * 65536
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(2500):
+        h.update(block)
+    h.hexdigest()
+    return time.perf_counter() - t0
+
+
+def _calibrate(n: int = 3) -> list[float]:
+    return [round(_calibration_run(), 4) for _ in range(n)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cal_before = _calibrate()
     spark = get_spark("bench")
 
     # Name order, NOT registry order: the registry is reordered per round for
@@ -95,6 +120,8 @@ def main() -> None:
             requeried.append(spec.name)
 
     total = round(sum(timings.values()), 3)
+    cal_after = _calibrate()
+    cal_median = round(statistics.median(cal_before + cal_after), 4)
     out = {
         "metric": f"headline-query wall time (noop sink), sum of per-query medians of {reps}",
         "value": total,
@@ -102,6 +129,10 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "sf": sf_val,
+        # Machine-load fingerprint: a fixed single-thread CPU loop timed
+        # around the run. Compare `median` across rounds — a load_ratio far
+        # from 1.0 says the box, not the code, moved (VERDICT r5 item 5).
+        "calibration": {"before": cal_before, "after": cal_after, "median": cal_median},
     }
     if requeried:
         out["requeried"] = requeried
@@ -115,6 +146,19 @@ def main() -> None:
                 k: round(v - prior_q[k], 3) for k, v in timings.items() if k in prior_q
             },
         }
+        prior_cal = prior.get("calibration", {})
+        if isinstance(prior_cal, dict) and isinstance(
+            prior_cal.get("median"), (int, float)
+        ) and prior_cal["median"] > 0:
+            # >1: this round's box is slower than the prior round's. The
+            # adjusted delta divides out that environmental factor so a real
+            # code regression separates from container drift without a
+            # manual idle rerun.
+            ratio = round(cal_median / prior_cal["median"], 4)
+            out["vs_prior"]["load_ratio"] = ratio
+            out["vs_prior"]["delta_total_load_adjusted"] = round(
+                total / ratio - prior["value"], 3
+            )
     print(json.dumps(out))
     spark.stop()
 

@@ -28,80 +28,67 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-5 driver window. The per-round correctness driver samples a bounded
-# window (~50 names) from the front of ``all_specs()``; rounds 1-4 together
-# hash-checked 187 of the 253 registered names, leaving 66 with zero driver
-# rows (verdict r4 item 1). This ordering fronts (a) all 66 never-checked
-# specs — the first ~50 land in the round-5 window, the tail carries into
-# round 6 — then (b) specs added or behavior-changed in round 5, then (c) a
-# rotating re-verify sample of the oldest-evidence greens. The 6 rows-only
-# specs are pinned to the very back (verdict r4 item 5): a `no_oracle` row
-# burns a window slot without producing hard signal. Names absent from the
-# registry are ignored, so this list never blocks adding/removing specs.
+# Round-6 driver window. Rounds 1-5 hash-checked 237 of the 295 names; 58
+# had no driver row (VERDICT r5 item 2). Ordering: (a) cusum_drift_flags —
+# round 5's one red row, re-fronted after the read_table NTZ fix — then the
+# behavior-changed specs and the session-timezone-coupled day-derivation
+# class (the failure class the NTZ fix addresses); (b) every remaining
+# never-driver-checked spec, SQL-surface ones last and the five the round-5
+# judge independently spot-checked at the very back of the block (they carry
+# evidence already, so they cost least if the ~50-name window cuts before
+# them); (c) the six round-6 partsupp/TPC-H additions (round-7 window
+# candidates); (d) a rotating re-verify sample of the oldest-evidence
+# greens. Rows-only specs stay pinned behind every oracled spec. Names
+# absent from the registry are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the 66 specs with no CORRECTNESS_r{1-4} row. Ordered risk-first:
-    # judge-named + iterative/graph + ANN + streaming early so round 5's
-    # window maximizes evidence on the algorithmically hard specs; the
-    # simple SQL-surface specs take the tail (round-6 slots).
-    "span_corruption_prep",
-    "hll_distinct_sketch",
-    "pagerank_fixed_point",
-    "triangle_count_suppliers",
-    "geo_grid_dbscan",
-    "lateral_subquery_topn",
-    "recursive_cte_calendar",
-    "sql_udf_rollup",
-    "dedup_clusters_starstar",
-    "label_propagation",
-    "bellman_ford_distances",
-    "bfs_khop_reachability",
-    "kmeans_fixed_point",
-    "ols_two_feature_nation",
-    "bm25_topk",
-    "geo_cell_neighbor_pairs",
-    "ivfpq_residual_topk",
-    "sq8_encode",
-    "sq8_adc_topk",
-    "hard_negative_mining",
-    "positive_pair_mining",
-    "prefix_filter_jaccard",
-    "lsh_recall_report",
-    "rrf_fusion",
-    "mapinarrow_vector_norm",
-    "applyinarrow_label_stats",
-    "stream_cusum_telemetry",
-    "stream_minhash_dedup",
-    "stream_sliding_counts",
-    "stream_xml_envelope",
-    "multimodal_frame_sample",
-    "view_purchase_latency",
-    "salted_skew_join",
-    "schema_evolution_merge",
-    "python_datasource_scan",
-    "variant_json_extract",
-    "xml_envelope_extract",
-    "weighted_sample_per_lang",
-    "lang_vocab_overlap",
-    "copurchase_brand_pairs",
-    "brand_affinity_lift",
-    "attribution_last_touch",
-    "session_bounce_rate",
-    "cumulative_new_users",
-    "max_drawdown_by_user",
-    "interevent_gap_histogram",
-    "acf_by_user",
-    "resample_hourly_interp",
+    # (a) the red row + behavior-changed + timezone-coupled day math
     "cusum_drift_flags",
-    "ks_drift_statistic",
-    "chi2_nation_priority",
-    "ab_test_z_score",
+    "kcore_decomposition",
+    "wordpiece_merge_scores",
+    "pca_power_iteration",
+    "ccnet_perplexity_buckets",
+    "multimodal_phash_neardup",
+    "twa_event_value",
     "weekly_revenue_movers",
     "dow_seasonality_lift",
-    "gini_revenue_concentration",
+    "roc_auc_by_dow",
+    "attribution_linear",
+    "kaplan_meier_retention",
+    "chi2_nation_priority",
+    "ab_test_z_score",
+    # (b) remaining never-driver-checked, risk-first
+    "adamic_adar_links",
+    "argmax_per_group",
     "benford_digit_profile",
+    "bloom_membership_audit",
+    "bpe_merge_candidates",
+    "brand_cf_cosine",
+    "calibration_bins",
+    "curation_funnel_report",
+    "decision_stump_quantity",
+    "dp_noisy_counts",
+    "dsir_importance_weights",
+    "dup_line_fraction",
+    "forecast_mase_seasonal",
+    "frequent_triples_apriori",
+    "geo_point_in_polygon",
+    "gini_revenue_concentration",
+    "hits_authorities",
+    "jl_projection_distortion",
+    "l_diversity_audit",
+    "markov_2step_matrix",
+    "mmr_diverse_rerank",
+    "naive_bayes_lang",
+    "ngram_containment_pairs",
+    "pmi_collocations",
+    "rendezvous_shards",
+    "retrieval_eval_metrics",
     "skew_profile",
     "spend_percentile_rank",
-    "argmax_per_group",
+    "stream_countmin_merge",
+    "stream_hll_cardinality",
+    "winnowing_fingerprint",
+    "zipf_fit_slope",
     "null_safe_join",
     "window_funcs3",
     "higher_order_funcs",
@@ -109,59 +96,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "try_functions",
     "listagg_param_sql",
     "pipe_syntax_rollup",
-    # (b) round-5 additions / behavior changes — zero or stale evidence.
-    # ivf_trained_assign + pq_trained_encode graduate from rows-only to
-    # oracled (verdict r4 item 4); ivf_topk_batch is the new batched ANN
-    # probe (verdict r4 item 6); preference_pairs / the ADVICE-hardened
-    # specs changed NULL/degenerate semantics symmetrically on both sides.
-    "c4_line_dedup",
-    "dup_line_fraction",
-    "ivf_topk_batch",
-    "ivf_trained_assign",
-    "pq_trained_encode",
-    "sampled_profile",
-    "dsir_importance_weights",
-    "bpe_merge_candidates",
-    "entity_resolution_clusters",
-    "dp_noisy_counts",
-    "preference_pairs",
-    "naive_bayes_lang",
-    "decision_stump_quantity",
-    "retrieval_eval_metrics",
-    "brand_cf_cosine",
-    "winnowing_fingerprint",
-    "twa_event_value",
-    "l_diversity_audit",
-    "kcore_decomposition",
-    "hits_authorities",
-    "forecast_mase_seasonal",
-    "markov_2step_matrix",
-    "pmi_collocations",
-    "rendezvous_shards",
-    "ngram_containment_pairs",
-    "stream_hll_cardinality",
-    "jl_projection_distortion",
-    "frequent_triples_apriori",
-    "countmin_heavy_hitters",
-    "bloom_membership_audit",
-    "adamic_adar_links",
-    "kaplan_meier_retention",
-    "pca_power_iteration",
-    "roc_auc_by_dow",
-    "multimodal_phash_neardup",
-    "stream_countmin_merge",
-    "calibration_bins",
-    "zipf_fit_slope",
-    "geo_point_in_polygon",
-    "bpe_train_rounds",
-    "wordpiece_merge_scores",
-    "ccnet_perplexity_buckets",
-    "curation_funnel_report",
-    "mmr_diverse_rerank",
-    "attribution_linear",
     "compaction_bin_packing",
-    # (c) oldest-evidence greens — rotate so cumulative driver evidence
-    # keeps refreshing against regenerated testdata.
+    # judge-spot-checked round 5 (independent evidence, cheapest to cut)
+    "c4_line_dedup",
+    "entity_resolution_clusters",
+    "countmin_heavy_hitters",
+    "ivf_topk_batch",
+    "bpe_train_rounds",
+    # (c) round-6 additions: deterministic partsupp + 5 TPC-H analogs
+    "partsupp_synth",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_stock",
+    # (d) oldest-evidence green rotation
     "flagship_bonus",
     "cdc_envelope_parse",
     "multiway_join_rollup",
