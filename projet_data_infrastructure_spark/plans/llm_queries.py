@@ -987,6 +987,127 @@ s{r} AS (
     return "".join(parts) + f"\nSELECT * FROM ({rounds}) ORDER BY round"
 
 
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the whole corpus with the 3-round BPE
+    just trained by :func:`q_bpe_train_rounds` — the deploy half of the
+    tokenizer lifecycle (train once, encode every shard forever), reported
+    as per-document token counts + the chars-per-token compression the
+    merges bought.
+
+    Scale shape: training stays vocabulary-bounded exactly as in
+    ``bpe_train_rounds`` (the corpus enters ONCE for the checkpointed word
+    frequencies); encoding touches each distinct WORD once (map-side
+    replaces over |V| rows), and the corpus re-enters only as (doc_id,
+    word) pairs joined against the broadcast |V|-row encode table — one
+    explode, one broadcast join, one per-doc aggregate. At 100 TB this is
+    the standard pre-tokenized-shard writer plan.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "w",
+            "c",
+            F.expr(
+                "array_join(transform(sequence(1, length(w)),"
+                " i -> concat('|', substring(w, i, 1), '|')), '')"
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=True)  # corpus pass runs once, rounds are lazy
+    )
+    for _ in range(_BPE_ROUNDS):
+        top = _bpe_pair_top1(vocab)
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            "w",
+            "c",
+            F.expr(
+                "replace(seq, concat('|', a, '||', b, '|'),"
+                " concat('|', a, b, '|'))"
+            ).alias("seq"),
+        )
+    enc = vocab.select(
+        "w",
+        F.expr("size(filter(split(seq, '\\\\|'), x -> x != ''))")
+        .cast("long")
+        .alias("n_tok"),
+        F.length("w").cast("long").alias("n_chars_w"),
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return (
+        doc_words.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars_w").alias("n_word_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    toks = "list_filter(string_split(seq, '|'), x -> x != '')"
+    pair_cte = (
+        "SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS cnt FROM (\n"
+        "    SELECT c, unnest(CASE WHEN len({t}) >= 2 THEN\n"
+        "        list_transform(generate_series(1, len({t}) - 1),\n"
+        "                       i -> struct_pack(a := {t}[i], b := {t}[i+1]))\n"
+        "        ELSE [] END) AS p\n"
+        "    FROM {src}\n"
+        ") GROUP BY p.a, p.b ORDER BY cnt DESC, a, b LIMIT 1"
+    )
+    parts = [
+        """
+WITH wtab AS (
+    SELECT w, count(*) AS c FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t != '')) AS w
+        FROM documents
+    ) GROUP BY w
+),
+s0 AS (
+    SELECT w, c, array_to_string(list_transform(generate_series(1, length(w)),
+               i -> '|' || substr(w, i, 1) || '|'), '') AS seq
+    FROM wtab
+)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+p{r} AS (
+    {pair_cte.format(t=toks, src=f's{r - 1}')}
+),
+s{r} AS (
+    SELECT w, c, replace(seq, '|' || a || '||' || b || '|',
+                         '|' || a || b || '|') AS seq
+    FROM s{r - 1}, p{r}
+)"""
+        )
+    return "".join(parts) + f""",
+enc AS (
+    SELECT w, CAST(len({toks}) AS BIGINT) AS n_tok,
+           CAST(length(w) AS BIGINT) AS n_chars_w
+    FROM s{_BPE_ROUNDS}
+),
+doc_words AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t != '')) AS w
+    FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars_w) AS BIGINT) AS n_word_chars
+FROM doc_words JOIN enc USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -1277,6 +1398,68 @@ scored AS (
     FROM per_term GROUP BY doc_id
 )
 SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+_FH_DIM = 512  # feature-hash buckets (Weinberger et al. 2009 hashing trick)
+_FH_TOK_SEED = 19  # token → bucket hash seed
+_FH_W_SEED = 17  # bucket → weight hash seed ("pretrained" deterministic model)
+
+
+def q_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE over the corpus —
+    the model-apply stage every CCNet-style curation pipeline runs at full
+    corpus scale (Joulin et al. 2016 classifier shape; Weinberger et al.
+    2009 feature hashing).
+
+    The "pretrained model" is a deterministic weight table w(b) ∈ [-1000,
+    1000] milli-units derived from the seeded portable hash of the bucket
+    id, so BOTH engines materialize identical weights from pure expression
+    text — no stored artifact, no join: each token maps to its bucket and
+    the bucket maps to its weight inline. Score = Σ_tokens w(bucket(tok)),
+    all BIGINT exact; keep = score > 0.
+
+    Scale shape: tokenize-explode is map-only; the ONE exchange is the
+    per-doc aggregate (map-side combined). At 100 TB a real weight vector
+    would broadcast (D·8 bytes); the inline-hash form here has the same
+    plan minus even that broadcast.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    bucket = hash64(F.col("tok"), _FH_TOK_SEED) % _FH_DIM
+    w_milli = hash64(bucket.cast("string"), _FH_W_SEED) % 2001 - 1000
+    return (
+        toks.select("doc_id", w_milli.alias("w_milli"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("score_milli"),
+        )
+        .withColumn("keep", F.col("score_milli") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_HASHED_LINEAR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t != '')) AS tok
+    FROM documents
+),
+wtd AS (
+    SELECT doc_id,
+           {hash64_sql(f"({hash64_sql('tok', _FH_TOK_SEED)} % {_FH_DIM})", _FH_W_SEED)}
+               % 2001 - 1000 AS w_milli
+    FROM toks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w_milli) AS BIGINT) AS score_milli,
+       CAST(sum(w_milli) AS BIGINT) > 0 AS keep
+FROM wtd GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -3612,6 +3795,15 @@ SPECS: list[QuerySpec] = [
         "keep float addition engine-identical",
     ),
     QuerySpec("pii_redaction", q_pii_redaction, _PII_SQL, ("text", "governance")),
+    QuerySpec(
+        "hashed_linear_score",
+        q_hashed_linear_score,
+        _HASHED_LINEAR_SQL,
+        ("llm", "curation", "ml"),
+        doc="fastText-style hashed linear classifier inference: deterministic "
+        "weight table from the seeded portable hash, exact BIGINT scores, "
+        "map-only + one per-doc aggregate",
+    ),
     QuerySpec("stratified_sample_lang", q_stratified_sample, _stratified_sql(), ("sampling",)),
     QuerySpec("token_length_bins", q_token_length_bins, _TOKEN_BINS_SQL, ("text", "stats")),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, _JACCARD_SQL, ("dedup",)),
@@ -3659,6 +3851,15 @@ SPECS: list[QuerySpec] = [
         doc="3 unrolled BPE TRAINING rounds: top pair → canonical left-to-"
         "right non-overlapping merge across the vocabulary (own-delimiter "
         "token encoding) → recount; corpus enters only the first aggregate",
+    ),
+    QuerySpec(
+        "bpe_encode_corpus",
+        q_bpe_encode_corpus,
+        _bpe_encode_sql(),
+        ("llm", "tokenizer"),
+        doc="Tokenizer APPLICATION: encode every document with the trained "
+        "3-round BPE — per-word encode over the broadcast |V|-row table, "
+        "per-doc token counts; the deploy half of bpe_train_rounds",
     ),
     QuerySpec(
         "wordpiece_merge_scores",

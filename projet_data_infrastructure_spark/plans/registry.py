@@ -103,7 +103,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "countmin_heavy_hitters",
     "ivf_topk_batch",
     "bpe_train_rounds",
-    # (c) round-6 additions: deterministic partsupp + 5 TPC-H analogs
+    # (c) round-6 additions: tokenizer apply + hashed-linear inference,
+    # deterministic partsupp + 5 TPC-H analogs
+    "bpe_encode_corpus",
+    "hashed_linear_score",
     "partsupp_synth",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
