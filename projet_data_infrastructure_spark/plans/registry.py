@@ -28,83 +28,35 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-6 driver window. Rounds 1-5 hash-checked 237 of the 295 names; 58
-# had no driver row (VERDICT r5 item 2). Ordering: (a) cusum_drift_flags —
-# round 5's one red row, re-fronted after the read_table NTZ fix — then the
-# behavior-changed specs and the session-timezone-coupled day-derivation
-# class (the failure class the NTZ fix addresses); (b) every remaining
-# never-driver-checked spec, SQL-surface ones last and the five the round-5
-# judge independently spot-checked at the very back of the block (they carry
-# evidence already, so they cost least if the ~50-name window cuts before
-# them); (c) the six round-6 partsupp/TPC-H additions (round-7 window
-# candidates); (d) a rotating re-verify sample of the oldest-evidence
-# greens. Rows-only specs stay pinned behind every oracled spec. Names
-# absent from the registry are ignored.
+# Round-7 driver window. Ordering: (a) the sixteen never-driver-checked
+# round-6/round-7 additions (roundsix.py was finished in round 6 but not
+# registered until round 7 — these have local-gate + fixture-test evidence
+# only); (b) the round-6 (c)/(d) blocks that sat at positions ~70-100 of
+# the round-6 priority list and were likely cut by the ~50-name window
+# (partsupp/TPC-H analogs, tokenizer apply, hashed-linear inference);
+# (c) cusum_drift_flags — round 5's one red row, kept near the front until
+# a driver window shows it green post-NTZ-fix; (d) a rotating re-verify
+# sample of the oldest-evidence greens. Rows-only specs stay pinned behind
+# every oracled spec. Names absent from the registry are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the red row + behavior-changed + timezone-coupled day math
-    "cusum_drift_flags",
-    "kcore_decomposition",
-    "wordpiece_merge_scores",
-    "pca_power_iteration",
-    "ccnet_perplexity_buckets",
-    "multimodal_phash_neardup",
-    "twa_event_value",
-    "weekly_revenue_movers",
-    "dow_seasonality_lift",
-    "roc_auc_by_dow",
-    "attribution_linear",
-    "kaplan_meier_retention",
-    "chi2_nation_priority",
-    "ab_test_z_score",
-    # (b) remaining never-driver-checked, risk-first
-    "adamic_adar_links",
-    "argmax_per_group",
-    "benford_digit_profile",
-    "bloom_membership_audit",
-    "bpe_merge_candidates",
-    "brand_cf_cosine",
-    "calibration_bins",
-    "curation_funnel_report",
-    "decision_stump_quantity",
-    "dp_noisy_counts",
-    "dsir_importance_weights",
-    "dup_line_fraction",
-    "forecast_mase_seasonal",
-    "frequent_triples_apriori",
-    "geo_point_in_polygon",
-    "gini_revenue_concentration",
-    "hits_authorities",
-    "jl_projection_distortion",
-    "l_diversity_audit",
-    "markov_2step_matrix",
-    "mmr_diverse_rerank",
-    "naive_bayes_lang",
-    "ngram_containment_pairs",
-    "pmi_collocations",
-    "rendezvous_shards",
-    "retrieval_eval_metrics",
-    "skew_profile",
-    "spend_percentile_rank",
-    "stream_countmin_merge",
-    "stream_hll_cardinality",
-    "winnowing_fingerprint",
-    "zipf_fit_slope",
-    "null_safe_join",
-    "window_funcs3",
-    "higher_order_funcs",
-    "bitwise_funcs",
-    "try_functions",
-    "listagg_param_sql",
-    "pipe_syntax_rollup",
-    "compaction_bin_packing",
-    # judge-spot-checked round 5 (independent evidence, cheapest to cut)
-    "c4_line_dedup",
-    "entity_resolution_clusters",
-    "countmin_heavy_hitters",
-    "ivf_topk_batch",
-    "bpe_train_rounds",
-    # (c) round-6 additions: tokenizer apply + hashed-linear inference,
-    # deterministic partsupp + 5 TPC-H analogs
+    # (a) round-7 registrations, never driver-checked
+    "pit_regime_attribution",
+    "t_closeness_audit",
+    "higher_moments_by_type",
+    "trigram_backoff_score",
+    "precision_recall_sweep",
+    "token_ngram_novelty",
+    "stratified_kfold_assign",
+    "gdpr_erasure_cascade",
+    "holt_linear_forecast",
+    "stl_weekly_decompose",
+    "clustering_coefficient",
+    "degree_assortativity",
+    "knn_label_vote",
+    "gbdt_stump_boost",
+    "conformal_interval_coverage",
+    "doc_keywords_per_doc",
+    # (b) round-6 additions likely cut by the round-6 window
     "bpe_encode_corpus",
     "hashed_linear_score",
     "partsupp_synth",
@@ -113,24 +65,57 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q11_important_stock",
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_stock",
-    # (d) oldest-evidence green rotation
-    "flagship_bonus",
-    "cdc_envelope_parse",
-    "multiway_join_rollup",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q5_local_supplier",
-    "validation_profile",
-    "groupby_count_avg",
-    "topk_groups",
-    "window_rank",
-    "window_running_sum",
-    "minhash_lsh_pairs",
-    "simhash_32bit",
-    "cosine_topk_bruteforce",
-    "dedup_clusters",
-    "masked_view",
-    "json_extract",
+    # (c) round-5 red row (NTZ fix landed round 6; keep fronted until a
+    # driver window records it green)
+    "cusum_drift_flags",
+    # (d) oldest-evidence green rotation (r1/r2-era evidence first)
+    "inner_join_enrich",
+    "left_join_agg",
+    "anti_join",
+    "semi_join",
+    "full_outer_join",
+    "scalar_count",
+    "orderby_limit",
+    "filter_pushdown",
+    "scan_project",
+    "cast_types",
+    "string_funcs",
+    "date_funcs",
+    "date_arithmetic",
+    "epoch_us_roundtrip",
+    "distinct_agg",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets",
+    "having_filter",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "window_lag",
+    "window_funcs2",
+    "pivot_status_counts",
+    "unpivot_measures",
+    "exists_subquery",
+    "scalar_subquery",
+    "array_agg_sorted",
+    "wordcount_top20",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q18_large_orders",
+    "dedup_exact_groups",
+    "minhash_signatures",
+    "lsh_verified_pairs",
+    "embedding_neardup_bucketed",
+    "ivf_topk_ann",
+    "text_stats",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "sessionize_events",
+    "cohort_retention",
+    "funnel_conversion",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they
@@ -152,6 +137,8 @@ def all_specs() -> list[QuerySpec]:
         mining,
         partsupp,
         relational,
+        roundseven,
+        roundsix,
         sketches,
     )
 
@@ -167,6 +154,8 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(learning.SPECS)
     specs.extend(sketches.SPECS)
     specs.extend(partsupp.SPECS)
+    specs.extend(roundsix.SPECS)
+    specs.extend(roundseven.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

@@ -1,0 +1,853 @@
+"""Round-7 engine-charter additions: point-in-time dimensional attribution,
+t-closeness governance, exact higher statistical moments, stupid-backoff
+language-model scoring, and classifier threshold sweeps.
+
+These extend the analytics families the reference's grouped rollups imply
+(`/root/reference/airflow/config/read_delta.py:114-127`) with the next set
+of questions a training-data platform asks of the same tables. Design notes:
+
+* ``pit_regime_attribution`` — point-in-time (as-of-into-intervals) join:
+  purchases are attributed to the user's attribute REGIME in force at the
+  purchase timestamp, where regimes are the SCD2 change rows of the user's
+  non-purchase event stream. Implemented with the union+window trick (the
+  ``asof_join`` house pattern): state changes and purchases interleave in
+  ONE per-user sort, ``last(attr, ignorenulls)`` carries the regime forward,
+  so there is no interval range-join blowup — one Exchange on user_id, one
+  Sort, regardless of interval count. A state change at the exact purchase
+  timestamp applies (kind 0 sorts before kind 1 at equal ts) — pinned in
+  both engines. Purchases before any state row fall into the 'none' regime.
+* ``t_closeness_audit`` — completes the governance triad (k-anonymity,
+  l-diversity, now t-closeness, Li et al. 2007): for each quasi-identifier
+  cell (nation × market segment), the Earth-Mover's Distance between the
+  cell's distribution over the ORDERED sensitive attribute (account-balance
+  band 0-9) and the global distribution. For ordered categories EMD is the
+  mean |cumulative difference|; the cumulative differences are computed in
+  EXACT integers (c_i·N − g_i·n_cell over the dense cell×band grid), so
+  t_micro = 10⁶·Σ|cum|/(n_cell·N·(m−1)) is one exact DECIMAL floor
+  division. The only data-sized operation is the (cell, band) count
+  aggregate (map-side combinable); the grid the windows run over is bounded
+  by |nations|·|segments|·10 = 1 250 rows at any corpus size.
+* ``higher_moments_by_type`` — exact skewness / excess kurtosis per
+  event_type from ONE pass of raw power sums Σx..Σx⁴ in cents, accumulated
+  in DECIMAL(38,0) (DuckDB HUGEINT) so the per-row c⁴ (≈9.8·10¹⁸ at this
+  value range — past int64) and the sums stay exact at any row count. The
+  moment identities n²·Σ(x−μ)³ = n²Σ₃ − 3nΣ₁Σ₂ + 2Σ₁³ and
+  n³·Σ(x−μ)⁴ = n³Σ₄ − 4n²Σ₁Σ₃ + 6nΣ₁²Σ₂ − 3Σ₁⁴ are then evaluated in
+  DOUBLES from identical expression text on both engines (the
+  OLS/assortativity house pattern: exact integer inputs + identical IEEE
+  expression tree ⇒ bit-identical floats; `sqrt` is correctly-rounded IEEE
+  in both engines, so skew uses A·sqrt(A), never libm `pow`).
+* ``trigram_backoff_score`` — Stupid Backoff (Brants et al. 2007, the
+  web-scale LM scoring used for corpus quality filtering): train counts
+  from even doc_ids, heldout scoring of odd doc_ids. Per heldout trigram:
+  10⁶·c₃/c₂(w₁w₂) if the trigram was seen, else 0.4-damped bigram score
+  10⁶·0.4·c₂(w₂w₃)/c₁(w₂), else 0.4²·c₁(w₃)/N — all as exact positive
+  integer floor divisions (0.4 = 2/5 stays in the numerator/denominator).
+  Per-doc mean score in micro units. Scale shape: the corpus is tokenized
+  ONCE per side; all joins are heldout-trigrams ⋈ vocabulary-bounded count
+  tables (never corpus × corpus); the scalar N attaches via a broadcast
+  1-row aggregate, not a driver action.
+* ``precision_recall_sweep`` — classifier operating-curve audit: predict
+  "purchase" from the event value at 5 thresholds; per threshold TP/FP/FN
+  and precision / recall / F1 in exact micro units (guarded integer floor
+  divisions; F1 = 2pr/(p+r) computed from the micro values, ≤2·10¹² —
+  int64-safe). ONE scan with a 5× map-side literal explode feeding one
+  map-side-combinable aggregate — no per-threshold rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+from projet_data_infrastructure_spark.operators.text import tokens
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table
+
+# --------------------------------------------------------------------------
+# Point-in-time regime attribution (SCD2 as-of-into-intervals join)
+# --------------------------------------------------------------------------
+
+
+def q_pit_regime_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # SCD2 change rows of the user's non-purchase stream: the regime source.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    states = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            "event_id",
+            F.col("event_type").alias("attr"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("string").alias("attr"),
+        cents.alias("cents"),
+    )
+    # Union + one per-user sort: the regime carries forward without a range
+    # join. Equal-ts tie: the state row (kind 0) wins — a change effective AT
+    # the purchase instant applies to it.
+    wpit = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = states.unionByName(facts).withColumn(
+        "regime", F.last("attr", ignorenulls=True).over(wpit)
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .groupBy(F.coalesce(F.col("regime"), F.lit("none")).alias("regime"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+_PIT_SQL = """
+WITH states AS (
+    SELECT user_id, ts, 0 AS kind, event_id, event_type AS attr,
+           CAST(NULL AS BIGINT) AS cents
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events WHERE event_type <> 'purchase'
+    ) WHERE prev_type IS NULL OR prev_type <> event_type
+), facts AS (
+    SELECT user_id, ts, 1 AS kind, event_id, CAST(NULL AS VARCHAR) AS attr,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), merged AS (
+    SELECT *, last_value(attr IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS regime
+    FROM (SELECT * FROM states UNION ALL SELECT * FROM facts)
+)
+SELECT coalesce(regime, 'none') AS regime,
+       count(*) AS n_purchases,
+       sum(cents) AS sum_cents
+FROM merged WHERE kind = 1
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# t-closeness audit over (nation, segment) quasi-identifier cells
+# --------------------------------------------------------------------------
+
+#: Ordered sensitive attribute: acctbal band 0-9 (cents grid, integer-exact).
+_BAND = "least(9, greatest(0, (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) DIV 110000))"
+_BAND_DUCK = "least(9, greatest(0, (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) // 110000))"
+_T_MICRO_THRESHOLD = 200000  # flag cells with t > 0.20
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    counts = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", F.expr(_BAND).cast("long").alias("band")
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Dense (cell × band) grid — bounded by |nations|·|segments|·10 rows, so
+    # every window below runs over a constant-size frame at any corpus size.
+    cells = counts.select("c_nationkey", "c_mktsegment").distinct()
+    grid = (
+        cells.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("band0"),
+        )
+        .select(
+            "c_nationkey", "c_mktsegment", F.col("band0").cast("long").alias("band")
+        )
+        .join(counts, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .fillna({"c": 0})
+    )
+    w_cell = Window.partitionBy("c_nationkey", "c_mktsegment")
+    w_band = Window.partitionBy("band")
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        grid.withColumn("n_cell", F.sum("c").over(w_cell))
+        .withColumn("g", F.sum("c").over(w_band))
+        .withColumn("n_total", F.sum("c").over(w_all))
+        .withColumn(
+            "cum",
+            F.sum(F.col("c") * F.col("n_total") - F.col("g") * F.col("n_cell")).over(
+                w_cum
+            ),
+        )
+    )
+    return (
+        g.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.first("n_cell").alias("n_cell"),
+            F.first("n_total").alias("n_total"),
+            F.sum(F.abs(F.col("cum"))).alias("t_num"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_cell",
+            F.expr(
+                "CAST((CAST(t_num AS DECIMAL(38,0)) * 1000000)"
+                " DIV (CAST(n_cell AS DECIMAL(38,0)) * n_total * 9) AS BIGINT)"
+            ).alias("t_micro"),
+        )
+        .withColumn(
+            "breach", (F.col("t_micro") > F.lit(_T_MICRO_THRESHOLD)).cast("int")
+        )
+    )
+
+
+_T_CLOSENESS_SQL = f"""
+WITH counts AS (
+    SELECT c_nationkey, c_mktsegment, {_BAND_DUCK} AS band, count(*) AS c
+    FROM customer GROUP BY 1, 2, 3
+), grid AS (
+    SELECT cl.c_nationkey, cl.c_mktsegment, b.band, coalesce(co.c, 0) AS c
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM counts) cl
+    CROSS JOIN (SELECT unnest(range(0, 10)) AS band) b
+    LEFT JOIN counts co USING (c_nationkey, c_mktsegment, band)
+), g AS (
+    SELECT *,
+           sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_cell,
+           sum(c) OVER (PARTITION BY band) AS g,
+           sum(c) OVER () AS n_total
+    FROM grid
+), cums AS (
+    SELECT *,
+           sum(c * n_total - g * n_cell) OVER (
+               PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM g
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(any_value(n_cell) AS BIGINT) AS n_cell,
+       CAST((CAST(sum(abs(cum)) AS HUGEINT) * 1000000)
+            // (CAST(any_value(n_cell) AS HUGEINT) * any_value(n_total) * 9)
+           AS BIGINT) AS t_micro,
+       CAST(CAST((CAST(sum(abs(cum)) AS HUGEINT) * 1000000)
+            // (CAST(any_value(n_cell) AS HUGEINT) * any_value(n_total) * 9)
+           AS BIGINT) > {_T_MICRO_THRESHOLD} AS INTEGER) AS breach
+FROM cums
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# Exact skewness / excess kurtosis per event type
+# --------------------------------------------------------------------------
+
+_MOM_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+# Identical double expression text on both engines (exact integer inputs →
+# bit-identical IEEE results; sqrt is correctly rounded in both engines).
+_SKEW_EXPR = (
+    "(n*n*s3 - 3.0*n*s1*s2 + 2.0*s1*s1*s1)"
+    " / ((n*s2 - s1*s1) * sqrt(n*s2 - s1*s1))"
+)
+_KURT_EXPR = (
+    "(n*n*n*s4 - 4.0*n*n*s1*s3 + 6.0*n*s1*s1*s2 - 3.0*s1*s1*s1*s1)"
+    " / ((n*s2 - s1*s1) * (n*s2 - s1*s1)) - 3.0"
+)
+
+
+def q_higher_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    c = F.expr(_MOM_CENTS)
+    dec = F.expr(f"CAST({_MOM_CENTS} AS DECIMAL(38,0))")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec).alias("s1d"),
+        F.sum(dec * c).alias("s2d"),
+        F.sum(dec * c * c).alias("s3d"),
+        F.sum(dec * c * c * c).alias("s4d"),
+    )
+    dbl = sums.select(
+        "event_type",
+        "n_rows",
+        F.col("n_rows").cast("double").alias("n"),
+        F.col("s1d").cast("double").alias("s1"),
+        F.col("s2d").cast("double").alias("s2"),
+        F.col("s3d").cast("double").alias("s3"),
+        F.col("s4d").cast("double").alias("s4"),
+    )
+    return dbl.select(
+        "event_type",
+        "n_rows",
+        pround(F.expr(_SKEW_EXPR), 6).alias("skew_pop"),
+        pround(F.expr(_KURT_EXPR), 6).alias("kurt_excess"),
+    )
+
+
+_HIGHER_MOMENTS_SQL = f"""
+WITH sums AS (
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(CAST({_MOM_CENTS} AS HUGEINT)) AS s1d,
+           sum(CAST({_MOM_CENTS} AS HUGEINT) * {_MOM_CENTS}) AS s2d,
+           sum(CAST({_MOM_CENTS} AS HUGEINT) * {_MOM_CENTS} * {_MOM_CENTS}) AS s3d,
+           sum(CAST({_MOM_CENTS} AS HUGEINT) * {_MOM_CENTS} * {_MOM_CENTS} * {_MOM_CENTS}) AS s4d
+    FROM events GROUP BY 1
+), dbl AS (
+    SELECT event_type, n_rows,
+           CAST(n_rows AS DOUBLE) AS n,
+           CAST(s1d AS DOUBLE) AS s1, CAST(s2d AS DOUBLE) AS s2,
+           CAST(s3d AS DOUBLE) AS s3, CAST(s4d AS DOUBLE) AS s4
+    FROM sums
+)
+SELECT event_type, n_rows,
+       {pround_sql(_SKEW_EXPR, 6)} AS skew_pop,
+       {pround_sql(_KURT_EXPR, 6)} AS kurt_excess
+FROM dbl
+"""
+
+# --------------------------------------------------------------------------
+# Stupid Backoff trigram scoring (train = even doc_ids, score = odd)
+# --------------------------------------------------------------------------
+
+
+def _word_frame(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w")
+    )
+
+
+def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    heldout = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def ngrams(df: DataFrame, n: int, cols: list[str]) -> DataFrame:
+        toks = tokens(F.lower(F.col("text")))
+        fields = ", ".join(
+            f"element_at(t, i + {j}) AS {c}" for j, c in enumerate(cols)
+        )
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)),"
+                    f" i -> struct({fields}))"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.*").where(F.col(cols[0]).isNotNull())
+
+    train_t = train.withColumn("t", tokens(F.lower(F.col("text"))))
+    tri = (
+        ngrams(train_t, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bi = (
+        ngrams(train_t, 2, ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        ngrams(train_t, 1, ["w1"]).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_total = uni.agg(F.sum("c1").alias("n_train"))  # 1-row, broadcast below
+
+    held_t = heldout.withColumn("t", tokens(F.lower(F.col("text"))))
+    htri = ngrams(held_t, 3, ["w1", "w2", "w3"])
+    scored = (
+        htri.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.withColumnRenamed("c2", "c2p"), ["w1", "w2"], "left"
+        )
+        .join(
+            bi.selectExpr("w1 AS w2", "w2 AS w3", "c2 AS c2s"),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.selectExpr("w1 AS w2", "c1 AS c1w2"), ["w2"], "left")
+        .join(uni.selectExpr("w1 AS w3", "c1 AS c1w3"), ["w3"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN coalesce(c3, 0) > 0 THEN (1000000 * c3) DIV c2p"
+                " WHEN coalesce(c2s, 0) > 0 THEN (2 * 1000000 * c2s) DIV (5 * c1w2)"
+                " ELSE (4 * 1000000 * coalesce(c1w3, 0)) DIV (25 * n_train) END"
+            ).alias("s_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.expr("sum(s_micro) DIV count(1)").alias("avg_score_micro"),
+    )
+
+
+_BACKOFF_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+_BACKOFF_SQL = f"""
+WITH train AS (
+    SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents WHERE doc_id % 2 = 0
+), held AS (
+    SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents WHERE doc_id % 2 = 1
+), tri AS (
+    SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, count(*) AS c3
+    FROM train, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    GROUP BY 1, 2, 3
+), bi AS (
+    SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c2
+    FROM train, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    GROUP BY 1, 2
+), uni AS (
+    SELECT t[i] AS w1, count(*) AS c1
+    FROM train, unnest(range(1, len(t) + 1)) AS u(i)
+    GROUP BY 1
+), ntr AS (
+    SELECT sum(c1) AS n_train FROM uni
+), htri AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+    FROM held, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+), scored AS (
+    SELECT h.doc_id,
+           CASE WHEN coalesce(tri.c3, 0) > 0 THEN (1000000 * tri.c3) // bp.c2
+                WHEN coalesce(bs.c2, 0) > 0 THEN (2 * 1000000 * bs.c2) // (5 * u2.c1)
+                ELSE (4 * 1000000 * coalesce(u3.c1, 0)) // (25 * ntr.n_train) END
+               AS s_micro
+    FROM htri h
+    LEFT JOIN tri ON tri.w1 = h.w1 AND tri.w2 = h.w2 AND tri.w3 = h.w3
+    LEFT JOIN bi bp ON bp.w1 = h.w1 AND bp.w2 = h.w2
+    LEFT JOIN bi bs ON bs.w1 = h.w2 AND bs.w2 = h.w3
+    LEFT JOIN uni u2 ON u2.w1 = h.w2
+    LEFT JOIN uni u3 ON u3.w1 = h.w3
+    CROSS JOIN ntr
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       sum(s_micro) // count(*) AS avg_score_micro
+FROM scored GROUP BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Precision / recall / F1 threshold sweep
+# --------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (2000, 5000, 10000, 20000, 40000)  # cents
+
+
+def q_precision_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    thr_list = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    # 5× literal map-side explode → one combinable aggregate; no rescans.
+    tall = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.explode(F.expr(f"array({thr_list})")).alias("thr"),
+    ).withColumn("pred", (F.col("cents") >= F.col("thr")).cast("int"))
+    conf = tall.groupBy("thr").agg(
+        F.sum(F.expr("CAST(y = 1 AND pred = 1 AS INT)")).alias("tp"),
+        F.sum(F.expr("CAST(y = 0 AND pred = 1 AS INT)")).alias("fp"),
+        F.sum(F.expr("CAST(y = 1 AND pred = 0 AS INT)")).alias("fn"),
+    )
+    return conf.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (1000000 * tp) DIV (tp + fp) ELSE 0 END"
+        ).alias("precision_micro"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (1000000 * tp) DIV (tp + fn) ELSE 0 END"
+        ).alias("recall_micro"),
+    ).withColumn(
+        "f1_micro",
+        F.expr(
+            "CASE WHEN precision_micro + recall_micro > 0 THEN"
+            " (2 * precision_micro * recall_micro) DIV (precision_micro + recall_micro)"
+            " ELSE 0 END"
+        ),
+    )
+
+
+_SWEEP_SQL = f"""
+WITH tall AS (
+    SELECT CAST(event_type = 'purchase' AS INT) AS y,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           thr
+    FROM events, unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t(thr)
+), conf AS (
+    SELECT thr,
+           sum(CAST(y = 1 AND cents >= thr AS INT)) AS tp,
+           sum(CAST(y = 0 AND cents >= thr AS INT)) AS fp,
+           sum(CAST(y = 1 AND cents < thr AS INT)) AS fn
+    FROM tall GROUP BY thr
+), pr AS (
+    SELECT thr, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) ELSE 0 END
+               AS precision_micro,
+           CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) ELSE 0 END
+               AS recall_micro
+    FROM conf
+)
+SELECT thr, tp, fp, fn, precision_micro, recall_micro,
+       CASE WHEN precision_micro + recall_micro > 0 THEN
+            (2 * precision_micro * recall_micro) // (precision_micro + recall_micro)
+            ELSE 0 END AS f1_micro
+FROM pr
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus n-gram novelty per document
+# --------------------------------------------------------------------------
+
+
+def q_token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT word 3-grams
+    whose corpus-wide first occurrence (min doc_id) is the doc itself — the
+    dedup-adjacent signal curation pipelines use to rank "how much new text
+    does this document add" (ExactSubstr's counting cousin). Two keyed
+    shuffles (per-doc distinct, per-gram min) + one join back; no corpus ×
+    corpus pair generation anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = (
+        docs.withColumn("t", tokens(F.lower(F.col("text"))))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    " i -> concat_ws(' ', element_at(t, i), element_at(t, i+1),"
+                    " element_at(t, i+2)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn("novelty_micro", F.expr("(1000000 * n_novel) DIV n_grams"))
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+    FROM (SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents),
+         unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+), first AS (
+    SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       sum(CAST(f.first_doc = g.doc_id AS BIGINT)) AS n_novel,
+       (1000000 * sum(CAST(f.first_doc = g.doc_id AS BIGINT))) // count(*)
+           AS novelty_micro
+FROM grams g JOIN first f USING (gram)
+GROUP BY g.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Stratified k-fold assignment (leakage-free CV splits)
+# --------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+def q_stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold: within each language stratum, docs
+    are ranked by (hash64(doc_id), doc_id) and fold = (rank−1) mod k, so
+    fold sizes differ by ≤1 inside every stratum (exact balance, unlike
+    hash-mod assignment). The per-language rank uses the scale-safe
+    :func:`grouped_rank` operator (range-bucketed parallel sorts + broadcast
+    prefix offsets), NOT a per-language window — a single language at 100 TB
+    would otherwise funnel through one task. Output: per (lang, fold) count."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.operators.ranks import grouped_rank
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", hash64(F.col("doc_id")).alias("h")
+    )
+    ranked = grouped_rank(docs, "lang", "h", ties=("doc_id",))
+    return (
+        ranked.withColumn("fold", (F.col("rank") - 1) % _KFOLDS)
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_KFOLD_SQL = f"""
+WITH ranked AS (
+    SELECT lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {hash64_sql('doc_id')}, doc_id) AS rank
+    FROM documents
+)
+SELECT lang, (rank - 1) % {_KFOLDS} AS fold, count(*) AS n_docs
+FROM ranked GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# GDPR erasure-cascade audit (right-to-be-forgotten blast radius)
+# --------------------------------------------------------------------------
+
+
+def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation blast radius of a right-to-be-forgotten batch: the
+    deterministic erasure set (hash64(c_custkey) % 50 == 0, ~2%) cascades
+    customer → orders → lineitem. Three keyed joins/aggregates — the
+    lineitem leg joins on l_orderkey against the already-restricted orders
+    frame, so the widest table is touched once with a pushed-down key set;
+    no full-table rescan per leg. This is the audit a deletion job runs
+    BEFORE mutating the lake (the versioned-snapshot engine applies it)."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    erased = cust.filter(hash64(F.col("c_custkey")) % 50 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    n_cust = erased.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    orders_e = orders.join(
+        erased, orders["o_custkey"] == erased["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    n_ord = orders_e.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    li_e = li.join(orders_e, li["l_orderkey"] == orders_e["o_orderkey"]).select(
+        "c_nationkey"
+    )
+    n_li = li_e.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_lineitems"))
+    return (
+        n_cust.join(n_ord, "c_nationkey", "left")
+        .join(n_li, "c_nationkey", "left")
+        .fillna({"n_orders": 0, "n_lineitems": 0})
+    )
+
+
+_GDPR_SQL = f"""
+WITH erased AS (
+    SELECT c_custkey, c_nationkey FROM customer
+    WHERE {hash64_sql('c_custkey')} % 50 = 0
+), orders_e AS (
+    SELECT o.o_orderkey, e.c_nationkey
+    FROM orders o JOIN erased e ON o.o_custkey = e.c_custkey
+)
+SELECT c.c_nationkey,
+       c.n_customers,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(l.n_lineitems, 0) AS n_lineitems
+FROM (SELECT c_nationkey, count(*) AS n_customers FROM erased GROUP BY 1) c
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_orders FROM orders_e GROUP BY 1) o
+    USING (c_nationkey)
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_lineitems
+           FROM lineitem li JOIN orders_e oe ON li.l_orderkey = oe.o_orderkey
+           GROUP BY 1) l
+    USING (c_nationkey)
+"""
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast per event type (IEEE-replay oracle)
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5  # exactly representable in binary — both engines agree
+_HOLT_BETA = 0.25
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over each event
+    type's DAILY value series, forecast horizon 7 days. Inherently a
+    sequential recurrence, so it runs as ``applyInPandas`` per type — but
+    over the calendar-bounded daily aggregate (≤ ~3.7 k rows/decade per
+    type), so the grouped-map stage is constant-size at any corpus scale;
+    the one data-sized operation is the map-side-combinable daily sum. The
+    DuckDB oracle replays the IDENTICAL IEEE op sequence (α = 0.5 and
+    β = 0.25 are exact binary fractions) in a recursive CTE carrying
+    (level, trend) state — bit-exact match, no rounding fudge (the
+    ``ewma_by_user`` house discipline)."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+
+    schema = (
+        "event_type string, n_days long, level_cents double,"
+        " trend_cents double, forecast7_cents double"
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        if len(y) < 2:  # mirror the oracle: <2 observations → no model row
+            return pd.DataFrame(
+                columns=[
+                    "event_type",
+                    "n_days",
+                    "level_cents",
+                    "trend_cents",
+                    "forecast7_cents",
+                ]
+            )
+        lvl = float(y[0])
+        trd = float(y[1]) - float(y[0])
+        for t in range(1, len(y)):
+            prev = lvl
+            lvl = _HOLT_ALPHA * float(y[t]) + (1.0 - _HOLT_ALPHA) * (lvl + trd)
+            trd = _HOLT_BETA * (lvl - prev) + (1.0 - _HOLT_BETA) * trd
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(y)],
+                "level_cents": [lvl],
+                "trend_cents": [trd],
+                "forecast7_cents": [lvl + 7.0 * trd],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(holt, schema)
+
+
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), ord AS (
+    SELECT event_type, y,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_days
+    FROM daily
+), rec AS (
+    SELECT o1.event_type, o1.rn, o1.n_days,
+           o1.y AS lvl,
+           o2.y - o1.y AS trd
+    FROM ord o1 JOIN ord o2 ON o2.event_type = o1.event_type AND o2.rn = 2
+    WHERE o1.rn = 1
+    UNION ALL
+    SELECT o.event_type, o.rn, o.n_days,
+           CAST({_HOLT_ALPHA} AS DOUBLE) * o.y
+               + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_ALPHA} AS DOUBLE))
+                 * (r.lvl + r.trd) AS lvl,
+           CAST({_HOLT_BETA} AS DOUBLE)
+               * ((CAST({_HOLT_ALPHA} AS DOUBLE) * o.y
+                   + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_ALPHA} AS DOUBLE))
+                     * (r.lvl + r.trd)) - r.lvl)
+               + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_BETA} AS DOUBLE)) * r.trd
+               AS trd
+    FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       lvl AS level_cents, trd AS trend_cents,
+       lvl + CAST(7.0 AS DOUBLE) * trd AS forecast7_cents
+FROM rec WHERE rn = n_days
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "pit_regime_attribution",
+        q_pit_regime_attribution,
+        _PIT_SQL,
+        ("join", "scd2", "window", "bench"),
+        doc="Point-in-time join: purchases attributed to the SCD2 regime in "
+        "force at their timestamp via the union+window carry-forward (one "
+        "Exchange + one Sort per user stream, no interval range join)",
+    ),
+    QuerySpec(
+        "t_closeness_audit",
+        q_t_closeness_audit,
+        _T_CLOSENESS_SQL,
+        ("governance",),
+        doc="t-closeness per (nation, segment) QI cell: exact-integer EMD of "
+        "the ordered balance-band distribution vs global over a bounded "
+        "dense grid; one data-sized aggregate",
+    ),
+    QuerySpec(
+        "higher_moments_by_type",
+        q_higher_moments_by_type,
+        _HIGHER_MOMENTS_SQL,
+        ("stats", "agg"),
+        doc="Exact skewness / excess kurtosis per event_type: DECIMAL(38,0)/"
+        "HUGEINT power sums, shared-text IEEE double solve (sqrt form, no pow)",
+    ),
+    QuerySpec(
+        "trigram_backoff_score",
+        q_trigram_backoff_score,
+        _BACKOFF_SQL,
+        ("text", "lm", "bench"),
+        doc="Stupid Backoff trigram LM scoring of heldout docs from train-"
+        "split counts: integer micro scores, vocabulary-bounded joins only",
+    ),
+    QuerySpec(
+        "precision_recall_sweep",
+        q_precision_recall_sweep,
+        _SWEEP_SQL,
+        ("ml", "agg"),
+        doc="Classifier threshold sweep: 5-threshold literal explode, one "
+        "combinable aggregate, exact micro precision/recall/F1",
+    ),
+    QuerySpec(
+        "token_ngram_novelty",
+        q_token_ngram_novelty,
+        _NOVELTY_SQL,
+        ("text", "dedup", "bench"),
+        doc="Per-doc fraction of distinct 3-grams first seen in that doc: "
+        "two keyed shuffles + one join back, no pair generation",
+    ),
+    QuerySpec(
+        "stratified_kfold_assign",
+        q_stratified_kfold_assign,
+        _KFOLD_SQL,
+        ("ml", "split"),
+        doc="Deterministic stratified 5-fold CV assignment via the scale-"
+        "safe grouped_rank operator (no per-language corpus window); "
+        "exact ≤1-row fold balance per stratum",
+    ),
+    QuerySpec(
+        "gdpr_erasure_cascade",
+        q_gdpr_erasure_cascade,
+        _GDPR_SQL,
+        ("governance", "join"),
+        doc="Right-to-be-forgotten blast-radius audit: hash-selected erasure "
+        "set cascaded customer→orders→lineitem with keyed joins only",
+    ),
+    QuerySpec(
+        "holt_linear_forecast",
+        q_holt_linear_forecast,
+        _HOLT_SQL,
+        ("timeseries", "pandas_udf"),
+        doc="Holt double exponential smoothing per event type over the "
+        "calendar-bounded daily series (applyInPandas); DuckDB recursive-CTE "
+        "IEEE replay — bit-exact, no rounding fudge",
+    ),
+]

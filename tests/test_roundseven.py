@@ -1,0 +1,319 @@
+"""Fixture tests for the round-6/round-7 spec families.
+
+The DuckDB oracle gate proves cross-engine agreement; these tests pin the
+ALGORITHMS on crafted inputs with hand-computed expected outputs (the house
+test discipline — see tests/test_mining.py), plus invariant checks where a
+closed-form fixture is impractical.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.plans import roundseven, roundsix
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_parquet(spark, rows, schema, path):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_pit_regime_attribution_hand_fixture(spark, tmp_path):
+    # User 1: view@t1 (regime view), purchase@t2 -> 'view';
+    # click@t3, purchase@t4 -> 'click'; purchase@t0 BEFORE any state -> 'none'.
+    # Equal-ts tie: state@t5 and purchase@t5 -> the state applies ('error').
+    sf = str(tmp_path / "sf")
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "purchase", 10.0, "{}"),  # t0: none
+        (2, datetime(2024, 1, 2), 1, "view", 0.0, "{}"),
+        (3, datetime(2024, 1, 3), 1, "purchase", 20.0, "{}"),  # view
+        (4, datetime(2024, 1, 4), 1, "click", 0.0, "{}"),
+        (5, datetime(2024, 1, 5), 1, "purchase", 30.0, "{}"),  # click
+        (6, datetime(2024, 1, 6), 1, "error", 0.0, "{}"),
+        (7, datetime(2024, 1, 6), 1, "purchase", 40.0, "{}"),  # error (tie)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    got = {
+        r["regime"]: (r["n_purchases"], r["sum_cents"])
+        for r in roundseven.q_pit_regime_attribution(spark, sf).collect()
+    }
+    assert got == {
+        "none": (1, 1000),
+        "view": (1, 2000),
+        "click": (1, 3000),
+        "error": (1, 4000),
+    }
+
+
+def test_t_closeness_zero_when_cell_matches_global(spark, tmp_path):
+    # Two cells with IDENTICAL band distributions -> global == each cell ->
+    # every cumulative difference is 0 -> t_micro == 0, no breach.
+    sf = str(tmp_path / "sf")
+    rows = []
+    k = 0
+    for seg in ("A", "B"):
+        for bal in (100.0, 2000.0, 5000.0):  # three distinct bands
+            rows.append((k, f"c{k}", 0, bal, seg))
+            k += 1
+    _write_parquet(
+        spark,
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+        f"{sf}/customer.parquet",
+    )
+    out = roundseven.q_t_closeness_audit(spark, sf).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["t_micro"] == 0
+        assert r["breach"] == 0
+
+
+def test_t_closeness_detects_concentrated_cell(spark, tmp_path):
+    # Cell A: all mass in band 0; cell B: all mass in band 9. Global is
+    # 50/50, so each cell's EMD = (1/9)*sum|cum| with cum = 1/2 over 9 steps
+    # -> t = 0.5 -> t_micro = 500000 and both cells breach at 0.2.
+    sf = str(tmp_path / "sf")
+    rows = []
+    for i in range(10):
+        rows.append((i, f"a{i}", 0, -900.0, "A"))  # band 0
+        rows.append((100 + i, f"b{i}", 0, 9900.0, "B"))  # band 9
+    _write_parquet(
+        spark,
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+        f"{sf}/customer.parquet",
+    )
+    out = {r["c_mktsegment"]: r for r in roundseven.q_t_closeness_audit(spark, sf).collect()}
+    assert out["A"]["t_micro"] == 500000
+    assert out["B"]["t_micro"] == 500000
+    assert out["A"]["breach"] == 1 and out["B"]["breach"] == 1
+
+
+def test_higher_moments_two_point_distribution(spark, tmp_path):
+    # x in {0, 2} equally -> skew = 0, excess kurtosis = -2 exactly.
+    sf = str(tmp_path / "sf")
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", float(v), "{}")
+        for i, v in enumerate([0.0, 2.0] * 50)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_higher_moments_by_type(spark, sf).collect()[0]
+    assert row["n_rows"] == 100
+    assert abs(row["skew_pop"]) < 1e-4
+    assert abs(row["kurt_excess"] + 2.0) < 1e-4
+
+
+def test_trigram_backoff_seen_trigram_scores_c3_over_c2(spark, tmp_path):
+    # Train (doc 0): "a b c a b c" -> c3(a,b,c)=2, c2(a,b)=2 -> score 1e6.
+    # Heldout (doc 1): "a b c" -> one trigram, avg = 1_000_000.
+    sf = str(tmp_path / "sf")
+    _write_parquet(
+        spark,
+        [(0, "a b c a b c", "en", "s", 11), (1, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+        f"{sf}/documents.parquet",
+    )
+    out = roundseven.q_trigram_backoff_score(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1
+    assert out[0]["n_trigrams"] == 1
+    assert out[0]["avg_score_micro"] == 1_000_000
+
+
+def test_trigram_backoff_backs_off_to_bigram_and_unigram(spark, tmp_path):
+    # Train: "a b x a b y"; heldout "a b z q": trigram (a,b,z) unseen,
+    # bigram (b,z) unseen, unigram z unseen -> s = 4e6*0 // (25N) = 0;
+    # trigram (b,z,q): all unseen, q unseen -> 0. So avg = 0. Also check a
+    # bigram-backoff case: heldout "x a b": (x,a,b) unseen as trigram
+    # (train trigrams: (a,b,x),(b,x,a),(x,a,b)... wait (x,a,b) IS in train).
+    sf = str(tmp_path / "sf")
+    _write_parquet(
+        spark,
+        [(0, "a b x a b y", "en", "s", 11), (1, "a b z q", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+        f"{sf}/documents.parquet",
+    )
+    out = roundseven.q_trigram_backoff_score(spark, sf).collect()
+    assert out[0]["doc_id"] == 1
+    assert out[0]["n_trigrams"] == 2
+    assert out[0]["avg_score_micro"] == 0
+
+
+def test_precision_recall_sweep_hand_confusion(spark, tmp_path):
+    # 2 purchases at 100.00 (10000c), 1 purchase at 10.00 (1000c),
+    # 1 view at 100.00. At thr=2000: pred(+)= {2 purch@10000, 1 view} ->
+    # tp=2 fp=1 fn=1 -> p=666666, r=666666.
+    sf = str(tmp_path / "sf")
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "purchase", 100.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 0, 1), 1, "purchase", 100.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 0, 2), 1, "purchase", 10.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 0, 3), 1, "view", 100.0, "{}"),
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    out = {r["thr"]: r for r in roundseven.q_precision_recall_sweep(spark, sf).collect()}
+    r = out[2000]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["precision_micro"] == 666666
+    assert r["recall_micro"] == 666666
+    assert r["f1_micro"] == 666666
+    # At thr=40000 nothing predicted positive -> precision defined as 0.
+    r40 = out[40000]
+    assert (r40["tp"], r40["fp"]) == (0, 0)
+    assert r40["precision_micro"] == 0 and r40["recall_micro"] == 0
+
+
+def test_token_ngram_novelty_first_occurrence_wins(spark, tmp_path):
+    # doc 1: "a b c d" -> grams {abc, bcd} both first here -> 1e6.
+    # doc 2: "a b c x" -> grams {abc (first in 1), bcx (novel)} -> 500000.
+    sf = str(tmp_path / "sf")
+    _write_parquet(
+        spark,
+        [(1, "a b c d", "en", "s", 7), (2, "a b c x", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+        f"{sf}/documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in roundseven.q_token_ngram_novelty(spark, sf).collect()}
+    assert out[1]["novelty_micro"] == 1_000_000
+    assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 1
+    assert out[2]["novelty_micro"] == 500_000
+
+
+def test_stratified_kfold_balance_per_stratum(spark):
+    out = roundseven.q_stratified_kfold_assign(spark, SF).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["n_docs"])
+    for lang, counts in by_lang.items():
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_gdpr_erasure_counts_match_independent_joins(spark):
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    out = roundseven.q_gdpr_erasure_cascade(spark, SF).collect()
+    cust = read_table(spark, SF, "customer")
+    orders = read_table(spark, SF, "orders")
+    erased = cust.filter(hash64(F.col("c_custkey")) % 50 == 0)
+    n_cust = erased.count()
+    assert sum(r["n_customers"] for r in out) == n_cust
+    n_orders = orders.join(
+        erased.select("c_custkey"), orders["o_custkey"] == F.col("c_custkey")
+    ).count()
+    assert sum(r["n_orders"] for r in out) == n_orders
+
+
+def test_holt_tracks_perfect_linear_series(spark, tmp_path):
+    # y_t = 1000 + 500t cents: with l0=y0, b0=y1-y0 the recurrence tracks the
+    # line EXACTLY (inductively l_t = y_t, b_t = 500), so forecast7 = y_last
+    # + 7*500 with zero error.
+    sf = str(tmp_path / "sf")
+    rows = [
+        (t, datetime(2024, 1, t + 1), 1, "t", (1000 + 500 * t) / 100.0, "{}")
+        for t in range(20)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_holt_linear_forecast(spark, sf).collect()[0]
+    assert row["n_days"] == 20
+    assert row["level_cents"] == 1000 + 500 * 19
+    assert row["trend_cents"] == 500.0
+    assert row["forecast7_cents"] == 1000 + 500 * 19 + 7 * 500
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_stl_constant_series_has_zero_seasonal_and_residual(spark, tmp_path):
+    # Constant daily total -> trend == the constant, seasonal == 0,
+    # residual == 0 on every fully-windowed day.
+    sf = str(tmp_path / "sf")
+    rows = [
+        (d, datetime(2024, 1, d + 1), 1, "t", 100.0, "{}")
+        for d in range(21)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    out = roundsix.q_stl_weekly_decompose(spark, sf).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["trend_micro"] == 100 * 100 * 1_000_000
+        assert r["seasonal_micro"] == 0
+        assert r["resid_micro"] == 0
+
+
+def test_clustering_coefficient_bounds(spark):
+    out = roundsix.q_clustering_coefficient(spark, SF).collect()
+    for r in out:
+        assert 0 <= r["coeff_micro"] <= 1_000_000
+
+
+def test_degree_assortativity_in_range(spark):
+    row = roundsix.q_degree_assortativity(spark, SF).collect()[0]
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_knn_label_vote_covers_queries(spark):
+    out = roundsix.q_knn_label_vote(spark, SF).collect()
+    assert len(out) == 20
+    labels = {r["pred_label"] for r in out}
+    assert all(lab is not None for lab in labels)
+
+
+def test_gbdt_residual_sse_decreases(spark):
+    rows = {r["stage"]: r for r in roundsix.q_gbdt_stump_boost(spark, SF).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["mean_abs_resid_milli"] >= 0
+        assert r["n_left"] > 0 and r["n_right"] > 0
+    # The stage-2 stump fits stage-1 residuals: training MAE must not blow up.
+    assert rows[2]["mean_abs_resid_milli"] <= rows[1]["mean_abs_resid_milli"]
+
+
+def test_conformal_coverage_near_nominal(spark):
+    out = roundsix.q_conformal_interval_coverage(spark, SF).collect()
+    for r in out:
+        # 90% nominal; exact nearest-rank guarantees >= 90% on calibration,
+        # test coverage fluctuates but stays in a generous band.
+        assert 600_000 <= r["coverage_micro"] <= 1_000_000
+
+
+def test_doc_keywords_ranked_and_bounded(spark):
+    out = roundsix.q_doc_keywords_per_doc(spark, SF).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["score"]))
+    for doc, pairs in per_doc.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        scores = [p[1] for p in pairs]
+        assert scores == sorted(scores, reverse=True)
