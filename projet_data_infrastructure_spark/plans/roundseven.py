@@ -8,12 +8,15 @@ of questions a training-data platform asks of the same tables. Design notes:
 
 * ``pit_regime_attribution`` — point-in-time (as-of-into-intervals) join:
   purchases are attributed to the user's attribute REGIME in force at the
-  purchase timestamp, where regimes are the SCD2 change rows of the user's
-  non-purchase event stream. Implemented with the union+window trick (the
-  ``asof_join`` house pattern): state changes and purchases interleave in
-  ONE per-user sort, ``last(attr, ignorenulls)`` carries the regime forward,
-  so there is no interval range-join blowup — one Exchange on user_id, one
-  Sort, regardless of interval count. A state change at the exact purchase
+  purchase timestamp, where the regime is the user's most recent
+  non-purchase event type (the SCD2 interval the purchase lands in).
+  Implemented with the union+window trick (the ``asof_join`` house
+  pattern): state events and purchases interleave in ONE per-user sort,
+  ``last(attr, ignorenulls)`` carries the regime forward, so there is no
+  interval range-join blowup — one Exchange on user_id, one Sort,
+  regardless of interval count (SCD2 change-detection is provably
+  redundant under last() and is omitted, saving a second Exchange+Sort —
+  see the inline note). A state change at the exact purchase
   timestamp applies (kind 0 sorts before kind 1 at equal ts) — pinned in
   both engines. Purchases before any state row fall into the 'none' regime.
 * ``t_closeness_audit`` — completes the governance triad (k-anonymity,
@@ -74,20 +77,18 @@ from projet_data_infrastructure_spark.sources.readers import read_table
 def q_pit_regime_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    # SCD2 change rows of the user's non-purchase stream: the regime source.
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    states = (
-        ev.filter(F.col("event_type") != "purchase")
-        .withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("kind"),
-            "event_id",
-            F.col("event_type").alias("attr"),
-            F.lit(None).cast("long").alias("cents"),
-        )
+    # Regime source: every non-purchase event. SCD2 change-detection (drop
+    # rows equal to their predecessor) is deliberately OMITTED: last(attr)
+    # over the merged stream returns the latest state's value either way
+    # (collapsing consecutive duplicates never changes the carried-forward
+    # value), and skipping it removes a whole Exchange+Sort from the plan.
+    states = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("event_type").alias("attr"),
+        F.lit(None).cast("long").alias("cents"),
     )
     facts = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -122,12 +123,7 @@ _PIT_SQL = """
 WITH states AS (
     SELECT user_id, ts, 0 AS kind, event_id, event_type AS attr,
            CAST(NULL AS BIGINT) AS cents
-    FROM (
-        SELECT user_id, ts, event_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_type
-        FROM events WHERE event_type <> 'purchase'
-    ) WHERE prev_type IS NULL OR prev_type <> event_type
+    FROM events WHERE event_type <> 'purchase'
 ), facts AS (
     SELECT user_id, ts, 1 AS kind, event_id, CAST(NULL AS VARCHAR) AS attr,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

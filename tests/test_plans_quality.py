@@ -1018,3 +1018,83 @@ def test_c4_line_dedup_plan_two_key_shuffles_no_python(spark):
     # one line-key shuffle (the window) + doc_id-keyed aggregation/join
     # exchanges; anything beyond ~6 means a join-back on lk crept in
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_pit_regime_single_user_exchange_no_range_join(spark):
+    # The point-in-time join must stay the union+window carry-forward: ONE
+    # user_id exchange feeding the merged window (change-detection's second
+    # Exchange+Sort is provably redundant and must not creep back), plus the
+    # final aggregate exchange — and never an interval range join
+    # (cartesian/nested-loop).
+    from projet_data_infrastructure_spark.plans.roundseven import (
+        q_pit_regime_attribution,
+    )
+
+    plan = (
+        q_pit_regime_attribution(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_trigram_backoff_no_cartesian_one_corpus_tokenize_per_side(spark):
+    # All joins are heldout-trigrams x vocabulary-bounded count tables; the
+    # 1-row N attaches via a broadcast cross join (allowed: single-row), and
+    # no cartesian over data-sized frames.
+    from projet_data_infrastructure_spark.plans.roundseven import (
+        q_trigram_backoff_score,
+    )
+
+    plan = (
+        q_trigram_backoff_score(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the broadcast of the 1-row n_train aggregate
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_higher_moments_single_hash_aggregate_pass(spark):
+    # One scan -> partial+final HashAggregate; no window, no join, no sort.
+    from projet_data_infrastructure_spark.plans.roundseven import (
+        q_higher_moments_by_type,
+    )
+
+    plan = (
+        q_higher_moments_by_type(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_t_closeness_windows_only_over_bounded_grid(spark):
+    # The data-sized work is exactly one (cell, band) count aggregate; the
+    # windows (including the SinglePartition total) run over the bounded
+    # cells x 10 grid AFTER that aggregate, so a single-partition exchange
+    # is acceptable there and only there.
+    from projet_data_infrastructure_spark.plans.roundseven import (
+        q_t_closeness_audit,
+    )
+
+    plan = (
+        q_t_closeness_audit(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # one count aggregate + the grid-side joins/regroup; the explode join is
+    # broadcast (bands literal) — no data-sized nested loop
+    assert plan.count("Exchange SinglePartition") <= 1, plan
