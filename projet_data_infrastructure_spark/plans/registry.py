@@ -49,6 +49,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_kfold_assign",
     "gdpr_erasure_cascade",
     "holt_linear_forecast",
+    "stream_pit_attribution",
     "stl_weekly_decompose",
     "clustering_coefficient",
     "degree_assortativity",

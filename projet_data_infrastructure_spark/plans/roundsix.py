@@ -17,11 +17,14 @@ questions a training-data platform asks of the same tables. Design notes:
   raw data volume, so the unpartitioned window is safe at any corpus size;
   the one data-sized operation is the map-side-combinable day aggregate.
 * ``clustering_coefficient`` — local clustering coefficient per vertex of
-  the Doulion-sparsified supplier co-service graph (same deterministic
-  edge sampler as ``triangle_count_suppliers``, seed 77 / p = 1/10).
-  Triangles are enumerated ONCE each via degree-ordered orientation
-  (Schank/Wagner node-iterator: wedge work bounded by O(arboricity·deg),
-  hub-safe), then attributed to all three corners with one explode;
+  the Doulion-sparsified supplier co-service graph (p = 1/10; the keep
+  decision is a MINSTD-style integer pair mix rather than
+  ``triangle_count_suppliers``'s md5 — the predicate runs on every RAW
+  co-service pair, 12.5 M at sf0.1, where the md5 string hash alone cost
+  ~6 s). Triangles are enumerated ONCE each via degree-ordered orientation
+  (Schank/Wagner, hub-safe) with per-edge adjacency-ARRAY intersection —
+  no materialized wedge shuffle (the dense graph's wedge table is ~25× the
+  edge count) — then attributed to all three corners with one explode;
   coefficient = 2·T(v)·10⁶ DIV d(v)(d(v)−1) in exact integers. The oracle
   enumerates the same triangles with the simpler id-ordered triple join —
   two orientations, one count.
@@ -172,6 +175,11 @@ ORDER BY d
 # --------------------------------------------------------------------------
 
 _G6_KEEP_MOD = 10
+#: Doulion keep predicate (p = 1/10): MINSTD-style integer pair mix, written
+#: once and formatted into BOTH engines' expressions (identical arithmetic,
+#: no string/md5 cost on the 12.5 M raw pairs at sf0.1).
+_G6_M = 2147483647
+_G6_KEEP_PRED = f"((a % {_G6_M}) * 48271 + b) % {_G6_M} % {_G6_KEEP_MOD} = 0"
 
 
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,13 +190,33 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    other = serves.select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("s2"))
-    pair_key = F.concat(F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string"))
+    # Per-customer supplier array -> map-side ordered pair generation ->
+    # Doulion filter BEFORE the pair distinct. Same edge set as the naive
+    # serves⋈serves self-join + post-distinct filter, but the co-service
+    # pair explosion (Σ_ck d²/2 rows) is cut 10× by the keep filter while
+    # still map-side, so the only full-size shuffles are the serves
+    # distinct and the per-ck group — the distinct on pairs sees 1/10th
+    # the volume (was the dominant cost at sf0.1: the filter ran after it).
+    byck = serves.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("sks")
+    )
+    pairs = byck.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sks, (x, i) ->"
+                " transform(slice(sks, i + 2, size(sks)), y ->"
+                " struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    # Doulion keep-decision via a multiplicative congruential pair mix
+    # instead of md5: the filter runs on EVERY raw co-service pair (12.5 M
+    # at sf0.1) and the md5 string hash alone cost ~6 s there — the integer
+    # mix is pure codegen arithmetic, identical in DuckDB, and overflow-free
+    # ((a mod M)·48271 + b < 2^48 « 2^63 in both engines' int64).
     return (
-        serves.join(other, (serves.o_custkey == other.ck) & (serves.l_suppkey < other.s2))
-        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        pairs.filter(F.expr(_G6_KEEP_PRED))
         .distinct()
-        .filter(F.pmod(hash64(pair_key, seed=77), F.lit(_G6_KEEP_MOD)) == 0)
         .localCheckpoint()
     )
 
@@ -199,12 +227,11 @@ serves AS (
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
 edges AS (
-    SELECT a, b FROM (
-        SELECT DISTINCT a.sk AS a, b.sk AS b
+    SELECT DISTINCT a, b FROM (
+        SELECT a.sk AS a, b.sk AS b
         FROM serves a JOIN serves b ON a.ck = b.ck AND a.sk < b.sk
     )
-    WHERE ({hash64_sql("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)", seed=77)})
-          % {_G6_KEEP_MOD} = 0
+    WHERE {_G6_KEEP_PRED}
 ),
 deg AS (
     SELECT v, count(*) AS dv FROM (
@@ -232,16 +259,40 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint()  # read 3x (edge probe + both adjacency builds)
+    # Triangle enumeration by per-edge adjacency intersection instead of a
+    # materialized wedge join: on this DENSE graph (avg degree ~100 after
+    # sparsification) the wedge table is ~Σ outdeg² ≈ 25× the edge count and
+    # its shuffle dominated the runtime (11.5 s at sf0.1). Intersecting the
+    # two endpoints' out-neighbor ARRAYS per edge does the same O(Σ outdeg²)
+    # comparisons inside whole-stage codegen on 50 k rows — no wedge
+    # materialization, no second shuffle. Each triangle lo<x<y (degree
+    # order) is found exactly once at its (lo, x) edge: y ∈ N⁺(lo) ∩ N⁺(x).
+    # The adjacency table is |V| rows (bounded supplier set here); the join
+    # is keyed, so at larger |V| it stays a plain sort-merge — AQE
+    # broadcasts it while it is small.
+    adj = oriented.groupBy("lo").agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
+    probed = (
+        oriented.join(
+            adj.select(F.col("lo").alias("_al"), F.col("nbrs").alias("nbrs_lo")),
+            F.col("lo") == F.col("_al"),
+        )
+        .join(
+            adj.select(F.col("lo").alias("_ah"), F.col("nbrs").alias("nbrs_hi")),
+            F.col("hi") == F.col("_ah"),
+            "left",
+        )
+        .select(
+            "lo",
+            F.col("hi").alias("x"),
+            F.array_intersect(
+                F.col("nbrs_lo"), F.coalesce(F.col("nbrs_hi"), F.array())
+            ).alias("ys"),
+        )
     )
-    w2 = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
-    wedges = oriented.join(
-        w2, (F.col("lo") == F.col("lo2")) & (F.col("hi") < F.col("hi2"))
-    ).select("lo", F.col("hi").alias("x"), F.col("hi2").alias("y"))
-    closing = oriented.select(
-        F.least(F.col("lo"), F.col("hi")).alias("cx"),
-        F.greatest(F.col("lo"), F.col("hi")).alias("cy"),
+    tri = probed.filter(F.size("ys") > 0).select(
+        "lo", "x", F.explode("ys").alias("y")
     )
-    tri = wedges.join(closing, (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")))
     tri_nodes = (
         tri.select(F.explode(F.array("lo", "x", "y")).alias("v"))
         .groupBy("v")

@@ -100,3 +100,71 @@ def running_totals_tws(
             timeMode="None",
         )
     )
+
+
+PIT_REGIMES_SCHEMA = "user_id BIGINT, regime STRING, n_purchases BIGINT, sum_cents BIGINT"
+_PIT_STATE_SCHEMA = "last_attr STRING"
+
+
+def pit_regimes(events: DataFrame) -> DataFrame:
+    """Streaming point-in-time regime attribution (the stateful form of
+    ``plans/roundseven.q_pit_regime_attribution``): per user, carry the most
+    recent non-purchase event type forward and attribute each purchase to
+    the regime in force at its timestamp.
+
+    State per key is ONE string (the last regime) — bounded by the active-
+    user working set, never by history length. Rows within a micro-batch are
+    sorted by (ts, kind, event_id) inside the function (applyInPandasWithState
+    delivers a key's batch rows in arbitrary chunk order); ACROSS batches the
+    ingest must be time-ordered for the carry-forward to be exact — true for
+    the availableNow single-batch replay used by the spec, and for any
+    ordered source (a per-key ordered Kafka partition). The equal-timestamp
+    tie matches the batch spec: the state row (kind 0) applies to a purchase
+    at the same instant.
+    """
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        (last_attr,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
+        pdf = pdf.sort_values(["ts", "kind", "event_id"]).reset_index(drop=True)
+        counts: dict[str, list[int]] = {}
+        for et, cents in zip(pdf["event_type"], pdf["cents"]):
+            if et != "purchase":
+                last_attr = et
+            else:
+                regime = last_attr if last_attr is not None else "none"
+                acc = counts.setdefault(regime, [0, 0])
+                acc[0] += 1
+                acc[1] += int(cents)
+        state.update((last_attr,))
+        if not counts:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "regime": list(counts),
+                "n_purchases": [v[0] for v in counts.values()],
+                "sum_cents": [v[1] for v in counts.values()],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=PIT_REGIMES_SCHEMA,
+        stateStructType=_PIT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -86,3 +86,72 @@ def test_transform_with_state_matches_legacy_api(spark, tmp_path):
     assert last[1] == (3, 17.0)
     assert last[2] == (1, 1.0)
     assert last[3] == (1, 7.0)
+
+
+def test_pit_regimes_state_carries_across_batches(spark):
+    # The carry-forward must survive a state round-trip: feed batch 1 with a
+    # state event only, batch 2 with a purchase only — the purchase must be
+    # attributed to batch 1's regime. Exercised via two availableNow runs
+    # over the same checkpoint (state persisted between runs).
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from projet_data_infrastructure_spark.streaming.stateful import pit_regimes
+
+    base = tempfile.mkdtemp(prefix="pitstate_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double"
+    )
+
+    def run_batch(rows, fname):
+        # The file source discovers FILES under the monitored dir, not the
+        # nested part-file dirs df.write.parquet creates -> write one flat
+        # file with pyarrow.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src, fname))
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+        )
+        collected = []
+        # memory sink cannot recover from a checkpoint; foreachBatch can.
+        q = (
+            pit_regimes(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return collected
+
+    out1 = run_batch(
+        [(1, datetime(2024, 1, 1), 7, "view", 0.0)], "b1.parquet"
+    )
+    assert out1 == []  # no purchases yet -> nothing emitted
+    out2 = run_batch(
+        [(2, datetime(2024, 1, 2), 7, "purchase", 12.0)], "b2.parquet"
+    )
+    rows = [r for r in out2 if r["user_id"] == 7]
+    assert len(rows) == 1
+    assert rows[0]["regime"] == "view"  # batch-1 state survived the restart
+    assert rows[0]["sum_cents"] == 1200
