@@ -50,6 +50,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gdpr_erasure_cascade",
     "holt_linear_forecast",
     "stream_pit_attribution",
+    "content_defined_chunking",
+    "mode_percentile_disc",
+    "bootstrap_mean_ci",
     "stl_weekly_decompose",
     "clustering_coefficient",
     "degree_assortativity",

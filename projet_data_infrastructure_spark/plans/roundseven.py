@@ -801,6 +801,312 @@ FROM rec WHERE rn = n_days
 """
 
 
+
+# --------------------------------------------------------------------------
+# Content-defined chunking + chunk-level dedup (FastCDC-lite)
+# --------------------------------------------------------------------------
+
+_CDC_W = 8  # rolling-gram width (chars)
+_CDC_B = 31  # polynomial base
+_CDC_M = 1000003  # hash modulus (prime)
+_CDC_D = 64  # boundary divisor -> expected chunk ~64 chars
+
+
+def q_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC dedup primitive):
+    a chunk boundary falls AFTER position i when the polynomial hash of the
+    trailing 8-char gram ≡ 0 (mod 64), so boundaries move with content, not
+    offsets — an insertion reshifts at most one chunk instead of every
+    fixed-width block. Chunks are digested and deduplicated corpus-wide by
+    first occurrence (min (doc_id, chunk_start)); per doc we report chunk
+    count and the fraction of chunk BYTES already seen elsewhere — the
+    storage-dedup ratio a chunked lake would achieve.
+
+    Implementation: one char explode (posexplode of the codepoint array),
+    ONE per-doc window pass computing the gram hash from 7 lags + self
+    (fixed width ⇒ no rolling-state recurrence needed) and the running
+    boundary count (same partition+order ⇒ one Exchange + one Sort), then
+    a (doc, chunk) group rebuilding chunk text order-free via the sorted
+    (pos, char) structs, and a digest-keyed min-attribution join (the
+    ``token_ngram_novelty`` shape). Per-doc windows are bounded by document
+    length; the corpus-sized operations are all keyed aggregates.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "(?!^)")).alias("pos", "ch"),
+        )
+        # Spark split keeps the trailing zero-width match as an empty string
+        # (limit = -1); the oracle's range() generator has no such phantom.
+        .where(F.col("ch") != "")
+        .select("doc_id", "pos", F.ascii("ch").alias("v"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # gram hash over the trailing 8 chars: sum of lag_j * B^j (mod M)
+    terms = []
+    for j in range(_CDC_W):
+        coef = pow(_CDC_B, j, _CDC_M)
+        src = F.col("v") if j == 0 else F.lag("v", j).over(wdoc)
+        terms.append((F.coalesce(src, F.lit(0)) % _CDC_M) * F.lit(coef))
+    gram_hash = sum(terms[1:], terms[0]) % F.lit(_CDC_M)
+    hashed = chars.withColumn(
+        "is_boundary",
+        ((F.col("pos") >= _CDC_W - 1) & (gram_hash % _CDC_D == 0)).cast("int"),
+    )
+    # chunk ordinal = boundaries strictly BEFORE this char (boundary char
+    # closes its chunk), via the lagged running sum on the same window
+    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked = hashed.withColumn(
+        "chunk", F.sum("is_boundary").over(wrun) - F.col("is_boundary")
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(
+            F.min("pos").alias("chunk_start"),
+            F.count(F.lit(1)).alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "v"))
+                        ),
+                        lambda s: s["v"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("digest"),
+        )
+    )
+    first = chunks.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "chunk_start")).alias("first_at")
+    )
+    return (
+        chunks.join(first, "digest")
+        .withColumn(
+            "is_dup",
+            (
+                (F.col("first_at.doc_id") != F.col("doc_id"))
+                | (F.col("first_at.chunk_start") != F.col("chunk_start"))
+            ).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("n_chars"),
+            F.sum(F.col("is_dup") * F.col("chunk_len")).alias("dup_chars"),
+        )
+        .withColumn("dup_micro", F.expr("(1000000 * dup_chars) DIV n_chars"))
+    )
+
+
+_CDC_TERMS_SQL = " + ".join(
+    f"(coalesce(lag(v, {j}) OVER wdoc, 0) % {_CDC_M}) * {pow(_CDC_B, j, _CDC_M)}"
+    if j
+    else f"(v % {_CDC_M})"
+    for j in range(_CDC_W)
+)
+
+_CDC_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, i - 1 AS pos, ascii(substr(text, i, 1)) AS v
+    FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+), hashed AS (
+    SELECT doc_id, pos,
+           CAST(pos >= {_CDC_W - 1}
+                AND ({_CDC_TERMS_SQL}) % {_CDC_M} % {_CDC_D} = 0 AS INT)
+               AS is_boundary,
+           v
+    FROM chars
+    WINDOW wdoc AS (PARTITION BY doc_id ORDER BY pos)
+), chunked AS (
+    SELECT doc_id, pos, v,
+           sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - is_boundary AS chunk
+    FROM hashed
+), chunks AS (
+    SELECT doc_id, chunk, min(pos) AS chunk_start, count(*) AS chunk_len,
+           md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pos)) AS digest
+    FROM chunked GROUP BY doc_id, chunk
+), first AS (
+    SELECT digest, min(struct_pack(doc_id := doc_id, chunk_start := chunk_start)) AS first_at
+    FROM chunks GROUP BY digest
+)
+SELECT c.doc_id, count(*) AS n_chunks, sum(chunk_len) AS n_chars,
+       sum(CAST((f.first_at).doc_id <> c.doc_id
+                OR (f.first_at).chunk_start <> c.chunk_start AS BIGINT)
+           * chunk_len) AS dup_chars,
+       (1000000 * sum(CAST((f.first_at).doc_id <> c.doc_id
+                OR (f.first_at).chunk_start <> c.chunk_start AS BIGINT)
+           * chunk_len)) // sum(chunk_len) AS dup_micro
+FROM chunks c JOIN first f USING (digest)
+GROUP BY c.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Deterministic mode + discrete percentile (SQL surface)
+# --------------------------------------------------------------------------
+
+
+def q_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: the MODE of the cent value (most frequent; ties to
+    the SMALLEST value so both engines agree — Spark's ``mode()`` and
+    DuckDB's ``mode()`` are both tie-arbitrary, so the spec pins the
+    deterministic rank form) and the discrete median (percentile_disc 0.5:
+    the smallest value with cumulative count ≥ ⌈n/2⌉ — always an observed
+    value, no interpolation). One value-count aggregate + windows over the
+    bounded (type, value) frame."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wmode = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("cents"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    enriched = (
+        counts.withColumn("mode_rnk", F.row_number().over(wmode))
+        .withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wtot))
+    )
+    mode = enriched.filter(F.col("mode_rnk") == 1).select(
+        "event_type", F.col("cents").alias("mode_cents"), F.col("c").alias("mode_n")
+    )
+    med = (
+        enriched.filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("median_disc_cents"))
+    )
+    return mode.join(med, "event_type")
+
+
+_MODE_SQL = """
+WITH counts AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+), enriched AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type ORDER BY c DESC, cents ASC)
+               AS mode_rnk,
+           sum(c) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM counts
+)
+SELECT m.event_type, m.cents AS mode_cents, m.c AS mode_n, d.median_disc_cents
+FROM (SELECT event_type, cents, c FROM enriched WHERE mode_rnk = 1) m
+JOIN (SELECT event_type, min(cents) AS median_disc_cents
+      FROM enriched WHERE cum * 2 >= n GROUP BY 1) d
+  USING (event_type)
+"""
+
+# --------------------------------------------------------------------------
+# Truncated-Poisson multiplier bootstrap CI for the per-type mean
+# --------------------------------------------------------------------------
+
+_BOOT_R = 32  # replicas
+# Poisson(1) inverse-CDF thresholds in micro units (truncated at 3):
+# P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699
+_BOOT_T0, _BOOT_T1, _BOOT_T2 = 367879, 735759, 919699
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplier bootstrap of the per-event-type mean: 32 replicas, each
+    row weighted by a DETERMINISTIC truncated-Poisson(1) draw (inverse CDF
+    on the portable hash uniform of (replica, event_id) — weights 0..3),
+    replica mean in exact micro-cents, CI = the 2nd / 31st order statistic
+    (≈ 5%/95%) via rank over the 32-row replica frame. The bootstrap's
+    randomness is the hash, so the whole resampling procedure is
+    hash-checkable cross-engine. ONE scan with a 32× literal explode into a
+    combinable (type, replica) aggregate; everything after is
+    32-rows-per-type arithmetic."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    tall = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
+        F.explode(F.expr(f"sequence(0, {_BOOT_R - 1})")).alias("r"),
+    )
+    u = F.pmod(
+        hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("event_id"))),
+        F.lit(1000000),
+    )
+    w = (
+        F.when(u < _BOOT_T0, 0)
+        .when(u < _BOOT_T1, 1)
+        .when(u < _BOOT_T2, 2)
+        .otherwise(3)
+    )
+    reps = (
+        tall.withColumn("w", w)
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum("w").alias("nw"),
+            F.sum(F.col("w") * F.col("cents")).alias("sw"),
+        )
+        .withColumn("mean_micro", F.expr("(sw * 1000000) DIV nw"))
+    )
+    wrep = Window.partitionBy("event_type").orderBy("mean_micro", "r")
+    ranked = reps.withColumn("rnk", F.row_number().over(wrep))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rnk") == 2, F.col("mean_micro"))).alias(
+                "ci_lo_micro"
+            ),
+            F.min(F.when(F.col("rnk") == _BOOT_R - 1, F.col("mean_micro"))).alias(
+                "ci_hi_micro"
+            ),
+            F.count(F.lit(1)).alias("n_replicas"),
+        )
+    )
+
+
+_BOOT_SQL = f"""
+WITH tall AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           event_id, r
+    FROM events, unnest(range(0, {_BOOT_R})) AS t(r)
+), weighted AS (
+    SELECT event_type, cents, r,
+           CASE WHEN u < {_BOOT_T0} THEN 0
+                WHEN u < {_BOOT_T1} THEN 1
+                WHEN u < {_BOOT_T2} THEN 2
+                ELSE 3 END AS w
+    FROM (SELECT *,
+                 {hash64_sql("CAST(r AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")}
+                     % 1000000 AS u
+          FROM tall)
+), reps AS (
+    SELECT event_type, r, sum(w) AS nw, sum(w * cents) AS sw,
+           (sum(w * cents) * 1000000) // sum(w) AS mean_micro
+    FROM weighted GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY mean_micro, r) AS rnk
+    FROM reps
+)
+SELECT event_type,
+       min(CASE WHEN rnk = 2 THEN mean_micro END) AS ci_lo_micro,
+       min(CASE WHEN rnk = {_BOOT_R - 1} THEN mean_micro END) AS ci_hi_micro,
+       count(*) AS n_replicas
+FROM ranked GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pit_regime_attribution",
@@ -877,6 +1183,33 @@ SPECS: list[QuerySpec] = [
         ("governance", "join"),
         doc="Right-to-be-forgotten blast-radius audit: hash-selected erasure "
         "set cascaded customer→orders→lineitem with keyed joins only",
+    ),
+    QuerySpec(
+        "content_defined_chunking",
+        q_content_defined_chunking,
+        _CDC_SQL,
+        ("dedup", "text"),
+        doc="FastCDC-lite content-defined chunking: lag-polynomial gram hash "
+        "boundaries in ONE per-doc window pass, chunk digests deduped "
+        "corpus-wide by first occurrence; per-doc storage-dedup ratio",
+    ),
+    QuerySpec(
+        "mode_percentile_disc",
+        q_mode_percentile_disc,
+        _MODE_SQL,
+        ("agg", "sql"),
+        doc="Deterministic mode (ties to smallest) + discrete median per "
+        "event_type from one value-count aggregate (engine mode() is "
+        "tie-arbitrary, so the rank form pins it)",
+    ),
+    QuerySpec(
+        "bootstrap_mean_ci",
+        q_bootstrap_mean_ci,
+        _BOOT_SQL,
+        ("stats", "ml"),
+        doc="Truncated-Poisson multiplier bootstrap (32 replicas) of the "
+        "per-type mean with hash-deterministic weights; exact order-"
+        "statistic CI — the resampling itself is hash-checked cross-engine",
     ),
     QuerySpec(
         "holt_linear_forecast",

@@ -317,3 +317,77 @@ def test_doc_keywords_ranked_and_bounded(spark):
         assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
         scores = [p[1] for p in pairs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_cdc_identical_docs_fully_dedup(spark, tmp_path):
+    # Two identical documents: every chunk of the later doc is a duplicate
+    # of the earlier one -> dup_micro == 1e6 for doc 2, 0 for doc 1; chunk
+    # lengths cover the text exactly.
+    sf = str(tmp_path / "sf")
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    _write_parquet(
+        spark,
+        [(1, text, "en", "s", len(text)), (2, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+        f"{sf}/documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in roundseven.q_content_defined_chunking(spark, sf).collect()}
+    assert out[1]["n_chars"] == len(text) and out[2]["n_chars"] == len(text)
+    assert out[1]["dup_micro"] == 0
+    assert out[2]["dup_micro"] == 1_000_000
+    assert out[1]["n_chunks"] == out[2]["n_chunks"]
+
+
+def test_cdc_boundaries_shift_with_content_not_offset(spark, tmp_path):
+    # Prepend one char to a shared body: content-defined boundaries resync,
+    # so MOST of the shifted doc's bytes still dedup against the original
+    # (a fixed-width chunker would dedup nothing).
+    sf = str(tmp_path / "sf")
+    body = " ".join(f"tok{(i * 7) % 97}x{i}" for i in range(160))
+    _write_parquet(
+        spark,
+        [(1, body, "en", "s", len(body)), (2, "X" + body, "en", "s", len(body) + 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+        f"{sf}/documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in roundseven.q_content_defined_chunking(spark, sf).collect()}
+    assert out[2]["dup_micro"] > 500_000, out[2]  # majority of bytes resync
+
+
+def test_mode_percentile_disc_hand_values(spark, tmp_path):
+    # values cents: [100 x3, 200 x2, 300 x2] -> mode 100 (n=3); n=7 ->
+    # median_disc = smallest cents with cum*2 >= 7 -> cum(100)=3 (6<7),
+    # cum(200)=5 (10>=7) -> 200.
+    sf = str(tmp_path / "sf")
+    vals = [1.0] * 3 + [2.0] * 2 + [3.0] * 2
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", v, "{}") for i, v in enumerate(vals)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_mode_percentile_disc(spark, sf).collect()[0]
+    assert row["mode_cents"] == 100 and row["mode_n"] == 3
+    assert row["median_disc_cents"] == 200
+
+
+def test_bootstrap_ci_collapses_on_constant_data(spark, tmp_path):
+    # Every value identical -> every replica mean == that value -> the CI
+    # degenerates to [v, v] (resampling can't create spread).
+    sf = str(tmp_path / "sf")
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", 5.0, "{}") for i in range(200)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_bootstrap_mean_ci(spark, sf).collect()[0]
+    assert row["ci_lo_micro"] == 500 * 1_000_000
+    assert row["ci_hi_micro"] == 500 * 1_000_000
+    assert row["n_replicas"] == 32
