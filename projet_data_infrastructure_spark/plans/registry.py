@@ -53,6 +53,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "content_defined_chunking",
     "mode_percentile_disc",
     "bootstrap_mean_ci",
+    "target_encode_loo",
+    "cuped_adjusted_lift",
+    "winsorized_trimmed_mean",
     "stl_weekly_decompose",
     "clustering_coefficient",
     "degree_assortativity",

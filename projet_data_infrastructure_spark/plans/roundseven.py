@@ -1107,6 +1107,249 @@ FROM ranked GROUP BY 1
 """
 
 
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (ML feature prep)
+# --------------------------------------------------------------------------
+
+_TE_SMOOTH = 20  # prior weight (pseudo-observations of the global mean)
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment against
+    the order total — the categorical-feature prep step of every GBDT/linear
+    pipeline, in its leakage-safe LOO form: each row's encoding excludes its
+    OWN target, enc_i = (S_c − y_i + m·ȳ)·10⁶ / ((n_c − 1 + m)·unit), with
+    m = 20 pseudo-observations of the global mean (micro-cent exact integer
+    arithmetic; the global-mean prior is itself an exact integer micro-cent
+    value attached via a broadcast 1-row aggregate). ONE category aggregate
+    joined back map-side — no window, no per-row shuffle beyond the keyed
+    join. Output: per-category stats + the 20 lowest-orderkey encoded rows
+    (bounded sample; TakeOrdered shape)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    per_cat = rows.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("y").alias("s_c")
+    )
+    glob = rows.agg(
+        F.expr("(sum(y) * 1000000) DIV count(1)").alias("gmean_micro")
+    )
+    enc = (
+        rows.join(F.broadcast(per_cat), "c_mktsegment")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.expr(
+                f"((s_c - y) * 1000000 + {_TE_SMOOTH} * gmean_micro)"
+                f" DIV (n_c - 1 + {_TE_SMOOTH})"
+            ).alias("enc_micro"),
+        )
+    )
+    return enc.orderBy("o_orderkey").limit(20)
+
+
+_TE_SQL = f"""
+WITH rows_ AS (
+    SELECT o_orderkey, c_mktsegment,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+), per_cat AS (
+    SELECT c_mktsegment, count(*) AS n_c, sum(y) AS s_c
+    FROM rows_ GROUP BY 1
+), gm AS (
+    SELECT (sum(y) * 1000000) // count(*) AS gmean_micro FROM rows_
+)
+SELECT o_orderkey, c_mktsegment,
+       ((s_c - y) * 1000000 + {_TE_SMOOTH} * gmean_micro)
+           // (n_c - 1 + {_TE_SMOOTH}) AS enc_micro
+FROM rows_ JOIN per_cat USING (c_mktsegment) CROSS JOIN gm
+ORDER BY o_orderkey LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
+# CUPED-adjusted A/B lift (variance-reduced experiment readout)
+# --------------------------------------------------------------------------
+
+
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013, the industry-standard A/B variance
+    reduction): treatment = deterministic hash coin on user_id; outcome Y =
+    the user's total event value in the SECOND half of the observation
+    window; pre-period covariate X = the same total in the FIRST half
+    (unaffected by treatment by construction). θ = cov(X,Y)/var(X) from
+    exact DECIMAL moment sums over ALL users (the pooled estimator), then
+    the adjusted outcome Ycv = Y − θ·(X − X̄) is averaged per arm — all in
+    the shared-text IEEE double tree, so both engines agree bit-for-bit.
+    Shape: two map-side-combinable aggregates (per-user, then global
+    moments) + one bounded per-arm aggregate. Output: per-arm n, raw mean,
+    CUPED mean (micro-cents)."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = F.expr("DATE '2024-01-16'")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            (F.to_date("ts") < mid).cast("int").alias("pre"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("pre")).alias("x"),
+            F.sum(F.col("cents") * (1 - F.col("pre"))).alias("y"),
+        )
+        .withColumn("arm", F.pmod(hash64(F.col("user_id")), F.lit(2)).cast("int"))
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    # theta and xbar in the shared double tree (exact integer inputs)
+    theta = "CAST((n * sxy - sx * sy) AS DOUBLE) / CAST((n * sxx - sx * sx) AS DOUBLE)"
+    xbar = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    adj = (
+        per_user.crossJoin(F.broadcast(mom))
+        .withColumn(
+            "ycv",
+            F.expr(
+                f"CAST(y AS DOUBLE) - ({theta}) * (CAST(x AS DOUBLE) - ({xbar}))"
+            ),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("(sum(y) * 1000000) DIV count(1)").alias("raw_mean_micro"),
+            pround(
+                F.expr(
+                    "aggregate(array_sort(collect_list(ycv)), CAST(0.0 AS DOUBLE),"
+                    " (acc, v) -> acc + v) / count(1)"
+                ),
+                2,
+            ).alias("cuped_mean_r"),
+        )
+    )
+    return adj
+
+
+_CUPED_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * CAST(CAST(ts AS DATE) < DATE '2024-01-16' AS INT)) AS x,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * CAST(CAST(ts AS DATE) >= DATE '2024-01-16' AS INT)) AS y,
+           CAST({hash64_sql('user_id')} % 2 AS INT) AS arm
+    FROM events GROUP BY user_id
+), mom AS (
+    SELECT count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+    FROM per_user
+), adj AS (
+    SELECT arm, y,
+           CAST(y AS DOUBLE)
+             - (CAST((n * sxy - sx * sy) AS DOUBLE) / CAST((n * sxx - sx * sx) AS DOUBLE))
+               * (CAST(x AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS ycv
+    FROM per_user CROSS JOIN mom
+)
+SELECT arm, count(*) AS n_users,
+       (sum(y) * 1000000) // count(*) AS raw_mean_micro,
+       {pround_sql("list_reduce(list_sort(list(ycv)), (acc, v) -> acc + v) / count(*)", 2)}
+           AS cuped_mean_r
+FROM adj GROUP BY arm
+"""
+
+# --------------------------------------------------------------------------
+# Winsorized + trimmed mean (robust location estimates)
+# --------------------------------------------------------------------------
+
+_ROBUST_P = 5  # percent clipped/trimmed per tail
+
+
+def q_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% winsorized and 5% trimmed means of the event value per type —
+    the robust location estimates a metrics platform reports next to the
+    raw mean. Exact nearest-rank cutoffs (k = ⌈n·0.05⌉-th smallest /
+    largest) from ONE rank window over the per-type sort; winsorizing
+    clamps to the cutoff values, trimming drops beyond them; both means in
+    exact integer micro-cents. One sort per type (the rank window), one
+    aggregate — at warehouse scale the exact rank swaps for the
+    grouped_rank operator or approx_percentile cutoffs."""
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wrnk = Window.partitionBy("event_type").orderBy("cents")
+    wtot = Window.partitionBy("event_type")
+    ranked = (
+        vals.withColumn("rnk", F.row_number().over(wrnk))
+        .withColumn("n", F.count(F.lit(1)).over(wtot))
+        .withColumn("k", F.expr(f"CAST(ceil(n * {_ROBUST_P} / 100.0) AS BIGINT)"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.expr("CASE WHEN rnk = k + 1 THEN cents END")).alias("lo_c"),
+            F.min(F.expr("CASE WHEN rnk = n - k THEN cents END")).alias("hi_c"),
+            F.sum(
+                F.expr("CASE WHEN rnk > k AND rnk <= n - k THEN cents ELSE 0 END")
+            ).alias("mid_sum"),
+            F.sum(F.expr("CAST(rnk > k AND rnk <= n - k AS INT)")).alias("mid_n"),
+            F.min("k").alias("kk"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.expr(
+                "((mid_sum + kk * lo_c + kk * hi_c) * 1000000)"
+                " DIV (mid_n + 2 * kk)"
+            ).alias("winsor_mean_micro"),
+            F.expr("(mid_sum * 1000000) DIV mid_n").alias("trimmed_mean_micro"),
+        )
+    )
+
+
+_ROBUST_SQL = f"""
+WITH ranked AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY
+               CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rnk,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           CAST(ceil(count(*) OVER (PARTITION BY event_type)
+                * {_ROBUST_P} / 100.0) AS BIGINT) AS k
+    FROM events
+), agg AS (
+    SELECT event_type,
+           count(*) AS n_rows,
+           min(CASE WHEN rnk = k + 1 THEN cents END) AS lo_c,
+           min(CASE WHEN rnk = n - k THEN cents END) AS hi_c,
+           sum(CASE WHEN rnk > k AND rnk <= n - k THEN cents ELSE 0 END) AS mid_sum,
+           sum(CAST(rnk > k AND rnk <= n - k AS INT)) AS mid_n,
+           min(k) AS kk
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_rows,
+       ((mid_sum + kk * lo_c + kk * hi_c) * 1000000) // (mid_n + 2 * kk)
+           AS winsor_mean_micro,
+       (mid_sum * 1000000) // mid_n AS trimmed_mean_micro
+FROM agg
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pit_regime_attribution",
@@ -1210,6 +1453,32 @@ SPECS: list[QuerySpec] = [
         doc="Truncated-Poisson multiplier bootstrap (32 replicas) of the "
         "per-type mean with hash-deterministic weights; exact order-"
         "statistic CI — the resampling itself is hash-checked cross-engine",
+    ),
+    QuerySpec(
+        "target_encode_loo",
+        q_target_encode_loo,
+        _TE_SQL,
+        ("ml", "feature"),
+        doc="Leakage-safe leave-one-out target encoding with prior "
+        "smoothing: one category aggregate joined back map-side, exact "
+        "integer micro-cents; bounded 20-row sample output",
+    ),
+    QuerySpec(
+        "cuped_adjusted_lift",
+        q_cuped_adjusted_lift,
+        _CUPED_SQL,
+        ("ml", "stats"),
+        doc="CUPED variance-reduced A/B readout: hash coin arms, pooled "
+        "theta from exact DECIMAL moments, order-pinned float fold for the "
+        "adjusted mean; raw vs CUPED means per arm",
+    ),
+    QuerySpec(
+        "winsorized_trimmed_mean",
+        q_winsorized_trimmed_mean,
+        _ROBUST_SQL,
+        ("stats", "agg"),
+        doc="5% winsorized + trimmed means per type from exact nearest-rank "
+        "cutoffs; one rank window + one aggregate",
     ),
     QuerySpec(
         "holt_linear_forecast",

@@ -391,3 +391,66 @@ def test_bootstrap_ci_collapses_on_constant_data(spark, tmp_path):
     assert row["ci_lo_micro"] == 500 * 1_000_000
     assert row["ci_hi_micro"] == 500 * 1_000_000
     assert row["n_replicas"] == 32
+
+
+def test_target_encode_loo_excludes_own_row(spark, tmp_path):
+    # Two categories, known sums; with smoothing m=20 and global mean:
+    # verify the LOO arithmetic exactly on a 4-row fixture.
+    sf = str(tmp_path / "sf")
+    _write_parquet(
+        spark,
+        [(1, 1, "O", 10.0, "1995-01-01", "P"), (2, 2, "O", 20.0, "1995-01-02", "P"),
+         (3, 3, "O", 30.0, "1995-01-03", "P"), (4, 4, "O", 40.0, "1995-01-04", "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+        f"{sf}/orders.parquet",
+    )
+    _write_parquet(
+        spark,
+        [(1, "c1", 0, 0.0, "A"), (2, "c2", 0, 0.0, "A"),
+         (3, "c3", 0, 0.0, "B"), (4, "c4", 0, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+        f"{sf}/customer.parquet",
+    )
+    out = {r["o_orderkey"]: r for r in roundseven.q_target_encode_loo(spark, sf).collect()}
+    gmean_micro = (1000 + 2000 + 3000 + 4000) * 1_000_000 // 4  # 2500e6
+    # order 1 (cat A, y=1000): S_c=3000 -> (3000-1000)*1e6 + 20*gmean // (2-1+20)
+    exp1 = ((3000 - 1000) * 1_000_000 + 20 * gmean_micro) // 21
+    assert out[1]["enc_micro"] == exp1
+    # order 4 (cat B, y=4000): S_c=7000 -> (7000-4000)*1e6 + 20*gmean // 21
+    exp4 = ((7000 - 4000) * 1_000_000 + 20 * gmean_micro) // 21
+    assert out[4]["enc_micro"] == exp4
+
+
+def test_cuped_reduces_to_raw_when_theta_applies_zero_variance(spark):
+    # Invariant on real data: CUPED never changes the POOLED mean (the
+    # adjustment sums to ~0 over all users) and each arm has users.
+    out = roundseven.q_cuped_adjusted_lift(spark, SF).collect()
+    assert {r["arm"] for r in out} == {0, 1}
+    for r in out:
+        assert r["n_users"] > 0
+
+
+def test_winsorized_trimmed_hand_fixture(spark, tmp_path):
+    # 20 values: 1..18 plus outliers -1000 and +1000 (cents x100). k =
+    # ceil(20*0.05)=1 -> drop/clamp exactly one per tail. trimmed mean =
+    # mean(cents ranks 2..19); winsorized replaces the outliers with the
+    # 2nd/19th smallest.
+    sf = str(tmp_path / "sf")
+    cents = [-100000] + [i * 100 for i in range(1, 19)] + [100000]
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_winsorized_trimmed_mean(spark, sf).collect()[0]
+    mid = [i * 100 for i in range(1, 19)]
+    assert row["trimmed_mean_micro"] == sum(mid) * 1_000_000 // len(mid)
+    wins = sum(mid) + 100 + 1800  # clamp outliers to lo/hi cutoffs
+    assert row["winsor_mean_micro"] == wins * 1_000_000 // 20
