@@ -56,6 +56,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "target_encode_loo",
     "cuped_adjusted_lift",
     "winsorized_trimmed_mean",
+    "shapley_channel_attribution",
+    "skipgram_window_cooc",
     "stl_weekly_decompose",
     "clustering_coefficient",
     "degree_assortativity",

@@ -1350,6 +1350,172 @@ FROM agg
 """
 
 
+
+# --------------------------------------------------------------------------
+# Exact Shapley channel attribution (game-theoretic MTA)
+# --------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")  # bit order (sorted)
+
+
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value multi-touch attribution (the game-theoretic MTA
+    marketers approximate by sampling — with 4 channels the coalition space
+    is 2⁴ = 16, so the exact solve is a bounded-frame computation): the
+    coalition value v(S) = total purchases by users whose EXPOSURE SET is
+    exactly S, and channel i's Shapley value is Σ_{S∌i} |S|!·(3−|S|)!·
+    [v(S∪{i}) − v(S)] / 4!. Reported ×24 (= 4!) so every weight
+    |S|!(3−|S|)! is an exact integer — no rational rounding anywhere.
+    Shape: ONE per-user aggregate (exposure bitmask + purchase count via
+    bitwise-OR of per-type bits), one 16-row mask aggregate densified by a
+    literal grid, then the Shapley sum over a 4×16 literal cross join —
+    everything after the two keyed aggregates is constant-size. Efficiency
+    property of Shapley (Σ_i φ_i = v(full) − v(∅)) is fixture-tested."""
+    ev = read_table(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for i, ch in enumerate(_SHAP_CHANNELS):
+        bit = bit + F.when(F.col("event_type") == ch, F.lit(1 << i)).otherwise(0)
+    pre = ev.select(
+        "user_id",
+        bit.alias("chbit"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_conv"),
+    )
+    per_user = pre.groupBy("user_id").agg(
+        F.expr("aggregate(collect_list(chbit), 0, (acc, b) -> CAST(acc | b AS INT))").alias(
+            "mask"
+        ),
+        F.sum("is_conv").alias("conv"),
+    )
+    vmask = per_user.groupBy("mask").agg(F.sum("conv").alias("v"))
+    grid = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    dense = grid.join(vmask, "mask", "left").fillna({"v": 0})
+    # Shapley over the dense 16-row frame: for each channel bit i and each
+    # coalition S without i, weight = |S|!·(3-|S|)! ; φ_i·24 = Σ w·(v(S∪i)-v(S))
+    fact = {0: 6, 1: 2, 2: 2, 3: 6}  # |S|!·(3-|S|)! for |S| = 0..3
+    w_expr = (
+        "CASE bit_count(mask & ~(1 << i))"
+        + "".join(f" WHEN {k} THEN {v}" for k, v in fact.items())
+        + " END"
+    )
+    chan = spark.range(4).select(F.col("id").cast("int").alias("i"))
+    pairs = (
+        chan.crossJoin(dense)
+        .filter(F.expr("(mask & (1 << i)) = 0"))
+        .select("i", "mask", "v", F.expr(w_expr).alias("w"))
+    )
+    vplus = dense.select(
+        F.col("mask").alias("mask_plus"), F.col("v").alias("v_plus")
+    )
+    shap = (
+        pairs.join(vplus, F.expr("mask_plus = (mask | (1 << i))"))
+        .groupBy("i")
+        .agg(F.sum(F.col("w") * (F.col("v_plus") - F.col("v"))).alias("shap_x24"))
+    )
+    names = ", ".join(f"'{c}'" for c in _SHAP_CHANNELS)
+    return shap.select(
+        F.expr(f"element_at(array({names}), i + 1)").alias("channel"),
+        "shap_x24",
+    )
+
+
+_SHAP_CHAN_CASE = " ".join(
+    f"WHEN {i} THEN '{c}'" for i, c in enumerate(_SHAP_CHANNELS)
+)
+
+_SHAP_SQL = f"""
+WITH pre AS (
+    SELECT user_id,
+           CASE event_type
+                WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END AS chbit,
+           CAST(event_type = 'purchase' AS BIGINT) AS is_conv
+    FROM events
+), per_user AS (
+    SELECT user_id, bit_or(chbit) AS mask, sum(is_conv) AS conv
+    FROM pre GROUP BY user_id
+), vmask AS (
+    SELECT g.mask, coalesce(sum(p.conv), 0) AS v
+    FROM (SELECT unnest(range(0, 16)) AS mask) g
+    LEFT JOIN per_user p USING (mask)
+    GROUP BY g.mask
+), pairs AS (
+    SELECT c.i, d.mask, d.v,
+           CASE bit_count(d.mask)
+                WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END AS w
+    FROM (SELECT unnest(range(0, 4)) AS i) c
+    CROSS JOIN vmask d
+    WHERE (d.mask & (1 << c.i)) = 0
+)
+SELECT CASE p.i {_SHAP_CHAN_CASE} END AS channel,
+       sum(p.w * (vp.v - p.v)) AS shap_x24
+FROM pairs p JOIN vmask vp ON vp.mask = (p.mask | (1 << p.i))
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# Skip-gram window co-occurrence (word2vec training input)
+# --------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_TOPK = 30
+
+
+def q_skipgram_window_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts with window ±2 —
+    the training-pair input of word2vec/GloVe. Pairs are canonicalized
+    (lexicographic order) so (a,b) and (b,a) accumulate together, emitted
+    map-side from per-position lag/lead offsets in ONE per-doc window pass
+    (fixed window ⇒ 4 offset columns, no self-join of the token table),
+    then ONE pair-count shuffle; top-30 by count with lexicographic
+    tie-break as TakeOrderedAndProject. Distinct from ``bigram_topk``
+    (adjacent only) and ``pmi_collocations`` (scores, not window pairs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    offs = toks
+    pair_cols = []
+    for d in range(1, _SG_WINDOW + 1):
+        offs = offs.withColumn(f"n{d}", F.lead("w", d).over(wdoc))
+        pair_cols.append(f"n{d}")
+    pairs = offs.select(
+        "w",
+        F.explode(F.array(*[F.col(c) for c in pair_cols])).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    canon = pairs.select(
+        F.least("w", "c").alias("a"), F.greatest("w", "c").alias("b")
+    )
+    return (
+        canon.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("a"), F.asc("b"))
+        .limit(_SG_TOPK)
+    )
+
+
+_SG_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM (SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents),
+         unnest(range(1, len(t) + 1)) AS u(i)
+), offs AS (
+    SELECT w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+    FROM toks
+), pairs AS (
+    SELECT least(w, c) AS a, greatest(w, c) AS b
+    FROM (SELECT w, unnest([n1, n2]) AS c FROM offs)
+    WHERE c IS NOT NULL
+)
+SELECT a, b, count(*) AS n_cooc
+FROM pairs GROUP BY a, b
+ORDER BY n_cooc DESC, a, b LIMIT {_SG_TOPK}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pit_regime_attribution",
@@ -1479,6 +1645,23 @@ SPECS: list[QuerySpec] = [
         ("stats", "agg"),
         doc="5% winsorized + trimmed means per type from exact nearest-rank "
         "cutoffs; one rank window + one aggregate",
+    ),
+    QuerySpec(
+        "shapley_channel_attribution",
+        q_shapley_channel_attribution,
+        _SHAP_SQL,
+        ("ml", "attribution"),
+        doc="EXACT Shapley multi-touch attribution over the 16-coalition "
+        "grid (4 channels): two keyed aggregates, then constant-size "
+        "integer Shapley sums reported x24 — no sampling, no rationals",
+    ),
+    QuerySpec(
+        "skipgram_window_cooc",
+        q_skipgram_window_cooc,
+        _SG_SQL,
+        ("text",),
+        doc="word2vec skip-gram pair counts, window +/-2, canonicalized "
+        "pairs from lead offsets in one per-doc window pass + one shuffle",
     ),
     QuerySpec(
         "holt_linear_forecast",

@@ -454,3 +454,46 @@ def test_winsorized_trimmed_hand_fixture(spark, tmp_path):
     assert row["trimmed_mean_micro"] == sum(mid) * 1_000_000 // len(mid)
     wins = sum(mid) + 100 + 1800  # clamp outliers to lo/hi cutoffs
     assert row["winsor_mean_micro"] == wins * 1_000_000 // 20
+
+
+def test_shapley_efficiency_and_symmetry(spark, tmp_path):
+    # Efficiency: sum of Shapley values x24 == 24 * (v(full) - v(empty)).
+    # Fixture: user 1 exposed to view only, converts twice; user 2 exposed
+    # to view+click, converts once; user 3 exposed to nothing, converts
+    # once (v(empty) = 1).
+    sf = str(tmp_path / "sf")
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 2), 1, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 3), 1, "purchase", 1.0, "{}"),
+        (4, datetime(2024, 1, 1), 2, "view", 0.0, "{}"),
+        (5, datetime(2024, 1, 1), 2, "click", 0.0, "{}"),
+        (6, datetime(2024, 1, 2), 2, "purchase", 1.0, "{}"),
+        (7, datetime(2024, 1, 2), 3, "purchase", 1.0, "{}"),
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    out = {r["channel"]: r["shap_x24"] for r in roundseven.q_shapley_channel_attribution(spark, sf).collect()}
+    # v by exact mask: {}=1 (user 3), {view}=2 (user 1), {view,click}=1.
+    # Efficiency: sum phi = v(full) - v(empty) = 0 - 1 = -1 -> x24 = -24.
+    assert sum(out.values()) == -24
+    # error and signup never appear with any conversion-bearing coalition
+    # asymmetry; their marginal contributions mirror each other exactly.
+    assert out["error"] == out["signup"]
+
+
+def test_skipgram_window_counts_hand_fixture(spark, tmp_path):
+    # "a b c" window 2 -> pairs (a,b),(a,c),(b,c) each once.
+    sf = str(tmp_path / "sf")
+    _write_parquet(
+        spark,
+        [(1, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+        f"{sf}/documents.parquet",
+    )
+    out = {(r["a"], r["b"]): r["n_cooc"] for r in roundseven.q_skipgram_window_cooc(spark, sf).collect()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
