@@ -58,6 +58,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorized_trimmed_mean",
     "shapley_channel_attribution",
     "skipgram_window_cooc",
+    "qte_by_decile",
+    "fourier_weekly_fit",
+    "als_rank1_step",
     "stl_weekly_decompose",
     "clustering_coefficient",
     "degree_assortativity",

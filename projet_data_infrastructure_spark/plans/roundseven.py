@@ -1516,6 +1516,236 @@ ORDER BY n_cooc DESC, a, b LIMIT {_SG_TOPK}
 """
 
 
+
+# --------------------------------------------------------------------------
+# Quantile treatment effects by decile (distributional A/B readout)
+# --------------------------------------------------------------------------
+
+
+def q_qte_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect: the per-decile difference between the
+    treatment and control distributions of per-user event-value totals
+    (same hash-coin arms as ``cuped_adjusted_lift``) — the distributional
+    readout that catches effects a mean hides (winners-only lift, tail
+    harm). Exact nearest-rank deciles per arm (rank window over the
+    per-user aggregate; at warehouse scale the exact rank swaps for
+    grouped_rank / approx_percentile), then a 9-row arm pivot. Integer
+    cents end to end."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("total"))
+        .withColumn("arm", F.pmod(hash64(F.col("user_id")), F.lit(2)).cast("int"))
+    )
+    wrnk = Window.partitionBy("arm").orderBy("total", "user_id")
+    wtot = Window.partitionBy("arm")
+    ranked = per_user.withColumn("rnk", F.row_number().over(wrnk)).withColumn(
+        "n", F.count(F.lit(1)).over(wtot)
+    )
+    # decile d (1..9): smallest total with rnk*10 >= d*n  (nearest-rank)
+    decs = (
+        ranked.select(
+            "arm",
+            "total",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+            "rnk",
+            "n",
+        )
+        .filter(F.col("rnk") * 10 >= F.col("d") * F.col("n"))
+        .groupBy("arm", "d")
+        .agg(F.min("total").alias("q"))
+    )
+    t = decs.filter(F.col("arm") == 1).select("d", F.col("q").alias("q_treat"))
+    c = decs.filter(F.col("arm") == 0).select("d", F.col("q").alias("q_ctrl"))
+    return t.join(c, "d").select(
+        "d", "q_treat", "q_ctrl", (F.col("q_treat") - F.col("q_ctrl")).alias("qte_cents")
+    )
+
+
+_QTE_SQL = f"""
+WITH per_user AS (
+    SELECT user_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total,
+           CAST({hash64_sql('user_id')} % 2 AS INT) AS arm
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT arm, total, user_id,
+           row_number() OVER (PARTITION BY arm ORDER BY total, user_id) AS rnk,
+           count(*) OVER (PARTITION BY arm) AS n
+    FROM per_user
+), decs AS (
+    SELECT arm, d, min(total) AS q
+    FROM ranked, unnest(range(1, 10)) AS u(d)
+    WHERE rnk * 10 >= d * n
+    GROUP BY arm, d
+)
+SELECT t.d, t.q AS q_treat, c.q AS q_ctrl, t.q - c.q AS qte_cents
+FROM (SELECT d, q FROM decs WHERE arm = 1) t
+JOIN (SELECT d, q FROM decs WHERE arm = 0) c USING (d)
+"""
+
+# --------------------------------------------------------------------------
+# Harmonic (Fourier) weekly-seasonality fit
+# --------------------------------------------------------------------------
+
+
+def q_fourier_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality as a 1-harmonic Fourier fit of the daily value
+    series: y(t) ≈ a₀ + a₁·cos(2πt/7) + b₁·sin(2πt/7). Because the day
+    grid is (near-)complete, the regressors are orthogonal on whole weeks
+    and the coefficients are plain projections: a₁ = 2·Σy·cos/n etc. —
+    computed over the calendar-bounded daily aggregate with an ORDER-PINNED
+    float fold (array_sort by day, then an explicit sequential aggregate)
+    so both engines run the identical IEEE sum order, left to right. The
+    amplitude √(a₁²+b₁²) and acrophase are derived in the shared double
+    expression tree. One data-sized day aggregate; everything else is the
+    ≤|days| frame."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+    # Order-pinned folds: sort the (d, y) pairs, then fold left to right.
+    rows = daily.agg(
+        F.expr("array_sort(collect_list(struct(d, y)))").alias("arr")
+    )
+    two_pi_over_7 = "6.283185307179586 / 7.0"
+    def fold(expr: str) -> str:
+        return (
+            f"aggregate(arr, CAST(0.0 AS DOUBLE), (acc, r) -> acc + ({expr}))"
+        )
+    yc = fold(f"r.y * cos(CAST(r.d AS DOUBLE) * ({two_pi_over_7}))")
+    ys = fold(f"r.y * sin(CAST(r.d AS DOUBLE) * ({two_pi_over_7}))")
+    ysum = fold("r.y")
+    out = rows.select(
+        F.expr("size(arr)").alias("n_days"),
+        pround(F.expr(f"({ysum}) / size(arr)"), 2).alias("a0_r"),
+        pround(F.expr(f"2.0 * ({yc}) / size(arr)"), 2).alias("a1_r"),
+        pround(F.expr(f"2.0 * ({ys}) / size(arr)"), 2).alias("b1_r"),
+        pround(
+            F.expr(
+                f"sqrt((2.0 * ({yc}) / size(arr)) * (2.0 * ({yc}) / size(arr))"
+                f" + (2.0 * ({ys}) / size(arr)) * (2.0 * ({ys}) / size(arr)))"
+            ),
+            2,
+        ).alias("amplitude_r"),
+    )
+    return out
+
+
+_FOURIER_FOLD = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {COL}), (acc, v) -> acc + v)"
+
+_FOURIER_SQL = f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+), arrs AS (
+    SELECT count(*) AS n,
+           list(y * cos(CAST(d AS DOUBLE) * (6.283185307179586 / 7.0)) ORDER BY d) AS lc,
+           list(y * sin(CAST(d AS DOUBLE) * (6.283185307179586 / 7.0)) ORDER BY d) AS ls,
+           list(y ORDER BY d) AS ly
+    FROM daily
+), folds AS (
+    SELECT n,
+           {_FOURIER_FOLD.replace('{COL}', 'lc')} AS yc,
+           {_FOURIER_FOLD.replace('{COL}', 'ls')} AS ys,
+           {_FOURIER_FOLD.replace('{COL}', 'ly')} AS ysum
+    FROM arrs
+)
+SELECT CAST(n AS INT) AS n_days,
+       {pround_sql('ysum / n', 2)} AS a0_r,
+       {pround_sql('2.0 * yc / n', 2)} AS a1_r,
+       {pround_sql('2.0 * ys / n', 2)} AS b1_r,
+       {pround_sql('sqrt((2.0 * yc / n) * (2.0 * yc / n) + (2.0 * ys / n) * (2.0 * ys / n))', 2)}
+           AS amplitude_r
+FROM folds
+"""
+
+# --------------------------------------------------------------------------
+# Rank-1 ALS step (matrix-factorization family)
+# --------------------------------------------------------------------------
+
+
+def q_als_rank1_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact alternating-least-squares step at rank 1 on the user ×
+    event_type value matrix: item factors initialize from the portable hash
+    (v⁰ ∈ [1,100], integer), the user step solves u_i = Σ_j r_ij·v_j /
+    Σ_j v_j² in closed form per user, the item step re-solves v_j =
+    Σ_i r_ij·u_i / Σ_i u_i² — each step is ONE keyed aggregate (the
+    classic scalable ALS shape: no gradient loop, factors exchanged via
+    joins). Factors are kept in exact micro units (integer floor division),
+    so the whole two-step update is hash-checkable. Output: the item
+    factors after one full alternation."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    r = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "r"
+            )
+        )
+    )
+    v0 = r.select("event_type").distinct().select(
+        "event_type",
+        (F.pmod(hash64(F.col("event_type")), F.lit(100)) + 1).alias("v0"),
+    )
+    withv = r.join(F.broadcast(v0), "event_type")
+    u = withv.groupBy("user_id").agg(
+        F.expr("(sum(r * v0) * 1000000) DIV sum(v0 * v0)").alias("u_micro")
+    )
+    withu = r.join(u, "user_id")
+    v1 = withu.groupBy("event_type").agg(
+        F.expr(
+            "CAST((CAST(sum(CAST(r AS DECIMAL(38,0)) * u_micro) AS DECIMAL(38,0))"
+            " * 1000000000)"
+            " DIV sum(CAST(u_micro AS DECIMAL(38,0)) * u_micro) AS BIGINT)"
+        ).alias("v1_nano"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return v1.join(F.broadcast(v0), "event_type").select(
+        "event_type", "v0", "v1_nano", "n_users"
+    )
+
+
+_ALS_SQL = f"""
+WITH r AS (
+    SELECT user_id, event_type,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS r
+    FROM events GROUP BY 1, 2
+), v0 AS (
+    SELECT event_type,
+           ({hash64_sql('event_type')} % 100) + 1 AS v0
+    FROM (SELECT DISTINCT event_type FROM r)
+), u AS (
+    SELECT user_id, (sum(r.r * v0.v0) * 1000000) // sum(v0.v0 * v0.v0) AS u_micro
+    FROM r JOIN v0 USING (event_type)
+    GROUP BY user_id
+), v1 AS (
+    SELECT event_type,
+           CAST((sum(CAST(r.r AS HUGEINT) * u.u_micro) * 1000000000)
+                // sum(CAST(u.u_micro AS HUGEINT) * u.u_micro) AS BIGINT)
+               AS v1_nano,
+           count(*) AS n_users
+    FROM r JOIN u USING (user_id)
+    GROUP BY event_type
+)
+SELECT event_type, v0.v0, v1.v1_nano, v1.n_users
+FROM v1 JOIN v0 USING (event_type)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pit_regime_attribution",
@@ -1662,6 +1892,32 @@ SPECS: list[QuerySpec] = [
         ("text",),
         doc="word2vec skip-gram pair counts, window +/-2, canonicalized "
         "pairs from lead offsets in one per-doc window pass + one shuffle",
+    ),
+    QuerySpec(
+        "qte_by_decile",
+        q_qte_by_decile,
+        _QTE_SQL,
+        ("ml", "stats"),
+        doc="Quantile treatment effects: exact nearest-rank deciles per "
+        "hash-coin arm of per-user totals, 9-row treat-vs-control pivot",
+    ),
+    QuerySpec(
+        "fourier_weekly_fit",
+        q_fourier_weekly_fit,
+        _FOURIER_SQL,
+        ("timeseries", "stats"),
+        doc="1-harmonic Fourier fit of weekly seasonality over the "
+        "calendar-bounded daily series; ORDER-PINNED float folds keep the "
+        "projections bit-identical cross-engine",
+    ),
+    QuerySpec(
+        "als_rank1_step",
+        q_als_rank1_step,
+        _ALS_SQL,
+        ("ml", "recsys"),
+        doc="One exact rank-1 ALS alternation (hash init, closed-form user "
+        "then item solves as keyed aggregates) in integer micro units — "
+        "the scalable matrix-factorization shape, hash-checkable",
     ),
     QuerySpec(
         "holt_linear_forecast",

@@ -497,3 +497,64 @@ def test_skipgram_window_counts_hand_fixture(spark, tmp_path):
     )
     out = {(r["a"], r["b"]): r["n_cooc"] for r in roundseven.q_skipgram_window_cooc(spark, sf).collect()}
     assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_qte_deciles_monotone_and_complete(spark):
+    out = roundseven.q_qte_by_decile(spark, SF).collect()
+    assert sorted(r["d"] for r in out) == list(range(1, 10))
+    qt = [r["q_treat"] for r in sorted(out, key=lambda r: r["d"])]
+    qc = [r["q_ctrl"] for r in sorted(out, key=lambda r: r["d"])]
+    assert qt == sorted(qt) and qc == sorted(qc)  # deciles are monotone
+
+
+def test_fourier_recovers_planted_harmonic(spark, tmp_path):
+    # y(d) = 700 + 100*cos(2*pi*d/7) cents exactly (planted amplitude on
+    # whole weeks): the projection must recover a0=700, a1=100, b1~0.
+    import math
+
+    sf = str(tmp_path / "sf")
+    from datetime import date, timedelta
+
+    rows = []
+    epoch = date(1970, 1, 1)
+    for d in range(28):  # 4 whole weeks
+        day = date(2024, 1, 1) + timedelta(days=d)
+        ed = (day - epoch).days  # the query phases on the EPOCH day
+        cents = 70000 + round(10000 * math.cos(2 * math.pi * ed / 7))
+        rows.append((d, datetime(day.year, day.month, day.day), 1, "t", cents / 100.0, "{}"))
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_fourier_weekly_fit(spark, sf).collect()[0]
+    assert row["n_days"] == 28
+    assert abs(row["a0_r"] - 70000) < 1.0
+    assert abs(row["a1_r"] - 10000) < 15.0  # rounding of the planted cosine
+    assert abs(row["b1_r"]) < 15.0
+    assert abs(row["amplitude_r"] - 10000) < 15.0
+
+
+def test_als_rank1_recovers_scaled_item_factor(spark, tmp_path):
+    # r_ij = u_i * v_j exactly (rank-1 matrix): after one alternation the
+    # item step must recover v up to the global scale, i.e. v1_micro
+    # proportional to the true v.
+    sf = str(tmp_path / "sf")
+    true_u = {1: 2, 2: 3, 3: 5}
+    true_v = {"view": 4, "click": 7}
+    rows = []
+    k = 0
+    for uid, uu in true_u.items():
+        for et, vv in true_v.items():
+            rows.append((k, datetime(2024, 1, 1), uid, et, uu * vv / 100.0, "{}"))
+            k += 1
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    out = {r["event_type"]: r for r in roundseven.q_als_rank1_step(spark, sf).collect()}
+    ratio = out["click"]["v1_nano"] / out["view"]["v1_nano"]
+    assert abs(ratio - 7 / 4) < 0.01
