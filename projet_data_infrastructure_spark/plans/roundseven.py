@@ -56,6 +56,23 @@ of questions a training-data platform asks of the same tables. Design notes:
   divisions; F1 = 2pr/(p+r) computed from the micro values, ≤2·10¹² —
   int64-safe). ONE scan with a 5× map-side literal explode feeding one
   map-side-combinable aggregate — no per-threshold rescan.
+
+Later round-7 batches (each spec carries its own full design docstring):
+``stream_pit_attribution`` (the PIT join LIVE as a one-string-per-user
+stateful operator), ``token_ngram_novelty`` (first-occurrence 3-gram
+novelty), ``stratified_kfold_assign`` (grouped_rank-based exact-balance
+CV folds), ``gdpr_erasure_cascade`` (right-to-be-forgotten blast radius),
+``holt_linear_forecast`` (IEEE-replay double exponential smoothing),
+``content_defined_chunking`` (FastCDC-lite chunk dedup),
+``mode_percentile_disc`` (tie-pinned mode + discrete median),
+``bootstrap_mean_ci`` (hash-deterministic truncated-Poisson multiplier
+bootstrap), ``target_encode_loo`` (leakage-safe LOO target encoding),
+``cuped_adjusted_lift`` / ``qte_by_decile`` (variance-reduced and
+distributional A/B readouts), ``winsorized_trimmed_mean`` (robust
+location), ``shapley_channel_attribution`` (EXACT coalition-grid Shapley
+MTA), ``skipgram_window_cooc`` (word2vec pair counts),
+``fourier_weekly_fit`` (order-pinned harmonic projection),
+``als_rank1_step`` (closed-form ALS alternation as keyed aggregates).
 """
 
 from __future__ import annotations
