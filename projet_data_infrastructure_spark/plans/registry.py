@@ -61,6 +61,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "qte_by_decile",
     "fourier_weekly_fit",
     "als_rank1_step",
+    "mann_kendall_theilsen",
+    "diff_in_differences",
+    "caliper_matched_att",
     "stl_weekly_decompose",
     "clustering_coefficient",
     "degree_assortativity",

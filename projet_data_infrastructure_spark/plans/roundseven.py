@@ -1763,6 +1763,265 @@ FROM v1 JOIN v0 USING (event_type)
 """
 
 
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope (robust trend on the daily frame)
+# --------------------------------------------------------------------------
+
+
+def q_mann_kendall_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S statistic and the Theil-Sen slope of the daily
+    total-value series — the standard nonparametric trend pair (monotone
+    trend without normality assumptions; TS slope is the median of all
+    pairwise slopes, 29% breakdown point). Both are pairwise over the
+    DAILY aggregate, so the self-join is calendar-bounded (≤ ~3.7 k rows a
+    decade → ≤ 7 M pairs at any corpus size — constant, not data-scaled;
+    the one data-sized operation is the day aggregate). Integer-exact: S
+    is a sign sum; the slope median is an exact rational pinned as
+    slope_micro = (Δcents·10⁶) DIV Δday per pair, median by exact rank
+    with (numerator) tie-break. The variance/Z normalization is left to
+    the caller (ties correction documented) — S and the slope are the
+    portable kernel."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+        .localCheckpoint()  # tiny calendar frame, self-joined twice below
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = daily.join(b, F.col("d2") > F.col("d")).select(
+        F.signum(F.col("y2") - F.col("y")).cast("long").alias("sgn"),
+        F.expr("((y2 - y) * 1000000) DIV (d2 - d)").alias("slope_micro"),
+    )
+    stats = pairs.agg(
+        F.sum("sgn").alias("mk_s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    wr = Window.orderBy("slope_micro")
+    ranked = pairs.select("slope_micro").withColumn(
+        "rnk", F.row_number().over(wr)
+    )
+    med = ranked.crossJoin(F.broadcast(stats.select("n_pairs"))).filter(
+        F.col("rnk") * 2 >= F.col("n_pairs")
+    ).agg(F.min("slope_micro").alias("theil_sen_micro"))
+    return stats.crossJoin(F.broadcast(med))
+
+
+_MK_SQL = """
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+    FROM events GROUP BY 1
+), pairs AS (
+    SELECT CAST(sign(b.y - a.y) AS BIGINT) AS sgn,
+           ((b.y - a.y) * 1000000) // (b.d - a.d) AS slope_micro
+    FROM daily a JOIN daily b ON b.d > a.d
+), stats AS (
+    SELECT sum(sgn) AS mk_s, count(*) AS n_pairs FROM pairs
+), ranked AS (
+    SELECT slope_micro, row_number() OVER (ORDER BY slope_micro) AS rnk
+    FROM pairs
+)
+SELECT s.mk_s, s.n_pairs,
+       (SELECT min(slope_micro) FROM ranked, stats
+        WHERE rnk * 2 >= n_pairs) AS theil_sen_micro
+FROM stats s
+"""
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (two-arm pre/post causal readout)
+# --------------------------------------------------------------------------
+
+
+def q_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical 2×2 difference-in-differences: hash-coin arms (the same
+    assignment as ``cuped_adjusted_lift``), pre/post windows split at the
+    month midpoint, cell means in exact micro-cents, and DiD = (T_post −
+    T_pre) − (C_post − C_pre). ONE conditional aggregate over the events
+    scan — four cells, no joins; the parallel-trends diagnostic (pre-period
+    arm gap) is reported alongside."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = F.expr("DATE '2024-01-16'")
+    cells = (
+        ev.select(
+            F.pmod(hash64(F.col("user_id")), F.lit(2)).cast("int").alias("arm"),
+            (F.to_date("ts") >= mid).cast("int").alias("post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("arm", "post")
+        .agg(
+            F.expr("(sum(cents) * 1000000) DIV count(1)").alias("mean_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pivot = cells.groupBy().agg(
+        F.min(F.expr("CASE WHEN arm = 1 AND post = 1 THEN mean_micro END")).alias("t_post"),
+        F.min(F.expr("CASE WHEN arm = 1 AND post = 0 THEN mean_micro END")).alias("t_pre"),
+        F.min(F.expr("CASE WHEN arm = 0 AND post = 1 THEN mean_micro END")).alias("c_post"),
+        F.min(F.expr("CASE WHEN arm = 0 AND post = 0 THEN mean_micro END")).alias("c_pre"),
+        F.sum("n").alias("n_events"),
+    )
+    return pivot.select(
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))).alias(
+            "did_micro"
+        ),
+        (F.col("t_pre") - F.col("c_pre")).alias("pre_gap_micro"),
+        "n_events",
+    )
+
+
+_DID_SQL = f"""
+WITH cells AS (
+    SELECT CAST({hash64_sql('user_id')} % 2 AS INT) AS arm,
+           CAST(CAST(ts AS DATE) >= DATE '2024-01-16' AS INT) AS post,
+           (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 1000000) // count(*)
+               AS mean_micro,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+), pv AS (
+    SELECT min(CASE WHEN arm = 1 AND post = 1 THEN mean_micro END) AS t_post,
+           min(CASE WHEN arm = 1 AND post = 0 THEN mean_micro END) AS t_pre,
+           min(CASE WHEN arm = 0 AND post = 1 THEN mean_micro END) AS c_post,
+           min(CASE WHEN arm = 0 AND post = 0 THEN mean_micro END) AS c_pre,
+           sum(n) AS n_events
+    FROM cells
+)
+SELECT t_pre, t_post, c_pre, c_post,
+       (t_post - t_pre) - (c_post - c_pre) AS did_micro,
+       t_pre - c_pre AS pre_gap_micro,
+       n_events
+FROM pv
+"""
+
+# --------------------------------------------------------------------------
+# Caliper nearest-neighbor matching (observational ATT)
+# --------------------------------------------------------------------------
+
+_CALIPER_CENTS = 50000  # max |balance gap| for a valid match (500.00)
+
+
+def q_caliper_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D nearest-neighbor caliper matching on the customer balance:
+    treated = hash-coin customers, each matched (with replacement) to the
+    CONTROL customer with the closest account balance within a ±500.00
+    caliper; the matched outcome difference (order spend) estimates the
+    ATT. The nearest 1-D neighbor is found WITHOUT a pair join: union both
+    arms into one balance-ordered stream and take the nearest preceding /
+    following control via last()/first() over the per-arm-interleaved sort
+    (two window passes on one Exchange+Sort — the asof/PIT house shape;
+    ties broken toward the lower custkey via the sort key). Outcomes join
+    back by custkey. Output: matched-pair count, mean treated / matched-
+    control spend, ATT (micro-cents).
+
+    Scale note: the interleaved sort is GLOBAL (nearest neighbor is a
+    global property), which Spark executes as one window task — acceptable
+    because matching runs on the customer DIMENSION, not a fact table (the
+    compaction_bin_packing defense); at warehouse dim sizes swap to
+    range-bucketed matching with one-row boundary overlap per bucket (same
+    algebra per bucket, documented here rather than speculatively built)."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
+        F.pmod(hash64(F.col("c_custkey")), F.lit(2)).cast("int").alias("arm"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("spend")
+    )
+    base = cust.join(
+        spend, cust["c_custkey"] == spend["o_custkey"], "left"
+    ).select("c_custkey", "bal", "arm", F.coalesce("spend", F.lit(0)).alias("spend"))
+    # nearest control by balance via one interleaved sort (no pair join)
+    ctrl_key = F.when(F.col("arm") == 0, F.struct("bal", "c_custkey", "spend"))
+    w = Window.orderBy("bal", "arm", "c_custkey")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wnext = w.rowsBetween(1, Window.unboundedFollowing)
+    enriched = (
+        base.withColumn("prev_c", F.last(ctrl_key, ignorenulls=True).over(wprev))
+        .withColumn("next_c", F.first(ctrl_key, ignorenulls=True).over(wnext))
+    )
+    treated = enriched.filter(F.col("arm") == 1).select(
+        "c_custkey",
+        "bal",
+        "spend",
+        F.expr(
+            "CASE"
+            " WHEN prev_c IS NULL AND next_c IS NULL THEN NULL"
+            " WHEN prev_c IS NULL THEN next_c"
+            " WHEN next_c IS NULL THEN prev_c"
+            " WHEN (bal - prev_c.bal) <= (next_c.bal - bal) THEN prev_c"
+            " ELSE next_c END"
+        ).alias("m"),
+    )
+    matched = treated.filter(
+        F.col("m").isNotNull()
+        & (F.abs(F.col("bal") - F.col("m.bal")) <= _CALIPER_CENTS)
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.expr("(sum(spend) * 1000000) DIV count(1)").alias("treated_mean_micro"),
+        F.expr("(sum(m.spend) * 1000000) DIV count(1)").alias("control_mean_micro"),
+        F.expr(
+            "(sum(spend) * 1000000) DIV count(1)"
+            " - (sum(m.spend) * 1000000) DIV count(1)"
+        ).alias("att_micro"),
+    )
+
+
+_CALIPER_SQL = f"""
+WITH base AS (
+    SELECT c.c_custkey,
+           CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+           CAST({hash64_sql('c.c_custkey')} % 2 AS INT) AS arm,
+           coalesce(s.spend, 0) AS spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey,
+                      CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS spend
+               FROM orders GROUP BY 1) s
+      ON c.c_custkey = s.o_custkey
+), enriched AS (
+    SELECT *,
+           last_value(CASE WHEN arm = 0
+                           THEN struct_pack(bal := bal, c_custkey := c_custkey,
+                                            spend := spend) END IGNORE NULLS)
+               OVER (ORDER BY bal, arm, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+           first_value(CASE WHEN arm = 0
+                            THEN struct_pack(bal := bal, c_custkey := c_custkey,
+                                             spend := spend) END IGNORE NULLS)
+               OVER (ORDER BY bal, arm, c_custkey
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+    FROM base
+), matched AS (
+    SELECT bal, spend,
+           CASE WHEN prev_c IS NULL AND next_c IS NULL THEN NULL
+                WHEN prev_c IS NULL THEN next_c
+                WHEN next_c IS NULL THEN prev_c
+                WHEN (bal - prev_c.bal) <= (next_c.bal - bal) THEN prev_c
+                ELSE next_c END AS m
+    FROM enriched WHERE arm = 1
+)
+SELECT count(*) AS n_matched,
+       (sum(spend) * 1000000) // count(*) AS treated_mean_micro,
+       (sum(m.spend) * 1000000) // count(*) AS control_mean_micro,
+       (sum(spend) * 1000000) // count(*)
+           - (sum(m.spend) * 1000000) // count(*) AS att_micro
+FROM matched
+WHERE m IS NOT NULL AND abs(bal - m.bal) <= {_CALIPER_CENTS}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pit_regime_attribution",
@@ -1935,6 +2194,33 @@ SPECS: list[QuerySpec] = [
         doc="One exact rank-1 ALS alternation (hash init, closed-form user "
         "then item solves as keyed aggregates) in integer micro units — "
         "the scalable matrix-factorization shape, hash-checkable",
+    ),
+    QuerySpec(
+        "mann_kendall_theilsen",
+        q_mann_kendall_theilsen,
+        _MK_SQL,
+        ("timeseries", "stats"),
+        doc="Mann-Kendall S + exact Theil-Sen median slope over the "
+        "calendar-bounded daily frame (pairwise stays constant-size at any "
+        "corpus scale); integer sign sums and rational slopes",
+    ),
+    QuerySpec(
+        "diff_in_differences",
+        q_diff_in_differences,
+        _DID_SQL,
+        ("ml", "stats"),
+        doc="2x2 difference-in-differences with hash-coin arms and a "
+        "pre/post split: one conditional aggregate, DiD + parallel-trends "
+        "gap in exact micro-cents",
+    ),
+    QuerySpec(
+        "caliper_matched_att",
+        q_caliper_matched_att,
+        _CALIPER_SQL,
+        ("ml", "join"),
+        doc="1-D caliper nearest-neighbor matching via one interleaved "
+        "balance sort (no pair join): prev/next control carry-forward "
+        "windows, ATT in exact micro-cents",
     ),
     QuerySpec(
         "holt_linear_forecast",

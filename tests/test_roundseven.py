@@ -558,3 +558,99 @@ def test_als_rank1_recovers_scaled_item_factor(spark, tmp_path):
     out = {r["event_type"]: r for r in roundseven.q_als_rank1_step(spark, sf).collect()}
     ratio = out["click"]["v1_nano"] / out["view"]["v1_nano"]
     assert abs(ratio - 7 / 4) < 0.01
+
+
+def test_mann_kendall_monotone_series(spark, tmp_path):
+    # Strictly increasing daily totals: S == n_pairs and the Theil-Sen
+    # slope equals the planted daily increment exactly.
+    sf = str(tmp_path / "sf")
+    rows = [
+        (d, datetime(2024, 1, 1 + d), 1, "t", (1000 + 700 * d) / 100.0, "{}")
+        for d in range(15)
+    ]
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_mann_kendall_theilsen(spark, sf).collect()[0]
+    assert row["n_pairs"] == 15 * 14 // 2
+    assert row["mk_s"] == row["n_pairs"]  # every pair increases
+    assert row["theil_sen_micro"] == 700 * 1_000_000
+
+
+def test_did_recovers_planted_effect(spark, tmp_path):
+    # Build users on both arms with a planted post-period lift of +3.00 on
+    # arm 1 only, identical baselines -> did_micro == 3e8, pre_gap == 0.
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    sf = str(tmp_path / "sf")
+    # discover one user id per arm via the same hash the query uses
+    probe = spark.range(1, 50).select(
+        F.col("id").alias("user_id"),
+        F.pmod(hash64(F.col("id")), F.lit(2)).cast("int").alias("arm"),
+    ).collect()
+    u_t = next(r["user_id"] for r in probe if r["arm"] == 1)
+    u_c = next(r["user_id"] for r in probe if r["arm"] == 0)
+    rows = []
+    k = 0
+    for uid, lift in ((u_t, 3.0), (u_c, 0.0)):
+        for day, post in ((10, 0), (20, 1)):
+            rows.append(
+                (k, datetime(2024, 1, day), uid, "t", 5.0 + lift * post, "{}")
+            )
+            k += 1
+    _write_parquet(
+        spark,
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        f"{sf}/events.parquet",
+    )
+    row = roundseven.q_diff_in_differences(spark, sf).collect()[0]
+    assert row["pre_gap_micro"] == 0
+    assert row["did_micro"] == 300 * 1_000_000
+
+
+def test_caliper_matching_picks_nearest_within_caliper(spark, tmp_path):
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    sf = str(tmp_path / "sf")
+    probe = spark.range(1, 80).select(
+        F.col("id").alias("k"),
+        F.pmod(hash64(F.col("id")), F.lit(2)).cast("int").alias("arm"),
+    ).collect()
+    treats = [r["k"] for r in probe if r["arm"] == 1]
+    ctrls = [r["k"] for r in probe if r["arm"] == 0]
+    t1, c_near, c_far = treats[0], ctrls[0], ctrls[1]
+    # treated at 100.00; nearest control at 101.00 (in caliper); another
+    # control at 5000.00 (outside relevance). Expect exactly 1 match pair
+    # with the near control's spend.
+    cust = [
+        (t1, "t", 0, 100.0, "A"),
+        (c_near, "c", 0, 101.0, "A"),
+        (c_far, "c2", 0, 5000.0, "A"),
+    ]
+    _write_parquet(
+        spark,
+        cust,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+        f"{sf}/customer.parquet",
+    )
+    orders = [
+        (1, t1, "O", 10.0, "1995-01-01", "P"),
+        (2, c_near, "O", 7.0, "1995-01-01", "P"),
+        (3, c_far, "O", 99.0, "1995-01-01", "P"),
+    ]
+    _write_parquet(
+        spark,
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+        f"{sf}/orders.parquet",
+    )
+    row = roundseven.q_caliper_matched_att(spark, sf).collect()[0]
+    assert row["n_matched"] == 1
+    assert row["treated_mean_micro"] == 1000 * 1_000_000
+    assert row["control_mean_micro"] == 700 * 1_000_000
+    assert row["att_micro"] == 300 * 1_000_000
