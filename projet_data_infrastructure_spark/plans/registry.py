@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mann_kendall_theilsen",
     "diff_in_differences",
     "caliper_matched_att",
+    "nb_crossval_accuracy",
     "stl_weekly_decompose",
     "clustering_coefficient",
     "degree_assortativity",

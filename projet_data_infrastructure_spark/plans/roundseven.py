@@ -2022,6 +2022,246 @@ WHERE m IS NOT NULL AND abs(bal - m.bal) <= {_CALIPER_CENTS}
 """
 
 
+
+# --------------------------------------------------------------------------
+# k-fold cross-validated Naive Bayes (partial-aggregate subtraction CV)
+# --------------------------------------------------------------------------
+
+_NBCV_FOLDS = 5
+_NBCV_QBIAS = 0.50001  # the dsir/naive_bayes micro-nat half-up bias
+
+
+def q_nb_crossval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated accuracy of the multinomial NB language
+    classifier — with the trick that makes CV scale: each fold's TRAINING
+    counts are never recomputed from the corpus; they are the corpus-wide
+    partial aggregates MINUS the fold's partial aggregates (counts, class
+    totals, priors, and the train vocabulary size all derive from one
+    (fold, lang, word) aggregate by subtraction). So 5-fold CV costs ONE
+    corpus tokenize + vocabulary-bounded arithmetic — not 5 corpus passes
+    (the standard k-fold formulation retrains k times over k-1/k of the
+    data; at 100 TB that is k corpus scans, here it is exactly one).
+
+    Determinism: the ``naive_bayes_lang`` house discipline — Laplace
+    log-probs quantized once to integer micro-nats (floor(x·10⁶ + 0.50001)
+    so a 1-ulp ln() difference cannot flip a bucket), scoring is an exact
+    integer dot product, argmax ties to the smaller lang. Output: per-fold
+    n_docs / n_correct / accuracy_micro."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "fold", F.pmod(hash64(F.col("doc_id")), F.lit(_NBCV_FOLDS)).cast("int")
+    )
+    dwc = (
+        docs.select(
+            "doc_id", "fold", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("doc_id", "fold", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds the stats AND the scoring pass
+    )
+    # corpus-wide and per-fold partial aggregates (the subtraction inputs)
+    wc_all = dwc.groupBy("lang", "w").agg(F.sum("c").alias("cw"))
+    wc_fold = dwc.groupBy("fold", "lang", "w").agg(F.sum("c").alias("cwf"))
+    folds = spark.range(_NBCV_FOLDS).select(F.col("id").cast("int").alias("fold"))
+    # train counts per fold = all - fold (grid = folds x corpus vocab pairs)
+    wc_t = (
+        folds.crossJoin(wc_all)
+        .join(wc_fold, ["fold", "lang", "w"], "left")
+        .select(
+            "fold",
+            "lang",
+            "w",
+            (F.col("cw") - F.coalesce(F.col("cwf"), F.lit(0))).alias("cwt"),
+        )
+    )
+    tot_t = wc_t.groupBy("fold", "lang").agg(F.sum("cwt").alias("tott"))
+    # train vocabulary per fold: words whose cross-class train count > 0
+    word_all = wc_all.groupBy("w").agg(F.sum("cw").alias("wa"))
+    word_fold = dwc.groupBy("fold", "w").agg(F.sum("c").alias("wf"))
+    v_t = (
+        folds.crossJoin(word_all)
+        .join(word_fold, ["fold", "w"], "left")
+        .filter(F.col("wa") - F.coalesce(F.col("wf"), F.lit(0)) > 0)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("vt"))
+    )
+    # train priors per fold
+    nd_all = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    nd_fold = docs.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("ndf"))
+    nd_t = (
+        folds.crossJoin(nd_all)
+        .join(nd_fold, ["fold", "lang"], "left")
+        .select(
+            "fold",
+            "lang",
+            (F.col("nd") - F.coalesce(F.col("ndf"), F.lit(0))).alias("ndt"),
+        )
+    )
+    n_t = nd_t.groupBy("fold").agg(F.sum("ndt").alias("nt"))
+
+    def _q(col):
+        return F.floor(col * F.lit(1_000_000.0) + F.lit(_NBCV_QBIAS)).cast("long")
+
+    weights = (
+        wc_t.join(tot_t, ["fold", "lang"])
+        .join(F.broadcast(v_t), "fold")
+        .select(
+            "fold",
+            "lang",
+            "w",
+            _q(
+                F.log(
+                    (F.col("cwt") + 1).cast("double")
+                    / (F.col("tott") + F.col("vt")).cast("double")
+                )
+            ).alias("lw_unats"),
+        )
+    )
+    cls = (
+        nd_t.join(tot_t, ["fold", "lang"])
+        .join(F.broadcast(v_t), "fold")
+        .join(F.broadcast(n_t), "fold")
+        .select(
+            "fold",
+            F.col("lang").alias("cand"),
+            _q(F.log(F.col("ndt").cast("double") / F.col("nt").cast("double"))).alias(
+                "prior_unats"
+            ),
+            _q(
+                F.log(F.lit(1.0) / (F.col("tott") + F.col("vt")).cast("double"))
+            ).alias("default_unats"),
+        )
+    )
+    wt = weights.select(
+        F.col("fold").alias("wfold"),
+        F.col("lang").alias("wcand"),
+        F.col("w").alias("ww"),
+        "lw_unats",
+    )
+    scored = (
+        dwc.withColumnRenamed("lang", "true_lang")
+        .join(F.broadcast(cls), "fold")
+        .join(
+            wt,
+            (F.col("fold") == F.col("wfold"))
+            & (F.col("cand") == F.col("wcand"))
+            & (F.col("w") == F.col("ww")),
+            "left",
+        )
+        .groupBy("doc_id", "fold", "true_lang", "cand", "prior_unats")
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("lw_unats"), F.col("default_unats"))
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "fold",
+            "true_lang",
+            "cand",
+            (F.col("prior_unats") + F.col("ll")).alias("score_unats"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.desc("score_unats"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(wdoc)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cand") == F.col("true_lang")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn("accuracy_micro", F.expr("(1000000 * n_correct) DIV n_docs"))
+    )
+
+
+_NBCV_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+
+_NBCV_SQL = f"""
+WITH d AS (
+    SELECT doc_id, CAST({hash64_sql('doc_id')} % {_NBCV_FOLDS} AS INT) AS fold,
+           lang, text
+    FROM documents
+), dwc AS (
+    SELECT doc_id, fold, lang, w, count(*) AS c
+    FROM (SELECT doc_id, fold, lang, unnest({_NBCV_TOKS}) AS w FROM d)
+    GROUP BY 1, 2, 3, 4
+), wc_all AS (
+    SELECT lang, w, sum(c) AS cw FROM dwc GROUP BY 1, 2
+), wc_fold AS (
+    SELECT fold, lang, w, sum(c) AS cwf FROM dwc GROUP BY 1, 2, 3
+), folds AS (
+    SELECT unnest(range(0, {_NBCV_FOLDS})) AS fold
+), wc_t AS (
+    SELECT f.fold, a.lang, a.w, a.cw - coalesce(wf.cwf, 0) AS cwt
+    FROM folds f CROSS JOIN wc_all a
+    LEFT JOIN wc_fold wf ON wf.fold = f.fold AND wf.lang = a.lang AND wf.w = a.w
+), tot_t AS (
+    SELECT fold, lang, sum(cwt) AS tott FROM wc_t GROUP BY 1, 2
+), word_all AS (
+    SELECT w, sum(cw) AS wa FROM wc_all GROUP BY w
+), word_fold AS (
+    SELECT fold, w, sum(c) AS wf FROM dwc GROUP BY 1, 2
+), v_t AS (
+    SELECT f.fold, count(*) AS vt
+    FROM folds f CROSS JOIN word_all a
+    LEFT JOIN word_fold wf ON wf.fold = f.fold AND wf.w = a.w
+    WHERE a.wa - coalesce(wf.wf, 0) > 0
+    GROUP BY f.fold
+), nd_all AS (
+    SELECT lang, count(*) AS nd FROM d GROUP BY lang
+), nd_fold AS (
+    SELECT fold, lang, count(*) AS ndf FROM d GROUP BY 1, 2
+), nd_t AS (
+    SELECT f.fold, a.lang, a.nd - coalesce(nf.ndf, 0) AS ndt
+    FROM folds f CROSS JOIN nd_all a
+    LEFT JOIN nd_fold nf ON nf.fold = f.fold AND nf.lang = a.lang
+), n_t AS (
+    SELECT fold, sum(ndt) AS nt FROM nd_t GROUP BY fold
+), weights AS (
+    SELECT t.fold, t.lang, t.w,
+           CAST(floor(ln(CAST(t.cwt + 1 AS DOUBLE) / CAST(tt.tott + v.vt AS DOUBLE))
+                      * 1000000.0 + {_NBCV_QBIAS}) AS BIGINT) AS lw_unats
+    FROM wc_t t
+    JOIN tot_t tt ON tt.fold = t.fold AND tt.lang = t.lang
+    JOIN v_t v ON v.fold = t.fold
+), cls AS (
+    SELECT nd.fold, nd.lang AS cand,
+           CAST(floor(ln(CAST(nd.ndt AS DOUBLE) / CAST(n.nt AS DOUBLE))
+                      * 1000000.0 + {_NBCV_QBIAS}) AS BIGINT) AS prior_unats,
+           CAST(floor(ln(1.0 / CAST(tt.tott + v.vt AS DOUBLE))
+                      * 1000000.0 + {_NBCV_QBIAS}) AS BIGINT) AS default_unats
+    FROM nd_t nd
+    JOIN tot_t tt ON tt.fold = nd.fold AND tt.lang = nd.lang
+    JOIN v_t v ON v.fold = nd.fold
+    JOIN n_t n ON n.fold = nd.fold
+), scored AS (
+    SELECT dwc.doc_id, dwc.fold, dwc.lang AS true_lang, cls.cand,
+           cls.prior_unats
+               + sum(dwc.c * coalesce(w.lw_unats, cls.default_unats))
+               AS score_unats
+    FROM dwc
+    JOIN cls ON cls.fold = dwc.fold
+    LEFT JOIN weights w
+      ON w.fold = dwc.fold AND w.lang = cls.cand AND w.w = dwc.w
+    GROUP BY 1, 2, 3, 4, cls.prior_unats
+), pred AS (
+    SELECT fold, true_lang, cand,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_unats DESC, cand ASC) AS rn
+    FROM scored
+)
+SELECT fold, count(*) AS n_docs,
+       sum(CAST(cand = true_lang AS BIGINT)) AS n_correct,
+       (1000000 * sum(CAST(cand = true_lang AS BIGINT))) // count(*)
+           AS accuracy_micro
+FROM pred WHERE rn = 1
+GROUP BY fold
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pit_regime_attribution",
@@ -2221,6 +2461,16 @@ SPECS: list[QuerySpec] = [
         doc="1-D caliper nearest-neighbor matching via one interleaved "
         "balance sort (no pair join): prev/next control carry-forward "
         "windows, ATT in exact micro-cents",
+    ),
+    QuerySpec(
+        "nb_crossval_accuracy",
+        q_nb_crossval_accuracy,
+        _NBCV_SQL,
+        ("ml", "text"),
+        doc="5-fold CV of the NB language classifier where every fold's "
+        "training statistics are corpus aggregates MINUS fold aggregates — "
+        "one corpus tokenize instead of k retraining passes; micro-nat "
+        "quantized, integer-exact scoring",
     ),
     QuerySpec(
         "holt_linear_forecast",

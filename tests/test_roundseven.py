@@ -654,3 +654,58 @@ def test_caliper_matching_picks_nearest_within_caliper(spark, tmp_path):
     assert row["treated_mean_micro"] == 1000 * 1_000_000
     assert row["control_mean_micro"] == 700 * 1_000_000
     assert row["att_micro"] == 300 * 1_000_000
+
+
+def test_nb_crossval_subtraction_equals_direct_retrain(spark, tmp_path):
+    # The load-bearing claim: fold-f training counts via (all - fold)
+    # subtraction equal counts computed DIRECTLY on the other folds. Build
+    # a small corpus, compute fold-0's train (lang, word) counts both ways.
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.operators.text import tokens as toks
+
+    sf = str(tmp_path / "sf")
+    docs = [
+        (i, f"w{i % 7} w{(i * 3) % 7} common", ["en", "fr"][i % 2], "s", 20)
+        for i in range(40)
+    ]
+    _write_parquet(
+        spark,
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        f"{sf}/documents.parquet",
+    )
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    d = read_table(spark, sf, "documents").withColumn(
+        "fold", F.pmod(hash64(F.col("doc_id")), F.lit(5)).cast("int")
+    )
+    dwc = d.select(
+        "fold", "lang", F.explode(toks(F.lower(F.col("text")))).alias("w")
+    )
+    direct = {
+        (r["lang"], r["w"]): r["c"]
+        for r in dwc.filter(F.col("fold") != 0)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    all_c = {
+        (r["lang"], r["w"]): r["c"]
+        for r in dwc.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    fold0 = {
+        (r["lang"], r["w"]): r["c"]
+        for r in dwc.filter(F.col("fold") == 0)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    subtracted = {
+        k: v - fold0.get(k, 0) for k, v in all_c.items() if v - fold0.get(k, 0) > 0
+    }
+    assert subtracted == direct
+    # and the spec itself runs green on this corpus with full coverage
+    out = roundseven.q_nb_crossval_accuracy(spark, sf).collect()
+    assert sum(r["n_docs"] for r in out) == 40
+    for r in out:
+        assert 0 <= r["accuracy_micro"] <= 1_000_000
