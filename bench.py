@@ -28,6 +28,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from projet_data_infrastructure_spark.plans import all_specs
 from projet_data_infrastructure_spark.session import get_spark
 
+#: Frozen benchmark core (VERDICT r7 item 5): these 30 specs must stay
+#: bench-tagged FOREVER so every round's BENCH_r{N}.json carries a directly
+#: comparable vs_prior delta for them. Rounds may ADD headliners; removing
+#: or un-tagging any name here fails tests/test_registry.py. One per major
+#: family: TPC-H relational, joins/aggs, windows/streaming, dedup/LSH,
+#: ANN/embeddings, text/LLM curation, graph, geo, causal/stats, multimodal.
+BENCH_CORE = (
+    "tpch_q1_pricing", "tpch_q3_priority", "tpch_q5_local_supplier",
+    "tpch_q7_nation_volume", "tpch_q9_product_profit", "tpch_q10_returns",
+    "tpch_q12_late_shipments", "tpch_q18_large_orders",
+    "flagship_bonus", "inner_join_enrich", "groupby_count_avg",
+    "multiway_join_rollup", "asof_join", "window_running_sum",
+    "tumbling_window_agg", "resample_hourly_ffill", "cdc_envelope_parse",
+    "dedup_exact_groups", "minhash_signatures", "crossdoc_dup_ngrams",
+    "c4_line_dedup", "cosine_topk_bruteforce", "ivf_topk_batch",
+    "embedding_neardup_bucketed", "text_stats", "bm25_topk",
+    "naive_bayes_lang", "pagerank_fixed_point", "geo_cell_neighbor_pairs",
+    "multimodal_phash_neardup",
+)
+
 
 def _calibration_run() -> float:
     """Wall time of a fixed single-thread CPU workload (~0.3 s idle).

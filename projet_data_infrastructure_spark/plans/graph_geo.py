@@ -910,7 +910,14 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one row per round: survivor count + order-free node-id checksum.
     """
     edges = _trade_edges(spark, sf_dir)
-    n_vertex_bound = edges.count()  # |V| <= |E|; one in-memory pass
+    # |V| <= n_customers + n_suppliers (node ids pack those two tables).
+    # Counting the DIMENSION tables is a parquet-metadata-only job, unlike
+    # the prior edges.count() which scanned |E| at plan construction
+    # (VERDICT r7 item 8).
+    n_vertex_bound = (
+        read_table(spark, sf_dir, "customer").count()
+        + read_table(spark, sf_dir, "supplier").count()
+    )
     outs = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))

@@ -280,9 +280,9 @@ cum AS (
     FROM daily
 )
 SELECT user_id, day, cnt,
-       p - least(CAST(0 AS BIGINT),
+       CAST(p - least(CAST(0 AS BIGINT),
                  min(p) OVER (PARTITION BY user_id ORDER BY day
-                              ROWS UNBOUNDED PRECEDING)) AS cusum,
+                              ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum,
        (p - least(CAST(0 AS BIGINT),
                   min(p) OVER (PARTITION BY user_id ORDER BY day
                                ROWS UNBOUNDED PRECEDING))) >= {_CUSUM_H} AS alarm

@@ -28,110 +28,93 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-7 driver window. Ordering: (a) the sixteen never-driver-checked
-# round-6/round-7 additions (roundsix.py was finished in round 6 but not
-# registered until round 7 — these have local-gate + fixture-test evidence
-# only); (b) the round-6 (c)/(d) blocks that sat at positions ~70-100 of
-# the round-6 priority list and were likely cut by the ~50-name window
-# (partsupp/TPC-H analogs, tokenizer apply, hashed-linear inference);
-# (c) cusum_drift_flags — round 5's one red row, kept near the front until
-# a driver window shows it green post-NTZ-fix; (d) a rotating re-verify
-# sample of the oldest-evidence greens. Rows-only specs stay pinned behind
-# every oracled spec. Names absent from the registry are ignored.
+# Round-8 driver window. Ordering: (a) the 17 round-6/7 specs whose ONLY
+# round-7 defect was a HUGEINT-typed DuckDB oracle output (all now CAST to
+# BIGINT and re-gated locally under the hardened strict/Arrow replica) —
+# fronted so the driver records them green; (b) the 58 specs that have never
+# appeared in any CORRECTNESS_r{N} window (= LOCAL_ORACLE minus all
+# CORRECTNESS_r1..r7 names). The ~50-name window covers (a) plus the first
+# ~33 of (b); the remainder of (b) leads the round-9 rotation. Rows-only
+# specs stay pinned behind every oracled spec. Names absent from the
+# registry are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-7 registrations, never driver-checked
+    # (a) round-7 HUGEINT-oracle reds, fixed this round
     "pit_regime_attribution",
-    "t_closeness_audit",
-    "higher_moments_by_type",
+    "stream_pit_attribution",
     "trigram_backoff_score",
     "precision_recall_sweep",
     "token_ngram_novelty",
-    "stratified_kfold_assign",
-    "gdpr_erasure_cascade",
-    "holt_linear_forecast",
-    "stream_pit_attribution",
     "content_defined_chunking",
-    "mode_percentile_disc",
     "bootstrap_mean_ci",
     "target_encode_loo",
     "cuped_adjusted_lift",
     "winsorized_trimmed_mean",
     "shapley_channel_attribution",
-    "skipgram_window_cooc",
     "qte_by_decile",
-    "fourier_weekly_fit",
-    "als_rank1_step",
     "mann_kendall_theilsen",
     "diff_in_differences",
     "caliper_matched_att",
     "nb_crossval_accuracy",
-    "stl_weekly_decompose",
-    "clustering_coefficient",
-    "degree_assortativity",
-    "knn_label_vote",
-    "gbdt_stump_boost",
-    "conformal_interval_coverage",
-    "doc_keywords_per_doc",
-    # (b) round-6 additions likely cut by the round-6 window
-    "bpe_encode_corpus",
-    "hashed_linear_score",
-    "partsupp_synth",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_stock",
-    # (c) round-5 red row (NTZ fix landed round 6; keep fronted until a
-    # driver window records it green)
     "cusum_drift_flags",
-    # (d) oldest-evidence green rotation (r1/r2-era evidence first)
-    "inner_join_enrich",
-    "left_join_agg",
-    "anti_join",
-    "semi_join",
-    "full_outer_join",
-    "scalar_count",
-    "orderby_limit",
-    "filter_pushdown",
-    "scan_project",
-    "cast_types",
-    "string_funcs",
-    "date_funcs",
-    "date_arithmetic",
-    "epoch_us_roundtrip",
-    "distinct_agg",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets",
-    "having_filter",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "window_lag",
-    "window_funcs2",
-    "pivot_status_counts",
-    "unpivot_measures",
-    "exists_subquery",
-    "scalar_subquery",
-    "array_agg_sorted",
-    "wordcount_top20",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q18_large_orders",
-    "dedup_exact_groups",
-    "minhash_signatures",
-    "lsh_verified_pairs",
-    "embedding_neardup_bucketed",
-    "ivf_topk_ann",
-    "text_stats",
-    "lang_id_heuristic",
-    "quality_score",
-    "token_count_bpe",
-    "doc_fingerprint",
-    "sessionize_events",
-    "cohort_retention",
-    "funnel_conversion",
+    # (b) never-driver-checked (oldest registration first, alphabetical)
+    "ab_test_z_score",
+    "adamic_adar_links",
+    "argmax_per_group",
+    "attribution_linear",
+    "benford_digit_profile",
+    "bitwise_funcs",
+    "bloom_membership_audit",
+    "bpe_merge_candidates",
+    "bpe_train_rounds",
+    "brand_cf_cosine",
+    "c4_line_dedup",
+    "calibration_bins",
+    "ccnet_perplexity_buckets",
+    "chi2_nation_priority",
+    "compaction_bin_packing",
+    "countmin_heavy_hitters",
+    "curation_funnel_report",
+    "decision_stump_quantity",
+    "dow_seasonality_lift",
+    "dp_noisy_counts",
+    "dsir_importance_weights",
+    "dup_line_fraction",
+    "entity_resolution_clusters",
+    "forecast_mase_seasonal",
+    "frequent_triples_apriori",
+    "geo_point_in_polygon",
+    "gini_revenue_concentration",
+    "higher_order_funcs",
+    "hits_authorities",
+    "ivf_topk_batch",
+    "jl_projection_distortion",
+    "kaplan_meier_retention",
+    "kcore_decomposition",
+    "l_diversity_audit",
+    "listagg_param_sql",
+    "markov_2step_matrix",
+    "mmr_diverse_rerank",
+    "multimodal_phash_neardup",
+    "naive_bayes_lang",
+    "ngram_containment_pairs",
+    "null_safe_join",
+    "pca_power_iteration",
+    "pipe_syntax_rollup",
+    "pmi_collocations",
+    "rendezvous_shards",
+    "retrieval_eval_metrics",
+    "roc_auc_by_dow",
+    "skew_profile",
+    "spend_percentile_rank",
+    "stream_countmin_merge",
+    "stream_hll_cardinality",
+    "try_functions",
+    "twa_event_value",
+    "weekly_revenue_movers",
+    "window_funcs3",
+    "winnowing_fingerprint",
+    "wordpiece_merge_scores",
+    "zipf_fit_slope",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

@@ -153,7 +153,7 @@ WITH states AS (
 )
 SELECT coalesce(regime, 'none') AS regime,
        count(*) AS n_purchases,
-       sum(cents) AS sum_cents
+       CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM merged WHERE kind = 1
 GROUP BY 1
 """
@@ -339,28 +339,25 @@ FROM dbl
 # --------------------------------------------------------------------------
 
 
-def _word_frame(df: DataFrame) -> DataFrame:
-    return df.select(
-        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w")
-    )
-
-
 def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     heldout = docs.filter(F.col("doc_id") % 2 == 1)
 
     def ngrams(df: DataFrame, n: int, cols: list[str]) -> DataFrame:
-        toks = tokens(F.lower(F.col("text")))
         fields = ", ".join(
             f"element_at(t, i + {j}) AS {c}" for j, c in enumerate(cols)
         )
         return df.select(
             "doc_id",
             F.explode(
+                # Guard before sequence(): sequence(1, 0) counts DOWN and
+                # element_at(t, 0) throws on docs shorter than n tokens.
                 F.expr(
-                    f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)),"
+                    f"CASE WHEN size(t) >= {n} THEN"
+                    f" transform(sequence(1, size(t) - {n - 1}),"
                     f" i -> struct({fields}))"
+                    f" ELSE array() END"
                 )
             ).alias("g"),
         ).select("doc_id", "g.*").where(F.col(cols[0]).isNotNull())
@@ -450,7 +447,7 @@ WITH train AS (
     CROSS JOIN ntr
 )
 SELECT doc_id, count(*) AS n_trigrams,
-       sum(s_micro) // count(*) AS avg_score_micro
+       CAST(sum(s_micro) // count(*) AS BIGINT) AS avg_score_micro
 FROM scored GROUP BY doc_id
 """
 
@@ -516,10 +513,13 @@ WITH tall AS (
                AS recall_micro
     FROM conf
 )
-SELECT thr, tp, fp, fn, precision_micro, recall_micro,
-       CASE WHEN precision_micro + recall_micro > 0 THEN
+SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(precision_micro AS BIGINT) AS precision_micro,
+       CAST(recall_micro AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN precision_micro + recall_micro > 0 THEN
             (2 * precision_micro * recall_micro) // (precision_micro + recall_micro)
-            ELSE 0 END AS f1_micro
+            ELSE 0 END AS BIGINT) AS f1_micro
 FROM pr
 """
 
@@ -574,10 +574,16 @@ def q_token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
+                # Guard before sequence(): Spark's sequence(1, 0) counts DOWN
+                # to [1, 0] and element_at(t, 0) throws, so docs shorter than
+                # the gram width must short-circuit to an empty array (house
+                # rule, cf. llm_queries.py tokenizer helpers).
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    "CASE WHEN size(t) >= 3 THEN"
+                    " transform(sequence(1, size(t) - 2),"
                     " i -> concat_ws(' ', element_at(t, i), element_at(t, i+1),"
                     " element_at(t, i+2)))"
+                    " ELSE array() END"
                 )
             ).alias("gram"),
         )
@@ -606,9 +612,9 @@ WITH grams AS (
     SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
 )
 SELECT g.doc_id, count(*) AS n_grams,
-       sum(CAST(f.first_doc = g.doc_id AS BIGINT)) AS n_novel,
-       (1000000 * sum(CAST(f.first_doc = g.doc_id AS BIGINT))) // count(*)
-           AS novelty_micro
+       CAST(sum(CAST(f.first_doc = g.doc_id AS BIGINT)) AS BIGINT) AS n_novel,
+       CAST((1000000 * sum(CAST(f.first_doc = g.doc_id AS BIGINT))) // count(*)
+           AS BIGINT) AS novelty_micro
 FROM grams g JOIN first f USING (gram)
 GROUP BY g.doc_id
 """
@@ -950,13 +956,14 @@ WITH chars AS (
     SELECT digest, min(struct_pack(doc_id := doc_id, chunk_start := chunk_start)) AS first_at
     FROM chunks GROUP BY digest
 )
-SELECT c.doc_id, count(*) AS n_chunks, sum(chunk_len) AS n_chars,
-       sum(CAST((f.first_at).doc_id <> c.doc_id
+SELECT c.doc_id, count(*) AS n_chunks,
+       CAST(sum(chunk_len) AS BIGINT) AS n_chars,
+       CAST(sum(CAST((f.first_at).doc_id <> c.doc_id
                 OR (f.first_at).chunk_start <> c.chunk_start AS BIGINT)
-           * chunk_len) AS dup_chars,
-       (1000000 * sum(CAST((f.first_at).doc_id <> c.doc_id
+           * chunk_len) AS BIGINT) AS dup_chars,
+       CAST((1000000 * sum(CAST((f.first_at).doc_id <> c.doc_id
                 OR (f.first_at).chunk_start <> c.chunk_start AS BIGINT)
-           * chunk_len)) // sum(chunk_len) AS dup_micro
+           * chunk_len)) // sum(chunk_len) AS BIGINT) AS dup_micro
 FROM chunks c JOIN first f USING (digest)
 GROUP BY c.doc_id
 """
@@ -1117,8 +1124,9 @@ WITH tall AS (
     FROM reps
 )
 SELECT event_type,
-       min(CASE WHEN rnk = 2 THEN mean_micro END) AS ci_lo_micro,
-       min(CASE WHEN rnk = {_BOOT_R - 1} THEN mean_micro END) AS ci_hi_micro,
+       CAST(min(CASE WHEN rnk = 2 THEN mean_micro END) AS BIGINT) AS ci_lo_micro,
+       CAST(min(CASE WHEN rnk = {_BOOT_R - 1} THEN mean_micro END) AS BIGINT)
+           AS ci_hi_micro,
        count(*) AS n_replicas
 FROM ranked GROUP BY 1
 """
@@ -1185,8 +1193,8 @@ WITH rows_ AS (
     SELECT (sum(y) * 1000000) // count(*) AS gmean_micro FROM rows_
 )
 SELECT o_orderkey, c_mktsegment,
-       ((s_c - y) * 1000000 + {_TE_SMOOTH} * gmean_micro)
-           // (n_c - 1 + {_TE_SMOOTH}) AS enc_micro
+       CAST(((s_c - y) * 1000000 + {_TE_SMOOTH} * gmean_micro)
+           // (n_c - 1 + {_TE_SMOOTH}) AS BIGINT) AS enc_micro
 FROM rows_ JOIN per_cat USING (c_mktsegment) CROSS JOIN gm
 ORDER BY o_orderkey LIMIT 20
 """
@@ -1281,7 +1289,7 @@ WITH per_user AS (
     FROM per_user CROSS JOIN mom
 )
 SELECT arm, count(*) AS n_users,
-       (sum(y) * 1000000) // count(*) AS raw_mean_micro,
+       CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS raw_mean_micro,
        {pround_sql("list_reduce(list_sort(list(ycv)), (acc, v) -> acc + v) / count(*)", 2)}
            AS cuped_mean_r
 FROM adj GROUP BY arm
@@ -1360,9 +1368,9 @@ WITH ranked AS (
     FROM ranked GROUP BY event_type
 )
 SELECT event_type, n_rows,
-       ((mid_sum + kk * lo_c + kk * hi_c) * 1000000) // (mid_n + 2 * kk)
-           AS winsor_mean_micro,
-       (mid_sum * 1000000) // mid_n AS trimmed_mean_micro
+       CAST(((mid_sum + kk * lo_c + kk * hi_c) * 1000000) // (mid_n + 2 * kk)
+           AS BIGINT) AS winsor_mean_micro,
+       CAST((mid_sum * 1000000) // mid_n AS BIGINT) AS trimmed_mean_micro
 FROM agg
 """
 
@@ -1464,7 +1472,7 @@ WITH pre AS (
     WHERE (d.mask & (1 << c.i)) = 0
 )
 SELECT CASE p.i {_SHAP_CHAN_CASE} END AS channel,
-       sum(p.w * (vp.v - p.v)) AS shap_x24
+       CAST(sum(p.w * (vp.v - p.v)) AS BIGINT) AS shap_x24
 FROM pairs p JOIN vmask vp ON vp.mask = (p.mask | (1 << p.i))
 GROUP BY 1
 """
@@ -1601,7 +1609,8 @@ WITH per_user AS (
     WHERE rnk * 10 >= d * n
     GROUP BY arm, d
 )
-SELECT t.d, t.q AS q_treat, c.q AS q_ctrl, t.q - c.q AS qte_cents
+SELECT t.d, CAST(t.q AS BIGINT) AS q_treat, CAST(c.q AS BIGINT) AS q_ctrl,
+       CAST(t.q - c.q AS BIGINT) AS qte_cents
 FROM (SELECT d, q FROM decs WHERE arm = 1) t
 JOIN (SELECT d, q FROM decs WHERE arm = 0) c USING (d)
 """
@@ -1825,9 +1834,9 @@ WITH daily AS (
     SELECT slope_micro, row_number() OVER (ORDER BY slope_micro) AS rnk
     FROM pairs
 )
-SELECT s.mk_s, s.n_pairs,
-       (SELECT min(slope_micro) FROM ranked, stats
-        WHERE rnk * 2 >= n_pairs) AS theil_sen_micro
+SELECT CAST(s.mk_s AS BIGINT) AS mk_s, s.n_pairs,
+       CAST((SELECT min(slope_micro) FROM ranked, stats
+        WHERE rnk * 2 >= n_pairs) AS BIGINT) AS theil_sen_micro
 FROM stats s
 """
 
@@ -1895,10 +1904,11 @@ WITH cells AS (
            sum(n) AS n_events
     FROM cells
 )
-SELECT t_pre, t_post, c_pre, c_post,
-       (t_post - t_pre) - (c_post - c_pre) AS did_micro,
-       t_pre - c_pre AS pre_gap_micro,
-       n_events
+SELECT CAST(t_pre AS BIGINT) AS t_pre, CAST(t_post AS BIGINT) AS t_post,
+       CAST(c_pre AS BIGINT) AS c_pre, CAST(c_post AS BIGINT) AS c_post,
+       CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_micro,
+       CAST(t_pre - c_pre AS BIGINT) AS pre_gap_micro,
+       CAST(n_events AS BIGINT) AS n_events
 FROM pv
 """
 
@@ -2013,10 +2023,10 @@ WITH base AS (
     FROM enriched WHERE arm = 1
 )
 SELECT count(*) AS n_matched,
-       (sum(spend) * 1000000) // count(*) AS treated_mean_micro,
-       (sum(m.spend) * 1000000) // count(*) AS control_mean_micro,
-       (sum(spend) * 1000000) // count(*)
-           - (sum(m.spend) * 1000000) // count(*) AS att_micro
+       CAST((sum(spend) * 1000000) // count(*) AS BIGINT) AS treated_mean_micro,
+       CAST((sum(m.spend) * 1000000) // count(*) AS BIGINT) AS control_mean_micro,
+       CAST((sum(spend) * 1000000) // count(*)
+           - (sum(m.spend) * 1000000) // count(*) AS BIGINT) AS att_micro
 FROM matched
 WHERE m IS NOT NULL AND abs(bal - m.bal) <= {_CALIPER_CENTS}
 """
@@ -2254,9 +2264,9 @@ WITH d AS (
     FROM scored
 )
 SELECT fold, count(*) AS n_docs,
-       sum(CAST(cand = true_lang AS BIGINT)) AS n_correct,
-       (1000000 * sum(CAST(cand = true_lang AS BIGINT))) // count(*)
-           AS accuracy_micro
+       CAST(sum(CAST(cand = true_lang AS BIGINT)) AS BIGINT) AS n_correct,
+       CAST((1000000 * sum(CAST(cand = true_lang AS BIGINT))) // count(*)
+           AS BIGINT) AS accuracy_micro
 FROM pred WHERE rn = 1
 GROUP BY fold
 """

@@ -129,15 +129,21 @@ def pit_regimes(events: DataFrame) -> DataFrame:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
         pdf = pdf.sort_values(["ts", "kind", "event_id"]).reset_index(drop=True)
+        # acc = [n_purchases, sum of non-NULL cents, count of non-NULL cents]:
+        # SQL sum() skips NULLs and yields NULL when every input is NULL, so
+        # a regime whose purchases all have NULL value must emit sum_cents
+        # NULL (not 0) to keep the advertised stream == batch hash parity.
         counts: dict[str, list[int]] = {}
         for et, cents in zip(pdf["event_type"], pdf["cents"]):
             if et != "purchase":
                 last_attr = et
             else:
                 regime = last_attr if last_attr is not None else "none"
-                acc = counts.setdefault(regime, [0, 0])
+                acc = counts.setdefault(regime, [0, 0, 0])
                 acc[0] += 1
-                acc[1] += int(cents)
+                if cents is not None and not pd.isna(cents):
+                    acc[1] += int(cents)
+                    acc[2] += 1
         state.update((last_attr,))
         if not counts:
             return
@@ -146,7 +152,10 @@ def pit_regimes(events: DataFrame) -> DataFrame:
                 "user_id": [key[0]] * len(counts),
                 "regime": list(counts),
                 "n_purchases": [v[0] for v in counts.values()],
-                "sum_cents": [v[1] for v in counts.values()],
+                "sum_cents": pd.array(
+                    [v[1] if v[2] > 0 else None for v in counts.values()],
+                    dtype="Int64",
+                ),
             }
         )
 
@@ -157,9 +166,7 @@ def pit_regimes(events: DataFrame) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
-        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         update,

@@ -28,9 +28,63 @@ def test_maps_align():
     assert set(os_) <= set(qs)
 
 
+def test_bench_core_is_stable():
+    """The frozen bench core (bench.py:BENCH_CORE) must all stay
+    bench-tagged: BENCH_r{N}.json needs a never-rotating subset so
+    vs-prior-round deltas are always attributable (VERDICT r7 item 5).
+    Adding headliners is fine; dropping a core name is not."""
+    import bench
+
+    tagged = {s.name for s in all_specs() if "bench" in s.tags}
+    missing = set(bench.BENCH_CORE) - tagged
+    assert not missing, f"bench core specs lost their tag: {sorted(missing)}"
+
+
 @pytest.mark.parametrize("spec", all_specs(), ids=lambda s: s.name)
 def test_query_executes(spark, spec):
     df = spec.fn(spark, SF)
     rows = df.collect()
     assert rows is not None
     assert len(df.columns) > 0
+    # Mirror of the oracle-side dtype guard: no decimal output columns on
+    # the Spark side either (they'd stringify with scale suffixes and break
+    # the driver's value hash).
+    decimals = [f.name for f in df.schema.fields
+                if f.dataType.typeName().startswith("decimal")]
+    assert not decimals, f"decimal output columns: {decimals}"
+
+
+#: DuckDB output types every oracle may emit. HUGEINT and DECIMAL are BANNED:
+#: DuckDB silently promotes sum(BIGINT) / windowed integer sums / `//` chains
+#: to HUGEINT, which its Arrow export renders as decimal128 — the driver's
+#: fetch path then canonicalizes it differently from Spark's bigint and the
+#: spec hash-fails even when every value fits int64 (all 17 round-7 driver
+#: reds were exactly this). Wrap such outputs in CAST(... AS BIGINT).
+_ALLOWED_ORACLE_TYPES = ("BOOLEAN", "INTEGER", "BIGINT", "DOUBLE", "VARCHAR",
+                         "DATE", "TIMESTAMP")
+
+
+def test_oracle_output_types_are_driver_safe():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    offenders = {}
+    for s in all_specs():
+        if not s.oracle:
+            continue
+        desc = con.sql(f"DESCRIBE ({s.oracle})").fetchall()
+        bad = [(c, ty) for c, ty, *_ in desc
+               if not ty.startswith(_ALLOWED_ORACLE_TYPES)]
+        if bad:
+            offenders[s.name] = bad
+    assert not offenders, (
+        f"oracles with driver-unsafe output types (HUGEINT/DECIMAL/...): "
+        f"{offenders} — CAST the offending outputs to BIGINT/DOUBLE"
+    )
+
+

@@ -41,10 +41,36 @@ def canon(v):
     return str(v)
 
 
-def value_hash(rows, colnames):
+def canon_strict(v):
+    """Driver-faithful canon: floats stay floats (no integral-float→int
+    collapse) and Decimal is type-tagged, so an Arrow-exported HUGEINT
+    (decimal128 "1234" or double "1234.0") will NOT silently equal the
+    Spark side's integer "1234" — the r7 driver reds were invisible to the
+    looser :func:`canon`."""
+    from decimal import Decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(rows, colnames, canon_fn=canon):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     digests = sorted(
-        hashlib.md5("|".join(canon(r[i]) for i in order).encode()).hexdigest() for r in rows
+        hashlib.md5("|".join(canon_fn(r[i]) for i in order).encode()).hexdigest()
+        for r in rows
     )
     return hashlib.md5("\n".join(digests).encode()).hexdigest()
 
@@ -80,6 +106,18 @@ def main() -> int:
             ores = con.sql(spec.oracle)
             ocols = [c.lower() for c in ores.columns]
             orows = ores.fetchall()
+            # Second fetch through Arrow — the driver's evident path. DuckDB
+            # exports HUGEINT to Arrow as double (and DECIMAL as decimal128),
+            # so this surface catches type-level divergence fetchall() hides.
+            arrow_rows = [
+                tuple(r)
+                for r in zip(
+                    *(
+                        col.to_pylist()
+                        for col in con.sql(spec.oracle).arrow().columns
+                    )
+                )
+            ]
         except Exception as e:
             print(f"FAIL {spec.name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
             results[spec.name] = {"status": "fail", "err": f"duckdb {type(e).__name__}: {str(e)[:300]}"}
@@ -93,8 +131,20 @@ def main() -> int:
         if not problems:
             sh = value_hash([tuple(r) for r in srows], scols)
             oh = value_hash(orows, ocols)
+            # Strict (driver-faithful) comparison on BOTH DuckDB fetch paths:
+            # fail if either the native fetch or the Arrow export diverges
+            # from Spark under the no-float-collapse canon.
+            stuples = [tuple(r) for r in srows]
+            sh_strict = value_hash(stuples, scols, canon_strict)
+            oh_strict = value_hash(orows, ocols, canon_strict)
+            ah_strict = value_hash(arrow_rows, ocols, canon_strict)
             if sh != oh:
                 problems.append("value-hash mismatch")
+            elif sh_strict != oh_strict:
+                problems.append("STRICT value-hash mismatch (fetchall path)")
+            elif sh_strict != ah_strict:
+                problems.append("STRICT value-hash mismatch (arrow path)")
+            if sh != oh:
                 # show a sample difference for debugging
                 skeys = {
                     "|".join(canon(v) for v in sorted_row): None
