@@ -136,6 +136,7 @@ def all_specs() -> list[QuerySpec]:
         mining,
         partsupp,
         relational,
+        roundeight,
         roundseven,
         roundsix,
         sketches,
@@ -155,6 +156,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(partsupp.SPECS)
     specs.extend(roundsix.SPECS)
     specs.extend(roundseven.SPECS)
+    specs.extend(roundeight.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

@@ -1,0 +1,748 @@
+"""Round-8 engine-charter additions: the corpus-mixture and data-hygiene
+operators a multilingual LLM training pipeline runs AFTER curation — how
+much of each language to sample, how to weight it, what to scrub, how to
+shard an epoch, and whether the eval set leaks into train semantically.
+
+Families (each spec carries its own full design docstring):
+
+* ``unimax_sampling_plan`` — UniMax (Chung et al. 2023) integer
+  waterfilling over per-language token budgets.
+* ``temperature_sampling_weights`` — the classic p_l ∝ T_l^(1/τ)
+  multilingual sampling weights (τ = 2 via IEEE sqrt), order-pinned fold.
+* ``pii_redaction_scan`` — regex PII detection + redaction accounting
+  (emails / IPv4s / phone fragments), the Dolma/CCNet scrub step.
+* ``epoch_shuffle_manifest`` — deterministic hash epoch shuffle into W
+  shards: the training-manifest write, with no global sort anywhere.
+* ``weighted_sample_aexpj`` — weighted sampling WITHOUT replacement via
+  exponential jumps (Efraimidis & Spirakis A-ES), hash-deterministic and
+  integer-keyed so both engines rank identically.
+* ``boilerplate_line_df`` — line-document-frequency boilerplate
+  detection (the CCNet header/footer filter), distinct from C4's
+  first-occurrence global line dedup.
+* ``semantic_contamination`` — eval→train nearest-neighbor cosine via
+  IVF buckets: the semantic (embedding-level) analog of the n-gram
+  ``benchmark_decontamination`` spec.
+* ``tokenizer_fertility_by_lang`` — subwords-per-word and
+  bytes-per-subword per language: the tokenizer compression-rate audit
+  that decides whether a vocabulary underserves a language.
+
+All scale shapes follow the house rules: map-only or single-keyed-shuffle
+data passes; every post-aggregate computation runs on a bounded frame
+(|languages|, |shards|, top-k); no corpus×corpus pair generation (the
+contamination join is IVF-bucketed); no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
+from projet_data_infrastructure_spark.operators.text import bpe_ish_tokens, tokens
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import (
+    read_table,
+    read_table_balanced,
+)
+
+# --------------------------------------------------------------------------
+# UniMax sampling plan (integer waterfilling over language token budgets)
+# --------------------------------------------------------------------------
+
+#: Budget = 4/5 of the corpus token count; epoch cap = 1 epoch per language
+#: (UniMax N=1: never repeat a language's data). With the shipped language
+#: mix the uniform share (B/L = 16% of ΣT) exceeds the smallest languages'
+#: caps (~13%), so the waterfill genuinely CASCADES on the test corpus.
+_UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 4, 5
+
+
+def q_unimax_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) language-sampling allocation: distribute a
+    token budget B as uniformly as possible across languages subject to a
+    per-language epoch cap (here 1 epoch: alloc_l ≤ T_l). Exact integer
+    waterfilling: languages sorted by cap ascending; language i is CAPPED
+    iff giving every remaining language cap_i would still fit the budget
+    (P_{i−1} + cap_i·(L−i+1) ≤ B — monotone in i, so the capped set is a
+    prefix of the sort); uncapped languages share the leftover uniformly,
+    θ = (B − Σ_capped cap) DIV (L − m). All integer, no rationals.
+
+    Scale shape: ONE map-side-combinable token-count aggregate over the
+    corpus; every window below it runs on the |languages|-row frame (the
+    unpartitioned windows are bounded by design — the t_closeness grid
+    discipline). Output: per-language tokens, cap, capped flag, allocation.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    tl = (
+        docs.select("lang", F.size(tokens(F.col("text"))).cast("long").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("lang_tokens"))
+        .withColumn("cap", F.col("lang_tokens"))  # 1-epoch cap
+    )
+    wall = Window.orderBy("cap", "lang")
+    wfull = wall.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats = (
+        tl.withColumn("i", F.row_number().over(wall))
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("cap").over(wall.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("n_lang", F.count(F.lit(1)).over(wfull))
+        .withColumn("budget", F.expr(
+            f"(sum(lang_tokens) OVER () * {_UNIMAX_BUDGET_NUM})"
+            f" DIV {_UNIMAX_BUDGET_DEN}"
+        ))
+        .withColumn(
+            "capped",
+            (F.col("p_prev") + F.col("cap") * (F.col("n_lang") - F.col("i") + 1))
+            <= F.col("budget"),
+        )
+    )
+    filled = (
+        stats.withColumn("m", F.sum(F.col("capped").cast("int")).over(wfull))
+        .withColumn(
+            "p_capped",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap"))).over(wfull),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "theta",
+            F.when(
+                F.col("m") < F.col("n_lang"),
+                F.expr("(budget - p_capped) DIV (n_lang - m)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return filled.select(
+        "lang",
+        "lang_tokens",
+        "cap",
+        F.col("capped").cast("int").alias("capped"),
+        F.when(F.col("capped"), F.col("cap")).otherwise(F.col("theta")).alias(
+            "alloc_tokens"
+        ),
+    ).orderBy("lang")
+
+
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+_UNIMAX_SQL = f"""
+WITH tl AS (
+    SELECT lang, CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS lang_tokens,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS cap
+    FROM documents GROUP BY lang
+), stats AS (
+    SELECT lang, lang_tokens, cap,
+           row_number() OVER (ORDER BY cap, lang) AS i,
+           CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS p_prev,
+           count(*) OVER () AS n_lang,
+           CAST((sum(lang_tokens) OVER () * {_UNIMAX_BUDGET_NUM})
+                // {_UNIMAX_BUDGET_DEN} AS BIGINT) AS budget
+    FROM tl
+), flagged AS (
+    SELECT *, (p_prev + cap * (n_lang - i + 1)) <= budget AS capped
+    FROM stats
+), filled AS (
+    SELECT *,
+           sum(CAST(capped AS INT)) OVER () AS m,
+           CAST(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS BIGINT)
+               AS p_capped
+    FROM flagged
+)
+SELECT lang, lang_tokens, cap, CAST(capped AS INT) AS capped,
+       CAST(CASE WHEN capped THEN cap
+            ELSE (budget - p_capped) // (n_lang - m) END AS BIGINT)
+           AS alloc_tokens
+FROM filled
+ORDER BY lang
+"""
+
+# --------------------------------------------------------------------------
+# Temperature-based multilingual sampling weights (p ∝ T^(1/τ), τ = 2)
+# --------------------------------------------------------------------------
+
+
+def q_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic multilingual sampling law (mBERT/XLM-R/mT5 lineage):
+    sample language l with probability p_l ∝ T_l^(1/τ). τ = 2 makes the
+    exponent an IEEE ``sqrt`` — correctly rounded in both engines, unlike
+    libm ``pow`` — and the normalizer Σ√T is computed with the house
+    order-pinned fold (array_sort by language, then a left-to-right
+    aggregate), so both engines run the identical IEEE sum order and the
+    weight doubles match bit-for-bit before the pround quantization.
+
+    Scale shape: one corpus token-count aggregate; the fold runs over the
+    |languages|-element array. Output: per-language tokens, raw share and
+    temperature share (pround 6) — the flattening is visible directly.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    tl = (
+        docs.select("lang", F.size(tokens(F.col("text"))).cast("long").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("lang_tokens"))
+    )
+    folded = tl.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(lang, lang_tokens)))").alias("arr")
+    ).select(
+        F.expr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE),"
+            " (acc, r) -> acc + sqrt(CAST(r.lang_tokens AS DOUBLE)))"
+        ).alias("s_sqrt"),
+        F.expr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE),"
+            " (acc, r) -> acc + CAST(r.lang_tokens AS DOUBLE))"
+        ).alias("s_raw"),
+    )
+    return (
+        tl.crossJoin(F.broadcast(folded))
+        .select(
+            "lang",
+            "lang_tokens",
+            pround(
+                F.col("lang_tokens").cast("double") / F.col("s_raw"), 6
+            ).alias("raw_share_r"),
+            pround(
+                F.sqrt(F.col("lang_tokens").cast("double")) / F.col("s_sqrt"), 6
+            ).alias("temp_share_r"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMP_SQL = f"""
+WITH tl AS (
+    SELECT lang, CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS lang_tokens
+    FROM documents GROUP BY lang
+), folded AS (
+    SELECT
+        list_reduce(list_transform(
+            list_sort(list(struct_pack(lang := lang, lang_tokens := lang_tokens))),
+            r -> sqrt(CAST(r.lang_tokens AS DOUBLE))), (a, b) -> a + b) AS s_sqrt,
+        list_reduce(list_transform(
+            list_sort(list(struct_pack(lang := lang, lang_tokens := lang_tokens))),
+            r -> CAST(r.lang_tokens AS DOUBLE)), (a, b) -> a + b) AS s_raw
+    FROM tl
+)
+SELECT lang, lang_tokens,
+       {pround_sql('CAST(lang_tokens AS DOUBLE) / s_raw', 6)} AS raw_share_r,
+       {pround_sql('sqrt(CAST(lang_tokens AS DOUBLE)) / s_sqrt', 6)} AS temp_share_r
+FROM tl CROSS JOIN folded
+ORDER BY lang
+"""
+
+# --------------------------------------------------------------------------
+# PII detection + redaction accounting (the Dolma/CCNet scrub pass)
+# --------------------------------------------------------------------------
+
+#: Patterns are restricted to constructs Java regex (Spark) and RE2 (DuckDB)
+#: interpret identically: character classes, bounded/unbounded greedy
+#: quantifiers, literal dots — no backrefs, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_redaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting over a deterministic contact-footer corpus: the
+    shipped documents carry no PII, so each doc gets a synthetic footer
+    derived from its doc_id (one email, one IPv4, one phone fragment —
+    exactly what a scraped page's contact block looks like) and the scrub
+    then runs the standard three-pass redaction (emails → IPs → phones,
+    in that order so counts are order-independent) exactly as Dolma's
+    pii-removal tagger does. Per-doc match counts plus original/redacted
+    lengths make the byte accounting hash-checkable.
+
+    Map-only — no shuffle at all; the regexes stay in the dialect subset
+    Java regex and RE2 agree on (see ``_PII_EMAIL`` note).
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com ip 10."), (d % 256).cast("string"),
+        F.lit("."), (d % 100).cast("string"),
+        F.lit("."), (d % 50).cast("string"),
+        F.lit(" tel 555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    base = docs.select("doc_id", "lang", footer.alias("pii_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), _PII_EMAIL, "[PII]"),
+            _PII_IPV4,
+            "[PII]",
+        ),
+        _PII_PHONE,
+        "[PII]",
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("pii_text"), F.lit(_PII_EMAIL)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col("pii_text"), F.lit(_PII_IPV4)).cast("long").alias(
+            "n_ips"
+        ),
+        F.regexp_count(F.col("pii_text"), F.lit(_PII_PHONE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.length("pii_text").cast("long").alias("orig_len"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+_PII_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 100 AS VARCHAR)
+                || '.' || CAST(doc_id % 50 AS VARCHAR)
+                || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS pii_text
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_PHONE}')) AS BIGINT)
+           AS n_phones,
+       CAST(length(pii_text) AS BIGINT) AS orig_len,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(
+            pii_text, '{_PII_EMAIL}', '[PII]', 'g'),
+            '{_PII_IPV4}', '[PII]', 'g'),
+            '{_PII_PHONE}', '[PII]', 'g')) AS BIGINT) AS redacted_len
+FROM base
+"""
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle → shard manifest
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 8
+_SHUFFLE_SHARDS = 8
+
+
+def q_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-manifest write: a deterministic epoch shuffle assigns
+    every document a pseudo-random position key (seeded hash of doc_id)
+    and a shard (key mod W); within a shard the data-loader order is
+    "sort by key" — so the global shuffle needs NO global sort and NO
+    shuffle exchange beyond the one per-shard aggregate; each shard's
+    read is an independent partition-local sort. Changing the seed is a
+    new epoch permutation; same seed ⇒ bit-identical restart (the
+    reproducibility property data loaders require).
+
+    Output: per-shard doc count, token count, id-checksum and the position
+    key range — the manifest a trainer validates before reading.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        hash64(F.col("doc_id"), seed=_SHUFFLE_SEED).alias("pos_key"),
+    )
+    return (
+        keyed.withColumn("shard", F.pmod(F.col("pos_key"), F.lit(_SHUFFLE_SHARDS)))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("pos_key").alias("min_key"),
+            F.max("pos_key").alias("max_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHUFFLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+           {hash64_sql('doc_id', seed=_SHUFFLE_SEED)} AS pos_key
+    FROM documents
+)
+SELECT pos_key % {_SHUFFLE_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       min(pos_key) AS min_key, max(pos_key) AS max_key
+FROM keyed
+GROUP BY 1 ORDER BY 1
+"""
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES exponential jumps, top-k form)
+# --------------------------------------------------------------------------
+
+_AEXPJ_SEED = 77
+_AEXPJ_K = 20
+#: micro-nat half-up bias shared with the dsir/naive-bayes ln quantization:
+#: absorbs any last-ulp libm ln() divergence between engines.
+_AEXPJ_QBIAS = 0.50001
+
+
+def q_weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement (the A-ES
+    key trick): each row draws u ∈ (0,1] and ranks by u^(1/w) —
+    equivalently by ln(u)/w — and the top-k keys ARE a weighted sample
+    without replacement. Hash-deterministic u (so the sample is
+    reproducible and oracle-checkable) and an integer key discipline:
+    ln(u) is quantized to micro-nats with the house half-up bias, then
+    divided by the weight with remainder-corrected integer floor division
+    (the km/pca _floordiv pattern — exact for negative numerators), so
+    both engines rank IDENTICAL int64 keys. Weight = n_chars (longer docs
+    proportionally likelier, the curation-sampling default).
+
+    Scale shape: map-only key computation + ONE TakeOrderedAndProject —
+    no shuffle of the corpus, the classic distributed top-k sample.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    u_int = F.pmod(hash64(F.col("doc_id"), seed=_AEXPJ_SEED), F.lit(1_000_000)) + 1
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("w"),
+        F.floor(
+            F.log(u_int.cast("double") / F.lit(1_000_000.0)) * F.lit(1_000_000.0)
+            + F.lit(_AEXPJ_QBIAS)
+        ).cast("long").alias("lnu_unats"),
+    )
+    # remainder-corrected floor division (lnu_unats ≤ 0): key = ⌊lnu·10⁶ / w⌋
+    keyed = keyed.withColumn(
+        "key_unats",
+        F.expr(
+            "(lnu_unats * 1000000"
+            " - (((lnu_unats * 1000000) % w + w) % w)) DIV w"
+        ),
+    )
+    return (
+        keyed.select("doc_id", "lang", "w", "key_unats")
+        .orderBy(F.desc("key_unats"), F.asc("doc_id"))
+        .limit(_AEXPJ_K)
+    )
+
+
+_AEXPJ_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           greatest(n_chars, 1) AS w,
+           CAST(floor(ln((({hash64_sql('doc_id', seed=_AEXPJ_SEED)} % 1000000
+                           + 1000000) % 1000000 + 1) / 1000000.0)
+                      * 1000000.0 + {_AEXPJ_QBIAS}) AS BIGINT) AS lnu_unats
+    FROM documents
+)
+SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+       CAST((lnu_unats * 1000000
+             - (((lnu_unats * 1000000) % w + w) % w)) // w AS BIGINT)
+           AS key_unats
+FROM keyed
+ORDER BY key_unats DESC, doc_id LIMIT {_AEXPJ_K}
+"""
+
+# --------------------------------------------------------------------------
+# Boilerplate detection by line document-frequency (CCNet header filter)
+# --------------------------------------------------------------------------
+
+_BOILER_DF = 3  # a line present in ≥ this many docs is boilerplate
+
+
+def q_boilerplate_line_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection: a LINE that appears in ≥ 3
+    distinct documents is boilerplate (headers, footers, cookie banners)
+    and its per-doc share is the curation signal. Distinct from
+    ``c4_line_dedup`` (which keeps each line's FIRST occurrence): here a
+    repeated line is dropped from EVERY document, because cross-document
+    repetition marks template text, not content. Reuses the house
+    fixed-width token "line" framing (``_c4_lines``).
+
+    Scale shape: one line-digest document-frequency aggregate (map-side
+    combinable after the per-doc distinct) + one join back on the digest —
+    both keyed shuffles bounded by the distinct-line count.
+    """
+    from projet_data_infrastructure_spark.plans.llm_queries import _c4_lines
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    lines = _c4_lines(docs, min_words=1).withColumn("lk", F.md5("line_text"))
+    linedf = (
+        lines.select("doc_id", "lk")
+        .distinct()
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    flagged = lines.join(linedf, "lk").withColumn(
+        "is_boiler", (F.col("line_df") >= _BOILER_DF).cast("long")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("is_boiler").alias("n_boiler"),
+        )
+        .withColumn("boiler_micro", F.expr("(1000000 * n_boiler) DIV n_lines"))
+        .orderBy("doc_id")
+    )
+
+
+def _boiler_sql() -> str:
+    from projet_data_infrastructure_spark.plans.llm_queries import _c4_lines_sql
+
+    return f"""
+WITH {_c4_lines_sql(1)},
+keyed AS (
+    SELECT doc_id, md5(line_text) AS lk FROM ln
+), linedf AS (
+    SELECT lk, count(*) AS line_df
+    FROM (SELECT DISTINCT doc_id, lk FROM keyed) GROUP BY lk
+)
+SELECT k.doc_id, count(*) AS n_lines,
+       CAST(sum(CAST(d.line_df >= {_BOILER_DF} AS BIGINT)) AS BIGINT)
+           AS n_boiler,
+       CAST((1000000 * sum(CAST(d.line_df >= {_BOILER_DF} AS BIGINT)))
+            // count(*) AS BIGINT) AS boiler_micro
+FROM keyed k JOIN linedf d USING (lk)
+GROUP BY k.doc_id
+ORDER BY k.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Semantic contamination: eval→train nearest neighbor via IVF buckets
+# --------------------------------------------------------------------------
+
+_CONTAM_THRESHOLD = 0.25
+_CONTAM_CENTROIDS = 8
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval contamination: for every EVAL vector
+    (vec_id % 10 == 0) find its nearest TRAIN neighbor by cosine and flag
+    sim ≥ 0.25 — the semantic analog of n-gram
+    ``benchmark_decontamination`` (SemDeDup applied across the split
+    boundary instead of within the corpus). Candidates come ONLY from the
+    shared IVF bucket (the house seed-centroid assignment, identical
+    algebra to ``ivf_topk``): eval×train work is Σ_b |eval_b|·|train_b|,
+    never |eval|·|train|; at warehouse scale the centroid count grows √N
+    and the same plan holds (``ivf_assign_to``'s size switch).
+
+    Eval vectors whose bucket holds no train vector drop out (inner join,
+    both engines) — with C ≪ N every bucket is populated in practice.
+    """
+    from projet_data_infrastructure_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assign = similarity.ivf_assign(emb, n_centroids=_CONTAM_CENTROIDS)
+    tagged = emb.join(assign.select("vec_id", "centroid_id"), "vec_id").select(
+        "vec_id", "embedding", "centroid_id", (F.col("vec_id") % 10 == 0).alias("is_eval")
+    )
+    ev = tagged.filter("is_eval").select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("evec"),
+        "centroid_id",
+    )
+    tr = tagged.filter(~F.col("is_eval")).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("tvec"),
+        "centroid_id",
+    )
+    sims = ev.join(tr, "centroid_id").select(
+        "eval_id",
+        "train_id",
+        pround(similarity.cosine("evec", "tvec"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cos_sim"), F.asc("train_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            "train_id",
+            "cos_sim",
+            (F.col("cos_sim") >= _CONTAM_THRESHOLD).cast("int").alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+_CONTAM_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {_CONTAM_CENTROIDS}
+), dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {pround_sql('list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - c.cvec[i]) ^ 2))', 6)} AS dist
+    FROM embeddings e, cents c
+), assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), tagged AS (
+    SELECT e.vec_id, e.embedding, a.centroid_id, e.vec_id % 10 = 0 AS is_eval
+    FROM embeddings e JOIN assign a USING (vec_id)
+), sims AS (
+    SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+           {pround_sql('list_cosine_similarity(ev.embedding::DOUBLE[], tr.embedding::DOUBLE[])', 6)} AS cos_sim
+    FROM tagged ev JOIN tagged tr ON ev.centroid_id = tr.centroid_id
+    WHERE ev.is_eval AND NOT tr.is_eval
+)
+SELECT eval_id, train_id, cos_sim,
+       CAST(cos_sim >= {_CONTAM_THRESHOLD} AS INT) AS contaminated
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY eval_id
+                                 ORDER BY cos_sim DESC, train_id) AS rn
+    FROM sims
+) WHERE rn = 1
+ORDER BY eval_id
+"""
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility / compression-rate audit per language
+# --------------------------------------------------------------------------
+
+
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-equity audit every multilingual model card reports:
+    per language, fertility = subword tokens per whitespace word and bytes
+    per subword token — the signal that a vocabulary underserves a
+    language (high fertility → that language pays more sequence length for
+    the same text). Subwords use the house BPE-ish segmentation (letter
+    runs / digit runs / single symbols — the pre-tokenization every BPE
+    trainer applies). Exact integer micro ratios; ONE map-only pass into a
+    |languages|-bounded aggregate.
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_sub"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            "n_bytes",
+            F.expr("(1000000 * n_subwords) DIV n_words").alias("fertility_micro"),
+            F.expr("(1000000 * n_bytes) DIV n_subwords").alias(
+                "bytes_per_subword_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH per_doc AS (
+    SELECT lang,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS BIGINT) AS n_sub,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+), agg AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+    FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_subwords, n_bytes,
+       CAST((1000000 * n_subwords) // n_words AS BIGINT) AS fertility_micro,
+       CAST((1000000 * n_bytes) // n_subwords AS BIGINT)
+           AS bytes_per_subword_micro
+FROM agg
+ORDER BY lang
+"""
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "unimax_sampling_plan",
+        q_unimax_sampling_plan,
+        _UNIMAX_SQL,
+        ("llm", "sampling"),
+        doc="UniMax integer waterfilling of a token budget across languages "
+        "under per-language epoch caps; one corpus aggregate, |langs|-row "
+        "windows",
+    ),
+    QuerySpec(
+        "temperature_sampling_weights",
+        q_temperature_sampling_weights,
+        _TEMP_SQL,
+        ("llm", "sampling"),
+        doc="p ∝ T^(1/2) multilingual sampling weights via IEEE sqrt and an "
+        "order-pinned normalizer fold",
+    ),
+    QuerySpec(
+        "pii_redaction_scan",
+        q_pii_redaction_scan,
+        _PII_SQL,
+        ("llm", "text", "bench"),
+        doc="Regex PII detect + redact accounting (emails/IPv4/phones) over a "
+        "deterministic contact-footer corpus; map-only, dialect-safe regexes",
+    ),
+    QuerySpec(
+        "epoch_shuffle_manifest",
+        q_epoch_shuffle_manifest,
+        _SHUFFLE_SQL,
+        ("llm", "sampling"),
+        doc="Deterministic hash epoch shuffle into W shards: manifest of "
+        "per-shard counts/token totals/key ranges, no global sort",
+    ),
+    QuerySpec(
+        "weighted_sample_aexpj",
+        q_weighted_sample_aexpj,
+        _AEXPJ_SQL,
+        ("llm", "sampling"),
+        doc="Efraimidis-Spirakis weighted sampling without replacement: "
+        "hash-deterministic ln(u)/w integer keys, one TakeOrderedAndProject",
+    ),
+    QuerySpec(
+        "boilerplate_line_df",
+        q_boilerplate_line_df,
+        _boiler_sql(),
+        ("llm", "dedup"),
+        doc="CCNet boilerplate: lines in >= 3 distinct docs flagged in every "
+        "doc; line-digest DF aggregate + digest join",
+    ),
+    QuerySpec(
+        "semantic_contamination",
+        q_semantic_contamination,
+        _CONTAM_SQL,
+        ("llm", "ann", "bench"),
+        doc="Eval->train nearest-neighbor cosine via shared IVF buckets; "
+        "flags sim >= 0.25; bucketed join, never eval x train",
+    ),
+    QuerySpec(
+        "tokenizer_fertility_by_lang",
+        q_tokenizer_fertility_by_lang,
+        _FERTILITY_SQL,
+        ("llm", "text"),
+        doc="Per-language subwords-per-word and bytes-per-subword (tokenizer "
+        "equity audit); map-only pass, |langs|-bounded aggregate",
+    ),
+]

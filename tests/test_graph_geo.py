@@ -212,7 +212,14 @@ def test_kcore_peels_pendant_and_keeps_core(spark, monkeypatch):
     )
     li_rows = [(100 + c, s + 1) for c in range(3) for s in range(3)] + [(200, 1)]
     line = spark.createDataFrame(li_rows, "l_orderkey long, l_suppkey long")
-    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    # customer/supplier only feed the |V| broadcast-switch bound (metadata
+    # counts), not the edge derivation
+    cust = spark.createDataFrame([(i + 1,) for i in range(4)], "c_custkey long")
+    supp = spark.createDataFrame([(i + 1,) for i in range(3)], "s_suppkey long")
+    _with_tables(
+        monkeypatch,
+        {"orders": orders, "lineitem": line, "customer": cust, "supplier": supp},
+    )
     monkeypatch.setattr(gg, "_KCORE_K", 3, raising=True)
     out = {r.round: (r.n_nodes, r.node_checksum) for r in
            gg.q_kcore_decomposition(spark, SF).collect()}
@@ -226,7 +233,12 @@ def test_kcore_fully_peels_sparse_graph(spark, monkeypatch):
     # a single path c1–s1–c2: every degree ≤ 2 < k → empty after round 1
     orders = spark.createDataFrame([(100, 1), (101, 2)], "o_orderkey long, o_custkey long")
     line = spark.createDataFrame([(100, 1), (101, 1)], "l_orderkey long, l_suppkey long")
-    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    cust = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    supp = spark.createDataFrame([(1,)], "s_suppkey long")
+    _with_tables(
+        monkeypatch,
+        {"orders": orders, "lineitem": line, "customer": cust, "supplier": supp},
+    )
     monkeypatch.setattr(gg, "_KCORE_K", 3, raising=True)
     out = {r.round: (r.n_nodes, r.node_checksum) for r in
            gg.q_kcore_decomposition(spark, SF).collect()}

@@ -1,0 +1,199 @@
+"""Semantics tests for the round-8 sampling / hygiene / contamination specs:
+UniMax waterfilling vs a pure-Python reference, A-ES key algebra, PII scrub
+accounting, epoch-shuffle determinism, boilerplate-vs-c4 distinction, and
+contamination flagging of a planted duplicate."""
+
+import pyspark.sql.functions as F
+
+import projet_data_infrastructure_spark.plans.roundeight as r8
+
+SF = "/root/testdata/sf0.001"
+
+
+def _with_docs(monkeypatch, docs):
+    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, name: docs)
+
+
+# ---------------------------------------------------------------- UniMax
+
+
+def _unimax_reference(caps: dict[str, int], budget: int) -> dict[str, int]:
+    """Exact waterfill in plain Python: grow the capped prefix greedily."""
+    order = sorted(caps, key=lambda l: (caps[l], l))
+    L = len(order)
+    capped, p = [], 0
+    for i, lang in enumerate(order):
+        if p + caps[lang] * (L - i) <= budget:
+            capped.append(lang)
+            p += caps[lang]
+        else:
+            break
+    theta = (budget - p) // (L - len(capped)) if len(capped) < L else 0
+    return {l: (caps[l] if l in capped else theta) for l in caps}
+
+
+def test_unimax_matches_python_reference(spark, monkeypatch):
+    # skewed corpus: tiny 'aa' and 'bb' must cap, big 'cc' takes theta
+    rows = (
+        [(i, "x y z", "aa") for i in range(2)]
+        + [(10 + i, "x y z w", "bb") for i in range(3)]
+        + [(20 + i, " ".join(["t"] * 10), "cc") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    _with_docs(monkeypatch, docs)
+    out = {r.lang: r for r in r8.q_unimax_sampling_plan(spark, SF).collect()}
+    caps = {"aa": 6, "bb": 12, "cc": 200}
+    budget = (sum(caps.values()) * r8._UNIMAX_BUDGET_NUM) // r8._UNIMAX_BUDGET_DEN
+    ref = _unimax_reference(caps, budget)
+    assert {l: r.alloc_tokens for l, r in out.items()} == ref
+    assert out["aa"].capped == 1 and out["bb"].capped == 1 and out["cc"].capped == 0
+    # never over budget, never over cap
+    assert sum(r.alloc_tokens for r in out.values()) <= budget
+    assert all(r.alloc_tokens <= r.cap for r in out.values())
+
+
+def test_unimax_real_corpus_invariants(spark):
+    rows = r8.q_unimax_sampling_plan(spark, SF).collect()
+    budget = (sum(r.lang_tokens for r in rows) * r8._UNIMAX_BUDGET_NUM) // (
+        r8._UNIMAX_BUDGET_DEN
+    )
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    thetas = {r.alloc_tokens for r in rows if r.capped == 0}
+    assert len(thetas) <= 1  # all uncapped languages share one theta
+    assert all(r.alloc_tokens == r.cap for r in rows if r.capped == 1)
+
+
+# ---------------------------------------------------------------- A-ES
+
+
+def test_aexpj_keys_match_python_recompute(spark):
+    import hashlib
+    import math
+
+    rows = r8.q_weighted_sample_aexpj(spark, SF).collect()
+    assert len(rows) == r8._AEXPJ_K
+    assert len({r.doc_id for r in rows}) == r8._AEXPJ_K  # without replacement
+    for r in rows[:5]:
+        h = int(
+            hashlib.md5(f"{r8._AEXPJ_SEED}:{r.doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = h % 1_000_000 + 1
+        lnu = math.floor(math.log(u / 1e6) * 1e6 + r8._AEXPJ_QBIAS)
+        x = lnu * 1_000_000
+        key = (x - ((x % r.w + r.w) % r.w)) // r.w
+        assert key == r.key_unats
+    # keys are sorted descending (the best draws)
+    keys = [r.key_unats for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = r8.q_pii_redaction_scan(spark, SF).collect()
+    assert all(r.n_emails >= 1 and r.n_ips >= 1 and r.n_phones >= 1 for r in rows)
+    # redaction strictly shrinks (footer PII is longer than '[PII]')
+    assert all(r.redacted_len < r.orig_len for r in rows)
+
+
+# ----------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_manifest_is_deterministic_and_complete(spark):
+    a = r8.q_epoch_shuffle_manifest(spark, SF).collect()
+    b = r8.q_epoch_shuffle_manifest(spark, SF).collect()
+    assert a == b
+    assert all(0 <= r.shard < r8._SHUFFLE_SHARDS for r in a)
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    n = read_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in a) == n
+
+
+# ----------------------------------------------------- boilerplate
+
+
+def test_boilerplate_flags_template_in_every_doc(spark, monkeypatch):
+    # 'cookie banner here' appears in 3 docs -> boilerplate in ALL of them
+    # (c4_line_dedup would keep the first); unique lines stay clean.
+    rows = [
+        (1, "cookie banner here real content one", "en"),
+        (2, "cookie banner here other stuff two", "en"),
+        (3, "cookie banner here more words three", "en"),
+        (4, "completely unique document body four", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    _with_docs(monkeypatch, docs)
+    out = {r.doc_id: r for r in r8.q_boilerplate_line_df(spark, SF).collect()}
+    from projet_data_infrastructure_spark.plans.llm_queries import _C4_LINE_WORDS
+
+    if _C4_LINE_WORDS == 5:
+        # line 0 of docs 1-3 = 'cookie banner here real content' etc — these
+        # differ after word 3, so craft the assertion on the shared prefix
+        # only when lines align; the invariant that always holds:
+        assert out[4].n_boiler == 0
+    assert all(r.n_lines >= 1 for r in out.values())
+
+
+def test_boilerplate_exact_shared_lines(spark, monkeypatch):
+    from projet_data_infrastructure_spark.plans.llm_queries import _C4_LINE_WORDS
+
+    shared = " ".join(["tpl"] * _C4_LINE_WORDS)
+    uniq = lambda i: " ".join([f"u{i}{j}" for j in range(_C4_LINE_WORDS)])
+    rows = [(i, f"{shared} {uniq(i)}", "en") for i in range(1, 4)] + [
+        (4, f"{uniq(4)} {uniq(5)}", "en")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    _with_docs(monkeypatch, docs)
+    out = {r.doc_id: r for r in r8.q_boilerplate_line_df(spark, SF).collect()}
+    assert out[1].n_boiler == out[2].n_boiler == out[3].n_boiler == 1
+    assert out[1].n_lines == 2 and out[1].boiler_micro == 500_000
+    assert out[4].n_boiler == 0 and out[4].boiler_micro == 0
+
+
+# ----------------------------------------------------- contamination
+
+
+def test_contamination_flags_planted_duplicate(spark, monkeypatch):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = []
+    for vid in range(40):
+        vecs.append((vid, [rng.uniform(-1, 1) for _ in range(dim)], 0))
+    # eval vec 30 (30 % 10 == 0) := exact copy of train vec 31
+    vecs[30] = (30, list(vecs[31][1]), 0)
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(r8, "read_table", lambda sp, sf, name: emb)
+    out = {r.eval_id: r for r in r8.q_semantic_contamination(spark, SF).collect()}
+    assert out[30].train_id == 31
+    assert abs(out[30].cos_sim - 1.0) < 1e-5
+    assert out[30].contaminated == 1
+
+
+# ----------------------------------------------------- temperature
+
+
+def test_temperature_flattens_distribution(spark):
+    rows = r8.q_temperature_sampling_weights(spark, SF).collect()
+    raw = {r.lang: r.raw_share_r for r in rows}
+    temp = {r.lang: r.temp_share_r for r in rows}
+    assert abs(sum(raw.values()) - 1.0) < 1e-4
+    assert abs(sum(temp.values()) - 1.0) < 1e-4
+    big = max(raw, key=raw.get)
+    small = min(raw, key=raw.get)
+    assert temp[big] < raw[big]  # head shrinks
+    assert temp[small] > raw[small]  # tail grows
+
+
+# ----------------------------------------------------- fertility
+
+
+def test_fertility_at_least_one_subword_per_word(spark):
+    rows = r8.q_tokenizer_fertility_by_lang(spark, SF).collect()
+    assert all(r.fertility_micro >= 1_000_000 for r in rows)
+    assert all(r.n_subwords >= r.n_words for r in rows)
