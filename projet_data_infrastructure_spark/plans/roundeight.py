@@ -676,6 +676,285 @@ ORDER BY lang
 """
 
 # --------------------------------------------------------------------------
+# T5 span-corruption accounting (deterministic mask, window-free spans)
+# --------------------------------------------------------------------------
+
+_SPAN_SEED = 5
+_SPAN_PCT = 15  # corruption rate: mask a position iff hash % 100 < 15
+
+
+def q_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption accounting: each token position draws a
+    deterministic mask coin (hash(doc_id:pos) % 100 < 15) and consecutive
+    masked positions form one corruption span (one sentinel token each).
+    The pipeline needs per-doc (n_masked, n_spans) to size encoder/decoder
+    sequences BEFORE materializing the corrupted text.
+
+    Window-free span counting: a span STARTS where pos is masked and pos−1
+    is not — and because the mask is a pure hash of (doc_id, pos), the
+    predecessor's coin is RECOMPUTED map-side instead of carried by a
+    lag() window, so the whole operator is one map pass + one per-doc
+    aggregate (no per-doc Sort, no Window Exchange — the thing a naive
+    run-length formulation pays).
+    """
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+
+    def coin(pos_col):
+        return (
+            F.pmod(
+                hash64(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"),
+                        pos_col.cast("string"),
+                    ),
+                    seed=_SPAN_SEED,
+                ),
+                F.lit(100),
+            )
+            < _SPAN_PCT
+        )
+
+    flags = base.select(
+        "doc_id",
+        coin(F.col("pos")).cast("long").alias("m"),
+        (coin(F.col("pos")) & ((F.col("pos") == 0) | ~coin(F.col("pos") - 1)))
+        .cast("long")
+        .alias("span_start"),
+    )
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("m").alias("n_masked"),
+            F.sum("span_start").alias("n_spans"),
+        )
+        .withColumn("corruption_micro", F.expr("(1000000 * n_masked) DIV n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def _span_coin_sql(pos_expr: str) -> str:
+    h = hash64_sql(
+        f"(CAST(doc_id AS VARCHAR) || ':' || CAST({pos_expr} AS VARCHAR))",
+        seed=_SPAN_SEED,
+    )
+    return f"(({h} % 100 + 100) % 100 < {_SPAN_PCT})"
+
+
+_SPAN_SQL = f"""
+WITH base AS (
+    SELECT doc_id, i - 1 AS pos
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         unnest(range(1, len(t) + 1)) AS u(i)
+), flags AS (
+    SELECT doc_id,
+           CAST({_span_coin_sql('pos')} AS BIGINT) AS m,
+           CAST({_span_coin_sql('pos')}
+                AND (pos = 0 OR NOT {_span_coin_sql('pos - 1')})
+                AS BIGINT) AS span_start
+    FROM base
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(m) AS BIGINT) AS n_masked,
+       CAST(sum(span_start) AS BIGINT) AS n_spans,
+       CAST((1000000 * sum(m)) // count(*) AS BIGINT) AS corruption_micro
+FROM flags
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Keep-best canonical selection per near-duplicate cluster
+# --------------------------------------------------------------------------
+
+
+def q_dedup_keepbest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup: within each LSH near-duplicate cluster keep the
+    HIGHEST-quality member (longest text, ties to the smallest doc_id) —
+    the policy real curation uses instead of min-id canonicalization,
+    because duplicate crawls differ in truncation and the longest copy is
+    usually the complete one. Composes the house CC operator (bounded
+    rounds, lineage cuts) with one quality join and a per-cluster argmax
+    (max-struct, no window). Output: per cluster the kept doc, its length,
+    the cluster size, and the characters dropped with the other members.
+    """
+    from projet_data_infrastructure_spark.operators import dedup
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    comp = dedup.duplicate_clusters(pairs)
+    sized = comp.join(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("long").alias("len")
+        ),
+        "doc_id",
+    )
+    # argmax by (len, -doc_id): max-struct with the id negated so length
+    # ties resolve to the SMALLEST doc_id
+    best = F.max(F.struct(F.col("len"), (-F.col("doc_id")).alias("nid")))
+    return (
+        sized.groupBy("component")
+        .agg(
+            best.alias("b"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("len").alias("total_chars"),
+        )
+        .select(
+            "component",
+            (-F.col("b.nid")).alias("canonical_doc"),
+            F.col("b.len").alias("canonical_chars"),
+            "cluster_size",
+            (F.col("total_chars") - F.col("b.len")).alias("dropped_chars"),
+        )
+        .orderBy("component")
+    )
+
+
+def _keepbest_sql() -> str:
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        _dedup_clusters_sql,
+    )
+
+    return f"""
+WITH comp AS ({_dedup_clusters_sql()}),
+sized AS (
+    SELECT c.component, c.doc_id, CAST(d.n_chars AS BIGINT) AS len
+    FROM comp c JOIN documents d USING (doc_id)
+), best AS (
+    SELECT component,
+           max(struct_pack(len := len, nid := -doc_id)) AS b,
+           count(*) AS cluster_size,
+           CAST(sum(len) AS BIGINT) AS total_chars
+    FROM sized GROUP BY component
+)
+SELECT component, -(b.nid) AS canonical_doc, (b.len) AS canonical_chars,
+       cluster_size, total_chars - (b.len) AS dropped_chars
+FROM best
+ORDER BY component
+"""
+
+# --------------------------------------------------------------------------
+# Length-curriculum phase assignment (scale-safe global rank)
+# --------------------------------------------------------------------------
+
+_CURRICULUM_PHASES = 4
+
+
+def q_curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum schedule: rank the corpus by document length
+    (shortest first — the classic easy→hard curriculum) and cut it into 4
+    equal training phases; report each phase's doc/token volume and length
+    range so the trainer can budget steps per phase. The rank comes from
+    the scale-safe :func:`global_rank` operator (range-bucketed parallel
+    sorts + broadcast prefix offsets) — NOT a global row_number window,
+    which would funnel the corpus through one task at 100 TB. Phase cut is
+    exact: phase = ((rank−1)·P) DIV N, so phase sizes differ by ≤1.
+    """
+    from projet_data_infrastructure_spark.operators.ranks import global_rank
+
+    docs = read_table_balanced(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("len"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    ranked, n_total = global_rank(docs, "len", ties=("doc_id",))
+    return (
+        ranked.withColumn(
+            "phase",
+            F.expr(f"((rank - 1) * {_CURRICULUM_PHASES}) DIV {n_total}"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("len").alias("min_chars"),
+            F.max("len").alias("max_chars"),
+        )
+        .orderBy("phase")
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+           count(*) OVER () AS n_total
+    FROM documents
+)
+SELECT CAST(((rank - 1) * {_CURRICULUM_PHASES}) // n_total AS BIGINT) AS phase,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(len) AS min_chars, max(len) AS max_chars
+FROM ranked
+GROUP BY 1 ORDER BY 1
+"""
+
+# --------------------------------------------------------------------------
+# OOV / vocabulary-coverage audit per language
+# --------------------------------------------------------------------------
+
+_OOV_VOCAB = 1000
+
+
+def q_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-1000 subword vocabulary by
+    corpus frequency (ties to the lexicographically smaller token — pinned
+    so both engines cut identically) and report each language's
+    OUT-OF-VOCABULARY token share — the direct measure of which languages
+    a shared vocabulary underserves (the decision input behind fertility,
+    its sibling audit). Two vocabulary-bounded aggregates + one broadcast
+    semi-join of the token stream against the 1000-row vocab; per-language
+    output."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(bpe_ish_tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_OOV_VOCAB)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0).cast("long")
+            ).alias("n_oov"),
+        )
+        .withColumn("oov_micro", F.expr("(1000000 * n_oov) DIV n_tokens"))
+        .orderBy("lang")
+    )
+
+
+_OOV_SQL = f"""
+WITH tok AS (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+    FROM documents
+), vocab AS (
+    SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {_OOV_VOCAB}
+    )
+)
+SELECT lang, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((1000000 * sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS oov_micro
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY lang
+ORDER BY lang
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -744,5 +1023,37 @@ SPECS: list[QuerySpec] = [
         ("llm", "text"),
         doc="Per-language subwords-per-word and bytes-per-subword (tokenizer "
         "equity audit); map-only pass, |langs|-bounded aggregate",
+    ),
+    QuerySpec(
+        "span_corruption_masks",
+        q_span_corruption_masks,
+        _SPAN_SQL,
+        ("llm", "training"),
+        doc="T5 span-corruption accounting: deterministic hash mask, "
+        "window-free span starts (predecessor coin recomputed map-side)",
+    ),
+    QuerySpec(
+        "dedup_keepbest_canonical",
+        q_dedup_keepbest_canonical,
+        _keepbest_sql(),
+        ("llm", "dedup"),
+        doc="Keep-best dedup: longest member per LSH cluster kept (ties to "
+        "smallest id); CC operator + one quality join + max-struct argmax",
+    ),
+    QuerySpec(
+        "curriculum_length_phases",
+        q_curriculum_length_phases,
+        _CURRICULUM_SQL,
+        ("llm", "training"),
+        doc="Length curriculum: scale-safe global_rank cut into 4 exact "
+        "phases; per-phase doc/token volumes and length ranges",
+    ),
+    QuerySpec(
+        "oov_rate_by_lang",
+        q_oov_rate_by_lang,
+        _OOV_SQL,
+        ("llm", "text"),
+        doc="Top-1000 vocab OOV share per language (coverage audit); "
+        "vocabulary-bounded aggregates + broadcast vocab join",
     ),
 ]

@@ -197,3 +197,103 @@ def test_fertility_at_least_one_subword_per_word(spark):
     rows = r8.q_tokenizer_fertility_by_lang(spark, SF).collect()
     assert all(r.fertility_micro >= 1_000_000 for r in rows)
     assert all(r.n_subwords >= r.n_words for r in rows)
+
+
+# ----------------------------------------------------- span corruption
+
+
+def test_span_corruption_matches_python_recompute(spark):
+    import hashlib
+
+    def coin(doc_id, pos):
+        h = int(
+            hashlib.md5(f"{r8._SPAN_SEED}:{doc_id}:{pos}".encode()).hexdigest()[:15],
+            16,
+        )
+        return h % 100 < r8._SPAN_PCT
+
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    rows = {r.doc_id: r for r in r8.q_span_corruption_masks(spark, SF).collect()}
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(5).collect()
+    for d in docs:
+        toks = d.text.split()
+        masked = [coin(d.doc_id, p) for p in range(len(toks))]
+        n_masked = sum(masked)
+        n_spans = sum(
+            1 for p, m in enumerate(masked) if m and (p == 0 or not masked[p - 1])
+        )
+        r = rows[d.doc_id]
+        assert (r.n_tokens, r.n_masked, r.n_spans) == (len(toks), n_masked, n_spans)
+    # global: spans never exceed masked positions; rate near 15%
+    tot_m = sum(r.n_masked for r in rows.values())
+    tot_t = sum(r.n_tokens for r in rows.values())
+    assert all(r.n_spans <= r.n_masked for r in rows.values())
+    assert 0.10 < tot_m / tot_t < 0.20
+
+
+# ----------------------------------------------------- keep-best
+
+
+def test_keepbest_picks_longest_then_smallest_id(spark, monkeypatch):
+    import projet_data_infrastructure_spark.plans.llm_queries as llm
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "doc_id long, component long"
+    )
+
+    class _FakeDedup:
+        @staticmethod
+        def minhash_signatures(docs):
+            return docs
+
+        @staticmethod
+        def lsh_candidate_pairs(sig):
+            return sig
+
+        @staticmethod
+        def duplicate_clusters(pairs):
+            return comp
+
+    docs = spark.createDataFrame(
+        [(1, "x", "en", 10), (2, "x", "en", 30), (3, "x", "en", 30),
+         (7, "x", "en", 5), (8, "x", "en", 4), (9, "x", "en", 99)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
+    monkeypatch.setattr(r8, "read_table", lambda sp, sf, n: docs)
+    import projet_data_infrastructure_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "minhash_signatures", _FakeDedup.minhash_signatures)
+    monkeypatch.setattr(dd, "lsh_candidate_pairs", _FakeDedup.lsh_candidate_pairs)
+    monkeypatch.setattr(dd, "duplicate_clusters", _FakeDedup.duplicate_clusters)
+    out = {r.component: r for r in r8.q_dedup_keepbest_canonical(spark, SF).collect()}
+    # cluster 1: docs 2 and 3 tie at 30 chars -> smallest id (2) wins
+    assert out[1].canonical_doc == 2 and out[1].canonical_chars == 30
+    assert out[1].cluster_size == 3 and out[1].dropped_chars == 40
+    # cluster 7: doc 7 (5 chars) beats doc 8 (4)
+    assert out[7].canonical_doc == 7 and out[7].dropped_chars == 4
+
+
+# ----------------------------------------------------- curriculum
+
+
+def test_curriculum_phases_are_balanced_and_ordered(spark):
+    rows = sorted(
+        r8.q_curriculum_length_phases(spark, SF).collect(), key=lambda r: r.phase
+    )
+    assert [r.phase for r in rows] == list(range(r8._CURRICULUM_PHASES))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # exact-balance cut
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_chars <= b.min_chars or a.max_chars == b.min_chars
+
+
+# ----------------------------------------------------- OOV
+
+
+def test_oov_rates_are_valid_shares(spark):
+    rows = r8.q_oov_rate_by_lang(spark, SF).collect()
+    assert all(0 <= r.oov_micro <= 1_000_000 for r in rows)
+    assert all(r.n_oov <= r.n_tokens for r in rows)
+    assert len(rows) == 5
