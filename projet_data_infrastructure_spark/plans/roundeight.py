@@ -955,6 +955,349 @@ ORDER BY lang
 """
 
 # --------------------------------------------------------------------------
+# Incremental dedup: new documents against an existing index (daily shape)
+# --------------------------------------------------------------------------
+
+_INCR_JACCARD = 0.5
+
+
+def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup query shape: a daily increment (odd doc_ids)
+    deduped against the already-ingested index (even doc_ids) — candidates
+    come from banding NEW × INDEX only, never NEW × NEW or INDEX × INDEX,
+    so daily cost is |new|-proportional regardless of index size (the
+    property that makes LSH dedup viable as a continuously running
+    service; in production the index side's band table is precomputed and
+    this join reads it). Candidates are verified with exact unigram
+    Jaccard ≥ 0.5; each flagged new doc reports its best index match
+    (highest Jaccard, ties to the smallest index id).
+    """
+    from projet_data_infrastructure_spark.operators import dedup
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)  # ONE tokenize for both sides
+    n_bands = dedup.MINHASH_HASHES // dedup.MINHASH_BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * dedup.MINHASH_BAND_ROWS + r}")
+                        for r in range(dedup.MINHASH_BAND_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    new_side = exploded.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_doc"), "band", "key"
+    )
+    idx_side = exploded.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("index_doc"), "band", "key"
+    )
+    cand = (
+        new_side.join(idx_side, ["band", "key"])
+        .select("new_doc", "index_doc")
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.array_sort(tokens(F.col("text")))).alias("ts")
+    )
+    verified = (
+        cand.join(toks.select(F.col("doc_id").alias("new_doc"), F.col("ts").alias("ta")), "new_doc")
+        .join(toks.select(F.col("doc_id").alias("index_doc"), F.col("ts").alias("tb")), "index_doc")
+        .select(
+            "new_doc",
+            "index_doc",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            (F.size("ta") + F.size("tb")).cast("long").alias("szsum"),
+        )
+        .withColumn("jac_micro", F.expr("(1000000 * inter) DIV (szsum - inter)"))
+        .filter(F.col("jac_micro") >= int(_INCR_JACCARD * 1_000_000))
+    )
+    best = F.max(F.struct(F.col("jac_micro"), (-F.col("index_doc")).alias("nid")))
+    return (
+        verified.groupBy("new_doc")
+        .agg(best.alias("b"), F.count(F.lit(1)).alias("n_matches"))
+        .select(
+            "new_doc",
+            (-F.col("b.nid")).alias("matched_index_doc"),
+            F.col("b.jac_micro").alias("jac_micro"),
+            "n_matches",
+        )
+        .orderBy("new_doc")
+    )
+
+
+def _incremental_sql() -> str:
+    from projet_data_infrastructure_spark.operators import dedup
+    from projet_data_infrastructure_spark.plans.llm_queries import _minhash_sig_sql
+
+    n_bands = dedup.MINHASH_HASHES // dedup.MINHASH_BAND_ROWS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(m{b * dedup.MINHASH_BAND_ROWS} AS VARCHAR) || '_' || "
+        f"CAST(m{b * dedup.MINHASH_BAND_ROWS + 1} AS VARCHAR) AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS index_doc
+    FROM bands n JOIN bands i ON n.band = i.band AND n.key = i.key
+    WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+), toks AS (
+    SELECT doc_id, list_distinct({_TOKS_SQL}) AS ts FROM documents
+), verified AS (
+    SELECT c.new_doc, c.index_doc,
+           CAST((1000000 * len(list_intersect(a.ts, b.ts)))
+                // (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+               AS BIGINT) AS jac_micro
+    FROM cand c
+    JOIN toks a ON a.doc_id = c.new_doc
+    JOIN toks b ON b.doc_id = c.index_doc
+)
+SELECT new_doc,
+       -(max(struct_pack(jac_micro := jac_micro, nid := -index_doc)).nid)
+           AS matched_index_doc,
+       (max(struct_pack(jac_micro := jac_micro, nid := -index_doc)).jac_micro)
+           AS jac_micro,
+       count(*) AS n_matches
+FROM verified
+WHERE jac_micro >= {int(_INCR_JACCARD * 1_000_000)}
+GROUP BY new_doc
+ORDER BY new_doc
+"""
+
+# --------------------------------------------------------------------------
+# Bag-of-words dedup (order-invariant exact duplicate groups)
+# --------------------------------------------------------------------------
+
+
+def q_tokenset_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-fingerprint dedup: documents with the SAME distinct-token
+    SET form one group regardless of word order or repetition counts — the
+    cheapest order-invariant near-dup pre-filter (exact-hash dedup misses
+    reordered/re-repeated copies entirely; MinHash pays shingles + k
+    hashes). digest = md5 of the sorted distinct tokens. Groups of size
+    ≥ 2 report how many raw-text variants they hold (n_variants > 1 ⇔ the
+    group contains copies exact dedup would have missed). One map-side
+    digest + one keyed aggregate."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(tokens(F.lower(F.col("text"))))), " "
+            )
+        ).alias("tset"),
+        F.md5(F.col("text")).alias("raw"),
+    )
+    return (
+        keyed.groupBy("tset")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.countDistinct("raw").alias("n_variants"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("keep_doc", "n_docs", "n_variants")
+        .orderBy("keep_doc")
+    )
+
+
+_TOKENSET_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), t -> t != ''))), ' '))
+               AS tset,
+           md5(text) AS raw
+    FROM documents
+)
+SELECT min(doc_id) AS keep_doc, count(*) AS n_docs,
+       CAST(count(DISTINCT raw) AS BIGINT) AS n_variants
+FROM keyed
+GROUP BY tset
+HAVING count(*) >= 2
+ORDER BY keep_doc
+"""
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal (compression-proxy junk filter)
+# --------------------------------------------------------------------------
+
+#: micro-nat half-up bias (the dsir/naive-bayes ln-quantization discipline)
+_ENT_QBIAS = 0.50001
+_ENT_LOW_UNATS = 3_000_000  # < 3.0 nats of char entropy → repetitive junk
+
+
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy H = Σ −(c/n)·ln(c/n) — the
+    compression-ratio proxy curation pipelines use to drop repetitive junk
+    (low entropy = the text zips too well to be prose; Dolma ships exactly
+    this gate). Integer discipline: each character's −ln(c/n) is quantized
+    to micro-nats FIRST (the naive_bayes per-term pattern — the half-up
+    bias absorbs last-ulp libm divergence), then H_micro = Σ c·lw DIV n is
+    pure integer arithmetic, so no float summation order exists at all.
+
+    Scale shape: one char-level explode into a (doc, char) count aggregate
+    (map-side combinable; the alphabet bounds the per-doc group count),
+    one per-doc rollup. Flags entropy < 3.0 nats."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    per_char = counts.withColumn("n", F.sum("c").over(w)).withColumn(
+        "lw_unats",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+            * F.lit(1_000_000.0)
+            + F.lit(_ENT_QBIAS)
+        ).cast("long"),
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars_counted"),
+            F.expr("sum(c * lw_unats) DIV max(n)").alias("entropy_unats"),
+        )
+        .withColumn(
+            "low_entropy", (F.col("entropy_unats") < _ENT_LOW_UNATS).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ENTROPY_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, substr(text, i, 1) AS ch
+    FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+), counts AS (
+    SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), per_char AS (
+    SELECT doc_id, c,
+           sum(c) OVER (PARTITION BY doc_id) AS n
+    FROM counts
+), scored AS (
+    SELECT doc_id, c, n,
+           CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+                      + {_ENT_QBIAS}) AS BIGINT) AS lw_unats
+    FROM per_char
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_chars_counted,
+       CAST(sum(c * lw_unats) // max(n) AS BIGINT) AS entropy_unats,
+       CAST(CAST(sum(c * lw_unats) // max(n) AS BIGINT) < {_ENT_LOW_UNATS}
+            AS INT) AS low_entropy
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# MinHash calibration: signature-estimated vs exact Jaccard on candidates
+# --------------------------------------------------------------------------
+
+
+def q_minhash_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit of the dedup stack itself: for every LSH
+    candidate pair, the signature-agreement estimate ĵ = (#matching
+    components)/k is binned (0..k matches) against the EXACT unigram
+    Jaccard — the calibration curve that justifies the banding threshold
+    (a production pipeline re-checks this whenever shingle size or k
+    changes). Exact Jaccard per pair is integer micro; per-bin mean is an
+    integer floor division. Candidates only — never all pairs; per-doc
+    token sets are aggregated once and joined to the bounded pair list."""
+    from projet_data_infrastructure_spark.operators import dedup
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    k = dedup.MINHASH_HASHES
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(k)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(k)]
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(k)
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.array_sort(tokens(F.col("text")))).alias("ts")
+    )
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", matches)
+        .join(toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb")), "doc_b")
+        .select(
+            "n_match",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            (F.size("ta") + F.size("tb")).cast("long").alias("szsum"),
+        )
+        .withColumn("jac_micro", F.expr("(1000000 * inter) DIV (szsum - inter)"))
+    )
+    return (
+        scored.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(jac_micro) DIV count(1)").alias("mean_jac_micro"),
+            F.min("jac_micro").alias("min_jac_micro"),
+            F.max("jac_micro").alias("max_jac_micro"),
+        )
+        .orderBy("n_match")
+    )
+
+
+def _calibration_sql() -> str:
+    from projet_data_infrastructure_spark.operators import dedup
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        _minhash_pairs_sql,
+        _minhash_sig_sql,
+    )
+
+    k = dedup.MINHASH_HASHES
+    match_sum = " + ".join(
+        f"CAST(a.m{j} = b.m{j} AS BIGINT)" for j in range(k)
+    )
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+sig AS ({_minhash_sig_sql()}),
+toks AS (
+    SELECT doc_id, list_distinct({_TOKS_SQL}) AS ts FROM documents
+), scored AS (
+    SELECT ({match_sum}) AS n_match,
+           CAST((1000000 * len(list_intersect(ta.ts, tb.ts)))
+                // (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+               AS BIGINT) AS jac_micro
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    JOIN toks ta ON ta.doc_id = p.doc_a
+    JOIN toks tb ON tb.doc_id = p.doc_b
+)
+SELECT n_match, count(*) AS n_pairs,
+       CAST(sum(jac_micro) // count(*) AS BIGINT) AS mean_jac_micro,
+       min(jac_micro) AS min_jac_micro,
+       max(jac_micro) AS max_jac_micro
+FROM scored
+GROUP BY n_match
+ORDER BY n_match
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1055,5 +1398,38 @@ SPECS: list[QuerySpec] = [
         ("llm", "text"),
         doc="Top-1000 vocab OOV share per language (coverage audit); "
         "vocabulary-bounded aggregates + broadcast vocab join",
+    ),
+    QuerySpec(
+        "incremental_index_dedup",
+        q_incremental_index_dedup,
+        _incremental_sql(),
+        ("llm", "dedup"),
+        doc="Production incremental dedup: new docs banded against the "
+        "existing index only (|new|-proportional), exact-Jaccard verified, "
+        "best match per flagged doc",
+    ),
+    QuerySpec(
+        "tokenset_dedup_groups",
+        q_tokenset_dedup_groups,
+        _TOKENSET_SQL,
+        ("llm", "dedup"),
+        doc="Vocabulary-fingerprint dedup via sorted distinct-token digest; "
+        "catches reordered/re-repeated copies exact dedup misses",
+    ),
+    QuerySpec(
+        "char_entropy_quality",
+        q_char_entropy_quality,
+        _ENTROPY_SQL,
+        ("llm", "text"),
+        doc="Per-doc character entropy (compression-proxy junk gate): "
+        "per-term micro-nat quantization then pure integer rollup",
+    ),
+    QuerySpec(
+        "minhash_calibration_bins",
+        q_minhash_calibration_bins,
+        _calibration_sql(),
+        ("llm", "dedup"),
+        doc="MinHash estimator calibration: signature-agreement bins vs "
+        "exact Jaccard on LSH candidates only",
     ),
 ]

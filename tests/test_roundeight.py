@@ -297,3 +297,94 @@ def test_oov_rates_are_valid_shares(spark):
     assert all(0 <= r.oov_micro <= 1_000_000 for r in rows)
     assert all(r.n_oov <= r.n_tokens for r in rows)
     assert len(rows) == 5
+
+
+# ----------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_matches_only_across_index_boundary(spark, monkeypatch):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (2, base, "en", len(base)),                 # index (even)
+        (3, base + " extra", "en", len(base) + 6),  # new  (odd) near-copy of 2
+        (5, base + " other", "en", len(base) + 6),  # new near-copy of 2 AND 3
+        (7, "totally different words here nothing shared at all okay", "en", 50),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
+    out = {r.new_doc: r for r in r8.q_incremental_index_dedup(spark, SF).collect()}
+    # both odd docs match index doc 2; the odd-odd pair (3,5) is NOT emitted
+    assert set(out) == {3, 5}
+    assert out[3].matched_index_doc == 2 and out[5].matched_index_doc == 2
+    # doc 3 vs 2: tokens 10 shared / 11 union -> 909090 micro
+    assert out[3].jac_micro == (1_000_000 * 10) // 11
+
+
+# ----------------------------------------------------- tokenset dedup
+
+
+def test_tokenset_groups_reordered_copy(spark, monkeypatch):
+    rows = [
+        (1, "the quick brown fox", "en", 19),
+        (2, "fox brown quick the", "en", 19),       # reordered copy of 1
+        (3, "the quick quick brown fox fox", "en", 29),  # re-repeated copy
+        (4, "something else entirely", "en", 23),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
+    out = r8.q_tokenset_dedup_groups(spark, SF).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.keep_doc == 1 and g.n_docs == 3 and g.n_variants == 3
+
+
+# ----------------------------------------------------- entropy
+
+
+def test_char_entropy_matches_python_recompute(spark):
+    import math
+    from collections import Counter
+
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    rows = {r.doc_id: r for r in r8.q_char_entropy_quality(spark, SF).collect()}
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(4).collect()
+    for d in docs:
+        cnt = Counter(d.text)
+        n = sum(cnt.values())
+        ent = sum(
+            c * math.floor(-math.log(c / n) * 1e6 + r8._ENT_QBIAS) for c in cnt.values()
+        ) // n
+        r = rows[d.doc_id]
+        assert r.n_chars_counted == n
+        assert r.entropy_unats == ent
+
+
+def test_char_entropy_flags_repetitive_junk(spark, monkeypatch):
+    rows = [
+        (1, "a" * 200, "en", 200),                       # 0 nats
+        (2, "ab" * 100, "en", 200),                      # ln 2 = 0.69 nats
+        (3, "the quick brown fox jumps over the lazy dog " * 4, "en", 180),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
+    out = {r.doc_id: r for r in r8.q_char_entropy_quality(spark, SF).collect()}
+    assert out[1].entropy_unats == 0 and out[1].low_entropy == 1
+    assert out[2].low_entropy == 1
+    assert out[3].low_entropy == 0  # prose clears 3 nats
+
+
+# ----------------------------------------------------- calibration
+
+
+def test_minhash_calibration_bins_are_sane(spark):
+    import projet_data_infrastructure_spark.operators.dedup as dd
+
+    rows = sorted(
+        r8.q_minhash_calibration_bins(spark, SF).collect(), key=lambda r: r.n_match
+    )
+    assert rows, "LSH candidates must exist in the shipped corpus"
+    assert all(0 <= r.n_match <= dd.MINHASH_HASHES for r in rows)
+    assert all(0 <= r.min_jac_micro <= r.max_jac_micro <= 1_000_000 for r in rows)
+    # more agreeing components => (weakly) higher exact similarity
+    assert rows[-1].mean_jac_micro >= rows[0].mean_jac_micro
