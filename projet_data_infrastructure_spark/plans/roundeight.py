@@ -3,6 +3,13 @@ operators a multilingual LLM training pipeline runs AFTER curation — how
 much of each language to sample, how to weight it, what to scrub, how to
 shard an epoch, and whether the eval set leaks into train semantically.
 
+Beyond-reference charter surface (COVERAGE.md ➕ rows): the reference
+pipeline ends at grouped activity rollups
+(`/root/reference/airflow/config/read_delta.py:114-127`); these specs are
+the training-data-platform layer the engine charter adds on top, reusing
+the house operators (minhash/LSH from `operators/dedup.py`, IVF from
+`operators/similarity.py`, scale-safe ranks from `operators/ranks.py`).
+
 Families (each spec carries its own full design docstring):
 
 * ``unimax_sampling_plan`` — UniMax (Chung et al. 2023) integer

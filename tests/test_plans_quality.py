@@ -1098,3 +1098,73 @@ def test_t_closeness_windows_only_over_bounded_grid(spark):
     # one count aggregate + the grid-side joins/regroup; the explode join is
     # broadcast (bands literal) — no data-sized nested loop
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+# ------------------------------------------------- round-8 plan gates
+
+
+def test_span_corruption_has_no_window_or_sort(spark):
+    # the window-free span-start trick: the executed plan must contain NO
+    # Window and NO Sort — the predecessor's mask coin is recomputed
+    # map-side, not carried by lag()
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        q_span_corruption_masks,
+    )
+
+    df = q_span_corruption_masks(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("TakeOrderedAndProject")[0]  # final orderBy(doc_id) ok
+    assert "Window" not in body
+    checks = explain_has(df, "WindowExec")
+    assert not checks["WindowExec"]
+
+
+def test_aexpj_is_takeordered_not_global_sort(spark):
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        q_weighted_sample_aexpj,
+    )
+
+    checks = explain_has(
+        q_weighted_sample_aexpj(spark, SF), "TakeOrderedAndProject", "GlobalLimit"
+    )
+    assert checks["TakeOrderedAndProject"] and not checks["GlobalLimit"]
+
+
+def test_incremental_dedup_has_no_cartesian(spark):
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        q_incremental_index_dedup,
+    )
+
+    checks = explain_has(
+        q_incremental_index_dedup(spark, SF),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )
+    assert not checks["CartesianProduct"] and not checks["BroadcastNestedLoopJoin"]
+
+
+def test_contamination_is_bucketed_not_crossproduct(spark):
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        q_semantic_contamination,
+    )
+
+    checks = explain_has(
+        q_semantic_contamination(spark, SF),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )
+    assert not checks["CartesianProduct"] and not checks["BroadcastNestedLoopJoin"]
+
+
+def test_pii_scan_prunes_to_three_columns(spark):
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        q_pii_redaction_scan,
+    )
+
+    df = q_pii_redaction_scan(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    sch = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in sch and "doc_id" in sch and "lang" in sch
+    assert "source" not in sch and "n_chars" not in sch
