@@ -20,9 +20,6 @@ Families (each spec carries its own full design docstring):
   (emails / IPv4s / phone fragments), the Dolma/CCNet scrub step.
 * ``epoch_shuffle_manifest`` — deterministic hash epoch shuffle into W
   shards: the training-manifest write, with no global sort anywhere.
-* ``weighted_sample_aexpj`` — weighted sampling WITHOUT replacement via
-  exponential jumps (Efraimidis & Spirakis A-ES), hash-deterministic and
-  integer-keyed so both engines rank identically.
 * ``boilerplate_line_df`` — line-document-frequency boilerplate
   detection (the CCNet header/footer filter), distinct from C4's
   first-occurrence global line dedup.
@@ -387,75 +384,6 @@ SELECT pos_key % {_SHUFFLE_SHARDS} AS shard,
        min(pos_key) AS min_key, max(pos_key) AS max_key
 FROM keyed
 GROUP BY 1 ORDER BY 1
-"""
-
-# --------------------------------------------------------------------------
-# Weighted sampling without replacement (A-ES exponential jumps, top-k form)
-# --------------------------------------------------------------------------
-
-_AEXPJ_SEED = 77
-_AEXPJ_K = 20
-#: micro-nat half-up bias shared with the dsir/naive-bayes ln quantization:
-#: absorbs any last-ulp libm ln() divergence between engines.
-_AEXPJ_QBIAS = 0.50001
-
-
-def q_weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis–Spirakis weighted sampling without replacement (the A-ES
-    key trick): each row draws u ∈ (0,1] and ranks by u^(1/w) —
-    equivalently by ln(u)/w — and the top-k keys ARE a weighted sample
-    without replacement. Hash-deterministic u (so the sample is
-    reproducible and oracle-checkable) and an integer key discipline:
-    ln(u) is quantized to micro-nats with the house half-up bias, then
-    divided by the weight with remainder-corrected integer floor division
-    (the km/pca _floordiv pattern — exact for negative numerators), so
-    both engines rank IDENTICAL int64 keys. Weight = n_chars (longer docs
-    proportionally likelier, the curation-sampling default).
-
-    Scale shape: map-only key computation + ONE TakeOrderedAndProject —
-    no shuffle of the corpus, the classic distributed top-k sample.
-    """
-    docs = read_table_balanced(spark, sf_dir, "documents")
-    u_int = F.pmod(hash64(F.col("doc_id"), seed=_AEXPJ_SEED), F.lit(1_000_000)) + 1
-    keyed = docs.select(
-        "doc_id",
-        "lang",
-        F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("w"),
-        F.floor(
-            F.log(u_int.cast("double") / F.lit(1_000_000.0)) * F.lit(1_000_000.0)
-            + F.lit(_AEXPJ_QBIAS)
-        ).cast("long").alias("lnu_unats"),
-    )
-    # remainder-corrected floor division (lnu_unats ≤ 0): key = ⌊lnu·10⁶ / w⌋
-    keyed = keyed.withColumn(
-        "key_unats",
-        F.expr(
-            "(lnu_unats * 1000000"
-            " - (((lnu_unats * 1000000) % w + w) % w)) DIV w"
-        ),
-    )
-    return (
-        keyed.select("doc_id", "lang", "w", "key_unats")
-        .orderBy(F.desc("key_unats"), F.asc("doc_id"))
-        .limit(_AEXPJ_K)
-    )
-
-
-_AEXPJ_SQL = f"""
-WITH keyed AS (
-    SELECT doc_id, lang,
-           greatest(n_chars, 1) AS w,
-           CAST(floor(ln((({hash64_sql('doc_id', seed=_AEXPJ_SEED)} % 1000000
-                           + 1000000) % 1000000 + 1) / 1000000.0)
-                      * 1000000.0 + {_AEXPJ_QBIAS}) AS BIGINT) AS lnu_unats
-    FROM documents
-)
-SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
-       CAST((lnu_unats * 1000000
-             - (((lnu_unats * 1000000) % w + w) % w)) // w AS BIGINT)
-           AS key_unats
-FROM keyed
-ORDER BY key_unats DESC, doc_id LIMIT {_AEXPJ_K}
 """
 
 # --------------------------------------------------------------------------
@@ -1305,6 +1233,99 @@ ORDER BY n_match
 """
 
 # --------------------------------------------------------------------------
+# LIVE streaming funnel (stream == batch hash parity)
+# --------------------------------------------------------------------------
+
+
+def q_stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user view→purchase funnel running LIVE as a custom stateful
+    operator (``streaming/stateful.funnel_state``): state is two int64
+    timestamps per user, so streaming state is bounded by the active-user
+    set — the deployed form of ``funnel_conversion``, which re-sorts the
+    lake per run. availableNow delivers events.parquet as one micro-batch,
+    so the update-mode emission is the complete funnel and hash-checks
+    against the SAME oracle as the batch spec (stream == batch, pinned
+    cross-engine AND cross-execution-mode — the stream_pit discipline).
+    The stream emits epoch-micro longs; the timestamp/seconds projection
+    below is stateless and identical to the batch expression tree."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+    from projet_data_infrastructure_spark.streaming.stateful import funnel_state
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    out = funnel_state(stream)
+    table = _run_stream(
+        out.writeStream.outputMode("update"), spark, "stream_funnel_sink"
+    )
+    return table.select(
+        "user_id",
+        F.timestamp_micros(F.col("first_view_us")).cast("timestamp_ntz").alias(
+            "first_view"
+        ),
+        F.timestamp_micros(F.col("first_purchase_us")).cast("timestamp_ntz").alias(
+            "first_purchase"
+        ),
+        F.when(
+            F.col("first_purchase_us").isNotNull(),
+            (F.col("first_purchase_us") - F.col("first_view_us")) / F.lit(1000000.0),
+        ).alias("seconds_to_convert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text normalization accounting (the preprocessing pass, audited)
+# --------------------------------------------------------------------------
+
+
+def q_normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization accounting: lowercase + whitespace collapse +
+    punctuation strip (the standard pre-tokenization cleanup), reported as
+    per-doc byte deltas plus the md5 fingerprint of the normalized text —
+    the audit a pipeline stores so a normalizer change is diffable. Pure
+    map-only projection; regexes stay in the Java-regex/RE2 shared dialect
+    (character classes + '+', nothing engine-specific)."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    lowered = F.lower(F.trim(F.col("text")))
+    collapsed = F.regexp_replace(lowered, r"\s+", " ")
+    stripped = F.regexp_replace(collapsed, "[^a-z0-9 ]", "")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        (F.length(lowered) - F.length(collapsed)).cast("long").alias("n_ws_collapsed"),
+        (F.length(collapsed) - F.length(stripped)).cast("long").alias(
+            "n_punct_removed"
+        ),
+        F.length(stripped).cast("long").alias("n_chars_norm"),
+        F.md5(stripped).alias("norm_digest"),
+    ).orderBy("doc_id")
+
+
+_NORMALIZE_SQL = r"""
+WITH n AS (
+    SELECT doc_id, text,
+           lower(trim(text)) AS lowered,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS collapsed
+    FROM documents
+), s AS (
+    SELECT doc_id, text, lowered, collapsed,
+           regexp_replace(collapsed, '[^a-z0-9 ]', '', 'g') AS stripped
+    FROM n
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(lowered) - length(collapsed) AS BIGINT) AS n_ws_collapsed,
+       CAST(length(collapsed) - length(stripped) AS BIGINT) AS n_punct_removed,
+       CAST(length(stripped) AS BIGINT) AS n_chars_norm,
+       md5(stripped) AS norm_digest
+FROM s
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1341,14 +1362,6 @@ SPECS: list[QuerySpec] = [
         ("llm", "sampling"),
         doc="Deterministic hash epoch shuffle into W shards: manifest of "
         "per-shard counts/token totals/key ranges, no global sort",
-    ),
-    QuerySpec(
-        "weighted_sample_aexpj",
-        q_weighted_sample_aexpj,
-        _AEXPJ_SQL,
-        ("llm", "sampling"),
-        doc="Efraimidis-Spirakis weighted sampling without replacement: "
-        "hash-deterministic ln(u)/w integer keys, one TakeOrderedAndProject",
     ),
     QuerySpec(
         "boilerplate_line_df",
@@ -1439,4 +1452,33 @@ SPECS: list[QuerySpec] = [
         doc="MinHash estimator calibration: signature-agreement bins vs "
         "exact Jaccard on LSH candidates only",
     ),
+    QuerySpec(
+        "stream_funnel_conversion",
+        q_stream_funnel_conversion,
+        None,  # oracle attached below (shared with the batch funnel)
+        ("streaming", "stateful"),
+        doc="view->purchase funnel LIVE via applyInPandasWithState (two-"
+        "timestamp state per user); hash parity with the batch funnel oracle",
+    ),
+    QuerySpec(
+        "normalize_text_stats",
+        q_normalize_text_stats,
+        _NORMALIZE_SQL,
+        ("llm", "text"),
+        doc="Lowercase/whitespace/punct normalization accounting with a "
+        "normalized-text md5 fingerprint; map-only, dialect-safe regexes",
+    ),
 ]
+
+
+def _attach_stream_funnel_oracle() -> None:
+    """The streaming funnel hash-checks against the SAME SQL as the batch
+    funnel (stream == batch). Imported lazily to avoid a module cycle."""
+    from projet_data_infrastructure_spark.plans.advanced import _FUNNEL_SQL
+
+    for i, s in enumerate(SPECS):
+        if s.name == "stream_funnel_conversion":
+            SPECS[i] = QuerySpec(s.name, s.fn, _FUNNEL_SQL, s.tags, s.doc)
+
+
+_attach_stream_funnel_oracle()

@@ -175,3 +175,61 @@ def pit_regimes(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = "user_id BIGINT, first_view_us BIGINT, first_purchase_us BIGINT"
+_FUNNEL_STATE_SCHEMA = "first_view_us BIGINT, first_purchase_us BIGINT"
+_NO_TS = -1  # sentinel: state tuples can't carry NULLs portably
+
+
+def funnel_state(events: DataFrame) -> DataFrame:
+    """Per-user view→purchase funnel as a LIVE stateful operator: state is
+    TWO int64 timestamps (first view, first qualifying purchase) per user —
+    bounded by the active-user set, never by history. Each batch folds its
+    events into the state; users with at least one view emit their current
+    funnel row (update mode).
+
+    Input contract: ``events`` carries (user_id, ts_us BIGINT, event_type).
+    Same delivery caveat as ``pit_regimes``: exactly correct under per-user
+    event-time-ordered delivery or a single availableNow replay (a view
+    arriving LATE, before already-seen purchases, would need those
+    purchases re-examined — the batch spec re-sorts the lake instead).
+    """
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        fv, fp = state.get if state.exists else (_NO_TS, _NO_TS)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        views = pdf.loc[pdf["event_type"] == "view", "ts_us"]
+        if len(views):
+            mv = int(views.min())
+            if fv == _NO_TS or mv < fv:
+                fv = mv
+        if fv != _NO_TS:
+            purch = pdf.loc[
+                (pdf["event_type"] == "purchase") & (pdf["ts_us"] >= fv), "ts_us"
+            ]
+            if len(purch):
+                mp = int(purch.min())
+                if fp == _NO_TS or mp < fp:
+                    fp = mp
+        state.update((fv, fp))
+        if fv == _NO_TS:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_view_us": [fv],
+                "first_purchase_us": pd.array(
+                    [fp if fp != _NO_TS else None], dtype="Int64"
+                ),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1119,17 +1119,6 @@ def test_span_corruption_has_no_window_or_sort(spark):
     assert not checks["WindowExec"]
 
 
-def test_aexpj_is_takeordered_not_global_sort(spark):
-    from projet_data_infrastructure_spark.plans.roundeight import (
-        q_weighted_sample_aexpj,
-    )
-
-    checks = explain_has(
-        q_weighted_sample_aexpj(spark, SF), "TakeOrderedAndProject", "GlobalLimit"
-    )
-    assert checks["TakeOrderedAndProject"] and not checks["GlobalLimit"]
-
-
 def test_incremental_dedup_has_no_cartesian(spark):
     from projet_data_infrastructure_spark.plans.roundeight import (
         q_incremental_index_dedup,

@@ -63,30 +63,6 @@ def test_unimax_real_corpus_invariants(spark):
     assert all(r.alloc_tokens == r.cap for r in rows if r.capped == 1)
 
 
-# ---------------------------------------------------------------- A-ES
-
-
-def test_aexpj_keys_match_python_recompute(spark):
-    import hashlib
-    import math
-
-    rows = r8.q_weighted_sample_aexpj(spark, SF).collect()
-    assert len(rows) == r8._AEXPJ_K
-    assert len({r.doc_id for r in rows}) == r8._AEXPJ_K  # without replacement
-    for r in rows[:5]:
-        h = int(
-            hashlib.md5(f"{r8._AEXPJ_SEED}:{r.doc_id}".encode()).hexdigest()[:15], 16
-        )
-        u = h % 1_000_000 + 1
-        lnu = math.floor(math.log(u / 1e6) * 1e6 + r8._AEXPJ_QBIAS)
-        x = lnu * 1_000_000
-        key = (x - ((x % r.w + r.w) % r.w)) // r.w
-        assert key == r.key_unats
-    # keys are sorted descending (the best draws)
-    keys = [r.key_unats for r in rows]
-    assert keys == sorted(keys, reverse=True)
-
-
 # ---------------------------------------------------------------- PII
 
 
@@ -388,3 +364,46 @@ def test_minhash_calibration_bins_are_sane(spark):
     assert all(0 <= r.min_jac_micro <= r.max_jac_micro <= 1_000_000 for r in rows)
     # more agreeing components => (weakly) higher exact similarity
     assert rows[-1].mean_jac_micro >= rows[0].mean_jac_micro
+
+
+# ----------------------------------------------------- streaming funnel
+
+
+def test_stream_funnel_equals_batch_funnel(spark):
+    from projet_data_infrastructure_spark.plans.advanced import q_funnel_conversion
+
+    stream = {
+        r.user_id: (r.first_view, r.first_purchase, r.seconds_to_convert)
+        for r in r8.q_stream_funnel_conversion(spark, SF).collect()
+    }
+    batch = {
+        r.user_id: (r.first_view, r.first_purchase, r.seconds_to_convert)
+        for r in q_funnel_conversion(spark, SF).collect()
+    }
+    assert stream == batch  # stream == batch, cross-execution-mode
+
+
+# ----------------------------------------------------- normalization
+
+
+def test_normalize_text_stats_recompute(spark, monkeypatch):
+    import hashlib
+    import re as _re
+
+    rows = [
+        (1, "  Hello,   WORLD!!  123 ", "en", 24),
+        (2, "no-change text", "en", 14),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    _with_docs(monkeypatch, docs)
+    out = {r.doc_id: r for r in r8.q_normalize_text_stats(spark, SF).collect()}
+    for doc_id, text, _, _ in rows:
+        lowered = text.strip().lower()
+        collapsed = _re.sub(r"\s+", " ", lowered)
+        stripped = _re.sub(r"[^a-z0-9 ]", "", collapsed)
+        r = out[doc_id]
+        assert r.n_chars_raw == len(text)
+        assert r.n_ws_collapsed == len(lowered) - len(collapsed)
+        assert r.n_punct_removed == len(collapsed) - len(stripped)
+        assert r.n_chars_norm == len(stripped)
+        assert r.norm_digest == hashlib.md5(stripped.encode()).hexdigest()
