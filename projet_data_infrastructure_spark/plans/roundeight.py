@@ -1326,6 +1326,84 @@ ORDER BY doc_id
 """
 
 # --------------------------------------------------------------------------
+# Keyless range join via time-bucket equi-join (the BNLJ killer)
+# --------------------------------------------------------------------------
+
+_RANGE_BUCKET_US = 3_600_000_000  # 1 hour in µs
+
+
+def q_range_join_keyless_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join — per purchase, the count of signups by ANY
+    user in the preceding hour (market-level context features; no shared
+    key exists). Written naively (`ON s.ts BETWEEN p.ts - 1h AND p.ts`)
+    Spark has no equi key and plans a BroadcastNestedLoopJoin — quadratic
+    at corpus scale. The house form manufactures the key: both sides
+    bucket to the 1-hour grid, each purchase probes exactly TWO buckets
+    (its own and the previous — the window spans at most two grid cells),
+    and the exact interval predicate filters the equi-join's candidates.
+    Work is Σ_b |purch_b|·(|sign_b| + |sign_b-1|) — linear for any
+    non-adversarial time distribution, and the plan is gated to contain
+    NO nested-loop join. ``range_join_pairs`` covers the keyed variant;
+    this is the keyless one Spark genuinely lacks."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", us.alias("p_us")
+    )
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(us.alias("s_us"))
+        .withColumn("bucket", F.expr(f"s_us DIV {_RANGE_BUCKET_US}"))
+    )
+    probes = purch.select(
+        "event_id",
+        "p_us",
+        F.explode(
+            F.array(
+                F.expr(f"p_us DIV {_RANGE_BUCKET_US}"),
+                F.expr(f"p_us DIV {_RANGE_BUCKET_US} - 1"),
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        probes.join(sign, "bucket")
+        .filter(
+            (F.col("s_us") > F.col("p_us") - _RANGE_BUCKET_US)
+            & (F.col("s_us") <= F.col("p_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        purch.join(hits, "event_id", "left_outer")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias(
+                "n_signups_prev_hour"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RANGE_KEYLESS_SQL = """
+WITH purch AS (
+    SELECT event_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'
+), sign AS (
+    SELECT epoch_us(ts) AS s_us FROM events WHERE event_type = 'signup'
+), hits AS (
+    SELECT p.event_id, count(*) AS n
+    FROM purch p JOIN sign s
+      ON s.s_us > p.p_us - 3600000000 AND s.s_us <= p.p_us
+    GROUP BY p.event_id
+)
+SELECT p.event_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_signups_prev_hour
+FROM purch p LEFT JOIN hits h USING (event_id)
+ORDER BY p.event_id
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1467,6 +1545,14 @@ SPECS: list[QuerySpec] = [
         ("llm", "text"),
         doc="Lowercase/whitespace/punct normalization accounting with a "
         "normalized-text md5 fingerprint; map-only, dialect-safe regexes",
+    ),
+    QuerySpec(
+        "range_join_keyless_bucketed",
+        q_range_join_keyless_bucketed,
+        _RANGE_KEYLESS_SQL,
+        ("join", "timeseries"),
+        doc="Keyless interval join via 1h-bucket equi-join (2-bucket probe); "
+        "plan-gated to contain no nested-loop join",
     ),
 ]
 

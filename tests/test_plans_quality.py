@@ -1157,3 +1157,16 @@ def test_pii_scan_prunes_to_three_columns(spark):
     sch = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "text" in sch and "doc_id" in sch and "lang" in sch
     assert "source" not in sch and "n_chars" not in sch
+
+
+def test_keyless_range_join_has_no_nested_loop(spark):
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        q_range_join_keyless_bucketed,
+    )
+
+    checks = explain_has(
+        q_range_join_keyless_bucketed(spark, SF),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )
+    assert not checks["CartesianProduct"] and not checks["BroadcastNestedLoopJoin"]

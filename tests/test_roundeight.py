@@ -407,3 +407,32 @@ def test_normalize_text_stats_recompute(spark, monkeypatch):
         assert r.n_punct_removed == len(collapsed) - len(stripped)
         assert r.n_chars_norm == len(stripped)
         assert r.norm_digest == hashlib.md5(stripped.encode()).hexdigest()
+
+
+# ----------------------------------------------------- keyless range join
+
+
+def test_keyless_range_join_counts_exact_window(spark, monkeypatch):
+    from datetime import datetime
+
+    H = 3_600  # seconds
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return datetime.fromtimestamp(base.timestamp() + sec)
+
+    rows = [
+        (1, at(0), 10, "purchase", 1.0, "{}"),
+        (2, at(-H), 11, "signup", None, "{}"),        # exactly 1h before: EXCLUDED (>)
+        (3, at(-H + 1), 12, "signup", None, "{}"),    # inside window
+        (4, at(0), 13, "signup", None, "{}"),         # same instant: INCLUDED (<=)
+        (5, at(1), 14, "signup", None, "{}"),         # after: excluded
+        (6, at(-2 * H), 15, "signup", None, "{}"),    # far before: excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(r8, "read_table", lambda sp, sf, n: ev)
+    out = {r.event_id: r.n_signups_prev_hour for r in
+           r8.q_range_join_keyless_bucketed(spark, SF).collect()}
+    assert out == {1: 2}
