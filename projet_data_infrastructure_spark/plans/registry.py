@@ -115,6 +115,28 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "winnowing_fingerprint",
     "wordpiece_merge_scores",
     "zipf_fit_slope",
+    # (c) round-8 additions — never driver-checked; behind (a)+(b) so the
+    # round-8 window clears the fixed reds + oldest backlog first, and the
+    # round-9 window picks these up next
+    "unimax_sampling_plan",
+    "temperature_sampling_weights",
+    "pii_redaction_scan",
+    "epoch_shuffle_manifest",
+    "boilerplate_line_df",
+    "semantic_contamination",
+    "tokenizer_fertility_by_lang",
+    "span_corruption_masks",
+    "dedup_keepbest_canonical",
+    "curriculum_length_phases",
+    "oov_rate_by_lang",
+    "incremental_index_dedup",
+    "tokenset_dedup_groups",
+    "char_entropy_quality",
+    "minhash_calibration_bins",
+    "stream_funnel_conversion",
+    "normalize_text_stats",
+    "range_join_keyless_bucketed",
+    "logrank_test",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they
