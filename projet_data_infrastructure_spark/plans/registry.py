@@ -137,6 +137,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "normalize_text_stats",
     "range_join_keyless_bucketed",
     "logrank_test",
+    "funnel_three_step",
+    "quantile_normalize_scores",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

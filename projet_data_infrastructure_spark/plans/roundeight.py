@@ -1534,6 +1534,130 @@ FROM sums
 """
 
 # --------------------------------------------------------------------------
+# Strict-order three-step funnel (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+
+def q_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel: first view, first click AFTER that view,
+    first purchase AFTER that click — the 3-step product-analytics report
+    (``funnel_conversion`` is the 2-step form). Each step's anchor is a
+    conditional min over the SAME per-user aggregate pass re-joined
+    twice on user_id, so the corpus shuffles once (per-user aggregate);
+    the step chaining is two self-joins of the |users|-row frame. Output:
+    one row per funnel stage with the user count that reached it —
+    monotone by construction (fixture-pinned)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    with_click = (
+        per_user.filter(F.col("v").isNotNull())
+        .join(
+            clicks,
+            (F.col("user_id") == F.col("cu")) & (F.col("cts") >= F.col("v")),
+            "left",
+        )
+        .groupBy("user_id", "v")
+        .agg(F.min("cts").alias("c"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    with_purchase = (
+        with_click.join(
+            purch,
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") >= F.col("c")),
+            "left",
+        )
+        .groupBy("user_id", "v", "c")
+        .agg(F.min("pts").alias("p"))
+    )
+    return with_purchase.groupBy().agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.sum(F.col("c").isNotNull().cast("long")).alias("n_clicked_after_view"),
+        F.sum(F.col("p").isNotNull().cast("long")).alias(
+            "n_purchased_after_click"
+        ),
+    )
+
+
+_FUNNEL3_SQL = """
+WITH per_user AS (
+    SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v
+    FROM events GROUP BY user_id
+), with_click AS (
+    SELECT u.user_id, u.v, min(c.ts) AS c
+    FROM per_user u
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = u.user_id AND c.ts >= u.v
+    WHERE u.v IS NOT NULL
+    GROUP BY u.user_id, u.v
+), with_purchase AS (
+    SELECT w.user_id, w.v, w.c, min(p.ts) AS p
+    FROM with_click w
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = w.user_id AND p.ts >= w.c
+    GROUP BY w.user_id, w.v, w.c
+)
+SELECT count(*) AS n_viewed,
+       CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clicked_after_view,
+       CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchased_after_click
+FROM with_purchase
+"""
+
+# --------------------------------------------------------------------------
+# Rank-based quantile normalization per language (ML feature prep)
+# --------------------------------------------------------------------------
+
+
+def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of document length WITHIN each
+    language: qn = (rank − 0.5)/n ∈ (0,1) — the cross-population score
+    alignment trick (a 0.9 means "90th percentile of ITS OWN language",
+    so a verbose language can't dominate a mixed quality cut). Ranks come
+    from the scale-safe :func:`grouped_rank` operator (range-bucketed
+    parallel sorts + broadcast prefix offsets — no per-language window
+    task). Output micro-quantiles are exact integers:
+    qn_micro = (2·rank − 1)·10⁶ DIV (2·n). Top-40 by (lang, rank) keeps
+    the row count bounded for the gate."""
+    from projet_data_infrastructure_spark.operators.ranks import grouped_rank
+
+    docs = read_table_balanced(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("len")
+    )
+    ranked = grouped_rank(docs, "lang", "len", ties=("doc_id",))
+    return (
+        ranked.withColumn(
+            "qn_micro",
+            F.expr("((2 * rank - 1) * 1000000) DIV (2 * group_total)"),
+        )
+        .filter(F.col("rank") <= 8)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "doc_id", "len", "qn_micro")
+        .orderBy("lang", "rank")
+    )
+
+
+_QNORM_SQL = """
+WITH ranked AS (
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS len,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rank,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, len,
+       CAST(((2 * rank - 1) * 1000000) // (2 * n) AS BIGINT) AS qn_micro
+FROM ranked WHERE rank <= 8
+ORDER BY lang, rank
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1691,6 +1815,22 @@ SPECS: list[QuerySpec] = [
         ("stats", "survival"),
         doc="Two-arm Mantel log-rank test over the KM survival framing: "
         "integer risk sets, order-pinned folds, shared-tree Z",
+    ),
+    QuerySpec(
+        "funnel_three_step",
+        q_funnel_three_step,
+        _FUNNEL3_SQL,
+        ("timeseries", "funnel"),
+        doc="Strict view->click->purchase funnel: one per-user aggregate + "
+        "two |users|-frame step joins; monotone stage counts",
+    ),
+    QuerySpec(
+        "quantile_normalize_scores",
+        q_quantile_normalize_scores,
+        _QNORM_SQL,
+        ("llm", "ml"),
+        doc="Per-language rank quantile normalization via scale-safe "
+        "grouped_rank; exact integer micro-quantiles",
     ),
 ]
 

@@ -493,3 +493,58 @@ def test_logrank_matches_lifelines_style_reference(spark, monkeypatch):
     assert abs(got.obs_minus_exp_r - num) < 1e-4
     assert abs(got.var_r - var) < 1e-4
     assert abs(got.z_r - num / math.sqrt(var)) < 1e-4
+
+
+# ----------------------------------------------------- three-step funnel
+
+
+def test_funnel_three_step_strict_order(spark, monkeypatch):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+
+    def at(m):
+        return base + timedelta(minutes=m)
+
+    rows = [
+        # user 1: full strict path
+        (1, at(0), 1, "view", None, "{}"),
+        (2, at(5), 1, "click", None, "{}"),
+        (3, at(9), 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE first view -> not clicked_after_view
+        (4, at(1), 2, "click", None, "{}"),
+        (5, at(2), 2, "view", None, "{}"),
+        # user 3: purchase before click -> viewed + clicked, not purchased
+        (6, at(0), 3, "view", None, "{}"),
+        (7, at(1), 3, "purchase", 1.0, "{}"),
+        (8, at(2), 3, "click", None, "{}"),
+        # user 4: never views -> excluded entirely
+        (9, at(0), 4, "click", None, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(r8, "read_table", lambda sp, sf, n: ev)
+    got = r8.q_funnel_three_step(spark, SF).collect()[0]
+    assert got.n_viewed == 3
+    assert got.n_clicked_after_view == 2  # users 1 and 3
+    assert got.n_purchased_after_click == 1  # user 1 only
+    assert got.n_viewed >= got.n_clicked_after_view >= got.n_purchased_after_click
+
+
+# ----------------------------------------------------- quantile normalize
+
+
+def test_quantile_normalize_bounds_and_ranks(spark):
+    rows = r8.q_quantile_normalize_scores(spark, SF).collect()
+    assert all(0 < r.qn_micro < 1_000_000 for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        lens = [r.len for r in rs]
+        assert lens == sorted(lens)  # rank follows length
+        qns = [r.qn_micro for r in rs]
+        assert qns == sorted(qns)
