@@ -28,117 +28,67 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-8 driver window. Ordering: (a) the 17 round-6/7 specs whose ONLY
-# round-7 defect was a HUGEINT-typed DuckDB oracle output (all now CAST to
-# BIGINT and re-gated locally under the hardened strict/Arrow replica) —
-# fronted so the driver records them green; (b) the 58 specs that have never
-# appeared in any CORRECTNESS_r{N} window (= LOCAL_ORACLE minus all
-# CORRECTNESS_r1..r7 names). The ~50-name window covers (a) plus the first
-# ~33 of (b); the remainder of (b) leads the round-9 rotation. Rows-only
-# specs stay pinned behind every oracled spec. Names absent from the
-# registry are ignored.
+# Round-9 driver window. Ordering: (a) the 46 specs that have never
+# appeared in any CORRECTNESS_r{N} window (recomputed from the union of
+# CORRECTNESS_r01..r08 vs LOCAL_ORACLE — 25 pre-r8 backlog + the 21
+# round-8 additions); (b) the three specs whose only driver record is a
+# round-3 ``no_oracle`` rows-only row and which have since gained oracles
+# (verdict r8 "What's wrong" #2) — fronting all 49 closes the ledger at
+# 356/356 driver-hash-checked in one ~50-slot window. Round-9 additions
+# queue behind them for the round-10 rotation. Rows-only specs stay pinned
+# behind every oracled spec. Names absent from the registry are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-7 HUGEINT-oracle reds, fixed this round
-    "pit_regime_attribution",
-    "stream_pit_attribution",
-    "trigram_backoff_score",
-    "precision_recall_sweep",
-    "token_ngram_novelty",
-    "content_defined_chunking",
-    "bootstrap_mean_ci",
-    "target_encode_loo",
-    "cuped_adjusted_lift",
-    "winsorized_trimmed_mean",
-    "shapley_channel_attribution",
-    "qte_by_decile",
-    "mann_kendall_theilsen",
-    "diff_in_differences",
-    "caliper_matched_att",
-    "nb_crossval_accuracy",
-    "cusum_drift_flags",
-    # (b) never-driver-checked (oldest registration first, alphabetical)
-    "ab_test_z_score",
-    "adamic_adar_links",
-    "argmax_per_group",
-    "attribution_linear",
-    "benford_digit_profile",
-    "bitwise_funcs",
-    "bloom_membership_audit",
-    "bpe_merge_candidates",
-    "bpe_train_rounds",
-    "brand_cf_cosine",
-    "c4_line_dedup",
-    "calibration_bins",
-    "ccnet_perplexity_buckets",
-    "chi2_nation_priority",
-    "compaction_bin_packing",
-    "countmin_heavy_hitters",
-    "curation_funnel_report",
-    "decision_stump_quantity",
-    "dow_seasonality_lift",
-    "dp_noisy_counts",
-    "dsir_importance_weights",
-    "dup_line_fraction",
-    "entity_resolution_clusters",
-    "forecast_mase_seasonal",
-    "frequent_triples_apriori",
-    "geo_point_in_polygon",
-    "gini_revenue_concentration",
-    "higher_order_funcs",
-    "hits_authorities",
-    "ivf_topk_batch",
-    "jl_projection_distortion",
-    "kaplan_meier_retention",
-    "kcore_decomposition",
+    # (a) never driver-checked (alphabetical)
+    "boilerplate_line_df",
+    "char_entropy_quality",
+    "curriculum_length_phases",
+    "dedup_keepbest_canonical",
+    "epoch_shuffle_manifest",
+    "funnel_three_step",
+    "incremental_index_dedup",
     "l_diversity_audit",
     "listagg_param_sql",
+    "logrank_test",
     "markov_2step_matrix",
+    "minhash_calibration_bins",
     "mmr_diverse_rerank",
     "multimodal_phash_neardup",
     "naive_bayes_lang",
     "ngram_containment_pairs",
+    "normalize_text_stats",
     "null_safe_join",
+    "oov_rate_by_lang",
     "pca_power_iteration",
+    "pii_redaction_scan",
     "pipe_syntax_rollup",
     "pmi_collocations",
+    "quantile_normalize_scores",
+    "range_join_keyless_bucketed",
     "rendezvous_shards",
     "retrieval_eval_metrics",
     "roc_auc_by_dow",
+    "semantic_contamination",
     "skew_profile",
+    "span_corruption_masks",
     "spend_percentile_rank",
     "stream_countmin_merge",
+    "stream_funnel_conversion",
     "stream_hll_cardinality",
+    "temperature_sampling_weights",
+    "tokenizer_fertility_by_lang",
+    "tokenset_dedup_groups",
     "try_functions",
     "twa_event_value",
+    "unimax_sampling_plan",
     "weekly_revenue_movers",
     "window_funcs3",
     "winnowing_fingerprint",
     "wordpiece_merge_scores",
     "zipf_fit_slope",
-    # (c) round-8 additions — never driver-checked; behind (a)+(b) so the
-    # round-8 window clears the fixed reds + oldest backlog first, and the
-    # round-9 window picks these up next
-    "unimax_sampling_plan",
-    "temperature_sampling_weights",
-    "pii_redaction_scan",
-    "epoch_shuffle_manifest",
-    "boilerplate_line_df",
-    "semantic_contamination",
-    "tokenizer_fertility_by_lang",
-    "span_corruption_masks",
-    "dedup_keepbest_canonical",
-    "curriculum_length_phases",
-    "oov_rate_by_lang",
-    "incremental_index_dedup",
-    "tokenset_dedup_groups",
-    "char_entropy_quality",
-    "minhash_calibration_bins",
-    "stream_funnel_conversion",
-    "normalize_text_stats",
-    "range_join_keyless_bucketed",
-    "logrank_test",
-    "funnel_three_step",
-    "quantile_normalize_scores",
+    # (b) re-oracled since their only (r3, no_oracle) driver record
+    "ivf_trained_assign",
+    "pq_trained_encode",
+    "sampled_profile",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

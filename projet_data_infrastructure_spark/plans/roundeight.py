@@ -975,10 +975,16 @@ def _incremental_sql() -> str:
     from projet_data_infrastructure_spark.plans.llm_queries import _minhash_sig_sql
 
     n_bands = dedup.MINHASH_HASHES // dedup.MINHASH_BAND_ROWS
+    # Band key concatenation is generated from MINHASH_BAND_ROWS exactly like
+    # the Spark side, so changing the dedup constants cannot silently desync
+    # the oracle (ADVICE r8).
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"CAST(m{b * dedup.MINHASH_BAND_ROWS} AS VARCHAR) || '_' || "
-        f"CAST(m{b * dedup.MINHASH_BAND_ROWS + 1} AS VARCHAR) AS key FROM sig"
+        + " || '_' || ".join(
+            f"CAST(m{b * dedup.MINHASH_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(dedup.MINHASH_BAND_ROWS)
+        )
+        + " AS key FROM sig"
         for b in range(n_bands)
     )
     return f"""
@@ -1344,7 +1350,13 @@ def q_range_join_keyless_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     Work is Σ_b |purch_b|·(|sign_b| + |sign_b-1|) — linear for any
     non-adversarial time distribution, and the plan is gated to contain
     NO nested-loop join. ``range_join_pairs`` covers the keyed variant;
-    this is the keyless one Spark genuinely lacks."""
+    this is the keyless one Spark genuinely lacks.
+
+    Assumes non-negative epoch timestamps (all testdata is post-1970):
+    Spark's ``DIV`` truncates toward zero while the oracle's ``//`` floors,
+    so the two-bucket probe invariant and cross-engine bucket parity both
+    require ``epoch_us >= 0``. For pre-1970 data, switch both sides to an
+    explicit floor-division expression (ADVICE r8)."""
     ev = read_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     purch = ev.filter(F.col("event_type") == "purchase").select(
@@ -1624,8 +1636,10 @@ def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the scale-safe :func:`grouped_rank` operator (range-bucketed
     parallel sorts + broadcast prefix offsets — no per-language window
     task). Output micro-quantiles are exact integers:
-    qn_micro = (2·rank − 1)·10⁶ DIV (2·n). Top-40 by (lang, rank) keeps
-    the row count bounded for the gate."""
+    qn_micro = (2·rank − 1)·10⁶ DIV (2·n). The output keeps the top-8
+    rows per language (rank <= 8), so the row count is bounded by
+    8·|langs| regardless of corpus size (40 rows here only because the
+    testdata has 5 languages)."""
     from projet_data_infrastructure_spark.operators.ranks import grouped_rank
 
     docs = read_table_balanced(spark, sf_dir, "documents").select(

@@ -1170,3 +1170,39 @@ def test_keyless_range_join_has_no_nested_loop(spark):
         "BroadcastNestedLoopJoin",
     )
     assert not checks["CartesianProduct"] and not checks["BroadcastNestedLoopJoin"]
+
+
+# ------------------------------------------------- round-9 plan gates
+
+
+def test_logrank_window_only_over_day_grid(spark):
+    # logrank's one unpartitioned cumulative window (risk-set n1/nt) runs
+    # over the DAY GRID — the frame AFTER the dur_days aggregate, bounded
+    # by distinct survival durations (calendar days, <= ~366 at any corpus
+    # size) — never over per-user or per-event rows. The gate pins the
+    # Window's child to the dur_days-keyed aggregate: in the top-down plan
+    # print the Window must appear ABOVE (before) that HashAggregate, and
+    # the only corpus-sized exchange is the per-user aggregate's.
+    from projet_data_infrastructure_spark.plans.roundeight import q_logrank_test
+
+    plan = q_logrank_test(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    day_agg = plan.find("HashAggregate(keys=[dur_days", win_pos)
+    assert day_agg != -1, plan  # window's subtree aggregates on dur_days
+    # nothing user/event-keyed sits between the window and its day grid
+    between = plan[win_pos:day_agg]
+    assert "user_id" not in between, plan
+
+
+def test_funnel_three_step_is_window_free(spark):
+    # the 3-step funnel chains conditional-min aggregates + two
+    # user_id-keyed self-joins — no Window at all, so there is nothing to
+    # single-partition (the 2-step `funnel_conversion` discipline).
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        q_funnel_three_step,
+    )
+
+    df = q_funnel_three_step(spark, SF)
+    checks = explain_has(df, "WindowExec", "CartesianProduct")
+    assert not checks["WindowExec"] and not checks["CartesianProduct"]

@@ -103,18 +103,23 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            ores = con.sql(spec.oracle)
+            # Execute the (potentially expensive) oracle query ONCE into a
+            # temp table, then read BOTH comparison surfaces from it: the
+            # native fetchall() path and the Arrow export path. DuckDB exports
+            # HUGEINT to Arrow as double (and DECIMAL as decimal128), so the
+            # Arrow surface catches type-level divergence fetchall() hides —
+            # and a temp-table scan preserves those result types exactly while
+            # avoiding a second full execution (ADVICE r8).
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle_out AS {spec.oracle}")
+            ores = con.sql("SELECT * FROM _oracle_out")
             ocols = [c.lower() for c in ores.columns]
             orows = ores.fetchall()
-            # Second fetch through Arrow — the driver's evident path. DuckDB
-            # exports HUGEINT to Arrow as double (and DECIMAL as decimal128),
-            # so this surface catches type-level divergence fetchall() hides.
             arrow_rows = [
                 tuple(r)
                 for r in zip(
                     *(
                         col.to_pylist()
-                        for col in con.sql(spec.oracle).arrow().columns
+                        for col in con.sql("SELECT * FROM _oracle_out").arrow().columns
                     )
                 )
             ]
