@@ -77,6 +77,44 @@ def asof_join(
     return out
 
 
+def carry_forward(
+    df: DataFrame,
+    key: str | list[str],
+    order: tuple,
+    carry: dict,
+    backward: bool = False,
+) -> DataFrame:
+    """Per-key ignore-nulls running carry — the point-in-time (PIT) core
+    shared by regime attribution, forward-fill resampling, and as-of
+    annotation: for each ``out_name -> source`` in ``carry``, attach the
+    most recent non-null source value at-or-before the current row within
+    its key group (``backward=True`` flips to the next non-null value
+    at-or-after, for interpolation's forward neighbor).
+
+    ``source`` may be a column name or an arbitrary Column expression
+    (e.g. ``F.when(cond, col)`` to restrict which rows publish a value —
+    the union+tag formulation of :func:`asof_join` is exactly that).
+
+    Cost: ONE shuffle on the key + a partition-local sort per window
+    direction — linear in |df|, no range join, the formulation that
+    survives 100 TB. Ties are broken by the caller-supplied ``order``
+    tuple, so determinism is explicit at every call site.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    w = (
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        if backward
+        else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pick = F.first if backward else F.last
+    out = df
+    for name, src in carry.items():
+        col = F.col(src) if isinstance(src, str) else src
+        out = out.withColumn(name, pick(col, ignorenulls=True).over(w))
+    return out
+
+
 def ewma_by_key(
     df: DataFrame,
     key: str,

@@ -799,17 +799,14 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
     )
-    fill = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        grid.join(hourly, ["user_id", "hr"], "left")
-        .select(
-            "user_id",
-            F.col("hr").alias("hour_ts"),
-            F.last("cents", ignorenulls=True).over(fill).alias("filled_cents"),
-        )
-    )
+    from projet_data_infrastructure_spark.operators.asof import carry_forward
+
+    return carry_forward(
+        grid.join(hourly, ["user_id", "hr"], "left"),
+        key="user_id",
+        order=("hr",),
+        carry={"filled_cents": "cents"},
+    ).select("user_id", F.col("hr").alias("hour_ts"), "filled_cents")
 
 
 def q_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,24 +837,31 @@ def q_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
     )
+    from projet_data_infrastructure_spark.operators.asof import carry_forward
+
     joined = grid.join(hourly, ["user_id", "hr"], "left")
-    back = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    fwd = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
     obs_hr = F.when(F.col("cents").isNotNull(), F.col("hr"))
-    pv = F.last("cents", ignorenulls=True).over(back)
-    pd_ = F.last(obs_hr, ignorenulls=True).over(back)
-    nv = F.first("cents", ignorenulls=True).over(fwd)
-    nd = F.first(obs_hr, ignorenulls=True).over(fwd)
+    # Backward carry (previous observation) + forward carry (next) via the
+    # registered PIT core — one window sort per direction, same key shuffle.
+    annotated = carry_forward(
+        carry_forward(
+            joined,
+            key="user_id",
+            order=("hr",),
+            carry={"pv": "cents", "pd": obs_hr},
+        ),
+        key="user_id",
+        order=("hr",),
+        carry={"nv": "cents", "nd": obs_hr},
+        backward=True,
+    )
+    pv, pd_, nv, nd = (F.col(c) for c in ("pv", "pd", "nv", "nd"))
     hours = lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(3600000000)  # noqa: E731
     frac = (hours(F.col("hr")) - hours(pd_)) / (hours(nd) - hours(pd_))
     interp = F.when(
         F.col("cents").isNotNull(), F.col("cents").cast("double")
     ).otherwise(pv.cast("double") + (nv - pv).cast("double") * frac)
-    return joined.select(
+    return annotated.select(
         "user_id",
         F.col("hr").alias("hour_ts"),
         pround(interp, 4).alias("interp_cents"),

@@ -81,6 +81,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+from projet_data_infrastructure_spark.operators.asof import carry_forward
 from projet_data_infrastructure_spark.operators.text import tokens
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
@@ -116,15 +117,14 @@ def q_pit_regime_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
     )
     # Union + one per-user sort: the regime carries forward without a range
-    # join. Equal-ts tie: the state row (kind 0) wins — a change effective AT
-    # the purchase instant applies to it.
-    wpit = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = states.unionByName(facts).withColumn(
-        "regime", F.last("attr", ignorenulls=True).over(wpit)
+    # join (the registered PIT core, operators/asof.carry_forward). Equal-ts
+    # tie: the state row (kind 0) wins — a change effective AT the purchase
+    # instant applies to it.
+    merged = carry_forward(
+        states.unionByName(facts),
+        key="user_id",
+        order=("ts", "kind", "event_id"),
+        carry={"regime": "attr"},
     )
     return (
         merged.filter(F.col("kind") == 1)

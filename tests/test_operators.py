@@ -828,3 +828,57 @@ def test_multimodal_phash_neardup_complete_vs_bruteforce(spark):
                 want[(a, b)] = nd
     assert got == want
     assert len(want) > 0
+
+
+def test_carry_forward_fixture(spark):
+    from projet_data_infrastructure_spark.operators.asof import carry_forward
+
+    df = spark.createDataFrame(
+        [
+            # key, seq, val
+            (1, 1, None),
+            (1, 2, "a"),
+            (1, 3, None),
+            (1, 4, "b"),
+            (1, 5, None),
+            (2, 1, None),
+        ],
+        "k INT, seq INT, val STRING",
+    )
+    fwd = {
+        (r["k"], r["seq"]): r["c"]
+        for r in carry_forward(df, "k", ("seq",), {"c": "val"}).collect()
+    }
+    assert fwd[(1, 1)] is None
+    assert fwd[(1, 2)] == "a"
+    assert fwd[(1, 3)] == "a"
+    assert fwd[(1, 4)] == "b"
+    assert fwd[(1, 5)] == "b"
+    assert fwd[(2, 1)] is None  # carry never crosses keys
+    back = {
+        (r["k"], r["seq"]): r["c"]
+        for r in carry_forward(
+            df, "k", ("seq",), {"c": "val"}, backward=True
+        ).collect()
+    }
+    assert back[(1, 1)] == "a"
+    assert back[(1, 3)] == "b"
+    assert back[(1, 5)] is None
+
+
+def test_carry_forward_expression_source(spark):
+    from projet_data_infrastructure_spark.operators.asof import carry_forward
+
+    df = spark.createDataFrame(
+        [(1, 1, "state", 10), (1, 2, "fact", 0), (1, 3, "fact", 0)],
+        "k INT, seq INT, kind STRING, v INT",
+    )
+    # Only 'state' rows publish a value — the asof_join union+tag shape.
+    out = carry_forward(
+        df,
+        "k",
+        ("seq",),
+        {"sv": F.when(F.col("kind") == "state", F.col("v"))},
+    )
+    got = {r["seq"]: r["sv"] for r in out.collect()}
+    assert got == {1: 10, 2: 10, 3: 10}
