@@ -6,7 +6,7 @@ check for these; their semantics are pinned by tests instead
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
@@ -289,34 +289,119 @@ ORDER BY asset_a, asset_b
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct counts (algorithm differs per engine → no oracle).
-
-    At 100 TB this replaces exact countDistinct wherever a ~2% error is
-    acceptable: no per-key state explosion, one pass, mergeable sketches.
-    """
+    """HLL-sketch distinct count, tolerance-banded (round-9 oracle
+    conversion): the sketch REGISTERS are engine-private (Spark HLL++ vs
+    DuckDB HLL), so the spec outputs the exact distinct count plus a
+    BOOLEAN attesting each engine's OWN estimate lands within ±5% of it —
+    a deterministic, hash-checkable contract over a nondeterministic-
+    looking primitive (integer band math, no float compare). At 100 TB the
+    sketch replaces exact countDistinct wherever ~2% error is acceptable:
+    no per-key state explosion, one pass, mergeable partial sketches."""
     orders = read_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    agg = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("est"),
+        F.countDistinct("o_custkey").alias("exact"),
     )
+    return agg.select(
+        F.col("exact").cast("long").alias("exact_customers"),
+        (F.abs(F.col("est") - F.col("exact")) * 100 <= F.col("exact") * 5).alias(
+            "est_within_5pct"
+        ),
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT CAST(exact AS BIGINT) AS exact_customers,
+       abs(est - exact) * 100 <= exact * 5 AS est_within_5pct
+FROM (SELECT approx_count_distinct(o_custkey) AS est,
+             count(DISTINCT o_custkey) AS exact
+      FROM orders)
+"""
 
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles (Greenwald-Khanna): the 100 TB replacement for
-    exact percentile_approx=0 wherever bounded error is acceptable — one
-    pass, mergeable per-partition sketches, no global sort. Sketch internals
-    are engine-specific → rows-only check; accuracy vs the exact quantiles
-    is pinned by `test_approx_quantiles_within_tolerance`."""
-    li = read_table(spark, sf_dir, "lineitem")
+    """Sketch quantiles, tolerance-banded (round-9 oracle conversion):
+    Spark's Greenwald-Khanna `percentile_approx` vs DuckDB's t-digest
+    `approx_quantile` are different sketches, so the spec outputs the
+    EXACT nearest-rank quantiles (whole-dollar grid) plus per-quantile
+    BOOLEANs attesting each engine's own sketch lands within ±2% of them.
+    The exact reference is the smallest dollar value with cumulative count
+    ≥ q·n — computed over the value-count frame, whose size is bounded by
+    the PRICE DOMAIN (~105k whole-dollar values for TPC-H, regardless of
+    corpus size: the equidepth_histogram value-bounded-window discipline),
+    so the unpartitioned cumulative window never sees corpus-sized input.
+    At 100 TB the one-pass mergeable sketch replaces the exact global-sort
+    quantile; this spec IS the accuracy audit you'd run beside it."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.floor("l_extendedprice").cast("long").alias("usd")
+    )
+    counts = li.groupBy("usd").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("usd").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    enriched = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wtot)
+    )
+    exact = enriched.groupBy().agg(
+        *[
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("usd"))).alias(
+                f"exact_p{q}"
+            )
+            for q in (25, 50, 75, 95)
+        ]
+    )
     qs = F.percentile_approx(
-        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 1000
+        "usd", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 1000
     )
-    return li.agg(
-        qs.getItem(0).alias("p25"),
-        qs.getItem(1).alias("p50"),
-        qs.getItem(2).alias("p75"),
-        qs.getItem(3).alias("p95"),
+    est = li.agg(
+        *[qs.getItem(i).alias(f"est_p{q}") for i, q in enumerate((25, 50, 75, 95))]
     )
+    joined = exact.crossJoin(F.broadcast(est))  # two 1-row frames
+    return joined.select(
+        *[F.col(f"exact_p{q}").alias(f"p{q}_exact_usd") for q in (25, 50, 75, 95)],
+        *[
+            (
+                F.abs(F.col(f"est_p{q}") - F.col(f"exact_p{q}")) * 100
+                <= F.col(f"exact_p{q}") * 2
+            ).alias(f"p{q}_within_2pct")
+            for q in (25, 50, 75, 95)
+        ],
+    )
+
+
+_APPROX_QUANTILES_SQL = """
+WITH vals AS (
+    SELECT CAST(floor(l_extendedprice) AS BIGINT) AS usd FROM lineitem
+), counts AS (
+    SELECT usd, count(*) AS c FROM vals GROUP BY usd
+), enriched AS (
+    SELECT usd, c,
+           sum(c) OVER (ORDER BY usd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER () AS n
+    FROM counts
+), exact AS (
+    SELECT
+        min(CASE WHEN cum * 100 >= n * 25 THEN usd END) AS exact_p25,
+        min(CASE WHEN cum * 100 >= n * 50 THEN usd END) AS exact_p50,
+        min(CASE WHEN cum * 100 >= n * 75 THEN usd END) AS exact_p75,
+        min(CASE WHEN cum * 100 >= n * 95 THEN usd END) AS exact_p95
+    FROM enriched
+), est AS (
+    SELECT
+        CAST(approx_quantile(usd, 0.25) AS BIGINT) AS est_p25,
+        CAST(approx_quantile(usd, 0.50) AS BIGINT) AS est_p50,
+        CAST(approx_quantile(usd, 0.75) AS BIGINT) AS est_p75,
+        CAST(approx_quantile(usd, 0.95) AS BIGINT) AS est_p95
+    FROM vals
+)
+SELECT exact_p25 AS p25_exact_usd, exact_p50 AS p50_exact_usd,
+       exact_p75 AS p75_exact_usd, exact_p95 AS p95_exact_usd,
+       abs(est_p25 - exact_p25) * 100 <= exact_p25 * 2 AS p25_within_2pct,
+       abs(est_p50 - exact_p50) * 100 <= exact_p50 * 2 AS p50_within_2pct,
+       abs(est_p75 - exact_p75) * 100 <= exact_p75 * 2 AS p75_within_2pct,
+       abs(est_p95 - exact_p95) * 100 <= exact_p95 * 2 AS p95_within_2pct
+FROM exact, est
+"""
 
 
 def q_sampled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,8 +1188,8 @@ SPECS: list[QuerySpec] = [
         doc="Stride-sampled assets per media type through the Arrow decode stub; "
         "window-rank + stride filter is the frame-sampler plan shape",
     ),
-    QuerySpec("approx_count_distinct", q_approx_distinct, None, ("agg", "rows-only")),
-    QuerySpec("approx_quantiles", q_approx_quantiles, None, ("agg", "rows-only")),
+    QuerySpec("approx_count_distinct", q_approx_distinct, _APPROX_DISTINCT_SQL, ("agg", "sketch", "banded-oracle")),
+    QuerySpec("approx_quantiles", q_approx_quantiles, _APPROX_QUANTILES_SQL, ("agg", "sketch", "banded-oracle")),
     QuerySpec(
         "sampled_profile",
         q_sampled_profile,

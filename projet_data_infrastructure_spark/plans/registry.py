@@ -89,6 +89,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_trained_assign",
     "pq_trained_encode",
     "sampled_profile",
+    # (c) rows-only specs converted to tolerance-banded oracles in round 9
+    "approx_count_distinct",
+    "approx_quantiles",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they
