@@ -114,6 +114,7 @@ def all_specs() -> list[QuerySpec]:
         partsupp,
         relational,
         roundeight,
+        roundnine,
         roundseven,
         roundsix,
         sketches,
@@ -134,6 +135,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(roundsix.SPECS)
     specs.extend(roundseven.SPECS)
     specs.extend(roundeight.SPECS)
+    specs.extend(roundnine.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

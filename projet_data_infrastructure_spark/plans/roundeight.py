@@ -896,21 +896,14 @@ ORDER BY lang
 _INCR_JACCARD = 0.5
 
 
-def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION dedup query shape: a daily increment (odd doc_ids)
-    deduped against the already-ingested index (even doc_ids) — candidates
-    come from banding NEW × INDEX only, never NEW × NEW or INDEX × INDEX,
-    so daily cost is |new|-proportional regardless of index size (the
-    property that makes LSH dedup viable as a continuously running
-    service; in production the index side's band table is precomputed and
-    this join reads it). Candidates are verified with exact unigram
-    Jaccard ≥ 0.5; each flagged new doc reports its best index match
-    (highest Jaccard, ties to the smallest index id).
-    """
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows for a documents frame — the
+    exploded banding step shared by the batch incremental dedup and its
+    streaming (foreachBatch) counterpart. Map-only: one tokenize +
+    signature pass, no shuffle."""
     from projet_data_infrastructure_spark.operators import dedup
 
-    docs = read_table_balanced(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs)  # ONE tokenize for both sides
+    sig = dedup.minhash_signatures(docs)
     n_bands = dedup.MINHASH_HASHES // dedup.MINHASH_BAND_ROWS
     bands = F.array(
         *[
@@ -927,26 +920,27 @@ def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    new_side = exploded.filter(F.col("doc_id") % 2 == 1).select(
-        F.col("doc_id").alias("new_doc"), "band", "key"
-    )
-    idx_side = exploded.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("index_doc"), "band", "key"
-    )
-    cand = (
-        new_side.join(idx_side, ["band", "key"])
-        .select("new_doc", "index_doc")
-        .distinct()
-    )
-    toks = docs.select(
+
+
+def doc_token_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts) distinct sorted unigram sets — the exact-Jaccard
+    verification input shared by batch and streaming incremental dedup."""
+    return docs.select(
         "doc_id", F.array_distinct(F.array_sort(tokens(F.col("text")))).alias("ts")
     )
+
+
+def jaccard_best_match(cand: DataFrame, new_toks: DataFrame, idx_toks: DataFrame) -> DataFrame:
+    """Verify (new_doc, index_doc) candidates with exact unigram Jaccard
+    ≥ _INCR_JACCARD and reduce to the best index match per new doc
+    (highest Jaccard, ties to the smallest index id) — candidates-only
+    joins, max-struct argmax (no per-group window)."""
     verified = (
-        cand.join(toks.select(F.col("doc_id").alias("new_doc"), F.col("ts").alias("ta")), "new_doc")
-        .join(toks.select(F.col("doc_id").alias("index_doc"), F.col("ts").alias("tb")), "index_doc")
+        cand.join(new_toks.select(F.col("doc_id").alias("new_doc"), F.col("ts").alias("ta")), "new_doc")
+        .join(idx_toks.select(F.col("doc_id").alias("index_doc"), F.col("ts").alias("tb")), "index_doc")
         .select(
             "new_doc",
             "index_doc",
@@ -966,8 +960,36 @@ def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.jac_micro").alias("jac_micro"),
             "n_matches",
         )
-        .orderBy("new_doc")
     )
+
+
+def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup query shape: a daily increment (odd doc_ids)
+    deduped against the already-ingested index (even doc_ids) — candidates
+    come from banding NEW × INDEX only, never NEW × NEW or INDEX × INDEX,
+    so daily cost is |new|-proportional regardless of index size (the
+    property that makes LSH dedup viable as a continuously running
+    service; in production the index side's band table is precomputed and
+    this join reads it). Candidates are verified with exact unigram
+    Jaccard ≥ 0.5; each flagged new doc reports its best index match
+    (highest Jaccard, ties to the smallest index id). The banding /
+    verification cores are shared with the LIVE foreachBatch form
+    (``roundnine.q_stream_incremental_dedup``)."""
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    exploded = minhash_band_rows(docs)  # ONE tokenize for both sides
+    new_side = exploded.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_doc"), "band", "key"
+    )
+    idx_side = exploded.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("index_doc"), "band", "key"
+    )
+    cand = (
+        new_side.join(idx_side, ["band", "key"])
+        .select("new_doc", "index_doc")
+        .distinct()
+    )
+    toks = doc_token_sets(docs)
+    return jaccard_best_match(cand, toks, toks).orderBy("new_doc")
 
 
 def _incremental_sql() -> str:

@@ -233,3 +233,76 @@ def funnel_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL3_SCHEMA = (
+    "user_id BIGINT, first_view_us BIGINT, first_click_us BIGINT, "
+    "first_purchase_us BIGINT"
+)
+_FUNNEL3_STATE_SCHEMA = "fv BIGINT, fc BIGINT, fp BIGINT"
+
+
+def funnel3_state(events: DataFrame) -> DataFrame:
+    """Strict THREE-step funnel (first view → first click at-or-after it →
+    first purchase at-or-after that click) as a LIVE stateful operator —
+    the 3-step extension of :func:`funnel_state`: state is three int64
+    timestamps per user, bounded by the active-user set, never by history.
+    Each batch folds its events into the state; users with at least one
+    view emit their current funnel row (update mode).
+
+    Input contract: ``events`` carries (user_id, ts_us BIGINT, event_type).
+    Same delivery caveat as :func:`funnel_state`: exactly correct under
+    per-user event-time-ordered delivery or a single availableNow replay
+    (a view/click arriving LATE, before already-seen later-stage events,
+    would need those re-examined — the batch spec re-aggregates the lake
+    instead).
+    """
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        fv, fc, fp = state.get if state.exists else (_NO_TS, _NO_TS, _NO_TS)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        views = pdf.loc[pdf["event_type"] == "view", "ts_us"]
+        if len(views):
+            mv = int(views.min())
+            if fv == _NO_TS or mv < fv:
+                fv = mv
+        if fv != _NO_TS:
+            clicks = pdf.loc[
+                (pdf["event_type"] == "click") & (pdf["ts_us"] >= fv), "ts_us"
+            ]
+            if len(clicks):
+                mc = int(clicks.min())
+                if fc == _NO_TS or mc < fc:
+                    fc = mc
+        if fc != _NO_TS:
+            purch = pdf.loc[
+                (pdf["event_type"] == "purchase") & (pdf["ts_us"] >= fc), "ts_us"
+            ]
+            if len(purch):
+                mp = int(purch.min())
+                if fp == _NO_TS or mp < fp:
+                    fp = mp
+        state.update((fv, fc, fp))
+        if fv == _NO_TS:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_view_us": [fv],
+                "first_click_us": pd.array(
+                    [fc if fc != _NO_TS else None], dtype="Int64"
+                ),
+                "first_purchase_us": pd.array(
+                    [fp if fp != _NO_TS else None], dtype="Int64"
+                ),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL3_SCHEMA,
+        stateStructType=_FUNNEL3_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

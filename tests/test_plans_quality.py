@@ -1206,3 +1206,49 @@ def test_funnel_three_step_is_window_free(spark):
     df = q_funnel_three_step(spark, SF)
     checks = explain_has(df, "WindowExec", "CartesianProduct")
     assert not checks["WindowExec"] and not checks["CartesianProduct"]
+
+
+def test_mann_whitney_window_only_over_dollar_grid(spark):
+    # the one unpartitioned cumulative window runs on the frame AFTER the
+    # usd aggregate (value-bounded dollar grid), never over event rows.
+    from projet_data_infrastructure_spark.plans.roundnine import q_mann_whitney_u
+
+    plan = q_mann_whitney_u(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    grid_agg = plan.find("HashAggregate(keys=[usd", win_pos)
+    assert grid_agg != -1, plan
+    assert "event_id" not in plan[win_pos:grid_agg], plan
+
+
+def test_spearman_windows_only_over_value_grids(spark):
+    # both rank tables window AFTER their value aggregates (50 quantities /
+    # domain-bounded dollars); the corpus-sized work is the scan + two
+    # broadcast joins + one moment aggregate — no corpus-keyed window.
+    from projet_data_infrastructure_spark.plans.roundnine import (
+        q_spearman_corr_qty_price,
+    )
+
+    df = q_spearman_corr_qty_price(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    first_win = plan.index("Window")
+    # every Window's subtree must aggregate on its grid key
+    assert plan.find("HashAggregate(keys=[qty", first_win) != -1 or plan.find(
+        "HashAggregate(keys=[usd", first_win
+    ) != -1, plan
+    # rank tables enter the row stream via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_event_pattern_match_is_one_aggregate(spark):
+    from projet_data_infrastructure_spark.plans.roundnine import (
+        q_event_pattern_match,
+    )
+
+    df = q_event_pattern_match(spark, SF)
+    checks = explain_has(df, "WindowExec", "CartesianProduct", "SortMergeJoin")
+    assert not any(checks.values()), checks
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one user-keyed exchange + the final 1-row rollup; nothing else
+    assert plan.count("Exchange hashpartitioning") == 1, plan
