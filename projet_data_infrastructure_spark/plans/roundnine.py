@@ -407,6 +407,373 @@ FROM journeys
 """
 
 
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H (k-sample rank test, tie-corrected, dollar grid)
+# --------------------------------------------------------------------------
+
+
+def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (the k-sample extension of Mann-Whitney) on
+    purchase value across THREE deterministic hash arms — the omnibus
+    nonparametric ANOVA a multi-variant experiment reports before any
+    pairwise drill-down. Shares the value-bounded dollar-grid rank
+    machinery with ``mann_whitney_u``: per dollar value, tie count t and
+    per-arm counts; 2·r̄ = 2·cum − t + 1 exact BIGINT; per-arm doubled
+    rank sums stay integers until the final shared double tree.
+    H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1), tie-corrected by
+    C = 1 − Σ(t³−t)/(n³−n). One corpus aggregate; the cumulative window
+    runs only on the grid (the logrank/equidepth bounded-window class)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = ev.select(
+        F.floor("value").cast("long").alias("usd"),
+        F.pmod(hash64(F.col("event_id")), F.lit(3)).cast("int").alias("arm"),
+    )
+    grid = obs.groupBy("usd").agg(
+        F.count(F.lit(1)).alias("t"),
+        *[
+            F.sum((F.col("arm") == g).cast("long")).alias(f"n{g}v")
+            for g in range(3)
+        ],
+    )
+    wcum = Window.orderBy("usd").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = grid.withColumn("cum", F.sum("t").over(wcum))
+    two_rbar = 2 * F.col("cum") - F.col("t") + 1
+    scalars = ranked.groupBy().agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+        *[F.sum(f"n{g}v").alias(f"n{g}") for g in range(3)],
+        *[F.sum(F.col(f"n{g}v") * two_rbar).alias(f"tr{g}") for g in range(3)],
+    )
+    # shared double tree: R_g = tr_g/2; Σ R_g²/n_g with each term formed
+    # identically in both engines.
+    rsum = " + ".join(
+        f"(CAST(tr{g} AS DOUBLE) / 2.0) * (CAST(tr{g} AS DOUBLE) / 2.0)"
+        f" / CAST(n{g} AS DOUBLE)"
+        for g in range(3)
+    )
+    h = (
+        f"12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({rsum})"
+        " - 3.0 * CAST(n + 1 AS DOUBLE)"
+    )
+    corr = (
+        "1.0 - CAST(tie3 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        "    - CAST(n AS DOUBLE))"
+    )
+    return scalars.select(
+        "n",
+        F.lit(2).cast("int").alias("df"),
+        pround(F.expr(f"({h}) / ({corr})"), 6).alias("h_r"),
+    )
+
+
+def _kruskal_sql() -> str:
+    rsum = " + ".join(
+        f"(CAST(tr{g} AS DOUBLE) / 2.0) * (CAST(tr{g} AS DOUBLE) / 2.0)"
+        f" / CAST(n{g} AS DOUBLE)"
+        for g in range(3)
+    )
+    h = (
+        f"12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({rsum})"
+        " - 3.0 * CAST(n + 1 AS DOUBLE)"
+    )
+    corr = (
+        "1.0 - CAST(tie3 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        "    - CAST(n AS DOUBLE))"
+    )
+    arms = ",\n           ".join(
+        f"CAST(sum(CAST(arm = {g} AS INT)) AS BIGINT) AS n{g}v" for g in range(3)
+    )
+    nsums = ", ".join(f"CAST(sum(n{g}v) AS BIGINT) AS n{g}" for g in range(3))
+    trs = ", ".join(
+        f"CAST(sum(n{g}v * (2 * cum - t + 1)) AS BIGINT) AS tr{g}" for g in range(3)
+    )
+    return f"""
+WITH obs AS (
+    SELECT CAST(floor(value) AS BIGINT) AS usd,
+           CAST({hash64_sql('event_id')} % 3 AS INT) AS arm
+    FROM events WHERE event_type = 'purchase'
+), grid AS (
+    SELECT usd, count(*) AS t,
+           {arms}
+    FROM obs GROUP BY usd
+), ranked AS (
+    SELECT *, sum(t) OVER (ORDER BY usd
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM grid
+), scalars AS (
+    SELECT CAST(sum(t) AS BIGINT) AS n,
+           CAST(sum(t * t * t - t) AS BIGINT) AS tie3,
+           {nsums}, {trs}
+    FROM ranked
+)
+SELECT n, CAST(2 AS INT) AS df,
+       {pround_sql(f'(({h})) / (({corr}))', 6)} AS h_r
+FROM scalars
+"""
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test (exact integer moments, shared tree)
+# --------------------------------------------------------------------------
+
+
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on purchase CENTS between the hash arms —
+    the mean-difference complement to the rank tests (``mann_whitney_u``)
+    and the proportion test (``ab_test_z_score``). One corpus aggregate
+    collects exact BIGINT moments (n, Σcents, Σcents²) per arm; mean,
+    variance, t, and the Welch-Satterthwaite df all form in ONE shared
+    double tree (S² is squared in DOUBLE to dodge int64 overflow at scale
+    — same both engines, so still hash-exact). pround 6."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    obs = ev.select(
+        cents.alias("c"),
+        F.pmod(hash64(F.col("event_id")), F.lit(2)).cast("int").alias("arm"),
+    )
+    scalars = obs.groupBy().agg(
+        *[
+            f
+            for g in range(2)
+            for f in (
+                F.sum((F.col("arm") == g).cast("long")).alias(f"n{g}"),
+                F.sum(F.when(F.col("arm") == g, F.col("c")).otherwise(0)).alias(f"s{g}"),
+                F.sum(
+                    F.when(F.col("arm") == g, F.col("c") * F.col("c")).otherwise(0)
+                ).alias(f"q{g}"),
+            )
+        ]
+    )
+    v = {
+        g: (
+            f"(CAST(q{g} AS DOUBLE) - CAST(s{g} AS DOUBLE) * CAST(s{g} AS DOUBLE)"
+            f" / CAST(n{g} AS DOUBLE)) / CAST(n{g} - 1 AS DOUBLE)"
+        )
+        for g in range(2)
+    }
+    se2 = f"(({v[0]}) / CAST(n0 AS DOUBLE) + ({v[1]}) / CAST(n1 AS DOUBLE))"
+    t = (
+        f"(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        f" - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt({se2})"
+    )
+    df = (
+        f"({se2}) * ({se2}) / ("
+        f"(({v[0]}) / CAST(n0 AS DOUBLE)) * (({v[0]}) / CAST(n0 AS DOUBLE))"
+        f" / CAST(n0 - 1 AS DOUBLE)"
+        f" + (({v[1]}) / CAST(n1 AS DOUBLE)) * (({v[1]}) / CAST(n1 AS DOUBLE))"
+        f" / CAST(n1 - 1 AS DOUBLE))"
+    )
+    return scalars.select(
+        "n0",
+        "n1",
+        pround(F.expr(t), 6).alias("t_r"),
+        pround(F.expr(df), 4).alias("df_r"),
+    )
+
+
+def _welch_sql() -> str:
+    v = {
+        g: (
+            f"(CAST(q{g} AS DOUBLE) - CAST(s{g} AS DOUBLE) * CAST(s{g} AS DOUBLE)"
+            f" / CAST(n{g} AS DOUBLE)) / CAST(n{g} - 1 AS DOUBLE)"
+        )
+        for g in range(2)
+    }
+    se2 = f"(({v[0]}) / CAST(n0 AS DOUBLE) + ({v[1]}) / CAST(n1 AS DOUBLE))"
+    t = (
+        f"(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        f" - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt({se2})"
+    )
+    df = (
+        f"({se2}) * ({se2}) / ("
+        f"(({v[0]}) / CAST(n0 AS DOUBLE)) * (({v[0]}) / CAST(n0 AS DOUBLE))"
+        f" / CAST(n0 - 1 AS DOUBLE)"
+        f" + (({v[1]}) / CAST(n1 AS DOUBLE)) * (({v[1]}) / CAST(n1 AS DOUBLE))"
+        f" / CAST(n1 - 1 AS DOUBLE))"
+    )
+    moments = ",\n           ".join(
+        f"CAST(sum(CAST(arm = {g} AS INT)) AS BIGINT) AS n{g},"
+        f" CAST(sum(CASE WHEN arm = {g} THEN c ELSE 0 END) AS BIGINT) AS s{g},"
+        f" CAST(sum(CASE WHEN arm = {g} THEN c * c ELSE 0 END) AS BIGINT) AS q{g}"
+        for g in range(2)
+    )
+    return f"""
+WITH obs AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+           CAST({hash64_sql('event_id')} % 2 AS INT) AS arm
+    FROM events WHERE event_type = 'purchase'
+), scalars AS (
+    SELECT {moments}
+    FROM obs
+)
+SELECT n0, n1,
+       {pround_sql(t, 6)} AS t_r,
+       {pround_sql(df, 4)} AS df_r
+FROM scalars
+"""
+
+
+# --------------------------------------------------------------------------
+# Cramer's V (categorical association from the chi2 identity)
+# --------------------------------------------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between event type and ISO weekday — the
+    normalized effect size a dashboard reports next to a chi-squared
+    p-value. Uses the observed-cells-only identity
+    χ² = n·(Σ o²/(rowΣ·colΣ) − 1), so zero cells need no densification;
+    V = sqrt(χ² / (n·(min(r,c)−1))). ONE (type, dow) count aggregate
+    (≤ 5×7 cells); marginals join back on the bounded grid. Portable dow:
+    Spark ``weekday()+1`` == DuckDB ``isodow()``."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rowm = cells.groupBy("event_type").agg(F.sum("o").alias("rm"))
+    colm = cells.groupBy("dow").agg(F.sum("o").alias("cm"))
+    joined = cells.join(F.broadcast(rowm), "event_type").join(
+        F.broadcast(colm), "dow"
+    )
+    scalars = joined.groupBy().agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+        F.sum(
+            F.col("o").cast("double")
+            * F.col("o").cast("double")
+            / (F.col("rm").cast("double") * F.col("cm").cast("double"))
+        ).alias("frac"),
+    )
+    chi2 = "CAST(n AS DOUBLE) * (frac - 1.0)"
+    vexpr = (
+        f"sqrt(({chi2}) / (CAST(n AS DOUBLE)"
+        " * CAST(least(r, c) - 1 AS DOUBLE)))"
+    )
+    return scalars.select(
+        "n",
+        "n_cells",
+        pround(F.expr(chi2), 6).alias("chi2_r"),
+        pround(F.expr(vexpr), 6).alias("v_r"),
+    )
+
+
+_CRAMERS_SQL = f"""
+WITH ev AS (
+    SELECT event_type, isodow(ts) AS dow FROM events
+), cells AS (
+    SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2
+), rowm AS (
+    SELECT event_type, sum(o) AS rm FROM cells GROUP BY 1
+), colm AS (
+    SELECT dow, sum(o) AS cm FROM cells GROUP BY 1
+), joined AS (
+    SELECT cells.o, rowm.rm, colm.cm, cells.event_type, cells.dow
+    FROM cells JOIN rowm USING (event_type) JOIN colm USING (dow)
+), scalars AS (
+    SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_cells,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+           CAST(count(DISTINCT dow) AS BIGINT) AS c,
+           sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+               / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))) AS frac
+    FROM joined
+)
+SELECT n, n_cells,
+       {pround_sql('CAST(n AS DOUBLE) * (frac - 1.0)', 6)} AS chi2_r,
+       {pround_sql('sqrt((CAST(n AS DOUBLE) * (frac - 1.0)) / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))', 6)} AS v_r
+FROM scalars
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (chance-corrected agreement of the lang-ID heuristic)
+# --------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the house language-ID heuristic
+    (``operators/text.predict_lang``) and the labeled language — the
+    chance-corrected agreement score an annotation-quality audit reports
+    (raw accuracy overstates agreement when the label distribution is
+    skewed). Confusion counts live on the ≤(|langs|+1)² grid after ONE
+    corpus aggregate; p_o and p_e form in a shared double tree. Reuses
+    the oracled lang-ID spec on both sides (Spark frame / SQL CTE)."""
+    from projet_data_infrastructure_spark.plans.llm_queries import q_lang_id
+
+    pred = q_lang_id(spark, sf_dir)
+    conf = pred.groupBy("lang_labeled", "lang_pred").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rowm = conf.groupBy("lang_labeled").agg(F.sum("o").alias("rm"))
+    colm = conf.groupBy("lang_pred").agg(F.sum("o").alias("cm"))
+    scalars = (
+        conf.groupBy()
+        .agg(
+            F.sum("o").alias("n"),
+            F.sum(
+                F.when(F.col("lang_labeled") == F.col("lang_pred"), F.col("o")).otherwise(0)
+            ).alias("agree"),
+        )
+        .crossJoin(
+            F.broadcast(
+                rowm.join(colm, rowm.lang_labeled == colm.lang_pred, "full")
+                .select(
+                    (
+                        F.coalesce(F.col("rm"), F.lit(0))
+                        * F.coalesce(F.col("cm"), F.lit(0))
+                    ).alias("rc")
+                )
+                .groupBy()
+                .agg(F.sum("rc").alias("pe_num"))
+            )
+        )
+    )
+    po = "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)"
+    pe = "CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    return scalars.select(
+        "n",
+        "agree",
+        pround(F.expr(f"(({po}) - ({pe})) / (1.0 - ({pe}))"), 6).alias("kappa_r"),
+    )
+
+
+def _kappa_sql() -> str:
+    from projet_data_infrastructure_spark.plans.llm_queries import _lang_id_sql
+
+    po = "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)"
+    pe = "CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    return f"""
+WITH pred AS ({_lang_id_sql()}),
+conf AS (
+    SELECT lang_labeled, lang_pred, count(*) AS o FROM pred GROUP BY 1, 2
+), rowm AS (
+    SELECT lang_labeled AS k, sum(o) AS rm FROM conf GROUP BY 1
+), colm AS (
+    SELECT lang_pred AS k, sum(o) AS cm FROM conf GROUP BY 1
+), pe AS (
+    SELECT CAST(sum(coalesce(rm, 0) * coalesce(cm, 0)) AS BIGINT) AS pe_num
+    FROM rowm FULL JOIN colm USING (k)
+), tot AS (
+    SELECT CAST(sum(o) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang_labeled = lang_pred THEN o ELSE 0 END)
+                AS BIGINT) AS agree
+    FROM conf
+)
+SELECT n, agree,
+       {pround_sql(f'(({po}) - ({pe})) / (1.0 - ({pe}))', 6)} AS kappa_r
+FROM tot, pe
+"""
+
+
 def _attach_shared_oracles() -> list[QuerySpec]:
     from projet_data_infrastructure_spark.plans.roundeight import (
         _FUNNEL3_SQL,
@@ -450,6 +817,38 @@ SPECS: list[QuerySpec] = [
         ("stats", "bench"),
         doc="Spearman rank correlation (average ranks for ties) from "
         "value-bounded rank tables; exact integer moment sums",
+    ),
+    QuerySpec(
+        "kruskal_wallis_h",
+        q_kruskal_wallis_h,
+        _kruskal_sql(),
+        ("stats",),
+        doc="Tie-corrected Kruskal-Wallis H across three hash arms over "
+        "the value-bounded dollar grid; shared-double-tree H",
+    ),
+    QuerySpec(
+        "welch_t_test",
+        q_welch_t_test,
+        _welch_sql(),
+        ("stats",),
+        doc="Welch unequal-variance t-test on purchase cents between hash "
+        "arms; exact integer moments, shared-tree t and df",
+    ),
+    QuerySpec(
+        "cramers_v",
+        q_cramers_v,
+        _CRAMERS_SQL,
+        ("stats",),
+        doc="Cramer's V association (event type x ISO weekday) via the "
+        "observed-cells chi2 identity on the bounded grid",
+    ),
+    QuerySpec(
+        "cohens_kappa",
+        q_cohens_kappa,
+        _kappa_sql(),
+        ("stats", "ml"),
+        doc="Cohen's kappa between the lang-ID heuristic and labels; "
+        "confusion grid bounded by |langs|^2",
     ),
     QuerySpec(
         "event_pattern_match",

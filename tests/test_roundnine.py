@@ -299,3 +299,133 @@ def test_event_pattern_fixture(spark, monkeypatch):
     out = r9.q_event_pattern_match(spark, SF).first()
     assert out.n_users == 5
     assert out.n_matched == 2
+
+
+# --------------------------------------------------- round-9 stats pack
+
+
+def _pure_python_kw(values_by_arm):
+    # plain-Python tie-corrected Kruskal-Wallis for the fixture
+    all_vals = sorted(v for vs in values_by_arm.values() for v in vs)
+    n = len(all_vals)
+    # average ranks with ties
+    from collections import Counter
+
+    cnt = Counter(all_vals)
+    rank = {}
+    cum = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = (2 * (cum + t) - t + 1) / 2
+        cum += t
+    h = 0.0
+    for vs in values_by_arm.values():
+        rg = sum(rank[v] for v in vs)
+        h += rg * rg / len(vs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    tie3 = sum(t**3 - t for t in cnt.values())
+    return h / (1 - tie3 / (n**3 - n))
+
+
+def test_kruskal_wallis_fixture(spark, monkeypatch):
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    # find event ids per arm under the real hash coin
+    ids = {0: [], 1: [], 2: []}
+    for r in (
+        spark.range(1, 200)
+        .select("id", F.pmod(hash64(F.col("id")), F.lit(3)).alias("a"))
+        .collect()
+    ):
+        ids[r.a].append(r.id)
+    arm_vals = {0: [1.0, 2.0, 2.0], 1: [3.0, 4.0, 4.0], 2: [2.0, 5.0, 6.0]}
+    rows = []
+    for g, vals in arm_vals.items():
+        for eid, v in zip(ids[g], vals):
+            rows.append((eid, "purchase", v))
+    df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
+    out = r9.q_kruskal_wallis_h(spark, SF).first()
+    expected = _pure_python_kw({g: [int(v) for v in vs] for g, vs in arm_vals.items()})
+    assert out.n == 9 and out.df == 2
+    assert abs(out.h_r - expected) < 1e-6
+
+
+def test_welch_t_fixture(spark, monkeypatch):
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ids = {0: [], 1: []}
+    for r in (
+        spark.range(1, 200)
+        .select("id", F.pmod(hash64(F.col("id")), F.lit(2)).alias("a"))
+        .collect()
+    ):
+        ids[r.a].append(r.id)
+    arm_vals = {0: [1.00, 2.00, 3.00, 4.00], 1: [2.00, 4.00, 6.00]}
+    rows = [
+        (eid, "purchase", v)
+        for g, vals in arm_vals.items()
+        for eid, v in zip(ids[g], vals)
+    ]
+    df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
+    out = r9.q_welch_t_test(spark, SF).first()
+    # plain-Python Welch on cents
+    a = [100, 200, 300, 400]
+    b = [200, 400, 600]
+    import statistics
+
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / 4 + vb / 3
+    t = (statistics.mean(a) - statistics.mean(b)) / se2**0.5
+    dfw = se2**2 / ((va / 4) ** 2 / 3 + (vb / 3) ** 2 / 2)
+    assert (out.n0, out.n1) == (4, 3)
+    assert abs(out.t_r - t) < 1e-5
+    assert abs(out.df_r - dfw) < 1e-3
+
+
+def test_cramers_v_bounds(spark, monkeypatch):
+    # perfectly independent grid -> V == 0; perfectly associated -> V == 1
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday (isodow 1)
+    indep = []
+    eid = 0
+    for d in range(2):
+        for t in ("view", "click"):
+            for _ in range(10):
+                indep.append((t, base + datetime.timedelta(days=d)))
+                eid += 1
+    df = spark.createDataFrame(indep, "event_type STRING, ts TIMESTAMP")
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
+    out = r9.q_cramers_v(spark, SF).first()
+    assert out.chi2_r == 0.0 and out.v_r == 0.0
+
+    assoc = [("view", base)] * 10 + [("click", base + datetime.timedelta(days=1))] * 10
+    df2 = spark.createDataFrame(assoc, "event_type STRING, ts TIMESTAMP")
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df2)
+    out2 = r9.q_cramers_v(spark, SF).first()
+    assert out2.v_r == 1.0
+
+
+def test_cohens_kappa_bounds(spark, monkeypatch):
+    import projet_data_infrastructure_spark.plans.llm_queries as llm
+
+    perfect = spark.createDataFrame(
+        [(i, "en", "en") for i in range(10)] + [(i, "fr", "fr") for i in range(10, 20)],
+        "doc_id BIGINT, lang_labeled STRING, lang_pred STRING",
+    )
+    monkeypatch.setattr(llm, "q_lang_id", lambda sp, sf: perfect)
+    out = r9.q_cohens_kappa(spark, SF).first()
+    assert out.kappa_r == 1.0 and out.agree == 20
+
+    # agreement exactly at chance level -> kappa == 0
+    chance = spark.createDataFrame(
+        [(i, lab, pred) for i, (lab, pred) in enumerate(
+            [("en", "en"), ("en", "fr"), ("fr", "en"), ("fr", "fr")] * 5
+        )],
+        "doc_id BIGINT, lang_labeled STRING, lang_pred STRING",
+    )
+    monkeypatch.setattr(llm, "q_lang_id", lambda sp, sf: chance)
+    out2 = r9.q_cohens_kappa(spark, SF).first()
+    assert out2.kappa_r == 0.0
