@@ -774,6 +774,266 @@ FROM tot, pe
 """
 
 
+# --------------------------------------------------------------------------
+# Kendall tau-b (2-D dominance sums on the bounded qty x dollar grid)
+# --------------------------------------------------------------------------
+
+
+def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between l_quantity and
+    l_extendedprice (whole-dollar grid) — completing the correlation
+    family (Pearson via the OLS moments, Spearman via average ranks,
+    Kendall via concordant/discordant pairs). The naive definition is an
+    O(n²) pair scan; the house form is pure bounded-grid algebra:
+
+    1. ONE (qty, usd) count aggregate (qty has the FIXED 1..50 TPC-H
+       domain; usd is price-domain-bounded).
+    2. Per-usd row: 50 per-qty counts; strict-prefix and inclusive
+       cumulative sums per qty column via ONE unpartitioned window over
+       the value-bounded usd grid (the logrank/equidepth class).
+    3. For each cell (q, u): concordant partners are
+       Σ_{q'<q} cumstrict_{q'}(u) and discordant partners
+       Σ_{q'<q} (tot_{q'} − cumincl_{q'}(u)) — array slice + fold over the
+       50-element cum arrays, counting each unordered pair exactly once.
+    4. Tie terms n1/n2 from the two marginal group counts; tau_b =
+       (C − D)/√((n0−n1)(n0−n2)) in a shared double tree (pround 6).
+
+    Every post-scan frame is value-bounded; total work is one shuffle +
+    grid algebra — the O(n log n)-equivalent distributed form."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.floor("l_extendedprice").cast("long").alias("usd"),
+    )
+    cells = li.groupBy("qty", "usd").agg(F.count(F.lit(1)).alias("n"))
+    grid = cells.groupBy("usd").agg(
+        *[
+            F.sum(F.when(F.col("qty") == q, F.col("n")).otherwise(0)).alias(f"g{q}")
+            for q in range(1, 51)
+        ]
+    )
+    ws = Window.orderBy("usd").rowsBetween(Window.unboundedPreceding, -1)
+    wi = Window.orderBy("usd").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    grid2 = grid.select(
+        "usd",
+        F.array(
+            *[F.coalesce(F.sum(f"g{q}").over(ws), F.lit(0)) for q in range(1, 51)]
+        ).alias("carr"),
+        F.array(
+            *[
+                F.sum(f"g{q}").over(wt) - F.sum(f"g{q}").over(wi)
+                for q in range(1, 51)
+            ]
+        ).alias("darr"),
+    )
+    joined = cells.join(grid2, "usd")
+    fold = "aggregate(slice({arr}, 1, qty - 1), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    sums = joined.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("n") * F.expr(fold.format(arr="carr"))).alias("conc"),
+        F.sum(F.col("n") * F.expr(fold.format(arr="darr"))).alias("disc"),
+    )
+    tx = (
+        cells.groupBy("qty")
+        .agg(F.sum("n").alias("t"))
+        .groupBy()
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"))
+    )
+    ty = (
+        cells.groupBy("usd")
+        .agg(F.sum("n").alias("t"))
+        .groupBy()
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n2"))
+    )
+    scalars = sums.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    tau = (
+        "(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "         - CAST(n1 AS DOUBLE))"
+        "        * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "           - CAST(n2 AS DOUBLE)))"
+    )
+    return scalars.select(
+        "n", "conc", "disc", pround(F.expr(tau), 6).alias("tau_b_r")
+    )
+
+
+def _kendall_sql() -> str:
+    gcols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN qty = {q} THEN n ELSE 0 END) AS BIGINT) AS g{q}"
+        for q in range(1, 51)
+    )
+    carr = ", ".join(
+        f"CAST(coalesce(sum(g{q}) OVER ws, 0) AS BIGINT)" for q in range(1, 51)
+    )
+    darr = ", ".join(
+        f"CAST(sum(g{q}) OVER () - sum(g{q}) OVER wi AS BIGINT)"
+        for q in range(1, 51)
+    )
+    fold = "coalesce(list_sum(list_slice({arr}, 1, qty - 1)), 0)"
+    tau = (
+        "(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "         - CAST(n1 AS DOUBLE))"
+        "        * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "           - CAST(n2 AS DOUBLE)))"
+    )
+    return f"""
+WITH li AS (
+    SELECT CAST(l_quantity AS INT) AS qty,
+           CAST(floor(l_extendedprice) AS BIGINT) AS usd
+    FROM lineitem
+), cells AS (
+    SELECT qty, usd, count(*) AS n FROM li GROUP BY 1, 2
+), grid AS (
+    SELECT usd,
+           {gcols}
+    FROM cells GROUP BY usd
+), grid2 AS (
+    SELECT usd, [{carr}] AS carr, [{darr}] AS darr
+    FROM grid
+    WINDOW ws AS (ORDER BY usd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wi AS (ORDER BY usd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), joined AS (
+    SELECT c.qty, c.n, g.carr, g.darr
+    FROM cells c JOIN grid2 g USING (usd)
+), sums AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(n * {fold.format(arr='carr')}) AS BIGINT) AS conc,
+           CAST(sum(n * {fold.format(arr='darr')}) AS BIGINT) AS disc
+    FROM joined
+), tx AS (
+    SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+    FROM (SELECT qty, sum(n) AS t FROM cells GROUP BY qty)
+), ty AS (
+    SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+    FROM (SELECT usd, sum(n) AS t FROM cells GROUP BY usd)
+)
+SELECT n, conc, disc,
+       {pround_sql(tau, 6)} AS tau_b_r
+FROM sums, tx, ty
+"""
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-nation urgency-share tests
+# --------------------------------------------------------------------------
+
+_BH_ALPHA_MICRO = 100000  # alpha = 0.10 in micro-units
+
+
+def q_bh_fdr_nation_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control — the experimentation-platform layer above
+    the single-test specs: per nation, a two-proportion z-test of the
+    1-URGENT order share against the pooled rest, normal p-values via the
+    engine-shared Zelen-Severo polynomial (``functions/stats.py`` — no
+    erf in either engine), then the Benjamini-Hochberg step-up at
+    α = 0.10: reject all hypotheses ranked ≤ the LARGEST k with
+    p_(k) ≤ k·α/m. All test statistics come from ONE orders aggregate
+    (25-nation bounded grid via the customer broadcast join); the BH sort
+    and step-up windows run on the 25-row frame. Rejection thresholds
+    compare p·m·10⁶ (double) against k·α·10⁶ exactly as written on both
+    engines."""
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("k"),
+        )
+    )
+    wtot = Window.partitionBy()
+    enriched = per_nation.select(
+        "c_nationkey",
+        "n",
+        "k",
+        (F.sum("n").over(wtot) - F.col("n")).alias("n_rest"),
+        (F.sum("k").over(wtot) - F.col("k")).alias("k_rest"),
+    )
+    p1 = "CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+    p2 = "CAST(k_rest AS DOUBLE) / CAST(n_rest AS DOUBLE)"
+    pp = "(CAST(k AS DOUBLE) + CAST(k_rest AS DOUBLE)) / (CAST(n AS DOUBLE) + CAST(n_rest AS DOUBLE))"
+    z = (
+        f"(({p1}) - ({p2}))"
+        f" / sqrt(({pp}) * (1.0 - ({pp}))"
+        f" * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n_rest AS DOUBLE)))"
+    )
+    tested = enriched.withColumn("z", F.expr(z)).withColumn(
+        "p", F.expr(two_sided_p_sql("z"))
+    )
+    wrank = Window.orderBy("p", "c_nationkey")
+    m = Window.partitionBy()
+    ranked = tested.withColumn("rnk", F.row_number().over(wrank)).withColumn(
+        "m", F.count(F.lit(1)).over(m)
+    )
+    # step-up: reject ranks <= max rank with p <= rnk*alpha/m
+    passed = F.when(
+        F.col("p") * F.col("m") * 1000000.0
+        <= F.col("rnk") * F.lit(float(_BH_ALPHA_MICRO)),
+        F.col("rnk"),
+    )
+    wcut = Window.partitionBy()
+    cut = ranked.withColumn("cut", F.max(passed).over(wcut))
+    return cut.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "n",
+        "k",
+        pround(F.col("p"), 8).alias("p_r"),
+        F.col("rnk").cast("int").alias("p_rank"),
+        (F.col("rnk") <= F.coalesce(F.col("cut"), F.lit(0))).alias("bh_reject"),
+    ).orderBy("nationkey")
+
+
+def _bh_sql() -> str:
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+
+    p1 = "CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+    p2 = "CAST(k_rest AS DOUBLE) / CAST(n_rest AS DOUBLE)"
+    pp = "(CAST(k AS DOUBLE) + CAST(k_rest AS DOUBLE)) / (CAST(n AS DOUBLE) + CAST(n_rest AS DOUBLE))"
+    z = (
+        f"(({p1}) - ({p2}))"
+        f" / sqrt(({pp}) * (1.0 - ({pp}))"
+        f" * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n_rest AS DOUBLE)))"
+    )
+    return f"""
+WITH per_nation AS (
+    SELECT c.c_nationkey, count(*) AS n,
+           CAST(sum(CAST(o.o_orderpriority = '1-URGENT' AS INT)) AS BIGINT) AS k
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+), enriched AS (
+    SELECT c_nationkey, n, k,
+           CAST(sum(n) OVER () - n AS BIGINT) AS n_rest,
+           CAST(sum(k) OVER () - k AS BIGINT) AS k_rest
+    FROM per_nation
+), tested AS (
+    SELECT *, {z} AS z FROM enriched
+), withp AS (
+    SELECT *, {two_sided_p_sql('z')} AS p FROM tested
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY p, c_nationkey) AS rnk,
+           count(*) OVER () AS m
+    FROM withp
+), cut AS (
+    SELECT *, max(CASE WHEN p * m * 1000000.0 <= rnk * {float(_BH_ALPHA_MICRO)}
+                       THEN rnk END) OVER () AS cutr
+    FROM ranked
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n, k,
+       {pround_sql('p', 8)} AS p_r,
+       CAST(rnk AS INT) AS p_rank,
+       rnk <= coalesce(cutr, 0) AS bh_reject
+FROM cut
+ORDER BY nationkey
+"""
+
+
 def _attach_shared_oracles() -> list[QuerySpec]:
     from projet_data_infrastructure_spark.plans.roundeight import (
         _FUNNEL3_SQL,
@@ -849,6 +1109,22 @@ SPECS: list[QuerySpec] = [
         ("stats", "ml"),
         doc="Cohen's kappa between the lang-ID heuristic and labels; "
         "confusion grid bounded by |langs|^2",
+    ),
+    QuerySpec(
+        "kendall_tau_b",
+        q_kendall_tau_b,
+        _kendall_sql(),
+        ("stats", "bench"),
+        doc="Kendall tau-b via 2-D dominance sums on the bounded qty x "
+        "dollar grid (no O(n^2) pair scan); shared-tree tau",
+    ),
+    QuerySpec(
+        "bh_fdr_nation_urgency",
+        q_bh_fdr_nation_urgency,
+        _bh_sql(),
+        ("stats",),
+        doc="Benjamini-Hochberg FDR step-up over per-nation urgency-share "
+        "z-tests; engine-shared Zelen-Severo normal p-values",
     ),
     QuerySpec(
         "event_pattern_match",

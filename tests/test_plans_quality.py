@@ -1252,3 +1252,34 @@ def test_event_pattern_match_is_one_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one user-keyed exchange + the final 1-row rollup; nothing else
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_kendall_windows_only_over_usd_grid(spark):
+    # all three window passes (strict/inclusive/total cums) run on the
+    # frame AFTER the per-usd pivot aggregate — value-bounded, never on
+    # lineitem rows; the cell join back is the only other exchange.
+    from projet_data_infrastructure_spark.plans.roundnine import q_kendall_tau_b
+
+    df = q_kendall_tau_b(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    win_pos = plan.index("Window")
+    grid_agg = plan.find("HashAggregate(keys=[usd", win_pos)
+    assert grid_agg != -1, plan
+    assert "l_orderkey" not in plan[win_pos:grid_agg], plan
+
+
+def test_bh_fdr_windows_only_over_nation_frame(spark):
+    from projet_data_infrastructure_spark.plans.roundnine import (
+        q_bh_fdr_nation_urgency,
+    )
+
+    df = q_bh_fdr_nation_urgency(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the corpus-sized work is ONE orders aggregate; every window runs
+    # after the c_nationkey-keyed aggregate (25-row frame)
+    win_pos = plan.index("Window")
+    agg = plan.find("HashAggregate(keys=[c_nationkey", win_pos)
+    assert agg != -1, plan
+    assert "o_orderkey" not in plan[win_pos:agg], plan

@@ -429,3 +429,91 @@ def test_cohens_kappa_bounds(spark, monkeypatch):
     monkeypatch.setattr(llm, "q_lang_id", lambda sp, sf: chance)
     out2 = r9.q_cohens_kappa(spark, SF).first()
     assert out2.kappa_r == 0.0
+
+
+# ------------------------------------------------- Kendall tau-b
+
+
+def test_kendall_tau_b_fixture(spark, monkeypatch):
+    # small fixture with ties in both variables, vs the O(n^2) definition
+    pts = [(1, 10), (1, 20), (2, 20), (3, 15), (3, 30), (4, 5), (5, 30)]
+    conc = disc = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dq = pts[i][0] - pts[j][0]
+            du = pts[i][1] - pts[j][1]
+            if dq * du > 0:
+                conc += 1
+            elif dq * du < 0:
+                disc += 1
+    n = len(pts)
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(q for q, _ in pts).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(u for _, u in pts).values())
+    n0 = n * (n - 1) / 2
+    expected = (conc - disc) / ((n0 - n1) * (n0 - n2)) ** 0.5
+
+    df = spark.createDataFrame(
+        [(float(q), float(u) + 0.4) for q, u in pts],
+        "l_quantity DOUBLE, l_extendedprice DOUBLE",
+    )
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
+    out = r9.q_kendall_tau_b(spark, SF).first()
+    assert out.n == n and out.conc == conc and out.disc == disc
+    assert abs(out.tau_b_r - expected) < 1e-6
+
+
+def test_kendall_tau_b_perfect_monotone(spark, monkeypatch):
+    df = spark.createDataFrame(
+        [(float(q), float(100 + 3 * q) + 0.2) for q in range(1, 31)],
+        "l_quantity DOUBLE, l_extendedprice DOUBLE",
+    )
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
+    out = r9.q_kendall_tau_b(spark, SF).first()
+    assert out.disc == 0
+    assert out.tau_b_r == 1.0
+
+
+# ------------------------------------------------- normal SF + BH
+
+
+def test_zelen_severo_matches_erfc(spark):
+    import math
+
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+
+    zs = [0.0, 0.5, 1.0, 1.96, 2.5, 3.2, -1.5]
+    df = spark.createDataFrame([(z,) for z in zs], "z DOUBLE")
+    got = {r.z: r.p for r in df.selectExpr("z", f"{two_sided_p_sql('z')} AS p").collect()}
+    for z in zs:
+        exact = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(got[z] - exact) < 2e-7, z
+
+
+def test_bh_step_up_fixture(spark, monkeypatch):
+    # Known p-vector via crafted counts is brittle; instead verify the BH
+    # invariants on the real output: rejections form a prefix of the
+    # p-ranked list, and every rejected p <= rank*alpha/m while the first
+    # non-rejected beyond the cut fails its own threshold ONLY IF no later
+    # rank passes (step-up semantics).
+    rows = r9.q_bh_fdr_nation_urgency(spark, SF).collect()
+    m = len(rows)
+    byrank = sorted(rows, key=lambda r: r.p_rank)
+    rejected = [r.p_rank for r in byrank if r.bh_reject]
+    if rejected:
+        cut = max(rejected)
+        assert sorted(rejected) == list(range(1, cut + 1))  # prefix property
+        cut_row = next(r for r in byrank if r.p_rank == cut)
+        assert cut_row.p_r * m <= cut * 0.10 + 1e-9
+    for r in byrank:
+        if not r.bh_reject:
+            # no rank beyond the cut may satisfy its threshold
+            later_pass = [
+                s
+                for s in byrank
+                if s.p_rank >= r.p_rank and s.p_r * m <= s.p_rank * 0.10 + 1e-12
+            ]
+            assert not later_pass or max(x.p_rank for x in later_pass) <= max(
+                rejected or [0]
+            )
