@@ -156,6 +156,41 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts seen-key state once the event-time watermark passes it, so an
+    always-on at-least-once ingest (the Kafka-redelivery case the plain
+    ``stream_dedup_ids`` models with an ever-growing seen-set) runs with
+    state proportional to the watermark window, not the stream's lifetime
+    — THE production requirement at 100 TB/day. Every row is delivered
+    TWICE (stream unioned with itself), duplicates land inside the 1-hour
+    delay tolerance, and the availableNow replay emits each event once —
+    the oracle is the distinct input, shared with the unbounded-state
+    spec. The API contract (duplicates dropped only WITHIN the watermark)
+    is exactly the at-least-once broker redelivery bound."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    doubled = s.unionByName(s)
+    out = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_stream(
+        out.writeStream.outputMode("append"), spark, "stream_dedup_wm_sink"
+    )
+
+
+_STREAM_DEDUP_WM_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+
+# --------------------------------------------------------------------------
 # Mann-Whitney U rank-sum test (tie-corrected, value-bounded grid)
 # --------------------------------------------------------------------------
 
@@ -1077,6 +1112,14 @@ SPECS: list[QuerySpec] = [
         ("stats", "bench"),
         doc="Spearman rank correlation (average ranks for ties) from "
         "value-bounded rank tables; exact integer moment sums",
+    ),
+    QuerySpec(
+        "stream_dedup_within_watermark",
+        q_stream_dedup_watermark,
+        _STREAM_DEDUP_WM_SQL,
+        ("streaming", "dedup"),
+        doc="dropDuplicatesWithinWatermark: at-least-once redelivery dedup "
+        "with watermark-BOUNDED state (vs the unbounded seen-set form)",
     ),
     QuerySpec(
         "kruskal_wallis_h",

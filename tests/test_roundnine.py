@@ -517,3 +517,102 @@ def test_bh_step_up_fixture(spark, monkeypatch):
             assert not later_pass or max(x.p_rank for x in later_pass) <= max(
                 rejected or [0]
             )
+
+
+# --------------------------------- watermark-bounded streaming dedup
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    # THE semantic difference vs plain dropDuplicates: once the event-time
+    # watermark passes a key's expiry (first-seen ts + delay), its dedup
+    # state is EVICTED, so a same-key redelivery with a fresh (non-late)
+    # timestamp is emitted AGAIN — bounded state trades forever-dedup for
+    # survivability. Batch 0: key 1 @ t0 plus a t+3h row advancing the
+    # watermark to 2h; batch 1: a dummy row (end-of-batch cleanup evicts
+    # key 1, expiry 1h < watermark 2h); batch 2: key 1 redelivered @ 2.5h
+    # (not late) -> emitted a second time. Plain dropDuplicates would
+    # suppress it forever.
+    import datetime as _dt
+    import glob
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    t3h = _dt.datetime(2024, 1, 1, 3, 0, 0)
+    t25 = _dt.datetime(2024, 1, 1, 2, 30, 0)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, t0, 10, "view"), (2, t3h, 11, "view")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(3, t3h, 12, "view")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(1, t25, 10, "view")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = time.time()
+    for f in glob.glob(f"{src}/part-*.parquet"):
+        ids = set(pq.read_table(f, columns=["event_id"])["event_id"].to_pylist())
+        age = 180 if ids == {1, 2} else (120 if ids == {3} else 60)
+        os.utime(f, (now - age, now - age))
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .queryName("dedup_wm_unit")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    counts = {}
+    for r in spark.table("dedup_wm_unit").collect():
+        counts[r.event_id] = counts.get(r.event_id, 0) + 1
+    assert counts.get(2) == 1 and counts.get(3) == 1
+    assert counts.get(1) == 2, counts  # state evicted -> re-emitted
+
+
+def test_dedup_within_watermark_suppresses_in_window(spark, tmp_path):
+    # duplicates arriving while the key is still within the watermark ARE
+    # suppressed (both copies in one batch here).
+    import datetime as _dt
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    b = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2024, 1, 1, 0, 0, 0), 10, "view"),
+            (1, _dt.datetime(2024, 1, 1, 0, 10, 0), 10, "view"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    b.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .queryName("dedup_wm_unit2")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert spark.table("dedup_wm_unit2").count() == 1
