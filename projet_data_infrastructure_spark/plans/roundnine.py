@@ -819,62 +819,74 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_extendedprice (whole-dollar grid) — completing the correlation
     family (Pearson via the OLS moments, Spearman via average ranks,
     Kendall via concordant/discordant pairs). The naive definition is an
-    O(n²) pair scan; the house form is pure bounded-grid algebra:
+    O(n²) pair scan; the house form is bounded-grid dominance algebra
+    with KEYED windows only — no single-partition operator anywhere, so
+    the whole plan parallelizes at any scale:
 
-    1. ONE (qty, usd) count aggregate (qty has the FIXED 1..50 TPC-H
-       domain; usd is price-domain-bounded).
-    2. Per-usd row: 50 per-qty counts; strict-prefix and inclusive
-       cumulative sums per qty column via ONE unpartitioned window over
-       the value-bounded usd grid (the logrank/equidepth class).
-    3. For each cell (q, u): concordant partners are
-       Σ_{q'<q} cumstrict_{q'}(u) and discordant partners
-       Σ_{q'<q} (tot_{q'} − cumincl_{q'}(u)) — array slice + fold over the
-       50-element cum arrays, counting each unordered pair exactly once.
-    4. Tie terms n1/n2 from the two marginal group counts; tau_b =
+    1. ONE (usd, qty) count aggregate (qty has the FIXED 1..50 TPC-H
+       domain; usd is price-domain-bounded), checkpointed so its four
+       consumers share one corpus scan.
+    2. Densify to the |usd|×50 grid (explode a 50-sequence, left-join
+       cells), then 2-D strict prefix sums as two KEYED windows:
+       cumstrict over usd PARTITIONED BY qty (50 parallel groups), then
+       the qty-prefix PARTITIONED BY usd (|usd| parallel groups).
+    3. Concordant pairs C = Σ_cell n·pre_c; discordant via the identity
+       D = Σ_{q'<q} tot_q·tot_{q'} − Σ_cell n·pre_cumincl (the
+       strictly-greater-u partner count separates into totals minus the
+       inclusive prefix), so no per-cell backward pass is needed.
+    4. Tie terms from the two marginal aggregates; tau_b =
        (C − D)/√((n0−n1)(n0−n2)) in a shared double tree (pround 6).
 
-    Every post-scan frame is value-bounded; total work is one shuffle +
-    grid algebra — the O(n log n)-equivalent distributed form."""
+    Work beyond the one corpus aggregate: |usd|·50 dense rows through
+    two keyed window sorts — fully codegen, no higher-order-function
+    folds (the first formulation's single-partition 50-expression window
+    + interpreted folds measured 2.4x slower). Counts are exact BIGINTs.
+    """
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("int").alias("qty"),
         F.floor("l_extendedprice").cast("long").alias("usd"),
     )
-    cells = li.groupBy("qty", "usd").agg(F.count(F.lit(1)).alias("n"))
-    grid = cells.groupBy("usd").agg(
-        *[
-            F.sum(F.when(F.col("qty") == q, F.col("n")).otherwise(0)).alias(f"g{q}")
-            for q in range(1, 51)
-        ]
+    # cells feeds FOUR branches (dense grid, usd domain, x-ties, y-ties);
+    # checkpoint so the corpus scans once.
+    cells = (
+        li.groupBy("usd", "qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    ws = Window.orderBy("usd").rowsBetween(Window.unboundedPreceding, -1)
-    wi = Window.orderBy("usd").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    dense = (
+        cells.select("usd")
+        .distinct()
+        .select("usd", F.explode(F.sequence(F.lit(1), F.lit(50))).alias("qty"))
+        .join(cells, ["usd", "qty"], "left")
+        .fillna(0, ["n"])
     )
-    wt = Window.partitionBy()
-    grid2 = grid.select(
-        "usd",
-        F.array(
-            *[F.coalesce(F.sum(f"g{q}").over(ws), F.lit(0)) for q in range(1, 51)]
-        ).alias("carr"),
-        F.array(
-            *[
-                F.sum(f"g{q}").over(wt) - F.sum(f"g{q}").over(wi)
-                for q in range(1, 51)
-            ]
-        ).alias("darr"),
+    wq = Window.partitionBy("qty").orderBy("usd").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    joined = cells.join(grid2, "usd")
-    fold = "aggregate(slice({arr}, 1, qty - 1), CAST(0 AS BIGINT), (a, x) -> a + x)"
-    sums = joined.groupBy().agg(
+    wu = Window.partitionBy("usd").orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d2 = dense.withColumn("cstrict", F.coalesce(F.sum("n").over(wq), F.lit(0)))
+    d3 = d2.withColumn(
+        "pre_c", F.coalesce(F.sum("cstrict").over(wu), F.lit(0))
+    ).withColumn(
+        "pre_ci",
+        F.coalesce(F.sum(F.col("cstrict") + F.col("n")).over(wu), F.lit(0)),
+    )
+    sums = d3.groupBy().agg(
         F.sum("n").alias("n"),
-        F.sum(F.col("n") * F.expr(fold.format(arr="carr"))).alias("conc"),
-        F.sum(F.col("n") * F.expr(fold.format(arr="darr"))).alias("disc"),
+        F.sum(F.col("n") * F.col("pre_c")).alias("conc"),
+        F.sum(F.col("n") * F.col("pre_ci")).alias("rowdp"),
     )
+    tq = cells.groupBy("qty").agg(F.sum("n").alias("t"))
+    wqt = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
     tx = (
-        cells.groupBy("qty")
-        .agg(F.sum("n").alias("t"))
+        tq.withColumn("pre", F.coalesce(F.sum("t").over(wqt), F.lit(0)))
         .groupBy()
-        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"))
+        .agg(
+            F.sum(F.col("t") * F.col("pre")).alias("totpairs"),
+            F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"),
+        )
     )
     ty = (
         cells.groupBy("usd")
@@ -882,7 +894,17 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n2"))
     )
-    scalars = sums.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    scalars = (
+        sums.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            "conc",
+            (F.col("totpairs") - F.col("rowdp")).alias("disc"),
+            "n1",
+            "n2",
+        )
+    )
     tau = (
         "(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
         " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"

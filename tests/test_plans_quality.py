@@ -1254,19 +1254,22 @@ def test_event_pattern_match_is_one_aggregate(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_kendall_windows_only_over_usd_grid(spark):
-    # all three window passes (strict/inclusive/total cums) run on the
-    # frame AFTER the per-usd pivot aggregate — value-bounded, never on
-    # lineitem rows; the cell join back is the only other exchange.
+def test_kendall_windows_are_keyed_and_grid_bounded(spark):
+    # Both 2-D prefix passes are KEYED windows (partitioned by qty, then by
+    # usd) — no single-partition window anywhere, so the dominance algebra
+    # parallelizes at any scale. Windows read the checkpointed cells grid
+    # (ExistingRDD), never a parquet scan of lineitem, and the keyed
+    # shuffles for both window directions appear in the plan.
     from projet_data_infrastructure_spark.plans.roundnine import q_kendall_tau_b
 
     df = q_kendall_tau_b(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     win_pos = plan.index("Window")
-    grid_agg = plan.find("HashAggregate(keys=[usd", win_pos)
-    assert grid_agg != -1, plan
-    assert "l_orderkey" not in plan[win_pos:grid_agg], plan
+    assert "Scan ExistingRDD" in plan[win_pos:], plan
+    assert "FileScan parquet" not in plan[win_pos:], plan
+    assert "hashpartitioning(qty" in plan, plan
+    assert "hashpartitioning(usd" in plan, plan
 
 
 def test_bh_fdr_windows_only_over_nation_frame(spark):
