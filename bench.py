@@ -184,20 +184,40 @@ def main() -> None:
 
 
 def _latest_prior_round() -> dict | None:
-    """Newest BENCH_r{N}.json beside this script (the driver writes one per
-    round) — the baseline for per-query regression attribution."""
+    """Newest parseable benchmark record beside this script — the baseline
+    for per-query regression attribution. Candidates, newest round first:
+    the driver's BENCH_r{N}.json and our own committed BENCH_LOCAL_r{N}.json
+    (the driver has shipped rounds whose stdout tail is front-truncated past
+    the queries dict — BENCH_r08 — so the locally written full record is the
+    fallback that keeps vs_prior continuity alive)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = []
+    driver = []
+    local = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            rounds.append((int(m.group(1)), p))
-    if not rounds:
-        return None
-    path = max(rounds)[1]
+            driver.append((int(m.group(1)), 1, p))
+    max_driver = max((r for r, _, _ in driver), default=-1)
+    for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+        # cap LOCAL candidates at the newest DRIVER round so the current
+        # round's own freshly written local record never becomes its own
+        # "prior" (the driver writes BENCH_r{N}.json only after this run).
+        if m and int(m.group(1)) <= max_driver:
+            local.append((int(m.group(1)), 0, p))
+    for _, _, path in sorted(driver + local, reverse=True):
+        got = _parse_bench_record(path)
+        if got is not None:
+            return got
+    return None
+
+
+def _parse_bench_record(path: str) -> dict | None:
+    import re
+
     try:
         with open(path) as f:
             data = json.load(f)
