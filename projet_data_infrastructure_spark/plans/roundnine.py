@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
+from projet_data_infrastructure_spark.operators.text import tokens
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
 from projet_data_infrastructure_spark.sources.readers import (
@@ -1091,6 +1092,257 @@ ORDER BY nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (integer PageRank over the word co-occurrence
+# graph — composition of the skipgram and fixed-point-PageRank house cores)
+# --------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_UNIT = 1_000_000
+_TR_MIN_COOC = 2
+_TR_TOPK = 20
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) keyword extraction: PageRank over
+    the word co-occurrence graph (window ±2, same pair construction as
+    ``skipgram_window_cooc`` — per-position lead offsets, never a token
+    self-join), weighted by co-occurrence count and pruned at ≥ 2. The
+    walk runs ``_TR_ITERS`` unrolled iterations in EXACT INTEGER
+    micro-units — per-edge contribution (r·w) DIV wdeg, damping
+    150000 + (85·inc) DIV 100 — the ``pagerank_fixed_point`` discipline,
+    so the iterative NLP algorithm hash-checks against an unrolled DuckDB
+    CTE with no FP summation-order leeway. Vertex set = corpus vocabulary
+    (bounded); the emission frame broadcasts below the house vertex
+    threshold and falls back to a keyed shuffle-hash join above it
+    (``graph_geo.vertex_side``). Output: top-20 keywords (score desc,
+    word asc)."""
+    from projet_data_infrastructure_spark.plans.graph_geo import vertex_side
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    offs = toks
+    for d in (1, 2):
+        offs = offs.withColumn(f"n{d}", F.lead("w", d).over(wdoc))
+    pairs = offs.select(
+        "w", F.explode(F.array("n1", "n2")).alias("c")
+    ).filter(F.col("c").isNotNull())
+    und = (
+        pairs.select(F.least("w", "c").alias("a"), F.greatest("w", "c").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .filter(F.col("wt") >= _TR_MIN_COOC)
+    )
+    arcs = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "wt").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt")
+    )
+    wdeg = arcs.groupBy("src").agg(F.sum("wt").alias("wdeg"))
+    # (src, dst, wt, wdeg): read by every iteration — checkpoint once, the
+    # pagerank edge-list discipline.
+    edges = arcs.join(wdeg, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_vertices = nodes.count()  # vocabulary-bounded; sizes the join strategy
+    ranks = nodes.withColumn("r", F.lit(_TR_UNIT).cast("long"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(vertex_side(ranks, n_vertices), edges.src == ranks.node)
+            .select("dst", F.expr("(r * wt) DIV wdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000) + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_TR_TOPK)
+        .select(F.col("node").alias("word"), F.col("r").alias("tr_micro"))
+    )
+
+
+def _textrank_sql() -> str:
+    from projet_data_infrastructure_spark.plans.roundseven import _BACKOFF_TOKS
+
+    iters = []
+    prev = "r0"
+    for k in range(1, _TR_ITERS + 1):
+        iters.append(
+            f"""i{k} AS (
+    SELECT n.node,
+           CAST(150000 + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum((p.r * e.wt) // e.wdeg) AS BIGINT) AS inc
+        FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst
+    ) x ON n.node = x.node
+)"""
+        )
+        prev = f"i{k}"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM (SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents),
+         unnest(range(1, len(t) + 1)) AS u(i)
+), offs AS (
+    SELECT w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+    FROM toks
+), und AS (
+    SELECT a, b, count(*) AS wt FROM (
+        SELECT least(w, c) AS a, greatest(w, c) AS b
+        FROM (SELECT w, unnest([n1, n2]) AS c FROM offs)
+        WHERE c IS NOT NULL AND w <> c
+    ) GROUP BY a, b HAVING count(*) >= {_TR_MIN_COOC}
+), arcs AS (
+    SELECT a AS src, b AS dst, wt FROM und
+    UNION ALL
+    SELECT b AS src, a AS dst, wt FROM und
+), wdeg AS (
+    SELECT src, CAST(sum(wt) AS BIGINT) AS wdeg FROM arcs GROUP BY src
+), edges AS (
+    SELECT arcs.src, arcs.dst, arcs.wt, wdeg.wdeg FROM arcs JOIN wdeg USING (src)
+), nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+), r0 AS (
+    SELECT node, CAST({_TR_UNIT} AS BIGINT) AS r FROM nodes
+), {', '.join(iters)}
+SELECT node AS word, r AS tr_micro FROM i{_TR_ITERS}
+ORDER BY r DESC, word ASC LIMIT {_TR_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# PACF via Durbin-Levinson (bounded day grid, order-pinned folds)
+# --------------------------------------------------------------------------
+
+_PACF_LAGS = 4
+
+
+def _dl_pacf_exprs() -> dict[int, str]:
+    """Durbin-Levinson recursion unrolled to ``_PACF_LAGS`` as SQL text
+    over columns r1..r4 — the SAME strings run on Spark and DuckDB, so
+    the doubles agree bit for bit (shared-tree discipline)."""
+    phi: dict[tuple[int, int], str] = {(1, 1): "r1"}
+    for k in range(2, _PACF_LAGS + 1):
+        num = f"(r{k} - (" + " + ".join(
+            f"({phi[(k - 1, j)]}) * r{k - j}" for j in range(1, k)
+        ) + "))"
+        den = "(1.0 - (" + " + ".join(
+            f"({phi[(k - 1, j)]}) * r{j}" for j in range(1, k)
+        ) + "))"
+        phi[(k, k)] = f"({num} / {den})"
+        for j in range(1, k):
+            phi[(k, j)] = f"(({phi[(k - 1, j)]}) - ({phi[(k, k)]}) * ({phi[(k - 1, k - j)]}))"
+    return {k: phi[(k, k)] for k in range(1, _PACF_LAGS + 1)}
+
+
+def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily revenue series to lag 4 via
+    the Durbin-Levinson recursion — the AR-order diagnostic next to the
+    plain ACF (``acf_by_user``): pacf_k is the lag-k correlation AFTER
+    removing the shorter-lag structure, the standard Box-Jenkins model-ID
+    readout. The series is the calendar-bounded day grid (≤ ~366 rows;
+    lags are positional on the day-ordered series); the ACF estimator
+    r_k = Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)² runs as ORDER-PINNED folds over
+    the sorted array (the fourier discipline) and the recursion itself is
+    pure scalar arithmetic on the 1-row frame, generated ONCE as SQL text
+    shared verbatim by both engines. One data-sized day aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+    rows = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, y))), r -> r.y)").alias(
+            "ys"
+        )
+    )
+    mean = (
+        "(aggregate(ys, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " / CAST(size(ys) AS DOUBLE))"
+    )
+    scalars = rows.select("ys", F.expr(mean).alias("m")).select(
+        F.expr("size(ys)").cast("int").alias("n_days"),
+        F.expr(
+            "aggregate(ys, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + (v - m) * (v - m))"
+        ).alias("d0"),
+        *[
+            F.expr(
+                f"aggregate(sequence({k} + 1, size(ys)), CAST(0.0 AS DOUBLE),"
+                f" (acc, i) -> acc + (element_at(ys, i) - m)"
+                f" * (element_at(ys, i - {k}) - m))"
+            ).alias(f"c{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ],
+    )
+    acf = scalars.select(
+        "n_days",
+        *[(F.col(f"c{k}") / F.col("d0")).alias(f"r{k}") for k in range(1, _PACF_LAGS + 1)],
+    )
+    dl = _dl_pacf_exprs()
+    return acf.select(
+        "n_days",
+        *[pround(F.expr(dl[k]), 6).alias(f"pacf{k}_r") for k in range(1, _PACF_LAGS + 1)],
+    )
+
+
+def _pacf_sql() -> str:
+    dl = _dl_pacf_exprs()
+    prods = ",\n           ".join(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range({k} + 1, n + 1),"
+        f" i -> (ys[i] - m) * (ys[i - {k}] - m))), (acc, v) -> acc + v) AS c{k}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    pacs = ",\n       ".join(
+        f"{pround_sql(dl[k], 6)} AS pacf{k}_r" for k in range(1, _PACF_LAGS + 1)
+    )
+    rs = ", ".join(f"c{k} / d0 AS r{k}" for k in range(1, _PACF_LAGS + 1))
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+), arrs AS (
+    SELECT CAST(count(*) AS INT) AS n, list(y ORDER BY d) AS ys FROM daily
+), withm AS (
+    SELECT n, ys,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys), (acc, v) -> acc + v)
+               / CAST(n AS DOUBLE) AS m
+    FROM arrs
+), scalars AS (
+    SELECT n AS n_days,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ys, v -> (v - m) * (v - m))), (acc, v) -> acc + v) AS d0,
+           {prods}
+    FROM withm
+), acf AS (
+    SELECT n_days, {rs} FROM scalars
+)
+SELECT n_days,
+       {pacs}
+FROM acf
+"""
+
+
 def _attach_shared_oracles() -> list[QuerySpec]:
     from projet_data_infrastructure_spark.plans.roundeight import (
         _FUNNEL3_SQL,
@@ -1190,6 +1442,22 @@ SPECS: list[QuerySpec] = [
         ("stats",),
         doc="Benjamini-Hochberg FDR step-up over per-nation urgency-share "
         "z-tests; engine-shared Zelen-Severo normal p-values",
+    ),
+    QuerySpec(
+        "textrank_keywords",
+        q_textrank_keywords,
+        _textrank_sql(),
+        ("llm", "graph", "text"),
+        doc="TextRank keyword extraction: integer fixed-point PageRank over "
+        "the +/-2-window word co-occurrence graph; unrolled-CTE oracle",
+    ),
+    QuerySpec(
+        "pacf_durbin_levinson",
+        q_pacf_durbin_levinson,
+        _pacf_sql(),
+        ("stats", "timeseries"),
+        doc="PACF to lag 4 via Durbin-Levinson on the calendar-bounded day "
+        "grid; order-pinned ACF folds, shared-tree recursion",
     ),
     QuerySpec(
         "event_pattern_match",

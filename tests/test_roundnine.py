@@ -616,3 +616,98 @@ def test_dedup_within_watermark_suppresses_in_window(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert spark.table("dedup_wm_unit2").count() == 1
+
+
+# ------------------------------------------------- TextRank
+
+
+def test_textrank_fixture_matches_pure_python(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta gamma beta gamma delta"),
+            (3, "alpha beta alpha beta gamma"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: docs)
+    out = {r.word: r.tr_micro for r in r9.q_textrank_keywords(spark, SF).collect()}
+
+    # pure-Python replica: window +/-2 pairs, canonicalized, wt >= 2,
+    # integer fixed-point walk
+    from collections import Counter, defaultdict
+
+    pair_counts = Counter()
+    for _, text in [(1, "alpha beta gamma alpha beta"),
+                    (2, "beta gamma beta gamma delta"),
+                    (3, "alpha beta alpha beta gamma")]:
+        ws = text.split()
+        for i, w in enumerate(ws):
+            for d in (1, 2):
+                if i + d < len(ws) and ws[i + d] != w:
+                    a, b = sorted((w, ws[i + d]))
+                    pair_counts[(a, b)] += 1
+    edges = defaultdict(list)
+    for (a, b), wt in pair_counts.items():
+        if wt >= 2:
+            edges[a].append((b, wt))
+            edges[b].append((a, wt))
+    wdeg = {v: sum(w for _, w in es) for v, es in edges.items()}
+    r = {v: 1_000_000 for v in edges}
+    for _ in range(3):
+        inc = {v: 0 for v in edges}
+        for v, es in edges.items():
+            for u, wt in es:
+                inc[u] += (r[v] * wt) // wdeg[v]
+        r = {v: 150000 + (85 * inc[v]) // 100 for v in edges}
+    assert out == dict(sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
+
+
+def test_textrank_hub_ranks_first(spark, monkeypatch):
+    # a star graph: the hub co-occurs with every spoke, spokes only with
+    # the hub -> the hub must carry the top score
+    docs = spark.createDataFrame(
+        [(i, f"hub spoke{i} hub spoke{i}") for i in range(1, 7)],
+        "doc_id BIGINT, text STRING",
+    )
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: docs)
+    rows = r9.q_textrank_keywords(spark, SF).collect()
+    assert rows[0].word == "hub"
+    assert all(rows[0].tr_micro >= x.tr_micro for x in rows[1:])
+
+
+# ------------------------------------------------- PACF
+
+
+def test_pacf_matches_pure_python(spark, monkeypatch):
+    import datetime as _dt
+
+    # deterministic pseudo-AR series on a complete day grid
+    base = _dt.datetime(2024, 1, 1)
+    vals = []
+    x = 100.0
+    for t in range(60):
+        x = 50.0 + 0.6 * x + ((t * 37) % 11 - 5)  # bounded deterministic noise
+        vals.append((base + _dt.timedelta(days=t), round(x, 2)))
+    df = spark.createDataFrame(vals, "ts TIMESTAMP, value DOUBLE")
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
+    out = r9.q_pacf_durbin_levinson(spark, SF).first()
+
+    ys = [float(int(v * 100 + 0.5)) for _, v in vals]  # cents as double
+    n = len(ys)
+    m = sum(ys) / n
+    d0 = sum((v - m) ** 2 for v in ys)
+    r = {k: sum((ys[i] - m) * (ys[i - k] - m) for i in range(k, n)) / d0 for k in range(1, 5)}
+    phi = {(1, 1): r[1]}
+    for k in range(2, 5):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    assert out.n_days == 60
+    for k in range(1, 5):
+        assert abs(out[f"pacf{k}_r"] - phi[(k, k)]) < 1e-6, k
+    # AR(1)-ish: pacf1 strong, pacf2+ small
+    assert out.pacf1_r > 0.3
+    assert abs(out.pacf2_r) < abs(out.pacf1_r)
