@@ -24,11 +24,28 @@ rank-based robust statistics and sequence-pattern analytics.
   detection over per-user event journeys (regex over the time-ordered
   event-initial string): the SQL-2016 row-pattern feature Spark lacks,
   expressed as one per-user aggregate.
+* ``stream_dedup_within_watermark`` — ``dropDuplicatesWithinWatermark``
+  with both sides of its contract pinned (in-window suppression AND
+  post-eviction re-emission): dedup state bounded by the watermark.
+* ``kruskal_wallis_h`` / ``welch_t_test`` / ``cramers_v`` /
+  ``cohens_kappa`` / ``kendall_tau_b`` / ``bh_fdr_nation_urgency`` — the
+  experimentation-statistics completion: k-sample and mean-based tests,
+  categorical association, agreement, the third correlation (via
+  keyed-window 2-D dominance sums), and multiple-testing control with
+  the engine-shared Zelen-Severo normal p-values
+  (``functions/stats.py``).
+* ``textrank_keywords`` — TextRank keyword extraction: integer
+  fixed-point PageRank over the ±2-window word co-occurrence graph
+  (skipgram pair core + the pagerank discipline).
+* ``pacf_durbin_levinson`` — partial autocorrelation to lag 4 (the
+  Box-Jenkins AR-order diagnostic) with order-pinned ACF folds and a
+  shared-tree unrolled recursion.
 
 Scale shapes follow the house rules: one keyed shuffle per corpus pass;
-post-aggregate math on value-bounded frames; streaming state bounded by
-the active-user set; the stream dedup's per-batch work is
-|batch|-proportional against the precomputed index.
+post-aggregate math on value/dimension-bounded frames (dollar grids,
+category grids, day grids, vocabulary graphs); streaming state bounded
+by the active-user set or the watermark window; the stream dedup's
+per-batch work is |batch|-proportional against the precomputed index.
 """
 
 from __future__ import annotations
