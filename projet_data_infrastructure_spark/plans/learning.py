@@ -56,8 +56,8 @@ _QBIAS = 0.50001
 # --------------------------------------------------------------------------
 
 
-def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of a multinomial NB language classifier trained on
+def nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc predictions of a multinomial NB language classifier trained on
     the corpus's own (lang, word) counts — the classic supervised baseline
     a data pipeline runs to audit its language labels.
 
@@ -143,16 +143,26 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_doc = Window.partitionBy("doc_id").orderBy(F.desc("score_unats"), F.asc("cand"))
-    pred = scored.withColumn("rn", F.row_number().over(w_doc)).filter(F.col("rn") == 1)
+    return scored.withColumn("rn", F.row_number().over(w_doc)).filter(
+        F.col("rn") == 1
+    ).select("doc_id", "true_lang", F.col("cand").alias("pred"))
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix spec over :func:`nb_predictions` (the per-doc
+    prediction frame is factored out so paired-classifier audits —
+    ``roundnine.q_mcnemar_lang_classifiers`` — reuse the exact scorer)."""
+    pred = nb_predictions(spark, sf_dir)
     return (
-        pred.groupBy(F.col("true_lang").alias("lang"), F.col("cand").alias("pred_lang"))
+        pred.groupBy(F.col("true_lang").alias("lang"), F.col("pred").alias("pred_lang"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
 
 
-_NB_SQL = f"""
-WITH toks AS (
+#: Reusable CTE chain producing per-doc NB predictions (`pred` with
+#: doc_id/true_lang/cand/rn) — shared with the McNemar paired audit.
+_NB_PRED_CTES = f"""toks AS (
     SELECT doc_id, lang, unnest({_TOKS_LOWER_SQL}) AS w FROM documents
 ),
 dwc AS (
@@ -192,7 +202,10 @@ pred AS (
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY score_unats DESC, cand) AS rn
     FROM scored
-)
+)"""
+
+_NB_SQL = f"""
+WITH {_NB_PRED_CTES}
 SELECT true_lang AS lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2

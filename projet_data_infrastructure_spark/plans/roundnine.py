@@ -1360,6 +1360,93 @@ FROM acf
 """
 
 
+# --------------------------------------------------------------------------
+# McNemar's paired test: heuristic lang-ID vs the NB classifier
+# --------------------------------------------------------------------------
+
+
+def q_mcnemar_lang_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) on PAIRED predictions: the stopword-heuristic
+    lang-ID (``llm_queries.q_lang_id``) vs the multinomial NB classifier
+    (``learning.nb_predictions``) over the SAME documents — the correct
+    way to compare two classifiers evaluated on one dataset (accuracies
+    alone ignore the pairing; only the DISCORDANT docs carry signal).
+    b = docs the heuristic gets right and NB wrong, c = the reverse;
+    χ² = (b−c)²/(b+c), two-sided p via the engine-shared Zelen-Severo
+    polynomial on z = (b−c)/√(b+c). Both prediction frames are reused
+    registry cores (one corpus tokenize each); the pairing join keys on
+    doc_id and the test statistics live on a 1-row frame."""
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+    from projet_data_infrastructure_spark.plans.learning import nb_predictions
+    from projet_data_infrastructure_spark.plans.llm_queries import q_lang_id
+
+    heur = q_lang_id(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang_pred") == F.col("lang_labeled")).alias("a_right"),
+    )
+    nb = nb_predictions(spark, sf_dir).select(
+        "doc_id", (F.col("pred") == F.col("true_lang")).alias("b_right")
+    )
+    paired = heur.join(nb, "doc_id")
+    scalars = paired.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a_right") & ~F.col("b_right")).cast("long")).alias("b"),
+        F.sum((~F.col("a_right") & F.col("b_right")).cast("long")).alias("c"),
+    )
+    chi2 = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    z = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / sqrt(CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    return scalars.select(
+        "n",
+        F.col("b").alias("heur_only_right"),
+        F.col("c").alias("nb_only_right"),
+        pround(F.expr(chi2), 6).alias("chi2_r"),
+        pround(F.expr(two_sided_p_sql(z)), 8).alias("p_r"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+    from projet_data_infrastructure_spark.plans.learning import _NB_PRED_CTES
+    from projet_data_infrastructure_spark.plans.llm_queries import _lang_id_sql
+
+    chi2 = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    z = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / sqrt(CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    return f"""
+WITH {_NB_PRED_CTES},
+nbp AS (
+    SELECT doc_id, true_lang = cand AS b_right FROM pred WHERE rn = 1
+), heur AS (
+    SELECT doc_id, lang_pred = lang_labeled AS a_right
+    FROM ({_lang_id_sql()})
+), paired AS (
+    SELECT h.doc_id, h.a_right, n.b_right FROM heur h JOIN nbp n USING (doc_id)
+), scalars AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(a_right AND NOT b_right AS INT)) AS BIGINT) AS b,
+           CAST(sum(CAST(b_right AND NOT a_right AS INT)) AS BIGINT) AS c
+    FROM paired
+)
+SELECT n, b AS heur_only_right, c AS nb_only_right,
+       {pround_sql(chi2, 6)} AS chi2_r,
+       {pround_sql(two_sided_p_sql(z), 8)} AS p_r
+FROM scalars
+"""
+
+
 def _attach_shared_oracles() -> list[QuerySpec]:
     from projet_data_infrastructure_spark.plans.roundeight import (
         _FUNNEL3_SQL,
@@ -1475,6 +1562,14 @@ SPECS: list[QuerySpec] = [
         ("stats", "timeseries"),
         doc="PACF to lag 4 via Durbin-Levinson on the calendar-bounded day "
         "grid; order-pinned ACF folds, shared-tree recursion",
+    ),
+    QuerySpec(
+        "mcnemar_lang_classifiers",
+        q_mcnemar_lang_classifiers,
+        _mcnemar_sql(),
+        ("stats", "ml"),
+        doc="McNemar's paired test: heuristic lang-ID vs the NB classifier "
+        "on the same docs; discordant-pair chi2 + shared-tree p",
     ),
     QuerySpec(
         "event_pattern_match",

@@ -711,3 +711,49 @@ def test_pacf_matches_pure_python(spark, monkeypatch):
     # AR(1)-ish: pacf1 strong, pacf2+ small
     assert out.pacf1_r > 0.3
     assert abs(out.pacf2_r) < abs(out.pacf1_r)
+
+
+# ------------------------------------------------- McNemar
+
+
+def test_mcnemar_fixture(spark, monkeypatch):
+    import projet_data_infrastructure_spark.plans.learning as learning
+    import projet_data_infrastructure_spark.plans.llm_queries as llm
+
+    # 10 paired docs: heuristic right on 1-6 (b-candidates), NB right on
+    # 5-8; discordant: heur-only {1,2,3,4}, nb-only {7,8} -> b=4, c=2
+    heur = spark.createDataFrame(
+        [(i, "en", "en" if i <= 6 else "fr") for i in range(1, 11)],
+        "doc_id BIGINT, lang_labeled STRING, lang_pred STRING",
+    )
+    nb = spark.createDataFrame(
+        [(i, "en", "en" if 5 <= i <= 8 else "fr") for i in range(1, 11)],
+        "doc_id BIGINT, true_lang STRING, pred STRING",
+    )
+    monkeypatch.setattr(llm, "q_lang_id", lambda sp, sf: heur)
+    monkeypatch.setattr(learning, "nb_predictions", lambda sp, sf: nb)
+    out = r9.q_mcnemar_lang_classifiers(spark, SF).first()
+    assert out.n == 10
+    assert out.heur_only_right == 4 and out.nb_only_right == 2
+    # chi2 = (4-2)^2/6
+    assert abs(out.chi2_r - 4.0 / 6.0) < 1e-6  # pround 6
+    import math
+
+    z = 2.0 / math.sqrt(6.0)
+    assert abs(out.p_r - math.erfc(z / math.sqrt(2.0))) < 2e-7
+
+
+def test_nb_confusion_unchanged_by_refactor(spark):
+    # the confusion-matrix spec must be byte-identical to grouping the
+    # factored per-doc predictions
+    import projet_data_infrastructure_spark.plans.learning as learning
+
+    conf = {
+        (r.lang, r.pred_lang): r.n_docs
+        for r in learning.q_naive_bayes_lang(spark, SF).collect()
+    }
+    pred = learning.nb_predictions(spark, SF).collect()
+    from collections import Counter
+
+    re_grouped = Counter((r.true_lang, r.pred) for r in pred)
+    assert conf == dict(re_grouped)
