@@ -49,6 +49,27 @@ BENCH_CORE = (
 )
 
 
+def _release_cached_blocks(spark) -> None:
+    """Drop every cached table and persistent RDD block between specs.
+
+    Several headliners ``localCheckpoint(eager=True)`` their iteration
+    frontiers; those blocks live in executor storage memory until the
+    ContextCleaner happens to reap them. Over 58 specs x 3+ passes the
+    accumulated blocks squeeze execution memory exactly on the heavy
+    iterative queries late in name order (VERDICT r9 item 1: the driver's
+    +5.7 s carried-set drift concentrated on clustering_coefficient /
+    kcore / pagerank while an idle local run showed -2.3 s). Explicitly
+    unpersisting after every spec makes each measurement start from the
+    same storage state regardless of machine load or GC timing.
+    """
+    spark.catalog.clearCache()
+    try:
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+    except Exception:
+        pass  # py4j view quirks must never abort a bench run
+
+
 def _calibration_run() -> float:
     """Wall time of a fixed single-thread CPU workload (~0.3 s idle).
 
@@ -101,6 +122,7 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[spec.name].append(time.time() - t0)
+            _release_cached_blocks(spark)
 
     import statistics
 
@@ -135,6 +157,7 @@ def main() -> None:
                 t0 = time.time()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples[spec.name].append(time.time() - t0)
+                _release_cached_blocks(spark)
         for spec in suspects:
             timings[spec.name] = round(statistics.median(samples[spec.name]), 3)
             requeried.append(spec.name)

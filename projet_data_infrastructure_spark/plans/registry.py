@@ -28,70 +28,53 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-9 driver window. Ordering: (a) the 46 specs that have never
-# appeared in any CORRECTNESS_r{N} window (recomputed from the union of
-# CORRECTNESS_r01..r08 vs LOCAL_ORACLE — 25 pre-r8 backlog + the 21
-# round-8 additions); (b) the three specs whose only driver record is a
-# round-3 ``no_oracle`` rows-only row and which have since gained oracles
-# (verdict r8 "What's wrong" #2) — fronting all 49 closes the ledger at
-# 356/356 driver-hash-checked in one ~50-slot window. Round-9 additions
-# queue behind them for the round-10 rotation. Rows-only specs stay pinned
-# behind every oracled spec. Names absent from the registry are ignored.
+# Round-10 driver window. The r9 window cleared its full 50-name front
+# (CORRECTNESS_r09: 50/50 PASS), leaving exactly 16 oracled specs that have
+# never been driver-hash-checked (recomputed as LOCAL_ORACLE names minus the
+# union of CORRECTNESS_r01..r09 keys, plus ``approx_quantiles`` whose only
+# driver record is a round-4 ``no_oracle`` rows-only row): the 15 round-9
+# additions and ``approx_quantiles``. Fronting all 16 closes the ledger at
+# 371/371 driver-hash-proven (verdict r9 "Next round" #1). Round-10
+# additions queue directly behind so the same window also proves them.
+# Rows-only specs stay pinned behind every oracled spec. Names absent from
+# the registry are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (alphabetical)
-    "boilerplate_line_df",
-    "char_entropy_quality",
-    "curriculum_length_phases",
-    "dedup_keepbest_canonical",
-    "epoch_shuffle_manifest",
-    "funnel_three_step",
-    "incremental_index_dedup",
-    "l_diversity_audit",
-    "listagg_param_sql",
-    "logrank_test",
-    "markov_2step_matrix",
-    "minhash_calibration_bins",
-    "mmr_diverse_rerank",
-    "multimodal_phash_neardup",
-    "naive_bayes_lang",
-    "ngram_containment_pairs",
-    "normalize_text_stats",
-    "null_safe_join",
-    "oov_rate_by_lang",
-    "pca_power_iteration",
-    "pii_redaction_scan",
-    "pipe_syntax_rollup",
-    "pmi_collocations",
-    "quantile_normalize_scores",
-    "range_join_keyless_bucketed",
-    "rendezvous_shards",
-    "retrieval_eval_metrics",
-    "roc_auc_by_dow",
-    "semantic_contamination",
-    "skew_profile",
-    "span_corruption_masks",
-    "spend_percentile_rank",
-    "stream_countmin_merge",
-    "stream_funnel_conversion",
-    "stream_hll_cardinality",
-    "temperature_sampling_weights",
-    "tokenizer_fertility_by_lang",
-    "tokenset_dedup_groups",
-    "try_functions",
-    "twa_event_value",
-    "unimax_sampling_plan",
-    "weekly_revenue_movers",
-    "window_funcs3",
-    "winnowing_fingerprint",
-    "wordpiece_merge_scores",
-    "zipf_fit_slope",
-    # (b) re-oracled since their only (r3, no_oracle) driver record
-    "ivf_trained_assign",
-    "pq_trained_encode",
-    "sampled_profile",
-    # (c) rows-only specs converted to tolerance-banded oracles in round 9
-    "approx_count_distinct",
+    # (a) the 15 round-9 additions, never driver-checked (alphabetical)
+    "bh_fdr_nation_urgency",
+    "cohens_kappa",
+    "cramers_v",
+    "event_pattern_match",
+    "kendall_tau_b",
+    "kruskal_wallis_h",
+    "mann_whitney_u",
+    "mcnemar_lang_classifiers",
+    "pacf_durbin_levinson",
+    "spearman_corr_qty_price",
+    "stream_dedup_within_watermark",
+    "stream_funnel_three_step",
+    "stream_incremental_dedup",
+    "textrank_keywords",
+    "welch_t_test",
+    # (b) squeezed out of the 51-entry r9 priority list by the 50-slot
+    # window; its only driver record is a (r4, no_oracle) rows-only row
     "approx_quantiles",
+    # (c) round-10 additions — driver-checked the same window they ship
+    "stream_event_pattern_match",
+    "generator_activities",
+    "chisq_shipmode_returnflag",
+    "anderson_darling_normal",
+    "fisher_exact_2x2",
+    "theil_sen_trend",
+    "jaccard_token_topk_pairs",
+    "hypergeom_enrichment",
+    "changepoint_cusum_mean",
+    "ab_srm_guard",
+    "gini_lorenz_by_nation",
+    "qgram_profile_skew",
+    "stream_session_windows",
+    "segmented_regression_elbow",
+    "isotonic_calibration_bins",
+    "routing_topk_experts",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they
