@@ -248,3 +248,54 @@ def ntile_from_rank_cols(rank: Column, n_total: Column, n: int) -> Column:
         .otherwise(small)
         .cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# Value-bounded-grid rank machinery (shared by the rank statistics)
+# --------------------------------------------------------------------------
+#
+# ``mann_whitney_u``, ``spearman_corr_qty_price`` and ``kruskal_wallis_h``
+# (plans/roundnine.py) rank a corpus-sized column WITHOUT a corpus-sized
+# sort: observations quantize to a value-bounded grid (whole dollars, the
+# 1..50 TPC-H quantity domain), one group-by produces per-value tie counts,
+# and a cumulative window over the GRID (<= ~500 rows -- the
+# logrank/equidepth bounded-window class, SCALE.md) yields every tied
+# observation's doubled average rank as the exact integer
+#
+#     2*rbar(v) = 2*cum(v) - t(v) + 1
+#
+# so rank sums and rank moments stay BIGINT/DECIMAL-exact until one final
+# shared double tree. Factored here per VERDICT r9 item 3 (the
+# ``operators/asof.carry_forward`` precedent): one definition of the
+# grid->cumulative-window->2*rbar table, three consumers. The unpartitioned
+# window is safe ONLY because the grid is value-bounded;
+# ``tests/test_plans_quality.py`` gates that every consumer's window input
+# is a post-aggregate grid, never the corpus.
+
+def value_grid_ranks(df: DataFrame, col: str, *extra_aggs: Column) -> DataFrame:
+    """Per-value tie counts + cumulative counts over the bounded domain of
+    ``col``.
+
+    Returns one row per distinct value with ``t`` (tie count), any
+    ``extra_aggs`` (e.g. per-arm counts for the k-sample tests), and ``cum``
+    (cumulative count through this value in ascending order). The cumulative
+    window is unpartitioned but runs on the post-aggregate GRID, whose size
+    is the value domain, not the corpus.
+    """
+    grid = df.groupBy(col).agg(F.count(F.lit(1)).alias("t"), *extra_aggs)
+    wcum = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.withColumn("cum", F.sum("t").over(wcum))
+
+
+def two_rbar() -> Column:
+    """Doubled average rank of a grid row: 2·r̄ = 2·cum − t + 1 (exact
+    BIGINT — doubling clears the half-integer average ranks ties create)."""
+    return 2 * F.col("cum") - F.col("t") + 1
+
+
+def average_rank_table(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(value → 2·r̄) lookup table for joining doubled average ranks back
+    onto the corpus (the Spearman shape); broadcast it — it is grid-sized."""
+    return value_grid_ranks(df, col).select(col, two_rbar().alias(out))

@@ -351,7 +351,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_stream(df_writer, spark: SparkSession, name: str) -> DataFrame:
     query = df_writer.queryName(name).trigger(availableNow=True).format("memory").start()
-    query.awaitTermination(120)
+    # awaitTermination returns False on timeout — fail loudly rather than
+    # returning a partially-filled memory table as an oracle mismatch.
+    assert query.awaitTermination(120), f"stream {name} timed out"
     query.stop()
     return spark.table(name)
 

@@ -14,10 +14,104 @@ from projet_data_infrastructure_spark.sources.readers import read_table
 
 
 def q_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1-G5 synthetic activity source (seeded, distribution-tested)."""
+    """G1-G5 synthetic activity source (seeded, distribution-tested).
+
+    Fully DuckDB-oracled since round 10: the generator's draws run on the
+    portable seeded ``hash64`` and explicit floor rounding
+    (``sources/generator.py``), so :func:`_generator_sql` replays the
+    ENTIRE generation — grid, emission filter, every distribution — in
+    SQL and the driver hash-checks it like any relational spec (the last
+    rows-only spec converted; VERDICT r9 item 6)."""
     from projet_data_infrastructure_spark.sources.generator import generate_activities
 
     return generate_activities(spark, n_employees=50, n_days=90, seed=42)
+
+
+def _generator_sql(n_employees: int = 50, n_days: int = 90, seed: int = 42) -> str:
+    """DuckDB replay of :func:`sources.generator.generate_activities`.
+
+    Built from the same SPORTS/DISTANCE_SPORTS/COMMENTS constants so the
+    two engines cannot drift; every float expression is the verbatim text
+    Spark evaluates (u·(hi−lo)+lo, floor(x·100+0.5)/100, floor casts)."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+    from projet_data_infrastructure_spark.sources.generator import (
+        COMMENT_NULL_WEIGHT,
+        COMMENTS,
+        DISTANCE_SPORTS,
+        SPORTS,
+    )
+
+    def q(s: str) -> str:  # SQL string literal
+        return "'" + s.replace("'", "''") + "'"
+
+    def u(salt: int) -> str:
+        h = hash64_sql("key", seed=seed * 1000 + salt)
+        return f"(({h}) % 1000000000) / 1000000000.0"
+
+    sports_list = ", ".join(q(s) for s in SPORTS)
+    dist_cases = " ".join(
+        f"WHEN sport = {q(name)} THEN"
+        f" floor((u2 * ({hi} - {lo}) + {lo}) * 100 + 0.5) / 100.0"
+        for name, (lo, hi, _) in DISTANCE_SPORTS.items()
+    )
+    speed_cases = " ".join(
+        f"WHEN sport = {q(name)} THEN {v}"
+        for name, (_, _, v) in DISTANCE_SPORTS.items()
+    )
+    pool = ", ".join(
+        [q(c) for c in COMMENTS] + ["NULL"] * COMMENT_NULL_WEIGHT
+    )
+    pool_n = len(COMMENTS) + COMMENT_NULL_WEIGHT
+    return f"""
+WITH emps AS (
+    SELECT CAST(r AS BIGINT) AS id_employee FROM range(1, {n_employees + 1}) t(r)
+), days AS (
+    SELECT CAST(d AS DATE) AS day
+    FROM generate_series(DATE '2024-01-01',
+                         DATE '2024-01-01' + INTERVAL {n_days - 1} DAY,
+                         INTERVAL 1 DAY) t(d)
+), grid AS (
+    SELECT id_employee, day,
+           CAST(id_employee AS VARCHAR) || ':' || CAST(day AS VARCHAR) AS key
+    FROM emps CROSS JOIN days
+), drawn AS (
+    SELECT *, {u(0)} AS u0, {u(1)} AS u1, {u(2)} AS u2, {u(3)} AS u3,
+           {u(4)} AS u4, {u(5)} AS u5, {u(6)} AS u6, {u(7)} AS u7,
+           {u(8)} AS u8, {u(9)} AS u9, {u(10)} AS u10
+    FROM grid
+), active AS (
+    SELECT * FROM drawn
+    WHERE u0 < (CASE WHEN dayofweek(day) IN (0, 6) THEN 0.15 ELSE 0.05 END)
+), sported AS (
+    SELECT *, ([{sports_list}])[CAST(floor(u1 * {len(SPORTS)}) AS INT) + 1] AS sport
+    FROM active
+), sized AS (
+    SELECT *, (CASE {dist_cases} ELSE NULL END) AS distance,
+           (CASE {speed_cases} ELSE NULL END) AS speed
+    FROM sported
+), timed AS (
+    SELECT *,
+           CASE WHEN distance IS NOT NULL
+                THEN CAST(floor(distance / speed * (u3 * (1.1 - 0.9) + 0.9) * 3600) AS INT)
+                ELSE CAST(floor(u4 * (7200 - 1800) + 1800) AS INT)
+           END AS activity_duration,
+           CAST(floor(CASE WHEN u5 < 0.3 THEN u6 * (10 - 6) + 6
+                           ELSE u7 * (22 - 10) + 10 END) AS INT) AS hh,
+           CAST(floor(u8 * (60 - 0) + 0) AS INT) AS mi,
+           CAST(floor(u9 * (60 - 0) + 0) AS INT) AS ss
+    FROM sized
+)
+SELECT {hash64_sql('key', seed=seed)} AS id,
+       id_employee,
+       make_timestamp(CAST(year(day) AS BIGINT), CAST(month(day) AS BIGINT),
+                      CAST(dayofmonth(day) AS BIGINT), CAST(hh AS BIGINT),
+                      CAST(mi AS BIGINT), CAST(ss AS DOUBLE)) AS start_datetime,
+       sport AS sport_type,
+       distance,
+       activity_duration,
+       ([{pool}])[CAST(floor(u10 * {pool_n}) AS INT) + 1] AS comment
+FROM timed
+"""
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1136,7 +1230,14 @@ SPECS: list[QuerySpec] = [
         "decode: 8-byte code from the stub feature vector, 4x2-byte "
         "pigeonhole-complete banding, exact verify on candidates",
     ),
-    QuerySpec("generator_activities", q_generator, None, ("generator", "rows-only")),
+    QuerySpec(
+        "generator_activities",
+        q_generator,
+        _generator_sql(),
+        ("generator",),
+        doc="G1-G5 seeded activity generator, fully replayed in DuckDB via "
+        "the portable hash64 draws (the last rows-only spec, now oracled)",
+    ),
     QuerySpec(
         "stream_cdc_apply",
         q_stream_cdc_apply,

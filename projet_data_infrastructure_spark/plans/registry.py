@@ -61,7 +61,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (c) round-10 additions — driver-checked the same window they ship
     "stream_event_pattern_match",
     "generator_activities",
-    "chisq_shipmode_returnflag",
+    "chisq_priority_status",
     "anderson_darling_normal",
     "fisher_exact_2x2",
     "theil_sen_trend",
@@ -100,6 +100,7 @@ def all_specs() -> list[QuerySpec]:
         roundnine,
         roundseven,
         roundsix,
+        roundten,
         sketches,
     )
 
@@ -119,6 +120,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(roundseven.SPECS)
     specs.extend(roundeight.SPECS)
     specs.extend(roundnine.SPECS)
+    specs.extend(roundten.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

@@ -54,6 +54,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
+from projet_data_infrastructure_spark.operators.ranks import (
+    average_rank_table,
+    two_rbar,
+    value_grid_ranks,
+)
 from projet_data_infrastructure_spark.operators.text import tokens
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
@@ -144,33 +149,52 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_toks = doc_token_sets(index_docs).localCheckpoint(eager=True)
     idx_bands = idx_bands.localCheckpoint(eager=True)
 
+    import shutil
+
     work = tempfile.mkdtemp(prefix="stream_incrdedup_")
-    src = f"{work}/new_docs"
-    new_docs.coalesce(1).write.parquet(src)
-    stream = spark.readStream.schema(new_docs.schema).format("parquet").load(src)
-    out_dir = f"{work}/matches"
+    try:
+        src = f"{work}/new_docs"
+        new_docs.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(new_docs.schema).format("parquet").load(src)
+        out_dir = f"{work}/matches"
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch_bands = minhash_band_rows(batch_df).select(
-            F.col("doc_id").alias("new_doc"), "band", "key"
-        )
-        cand = (
-            batch_bands.join(idx_bands, ["band", "key"])
-            .select("new_doc", "index_doc")
-            .distinct()
-        )
-        result = jaccard_best_match(cand, doc_token_sets(batch_df), idx_toks)
-        result.write.mode("append").parquet(out_dir)
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            batch_bands = minhash_band_rows(batch_df).select(
+                F.col("doc_id").alias("new_doc"), "band", "key"
+            )
+            cand = (
+                batch_bands.join(idx_bands, ["band", "key"])
+                .select("new_doc", "index_doc")
+                .distinct()
+            )
+            result = jaccard_best_match(cand, doc_token_sets(batch_df), idx_toks)
+            # foreachBatch is at-least-once: a replayed batch OVERWRITES its
+            # own batch_id-keyed partition, so redelivery is idempotent (the
+            # standard foreachBatch discipline; ADVICE r9) instead of
+            # appending duplicate rows to the store.
+            result.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    q.stop()
-    return spark.read.parquet(out_dir).orderBy("new_doc")
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination returns False on timeout — fail loudly rather than
+        # reading a partially-written store as a confusing oracle mismatch.
+        assert q.awaitTermination(180), "stream_incremental_dedup timed out"
+        q.stop()
+        # Partition discovery surfaces the batch_id path key as a column;
+        # drop it — the accumulated store equals the batch spec's output.
+        # Materialize before the finally-cleanup deletes the backing files.
+        return (
+            spark.read.parquet(out_dir)
+            .drop("batch_id")
+            .orderBy("new_doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -221,7 +245,8 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism and scale come from the same trick: observations quantize
     to the WHOLE-DOLLAR grid (value domain ≤ ~500 distinct dollars — the
-    equidepth/KS value-bounded-window discipline), so ranks never need a
+    equidepth/KS value-bounded-window discipline,
+    ``operators/ranks.value_grid_ranks``), so ranks never need a
     corpus-sized sort. For dollar value v with cumulative count cum(v)
     and tie count t(v), every tied observation's average rank satisfies
     2·r̄(v) = 2·cum(v) − t(v) + 1 (exact integer), so the rank sum
@@ -237,21 +262,15 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").alias("usd"),
         F.pmod(hash64(F.col("event_id")), F.lit(2)).cast("int").alias("arm"),
     )
-    grid = obs.groupBy("usd").agg(
-        F.count(F.lit(1)).alias("t"),
-        F.sum((F.col("arm") == 1).cast("long")).alias("n1v"),
-    )
-    # Unpartitioned cumulative window over the VALUE-BOUNDED dollar grid
-    # (≤ ~500 rows — the logrank/equidepth bounded-window class); every
+    # Shared grid→cumulative-window→2·r̄ core (operators/ranks.py): every
     # term is an exact BIGINT, so the final sums are order-insensitive.
-    wcum = Window.orderBy("usd").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked_grid = value_grid_ranks(
+        obs, "usd", F.sum((F.col("arm") == 1).cast("long")).alias("n1v")
     )
-    ranked_grid = grid.withColumn("cum", F.sum("t").over(wcum))
     scalars = ranked_grid.groupBy().agg(
         F.sum("n1v").alias("n1"),
         F.sum("t").alias("n"),
-        F.sum(F.col("n1v") * (2 * F.col("cum") - F.col("t") + 1)).alias("two_r1"),
+        F.sum(F.col("n1v") * two_rbar()).alias("two_r1"),
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
     ).select(
         "n1",
@@ -319,38 +338,32 @@ def q_spearman_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: each variable's average ranks live in a VALUE-BOUNDED rank
     table (50 quantities; dollar prices bounded by the price domain) as
     2·r̄(v) = 2·cum(v) − t(v) + 1 exact integers, joined back by value
-    (dimension-table-sized broadcast joins). Moment sums Σ, Σ², Σxy stay
-    BIGINT-exact at the tested SFs (2·r̄ ≤ 2n keeps ΣRxRy < 2⁶³ up to
-    ~n = 10⁶; promote to DECIMAL(38,0) sums — the
-    ``ols_two_feature_nation`` discipline — for larger corpora). rho
-    forms in one shared double tree, pround 6."""
+    (dimension-table-sized broadcast joins) — the shared
+    ``operators/ranks.average_rank_table`` core. Moment sums Σ, Σ², Σxy
+    accumulate as DECIMAL(19,0) operands on BOTH engines (the
+    ``ols_two_feature_nation`` discipline; ADVICE r9): 2·r̄ ≤ 2n would
+    wrap int64 product sums silently around n ≈ 10⁶ in Spark while
+    DuckDB promotes to HUGEINT — divergent failure modes this removes
+    outright. rho forms in one shared double tree, pround 6."""
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("qty"),
         F.floor("l_extendedprice").cast("long").alias("usd"),
     )
-
-    def rank_table(col: str, out: str) -> DataFrame:
-        # Unpartitioned cumulative window over the VALUE-BOUNDED grid (50
-        # quantities / domain-bounded dollars — the logrank/equidepth
-        # bounded-window class); 2·r̄ stays an exact BIGINT.
-        grid = li.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
-        wcum = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        return grid.withColumn("cum", F.sum("t").over(wcum)).select(
-            col, (2 * F.col("cum") - F.col("t") + 1).alias(out)
-        )
-
-    rq = rank_table("qty", "rq2")  # 2× average rank, exact integer
-    rp = rank_table("usd", "rp2")
+    rq = average_rank_table(li, "qty", "rq2")  # 2× average rank, exact int
+    rp = average_rank_table(li, "usd", "rp2")
     ranked = li.join(F.broadcast(rq), "qty").join(F.broadcast(rp), "usd")
+    # DECIMAL(19,0) operands → DECIMAL(38,0) products/sums in both engines
+    # (neither engine can overflow silently; Spark caps sum precision at 38,
+    # DuckDB at its 38-digit decimal width).
+    rq2d = F.col("rq2").cast("decimal(19,0)")
+    rp2d = F.col("rp2").cast("decimal(19,0)")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rq2").alias("sx"),
-        F.sum("rp2").alias("sy"),
-        F.sum(F.col("rq2") * F.col("rq2")).alias("sxx"),
-        F.sum(F.col("rp2") * F.col("rp2")).alias("syy"),
-        F.sum(F.col("rq2") * F.col("rp2")).alias("sxy"),
+        F.sum(rq2d).alias("sx"),
+        F.sum(rp2d).alias("sy"),
+        F.sum(rq2d * rq2d).alias("sxx"),
+        F.sum(rp2d * rp2d).alias("syy"),
+        F.sum(rq2d * rp2d).alias("sxy"),
     )
     num = (
         "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
@@ -393,10 +406,11 @@ WITH li AS (
     FROM li JOIN rq USING (qty) JOIN rp USING (usd)
 ), sums AS (
     SELECT count(*) AS n,
-           CAST(sum(rq2) AS BIGINT) AS sx, CAST(sum(rp2) AS BIGINT) AS sy,
-           CAST(sum(rq2 * rq2) AS BIGINT) AS sxx,
-           CAST(sum(rp2 * rp2) AS BIGINT) AS syy,
-           CAST(sum(rq2 * rp2) AS BIGINT) AS sxy
+           sum(CAST(rq2 AS DECIMAL(19,0))) AS sx,
+           sum(CAST(rp2 AS DECIMAL(19,0))) AS sy,
+           sum(CAST(rq2 AS DECIMAL(19,0)) * CAST(rq2 AS DECIMAL(19,0))) AS sxx,
+           sum(CAST(rp2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS syy,
+           sum(CAST(rq2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS sxy
     FROM ranked
 )
 SELECT n,
@@ -470,7 +484,8 @@ def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase value across THREE deterministic hash arms — the omnibus
     nonparametric ANOVA a multi-variant experiment reports before any
     pairwise drill-down. Shares the value-bounded dollar-grid rank
-    machinery with ``mann_whitney_u``: per dollar value, tie count t and
+    machinery with ``mann_whitney_u`` via
+    ``operators/ranks.value_grid_ranks``: per dollar value, tie count t and
     per-arm counts; 2·r̄ = 2·cum − t + 1 exact BIGINT; per-arm doubled
     rank sums stay integers until the final shared double tree.
     H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1), tie-corrected by
@@ -483,23 +498,20 @@ def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").alias("usd"),
         F.pmod(hash64(F.col("event_id")), F.lit(3)).cast("int").alias("arm"),
     )
-    grid = obs.groupBy("usd").agg(
-        F.count(F.lit(1)).alias("t"),
+    # Shared grid→cumulative-window→2·r̄ core (operators/ranks.py).
+    ranked = value_grid_ranks(
+        obs,
+        "usd",
         *[
             F.sum((F.col("arm") == g).cast("long")).alias(f"n{g}v")
             for g in range(3)
         ],
     )
-    wcum = Window.orderBy("usd").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = grid.withColumn("cum", F.sum("t").over(wcum))
-    two_rbar = 2 * F.col("cum") - F.col("t") + 1
     scalars = ranked.groupBy().agg(
         F.sum("t").alias("n"),
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
         *[F.sum(f"n{g}v").alias(f"n{g}") for g in range(3)],
-        *[F.sum(F.col(f"n{g}v") * two_rbar).alias(f"tr{g}") for g in range(3)],
+        *[F.sum(F.col(f"n{g}v") * two_rbar()).alias(f"tr{g}") for g in range(3)],
     )
     # shared double tree: R_g = tr_g/2; Σ R_g²/n_g with each term formed
     # identically in both engines.
@@ -871,6 +883,16 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    # The dense grid and the DuckDB oracle's g1..g50 pivot both assume the
+    # TPC-H 1..50 quantity domain; a value outside it would be silently
+    # dropped from C/D while still counted in n/n1/n2 (ADVICE r9). The grid
+    # is bounded, so this domain probe costs one scan of the checkpointed
+    # cells frame — fail loudly on drift.
+    drift = cells.filter((F.col("qty") < 1) | (F.col("qty") > 50)).limit(1).count()
+    if drift:
+        raise ValueError(
+            "kendall_tau_b: l_quantity outside the assumed 1..50 domain"
+        )
     dense = (
         cells.select("usd")
         .distinct()

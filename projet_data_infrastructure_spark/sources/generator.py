@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from projet_data_infrastructure_spark.functions.hashing import hash64
+
 SPORTS = [
     "Course à pied",
     "Marche",
@@ -71,6 +73,13 @@ COMMENTS = [
 COMMENT_NULL_WEIGHT = 30  # 12 phrases ∪ 30×NULL ⇒ ≈71.4% NULL
 
 
+def _key() -> Column:
+    """Row identity as a string — '<employee>:<yyyy-mm-dd>' in both engines."""
+    return F.concat(
+        F.col("id_employee").cast("string"), F.lit(":"), F.col("day").cast("string")
+    )
+
+
 def _u01(salt: int, seed: int) -> Column:
     """Stateless uniform [0,1) from the row identity (employee, day).
 
@@ -79,9 +88,14 @@ def _u01(salt: int, seed: int) -> Column:
     sport drawn in one branch won't match the sport stored in the column).
     A hash of the row keys is branch-safe, partition-invariant, and
     reproducible under any physical plan — the property a distributed
-    generator actually needs.
+    generator actually needs. The hash is the PORTABLE seeded ``hash64``
+    (md5-based, ``functions/hashing.py``) rather than ``xxhash64``, so the
+    whole generation replays verbatim in the DuckDB oracle
+    (``plans/extras._generator_sql``) — the round-10 "oracle the
+    generator" requirement; swap back to ``F.xxhash64`` on a production
+    cluster if hashing ever shows up in a profile.
     """
-    h = F.xxhash64(F.col("id_employee"), F.col("day"), F.lit(seed * 1000 + salt))
+    h = hash64(_key(), seed=seed * 1000 + salt)
     return F.pmod(h, F.lit(1_000_000_000)) / F.lit(1_000_000_000.0)
 
 
@@ -113,30 +127,37 @@ def generate_activities(
     sport_idx = (F.floor(_u01(1, seed) * len(SPORTS)) + 1).cast("int")
     sport = F.element_at(F.array(*[F.lit(s) for s in SPORTS]), sport_idx)
 
-    # G2: per-sport distance ranges (km), NULL otherwise.
+    # G2: per-sport distance ranges (km), NULL otherwise. Rounding is the
+    # portable half-up floor (floor(x*100 + 0.5)/100 — F.round's HALF_UP vs
+    # DuckDB's round diverge on exact .xx5 doubles), values positive.
     distance = F.lit(None).cast("double")
     for name, (lo, hi, _) in DISTANCE_SPORTS.items():
-        distance = F.when(sport == name, F.round(_uniform(lo, hi, 2, seed), 2)).otherwise(
-            distance
-        )
+        rounded = F.floor(_uniform(lo, hi, 2, seed) * 100 + F.lit(0.5)) / F.lit(100.0)
+        distance = F.when(sport == name, rounded).otherwise(distance)
 
     # G3: duration from distance/speed with ±10% jitter, else U(1800, 7200).
+    # Explicit floor, not a bare int cast: Spark's double→int CAST truncates
+    # while DuckDB's rounds — floor is the same function in both engines.
     speed = F.lit(None).cast("double")
     for name, (_, _, v) in DISTANCE_SPORTS.items():
         speed = F.when(sport == name, F.lit(v)).otherwise(speed)
     jitter = _uniform(0.9, 1.1, 3, seed)
     duration = F.when(
-        distance.isNotNull(), (distance / speed * jitter * 3600).cast("int")
-    ).otherwise(_uniform(1800, 7200, 4, seed).cast("int"))
+        distance.isNotNull(),
+        F.floor(distance / speed * jitter * 3600).cast("int"),
+    ).otherwise(F.floor(_uniform(1800, 7200, 4, seed)).cast("int"))
 
     # G4: start hour 30% in 06-09 (4h span), 70% in 10-21 (12h span).
     morning = _u01(5, seed) < 0.3
-    hour = (
+    hour = F.floor(
         F.when(morning, _uniform(6, 10, 6, seed)).otherwise(_uniform(10, 22, 7, seed))
     ).cast("int")
-    minute = _uniform(0, 60, 8, seed).cast("int")
-    second = _uniform(0, 60, 9, seed).cast("int")
-    start_dt = F.make_timestamp(
+    minute = F.floor(_uniform(0, 60, 8, seed)).cast("int")
+    second = F.floor(_uniform(0, 60, 9, seed)).cast("int")
+    # NTZ: wall-clock components with no session-timezone dependence (the
+    # DuckDB TIMESTAMP is NTZ by nature, and the hostile non-UTC probe must
+    # not shift generated hours).
+    start_dt = F.make_timestamp_ntz(
         F.year("day"), F.month("day"), F.dayofmonth("day"), hour, minute, second.cast("double")
     )
 
@@ -158,7 +179,7 @@ def generate_activities(
             # Deterministic id from the row identity — NOT
             # monotonically_increasing_id(), whose value depends on partition
             # layout and so would differ across parallelism/cluster settings.
-            F.xxhash64(F.col("id_employee"), F.col("day"), F.lit(seed)).alias("id"),
+            hash64(_key(), seed=seed).alias("id"),
             "id_employee",
             "start_datetime",
             "sport_type",

@@ -306,3 +306,46 @@ def funnel3_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+JOURNEY_SCHEMA = "user_id BIGINT, journey STRING"
+_JOURNEY_STATE_SCHEMA = "journey STRING"
+
+
+def journey_state(events: DataFrame) -> DataFrame:
+    """Per-user event-journey accumulator — the LIVE half of the
+    MATCH_RECOGNIZE analog (``plans/roundnine.q_event_pattern_match``):
+    state is ONE string per user, the time-ordered concatenation of
+    event-type initials, appended micro-batch by micro-batch; the row
+    pattern itself is a stateless regex evaluated at emission time, so ANY
+    regex-expressible sequence condition runs over the same state. Each
+    batch's events sort by (ts_us, event_id) before appending — the batch
+    spec's deterministic tie order.
+
+    State per key is the user's own journey string (bounded by per-user
+    history, the funnel specs' active-user working set — at 100 TB pair it
+    with a session watermark or cap the string; the batch spec re-aggregates
+    the lake instead). Same delivery caveat as :func:`funnel3_state`:
+    exactly correct under per-user event-time-ordered delivery or a single
+    availableNow replay; a late event would need the string re-spliced.
+
+    Input contract: ``events`` carries (user_id, ts_us BIGINT,
+    event_id BIGINT, event_type STRING).
+    """
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        journey = state.get[0] if state.exists else ""
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        journey += "".join(s[0] for s in pdf["event_type"])
+        state.update((journey,))
+        yield pd.DataFrame({"user_id": [key[0]], "journey": [journey]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=JOURNEY_SCHEMA,
+        stateStructType=_JOURNEY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
