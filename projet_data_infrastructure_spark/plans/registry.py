@@ -62,18 +62,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_event_pattern_match",
     "generator_activities",
     "chisq_priority_status",
-    "anderson_darling_normal",
-    "fisher_exact_2x2",
-    "theil_sen_trend",
-    "jaccard_token_topk_pairs",
-    "hypergeom_enrichment",
+    "mann_kendall_z",
     "changepoint_cusum_mean",
     "ab_srm_guard",
     "gini_lorenz_by_nation",
-    "qgram_profile_skew",
-    "stream_session_windows",
+    "grubbs_outlier_day",
     "segmented_regression_elbow",
-    "isotonic_calibration_bins",
     "routing_topk_experts",
 )
 

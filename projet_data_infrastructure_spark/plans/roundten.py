@@ -10,9 +10,10 @@ inequality/independence statistics and an MoE routing-load operator.
 * ``chisq_priority_status`` — Pearson chi-square independence test on the
   bounded o_orderpriority × o_orderstatus grid with integer-micro-unit term
   sums (order-insensitive exactness for a sum of double terms).
-* ``theil_sen_trend`` — the Theil-Sen robust trend estimator: median of
-  pairwise slopes over the calendar-bounded daily-revenue grid (the O(n²)
-  pair set is DAY-GRID-sized, never corpus-sized).
+* ``mann_kendall_z`` — the tie-corrected Mann-Kendall variance, z and p
+  completing the ``mann_kendall_theilsen`` kernel (roundseven), whose
+  docstring leaves the normalization to the caller; pair sums stay on the
+  calendar-bounded day grid.
 * ``changepoint_cusum_mean`` — CUSUM mean-shift changepoint on the daily
   grid, scaled to the EXACT integer deviation n·cum_t − t·total so the
   argmax needs no floating accumulation at all.
@@ -26,6 +27,11 @@ inequality/independence statistics and an MoE routing-load operator.
   over documents (deterministic per-expert hash gates): per-expert primary/
   secondary load and share — the load-balance readout an MoE training
   pipeline monitors.
+* ``grubbs_outlier_day`` — Grubbs' max-studentized-deviation outlier test
+  on the daily series, integer-exact day selection.
+* ``segmented_regression_elbow`` — two-segment OLS breakpoint by total-SSE
+  argmin over exact day-grid prefix moments (the piecewise structural-break
+  screen).
 
 Scale shapes: one corpus aggregate per spec; all post-aggregate math on
 value/calendar/dimension-bounded frames (15-cell priority×status grid, ≤366-row
@@ -170,22 +176,21 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
-# Theil-Sen trend (median pairwise slope over the day grid)
+# Mann-Kendall z + p (the normalization the roundseven kernel left open)
 # --------------------------------------------------------------------------
 
 
-def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen estimator of the daily-revenue trend: the MEDIAN of all
-    pairwise slopes (y_j−y_i)/(d_j−d_i) — the standard robust alternative
-    to the OLS slope (up to ~29% outlier breakdown vs 0 for OLS). The
-    naive form is O(n²) over the corpus; the house form aggregates to the
-    calendar-bounded day grid FIRST (≤ ~366 rows → ≤ ~67k pairs — a
-    bounded self-join, never corpus-sized). Slopes are exact-BIGINT cent
-    differences divided once in doubles (identical IEEE op both engines);
-    the median picks the two middle slopes by row_number over the bounded
-    pair frame (2-term double mean — addition of two doubles is
-    order-free). Tie order among equal slopes is irrelevant to the
-    median's VALUE, so no tie-break column is needed."""
+def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Kendall trend TEST on the daily-revenue series —
+    the variance/z/p normalization ``mann_kendall_theilsen``
+    (plans/roundseven.py) explicitly left to the caller: Var(S) =
+    (n(n-1)(2n+5) - SUM_t t(t-1)(2t+5)) / 18 with t the tie-group sizes of
+    the daily VALUES, continuity-corrected z = (S -/+ 1)/sqrt(Var) and the
+    Zelen-Severo two-sided p (``functions/stats.py``). Everything before
+    the final double tree is exact BIGINT: S is the sign sum over the
+    calendar-bounded day-grid pair set (<= ~67k pairs at any corpus size),
+    the tie polynomial comes from one bounded re-aggregate of the daily
+    values. One corpus aggregate; no corpus-sized window or join."""
     ev = read_table(spark, sf_dir, "events")
     daily = (
         ev.select(
@@ -194,59 +199,69 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.sum("cents").alias("y"))
+        .localCheckpoint(eager=True)  # tiny calendar frame, consumed 3x
     )
-    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
     b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
-    pairs = a.join(b, F.col("d2") > F.col("d1")).select(
-        (
-            F.expr("CAST(y2 - y1 AS DOUBLE)") / F.expr("CAST(d2 - d1 AS DOUBLE)")
-        ).alias("slope")
+    s_agg = (
+        daily.join(b, F.col("d2") > F.col("d"))
+        .agg(F.sum(F.signum(F.col("y2") - F.col("y")).cast("long")).alias("mk_s"))
     )
-    w = Window.orderBy("slope")  # bounded pair frame (day-grid², not corpus)
-    ranked = pairs.withColumn("i", F.row_number().over(w))
-    scal = ranked.groupBy().agg(F.count(F.lit(1)).alias("m"))
-    # Integer `/` folds to float division in BOTH engines but their
-    # double→int casts disagree (Spark truncates, DuckDB rounds) — so the
-    # middle indices form as exact floor() doubles, identical text both
-    # sides, and compare against i without any cast-to-int.
-    mid_cond = (
-        "CAST(i AS DOUBLE) = floor((CAST(m AS DOUBLE) + 1.0) / 2.0)"
-        " OR CAST(i AS DOUBLE) = floor(CAST(m AS DOUBLE) / 2.0) + 1.0"
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy()
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_poly"),
+        )
     )
-    mids = (
-        ranked.crossJoin(F.broadcast(scal))
-        .filter(F.expr(mid_cond))
-        .groupBy("m")
-        .agg(F.avg("slope").alias("med"))
+    scal = s_agg.crossJoin(F.broadcast(ties))
+    var = (
+        "((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(2 * n + 5 AS DOUBLE)"
+        "  - CAST(tie_poly AS DOUBLE)) / 18.0)"
     )
-    return mids.select(
-        F.col("m").alias("n_pairs"),
-        pround(F.expr("med / 100.0"), 6).alias("slope_usd_per_day_r"),
+    z = (
+        f"(CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1.0) / sqrt({var})"
+        f"      WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1.0) / sqrt({var})"
+        f"      ELSE 0.0 END)"
+    )
+    return scal.select(
+        F.col("n").alias("n_days"),
+        "mk_s",
+        pround(F.expr(z), 6).alias("z_r"),
+        pround(F.expr(two_sided_p_sql(z)), 8).alias("p_r"),
     )
 
 
-_THEIL_SEN_SQL = f"""
+def _mann_kendall_z_sql() -> str:
+    var = (
+        "((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(2 * n + 5 AS DOUBLE)"
+        "  - CAST(tie_poly AS DOUBLE)) / 18.0)"
+    )
+    z = (
+        f"(CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1.0) / sqrt({var})"
+        f"      WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1.0) / sqrt({var})"
+        f"      ELSE 0.0 END)"
+    )
+    return f"""
 WITH daily AS (
     SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
     FROM events GROUP BY 1
-), pairs AS (
-    SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+), s_agg AS (
+    SELECT CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS mk_s
     FROM daily a JOIN daily b ON b.d > a.d
-), ranked AS (
-    SELECT slope, row_number() OVER (ORDER BY slope) AS i,
-           count(*) OVER () AS m
-    FROM pairs
-), mids AS (
-    SELECT m, avg(slope) AS med
-    FROM ranked
-    WHERE CAST(i AS DOUBLE) = floor((CAST(m AS DOUBLE) + 1.0) / 2.0)
-       OR CAST(i AS DOUBLE) = floor(CAST(m AS DOUBLE) / 2.0) + 1.0
-    GROUP BY m
+), ties AS (
+    SELECT CAST(sum(t) AS BIGINT) AS n,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_poly
+    FROM (SELECT count(*) AS t FROM daily GROUP BY y)
 )
-SELECT CAST(m AS BIGINT) AS n_pairs,
-       {pround_sql('med / 100.0', 6)} AS slope_usd_per_day_r
-FROM mids
+SELECT n AS n_days, mk_s,
+       {pround_sql(z, 6)} AS z_r,
+       {pround_sql(two_sided_p_sql(z), 8)} AS p_r
+FROM s_agg, ties
 """
 
 
@@ -556,6 +571,213 @@ ORDER BY expert
 """
 
 
+# --------------------------------------------------------------------------
+# Grubbs outlier test (max studentized deviation, integer-exact argmax)
+# --------------------------------------------------------------------------
+
+
+def q_grubbs_outlier_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic on the daily-revenue series: the flagged day
+    is argmax |y − ȳ| and G = max|y − ȳ|/s (Grubbs 1950) — the formal
+    single-outlier screen next to the CUSUM changepoint. The ARGMAX is
+    integer-exact (|n·y − total| per day, the ``changepoint_cusum_mean``
+    scaling trick), so day selection never touches a float; only the
+    reported G forms in one shared double tree (the Σy² moment stays
+    BIGINT at tested SFs; total² would overflow int64 so the variance
+    forms directly in doubles on both engines). One corpus aggregate; the
+    argmax is a bounded TakeOrdered over the day grid."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+        .localCheckpoint(eager=True)  # calendar frame, consumed twice
+    )
+    tot = daily.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("total"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        "total",
+        "sy2",
+        (F.col("n") * F.col("y") - F.col("total")).alias("dd"),
+    )
+    top = dev.orderBy(F.abs(F.col("dd")).desc(), F.col("d").asc()).limit(1)
+    s2 = (
+        "((CAST(sy2 AS DOUBLE)"
+        " - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / CAST(n - 1 AS DOUBLE))"
+    )
+    g = f"(abs(CAST(dd AS DOUBLE)) / CAST(n AS DOUBLE)) / sqrt({s2})"
+    return top.select(
+        F.col("d").alias("outlier_day"),
+        F.col("n").alias("n_days"),
+        pround(F.expr(g), 6).alias("g_r"),
+    )
+
+
+def _grubbs_sql() -> str:
+    s2 = (
+        "((CAST(sy2 AS DOUBLE)"
+        " - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / CAST(n - 1 AS DOUBLE))"
+    )
+    g = f"(abs(CAST(dd AS DOUBLE)) / CAST(n AS DOUBLE)) / sqrt({s2})"
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS total,
+           CAST(sum(y * y) AS BIGINT) AS sy2
+    FROM daily
+), dev AS (
+    SELECT d, n, total, sy2, CAST(n * y - total AS BIGINT) AS dd
+    FROM daily, tot
+)
+SELECT d AS outlier_day, n AS n_days, {pround_sql(g, 6)} AS g_r
+FROM dev
+ORDER BY abs(dd) DESC, d ASC
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-segment regression elbow (breakpoint search over prefix moments)
+# --------------------------------------------------------------------------
+
+
+def _sse(m: str, cx: str, cy: str, cx2: str, cy2: str, cxy: str) -> str:
+    """OLS residual SSE of a segment from its raw moments — one shared
+    double tree: SSE = Syy − Sxy²/Sxx with centered moments formed from
+    the raw prefix sums."""
+    syy = (
+        f"(CAST({cy2} AS DOUBLE)"
+        f" - CAST({cy} AS DOUBLE) * CAST({cy} AS DOUBLE) / CAST({m} AS DOUBLE))"
+    )
+    sxy = (
+        f"(CAST({cxy} AS DOUBLE)"
+        f" - CAST({cx} AS DOUBLE) * CAST({cy} AS DOUBLE) / CAST({m} AS DOUBLE))"
+    )
+    sxx = (
+        f"(CAST({cx2} AS DOUBLE)"
+        f" - CAST({cx} AS DOUBLE) * CAST({cx} AS DOUBLE) / CAST({m} AS DOUBLE))"
+    )
+    return f"({syy} - {sxy} * {sxy} / {sxx})"
+
+
+_SSE2 = (
+    _sse("t", "cx", "cy", "cx2", "cy2", "cxy")
+    + " + "
+    + _sse(
+        "(n - t)",
+        "(tx - cx)",
+        "(ty - cy)",
+        "(tx2 - cx2)",
+        "(ty2 - cy2)",
+        "(txy - cxy)",
+    )
+)
+_SSE1 = _sse("n", "tx", "ty", "tx2", "ty2", "txy")
+
+
+def q_segmented_regression_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-segment least-squares breakpoint ("elbow") on the daily-revenue
+    series: fit separate OLS lines to days 1..k and k+1..n for every
+    candidate k and keep the k minimizing total SSE — the standard
+    piecewise-linear structural-break screen (the discrete form of
+    segmented regression / Chow-test scanning). Scale shape: ONE corpus
+    aggregate to the day grid; prefix moments (Σt, Σt², Σy, Σy², Σty) come
+    from cumulative windows OVER THE GRID (the bounded-window class) and
+    stay exact BIGINTs; every candidate's two SSEs form in one shared
+    double tree from prefix/suffix moment differences, and the argmin is a
+    bounded TakeOrdered (ties → earliest k). Both segments need ≥ 2 points
+    (2 ≤ k ≤ n−2). Identical doubles on both engines → identical argmin."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    wd = Window.orderBy("d")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = daily.select("d", "y", F.row_number().over(wd).alias("t"))
+    cum = idx.select(
+        "d",
+        "t",
+        F.sum("t").over(wcum).alias("cx"),
+        F.sum(F.col("t") * F.col("t")).over(wcum).alias("cx2"),
+        F.sum("y").over(wcum).alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(wcum).alias("cy2"),
+        F.sum(F.col("t") * F.col("y")).over(wcum).alias("cxy"),
+    )
+    tot = idx.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("tx"),
+        F.sum(F.col("t") * F.col("t")).alias("tx2"),
+        F.sum("y").alias("ty"),
+        F.sum(F.col("y") * F.col("y")).alias("ty2"),
+        F.sum(F.col("t") * F.col("y")).alias("txy"),
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("t") >= 2) & (F.col("t") <= F.col("n") - 2)
+    )
+    scored = cand.select(
+        "d", "t", "n", F.expr(_SSE2).alias("sse2"), F.expr(_SSE1).alias("sse1")
+    )
+    top = scored.orderBy(F.col("sse2").asc(), F.col("t").asc()).limit(1)
+    return top.select(
+        F.col("d").alias("split_day"),
+        F.col("n").alias("n_days"),
+        pround(F.expr("sse2 / sse1"), 6).alias("sse_ratio_r"),
+    )
+
+
+def _elbow_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT d, y, row_number() OVER (ORDER BY d) AS t FROM daily
+), cum AS (
+    SELECT d, t,
+           CAST(sum(t) OVER w AS BIGINT) AS cx,
+           CAST(sum(t * t) OVER w AS BIGINT) AS cx2,
+           CAST(sum(y) OVER w AS BIGINT) AS cy,
+           CAST(sum(y * y) OVER w AS BIGINT) AS cy2,
+           CAST(sum(t * y) OVER w AS BIGINT) AS cxy
+    FROM idx
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+    SELECT count(*) AS n, CAST(sum(t) AS BIGINT) AS tx,
+           CAST(sum(t * t) AS BIGINT) AS tx2, CAST(sum(y) AS BIGINT) AS ty,
+           CAST(sum(y * y) AS BIGINT) AS ty2, CAST(sum(t * y) AS BIGINT) AS txy
+    FROM idx
+), scored AS (
+    SELECT d, t, n, {_SSE2} AS sse2, {_SSE1} AS sse1
+    FROM cum, tot
+    WHERE t >= 2 AND t <= n - 2
+)
+SELECT d AS split_day, n AS n_days,
+       {pround_sql('sse2 / sse1', 6)} AS sse_ratio_r
+FROM scored
+ORDER BY sse2 ASC, t ASC
+LIMIT 1
+"""
+
+
 def _pattern_oracle() -> str:
     from projet_data_infrastructure_spark.plans.roundnine import _PATTERN_SQL
 
@@ -580,12 +802,12 @@ SPECS: list[QuerySpec] = [
         "orderstatus grid; integer micro-unit term sums",
     ),
     QuerySpec(
-        "theil_sen_trend",
-        q_theil_sen_trend,
-        _THEIL_SEN_SQL,
+        "mann_kendall_z",
+        q_mann_kendall_z,
+        _mann_kendall_z_sql(),
         ("stats", "timeseries"),
-        doc="Theil-Sen robust trend: median pairwise slope over the "
-        "calendar-bounded day grid (bounded pair set)",
+        doc="Tie-corrected Mann-Kendall variance + continuity-corrected z "
+        "and p - the normalization the roundseven kernel left open",
     ),
     QuerySpec(
         "changepoint_cusum_mean",
@@ -618,5 +840,21 @@ SPECS: list[QuerySpec] = [
         ("llm",),
         doc="MoE top-2 routing load table over documents: deterministic "
         "hash gates, per-expert primary/secondary counts + load share",
+    ),
+    QuerySpec(
+        "grubbs_outlier_day",
+        q_grubbs_outlier_day,
+        _grubbs_sql(),
+        ("stats", "timeseries"),
+        doc="Grubbs max-studentized-deviation outlier day; integer-exact "
+        "argmax via |n*y - total|, shared-tree G",
+    ),
+    QuerySpec(
+        "segmented_regression_elbow",
+        q_segmented_regression_elbow,
+        _elbow_sql(),
+        ("stats", "timeseries"),
+        doc="Two-segment OLS breakpoint by total-SSE argmin over day-grid "
+        "prefix moments; bounded windows, shared-tree SSEs",
     ),
 ]

@@ -121,28 +121,29 @@ def _daily_cents(spark):
     )
 
 
-def test_theil_sen_fixture(spark):
-    # tiny series: slopes of all pairs, median by hand
-    from projet_data_infrastructure_spark.plans.roundten import q_theil_sen_trend
+def test_mann_kendall_z_fixture(spark):
+    from collections import Counter
 
-    # reuse the real spec at SF and recompute its answer from the same daily
-    # aggregate in Python (the spec is deterministic end-to-end).
+    from projet_data_infrastructure_spark.plans.roundten import q_mann_kendall_z
+
     daily = _daily_cents(spark)
-    pts = sorted((r["day"].toordinal(), r["y"]) for r in daily)
-    slopes = sorted(
-        (y2 - y1) / (d2 - d1)
-        for i, (d1, y1) in enumerate(pts)
-        for (d2, y2) in pts[i + 1 :]
+    ys = [y for _, y in sorted((r["day"], r["y"]) for r in daily)]
+    n = len(ys)
+    s_stat = sum(
+        (y2 > y1) - (y2 < y1) for i, y1 in enumerate(ys) for y2 in ys[i + 1 :]
     )
-    m = len(slopes)
-    med = (
-        slopes[(m - 1) // 2]
-        if m % 2
-        else (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+    tie_poly = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_poly) / 18.0
+    z = (
+        (s_stat - 1) / math.sqrt(var)
+        if s_stat > 0
+        else (s_stat + 1) / math.sqrt(var)
+        if s_stat < 0
+        else 0.0
     )
-    got = q_theil_sen_trend(spark, SF).collect()[0]
-    assert got["n_pairs"] == m
-    assert math.isclose(got["slope_usd_per_day_r"], med / 100.0, rel_tol=0, abs_tol=5e-7)
+    got = q_mann_kendall_z(spark, SF).collect()[0]
+    assert got["n_days"] == n and got["mk_s"] == s_stat
+    assert math.isclose(got["z_r"], z, rel_tol=0, abs_tol=5e-7)
 
 
 def test_changepoint_cusum_fixture(spark):
@@ -250,17 +251,14 @@ def test_srm_guard_passes_on_hash_split(spark):
 # --------------------------------------------------------------------------
 
 
-def test_theil_sen_window_only_over_pair_grid(spark):
-    # the one unpartitioned row_number window runs on the day-grid pair
-    # frame (post-aggregate), never on event rows.
-    from projet_data_infrastructure_spark.plans.roundten import q_theil_sen_trend
+def test_mann_kendall_z_is_window_free_and_day_bounded(spark):
+    # no window at all; the non-equi pair join's inputs are both the
+    # day-grid aggregate (checkpointed calendar frame), never event rows.
+    from projet_data_infrastructure_spark.plans.roundten import q_mann_kendall_z
 
-    plan = q_theil_sen_trend(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan
-    win_pos = plan.index("Window")
-    day_agg = plan.find("HashAggregate(keys=[d", win_pos)
-    assert day_agg != -1, plan
-    assert "event_id" not in plan[win_pos:day_agg], plan
+    df = q_mann_kendall_z(spark, SF)
+    checks = explain_has(df, "WindowExec")
+    assert not checks["WindowExec"]
 
 
 def test_changepoint_window_only_over_day_grid(spark):
@@ -317,3 +315,50 @@ def test_generator_oracle_registered(spark):
 
     spec = {s.name: s for s in all_specs()}["generator_activities"]
     assert spec.oracle is not None and "make_timestamp" in spec.oracle
+
+
+def test_grubbs_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten import q_grubbs_outlier_day
+
+    daily = _daily_cents(spark)
+    pts = sorted((r["day"], r["y"]) for r in daily)
+    n = len(pts)
+    total = sum(y for _, y in pts)
+    mean = total / n
+    s = math.sqrt(sum((y - mean) ** 2 for _, y in pts) / (n - 1))
+    day, dev = max(((d, abs(n * y - total)) for d, y in pts), key=lambda p: (p[1], -p[0].toordinal()))
+    got = q_grubbs_outlier_day(spark, SF).collect()[0]
+    epoch = __import__("datetime").date(1970, 1, 1).toordinal()
+    assert got["outlier_day"] == day.toordinal() - epoch
+    assert math.isclose(got["g_r"], (dev / n) / s, rel_tol=0, abs_tol=5e-6)
+
+
+def test_segmented_elbow_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten import (
+        q_segmented_regression_elbow,
+    )
+
+    daily = _daily_cents(spark)
+    pts = sorted((r["day"], r["y"]) for r in daily)
+    n = len(pts)
+
+    def sse(seg):
+        m = len(seg)
+        sx = sum(t for t, _ in seg)
+        sy = sum(y for _, y in seg)
+        sxx = sum(t * t for t, _ in seg) - sx * sx / m
+        sxy = sum(t * y for t, y in seg) - sx * sy / m
+        syy = sum(y * y for _, y in seg) - sy * sy / m
+        return syy - sxy * sxy / sxx
+
+    xy = [(t, y) for t, (_, y) in enumerate(pts, start=1)]
+    best = min(
+        ((sse(xy[:k]) + sse(xy[k:]), k) for k in range(2, n - 1)),
+        key=lambda p: (p[0], p[1]),
+    )
+    got = q_segmented_regression_elbow(spark, SF).collect()[0]
+    epoch = __import__("datetime").date(1970, 1, 1).toordinal()
+    assert got["split_day"] == pts[best[1] - 1][0].toordinal() - epoch
+    assert math.isclose(
+        got["sse_ratio_r"], best[0] / sse(xy), rel_tol=0, abs_tol=5e-6
+    )
