@@ -362,3 +362,30 @@ def test_segmented_elbow_fixture(spark):
     assert math.isclose(
         got["sse_ratio_r"], best[0] / sse(xy), rel_tol=0, abs_tol=5e-6
     )
+
+
+def test_day_grid_specs_hostile_tz_invariant(spark):
+    # build-then-collect TZ flip (the r5 driver gap): the round-10 day-grid
+    # specs must be byte-stable because read_table pins NTZ + UTC.
+    from projet_data_infrastructure_spark.plans.roundten import (
+        q_changepoint_cusum_mean,
+        q_mann_kendall_z,
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    infer_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    base = [
+        q_mann_kendall_z(spark, SF).collect(),
+        q_changepoint_cusum_mean(spark, SF).collect(),
+    ]
+    old_infer, old_tz = spark.conf.get(infer_key), spark.conf.get(tz_key)
+    try:
+        spark.conf.set(infer_key, "false")
+        spark.conf.set(tz_key, "America/New_York")
+        dfs = [q_mann_kendall_z(spark, SF), q_changepoint_cusum_mean(spark, SF)]
+        spark.conf.set(tz_key, "Pacific/Kiritimati")
+        got = [df.collect() for df in dfs]
+        assert got == base
+    finally:
+        spark.conf.set(infer_key, old_infer)
+        spark.conf.set(tz_key, old_tz)
