@@ -339,32 +339,52 @@ def q_spearman_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (50 quantities; dollar prices bounded by the price domain) as
     2·r̄(v) = 2·cum(v) − t(v) + 1 exact integers, joined back by value
     (dimension-table-sized broadcast joins) — the shared
-    ``operators/ranks.average_rank_table`` core. Moment sums Σ, Σ², Σxy
-    accumulate as DECIMAL(19,0) operands on BOTH engines (the
-    ``ols_two_feature_nation`` discipline; ADVICE r9): 2·r̄ ≤ 2n would
-    wrap int64 product sums silently around n ≈ 10⁶ in Spark while
-    DuckDB promotes to HUGEINT — divergent failure modes this removes
-    outright. rho forms in one shared double tree, pround 6."""
+    ``operators/ranks.value_grid_ranks`` core.
+
+    Overflow discipline (ADVICE r9): 2·r̄ ≤ 2n would wrap int64 product
+    sums silently around n ≈ 10⁶ in Spark while DuckDB promotes to
+    HUGEINT — divergent failure modes. The wide sums accumulate as
+    DECIMAL operands on BOTH engines — but only the CROSS moment ΣRxRy
+    must run over the corpus; the marginal moments collapse onto the
+    bounded grids (Σ_rows f(rank) = Σ_grid t·f(rank)), so the decimal
+    aggregation cost is one corpus column plus two grid-sized frames
+    (the r10 shape — the first form paid 5 corpus decimal sums and
+    measured +0.6 s at sf0.1). n and Σ2r̄ stay BIGINT (Σ2r̄ = n(n+1)
+    exactly, < 2⁶³ for any n < 3·10⁹; document DECIMAL there too past
+    that). rho forms in one shared double tree, pround 6."""
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("qty"),
         F.floor("l_extendedprice").cast("long").alias("usd"),
     )
+
+    def grid_moments(col: str, rk: str, sv: str, svv: str) -> DataFrame:
+        # per-variable marginal moments ON THE GRID: n, Σt·2r̄ (BIGINT),
+        # Σt·(2r̄)² (DECIMAL — the t·4n² terms pass int64 around n≈1.3e6)
+        g = value_grid_ranks(li, col).select(
+            col, "t", two_rbar().alias(rk)
+        )
+        return g.groupBy().agg(
+            F.sum("t").alias(f"n_{sv}"),
+            F.sum(F.col("t") * F.col(rk)).alias(sv),
+            F.sum(
+                F.col("t").cast("decimal(19,0)")
+                * F.col(rk).cast("decimal(19,0)")
+                * F.col(rk).cast("decimal(19,0)")
+            ).alias(svv),
+        )
+
+    mx = grid_moments("qty", "rq2", "sx", "sxx")
+    my = grid_moments("usd", "rp2", "sy", "syy")
     rq = average_rank_table(li, "qty", "rq2")  # 2× average rank, exact int
     rp = average_rank_table(li, "usd", "rp2")
     ranked = li.join(F.broadcast(rq), "qty").join(F.broadcast(rp), "usd")
-    # DECIMAL(19,0) operands → DECIMAL(38,0) products/sums in both engines
-    # (neither engine can overflow silently; Spark caps sum precision at 38,
-    # DuckDB at its 38-digit decimal width).
-    rq2d = F.col("rq2").cast("decimal(19,0)")
-    rp2d = F.col("rp2").cast("decimal(19,0)")
-    sums = ranked.agg(
+    cross = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(rq2d).alias("sx"),
-        F.sum(rp2d).alias("sy"),
-        F.sum(rq2d * rq2d).alias("sxx"),
-        F.sum(rp2d * rp2d).alias("syy"),
-        F.sum(rq2d * rp2d).alias("sxy"),
+        F.sum(
+            F.col("rq2").cast("decimal(19,0)") * F.col("rp2").cast("decimal(19,0)")
+        ).alias("sxy"),
     )
+    sums = cross.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
     num = (
         "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
         " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
@@ -404,14 +424,22 @@ WITH li AS (
 ), ranked AS (
     SELECT li.qty, li.usd, rq.rq2, rp.rp2
     FROM li JOIN rq USING (qty) JOIN rp USING (usd)
+), mx AS (
+    SELECT CAST(sum(t * rq2) AS BIGINT) AS sx,
+           sum(CAST(t AS DECIMAL(19,0)) * CAST(rq2 AS DECIMAL(19,0))
+               * CAST(rq2 AS DECIMAL(19,0))) AS sxx
+    FROM rq JOIN gq USING (qty)
+), my AS (
+    SELECT CAST(sum(t * rp2) AS BIGINT) AS sy,
+           sum(CAST(t AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))
+               * CAST(rp2 AS DECIMAL(19,0))) AS syy
+    FROM rp JOIN gp USING (usd)
 ), sums AS (
     SELECT count(*) AS n,
-           sum(CAST(rq2 AS DECIMAL(19,0))) AS sx,
-           sum(CAST(rp2 AS DECIMAL(19,0))) AS sy,
-           sum(CAST(rq2 AS DECIMAL(19,0)) * CAST(rq2 AS DECIMAL(19,0))) AS sxx,
-           sum(CAST(rp2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS syy,
-           sum(CAST(rq2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS sxy
-    FROM ranked
+           sum(CAST(rq2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS sxy,
+           sx, sxx, sy, syy
+    FROM ranked, mx, my
+    GROUP BY sx, sxx, sy, syy
 )
 SELECT n,
        {pround_sql('(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)} AS rho_r

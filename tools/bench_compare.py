@@ -58,11 +58,16 @@ def main() -> None:
     REPS = 3
     t_spark: dict[str, list[float]] = {s.name: [] for s in bench_specs}
     t_duck: dict[str, list[float]] = {s.name: [] for s in bench_specs}
+    from bench import _release_cached_blocks
+
     for _ in range(REPS):
         for spec in bench_specs:
             t0 = time.time()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t_spark[spec.name].append(time.time() - t0)
+            # same storage-state discipline as bench.py: accumulated
+            # localCheckpoint blocks must not squeeze later heavy specs
+            _release_cached_blocks(spark)
             t0 = time.time()
             con.sql(spec.oracle).fetchall()
             t_duck[spec.name].append(time.time() - t0)
