@@ -61,6 +61,18 @@ def _release_cached_blocks(spark) -> None:
     kcore / pagerank while an idle local run showed -2.3 s). Explicitly
     unpersisting after every spec makes each measurement start from the
     same storage state regardless of machine load or GC timing.
+
+    Measurement-basis note (one-time rebase, round 10): Spark's
+    CacheManager matches cached plans by LOGICAL PLAN EQUALITY, so under
+    the old harness a spec whose implementation persists an intermediate
+    (e.g. ``grouped_rank``'s range-bucketed input inside
+    ``ccnet_perplexity_buckets``) had its rep-2/3 executions silently
+    served from rep-1's cache — the reported median measured a warm cache
+    read, not the query. Releasing between specs makes every rep pay the
+    honest cost, which REBASES those specs' medians upward once (ccnet
+    ≈ +1.3 s, corpus_curation ≈ +1.0 s at sf0.1) — in exchange the number
+    is load-robust and the storage leak that distorted late heavy queries
+    is gone. Driver and local benches share this basis from r10 on.
     """
     spark.catalog.clearCache()
     try:
