@@ -911,16 +911,6 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # The dense grid and the DuckDB oracle's g1..g50 pivot both assume the
-    # TPC-H 1..50 quantity domain; a value outside it would be silently
-    # dropped from C/D while still counted in n/n1/n2 (ADVICE r9). The grid
-    # is bounded, so this domain probe costs one scan of the checkpointed
-    # cells frame — fail loudly on drift.
-    drift = cells.filter((F.col("qty") < 1) | (F.col("qty") > 50)).limit(1).count()
-    if drift:
-        raise ValueError(
-            "kendall_tau_b: l_quantity outside the assumed 1..50 domain"
-        )
     dense = (
         cells.select("usd")
         .distinct()
@@ -948,12 +938,25 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tq = cells.groupBy("qty").agg(F.sum("n").alias("t"))
     wqt = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
+    # The dense grid and the DuckDB oracle's g1..g50 pivot both assume the
+    # TPC-H 1..50 quantity domain; a value outside it would be silently
+    # dropped from C/D while still counted in n/n1/n2 (ADVICE r9). n_oob
+    # rides the existing bounded tie aggregate (no extra job) and is an
+    # OUTPUT column, so domain drift surfaces in the result itself — and
+    # hash-fails the oracle gate — instead of silently skewing tau. A
+    # production deployment wires n_oob into operators/validate's
+    # fail-the-run expectations.
     tx = (
         tq.withColumn("pre", F.coalesce(F.sum("t").over(wqt), F.lit(0)))
         .groupBy()
         .agg(
             F.sum(F.col("t") * F.col("pre")).alias("totpairs"),
             F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"),
+            F.sum(
+                F.when((F.col("qty") < 1) | (F.col("qty") > 50), F.col("t")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oob"),
         )
     )
     ty = (
@@ -971,6 +974,7 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("totpairs") - F.col("rowdp")).alias("disc"),
             "n1",
             "n2",
+            "n_oob",
         )
     )
     tau = (
@@ -981,7 +985,7 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         "           - CAST(n2 AS DOUBLE)))"
     )
     return scalars.select(
-        "n", "conc", "disc", pround(F.expr(tau), 6).alias("tau_b_r")
+        "n", "conc", "disc", "n_oob", pround(F.expr(tau), 6).alias("tau_b_r")
     )
 
 
@@ -1030,13 +1034,15 @@ WITH li AS (
            CAST(sum(n * {fold.format(arr='darr')}) AS BIGINT) AS disc
     FROM joined
 ), tx AS (
-    SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+    SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN qty < 1 OR qty > 50 THEN t ELSE 0 END)
+                AS BIGINT) AS n_oob
     FROM (SELECT qty, sum(n) AS t FROM cells GROUP BY qty)
 ), ty AS (
     SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
     FROM (SELECT usd, sum(n) AS t FROM cells GROUP BY usd)
 )
-SELECT n, conc, disc,
+SELECT n, conc, disc, n_oob,
        {pround_sql(tau, 6)} AS tau_b_r
 FROM sums, tx, ty
 """
