@@ -389,3 +389,22 @@ def test_day_grid_specs_hostile_tz_invariant(spark):
     finally:
         spark.conf.set(infer_key, old_infer)
         spark.conf.set(tz_key, old_tz)
+
+
+def test_kendall_oob_guard_column(spark, monkeypatch):
+    # qty outside the 1..50 pivot domain must surface in n_oob (visible in
+    # the result, hash-fails the oracle) instead of silently skewing tau.
+    from projet_data_infrastructure_spark.plans import roundnine as r9
+
+    df = spark.createDataFrame(
+        [(1.0, 100.0), (2.0, 200.0), (77.0, 300.0)],
+        "l_quantity DOUBLE, l_extendedprice DOUBLE",
+    )
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
+    out = r9.q_kendall_tau_b(spark, SF).first()
+    assert out["n_oob"] == 1
+    clean = spark.createDataFrame(
+        [(1.0, 100.0), (2.0, 200.0)], "l_quantity DOUBLE, l_extendedprice DOUBLE"
+    )
+    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: clean)
+    assert r9.q_kendall_tau_b(spark, SF).first()["n_oob"] == 0
