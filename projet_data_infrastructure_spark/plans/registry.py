@@ -69,6 +69,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grubbs_outlier_day",
     "segmented_regression_elbow",
     "routing_topk_experts",
+    "anova_oneway_f",
+    "levene_brown_forsythe",
+    "jonckheere_terpstra",
+    "mutual_information_flags",
+    "sprt_ab_decision",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they
@@ -95,6 +100,7 @@ def all_specs() -> list[QuerySpec]:
         roundseven,
         roundsix,
         roundten,
+        roundten_b,
         sketches,
     )
 
@@ -115,6 +121,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(roundeight.SPECS)
     specs.extend(roundnine.SPECS)
     specs.extend(roundten.SPECS)
+    specs.extend(roundten_b.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

@@ -1,0 +1,615 @@
+"""Round-10 second batch: the classical-inference completions next to the
+round-9/10 rank and independence tests, plus sketch/robust/LM operators.
+
+* ``anova_oneway_f`` — one-way ANOVA F of quantity across return flags: the
+  parametric companion to ``kruskal_wallis_h`` (the rank analog). Per-group
+  moments (n, Σy, Σy²) are exact BIGINTs from one corpus aggregate; the
+  between-group sum Σ S_g²/n_g is quantized to integer micro-units so the
+  k-term sum is order-insensitive in both engines.
+* ``levene_brown_forsythe`` — the Brown–Forsythe variance-homogeneity test
+  (Levene with group medians): the assumption check that decides between
+  ``anova_oneway_f`` and ``kruskal_wallis_h``. Group medians come from the
+  value-bounded quantity grid as exact DOUBLED medians (v_lo + v_hi), so
+  |2y − 2m| stays integer and the ANOVA-on-deviations F is computed from
+  exact BIGINT moments (F is scale-invariant, so the doubling cancels).
+* ``jonckheere_terpstra`` — the ordered-alternative trend test across the
+  five order-priority groups (the directional refinement of
+  ``kruskal_wallis_h``): 2·JT from per-pair Mann-Whitney counts on the
+  (group × quantity)-grid via keyed cumulative windows — never a corpus
+  sort — with the full Hollander–Wolfe tie-corrected variance accumulated
+  in DECIMAL(38,0) (the n³-scale products pass int64 near sf1).
+* ``mutual_information_flags`` — mutual information + normalized MI between
+  return flag and line status: the information-theoretic association
+  measure next to ``chisq_priority_status``/``cramers_v``; nano-unit
+  quantized term sums over the ≤ 3×2 cell grid.
+* ``sprt_ab_decision`` — Wald's sequential probability-ratio test on the
+  daily purchase-rate stream (p₀=0.15 vs p₁=0.20, α=β=0.05): cumulative
+  log-likelihood over the ≤ ~366-row day grid with the ln(·) factors folded
+  to shared double literals, so every llr is a bit-identical IEEE tree and
+  the boundary-crossing day is deterministic in both engines.
+
+Scale shapes: every spec is one (or two) corpus aggregates to a bounded
+grid — 3-row flag moments, ≤ 250-cell priority×quantity grid, ≤ 6-cell
+flag×status grid, ≤ 366-row day grid; all windows are keyed or run on
+post-aggregate grids (the bounded-window class, SCALE.md)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
+from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.sources.readers import read_table
+
+# --------------------------------------------------------------------------
+# Shared one-way-F tail (anova_oneway_f + levene_brown_forsythe)
+# --------------------------------------------------------------------------
+#
+# Both specs reduce to per-group exact BIGINT moments (ng, sg=Σy, qg=Σy²)
+# and the identical F algebra. The between-group term S_g²/n_g is fractional,
+# so it is quantized to integer micro-units per group BEFORE the k-term sum
+# (the chisq_priority_status discipline) — order-insensitive in both
+# engines; S_g² goes through DECIMAL(19,0)² → DECIMAL(38,0) so it cannot
+# wrap int64 at large SFs. The expression TEXT is shared verbatim between
+# the Spark (F.expr) and DuckDB sides, so the double trees are identical.
+
+_BG_TERM_MICRO = (
+    "CAST(floor(CAST(CAST(sg AS DECIMAL(19,0)) * CAST(sg AS DECIMAL(19,0))"
+    " AS DOUBLE) / CAST(ng AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+)
+_SSB = (
+    "(CAST(bmicro AS DOUBLE) / 1000000.0"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+_SSW = "(CAST(q AS DOUBLE) - CAST(bmicro AS DOUBLE) / 1000000.0)"
+_F_STAT = (
+    f"(({_SSB} / (CAST(k AS DOUBLE) - 1.0))"
+    f" / ({_SSW} / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"
+)
+
+
+def _f_from_group_moments(per: DataFrame) -> DataFrame:
+    """One-row (k, n, ssb_r, ssw_r, f_r) from per-group (ng, sg, qg)."""
+    tot = per.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(F.expr(_BG_TERM_MICRO)).alias("bmicro"),
+    )
+    return tot.select(
+        "k",
+        "n",
+        pround(F.expr(_SSB), 4).alias("ssb_r"),
+        pround(F.expr(_SSW), 4).alias("ssw_r"),
+        pround(F.expr(_F_STAT), 6).alias("f_r"),
+    )
+
+
+def _f_tail_sql() -> str:
+    """The DuckDB rendering of :func:`_f_from_group_moments`, reading a CTE
+    named ``per(g, ng, sg, qg)``."""
+    return f"""
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(ng) AS BIGINT) AS n,
+           CAST(sum(sg) AS BIGINT) AS s,
+           CAST(sum(qg) AS BIGINT) AS q,
+           CAST(sum({_BG_TERM_MICRO}) AS BIGINT) AS bmicro
+    FROM per
+)
+SELECT k, n,
+       {pround_sql(_SSB, 4)} AS ssb_r,
+       {pround_sql(_SSW, 4)} AS ssw_r,
+       {pround_sql(_F_STAT, 6)} AS f_r
+FROM tot
+"""
+
+
+def q_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of l_quantity across l_returnflag — the parametric
+    companion to ``kruskal_wallis_h``. One corpus aggregate to the 3-row
+    group-moment frame; SSB/SSW/F from exact BIGINT (n, Σy, Σy²) with the
+    between-group term micro-quantized (module doc)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    per = li.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("y").alias("sg"),
+        F.sum(F.col("y") * F.col("y")).alias("qg"),
+    )
+    return _f_from_group_moments(per)
+
+
+def _anova_sql() -> str:
+    return f"""
+WITH li AS (
+    SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS y FROM lineitem
+), per AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS ng,
+           CAST(sum(y) AS BIGINT) AS sg,
+           CAST(sum(y * y) AS BIGINT) AS qg
+    FROM li GROUP BY g
+), {_f_tail_sql()}
+"""
+
+
+def q_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test: ANOVA F on |y − median_g|.
+
+    The per-group median comes from the value-bounded quantity grid
+    (≤ 50 rows per group, keyed cumulative window) as the exact DOUBLED
+    median m2 = v_lo + v_hi — lo/hi the two middle order statistics — so
+    the deviation |2y − m2| is an exact integer and every group moment
+    stays BIGINT. F is scale-invariant, so F(|2y − m2|) == F(|y − m|)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    grid = li.groupBy("g", "v").agg(F.count(F.lit(1)).alias("t"))
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumg = grid.withColumn("cum", F.sum("t").over(wc))
+    ngs = grid.groupBy("g").agg(F.sum("t").alias("ng0"))
+    med = (
+        cumg.join(F.broadcast(ngs), "g")
+        .groupBy("g")
+        .agg(
+            (
+                F.min(F.when(F.col("cum") >= F.expr("(ng0 + 1) DIV 2"), F.col("v")))
+                + F.min(F.when(F.col("cum") >= F.expr("ng0 DIV 2 + 1"), F.col("v")))
+            ).alias("m2")
+        )
+    )
+    z = grid.join(F.broadcast(med), "g").withColumn(
+        "z", F.abs(2 * F.col("v") - F.col("m2"))
+    )
+    per = z.groupBy("g").agg(
+        F.sum("t").alias("ng"),
+        F.sum(F.col("t") * F.col("z")).alias("sg"),
+        F.sum(F.col("t") * F.col("z") * F.col("z")).alias("qg"),
+    )
+    return _f_from_group_moments(per)
+
+
+def _levene_sql() -> str:
+    return f"""
+WITH li AS (
+    SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+), grid AS (
+    SELECT g, v, CAST(count(*) AS BIGINT) AS t FROM li GROUP BY g, v
+), cumg AS (
+    SELECT g, v, t,
+           CAST(sum(t) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM grid
+), ngs AS (
+    SELECT g, CAST(sum(t) AS BIGINT) AS ng0 FROM grid GROUP BY g
+), med AS (
+    SELECT c.g,
+           min(CASE WHEN cum >= (ng0 + 1) // 2 THEN v END)
+           + min(CASE WHEN cum >= ng0 // 2 + 1 THEN v END) AS m2
+    FROM cumg c JOIN ngs USING (g) GROUP BY c.g
+), devs AS (
+    SELECT grid.g AS g, t, abs(2 * v - m2) AS z
+    FROM grid JOIN med ON grid.g = med.g
+), per AS (
+    SELECT g, CAST(sum(t) AS BIGINT) AS ng,
+           CAST(sum(t * z) AS BIGINT) AS sg,
+           CAST(sum(t * z * z) AS BIGINT) AS qg
+    FROM devs GROUP BY g
+), {_f_tail_sql()}
+"""
+
+
+# --------------------------------------------------------------------------
+# Jonckheere–Terpstra ordered-trend test (grid-pair Mann-Whitney counts)
+# --------------------------------------------------------------------------
+
+# Doubled pair-count identity on the per-group value grid: with c_i(v) the
+# group-i tie count at value v and C_i(v) its keyed cumulative,
+#   2·U_ij = Σ_v c_j(v) · (2·C_i(v) − c_i(v))
+# (each j-row at v counts 2 per strictly-smaller i-row and 1 per tied one),
+# so 2·JT = Σ_{i<j} 2·U_ij is one bounded grid join. DECIMAL(38,0)
+# accumulation: the tie-variance products are n³-scale and pass int64
+# around sf1 (the Spearman/ols discipline, plans/roundnine.py).
+
+_JT_E2 = (
+    "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sum_g2 AS DOUBLE)) / 2.0)"
+)
+_JT_VAR = (
+    "((CAST(an AS DOUBLE) - CAST(agx AS DOUBLE) - CAST(atx AS DOUBLE)) / 72.0"
+    " + CAST(bgx AS DOUBLE) * CAST(btx AS DOUBLE)"
+    " / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    " * (CAST(n AS DOUBLE) - 2.0))"
+    " + CAST(cgx AS DOUBLE) * CAST(ctx AS DOUBLE)"
+    " / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+)
+_JT_Z = f"((CAST(jt2 AS DOUBLE) - {_JT_E2}) / (2.0 * sqrt({_JT_VAR})))"
+
+
+def _tie_poly(col: str, duck: bool) -> dict[str, str]:
+    """The three Hollander–Wolfe tie polynomials of a BIGINT count column,
+    accumulated 128-bit-exact. The WIDE type differs per engine — Spark
+    caps chained DECIMAL(19,0) products at DECIMAL(38,0) (values ≤ ~n³
+    fit), while DuckDB's decimal binder rejects >38-digit product widths,
+    so the DuckDB side uses HUGEINT — but both are exact integers, so the
+    final CAST(… AS DOUBLE) is the identical value on both engines."""
+    wide = "HUGEINT" if duck else "DECIMAL(19,0)"
+    d = f"CAST({col} AS {wide})"
+    d1 = f"CAST({col} - 1 AS {wide})"
+    out = "HUGEINT" if duck else "DECIMAL(38,0)"
+    return {
+        "a": f"CAST(sum({d} * {d1} * CAST(2 * {col} + 5 AS {wide})) AS {out})",
+        "b": f"CAST(sum({d} * {d1} * CAST({col} - 2 AS {wide})) AS {out})",
+        "c": f"CAST(sum({d} * {d1}) AS {out})",
+    }
+
+
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra test for an ordered quantity trend across the
+    five order-priority groups (1-URGENT < … < 5-LOW): the directional
+    refinement of ``kruskal_wallis_h``. 2·JT from the doubled pair-count
+    identity on the ≤ 250-cell (group × quantity) grid (module comment);
+    mean and the FULL tie-corrected variance from DECIMAL(38,0)-exact group
+    and tie polynomials; z → Zelen-Severo two-sided p."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    grid = li.join(o, "ok").groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumg = grid.withColumn("cc", F.sum("c").over(wc))
+    gi = cumg.select(
+        F.col("g").alias("g_i"),
+        F.col("v").alias("v_i"),
+        F.col("c").alias("c_i"),
+        F.col("cc").alias("cc_i"),
+    )
+    gj = grid.select(F.col("g").alias("g_j"), "v", F.col("c").alias("c_j"))
+    jt = (
+        gj.join(
+            F.broadcast(gi),
+            (F.col("v") == F.col("v_i")) & (F.col("g_i") < F.col("g_j")),
+        )
+        .groupBy()
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(c_j AS DECIMAL(19,0))"
+                    " * CAST(2 * cc_i - c_i AS DECIMAL(19,0))"
+                )
+            ).cast("decimal(38,0)").alias("jt2")
+        )
+    )
+    ngs = grid.groupBy("g").agg(F.sum("c").alias("ng"))
+    gp = _tie_poly("ng", duck=False)
+    gstats = ngs.groupBy().agg(
+        F.expr(
+            "CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(ng AS DECIMAL(19,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("sum_g2"),
+        F.expr(gp["a"]).alias("agx"),
+        F.expr(gp["b"]).alias("bgx"),
+        F.expr(gp["c"]).alias("cgx"),
+    )
+    tvs = grid.groupBy("v").agg(F.sum("c").alias("tv"))
+    tp = _tie_poly("tv", duck=False)
+    tstats = tvs.groupBy().agg(
+        F.expr(tp["a"]).alias("atx"),
+        F.expr(tp["b"]).alias("btx"),
+        F.expr(tp["c"]).alias("ctx"),
+    )
+    nn = grid.groupBy().agg(F.sum("c").alias("n"))
+    fin = (
+        jt.crossJoin(F.broadcast(gstats))
+        .crossJoin(F.broadcast(tstats))
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "an",
+            F.expr(
+                "CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))"
+                " * CAST(2 * n + 5 AS DECIMAL(19,0))"
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn("z", F.expr(_JT_Z))
+    )
+    return fin.select(
+        "n",
+        pround(F.col("z"), 6).alias("z_r"),
+        pround(F.expr(two_sided_p_sql("z")), 8).alias("p_r"),
+    )
+
+
+def _jt_sql() -> str:
+    gp = _tie_poly("ng", duck=True)
+    tp = _tie_poly("tv", duck=True)
+    return f"""
+WITH j AS (
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+           CAST(l_quantity AS BIGINT) AS v
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), grid AS (
+    SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY g, v
+), cumg AS (
+    SELECT g, v, c,
+           CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+    FROM grid
+), jt AS (
+    SELECT CAST(sum(CAST(gj.c AS DECIMAL(19,0))
+               * CAST(2 * gi.cc - gi.c AS DECIMAL(19,0)))
+           AS DECIMAL(38,0)) AS jt2
+    FROM grid gj JOIN cumg gi ON gi.v = gj.v AND gi.g < gj.g
+), ngs AS (
+    SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM grid GROUP BY g
+), gstats AS (
+    SELECT CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(ng AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) AS sum_g2,
+           {gp['a']} AS agx, {gp['b']} AS bgx, {gp['c']} AS cgx
+    FROM ngs
+), tvs AS (
+    SELECT v, CAST(sum(c) AS BIGINT) AS tv FROM grid GROUP BY v
+), tstats AS (
+    SELECT {tp['a']} AS atx, {tp['b']} AS btx, {tp['c']} AS ctx FROM tvs
+), nn AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n FROM grid
+), fin AS (
+    SELECT n, jt2, sum_g2, agx, bgx, cgx, atx, btx, ctx,
+           CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+                * CAST(2 * n + 5 AS HUGEINT) AS HUGEINT) AS an
+    FROM jt, gstats, tstats, nn
+), zrow AS (
+    SELECT n, {_JT_Z} AS z FROM fin
+)
+SELECT n, {pround_sql('z', 6)} AS z_r,
+       {pround_sql(two_sided_p_sql('z'), 8)} AS p_r
+FROM zrow
+"""
+
+
+# --------------------------------------------------------------------------
+# Mutual information / normalized MI (nano-unit term sums on the cell grid)
+# --------------------------------------------------------------------------
+
+_MI_TERM_NANO = (
+    "CAST(floor((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+    " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+_H_TERM_NANO = (
+    "CAST(floor(-(CAST({m} AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST({m} AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+_NMI = (
+    "(CAST(mi_nano AS DOUBLE)"
+    " / sqrt(CAST(hr_nano AS DOUBLE) * CAST(hc_nano AS DOUBLE)))"
+)
+
+
+def q_mutual_information_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information and normalized MI between l_returnflag and
+    l_linestatus — the information-theoretic association measure next to
+    the chi-square test and Cramér's V. One corpus aggregate to the ≤ 3×2
+    cell grid; each p·ln(p/(p·p)) term is quantized to integer NANO-units
+    before the ≤ 6-term sum (order-insensitive; ln noise ~1e-16 ≪ the 1e-9
+    grid), marginal entropies the same way; NMI = MI/√(H_row·H_col)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    )
+    cells = li.groupBy("rf", "ls").agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("rf").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("ls").agg(F.sum("o").alias("ct"))
+    tot = cells.groupBy().agg(F.sum("o").alias("n"))
+    mi = (
+        cells.join(F.broadcast(rows), "rf")
+        .join(F.broadcast(cols), "ls")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(F.sum(F.expr(_MI_TERM_NANO)).alias("mi_nano"))
+    )
+    hr = rows.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.sum(F.expr(_H_TERM_NANO.format(m="rt"))).alias("hr_nano")
+    )
+    hc = cols.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.sum(F.expr(_H_TERM_NANO.format(m="ct"))).alias("hc_nano")
+    )
+    fin = mi.crossJoin(F.broadcast(hr)).crossJoin(F.broadcast(hc))
+    return fin.select(
+        "n",
+        pround(F.expr("CAST(mi_nano AS DOUBLE) / 1000000000.0"), 6).alias("mi_r"),
+        pround(F.expr("CAST(hr_nano AS DOUBLE) / 1000000000.0"), 6).alias("h_row_r"),
+        pround(F.expr("CAST(hc_nano AS DOUBLE) / 1000000000.0"), 6).alias("h_col_r"),
+        pround(F.expr(_NMI), 6).alias("nmi_r"),
+    )
+
+
+def _mi_sql() -> str:
+    return f"""
+WITH li AS (
+    SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem
+), cells AS (
+    SELECT rf, ls, CAST(count(*) AS BIGINT) AS o FROM li GROUP BY rf, ls
+), rows_m AS (
+    SELECT rf, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY rf
+), cols_m AS (
+    SELECT ls, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY ls
+), tot AS (
+    SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), mi AS (
+    SELECT n, CAST(sum({_MI_TERM_NANO}) AS BIGINT) AS mi_nano
+    FROM cells JOIN rows_m USING (rf) JOIN cols_m USING (ls), tot
+    GROUP BY n
+), hr AS (
+    SELECT CAST(sum({_H_TERM_NANO.format(m='rt')}) AS BIGINT) AS hr_nano
+    FROM rows_m, tot
+), hc AS (
+    SELECT CAST(sum({_H_TERM_NANO.format(m='ct')}) AS BIGINT) AS hc_nano
+    FROM cols_m, tot
+)
+SELECT n,
+       {pround_sql('CAST(mi_nano AS DOUBLE) / 1000000000.0', 6)} AS mi_r,
+       {pround_sql('CAST(hr_nano AS DOUBLE) / 1000000000.0', 6)} AS h_row_r,
+       {pround_sql('CAST(hc_nano AS DOUBLE) / 1000000000.0', 6)} AS h_col_r,
+       {pround_sql(_NMI, 6)} AS nmi_r
+FROM mi, hr, hc
+"""
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT on the daily purchase-rate stream (shared-literal llr tree)
+# --------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.15, 0.20
+_SPRT_ALPHA = _SPRT_BETA = 0.05
+#: ln factors folded to Python double literals: both engines parse the same
+#: repr, every llr is BIGINT·literal + BIGINT·literal — bit-identical IEEE.
+_L_CONV = repr(math.log(_SPRT_P1 / _SPRT_P0))
+_L_MISS = repr(math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0)))
+_A_UPPER = repr(math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA))
+_B_LOWER = repr(math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA)))
+_LLR = (
+    f"(CAST(cc AS DOUBLE) * {_L_CONV}"
+    f" + (CAST(nc AS DOUBLE) - CAST(cc AS DOUBLE)) * {_L_MISS})"
+)
+
+
+def q_sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT monitoring the purchase rate day by day: H₀ p=0.15 vs
+    H₁ p=0.20, α=β=0.05 — the sequential companion to ``ab_srm_guard`` /
+    ``ab_test_z_score`` (peeking-safe early stopping). One corpus aggregate
+    to the day grid; cumulative (events, purchases) are exact BIGINTs, the
+    llr is a shared-literal double tree (module constant), and the decision
+    is the earliest day the llr leaves (B, A)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ne"), F.sum("conv").alias("nconv"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    llr = daily.select(
+        "d",
+        F.sum("ne").over(wcum).alias("nc"),
+        F.sum("nconv").over(wcum).alias("cc"),
+    ).withColumn("llr", F.expr(_LLR))
+    agg = llr.groupBy().agg(
+        F.min(F.when(F.col("llr") >= F.lit(float(_A_UPPER)), F.col("d"))).alias("d_h1"),
+        F.min(F.when(F.col("llr") <= F.lit(float(_B_LOWER)), F.col("d"))).alias("d_h0"),
+        F.max_by("llr", "d").alias("llr_last"),
+        F.max("nc").alias("n"),
+        F.max("cc").alias("conv"),
+    )
+    return agg.select(
+        F.expr(
+            "CASE WHEN d_h1 IS NOT NULL AND (d_h0 IS NULL OR d_h1 <= d_h0)"
+            " THEN 'accept_h1'"
+            " WHEN d_h0 IS NOT NULL THEN 'accept_h0' ELSE 'continue' END"
+        ).alias("decision"),
+        F.expr(
+            "CASE WHEN d_h1 IS NOT NULL AND (d_h0 IS NULL OR d_h1 <= d_h0)"
+            " THEN d_h1 ELSE d_h0 END"
+        ).alias("decision_day"),
+        pround(F.col("llr_last"), 6).alias("llr_last_r"),
+        "n",
+        "conv",
+    )
+
+
+def _sprt_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(count(*) AS BIGINT) AS ne,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nconv
+    FROM events GROUP BY 1
+), cum AS (
+    SELECT d,
+           CAST(sum(ne) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nc,
+           CAST(sum(nconv) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+    FROM daily
+), llr AS (
+    SELECT d, nc, cc, {_LLR} AS llr FROM cum
+), agg AS (
+    SELECT min(CASE WHEN llr >= {_A_UPPER} THEN d END) AS d_h1,
+           min(CASE WHEN llr <= {_B_LOWER} THEN d END) AS d_h0,
+           arg_max(llr, d) AS llr_last,
+           max(nc) AS n,
+           max(cc) AS conv
+    FROM llr
+)
+SELECT CASE WHEN d_h1 IS NOT NULL AND (d_h0 IS NULL OR d_h1 <= d_h0)
+            THEN 'accept_h1'
+            WHEN d_h0 IS NOT NULL THEN 'accept_h0' ELSE 'continue' END
+           AS decision,
+       CASE WHEN d_h1 IS NOT NULL AND (d_h0 IS NULL OR d_h1 <= d_h0)
+            THEN d_h1 ELSE d_h0 END AS decision_day,
+       {pround_sql('llr_last', 6)} AS llr_last_r,
+       n, conv
+FROM agg
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "anova_oneway_f",
+        q_anova_oneway_f,
+        _anova_sql(),
+        ("stats",),
+        doc="One-way ANOVA F of quantity across return flags; exact BIGINT "
+        "group moments, micro-quantized between-group term",
+    ),
+    QuerySpec(
+        "levene_brown_forsythe",
+        q_levene_brown_forsythe,
+        _levene_sql(),
+        ("stats",),
+        doc="Brown-Forsythe variance-homogeneity test: ANOVA F on "
+        "|2y - doubled group median| from the bounded quantity grid",
+    ),
+    QuerySpec(
+        "jonckheere_terpstra",
+        q_jonckheere_terpstra,
+        _jt_sql(),
+        ("stats",),
+        doc="Ordered-trend test across priority groups: grid-pair doubled "
+        "Mann-Whitney counts + full tie-corrected variance in DECIMAL(38,0)",
+    ),
+    QuerySpec(
+        "mutual_information_flags",
+        q_mutual_information_flags,
+        _mi_sql(),
+        ("stats",),
+        doc="Mutual information + NMI between return flag and line status; "
+        "nano-unit quantized term sums on the cell grid",
+    ),
+    QuerySpec(
+        "sprt_ab_decision",
+        q_sprt_ab_decision,
+        _sprt_sql(),
+        ("stats", "timeseries"),
+        doc="Wald SPRT on the daily purchase-rate stream; shared-literal "
+        "llr tree, earliest boundary-crossing day",
+    ),
+]
