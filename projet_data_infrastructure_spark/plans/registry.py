@@ -74,6 +74,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "jonckheere_terpstra",
     "mutual_information_flags",
     "sprt_ab_decision",
+    "hdr_histogram_quantiles",
+    "hodges_lehmann_shift",
+    "page_hinkley_drift",
+    "ransac_line_fit",
+    "kneser_ney_bigram",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

@@ -613,3 +613,551 @@ SPECS: list[QuerySpec] = [
         "llr tree, earliest boundary-crossing day",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram quantiles (integer-exact mergeable sketch)
+# --------------------------------------------------------------------------
+#
+# HdrHistogram bucketing with 8 significant bits: for cents < 256 the
+# bucket IS the value; above, idx = 128*(e-7) + (cents >> (e-7)) with
+# e = floor(log2(cents)) taken EXACTLY as length(bin(cents)) - 1 — no
+# floating log anywhere, so the sketch is bit-identical cross-engine and
+# buckets merge by integer addition (relative error <= 2^-7 per readout).
+# The readout scans the bounded bucket grid (<= 128*57 indexes, a few
+# hundred occupied) with one unpartitioned cumulative window — the
+# post-aggregate bounded-window class.
+
+_HDR_QS = (0.5, 0.9, 0.99, 0.999)
+
+
+def q_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from an HdrHistogram-style integer sketch:
+    exact power-of-2 + 7-bit-mantissa bucketing (module comment), one
+    corpus aggregate to the bucket grid, quantile readout at the smallest
+    bucket whose cumulative count reaches ceil(q*n). lb/ub are the exact
+    integer bucket bounds, so the answer carries its own error bar."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    bucketed = o.select(
+        F.expr(
+            "CASE WHEN cents < 256 THEN cents ELSE"
+            " 128 * (length(bin(cents)) - 1 - 7)"
+            " + shiftright(cents, length(bin(cents)) - 1 - 7) END"
+        ).alias("idx")
+    )
+    hist = bucketed.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = hist.groupBy().agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _HDR_QS], "q double")
+    hit = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+        )
+        .groupBy("q", "n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    lb = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " shiftleft(idx - 128 * (idx DIV 128 - 1), idx DIV 128 - 1) END"
+    )
+    ub = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " shiftleft(idx - 128 * (idx DIV 128 - 1) + 1, idx DIV 128 - 1) - 1 END"
+    )
+    return hit.select(
+        "q",
+        "n",
+        "idx",
+        pround(F.expr(f"CAST({lb} AS DOUBLE) / 100.0"), 2).alias("lb_usd_r"),
+        pround(F.expr(f"CAST({ub} AS DOUBLE) / 100.0"), 2).alias("ub_usd_r"),
+    )
+
+
+def _hdr_sql() -> str:
+    lb = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " ((idx - 128 * (idx // 128 - 1)) << (idx // 128 - 1)) END"
+    )
+    ub = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " ((idx - 128 * (idx // 128 - 1) + 1) << (idx // 128 - 1)) - 1 END"
+    )
+    return f"""
+WITH o AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+), bucketed AS (
+    SELECT CASE WHEN cents < 256 THEN cents ELSE
+           128 * (length(bin(cents)) - 1 - 7)
+           + (cents >> (length(bin(cents)) - 1 - 7)) END AS idx
+    FROM o
+), hist AS (
+    SELECT idx, CAST(count(*) AS BIGINT) AS cnt FROM bucketed GROUP BY idx
+), cum AS (
+    SELECT idx, CAST(sum(cnt) OVER (ORDER BY idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM hist
+), tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
+), qs(q) AS (
+    VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+           (CAST(0.99 AS DOUBLE)), (CAST(0.999 AS DOUBLE))
+), hit AS (
+    SELECT q, n, min(idx) AS idx
+    FROM qs, tot, cum
+    WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+    GROUP BY q, n
+)
+SELECT q, n, idx,
+       {pround_sql(f'CAST({lb} AS DOUBLE) / 100.0', 2)} AS lb_usd_r,
+       {pround_sql(f'CAST({ub} AS DOUBLE) / 100.0', 2)} AS ub_usd_r
+FROM hit
+"""
+
+
+# --------------------------------------------------------------------------
+# Hodges–Lehmann shift estimator (grid x grid pairwise-difference median)
+# --------------------------------------------------------------------------
+
+
+def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann estimator of the R-vs-A quantity shift: the median of
+    all n_R*n_A pairwise differences — the robust location companion to
+    ``mann_whitney_u``. The pair multiset is never materialized: the two
+    value grids (<= 50 rows each) cross-join to the <= 99-row difference
+    grid with BIGINT pair weights, and the weighted median comes off one
+    bounded cumulative window; the DOUBLED median (d_lo + d_hi) keeps the
+    answer integer-exact through the even-N average."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("v")
+    )
+    ga = (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .select(F.col("v").alias("va"), "ca")
+    )
+    gr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .select(F.col("v").alias("vr"), "cr")
+    )
+    dgrid = (
+        gr.crossJoin(F.broadcast(ga))
+        .select(
+            (F.col("vr") - F.col("va")).alias("d"),
+            (F.col("cr") * F.col("ca")).alias("w"),
+        )
+        .groupBy("d")
+        .agg(F.sum("w").alias("w"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dgrid.withColumn("cum", F.sum("w").over(wcum))
+    tot = dgrid.groupBy().agg(F.sum("w").alias("np"))
+    fin = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("np")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.expr("(np + 1) DIV 2"), F.col("d"))).alias("d_lo"),
+            F.min(F.when(F.col("cum") >= F.expr("np DIV 2 + 1"), F.col("d"))).alias("d_hi"),
+        )
+    )
+    return fin.select(
+        F.col("np").alias("n_pairs"),
+        "d_lo",
+        "d_hi",
+        (F.expr("CAST(d_lo + d_hi AS DOUBLE)") / F.lit(2.0)).alias("hl_shift"),
+    )
+
+
+_HL_SQL = """
+WITH li AS (
+    SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+), ga AS (
+    SELECT v AS va, CAST(count(*) AS BIGINT) AS ca FROM li WHERE g = 'A' GROUP BY v
+), gr AS (
+    SELECT v AS vr, CAST(count(*) AS BIGINT) AS cr FROM li WHERE g = 'R' GROUP BY v
+), dgrid AS (
+    SELECT vr - va AS d, CAST(sum(cr * ca) AS BIGINT) AS w
+    FROM gr, ga GROUP BY vr - va
+), cum AS (
+    SELECT d, CAST(sum(w) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM dgrid
+), tot AS (
+    SELECT CAST(sum(w) AS BIGINT) AS np FROM dgrid
+), fin AS (
+    SELECT np,
+           min(CASE WHEN cum >= (np + 1) // 2 THEN d END) AS d_lo,
+           min(CASE WHEN cum >= np // 2 + 1 THEN d END) AS d_hi
+    FROM cum, tot GROUP BY np
+)
+SELECT np AS n_pairs, d_lo, d_hi, CAST(d_lo + d_hi AS DOUBLE) / 2.0 AS hl_shift
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# Page–Hinkley drift detector (micro-quantized deviations on the day grid)
+# --------------------------------------------------------------------------
+
+#: Alarm threshold: $500 of accumulated positive deviation, in cent-micros.
+_PH_LAMBDA = 500 * 100 * 1_000_000
+
+
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-INCREASE drift detector on the daily-revenue
+    series (delta=0): m_t = sum_{i<=t}(x_i - mean_i) with mean_i the
+    running prefix mean, PH_t = m_t - min_{i<=t} m_i, alarm when PH > the
+    $500 threshold — the online companion to the offline
+    ``changepoint_cusum_mean``. Each deviation is quantized to integer
+    cent-micros BEFORE accumulation (the chisq micro-unit discipline), so
+    every m_t, the prefix min and the argmax day are integer-exact; only
+    the reported magnitude converts to dollars."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(wcum).alias("s"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+    )
+    dev = pre.withColumn(
+        "dev",
+        F.expr(
+            "CAST(floor((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    ph = dev.select(
+        "d",
+        (
+            F.sum("dev").over(wcum) - F.min(F.sum("dev").over(wcum)).over(wcum)
+        ).alias("ph"),
+    )
+    peak = ph.orderBy(F.col("ph").desc(), F.col("d").asc()).limit(1)
+    alarms = ph.groupBy().agg(
+        F.min(F.when(F.col("ph") > F.lit(_PH_LAMBDA), F.col("d"))).alias(
+            "first_alarm_day"
+        ),
+        F.sum((F.col("ph") > F.lit(_PH_LAMBDA)).cast("long")).alias("n_alarm_days"),
+    )
+    return peak.crossJoin(F.broadcast(alarms)).select(
+        F.col("d").alias("peak_day"),
+        pround(F.expr("CAST(ph AS DOUBLE) / 1000000.0 / 100.0"), 4).alias(
+            "ph_max_usd_r"
+        ),
+        "first_alarm_day",
+        "n_alarm_days",
+    )
+
+
+def _ph_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), pre AS (
+    SELECT d, x,
+           CAST(sum(x) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+           row_number() OVER (ORDER BY d) AS t
+    FROM daily
+), dev AS (
+    SELECT d, CAST(floor((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS dev
+    FROM pre
+), m AS (
+    SELECT d, CAST(sum(dev) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+    FROM dev
+), ph AS (
+    SELECT d, m - min(m) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+    FROM m
+), peak AS (
+    SELECT d AS peak_day, ph FROM ph ORDER BY ph DESC, d ASC LIMIT 1
+), alarms AS (
+    SELECT min(CASE WHEN ph > {_PH_LAMBDA} THEN d END) AS first_alarm_day,
+           CAST(sum(CASE WHEN ph > {_PH_LAMBDA} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days
+    FROM ph
+)
+SELECT peak_day,
+       {pround_sql('CAST(ph AS DOUBLE) / 1000000.0 / 100.0', 4)} AS ph_max_usd_r,
+       first_alarm_day, n_alarm_days
+FROM peak, alarms
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic RANSAC line fit (hash-seeded candidates, exact inlier test)
+# --------------------------------------------------------------------------
+
+_RANSAC_K = 32  # sample rows -> 16 candidate lines
+_RANSAC_TOL_CENTS = 50_000  # +-$500 inlier band
+
+
+def q_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit of extendedprice ~ quantity with every source
+    of randomness replaced by the portable hash (``functions/hashing``):
+    the 32 sample rows are the corpus-wide minima of hash64(orderkey-line)
+    — a top-k, never a sort — paired in hash order into 16 candidate
+    lines; the inlier test clears denominators so it is exact BIGINT
+    arithmetic (|y*dx - y1*dx - dy*(x-x1)| <= tol*|dx|), evaluated as one
+    broadcast nested-loop pass over the corpus (map-only, no shuffle);
+    best candidate by (inliers DESC, id ASC). Cited next to the reference's
+    random draws (`/root/reference` generator): same determinism policy."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    keyed = li.withColumn(
+        "h", hash64(F.concat_ws("-", F.col("ok"), F.col("ln")))
+    )
+    sample = keyed.orderBy("h", "ok", "ln").limit(_RANSAC_K)
+    numbered = sample.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h", "ok", "ln"))
+    )
+    cands = (
+        numbered.groupBy(F.expr("(rn + 1) DIV 2").alias("cand"))
+        .agg(
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("x"))).alias("x1"),
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("y"))).alias("y1"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("x"))).alias("x2"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("y"))).alias("y2"),
+        )
+        .filter(F.col("x1") != F.col("x2"))
+        .select(
+            "cand",
+            "x1",
+            "y1",
+            (F.col("x2") - F.col("x1")).alias("dx"),
+            (F.col("y2") - F.col("y1")).alias("dy"),
+        )
+    )
+    scored = (
+        li.crossJoin(F.broadcast(cands))
+        .select(
+            "cand",
+            "x1",
+            "y1",
+            "dx",
+            "dy",
+            (
+                F.abs(
+                    F.col("y") * F.col("dx")
+                    - F.col("y1") * F.col("dx")
+                    - F.col("dy") * (F.col("x") - F.col("x1"))
+                )
+                <= F.lit(_RANSAC_TOL_CENTS) * F.abs(F.col("dx"))
+            ).cast("long").alias("inl"),
+        )
+        .groupBy("cand", "x1", "y1", "dx", "dy")
+        .agg(F.sum("inl").alias("inliers"), F.count(F.lit(1)).alias("n"))
+    )
+    best = scored.orderBy(F.col("inliers").desc(), F.col("cand").asc()).limit(1)
+    return best.select(
+        "cand",
+        "inliers",
+        "n",
+        pround(
+            F.expr("CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) / 100.0"), 4
+        ).alias("slope_usd_r"),
+        pround(
+            F.expr(
+                "(CAST(y1 AS DOUBLE) - CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE)"
+                " * CAST(x1 AS DOUBLE)) / 100.0"
+            ),
+            4,
+        ).alias("intercept_usd_r"),
+    )
+
+
+def _ransac_sql() -> str:
+    from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(ok AS VARCHAR) || '-' || CAST(ln AS VARCHAR)")
+    return f"""
+WITH li AS (
+    SELECT l_orderkey AS ok, l_linenumber AS ln,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+    FROM lineitem
+), keyed AS (
+    SELECT ok, ln, x, y, {h} AS h FROM li
+), sample_rows AS (
+    SELECT * FROM keyed ORDER BY h, ok, ln LIMIT {_RANSAC_K}
+), numbered AS (
+    SELECT x, y, row_number() OVER (ORDER BY h, ok, ln) AS rn FROM sample_rows
+), cands AS (
+    SELECT (rn + 1) // 2 AS cand,
+           max(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+           max(CASE WHEN rn % 2 = 1 THEN y END) AS y1,
+           max(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+           max(CASE WHEN rn % 2 = 0 THEN y END) AS y2
+    FROM numbered GROUP BY 1
+), lines AS (
+    SELECT cand, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy
+    FROM cands WHERE x1 != x2
+), scored AS (
+    SELECT cand, x1, y1, dx, dy,
+           CAST(sum(CASE WHEN abs(y * dx - y1 * dx - dy * (x - x1))
+                              <= {_RANSAC_TOL_CENTS} * abs(dx)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS inliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM li, lines
+    GROUP BY cand, x1, y1, dx, dy
+), best AS (
+    SELECT * FROM scored ORDER BY inliers DESC, cand ASC LIMIT 1
+)
+SELECT cand, inliers, n,
+       {pround_sql('CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) / 100.0', 4)}
+           AS slope_usd_r,
+       {pround_sql(
+           '(CAST(y1 AS DOUBLE) - CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE)'
+           ' * CAST(x1 AS DOUBLE)) / 100.0', 4)}
+           AS intercept_usd_r
+FROM best
+"""
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram LM (continuation counts, D = 0.75)
+# --------------------------------------------------------------------------
+
+_KN_FORMULA = (
+    "(greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE)"
+    " + 0.75 * CAST(n1f AS DOUBLE) / CAST(cw1 AS DOUBLE)"
+    " * CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE))"
+)
+
+
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities over the documents
+    corpus (D = 0.75): P(w2|w1) = max(c-D,0)/c(w1) + D*N1+(w1,.)/c(w1) *
+    N1+(.,w2)/|bigram types| — the smoothing used by every n-gram LM the
+    trigram-backoff spec approximates more crudely. All counts (bigram
+    tokens, forward/backward continuation type counts, total types) are
+    exact BIGINT group-bys on the vocabulary-bounded type table; the top-20
+    readout orders by (count DESC, w1, w2) so ties are deterministic."""
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    fwd = types.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1f")
+    )
+    bwd = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    bt = types.groupBy().agg(F.count(F.lit(1)).alias("bt"))
+    top = (
+        types.join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(bt))
+        .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+    return top.select(
+        "w1", "w2", "c", pround(F.expr(_KN_FORMULA), 6).alias("kn_r")
+    )
+
+
+def _kn_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+    FROM documents
+), bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE len(t) >= 2
+), types AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), fwd AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+           CAST(count(*) AS BIGINT) AS n1f
+    FROM types GROUP BY w1
+), bwd AS (
+    SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM types GROUP BY w2
+), bt AS (
+    SELECT CAST(count(*) AS BIGINT) AS bt FROM types
+)
+SELECT w1, w2, c, {pround_sql(_KN_FORMULA, 6)} AS kn_r
+FROM types JOIN fwd USING (w1) JOIN bwd USING (w2), bt
+ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "hdr_histogram_quantiles",
+            q_hdr_histogram_quantiles,
+            _hdr_sql(),
+            ("sketch",),
+            doc="HdrHistogram-style quantile sketch: exact integer "
+            "power-of-2 + 7-bit bucketing, mergeable, bounded-grid readout",
+        ),
+        QuerySpec(
+            "hodges_lehmann_shift",
+            q_hodges_lehmann_shift,
+            _HL_SQL,
+            ("stats",),
+            doc="Hodges-Lehmann R-vs-A shift: weighted median of pairwise "
+            "differences from the 99-row grid-product, never the pair set",
+        ),
+        QuerySpec(
+            "page_hinkley_drift",
+            q_page_hinkley_drift,
+            _ph_sql(),
+            ("stats", "timeseries"),
+            doc="Page-Hinkley mean-increase detector on daily revenue; "
+            "micro-quantized deviations, integer-exact PH and alarms",
+        ),
+        QuerySpec(
+            "ransac_line_fit",
+            q_ransac_line_fit,
+            _ransac_sql(),
+            ("learning",),
+            doc="Deterministic RANSAC price~quantity line: hash-seeded "
+            "candidate pairs, exact BIGINT inlier test, map-only scoring",
+        ),
+        QuerySpec(
+            "kneser_ney_bigram",
+            q_kneser_ney_bigram,
+            _kn_sql(),
+            ("llm",),
+            doc="Interpolated Kneser-Ney bigram LM (D=0.75) with exact "
+            "continuation counts; top-20 bigrams with KN probability",
+        ),
+    ]
+)

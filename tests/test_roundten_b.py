@@ -1,0 +1,424 @@
+"""Round-10 batch-2 specs: plain-Python fixture checks, sketch properties,
+plan gates for the scale-sensitive shapes, and the hostile-TZ pin."""
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.operators.scale import explain_has
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lineitem(spark, *cols):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").select(*cols).collect()
+
+
+def _group_moments(rows):
+    per = {}
+    for g, y in rows:
+        n, s, q = per.get(g, (0, 0, 0))
+        per[g] = (n + 1, s + y, q + y * y)
+    return per
+
+
+def _f_stat(per):
+    k = len(per)
+    n = sum(m[0] for m in per.values())
+    s = sum(m[1] for m in per.values())
+    q = sum(m[2] for m in per.values())
+    bsum = sum(m[1] ** 2 / m[0] for m in per.values())
+    ssb = bsum - s * s / n
+    ssw = q - bsum
+    return n, k, ssb, ssw, (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_f_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import q_anova_oneway_f
+
+    rows = [(r[0], int(r[1])) for r in _lineitem(spark, "l_returnflag", "l_quantity")]
+    n, k, ssb, ssw, f = _f_stat(_group_moments(rows))
+    got = q_anova_oneway_f(spark, SF).collect()[0]
+    assert (got["n"], got["k"]) == (n, k)
+    assert math.isclose(got["ssb_r"], ssb, rel_tol=0, abs_tol=5e-4)
+    assert math.isclose(got["ssw_r"], ssw, rel_tol=0, abs_tol=5e-4)
+    assert math.isclose(got["f_r"], f, rel_tol=0, abs_tol=5e-6)
+
+
+def test_levene_brown_forsythe_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_levene_brown_forsythe,
+    )
+
+    rows = [(r[0], int(r[1])) for r in _lineitem(spark, "l_returnflag", "l_quantity")]
+    by_g = {}
+    for g, y in rows:
+        by_g.setdefault(g, []).append(y)
+    devs = []
+    for g, ys in by_g.items():
+        ys.sort()
+        n = len(ys)
+        m2 = ys[(n - 1) // 2] + ys[n // 2]  # doubled median
+        devs.extend((g, abs(2 * y - m2)) for y in ys)
+    _, k, _, _, f = _f_stat(_group_moments(devs))
+    got = q_levene_brown_forsythe(spark, SF).collect()[0]
+    assert got["k"] == k
+    assert math.isclose(got["f_r"], f, rel_tol=0, abs_tol=5e-6)
+
+
+def test_jonckheere_fixture(spark):
+    # grid-free reference: per-group value Counters, U_ij summed directly.
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_jonckheere_terpstra,
+    )
+
+    orders = {
+        r[0]: int(r[1][0])
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    }
+    li = _lineitem(spark, "l_orderkey", "l_quantity")
+    groups = {}
+    for ok, v in li:
+        groups.setdefault(orders[ok], Counter())[int(v)] += 1
+    gs = sorted(groups)
+    jt2 = 0
+    for a in range(len(gs)):
+        for b in range(a + 1, len(gs)):
+            ci, cj = groups[gs[a]], groups[gs[b]]
+            for v, cjv in cj.items():
+                less = sum(c for u, c in ci.items() if u < v)
+                jt2 += cjv * (2 * less + ci.get(v, 0))
+    ngs = [sum(c.values()) for c in groups.values()]
+    tvs = Counter()
+    for c in groups.values():
+        tvs.update(c)
+    n = sum(ngs)
+    e2 = (n * n - sum(g * g for g in ngs)) / 2.0
+    a_n = n * (n - 1) * (2 * n + 5)
+    a_g = sum(g * (g - 1) * (2 * g + 5) for g in ngs)
+    a_t = sum(t * (t - 1) * (2 * t + 5) for t in tvs.values())
+    b_g = sum(g * (g - 1) * (g - 2) for g in ngs)
+    b_t = sum(t * (t - 1) * (t - 2) for t in tvs.values())
+    c_g = sum(g * (g - 1) for g in ngs)
+    c_t = sum(t * (t - 1) for t in tvs.values())
+    var = (
+        (a_n - a_g - a_t) / 72.0
+        + b_g * b_t / (36.0 * n * (n - 1) * (n - 2))
+        + c_g * c_t / (8.0 * n * (n - 1))
+    )
+    z = (jt2 - e2) / (2.0 * math.sqrt(var))
+    got = q_jonckheere_terpstra(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["z_r"], z, rel_tol=0, abs_tol=5e-6)
+
+
+def test_mutual_information_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_mutual_information_flags,
+    )
+
+    rows = _lineitem(spark, "l_returnflag", "l_linestatus")
+    cells = Counter((r[0], r[1]) for r in rows)
+    rt = Counter()
+    ct = Counter()
+    for (a, b), o in cells.items():
+        rt[a] += o
+        ct[b] += o
+    n = sum(cells.values())
+    mi = sum(o / n * math.log(o * n / (rt[a] * ct[b])) for (a, b), o in cells.items())
+    hr = -sum(v / n * math.log(v / n) for v in rt.values())
+    hc = -sum(v / n * math.log(v / n) for v in ct.values())
+    got = q_mutual_information_flags(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["mi_r"], mi, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(got["nmi_r"], mi / math.sqrt(hr * hc), rel_tol=0, abs_tol=5e-6)
+
+
+def test_sprt_fixture(spark):
+    from projet_data_infrastructure_spark.plans import roundten_b as rb
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("day"), "event_type")
+        .collect()
+    )
+    daily = {}
+    for r in ev:
+        ne, cc = daily.get(r["day"], (0, 0))
+        daily[r["day"]] = (ne + 1, cc + (r["event_type"] == "purchase"))
+    la = math.log(rb._SPRT_P1 / rb._SPRT_P0)
+    lb = math.log((1 - rb._SPRT_P1) / (1 - rb._SPRT_P0))
+    a_up = math.log((1 - rb._SPRT_BETA) / rb._SPRT_ALPHA)
+    nc = cc = 0
+    d_h1 = None
+    epoch = __import__("datetime").date(1970, 1, 1).toordinal()
+    for day in sorted(daily):
+        ne, conv = daily[day]
+        nc, cc = nc + ne, cc + conv
+        llr = cc * la + (nc - cc) * lb
+        if d_h1 is None and llr >= a_up:
+            d_h1 = day.toordinal() - epoch
+    got = rb.q_sprt_ab_decision(spark, SF).collect()[0]
+    assert got["n"] == nc and got["conv"] == cc
+    if d_h1 is not None:
+        assert got["decision"] == "accept_h1" and got["decision_day"] == d_h1
+    assert math.isclose(got["llr_last_r"], cc * la + (nc - cc) * lb, abs_tol=5e-6)
+
+
+# --------------------------------------------------------------------------
+# HDR sketch: bracket correctness, bounded relative error, mergeability
+# --------------------------------------------------------------------------
+
+
+def _hdr_idx(cents: int) -> int:
+    if cents < 256:
+        return cents
+    e = cents.bit_length() - 1
+    return 128 * (e - 7) + (cents >> (e - 7))
+
+
+def test_hdr_quantiles_bracket_and_merge(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _HDR_QS,
+        q_hdr_histogram_quantiles,
+    )
+
+    prices = [
+        math.floor(r[0] * 100 + 0.5)
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    ]
+    prices.sort()
+    n = len(prices)
+    rows = {r["q"]: r for r in q_hdr_histogram_quantiles(spark, SF).collect()}
+    assert set(rows) == set(_HDR_QS)
+    for q, r in rows.items():
+        exact = prices[math.ceil(q * n) - 1] / 100.0
+        assert r["lb_usd_r"] <= exact <= r["ub_usd_r"] + 0.01, (q, exact, r)
+        # 8-significant-bit sketch: bucket width / lower bound <= 2^-7
+        assert (r["ub_usd_r"] - r["lb_usd_r"]) <= r["lb_usd_r"] / 128.0 + 0.02
+    # mergeability: per-partition histograms sum to the global histogram
+    whole = Counter(_hdr_idx(c) for c in prices)
+    merged = Counter()
+    for part in (prices[: n // 3], prices[n // 3 : 2 * n // 3], prices[2 * n // 3 :]):
+        merged.update(_hdr_idx(c) for c in part)
+    assert merged == whole
+
+
+def test_hodges_lehmann_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_hodges_lehmann_shift,
+    )
+
+    rows = _lineitem(spark, "l_returnflag", "l_quantity")
+    xa = sorted(int(r[1]) for r in rows if r[0] == "A")
+    xr = sorted(int(r[1]) for r in rows if r[0] == "R")
+    diffs = Counter()
+    ca, cr = Counter(xa), Counter(xr)
+    for v, cv in cr.items():
+        for u, cu in ca.items():
+            diffs[v - u] += cv * cu
+    n_pairs = len(xa) * len(xr)
+    lo_pos, hi_pos = (n_pairs + 1) // 2, n_pairs // 2 + 1
+    cum = 0
+    d_lo = d_hi = None
+    for d in sorted(diffs):
+        cum += diffs[d]
+        if d_lo is None and cum >= lo_pos:
+            d_lo = d
+        if d_hi is None and cum >= hi_pos:
+            d_hi = d
+    got = q_hodges_lehmann_shift(spark, SF).collect()[0]
+    assert got["n_pairs"] == n_pairs
+    assert (got["d_lo"], got["d_hi"]) == (d_lo, d_hi)
+    assert got["hl_shift"] == (d_lo + d_hi) / 2.0
+
+
+def test_page_hinkley_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _PH_LAMBDA,
+        q_page_hinkley_drift,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("day"), "value")
+        .collect()
+    )
+    daily = {}
+    for r in ev:
+        daily[r["day"]] = daily.get(r["day"], 0) + math.floor(r["value"] * 100 + 0.5)
+    s = m = 0
+    mn = 0
+    best = None
+    first_alarm = None
+    n_alarms = 0
+    epoch = __import__("datetime").date(1970, 1, 1).toordinal()
+    for t, day in enumerate(sorted(daily), start=1):
+        x = daily[day]
+        s += x
+        m += math.floor((x - s / t) * 1e6 + 0.5)
+        mn = min(mn, m)
+        ph = m - mn
+        d = day.toordinal() - epoch
+        if best is None or ph > best[0]:
+            best = (ph, d)
+        if ph > _PH_LAMBDA:
+            n_alarms += 1
+            if first_alarm is None:
+                first_alarm = d
+    got = q_page_hinkley_drift(spark, SF).collect()[0]
+    assert got["peak_day"] == best[1]
+    assert math.isclose(got["ph_max_usd_r"], best[0] / 1e8, rel_tol=0, abs_tol=5e-4)
+    assert got["first_alarm_day"] == first_alarm
+    assert got["n_alarm_days"] == n_alarms
+
+
+def test_ransac_fixture_and_plan(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _RANSAC_K,
+        _RANSAC_TOL_CENTS,
+        q_ransac_line_fit,
+    )
+
+    li = [
+        (r[0], r[1], int(r[2]), math.floor(r[3] * 100 + 0.5))
+        for r in _lineitem(
+            spark, "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    ]
+
+    def h(ok, ln):
+        return int(hashlib.md5(f"{ok}-{ln}".encode()).hexdigest()[:15], 16)
+
+    sample = sorted(li, key=lambda r: (h(r[0], r[1]), r[0], r[1]))[:_RANSAC_K]
+    best = None
+    for p in range(_RANSAC_K // 2):
+        (x1, y1), (x2, y2) = sample[2 * p][2:], sample[2 * p + 1][2:]
+        if x1 == x2:
+            continue
+        dx, dy = x2 - x1, y2 - y1
+        inl = sum(
+            abs(y * dx - y1 * dx - dy * (x - x1)) <= _RANSAC_TOL_CENTS * abs(dx)
+            for _, _, x, y in li
+        )
+        key = (inl, -(p + 1))
+        if best is None or key > best[0]:
+            best = (key, p + 1, dy / dx / 100.0)
+    got = q_ransac_line_fit(spark, SF).collect()[0]
+    assert got["cand"] == best[1] and got["inliers"] == best[0][0]
+    assert math.isclose(got["slope_usd_r"], best[2], rel_tol=0, abs_tol=5e-4)
+    # scoring must be a broadcast nested-loop over the 16-line frame —
+    # map-only over the corpus, never a shuffle/cartesian of row pairs
+    checks = explain_has(
+        q_ransac_line_fit(spark, SF), "BroadcastNestedLoopJoin", "CartesianProduct"
+    )
+    assert checks["BroadcastNestedLoopJoin"] and not checks["CartesianProduct"]
+
+
+def test_kneser_ney_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import q_kneser_ney_bigram
+
+    texts = [
+        r[0]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    ]
+    bg = Counter()
+    for t in texts:
+        toks = [w for w in t.strip().split() if w]
+        bg.update(zip(toks, toks[1:]))
+    cw1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in bg.items():
+        cw1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    bt = len(bg)
+    got = q_kneser_ney_bigram(spark, SF).collect()
+    assert len(got) == 20
+    expect_top = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["w1"], r["w2"], r["c"]) for r in got] == [
+        (w1, w2, c) for (w1, w2), c in expect_top
+    ]
+    for r in got:
+        w1, w2 = r["w1"], r["w2"]
+        kn = (
+            max(bg[(w1, w2)] - 0.75, 0.0) / cw1[w1]
+            + 0.75 * n1f[w1] / cw1[w1] * n1b[w2] / bt
+        )
+        assert 0.0 < r["kn_r"] <= 1.0
+        assert math.isclose(r["kn_r"], kn, rel_tol=0, abs_tol=5e-6)
+
+
+# --------------------------------------------------------------------------
+# Plan gates + hostile-TZ pin
+# --------------------------------------------------------------------------
+
+
+def test_bounded_window_specs_are_post_aggregate(spark):
+    # Every unpartitioned window in the new specs must consume a bounded
+    # post-aggregate grid (bucket/difference/day), never corpus rows.
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_hdr_histogram_quantiles,
+        q_hodges_lehmann_shift,
+        q_page_hinkley_drift,
+    )
+
+    for fn, grid_key in (
+        (q_hdr_histogram_quantiles, "keys=[idx"),
+        (q_hodges_lehmann_shift, "keys=[d"),
+        (q_page_hinkley_drift, "keys=[d"),
+    ):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        win_pos = plan.index("Window")
+        agg_below = plan.find("HashAggregate(" , win_pos)
+        assert agg_below != -1 and grid_key in plan[agg_below:], plan
+        # no corpus-identity columns flow into the window segment
+        assert "o_orderkey" not in plan[win_pos:agg_below], plan
+        assert "event_id" not in plan[win_pos:agg_below], plan
+
+
+def test_levene_and_jt_windows_are_group_keyed(spark):
+    import re
+
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_jonckheere_terpstra,
+        q_levene_brown_forsythe,
+    )
+
+    for fn in (q_levene_brown_forsythe, q_jonckheere_terpstra):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Window \[", plan):
+            seg = plan[m.start() : plan.index("\n", m.start())]
+            assert "g#" in seg, seg  # cumulative windows keyed by group
+
+
+def test_day_grid_specs_hostile_tz_invariant_b(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_page_hinkley_drift,
+        q_sprt_ab_decision,
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    infer_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    base = [
+        q_sprt_ab_decision(spark, SF).collect(),
+        q_page_hinkley_drift(spark, SF).collect(),
+    ]
+    old_infer, old_tz = spark.conf.get(infer_key), spark.conf.get(tz_key)
+    try:
+        spark.conf.set(infer_key, "false")
+        spark.conf.set(tz_key, "America/New_York")
+        dfs = [q_sprt_ab_decision(spark, SF), q_page_hinkley_drift(spark, SF)]
+        spark.conf.set(tz_key, "Pacific/Kiritimati")
+        got = [df.collect() for df in dfs]
+        assert got == base
+    finally:
+        spark.conf.set(infer_key, old_infer)
+        spark.conf.set(tz_key, old_tz)
