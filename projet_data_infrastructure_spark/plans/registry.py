@@ -79,6 +79,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "page_hinkley_drift",
     "ransac_line_fit",
     "kneser_ney_bigram",
+    "stream_sprt_ab",
+    "logistic_irls_qty",
+    "friedman_nation_priority",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

@@ -489,22 +489,9 @@ _LLR = (
 )
 
 
-def q_sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald's SPRT monitoring the purchase rate day by day: H₀ p=0.15 vs
-    H₁ p=0.20, α=β=0.05 — the sequential companion to ``ab_srm_guard`` /
-    ``ab_test_z_score`` (peeking-safe early stopping). One corpus aggregate
-    to the day grid; cumulative (events, purchases) are exact BIGINTs, the
-    llr is a shared-literal double tree (module constant), and the decision
-    is the earliest day the llr leaves (B, A)."""
-    ev = read_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
-            (F.col("event_type") == "purchase").cast("long").alias("conv"),
-        )
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("ne"), F.sum("conv").alias("nconv"))
-    )
+def _sprt_from_daily(daily: DataFrame) -> DataFrame:
+    """SPRT decision readout from a (d, ne, nconv) day grid — shared by the
+    batch spec and its LIVE streaming-parity twin."""
     wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     llr = daily.select(
         "d",
@@ -532,6 +519,25 @@ def q_sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "conv",
     )
+
+
+def q_sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT monitoring the purchase rate day by day: H₀ p=0.15 vs
+    H₁ p=0.20, α=β=0.05 — the sequential companion to ``ab_srm_guard`` /
+    ``ab_test_z_score`` (peeking-safe early stopping). One corpus aggregate
+    to the day grid; cumulative (events, purchases) are exact BIGINTs, the
+    llr is a shared-literal double tree (module constant), and the decision
+    is the earliest day the llr leaves (B, A)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ne"), F.sum("conv").alias("nconv"))
+    )
+    return _sprt_from_daily(daily)
 
 
 def _sprt_sql() -> str:
@@ -1158,6 +1164,319 @@ SPECS.extend(
             ("llm",),
             doc="Interpolated Kneser-Ney bigram LM (D=0.75) with exact "
             "continuation counts; top-20 bigrams with KN probability",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# LIVE streaming SPRT (stream == batch hash parity, same oracle)
+# --------------------------------------------------------------------------
+
+
+def q_stream_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPRT running LIVE: a streaming groupBy(day) aggregation in
+    update mode (availableNow) materializes the daily (events, purchases)
+    grid — the state Structured Streaming keeps is exactly one row per day,
+    bounded by the calendar — and the identical bounded-grid readout
+    (:func:`_sprt_from_daily`) produces the decision, so the spec
+    hash-checks against the SAME oracle as ``sprt_ab_decision`` (the
+    stream == batch parity discipline). This is the shape of a production
+    always-on experiment monitor: per-micro-batch updates to the day grid,
+    decision recomputed from ≤ 366 rows."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    daily = (
+        stream.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ne"), F.sum("conv").alias("nconv"))
+    )
+    table = _run_stream(
+        daily.writeStream.outputMode("update"), spark, "stream_sprt_sink"
+    )
+    return _sprt_from_daily(table)
+
+
+# --------------------------------------------------------------------------
+# Logistic regression via IRLS on the value grid (3 unrolled Newton steps)
+# --------------------------------------------------------------------------
+#
+# P(return | quantity) = sigmoid(w0 + w1*qty). The corpus collapses to the
+# <= 100-cell (quantity, label) grid in ONE aggregate; each IRLS step is
+# then a grid-sized aggregate of micro-quantized weighted moments (the
+# chisq discipline: quantize each cell's double term to an integer BEFORE
+# the sum, so accumulation order cannot matter), and the Newton solve of
+# the 2x2 system runs on one row. Three steps unrolled identically on both
+# engines; the shared 1e6 factor in all five moments cancels in the ratios.
+
+_LOGIT_P = "(1.0 / (1.0 + exp(-(w0 + w1 * CAST(x AS DOUBLE)))))"
+
+
+def _q6(e: str) -> str:
+    return f"CAST(floor(({e}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+_IRLS_TERMS = {
+    "sw": _q6(f"CAST(c AS DOUBLE) * {_LOGIT_P} * (1.0 - {_LOGIT_P})"),
+    "swx": _q6(
+        f"CAST(c AS DOUBLE) * {_LOGIT_P} * (1.0 - {_LOGIT_P}) * CAST(x AS DOUBLE)"
+    ),
+    "swxx": _q6(
+        f"CAST(c AS DOUBLE) * {_LOGIT_P} * (1.0 - {_LOGIT_P})"
+        " * CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+    ),
+    "g0": _q6(f"CAST(c AS DOUBLE) * (CAST(y AS DOUBLE) - {_LOGIT_P})"),
+    "g1": _q6(
+        f"CAST(c AS DOUBLE) * (CAST(y AS DOUBLE) - {_LOGIT_P}) * CAST(x AS DOUBLE)"
+    ),
+}
+_IRLS_DET = (
+    "(CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)"
+    " - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))"
+)
+_IRLS_NW0 = (
+    f"(w0 + (CAST(swxx AS DOUBLE) * CAST(g0 AS DOUBLE)"
+    f" - CAST(swx AS DOUBLE) * CAST(g1 AS DOUBLE)) / {_IRLS_DET})"
+)
+_IRLS_NW1 = (
+    f"(w1 + (CAST(sw AS DOUBLE) * CAST(g1 AS DOUBLE)"
+    f" - CAST(swx AS DOUBLE) * CAST(g0 AS DOUBLE)) / {_IRLS_DET})"
+)
+_IRLS_LL = _q6(
+    f"CAST(c AS DOUBLE) * (CAST(y AS DOUBLE) * ln({_LOGIT_P})"
+    f" + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - {_LOGIT_P}))"
+)
+_IRLS_STEPS = 3
+
+
+def q_logistic_irls_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of (l_returnflag = 'R') on l_quantity, fit with
+    three unrolled IRLS/Newton steps on the ≤ 100-cell value grid (module
+    comment). Output: n, the fitted weights, and the final log-likelihood —
+    every moment micro-quantized so both engines sum identical integers."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    grid = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    w = spark.range(1).select(F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"))
+    for _ in range(_IRLS_STEPS):
+        sums = (
+            grid.crossJoin(F.broadcast(w))
+            .groupBy("w0", "w1")
+            .agg(*[F.sum(F.expr(t)).alias(k) for k, t in _IRLS_TERMS.items()])
+        )
+        w = sums.select(
+            F.expr(_IRLS_NW0).alias("w0"), F.expr(_IRLS_NW1).alias("w1")
+        )
+    fin = (
+        grid.crossJoin(F.broadcast(w))
+        .groupBy("w0", "w1")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.expr(_IRLS_LL)).alias("ll_micro"),
+        )
+    )
+    return fin.select(
+        "n",
+        pround(F.col("w0"), 6).alias("w0_r"),
+        pround(F.col("w1"), 6).alias("w1_r"),
+        pround(F.expr("CAST(ll_micro AS DOUBLE) / 1000000.0"), 4).alias("ll_r"),
+    )
+
+
+def _logistic_sql() -> str:
+    terms = ",\n           ".join(
+        f"CAST(sum({t}) AS BIGINT) AS {k}" for k, t in _IRLS_TERMS.items()
+    )
+    ctes = [
+        """
+WITH li AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+), grid AS (
+    SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY x, y
+), it0 AS (SELECT 0.0 AS w0, 0.0 AS w1)"""
+    ]
+    for i in range(_IRLS_STEPS):
+        ctes.append(
+            f""", s{i} AS (
+    SELECT w0, w1, {terms}
+    FROM grid, it{i} GROUP BY w0, w1
+), it{i + 1} AS (
+    SELECT {_IRLS_NW0} AS w0, {_IRLS_NW1} AS w1 FROM s{i}
+)"""
+        )
+    ctes.append(
+        f""", fin AS (
+    SELECT w0, w1, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum({_IRLS_LL}) AS BIGINT) AS ll_micro
+    FROM grid, it{_IRLS_STEPS} GROUP BY w0, w1
+)
+SELECT n, {pround_sql('w0', 6)} AS w0_r, {pround_sql('w1', 6)} AS w1_r,
+       {pround_sql('CAST(ll_micro AS DOUBLE) / 1000000.0', 4)} AS ll_r
+FROM fin"""
+    )
+    return "".join(ctes)
+
+
+# --------------------------------------------------------------------------
+# Friedman test (blocked ranks, exact cross-multiplied comparisons)
+# --------------------------------------------------------------------------
+#
+# Blocks = nations, treatments = the five order priorities, response = the
+# block-cell mean quantity. Cell means are kept as EXACT integer fractions
+# (sq, cnt) and ranked within each block by cross-multiplication
+# (sq_a*cnt_b vs sq_b*cnt_a) — no floating comparison anywhere — via a
+# <= (25*5*5)-row within-block pair join. DOUBLED average ranks
+# r2 = 2*less + eq_others + 2 stay integer through ties; only the final
+# chi-square converts to double.
+
+_FRIEDMAN_CHI2 = (
+    "(12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))"
+    " * (CAST(sum_r2sq AS DOUBLE) / 4.0)"
+    " - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))"
+)
+
+
+def q_friedman_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the five order priorities rank consistently by
+    mean line quantity across nation blocks? The repeated-measures
+    companion to ``kruskal_wallis_h`` (which ignores blocking). Exact
+    integer ranking by cross-multiplication on the ≤ 125-cell
+    (nation × priority) grid; blocks missing a treatment are dropped
+    (complete-block design), k is derived from the data."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("p"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    cells = (
+        li.join(o, "ok")
+        .join(F.broadcast(c), "ck")
+        .groupBy("nk", "p")
+        .agg(F.sum("v").alias("sq"), F.count(F.lit(1)).alias("cnt"))
+    )
+    kk = cells.groupBy().agg(F.countDistinct("p").alias("k"))
+    complete = (
+        cells.groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("np") == F.col("k"))
+        .select("nk")
+    )
+    cc = cells.join(F.broadcast(complete), "nk")
+    a = cc.select(
+        "nk", F.col("p").alias("pa"), F.col("sq").alias("sqa"), F.col("cnt").alias("ca")
+    )
+    b = cc.select(
+        "nk", F.col("p").alias("pb"), F.col("sq").alias("sqb"), F.col("cnt").alias("cb")
+    )
+    pairs = a.join(F.broadcast(b), "nk").filter(F.col("pa") != F.col("pb"))
+    r2 = pairs.groupBy("nk", "pa").agg(
+        (
+            2
+            + 2 * F.sum((F.col("sqb") * F.col("ca") < F.col("sqa") * F.col("cb")).cast("long"))
+            + F.sum((F.col("sqb") * F.col("ca") == F.col("sqa") * F.col("cb")).cast("long"))
+        ).alias("r2")
+    )
+    rj = r2.groupBy("pa").agg(F.sum("r2").alias("r2j"), F.count(F.lit(1)).alias("nb"))
+    fin = rj.groupBy("nb").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r2j") * F.col("r2j")).alias("sum_r2sq"),
+    )
+    return fin.select(
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k"),
+        pround(F.expr(_FRIEDMAN_CHI2), 6).alias("chi2_r"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+def _friedman_sql() -> str:
+    return f"""
+WITH o AS (
+    SELECT o_orderkey AS ok, o_custkey AS ck,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS p
+    FROM orders
+), cells AS (
+    SELECT c_nationkey AS nk, p,
+           CAST(sum(l_quantity) AS BIGINT) AS sq,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN o ON l_orderkey = ok JOIN customer ON ck = c_custkey
+    GROUP BY 1, 2
+), kk AS (
+    SELECT CAST(count(DISTINCT p) AS BIGINT) AS k FROM cells
+), complete AS (
+    SELECT nk FROM cells, kk GROUP BY nk, k HAVING count(*) = k
+), cc AS (
+    SELECT cells.* FROM cells JOIN complete USING (nk)
+), pairs AS (
+    SELECT a.nk, a.p AS pa,
+           CAST(sum(CASE WHEN b.sq * a.cnt < a.sq * b.cnt THEN 1 ELSE 0 END)
+                AS BIGINT) AS less,
+           CAST(sum(CASE WHEN b.sq * a.cnt = a.sq * b.cnt THEN 1 ELSE 0 END)
+                AS BIGINT) AS eq
+    FROM cc a JOIN cc b ON a.nk = b.nk AND a.p != b.p
+    GROUP BY a.nk, a.p
+), r2 AS (
+    SELECT nk, pa, 2 + 2 * less + eq AS r2 FROM pairs
+), rj AS (
+    SELECT pa, CAST(sum(r2) AS BIGINT) AS r2j,
+           CAST(count(*) AS BIGINT) AS nb
+    FROM r2 GROUP BY pa
+), fin AS (
+    SELECT nb, CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(r2j * r2j) AS BIGINT) AS sum_r2sq
+    FROM rj GROUP BY nb
+)
+SELECT nb AS n_blocks, k, {pround_sql(_FRIEDMAN_CHI2, 6)} AS chi2_r,
+       k - 1 AS df
+FROM fin
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "stream_sprt_ab",
+            q_stream_sprt_ab,
+            _sprt_sql(),
+            ("streaming", "stats", "timeseries"),
+            doc="LIVE SPRT: streaming day-grid aggregation (update mode, "
+            "state = one row per day) + the shared bounded-grid readout; "
+            "same oracle as the batch spec",
+        ),
+        QuerySpec(
+            "logistic_irls_qty",
+            q_logistic_irls_qty,
+            _logistic_sql(),
+            ("learning",),
+            doc="Logistic P(return|qty) by 3 unrolled IRLS steps on the "
+            "100-cell value grid; micro-quantized moments each step",
+        ),
+        QuerySpec(
+            "friedman_nation_priority",
+            q_friedman_nation_priority,
+            _friedman_sql(),
+            ("stats",),
+            doc="Friedman blocked-rank test of priority effects across "
+            "nation blocks; exact cross-multiplied fraction ranking",
         ),
     ]
 )

@@ -422,3 +422,114 @@ def test_day_grid_specs_hostile_tz_invariant_b(spark):
     finally:
         spark.conf.set(infer_key, old_infer)
         spark.conf.set(tz_key, old_tz)
+
+
+# --------------------------------------------------------------------------
+# Batch 3: streaming parity, IRLS fixture, Friedman fixture
+# --------------------------------------------------------------------------
+
+
+def test_stream_sprt_matches_batch(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_sprt_ab_decision,
+        q_stream_sprt_ab,
+    )
+
+    assert (
+        q_stream_sprt_ab(spark, SF).collect()
+        == q_sprt_ab_decision(spark, SF).collect()
+    )
+
+
+def test_logistic_irls_fixture(spark):
+    # un-quantized float IRLS on the same grid; the micro-quantization
+    # perturbs moments by < 1e-6 relative, so weights agree to ~1e-5.
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _IRLS_STEPS,
+        q_logistic_irls_qty,
+    )
+
+    rows = _lineitem(spark, "l_quantity", "l_returnflag")
+    grid = Counter((int(r[0]), int(r[1] == "R")) for r in rows)
+    w0 = w1 = 0.0
+    for _ in range(_IRLS_STEPS):
+        sw = swx = swxx = g0 = g1 = 0.0
+        for (x, y), c in grid.items():
+            p = 1.0 / (1.0 + math.exp(-(w0 + w1 * x)))
+            wgt = c * p * (1.0 - p)
+            sw += wgt
+            swx += wgt * x
+            swxx += wgt * x * x
+            g0 += c * (y - p)
+            g1 += c * x * (y - p)
+        det = sw * swxx - swx * swx
+        w0, w1 = w0 + (swxx * g0 - swx * g1) / det, w1 + (sw * g1 - swx * g0) / det
+    ll = sum(
+        c
+        * (
+            y * math.log(1.0 / (1.0 + math.exp(-(w0 + w1 * x))))
+            + (1 - y) * math.log(1.0 - 1.0 / (1.0 + math.exp(-(w0 + w1 * x))))
+        )
+        for (x, y), c in grid.items()
+    )
+    got = q_logistic_irls_qty(spark, SF).collect()[0]
+    assert got["n"] == sum(grid.values())
+    assert math.isclose(got["w0_r"], w0, rel_tol=0, abs_tol=1e-4)
+    assert math.isclose(got["w1_r"], w1, rel_tol=0, abs_tol=1e-5)
+    assert math.isclose(got["ll_r"], ll, rel_tol=0, abs_tol=0.05)
+
+
+def test_friedman_fixture(spark):
+    from fractions import Fraction
+
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_friedman_nation_priority,
+    )
+
+    orders = {
+        r[0]: (r[1], int(r[2][0]))
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .collect()
+    }
+    nation = {
+        r[0]: r[1]
+        for r in spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    cells = {}
+    for ok, v in _lineitem(spark, "l_orderkey", "l_quantity"):
+        ck, p = orders[ok]
+        key = (nation[ck], p)
+        s, c = cells.get(key, (0, 0))
+        cells[key] = (s + int(v), c + 1)
+    k = len({p for _, p in cells})
+    blocks = {}
+    for (nk, p), (s, c) in cells.items():
+        blocks.setdefault(nk, {})[p] = Fraction(s, c)
+    blocks = {nk: d for nk, d in blocks.items() if len(d) == k}
+    r_sum = Counter()
+    for d in blocks.values():
+        for p, v in d.items():
+            less = sum(u < v for u in d.values())
+            eq = sum(u == v for q, u in d.items() if q != p)
+            r_sum[p] += Fraction(2 * less + eq + 2, 2)
+    nb = len(blocks)
+    chi2 = 12.0 / (nb * k * (k + 1)) * float(
+        sum(r * r for r in r_sum.values())
+    ) - 3.0 * nb * (k + 1)
+    got = q_friedman_nation_priority(spark, SF).collect()[0]
+    assert (got["n_blocks"], got["k"], got["df"]) == (nb, k, k - 1)
+    assert math.isclose(got["chi2_r"], chi2, rel_tol=0, abs_tol=5e-6)
+
+
+def test_logistic_and_friedman_are_window_free(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_friedman_nation_priority,
+        q_logistic_irls_qty,
+    )
+
+    for fn in (q_logistic_irls_qty, q_friedman_nation_priority):
+        checks = explain_has(fn(spark, SF), "WindowExec", "CartesianProduct")
+        assert not checks["WindowExec"] and not checks["CartesianProduct"]
