@@ -82,6 +82,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sprt_ab",
     "logistic_irls_qty",
     "friedman_nation_priority",
+    "matrix_profile_daily",
+    "cox_ph_binary_newton",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

@@ -1480,3 +1480,337 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Matrix profile on the daily series (bounded calendar-squared pair set)
+# --------------------------------------------------------------------------
+#
+# STOMP-style matrix profile with window m=7 over the daily-revenue series:
+# the top motif (closest non-overlapping window pair) and top discord
+# (window farthest from its nearest neighbor). The pair set is
+# calendar-BOUNDED (<= 366^2 window pairs x 7 lags), never corpus-sized:
+# one corpus aggregate makes the day grid, a 7-row lag frame expands each
+# window, and all distances come from exact BIGINT moments
+# (D = m*Q - S^2, m*dot - S1*S2) with the z-normalized distance
+# 2m(1 - r) micro-quantized before every argmin/argmax, so motif and
+# discord are integer-exact decisions in both engines.
+
+_MP_M = 7
+_MP_DIST_MICRO = (
+    f"CAST(floor(2.0 * {_MP_M}.0 * (1.0 - "
+    "(CAST({m} * dot - s1 * s2 AS DOUBLE)"
+    " / sqrt(CAST(d1v AS DOUBLE) * CAST(d2v AS DOUBLE))))"
+    " * 1000000.0 + 0.5) AS BIGINT)".replace("{m}", str(_MP_M))
+)
+
+
+def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile motif + discord over daily revenue (module comment).
+    Windows are indexed by row_number on the day grid (the series is
+    daily-dense in this corpus); the exclusion zone |t1-t2| >= m keeps
+    trivial matches out. Zero-variance windows are excluded (undefined
+    z-normalized distance)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV 100").alias("x"))
+    )
+    grid = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("ts_i"), "x"
+    )
+    lags = spark.range(_MP_M).select(F.col("id").cast("int").alias("k"))
+    el = (
+        grid.crossJoin(F.broadcast(lags))
+        .select((F.col("ts_i") - F.col("k")).alias("t"), "k", "x")
+        .filter(F.col("t") >= 1)
+    )
+    nwin = grid.groupBy().agg((F.max("ts_i") - F.lit(_MP_M - 1)).alias("nw"))
+    el = el.crossJoin(F.broadcast(nwin)).filter(F.col("t") <= F.col("nw")).drop("nw")
+    mom = el.groupBy("t").agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    ).withColumn("dv", F.expr(f"{_MP_M} * q - s * s"))
+    e1 = el.select(F.col("t").alias("t1"), "k", F.col("x").alias("x1"))
+    e2 = el.select(F.col("t").alias("t2"), "k", F.col("x").alias("x2"))
+    dots = (
+        e1.join(e2, "k")
+        .filter(F.abs(F.col("t1") - F.col("t2")) >= _MP_M)
+        .groupBy("t1", "t2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("dot"))
+    )
+    m1 = mom.select(
+        F.col("t").alias("t1"), F.col("s").alias("s1"), F.col("dv").alias("d1v")
+    )
+    m2 = mom.select(
+        F.col("t").alias("t2"), F.col("s").alias("s2"), F.col("dv").alias("d2v")
+    )
+    pairs = (
+        dots.join(F.broadcast(m1), "t1")
+        .join(F.broadcast(m2), "t2")
+        .filter((F.col("d1v") > 0) & (F.col("d2v") > 0))
+        .withColumn("dmicro", F.expr(_MP_DIST_MICRO))
+    )
+    motif = pairs.filter(F.col("t1") < F.col("t2")).orderBy(
+        "dmicro", "t1", "t2"
+    ).limit(1)
+    prof = pairs.groupBy("t1").agg(F.min("dmicro").alias("nn"))
+    discord = prof.orderBy(F.col("nn").desc(), F.col("t1").asc()).limit(1)
+    return (
+        motif.select(
+            F.col("t1").alias("motif_t1"),
+            F.col("t2").alias("motif_t2"),
+            pround(F.expr("CAST(dmicro AS DOUBLE) / 1000000.0"), 4).alias(
+                "motif_dist_r"
+            ),
+        )
+        .crossJoin(
+            discord.select(
+                F.col("t1").alias("discord_t"),
+                pround(F.expr("CAST(nn AS DOUBLE) / 1000000.0"), 4).alias(
+                    "discord_dist_r"
+                ),
+            )
+        )
+    )
+
+
+def _mp_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM events GROUP BY 1
+), grid AS (
+    SELECT row_number() OVER (ORDER BY d) AS ts_i, x FROM daily
+), nwin AS (
+    SELECT max(ts_i) - {_MP_M - 1} AS nw FROM grid
+), el AS (
+    SELECT ts_i - k AS t, k, x
+    FROM grid, unnest(generate_series(0, {_MP_M - 1})) AS g(k), nwin
+    WHERE ts_i - k >= 1 AND ts_i - k <= nw
+), mom AS (
+    SELECT t, CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS q,
+           CAST({_MP_M} * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS dv
+    FROM el GROUP BY t
+), dots AS (
+    SELECT a.t AS t1, b.t AS t2, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+    FROM el a JOIN el b ON a.k = b.k AND abs(a.t - b.t) >= {_MP_M}
+    GROUP BY a.t, b.t
+), pairs AS (
+    SELECT t1, t2,
+           {_MP_DIST_MICRO} AS dmicro
+    FROM dots
+    JOIN (SELECT t AS t1, s AS s1, dv AS d1v FROM mom) USING (t1)
+    JOIN (SELECT t AS t2, s AS s2, dv AS d2v FROM mom) USING (t2)
+    WHERE d1v > 0 AND d2v > 0
+), motif AS (
+    SELECT t1 AS motif_t1, t2 AS motif_t2, dmicro
+    FROM pairs WHERE t1 < t2 ORDER BY dmicro, t1, t2 LIMIT 1
+), prof AS (
+    SELECT t1, min(dmicro) AS nn FROM pairs GROUP BY t1
+), discord AS (
+    SELECT t1 AS discord_t, nn FROM prof ORDER BY nn DESC, t1 ASC LIMIT 1
+)
+SELECT motif_t1, motif_t2,
+       {pround_sql('CAST(dmicro AS DOUBLE) / 1000000.0', 4)} AS motif_dist_r,
+       discord_t,
+       {pround_sql('CAST(nn AS DOUBLE) / 1000000.0', 4)} AS discord_dist_r
+FROM motif, discord
+"""
+
+
+# --------------------------------------------------------------------------
+# Cox proportional hazards (binary arm, Breslow ties, 3 Newton steps)
+# --------------------------------------------------------------------------
+#
+# Time-to-convert survival model: subjects are users with a first view,
+# the event is the first later purchase, censoring at the corpus horizon
+# (max event date), arm x = hash64(user_id) % 2 — the same deterministic
+# split ab_srm_guard audits. With a binary covariate the Breslow partial
+# likelihood needs only (d0, d1, n0, n1) per event day: the subject frame
+# collapses to the (duration, arm) grid in one aggregate, risk sets come
+# from a bounded grid-x-grid non-equi join (dur >= tau — covering taus
+# where an arm has no cell of its own), and each Newton step is a
+# <= 366-row aggregate of micro-quantized score/info terms (the IRLS
+# discipline above).
+
+_COX_U = _q6(
+    "CAST(d1 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE) * CAST(n1 AS DOUBLE) * exp(b)"
+    " / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * exp(b))"
+)
+_COX_I = _q6(
+    "CAST(d0 + d1 AS DOUBLE) * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * exp(b)"
+    " / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * exp(b))"
+    " * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * exp(b)))"
+)
+_COX_STEPS = 3
+
+
+def q_cox_ph_binary_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox PH hazard ratio between the two hash arms for time-to-purchase
+    (module comment): one user-level aggregate, one (duration, arm) grid,
+    risk sets from the bounded dur >= tau grid join, three unrolled Newton
+    steps on the event-day grid. Output: subjects, events, beta, hazard
+    ratio."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        fv.join(
+            purch,
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") >= F.col("fv")),
+            "left",
+        )
+        .groupBy("user_id", "fv")
+        .agg(F.min("pts").alias("p"))
+    )
+    horizon = ev.groupBy().agg(F.max(F.to_date("ts")).alias("hz"))
+    subj = conv.crossJoin(F.broadcast(horizon)).select(
+        (hash64(F.col("user_id")) % 2).cast("int").alias("x"),
+        F.datediff(
+            F.coalesce(F.to_date("p"), F.col("hz")), F.to_date("fv")
+        ).alias("dur"),
+        F.col("p").isNotNull().cast("long").alias("ev"),
+    )
+    cells = subj.groupBy("dur", "x").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("de")
+    )
+    # Event-day grid and risk sets. The risk count n_x(tau) must cover
+    # every subject with dur >= tau even when arm x has no cell at tau
+    # itself, so it is a bounded non-equi join of the <= 366-row event-day
+    # grid against the duration cells (grid x grid, never subjects).
+    taudays = (
+        cells.groupBy("dur")
+        .agg(
+            F.sum(F.when(F.col("x") == 0, F.col("de")).otherwise(0)).alias("d0"),
+            F.sum(F.when(F.col("x") == 1, F.col("de")).otherwise(0)).alias("d1"),
+        )
+        .filter(F.col("d0") + F.col("d1") > 0)
+        .select(F.col("dur").alias("tau"), "d0", "d1")
+    )
+    tau = (
+        taudays.join(F.broadcast(cells), F.col("dur") >= F.col("tau"))
+        .groupBy("tau", "d0", "d1")
+        .agg(
+            F.sum(F.when(F.col("x") == 0, F.col("c")).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("x") == 1, F.col("c")).otherwise(0)).alias("n1"),
+        )
+    )
+    b = spark.range(1).select(F.lit(0.0).alias("b"))
+    for _ in range(_COX_STEPS):
+        sums = (
+            tau.crossJoin(F.broadcast(b))
+            .groupBy("b")
+            .agg(
+                F.sum(F.expr(_COX_U)).alias("u"),
+                F.sum(F.expr(_COX_I)).alias("i"),
+            )
+        )
+        b = sums.select(
+            F.expr("b + CAST(u AS DOUBLE) / CAST(i AS DOUBLE)").alias("b")
+        )
+    stats = subj.groupBy().agg(
+        F.count(F.lit(1)).alias("n_subj"), F.sum("ev").alias("n_events")
+    )
+    return stats.crossJoin(F.broadcast(b)).select(
+        "n_subj",
+        "n_events",
+        pround(F.col("b"), 6).alias("beta_r"),
+        pround(F.expr("exp(b)"), 6).alias("hr_r"),
+    )
+
+
+def _cox_sql() -> str:
+    from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("user_id")
+    steps = []
+    for i in range(_COX_STEPS):
+        steps.append(
+            f""", s{i} AS (
+    SELECT b, CAST(sum({_COX_U}) AS BIGINT) AS u,
+           CAST(sum({_COX_I}) AS BIGINT) AS i
+    FROM tau, bt{i} GROUP BY b
+), bt{i + 1} AS (
+    SELECT b + CAST(u AS DOUBLE) / CAST(i AS DOUBLE) AS b FROM s{i}
+)"""
+        )
+    return f"""
+WITH fv AS (
+    SELECT user_id, min(ts) AS fv FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+    SELECT f.user_id, f.fv, min(e.ts) AS p
+    FROM fv f LEFT JOIN events e
+      ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.fv
+    GROUP BY f.user_id, f.fv
+), horizon AS (
+    SELECT max(CAST(ts AS DATE)) AS hz FROM events
+), subj AS (
+    SELECT CAST({h} % 2 AS INT) AS x,
+           datediff('day', CAST(fv AS DATE),
+                    CAST(coalesce(CAST(p AS DATE), hz) AS DATE)) AS dur,
+           CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM conv, horizon
+), cells AS (
+    SELECT dur, x, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(ev) AS BIGINT) AS de
+    FROM subj GROUP BY dur, x
+), taudays AS (
+    SELECT dur AS tau,
+           CAST(sum(CASE WHEN x = 0 THEN de ELSE 0 END) AS BIGINT) AS d0,
+           CAST(sum(CASE WHEN x = 1 THEN de ELSE 0 END) AS BIGINT) AS d1
+    FROM cells GROUP BY dur
+    HAVING sum(de) > 0
+), tau AS (
+    SELECT tau, d0, d1,
+           CAST(sum(CASE WHEN x = 0 THEN c ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN x = 1 THEN c ELSE 0 END) AS BIGINT) AS n1
+    FROM taudays JOIN cells ON dur >= tau
+    GROUP BY tau, d0, d1
+), bt0 AS (SELECT 0.0 AS b){''.join(steps)}, stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_subj,
+           CAST(sum(ev) AS BIGINT) AS n_events
+    FROM subj
+)
+SELECT n_subj, n_events, {pround_sql('b', 6)} AS beta_r,
+       {pround_sql('exp(b)', 6)} AS hr_r
+FROM stats, bt{_COX_STEPS}
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "matrix_profile_daily",
+            q_matrix_profile_daily,
+            _mp_sql(),
+            ("timeseries",),
+            doc="Matrix-profile motif + discord (m=7) on daily revenue; "
+            "exact BIGINT window moments, micro-quantized z-distances",
+        ),
+        QuerySpec(
+            "cox_ph_binary_newton",
+            q_cox_ph_binary_newton,
+            _cox_sql(),
+            ("stats", "learning", "timeseries"),
+            doc="Cox PH hazard ratio between hash arms for time-to-purchase; "
+            "Breslow ties, bounded-grid risk sets, 3 Newton steps",
+        ),
+    ]
+)

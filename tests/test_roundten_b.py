@@ -533,3 +533,154 @@ def test_logistic_and_friedman_are_window_free(spark):
     for fn in (q_logistic_irls_qty, q_friedman_nation_priority):
         checks = explain_has(fn(spark, SF), "WindowExec", "CartesianProduct")
         assert not checks["WindowExec"] and not checks["CartesianProduct"]
+
+
+# --------------------------------------------------------------------------
+# Batch 4: matrix profile + Cox PH fixtures
+# --------------------------------------------------------------------------
+
+
+def _daily_series(spark, col="value"):
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("day"), col)
+        .collect()
+    )
+    daily = {}
+    for r in ev:
+        daily[r["day"]] = daily.get(r["day"], 0) + math.floor(r[col] * 100 + 0.5)
+    return [daily[d] for d in sorted(daily)]
+
+
+def test_matrix_profile_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _MP_M,
+        q_matrix_profile_daily,
+    )
+
+    xs = [c // 100 for c in _daily_series(spark)]
+    nw = len(xs) - _MP_M + 1
+    wins = [xs[t : t + _MP_M] for t in range(nw)]
+
+    def dmicro(a, b):
+        s1, s2 = sum(a), sum(b)
+        q1, q2 = sum(v * v for v in a), sum(v * v for v in b)
+        d1v, d2v = _MP_M * q1 - s1 * s1, _MP_M * q2 - s2 * s2
+        if d1v <= 0 or d2v <= 0:
+            return None
+        dot = sum(u * v for u, v in zip(a, b))
+        r = (_MP_M * dot - s1 * s2) / math.sqrt(d1v * d2v)
+        return math.floor(2.0 * _MP_M * (1.0 - r) * 1e6 + 0.5)
+
+    pairs = {}
+    for i in range(nw):
+        for j in range(nw):
+            if abs(i - j) >= _MP_M:
+                d = dmicro(wins[i], wins[j])
+                if d is not None:
+                    pairs[(i + 1, j + 1)] = d
+    motif = min(((d, t1, t2) for (t1, t2), d in pairs.items() if t1 < t2))
+    prof = {}
+    for (t1, _), d in pairs.items():
+        prof[t1] = min(prof.get(t1, d), d)
+    discord = max(((d, -t) for t, d in prof.items()))
+    got = q_matrix_profile_daily(spark, SF).collect()[0]
+    assert (got["motif_t1"], got["motif_t2"]) == (motif[1], motif[2])
+    assert math.isclose(got["motif_dist_r"], motif[0] / 1e6, abs_tol=5e-4)
+    assert got["discord_t"] == -discord[1]
+    assert math.isclose(got["discord_dist_r"], discord[0] / 1e6, abs_tol=5e-4)
+
+
+def test_cox_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _COX_STEPS,
+        q_cox_ph_binary_newton,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    fv, pu = {}, {}
+    horizon = max(r["ts"] for r in ev).date()
+    for r in ev:
+        if r["event_type"] == "view":
+            if r["user_id"] not in fv or r["ts"] < fv[r["user_id"]]:
+                fv[r["user_id"]] = r["ts"]
+    for r in ev:
+        u = r["user_id"]
+        if r["event_type"] == "purchase" and u in fv and r["ts"] >= fv[u]:
+            if u not in pu or r["ts"] < pu[u]:
+                pu[u] = r["ts"]
+    subj = []
+    for u, t0 in fv.items():
+        x = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        if u in pu:
+            subj.append((x, (pu[u].date() - t0.date()).days, 1))
+        else:
+            subj.append((x, (horizon - t0.date()).days, 0))
+    taus = sorted({d for _, d, e in subj if e})
+    b = 0.0
+    for _ in range(_COX_STEPS):
+        u_sum = i_sum = 0
+        for t in taus:
+            d0 = sum(1 for x, d, e in subj if e and d == t and x == 0)
+            d1 = sum(1 for x, d, e in subj if e and d == t and x == 1)
+            n0 = sum(1 for x, d, _ in subj if d >= t and x == 0)
+            n1 = sum(1 for x, d, _ in subj if d >= t and x == 1)
+            eb = math.exp(b)
+            den = n0 + n1 * eb
+            u_sum += math.floor((d1 - (d0 + d1) * n1 * eb / den) * 1e6 + 0.5)
+            i_sum += math.floor(
+                ((d0 + d1) * n0 * n1 * eb / (den * den)) * 1e6 + 0.5
+            )
+        b += u_sum / i_sum
+    got = q_cox_ph_binary_newton(spark, SF).collect()[0]
+    assert got["n_subj"] == len(subj)
+    assert got["n_events"] == sum(e for _, _, e in subj)
+    assert math.isclose(got["beta_r"], b, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(got["hr_r"], math.exp(b), rel_tol=0, abs_tol=5e-6)
+
+
+def test_cox_risk_window_is_arm_keyed_and_mp_pairs_bounded(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_cox_ph_binary_newton,
+        q_matrix_profile_daily,
+    )
+
+    # cox has NO window at all: risk sets come from the bounded grid join
+    checks = explain_has(q_cox_ph_binary_newton(spark, SF), "WindowExec")
+    assert not checks["WindowExec"]
+    # matrix-profile pair join consumes the day-grid aggregate, not events
+    plan2 = (
+        q_matrix_profile_daily(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    join_pos = plan2.index("SortMergeJoin") if "SortMergeJoin" in plan2 else plan2.index("Join")
+    assert "event_id" not in plan2[join_pos:], plan2
+
+
+def test_day_grid_specs_hostile_tz_invariant_c(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_cox_ph_binary_newton,
+        q_matrix_profile_daily,
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    infer_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    base = [
+        q_matrix_profile_daily(spark, SF).collect(),
+        q_cox_ph_binary_newton(spark, SF).collect(),
+    ]
+    old_infer, old_tz = spark.conf.get(infer_key), spark.conf.get(tz_key)
+    try:
+        spark.conf.set(infer_key, "false")
+        spark.conf.set(tz_key, "Pacific/Kiritimati")
+        got = [
+            q_matrix_profile_daily(spark, SF).collect(),
+            q_cox_ph_binary_newton(spark, SF).collect(),
+        ]
+        assert got == base
+    finally:
+        spark.conf.set(infer_key, old_infer)
+        spark.conf.set(tz_key, old_tz)
