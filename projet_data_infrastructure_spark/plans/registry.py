@@ -84,6 +84,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "friedman_nation_priority",
     "matrix_profile_daily",
     "cox_ph_binary_newton",
+    "mantel_haenszel_or",
+    "bigram_entropy_rate",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

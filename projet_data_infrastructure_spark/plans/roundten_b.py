@@ -1814,3 +1814,227 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Mantel–Haenszel stratified odds ratio + CMH test (nation strata)
+# --------------------------------------------------------------------------
+#
+# Exposure = urgent order (priority 1-2), outcome = any lineitem returned,
+# strata = customer nation: the confounding-adjusted association readout
+# every experimentation/epidemiology pipeline runs where a pooled 2x2
+# would Simpson-flip. One order-level aggregate, then a 25-stratum 2x2
+# grid; the per-stratum a*d/n, b*c/n, E and V terms are micro-quantized
+# before the stratum sums (the chisq discipline); the (a+b)(c+d)(a+c)(b+d)
+# variance product goes through DOUBLE (it passes int64 near 1e6-row
+# strata) — deterministically, as both engines convert the same BIGINTs.
+
+_MH_NUM = _q6("CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)")
+_MH_DEN = _q6("CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)")
+_MH_E = _q6(
+    "CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) / CAST(n AS DOUBLE)"
+)
+_MH_V = _q6(
+    "CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE)"
+    " * CAST(b + d AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))"
+)
+_CMH_CHI2 = (
+    "((abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0) - 0.5)"
+    " * (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0) - 0.5)"
+    " / (CAST(sv AS DOUBLE) / 1000000.0))"
+)
+
+
+def q_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel common odds ratio and the continuity-corrected CMH
+    chi-square across nation strata (module comment). Output: strata count,
+    MH odds ratio, CMH chi2 and its df=1 p-value (P(chi2>x) = 2*P(Z>sqrt x),
+    the shared Zelen-Severo tree)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        (F.substring("o_orderpriority", 1, 1).cast("int") <= 2)
+        .cast("int")
+        .alias("e"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+    )
+    per_order = li.groupBy("ok").agg(F.max("ret").alias("y"))
+    t22 = (
+        per_order.join(o, "ok")
+        .join(F.broadcast(c), "ck")
+        .groupBy("nk")
+        .agg(
+            F.sum(((F.col("e") == 1) & (F.col("y") == 1)).cast("long")).alias("a"),
+            F.sum(((F.col("e") == 1) & (F.col("y") == 0)).cast("long")).alias("b"),
+            F.sum(((F.col("e") == 0) & (F.col("y") == 1)).cast("long")).alias("c"),
+            F.sum(((F.col("e") == 0) & (F.col("y") == 0)).cast("long")).alias("d"),
+        )
+        .withColumn("n", F.expr("a + b + c + d"))
+        .filter(F.col("n") > 1)
+    )
+    agg = t22.groupBy().agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("sa"),
+        F.sum(F.expr(_MH_NUM)).alias("snum"),
+        F.sum(F.expr(_MH_DEN)).alias("sden"),
+        F.sum(F.expr(_MH_E)).alias("se"),
+        F.sum(F.expr(_MH_V)).alias("sv"),
+    )
+    fin = agg.withColumn("chi2", F.expr(_CMH_CHI2))
+    return fin.select(
+        "n_strata",
+        pround(F.expr("CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE)"), 6).alias(
+            "or_mh_r"
+        ),
+        pround(F.col("chi2"), 6).alias("chi2_cmh_r"),
+        pround(F.expr(two_sided_p_sql("sqrt(chi2)")), 8).alias("p_r"),
+    )
+
+
+def _mh_sql() -> str:
+    return f"""
+WITH per_order AS (
+    SELECT l_orderkey AS ok, max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           AS y
+    FROM lineitem GROUP BY 1
+), t22 AS (
+    SELECT c_nationkey AS nk,
+        CAST(sum(CASE WHEN CAST(substr(o_orderpriority,1,1) AS INT) <= 2
+                       AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(sum(CASE WHEN CAST(substr(o_orderpriority,1,1) AS INT) <= 2
+                       AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(sum(CASE WHEN CAST(substr(o_orderpriority,1,1) AS INT) > 2
+                       AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(sum(CASE WHEN CAST(substr(o_orderpriority,1,1) AS INT) > 2
+                       AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM per_order
+    JOIN orders ON ok = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+), t22n AS (
+    SELECT *, a + b + c + d AS n FROM t22 WHERE a + b + c + d > 1
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(a) AS BIGINT) AS sa,
+           CAST(sum({_MH_NUM}) AS BIGINT) AS snum,
+           CAST(sum({_MH_DEN}) AS BIGINT) AS sden,
+           CAST(sum({_MH_E}) AS BIGINT) AS se,
+           CAST(sum({_MH_V}) AS BIGINT) AS sv
+    FROM t22n
+), fin AS (
+    SELECT n_strata, snum, sden, {_CMH_CHI2} AS chi2 FROM agg
+)
+SELECT n_strata,
+       {pround_sql('CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE)', 6)} AS or_mh_r,
+       {pround_sql('chi2', 6)} AS chi2_cmh_r,
+       {pround_sql(two_sided_p_sql('sqrt(chi2)'), 8)} AS p_r
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram entropy rate (corpus predictability, nano-quantized term sums)
+# --------------------------------------------------------------------------
+
+_BER_TERM = (
+    "CAST(floor(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " * ln(CAST(c AS DOUBLE) / CAST(cw1 AS DOUBLE)) * 1000000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+def q_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy rate H(w2|w1) of the documents corpus and
+    its perplexity — the predictability readout next to the Kneser-Ney LM:
+    H = -sum p(w1,w2) ln p(w2|w1), each term nano-quantized so the
+    vocabulary-sized sum is an exact BIGINT in any order (scale-safe: the
+    type table shuffles on token keys, nothing is collected)."""
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    fwd = types.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    tot = types.groupBy().agg(
+        F.sum("c").alias("nb"), F.count(F.lit(1)).alias("n_types")
+    )
+    h = (
+        types.join(fwd, "w1")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nb", "n_types")
+        .agg(F.sum(F.expr(_BER_TERM)).alias("h_nano"))
+    )
+    return h.select(
+        F.col("nb").alias("n_bigrams"),
+        "n_types",
+        pround(F.expr("CAST(h_nano AS DOUBLE) / 1000000000.0"), 6).alias("h_rate_r"),
+        pround(F.expr("exp(CAST(h_nano AS DOUBLE) / 1000000000.0)"), 4).alias(
+            "ppl_r"
+        ),
+    )
+
+
+def _ber_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+    FROM documents
+), bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE len(t) >= 2
+), types AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), fwd AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS cw1 FROM types GROUP BY w1
+), tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS nb,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM types
+), h AS (
+    SELECT nb, n_types, CAST(sum({_BER_TERM}) AS BIGINT) AS h_nano
+    FROM types JOIN fwd USING (w1), tot
+    GROUP BY nb, n_types
+)
+SELECT nb AS n_bigrams, n_types,
+       {pround_sql('CAST(h_nano AS DOUBLE) / 1000000000.0', 6)} AS h_rate_r,
+       {pround_sql('exp(CAST(h_nano AS DOUBLE) / 1000000000.0)', 4)} AS ppl_r
+FROM h
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "mantel_haenszel_or",
+            q_mantel_haenszel_or,
+            _mh_sql(),
+            ("stats",),
+            doc="Mantel-Haenszel common OR + continuity-corrected CMH chi2 "
+            "across nation strata; micro-quantized stratum terms",
+        ),
+        QuerySpec(
+            "bigram_entropy_rate",
+            q_bigram_entropy_rate,
+            _ber_sql(),
+            ("llm",),
+            doc="Conditional bigram entropy rate + perplexity of the corpus; "
+            "nano-quantized vocabulary-sized term sums",
+        ),
+    ]
+)

@@ -684,3 +684,79 @@ def test_day_grid_specs_hostile_tz_invariant_c(spark):
     finally:
         spark.conf.set(infer_key, old_infer)
         spark.conf.set(tz_key, old_tz)
+
+
+# --------------------------------------------------------------------------
+# Batch 5: Mantel-Haenszel + bigram entropy fixtures
+# --------------------------------------------------------------------------
+
+
+def test_mantel_haenszel_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_mantel_haenszel_or,
+    )
+
+    orders = {
+        r[0]: (r[1], int(r[2][0]) <= 2)
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .collect()
+    }
+    nation = {
+        r[0]: r[1]
+        for r in spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    ret = {}
+    for ok, rf in _lineitem(spark, "l_orderkey", "l_returnflag"):
+        ret[ok] = ret.get(ok, False) or (rf == "R")
+    t22 = {}
+    for ok, y in ret.items():
+        ck, e = orders[ok]
+        cell = t22.setdefault(nation[ck], [0, 0, 0, 0])
+        cell[(0 if e else 2) + (0 if y else 1)] += 1
+    snum = sden = se = sv = sa = 0
+    n_strata = 0
+    for a, b, c, d in t22.values():
+        n = a + b + c + d
+        if n <= 1:
+            continue
+        n_strata += 1
+        sa += a
+        snum += math.floor(a * d / n * 1e6 + 0.5)
+        sden += math.floor(b * c / n * 1e6 + 0.5)
+        se += math.floor((a + b) * (a + c) / n * 1e6 + 0.5)
+        sv += math.floor(
+            (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)) * 1e6 + 0.5
+        )
+    chi2 = (abs(sa - se / 1e6) - 0.5) ** 2 / (sv / 1e6)
+    got = q_mantel_haenszel_or(spark, SF).collect()[0]
+    assert got["n_strata"] == n_strata
+    assert math.isclose(got["or_mh_r"], snum / sden, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(got["chi2_cmh_r"], chi2, rel_tol=0, abs_tol=5e-6)
+    assert 0.0 <= got["p_r"] <= 1.0
+
+
+def test_bigram_entropy_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_bigram_entropy_rate,
+    )
+
+    texts = [
+        r[0]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    ]
+    bg = Counter()
+    for t in texts:
+        toks = [w for w in t.strip().split() if w]
+        bg.update(zip(toks, toks[1:]))
+    cw1 = Counter()
+    for (w1, _), c in bg.items():
+        cw1[w1] += c
+    nb = sum(bg.values())
+    h = -sum(c / nb * math.log(c / cw1[w1]) for (w1, _), c in bg.items())
+    got = q_bigram_entropy_rate(spark, SF).collect()[0]
+    assert got["n_bigrams"] == nb and got["n_types"] == len(bg)
+    assert math.isclose(got["h_rate_r"], h, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(got["ppl_r"], math.exp(h), rel_tol=0, abs_tol=5e-3)
