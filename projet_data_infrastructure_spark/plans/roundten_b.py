@@ -598,7 +598,7 @@ SPECS: list[QuerySpec] = [
         "jonckheere_terpstra",
         q_jonckheere_terpstra,
         _jt_sql(),
-        ("stats",),
+        ("stats", "bench"),
         doc="Ordered-trend test across priority groups: grid-pair doubled "
         "Mann-Whitney counts + full tie-corrected variance in DECIMAL(38,0)",
     ),
@@ -1800,7 +1800,7 @@ SPECS.extend(
             "matrix_profile_daily",
             q_matrix_profile_daily,
             _mp_sql(),
-            ("timeseries",),
+            ("timeseries", "bench"),
             doc="Matrix-profile motif + discord (m=7) on daily revenue; "
             "exact BIGINT window moments, micro-quantized z-distances",
         ),
@@ -1808,7 +1808,7 @@ SPECS.extend(
             "cox_ph_binary_newton",
             q_cox_ph_binary_newton,
             _cox_sql(),
-            ("stats", "learning", "timeseries"),
+            ("stats", "learning", "timeseries", "bench"),
             doc="Cox PH hazard ratio between hash arms for time-to-purchase; "
             "Breslow ties, bounded-grid risk sets, 3 Newton steps",
         ),
@@ -2032,7 +2032,7 @@ SPECS.extend(
             "bigram_entropy_rate",
             q_bigram_entropy_rate,
             _ber_sql(),
-            ("llm",),
+            ("llm", "bench"),
             doc="Conditional bigram entropy rate + perplexity of the corpus; "
             "nano-quantized vocabulary-sized term sums",
         ),
