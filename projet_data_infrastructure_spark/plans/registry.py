@@ -86,6 +86,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cox_ph_binary_newton",
     "mantel_haenszel_or",
     "bigram_entropy_rate",
+    "stream_hdr_quantiles",
+    "cramer_von_mises",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

@@ -637,23 +637,18 @@ SPECS: list[QuerySpec] = [
 _HDR_QS = (0.5, 0.9, 0.99, 0.999)
 
 
-def q_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-price quantiles from an HdrHistogram-style integer sketch:
-    exact power-of-2 + 7-bit-mantissa bucketing (module comment), one
-    corpus aggregate to the bucket grid, quantile readout at the smallest
-    bucket whose cumulative count reaches ceil(q*n). lb/ub are the exact
-    integer bucket bounds, so the answer carries its own error bar."""
-    o = read_table(spark, sf_dir, "orders").select(
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
-    )
-    bucketed = o.select(
-        F.expr(
-            "CASE WHEN cents < 256 THEN cents ELSE"
-            " 128 * (length(bin(cents)) - 1 - 7)"
-            " + shiftright(cents, length(bin(cents)) - 1 - 7) END"
-        ).alias("idx")
-    )
-    hist = bucketed.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
+_HDR_IDX = (
+    "CASE WHEN cents < 256 THEN cents ELSE"
+    " 128 * (length(bin(cents)) - 1 - 7)"
+    " + shiftright(cents, length(bin(cents)) - 1 - 7) END"
+)
+
+
+def _hdr_readout(hist: DataFrame) -> DataFrame:
+    """Quantile readout from an (idx, cnt) HDR bucket histogram — shared by
+    the batch sketch and its LIVE streaming twin (sketches merge by
+    integer addition, so any partial histogram re-aggregates first)."""
+    spark = hist.sparkSession
     wcum = Window.orderBy("idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -686,7 +681,27 @@ def q_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hdr_sql() -> str:
+def q_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from an HdrHistogram-style integer sketch:
+    exact power-of-2 + 7-bit-mantissa bucketing (module comment), one
+    corpus aggregate to the bucket grid, quantile readout at the smallest
+    bucket whose cumulative count reaches ceil(q*n). lb/ub are the exact
+    integer bucket bounds, so the answer carries its own error bar."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    hist = (
+        o.select(F.expr(_HDR_IDX).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _hdr_readout(hist)
+
+
+def _hdr_sql(
+    source: str = "SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    " AS cents FROM orders",
+) -> str:
     lb = (
         "CASE WHEN idx < 256 THEN idx ELSE"
         " ((idx - 128 * (idx // 128 - 1)) << (idx // 128 - 1)) END"
@@ -697,7 +712,7 @@ def _hdr_sql() -> str:
     )
     return f"""
 WITH o AS (
-    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+    {source}
 ), bucketed AS (
     SELECT CASE WHEN cents < 256 THEN cents ELSE
            128 * (length(bin(cents)) - 1 - 7)
@@ -2035,6 +2050,169 @@ SPECS.extend(
             ("llm", "bench"),
             doc="Conditional bigram entropy rate + perplexity of the corpus; "
             "nano-quantized vocabulary-sized term sums",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# LIVE streaming HDR sketch (mergeable quantiles under Structured Streaming)
+# --------------------------------------------------------------------------
+
+
+def q_stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HDR quantile sketch running LIVE over the event-value stream:
+    a streaming groupBy(idx) count in update mode IS the sketch — state is
+    one row per occupied bucket (a few hundred, regardless of volume) and
+    partial emissions merge by taking each bucket's LATEST count (counts
+    are monotone across micro-batches, so max == latest), exactly how
+    per-executor partial histograms merge by addition in the batch plan.
+    The shared :func:`_hdr_readout` then produces the same bounded-grid
+    readout, hash-checked against a DuckDB replay of the whole stream."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    counts = (
+        stream.select(F.expr(_HDR_IDX).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    table = _run_stream(
+        counts.writeStream.outputMode("update"), spark, "stream_hdr_sink"
+    )
+    hist = table.groupBy("idx").agg(F.max("cnt").alias("cnt"))
+    return _hdr_readout(hist)
+
+
+# --------------------------------------------------------------------------
+# Two-sample Cramér–von Mises (integer ECDF-difference accumulation)
+# --------------------------------------------------------------------------
+#
+# T = nA*nB/N^2 * sum over pooled observations of (F_A - F_B)^2. On the
+# value grids, (F_A - F_B)(v) = (nB*cumA - nA*cumB)/(nA*nB) exactly, so
+# the weighted sum of squared differences is the exact integer
+# sum t_v * (nB*cumA - nA*cumB)^2 — accumulated 128-bit (DECIMAL(38,0) /
+# HUGEINT, the jonckheere discipline; the squared term passes int64 far
+# below sf1) — and T divides it by nA*nB*N^2 in one shared double tree.
+
+_CVM_T = (
+    "(CAST(num AS DOUBLE)"
+    " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    " * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
+    " * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))"
+)
+_CVM_EXPECT = (
+    "((1.0 + 1.0 / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) / 6.0)"
+)
+
+
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between the A and R quantity
+    distributions — the omnibus ECDF-difference companion to the KS drift
+    statistic (`ks_drift_statistic` weighs the max gap; CvM integrates all
+    of it). Exact integer numerator on the ≤ 50-row pooled value grid
+    (module comment); the null expectation (1+1/N)/6 ships alongside so
+    the readout is self-calibrating."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("v")
+    )
+    grid = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("l_returnflag") == "A").cast("long")).alias("ta"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("tb"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "v",
+        "ta",
+        "tb",
+        F.sum("ta").over(wcum).alias("ca"),
+        F.sum("tb").over(wcum).alias("cb"),
+    )
+    tot = grid.groupBy().agg(F.sum("ta").alias("na"), F.sum("tb").alias("nb"))
+    num = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ta + tb AS DECIMAL(19,0))"
+                    " * CAST(nb * ca - na * cb AS DECIMAL(19,0))"
+                    " * CAST(nb * ca - na * cb AS DECIMAL(19,0))"
+                )
+            ).cast("decimal(38,0)").alias("num")
+        )
+    )
+    return num.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        pround(F.expr(_CVM_T), 6).alias("t_r"),
+        pround(F.expr(_CVM_EXPECT), 6).alias("t_null_mean_r"),
+    )
+
+
+_CVM_SQL = f"""
+WITH li AS (
+    SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+), grid AS (
+    SELECT v,
+           CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+           CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+    FROM li GROUP BY v
+), cum AS (
+    SELECT v, ta, tb,
+           CAST(sum(ta) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+           CAST(sum(tb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+    FROM grid
+), tot AS (
+    SELECT CAST(sum(ta) AS BIGINT) AS na, CAST(sum(tb) AS BIGINT) AS nb
+    FROM grid
+), numer AS (
+    SELECT na, nb,
+           CAST(sum(CAST(ta + tb AS HUGEINT)
+                    * CAST(nb * ca - na * cb AS HUGEINT)
+                    * CAST(nb * ca - na * cb AS HUGEINT)) AS HUGEINT) AS num
+    FROM cum, tot GROUP BY na, nb
+)
+SELECT na AS n_a, nb AS n_b,
+       {pround_sql(_CVM_T, 6)} AS t_r,
+       {pround_sql(_CVM_EXPECT, 6)} AS t_null_mean_r
+FROM numer
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "stream_hdr_quantiles",
+            q_stream_hdr_quantiles,
+            _hdr_sql(
+                "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                " AS cents FROM events"
+            ),
+            ("streaming", "sketch"),
+            doc="LIVE HDR quantile sketch: streaming bucket counts (state = "
+            "occupied buckets), shared bounded-grid readout vs a full DuckDB "
+            "replay of the stream",
+        ),
+        QuerySpec(
+            "cramer_von_mises",
+            q_cramer_von_mises,
+            _CVM_SQL,
+            ("stats",),
+            doc="Two-sample Cramer-von Mises on the A/R quantity grids; "
+            "exact 128-bit ECDF-difference numerator, self-calibrating",
         ),
     ]
 )

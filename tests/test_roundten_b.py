@@ -760,3 +760,58 @@ def test_bigram_entropy_fixture(spark):
     assert got["n_bigrams"] == nb and got["n_types"] == len(bg)
     assert math.isclose(got["h_rate_r"], h, rel_tol=0, abs_tol=5e-6)
     assert math.isclose(got["ppl_r"], math.exp(h), rel_tol=0, abs_tol=5e-3)
+
+
+# --------------------------------------------------------------------------
+# Batch 6: streaming HDR parity + Cramér–von Mises fixture
+# --------------------------------------------------------------------------
+
+
+def test_stream_hdr_matches_batch_sketch(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _HDR_IDX,
+        _hdr_readout,
+        q_stream_hdr_quantiles,
+    )
+    from projet_data_infrastructure_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    batch_hist = (
+        ev.select(F.expr(_HDR_IDX).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    batch = sorted(map(tuple, _hdr_readout(batch_hist).collect()))
+    stream = sorted(map(tuple, q_stream_hdr_quantiles(spark, SF).collect()))
+    assert stream == batch
+
+
+def test_cramer_von_mises_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_cramer_von_mises,
+    )
+
+    rows = _lineitem(spark, "l_returnflag", "l_quantity")
+    ca_, cb_ = Counter(), Counter()
+    for g, v in rows:
+        if g == "A":
+            ca_[int(v)] += 1
+        elif g == "R":
+            cb_[int(v)] += 1
+    na, nb = sum(ca_.values()), sum(cb_.values())
+    num = 0
+    cum_a = cum_b = 0
+    for v in sorted(set(ca_) | set(cb_)):
+        cum_a += ca_.get(v, 0)
+        cum_b += cb_.get(v, 0)
+        d = nb * cum_a - na * cum_b
+        num += (ca_.get(v, 0) + cb_.get(v, 0)) * d * d
+    t = num / (na * nb * (na + nb) ** 2)
+    got = q_cramer_von_mises(spark, SF).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert math.isclose(got["t_r"], t, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(
+        got["t_null_mean_r"], (1 + 1 / (na + nb)) / 6, rel_tol=0, abs_tol=5e-6
+    )
