@@ -88,6 +88,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_entropy_rate",
     "stream_hdr_quantiles",
     "cramer_von_mises",
+    "runs_test_daily",
+    "durbin_watson_daily",
+    "ljung_box_q",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

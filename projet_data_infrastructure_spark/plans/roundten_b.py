@@ -2216,3 +2216,334 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Day-grid diagnostics: runs test, Durbin–Watson, Ljung–Box
+# --------------------------------------------------------------------------
+#
+# Three classical serial-structure diagnostics, all on the calendar-bounded
+# daily-revenue grid (one corpus aggregate each): randomness of the
+# above/below-median sign sequence (Wald–Wolfowitz runs), first-order
+# residual autocorrelation of the linear trend fit (Durbin–Watson), and
+# joint autocorrelation at lags 1..7 (Ljung–Box). Exactness: signs compare
+# 2x against the exact doubled median; DW residual terms are micro-
+# quantized from exact OLS moment formulas; Ljung–Box autocorrelations are
+# EXACT integer ratios via the scaled deviations d_t = n*x_t - S (the n
+# factors cancel in r_k = sum d_t d_{t+k} / sum d_t^2), accumulated
+# 128-bit.
+
+_RUNS_MU = "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0)"
+_RUNS_VAR = (
+    "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))"
+    " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+    " * (CAST(n1 + n2 AS DOUBLE) - 1.0)))"
+)
+_RUNS_Z = f"((CAST(r AS DOUBLE) - {_RUNS_MU}) / sqrt({_RUNS_VAR}))"
+
+
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of randomness on the daily-revenue sign
+    sequence (above/below the exact median; ties at the median dropped,
+    the standard convention). Doubled-median comparison keeps the sign an
+    integer decision; runs counted by one lag on the day grid."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    byval = daily.select("d", "x", F.row_number().over(Window.orderBy("x", "d")).alias("rk"))
+    nn = daily.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        byval.crossJoin(F.broadcast(nn))
+        .groupBy()
+        .agg(
+            (
+                F.min(F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("x")))
+                + F.min(F.when(F.col("rk") == F.expr("n DIV 2 + 1"), F.col("x")))
+            ).alias("m2")
+        )
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("x") != F.col("m2"))
+        .select("d", (2 * F.col("x") > F.col("m2")).cast("int").alias("s"))
+    )
+    lagged = signed.select(
+        "s", F.lag("s").over(Window.orderBy("d")).alias("prev")
+    )
+    agg = lagged.groupBy().agg(
+        F.sum(F.col("s")).alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+        (
+            1
+            + F.sum(
+                (F.col("prev").isNotNull() & (F.col("s") != F.col("prev"))).cast(
+                    "long"
+                )
+            )
+        ).alias("r"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r",
+        pround(F.expr(_RUNS_Z), 6).alias("z_r"),
+        pround(F.expr(two_sided_p_sql(_RUNS_Z)), 8).alias("p_r"),
+    )
+
+
+_RUNS_SQL = f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), byval AS (
+    SELECT d, x, row_number() OVER (ORDER BY x, d) AS rk FROM daily
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily), med AS (
+    SELECT min(CASE WHEN rk = (n + 1) // 2 THEN x END)
+           + min(CASE WHEN rk = n // 2 + 1 THEN x END) AS m2
+    FROM byval, nn
+), signed AS (
+    SELECT d, CASE WHEN 2 * x > m2 THEN 1 ELSE 0 END AS s
+    FROM daily, med WHERE 2 * x != m2
+), lagged AS (
+    SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM signed
+), agg AS (
+    SELECT CAST(sum(s) AS BIGINT) AS n1,
+           CAST(sum(1 - s) AS BIGINT) AS n2,
+           CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s != prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r
+    FROM lagged
+)
+SELECT n1, n2, r, {pround_sql(_RUNS_Z, 6)} AS z_r,
+       {pround_sql(two_sided_p_sql(_RUNS_Z), 8)} AS p_r
+FROM agg
+"""
+
+
+_DW_B = (
+    "((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)"
+    " - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)"
+    " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"
+)
+_DW_A = f"((CAST(sy AS DOUBLE) - {_DW_B} * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE))"
+_DW_RESID = f"(CAST(x AS DOUBLE) - {_DW_A} - {_DW_B} * CAST(t AS DOUBLE))"
+
+
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation diagnostic on the
+    residuals of the daily-revenue linear trend: OLS (a, b) from exact
+    BIGINT moments in one shared double tree, residuals and their lagged
+    differences on the day grid, numerator/denominator terms micro-
+    quantized before the grid sums. DW ~ 2(1 - rho1)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV 100").alias("x"))
+    )
+    seq = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    mom = seq.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("x").alias("sy"),
+        F.sum(F.col("t") * F.col("x")).alias("sty"),
+    )
+    res = seq.crossJoin(F.broadcast(mom)).select(
+        "t", F.expr(_DW_RESID).alias("e")
+    )
+    lagged = res.select(
+        "e", F.lag("e").over(Window.orderBy("t")).alias("ep")
+    )
+    agg = lagged.groupBy().agg(
+        F.sum(F.expr(_q6("e * e"))).alias("den_micro"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ep IS NULL THEN 0 ELSE "
+                + _q6("(e - ep) * (e - ep)")
+                + " END"
+            )
+        ).alias("num_micro"),
+    )
+    return agg.select(
+        pround(
+            F.expr("CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE)"), 6
+        ).alias("dw_r")
+    )
+
+
+_DW_SQL = f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM events GROUP BY 1
+), seq AS (
+    SELECT x, row_number() OVER (ORDER BY d) AS t FROM daily
+), mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(x) AS BIGINT) AS sy,
+           CAST(sum(t * x) AS BIGINT) AS sty
+    FROM seq
+), res AS (
+    SELECT t, {_DW_RESID} AS e FROM seq, mom
+), lagged AS (
+    SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM res
+), agg AS (
+    SELECT CAST(sum({_q6('e * e')}) AS BIGINT) AS den_micro,
+           CAST(sum(CASE WHEN ep IS NULL THEN 0 ELSE {_q6('(e - ep) * (e - ep)')}
+                    END) AS BIGINT) AS num_micro
+    FROM lagged
+)
+SELECT {pround_sql('CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE)', 6)}
+           AS dw_r
+FROM agg
+"""
+
+_LB_LAGS = 7
+
+
+def q_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau Q over lags 1..7 of the daily-revenue series.
+    Autocorrelations are EXACT integer ratios: with d_t = n*x_t - S (the
+    scaled deviation), r_k = sum d_t*d_{t+k} / sum d_t^2 — the n factors
+    cancel — accumulated DECIMAL(38,0)/HUGEINT; each r_k^2/(n-k) term is
+    micro-quantized before the 7-term fold. Q ~ chi2(7) under the null."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV 100").alias("x"))
+    )
+    seq = daily.select("x", F.row_number().over(Window.orderBy("d")).alias("t"))
+    mom = seq.groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dev = seq.crossJoin(F.broadcast(mom)).select(
+        "t", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dv")
+    )
+    den = dev.groupBy("n").agg(
+        F.sum(
+            F.expr("CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))")
+        ).cast("decimal(38,0)").alias("den")
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").cast("int").alias("k"))
+    a = dev.select(F.col("t").alias("t1"), F.col("dv").alias("d1"))
+    b = dev.select(F.col("t").alias("t2"), F.col("dv").alias("d2"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("t2") == F.col("t1") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.expr("CAST(d1 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0))")
+            ).cast("decimal(38,0)").alias("num")
+        )
+    )
+    term = _q6(
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+    )
+    qsum = (
+        nums.crossJoin(F.broadcast(den))
+        .groupBy("n")
+        .agg(F.sum(F.expr(term)).alias("q_micro"))
+    )
+    return qsum.select(
+        "n",
+        F.lit(_LB_LAGS).cast("int").alias("df"),
+        pround(
+            F.expr(
+                "CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)"
+                " * CAST(q_micro AS DOUBLE) / 1000000.0"
+            ),
+            4,
+        ).alias("q_r"),
+    )
+
+
+def _lb_sql() -> str:
+    term = _q6(
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+    )
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM events GROUP BY 1
+), seq AS (
+    SELECT x, row_number() OVER (ORDER BY d) AS t FROM daily
+), mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM seq
+), dev AS (
+    SELECT t, n, CAST(n * x - s AS BIGINT) AS dv FROM seq, mom
+), den AS (
+    SELECT n, CAST(sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS HUGEINT)
+               AS den
+    FROM dev GROUP BY n
+), nums AS (
+    SELECT k, CAST(sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT))
+               AS HUGEINT) AS num
+    FROM dev a
+    JOIN unnest(generate_series(1, {_LB_LAGS})) AS g(k) ON true
+    JOIN dev b ON b.t = a.t + k
+    GROUP BY k
+), qsum AS (
+    SELECT n, CAST(sum({term}) AS BIGINT) AS q_micro
+    FROM nums, den GROUP BY n
+)
+SELECT n, CAST({_LB_LAGS} AS INT) AS df,
+       {pround_sql(
+           'CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)'
+           ' * CAST(q_micro AS DOUBLE) / 1000000.0', 4)} AS q_r
+FROM qsum
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "runs_test_daily",
+            q_runs_test_daily,
+            _RUNS_SQL,
+            ("stats", "timeseries"),
+            doc="Wald-Wolfowitz runs test on the above/below-median daily "
+            "sign sequence; doubled-median integer signs",
+        ),
+        QuerySpec(
+            "durbin_watson_daily",
+            q_durbin_watson_daily,
+            _DW_SQL,
+            ("stats", "timeseries"),
+            doc="Durbin-Watson on daily linear-trend residuals; exact OLS "
+            "moments, micro-quantized residual terms",
+        ),
+        QuerySpec(
+            "ljung_box_q",
+            q_ljung_box_q,
+            _lb_sql(),
+            ("stats", "timeseries"),
+            doc="Ljung-Box Q over lags 1..7; exact integer autocorrelation "
+            "ratios via scaled deviations n*x - S",
+        ),
+    ]
+)

@@ -815,3 +815,69 @@ def test_cramer_von_mises_fixture(spark):
     assert math.isclose(
         got["t_null_mean_r"], (1 + 1 / (na + nb)) / 6, rel_tol=0, abs_tol=5e-6
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 7: day-grid diagnostics fixtures
+# --------------------------------------------------------------------------
+
+
+def test_runs_test_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import q_runs_test_daily
+
+    xs = _daily_series(spark)
+    by = sorted(xs)
+    n = len(by)
+    m2 = by[(n - 1) // 2] + by[n // 2]
+    signs = [1 if 2 * x > m2 else 0 for x in xs if 2 * x != m2]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    r = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    z = (r - mu) / math.sqrt(var)
+    got = q_runs_test_daily(spark, SF).collect()[0]
+    assert (got["n1"], got["n2"], got["r"]) == (n1, n2, r)
+    assert math.isclose(got["z_r"], z, rel_tol=0, abs_tol=5e-6)
+
+
+def test_durbin_watson_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_durbin_watson_daily,
+    )
+
+    xs = [c // 100 for c in _daily_series(spark)]
+    n = len(xs)
+    ts = list(range(1, n + 1))
+    st, stt = sum(ts), sum(t * t for t in ts)
+    sy, sty = sum(xs), sum(t * x for t, x in zip(ts, xs))
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    a = (sy - b * st) / n
+    e = [x - a - b * t for t, x in zip(ts, xs)]
+    dw = sum((u - v) ** 2 for u, v in zip(e[1:], e)) / sum(v * v for v in e)
+    got = q_durbin_watson_daily(spark, SF).collect()[0]
+    assert math.isclose(got["dw_r"], dw, rel_tol=0, abs_tol=5e-5)
+    assert 0.0 < got["dw_r"] < 4.0
+
+
+def test_ljung_box_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _LB_LAGS,
+        q_ljung_box_q,
+    )
+
+    xs = [c // 100 for c in _daily_series(spark)]
+    n = len(xs)
+    s = sum(xs)
+    dv = [n * x - s for x in xs]
+    den = sum(d * d for d in dv)
+    q = 0.0
+    for k in range(1, _LB_LAGS + 1):
+        num = sum(dv[t] * dv[t + k] for t in range(n - k))
+        q += (num / den) ** 2 / (n - k)
+    q *= n * (n + 2)
+    got = q_ljung_box_q(spark, SF).collect()[0]
+    assert got["n"] == n and got["df"] == _LB_LAGS
+    assert math.isclose(got["q_r"], q, rel_tol=0, abs_tol=5e-3)
