@@ -208,3 +208,64 @@ def test_greedy_pack_matches_reference_fold(spark):
         assert got == want
 
     run()
+
+
+def test_hdr_bucketing_three_engine_agreement(spark):
+    # The HDR sketch's whole contract is that bucketing is pure integer
+    # arithmetic, identical in Python, Spark, and DuckDB, with exact
+    # bracket bounds: lb(idx) <= cents <= ub(idx) and width/lb <= 2^-7.
+    from projet_data_infrastructure_spark.plans.roundten_b import _HDR_IDX
+
+    def py_idx(cents: int) -> int:
+        if cents < 256:
+            return cents
+        e = cents.bit_length() - 1
+        return 128 * (e - 7) + (cents >> (e - 7))
+
+    def py_bounds(idx: int) -> tuple[int, int]:
+        if idx < 256:
+            return idx, idx
+        s = idx // 128 - 1
+        m = idx - 128 * s
+        return m << s, ((m + 1) << s) - 1
+
+    duck_idx = (
+        "CASE WHEN cents < 256 THEN cents ELSE"
+        " 128 * (length(bin(cents)) - 1 - 7)"
+        " + (cents >> (length(bin(cents)) - 1 - 7)) END"
+    )
+
+    @settings(max_examples=1, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10**15),
+            min_size=200,
+            max_size=200,
+            unique=True,
+        )
+    )
+    def run(samples):
+        expected = {c: py_idx(c) for c in samples}
+        for c, idx in expected.items():
+            lb, ub = py_bounds(idx)
+            assert lb <= c <= ub, (c, idx, lb, ub)
+            if c >= 256:
+                assert (ub - lb) <= lb / 128.0, (c, idx)
+        # monotone: bucketing never reorders values
+        by_val = sorted(samples)
+        assert all(
+            expected[a] <= expected[b] for a, b in zip(by_val, by_val[1:])
+        )
+        df = spark.createDataFrame([(c,) for c in samples], "cents long")
+        spark_vals = {
+            r["cents"]: r["idx"]
+            for r in df.select("cents", F.expr(_HDR_IDX).alias("idx")).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (cents BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in samples])
+        duck_vals = dict(con.sql(f"SELECT cents, {duck_idx} FROM t").fetchall())
+        assert spark_vals == expected
+        assert duck_vals == expected
+
+    run()
