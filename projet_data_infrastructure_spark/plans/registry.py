@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "runs_test_daily",
     "durbin_watson_daily",
     "ljung_box_q",
+    "personalized_pagerank",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

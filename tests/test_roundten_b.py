@@ -881,3 +881,56 @@ def test_ljung_box_fixture(spark):
     got = q_ljung_box_q(spark, SF).collect()[0]
     assert got["n"] == n and got["df"] == _LB_LAGS
     assert math.isclose(got["q_r"], q, rel_tol=0, abs_tol=5e-3)
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank fixture (python integer replica)
+# --------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        _PPR_ITERS,
+        q_personalized_pagerank,
+    )
+
+    orders = {
+        r[0]: r[1]
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    pairs = {
+        (orders[r[0]] * 2, r[1] * 2 + 1)
+        for r in _lineitem(spark, "l_orderkey", "l_suppkey")
+    }
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    seeds = {
+        r[0] * 2
+        for r in spark.read.parquet(f"{SF}/customer.parquet")
+        .filter("c_nationkey = 0")
+        .select("c_custkey")
+        .collect()
+    }
+    deg = Counter(s for s, _ in edges)
+    ppr = {n: (1_000_000 if n in seeds else 0) for n in deg}
+    for _ in range(_PPR_ITERS):
+        inc = Counter()
+        for s, d in edges:
+            inc[d] += ppr[s] // deg[s]
+        ppr = {
+            n: (150_000 if n in seeds else 0) + 85 * inc.get(n, 0) // 100
+            for n in deg
+        }
+
+    def lab(n):
+        return ("c" if n % 2 == 0 else "s") + str(n // 2)
+
+    expect = sorted(
+        ((v, lab(n)) for n, v in ppr.items()), key=lambda p: (-p[0], p[1])
+    )[:20]
+    got = q_personalized_pagerank(spark, SF).collect()
+    assert [(r["ppr"], r["node"]) for r in got] == expect
+    # teleport restriction: every seed holds at least its own teleport mass
+    seed_rows = [r for r in got if r["seed"] == 1]
+    assert all(r["ppr"] >= 150_000 for r in seed_rows)
