@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "durbin_watson_daily",
     "ljung_box_q",
     "personalized_pagerank",
+    "poisson_rate_ratio",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

@@ -2688,3 +2688,96 @@ SPECS.append(
         "global spec, unrolled-CTE oracle",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Poisson rate-ratio test (two-arm daily event rates)
+# --------------------------------------------------------------------------
+
+_RR_Z = (
+    "((ln(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+    " - ln(CAST(e1 AS DOUBLE) / CAST(e0 AS DOUBLE)))"
+    " / sqrt(1.0 / CAST(c1 AS DOUBLE) + 1.0 / CAST(c0 AS DOUBLE)))"
+)
+_RR = (
+    "((CAST(c1 AS DOUBLE) / CAST(e1 AS DOUBLE))"
+    " / (CAST(c0 AS DOUBLE) / CAST(e0 AS DOUBLE)))"
+)
+
+
+def q_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm Poisson rate-ratio test on purchase events: arm = the hash
+    split `ab_srm_guard` audits, exposure = user-days at risk (users in
+    the arm × observed days), ln-rate-ratio z with the standard 1/c1+1/c0
+    variance — the count-data companion to `mantel_haenszel_or` (binary
+    outcomes) and `sprt_ab_decision` (sequential). One corpus aggregate;
+    every input to the shared double tree is an exact BIGINT."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    armed = ev.select(
+        (hash64(F.col("user_id")) % 2).cast("int").alias("arm"),
+        "user_id",
+        (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        F.to_date("ts").alias("day"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.sum("conv").alias("c"),
+        (F.countDistinct("user_id") * F.countDistinct("day")).alias("e"),
+    )
+    wide = per_arm.groupBy().agg(
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("arm") == 0, F.col("e"))).alias("e0"),
+        F.max(F.when(F.col("arm") == 1, F.col("e"))).alias("e1"),
+    )
+    return wide.select(
+        "c0",
+        "c1",
+        "e0",
+        "e1",
+        pround(F.expr(_RR), 6).alias("rate_ratio_r"),
+        pround(F.expr(_RR_Z), 6).alias("z_r"),
+        pround(F.expr(two_sided_p_sql(_RR_Z)), 8).alias("p_r"),
+    )
+
+
+def _rr_sql() -> str:
+    from projet_data_infrastructure_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("user_id")
+    return f"""
+WITH armed AS (
+    SELECT CAST({h} % 2 AS INT) AS arm, user_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+           CAST(ts AS DATE) AS day
+    FROM events
+), per_arm AS (
+    SELECT arm, CAST(sum(conv) AS BIGINT) AS c,
+           CAST(count(DISTINCT user_id) * count(DISTINCT day) AS BIGINT) AS e
+    FROM armed GROUP BY arm
+), wide AS (
+    SELECT max(CASE WHEN arm = 0 THEN c END) AS c0,
+           max(CASE WHEN arm = 1 THEN c END) AS c1,
+           max(CASE WHEN arm = 0 THEN e END) AS e0,
+           max(CASE WHEN arm = 1 THEN e END) AS e1
+    FROM per_arm
+)
+SELECT c0, c1, e0, e1,
+       {pround_sql(_RR, 6)} AS rate_ratio_r,
+       {pround_sql(_RR_Z, 6)} AS z_r,
+       {pround_sql(two_sided_p_sql(_RR_Z), 8)} AS p_r
+FROM wide
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "poisson_rate_ratio",
+        q_poisson_rate_ratio,
+        _rr_sql(),
+        ("stats",),
+        doc="Two-arm Poisson rate-ratio z-test on purchase events; exact "
+        "BIGINT counts and user-day exposures into one shared tree",
+    )
+)

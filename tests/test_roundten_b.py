@@ -934,3 +934,33 @@ def test_personalized_pagerank_fixture(spark):
     # teleport restriction: every seed holds at least its own teleport mass
     seed_rows = [r for r in got if r["seed"] == 1]
     assert all(r["ppr"] >= 150_000 for r in seed_rows)
+
+
+def test_poisson_rate_ratio_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_poisson_rate_ratio,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    arms = {}
+    for r in ev:
+        u = r["user_id"]
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        users, days, conv = arms.setdefault(arm, [set(), set(), 0])
+        users.add(u)
+        days.add(r["day"])
+        arms[arm][2] = conv + (r["event_type"] == "purchase")
+    c0, c1 = arms[0][2], arms[1][2]
+    e0 = len(arms[0][0]) * len(arms[0][1])
+    e1 = len(arms[1][0]) * len(arms[1][1])
+    z = (math.log(c1 / c0) - math.log(e1 / e0)) / math.sqrt(1 / c1 + 1 / c0)
+    got = q_poisson_rate_ratio(spark, SF).collect()[0]
+    assert (got["c0"], got["c1"], got["e0"], got["e1"]) == (c0, c1, e0, e1)
+    assert math.isclose(got["z_r"], z, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(
+        got["rate_ratio_r"], (c1 / e1) / (c0 / e0), rel_tol=0, abs_tol=5e-6
+    )
