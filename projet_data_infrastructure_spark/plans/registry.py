@@ -28,16 +28,17 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-10 driver window. The r9 window cleared its full 50-name front
-# (CORRECTNESS_r09: 50/50 PASS), leaving exactly 16 oracled specs that have
-# never been driver-hash-checked (recomputed as LOCAL_ORACLE names minus the
-# union of CORRECTNESS_r01..r09 keys, plus ``approx_quantiles`` whose only
-# driver record is a round-4 ``no_oracle`` rows-only row): the 15 round-9
-# additions and ``approx_quantiles``. Fronting all 16 closes the ledger at
-# 371/371 driver-hash-proven (verdict r9 "Next round" #1). Round-10
-# additions queue directly behind so the same window also proves them.
-# Rows-only specs stay pinned behind every oracled spec. Names absent from
-# the registry are ignored.
+# Round-10 driver window — exactly 50 names, the window size. Composition:
+# (a) the 16 oracled specs never driver-hash-checked after the r9 window
+# (the 15 round-9 additions plus ``approx_quantiles``, whose only driver
+# record is a round-4 ``no_oracle`` rows-only row) — fronting them closes
+# the pre-round-10 ledger at 371/371 driver-proven (verdict r9 item 1) —
+# followed by (b)+(c) all 34 round-10 additions in ship order, so the same
+# window proves the whole round-10 surface. Registry total is 404 oracled
+# specs; the 354 already driver-proven in r1–r9 windows sit behind and are
+# re-provable locally (LOCAL_ORACLE_sf*.json, three SFs + the 7-partition
+# sweep). Rows-only specs would sink behind every oracled spec, but since
+# round 10 there are none. Names absent from the registry are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 15 round-9 additions, never driver-checked (alphabetical)
     "bh_fdr_nation_urgency",
