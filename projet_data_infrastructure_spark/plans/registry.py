@@ -94,6 +94,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ljung_box_q",
     "personalized_pagerank",
     "poisson_rate_ratio",
+    # (d) beyond the 50-slot r10 window: front of the round-11 queue
+    "ansari_bradley",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

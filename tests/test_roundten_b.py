@@ -964,3 +964,36 @@ def test_poisson_rate_ratio_fixture(spark):
     assert math.isclose(
         got["rate_ratio_r"], (c1 / e1) / (c0 / e0), rel_tol=0, abs_tol=5e-6
     )
+
+
+def test_ansari_bradley_fixture(spark):
+    # brute force: pooled sort, tie-averaged min(i, N+1-i) scores
+    from projet_data_infrastructure_spark.plans.roundten_b import q_ansari_bradley
+
+    rows = _lineitem(spark, "l_returnflag", "l_quantity")
+    pooled = sorted(
+        (int(v), g) for g, v in rows if g in ("A", "R")
+    )
+    n = len(pooled)
+    raw = [min(i, n + 1 - i) for i in range(1, n + 1)]
+    # tie-average scores over equal values
+    score = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = sum(raw[i:j]) / (j - i)
+        score[pooled[i][0]] = avg
+        i = j
+    ab = sum(score[v] for v, g in pooled if g == "A")
+    na = sum(1 for _, g in pooled if g == "A")
+    nb = n - na
+    a_vals = [score[v] for v, _ in pooled]
+    mean = sum(a_vals) / n
+    var = na * nb * (sum(a * a for a in a_vals) - n * mean * mean) / (n * (n - 1))
+    z = (ab - na * mean) / math.sqrt(var)
+    got = q_ansari_bradley(spark, SF).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert math.isclose(got["ab_r"], ab, rel_tol=0, abs_tol=0.1)
+    assert math.isclose(got["z_r"], z, rel_tol=0, abs_tol=5e-6)
