@@ -2808,13 +2808,20 @@ _AB_S = (
     " - (r * (r + 1) - (greatest(l, h + 1) - 1) * greatest(l, h + 1)) DIV 2"
     " ELSE 0 END)"
 )
+#: Quantization WITHOUT floor(): Spark's floor(DOUBLE) returns LONG and
+#: SATURATES at 2^63 (observed: the sf0.1 sumsq terms ~8e19 silently
+#: clamped, flipping the variance negative while DuckDB stayed exact).
+#: For POSITIVE x, floor(x + 0.5) == round-half-away == both engines'
+#: direct double->wide-integer cast (verified: 2.5 -> 3, 3.5 -> 4 in
+#: Spark CAST(.. AS DECIMAL(38,0)) and DuckDB CAST(.. AS HUGEINT)), so
+#: the cast IS the quantizer and never overflows until 10^38.
 _AB_TERM = (
-    "CAST(floor(CAST(ta AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE)"
-    " * 1000000.0 + 0.5) AS DECIMAL(38,0))"
+    "CAST(CAST(ta AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE)"
+    " * 1000000.0 AS DECIMAL(38,0))"
 )
 _AB_SQ = (
-    "CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE)"
-    " * 1000000.0 + 0.5) AS DECIMAL(38,0))"
+    "CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE)"
+    " * 1000000.0 AS DECIMAL(38,0))"
 )
 _AB_MEAN = "(CAST(suma AS DOUBLE) / CAST(nn AS DOUBLE))"
 _AB_STAT = "(CAST(ab AS DOUBLE) / 1000000.0)"
