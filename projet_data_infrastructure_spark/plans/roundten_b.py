@@ -2369,13 +2369,18 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = res.select(
         "e", F.lag("e").over(Window.orderBy("t")).alias("ep")
     )
+    # cast-quantizer, not floor(): Spark floor(DOUBLE) saturates at 2^63
+    # and the e^2 micro terms reach ~1e22 at sf100 (the ansari_bradley
+    # lesson); both engines' double->wide cast rounds half-away for
+    # positive x, exact to 10^38.
     agg = lagged.groupBy().agg(
-        F.sum(F.expr(_q6("e * e"))).alias("den_micro"),
+        F.sum(F.expr("CAST(e * e * 1000000.0 AS DECIMAL(38,0))")).alias(
+            "den_micro"
+        ),
         F.sum(
             F.expr(
-                "CASE WHEN ep IS NULL THEN 0 ELSE "
-                + _q6("(e - ep) * (e - ep)")
-                + " END"
+                "CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0)) ELSE"
+                " CAST((e - ep) * (e - ep) * 1000000.0 AS DECIMAL(38,0)) END"
             )
         ).alias("num_micro"),
     )
@@ -2404,9 +2409,11 @@ WITH daily AS (
 ), lagged AS (
     SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM res
 ), agg AS (
-    SELECT CAST(sum({_q6('e * e')}) AS BIGINT) AS den_micro,
-           CAST(sum(CASE WHEN ep IS NULL THEN 0 ELSE {_q6('(e - ep) * (e - ep)')}
-                    END) AS BIGINT) AS num_micro
+    SELECT CAST(sum(CAST(e * e * 1000000.0 AS HUGEINT)) AS HUGEINT)
+               AS den_micro,
+           CAST(sum(CASE WHEN ep IS NULL THEN CAST(0 AS HUGEINT)
+                    ELSE CAST((e - ep) * (e - ep) * 1000000.0 AS HUGEINT)
+                    END) AS HUGEINT) AS num_micro
     FROM lagged
 )
 SELECT {pround_sql('CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE)', 6)}
