@@ -96,6 +96,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "poisson_rate_ratio",
     # (d) beyond the 50-slot r10 window: front of the round-11 queue
     "ansari_bradley",
+    "nelson_aalen_hazard",
+    "tukey_hsd_pairs",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

@@ -2938,3 +2938,233 @@ SPECS.append(
         "exact integer tie-block score sums, 128-bit moments",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (the KM/logrank family's hazard analog)
+# --------------------------------------------------------------------------
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate for time-to-purchase:
+    H(t) = sum_{tau <= t} d_tau / n_tau over the event-day grid — the
+    hazard-scale companion to `kaplan_meier_retention` and the base curve
+    under `cox_ph_binary_newton`. Subjects collapse to the duration grid
+    once; risk sets are a reverse cumulative on that calendar-bounded
+    grid (every event day IS a duration row, so no missing-cell hazard);
+    each d/n term is nano-quantized before the bounded cumulative sum."""
+    ev = read_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        fv.join(
+            purch,
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") >= F.col("fv")),
+            "left",
+        )
+        .groupBy("user_id", "fv")
+        .agg(F.min("pts").alias("p"))
+    )
+    horizon = ev.groupBy().agg(F.max(F.to_date("ts")).alias("hz"))
+    subj = conv.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(
+            F.coalesce(F.to_date("p"), F.col("hz")), F.to_date("fv")
+        ).alias("dur"),
+        F.col("p").isNotNull().cast("long").alias("ev"),
+    )
+    cells = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("d")
+    )
+    wrev = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = cells.withColumn("n_risk", F.sum("c").over(wrev))
+    terms = risk.filter(F.col("d") > 0).withColumn(
+        "t_nano",
+        F.expr(
+            "CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = terms.withColumn("h_nano", F.sum("t_nano").over(wcum))
+    return out.select(
+        "dur",
+        "d",
+        "n_risk",
+        pround(F.expr("CAST(h_nano AS DOUBLE) / 1000000000.0"), 6).alias(
+            "na_hazard_r"
+        ),
+    )
+
+
+_NA_SQL = f"""
+WITH fv AS (
+    SELECT user_id, min(ts) AS fv FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+    SELECT f.user_id, f.fv, min(e.ts) AS p
+    FROM fv f LEFT JOIN events e
+      ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.fv
+    GROUP BY f.user_id, f.fv
+), horizon AS (
+    SELECT max(CAST(ts AS DATE)) AS hz FROM events
+), subj AS (
+    SELECT datediff('day', CAST(fv AS DATE),
+                    CAST(coalesce(CAST(p AS DATE), hz) AS DATE)) AS dur,
+           CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM conv, horizon
+), cells AS (
+    SELECT dur, CAST(count(*) AS BIGINT) AS c, CAST(sum(ev) AS BIGINT) AS d
+    FROM subj GROUP BY dur
+), risk AS (
+    SELECT dur, d,
+           CAST(sum(c) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+    FROM cells
+), terms AS (
+    SELECT dur, d, n_risk,
+           CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS t_nano
+    FROM risk WHERE d > 0
+), cum AS (
+    SELECT dur, d, n_risk,
+           CAST(sum(t_nano) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS h_nano
+    FROM terms
+)
+SELECT dur, d, n_risk,
+       {pround_sql('CAST(h_nano AS DOUBLE) / 1000000000.0', 6)} AS na_hazard_r
+FROM cum
+"""
+
+
+# --------------------------------------------------------------------------
+# Tukey HSD post-hoc pairs (ANOVA follow-up on the priority groups)
+# --------------------------------------------------------------------------
+
+_TUKEY_MSW = (
+    "((CAST(q AS DOUBLE) - CAST(bmicro AS DOUBLE) / 1000000.0)"
+    " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"
+)
+_TUKEY_Q = (
+    "(abs(CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)"
+    " - CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE))"
+    f" / sqrt({_TUKEY_MSW} / 2.0"
+    " * (1.0 / CAST(ni AS DOUBLE) + 1.0 / CAST(nj AS DOUBLE))))"
+)
+
+
+def q_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD studentized-range statistics for every priority-group
+    pair — the post-hoc step after a significant `anova_oneway_f`
+    (quantity across the five order priorities here): q_ij =
+    |mean_i - mean_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) with MSW from the
+    same exact BIGINT group moments (micro-quantized between-group term).
+    One corpus aggregate, a 10-row pair join of the 5-row moment frame."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    per = (
+        li.join(o, "ok")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("y").alias("sg"),
+            F.sum(F.col("y") * F.col("y")).alias("qg"),
+        )
+    )
+    tot = per.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("qg").alias("q"),
+        F.sum(F.expr(_BG_TERM_MICRO)).alias("bmicro"),
+    )
+    a = per.select(
+        F.col("g").alias("gi"), F.col("ng").alias("ni"), F.col("sg").alias("si")
+    )
+    b = per.select(
+        F.col("g").alias("gj"), F.col("ng").alias("nj"), F.col("sg").alias("sj")
+    )
+    pairs = a.join(F.broadcast(b), F.col("gi") < F.col("gj")).crossJoin(
+        F.broadcast(tot)
+    )
+    return pairs.select(
+        "gi",
+        "gj",
+        pround(
+            F.expr(
+                "CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)"
+                " - CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)"
+            ),
+            6,
+        ).alias("mean_diff_r"),
+        pround(F.expr(_TUKEY_Q), 6).alias("q_stat_r"),
+    )
+
+
+def _tukey_sql() -> str:
+    return f"""
+WITH j AS (
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+           CAST(l_quantity AS BIGINT) AS y
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS ng,
+           CAST(sum(y) AS BIGINT) AS sg,
+           CAST(sum(y * y) AS BIGINT) AS qg
+    FROM j GROUP BY g
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+           CAST(sum(qg) AS BIGINT) AS q,
+           CAST(sum({_BG_TERM_MICRO}) AS BIGINT) AS bmicro
+    FROM per
+), pairs AS (
+    SELECT a.g AS gi, b.g AS gj, a.ng AS ni, a.sg AS si,
+           b.ng AS nj, b.sg AS sj, k, n, q, bmicro
+    FROM per a JOIN per b ON a.g < b.g, tot
+)
+SELECT gi, gj,
+       {pround_sql(
+           'CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)'
+           ' - CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)', 6)} AS mean_diff_r,
+       {pround_sql(_TUKEY_Q, 6)} AS q_stat_r
+FROM pairs
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "nelson_aalen_hazard",
+            q_nelson_aalen_hazard,
+            _NA_SQL,
+            ("stats", "timeseries"),
+            doc="Nelson-Aalen cumulative hazard for time-to-purchase; "
+            "reverse-cumulative risk sets, nano-quantized d/n terms",
+        ),
+        QuerySpec(
+            "tukey_hsd_pairs",
+            q_tukey_hsd_pairs,
+            _tukey_sql(),
+            ("stats",),
+            doc="Tukey HSD studentized-range pairs across the priority "
+            "groups; MSW from the shared exact ANOVA moments",
+        ),
+    ]
+)

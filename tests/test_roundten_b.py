@@ -997,3 +997,77 @@ def test_ansari_bradley_fixture(spark):
     assert (got["n_a"], got["n_b"]) == (na, nb)
     assert math.isclose(got["ab_r"], ab, rel_tol=0, abs_tol=0.1)
     assert math.isclose(got["z_r"], z, rel_tol=0, abs_tol=5e-6)
+
+
+def test_nelson_aalen_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import (
+        q_nelson_aalen_hazard,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    fv, pu = {}, {}
+    horizon = max(r["ts"] for r in ev).date()
+    for r in ev:
+        if r["event_type"] == "view" and (
+            r["user_id"] not in fv or r["ts"] < fv[r["user_id"]]
+        ):
+            fv[r["user_id"]] = r["ts"]
+    for r in ev:
+        u = r["user_id"]
+        if r["event_type"] == "purchase" and u in fv and r["ts"] >= fv[u]:
+            if u not in pu or r["ts"] < pu[u]:
+                pu[u] = r["ts"]
+    durs = []
+    for u, t0 in fv.items():
+        end = pu[u].date() if u in pu else horizon
+        durs.append(((end - t0.date()).days, u in pu))
+    taus = sorted({d for d, e in durs if e})
+    h = 0.0
+    expect = []
+    for t in taus:
+        d = sum(1 for dd, e in durs if e and dd == t)
+        n = sum(1 for dd, _ in durs if dd >= t)
+        h += math.floor(d / n * 1e9 + 0.5) / 1e9
+        expect.append((t, d, n, h))
+    got = sorted(
+        (r["dur"], r["d"], r["n_risk"], r["na_hazard_r"])
+        for r in q_nelson_aalen_hazard(spark, SF).collect()
+    )
+    assert len(got) == len(expect)
+    for (t1, d1, n1, h1), (t2, d2, n2, h2) in zip(got, expect):
+        assert (t1, d1, n1) == (t2, d2, n2)
+        assert math.isclose(h1, h2, rel_tol=0, abs_tol=5e-6)
+
+
+def test_tukey_hsd_fixture(spark):
+    from projet_data_infrastructure_spark.plans.roundten_b import q_tukey_hsd_pairs
+
+    orders = {
+        r[0]: int(r[1][0])
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    }
+    per = {}
+    for ok, y in _lineitem(spark, "l_orderkey", "l_quantity"):
+        g = orders[ok]
+        n, s, q = per.get(g, (0, 0, 0))
+        per[g] = (n + 1, s + int(y), q + int(y) * int(y))
+    k = len(per)
+    n = sum(m[0] for m in per.values())
+    qq = sum(m[2] for m in per.values())
+    bsum = sum(m[1] ** 2 / m[0] for m in per.values())
+    msw = (qq - bsum) / (n - k)
+    got = {(r["gi"], r["gj"]): r for r in q_tukey_hsd_pairs(spark, SF).collect()}
+    assert len(got) == k * (k - 1) // 2
+    for (gi, gj), r in got.items():
+        ni, si, _ = per[gi]
+        nj, sj, _ = per[gj]
+        diff = si / ni - sj / nj
+        qstat = abs(diff) / math.sqrt(msw / 2 * (1 / ni + 1 / nj))
+        assert math.isclose(r["mean_diff_r"], diff, rel_tol=0, abs_tol=5e-6)
+        assert math.isclose(r["q_stat_r"], qstat, rel_tol=0, abs_tol=5e-5)
