@@ -1071,3 +1071,35 @@ def test_tukey_hsd_fixture(spark):
         qstat = abs(diff) / math.sqrt(msw / 2 * (1 / ni + 1 / nj))
         assert math.isclose(r["mean_diff_r"], diff, rel_tol=0, abs_tol=5e-6)
         assert math.isclose(r["q_stat_r"], qstat, rel_tol=0, abs_tol=5e-5)
+
+
+def test_ansari_block_score_range_sum_property(spark):
+    # the trickiest integer algebra in the module: S(l, r) must equal the
+    # brute-force sum of min(i, N+1-i) over the block for ANY (l, r, N)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def s_formula(l, r, nn):  # the python mirror of _AB_S's split algebra
+        h = (nn + 1) // 2
+        t1 = (
+            (min(r, h) * (min(r, h) + 1) - (l - 1) * l) // 2
+            if l <= min(r, h)
+            else 0
+        )
+        m2 = max(l, h + 1)
+        t2 = (
+            (r - m2 + 1) * (nn + 1) - (r * (r + 1) - (m2 - 1) * m2) // 2
+            if m2 <= r
+            else 0
+        )
+        return t1 + t2
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=400), st.data())
+    def run(nn, data):
+        l = data.draw(st.integers(min_value=1, max_value=nn))
+        r = data.draw(st.integers(min_value=l, max_value=nn))
+        brute = sum(min(i, nn + 1 - i) for i in range(l, r + 1))
+        assert s_formula(l, r, nn) == brute, (l, r, nn)
+
+    run()
