@@ -537,6 +537,42 @@ WHERE ({h}) % 10 = 0
 """
 
 
+def _cdc_envelopes(ev: DataFrame) -> DataFrame:
+    """Deterministic Debezium envelopes from the events table (shared by
+    the two LIVE CDC specs): op = d/u/c by event_id residue, key =
+    event_id % 997, ts_ms = event_id (a total order, so latest-wins is
+    unambiguous). Returns (value: json string, event_id)."""
+    op = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("d"))
+        .when(F.col("event_id") % 3 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    payload = F.struct(
+        F.pmod(F.col("event_id"), F.lit(997)).cast("int").alias("id"),
+        F.col("user_id").cast("int").alias("id_employee"),
+        F.lit("gen").alias("first_name"),
+        F.col("event_type").alias("last_name"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_datetime"),
+        F.col("event_type").alias("sport_type"),
+        F.col("value").alias("distance"),
+        F.floor(F.col("value")).cast("int").alias("activity_duration"),
+        F.col("props").alias("comment"),
+    )
+    return ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.when(op == "d", payload).alias("before"),
+                    F.when(op != "d", payload).alias("after"),
+                    op.alias("op"),
+                    F.col("event_id").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        "event_id",
+    )
+
+
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live CDC path: envelope stream → foreachBatch(op-aware apply) → state.
 
@@ -559,36 +595,8 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="cdc_apply_")
     ev = read_table(spark, sf_dir, "events")
-    op = (
-        F.when(F.col("event_id") % 11 == 0, F.lit("d"))
-        .when(F.col("event_id") % 3 == 0, F.lit("u"))
-        .otherwise(F.lit("c"))
-    )
-    payload = F.struct(
-        F.pmod(F.col("event_id"), F.lit(997)).cast("int").alias("id"),
-        F.col("user_id").cast("int").alias("id_employee"),
-        F.lit("gen").alias("first_name"),
-        F.col("event_type").alias("last_name"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_datetime"),
-        F.col("event_type").alias("sport_type"),
-        F.col("value").alias("distance"),
-        F.floor(F.col("value")).cast("int").alias("activity_duration"),
-        F.col("props").alias("comment"),
-    )
-    env = ev.select(
-        F.to_json(
-            F.struct(
-                F.struct(
-                    F.when(op == "d", payload).alias("before"),
-                    F.when(op != "d", payload).alias("after"),
-                    op.alias("op"),
-                    F.col("event_id").alias("ts_ms"),
-                ).alias("payload")
-            )
-        ).alias("value")
-    )
     src = f"{work}/envelopes"
-    env.coalesce(1).write.parquet(src)
+    _cdc_envelopes(ev).select("value").coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("value string").format("parquet").load(src)
     target = f"{work}/state"
 
@@ -606,6 +614,65 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_data_infrastructure_spark.streaming.versioned import read_snapshot
 
     return read_snapshot(spark, target)
+
+
+def q_stream_cdc_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation-grade CDC under OUT-OF-ORDER arrival across
+    micro-batch boundaries — the §2.10 semantic `stream_cdc_apply` cannot
+    show (one file ⇒ one batch ⇒ in-order by construction).
+
+    The same deterministic envelope feed is sliced into THREE source files
+    so that each key's successive changes land in DIFFERENT files in
+    ADVERSARIAL order: batch file b = 2 − (event_id DIV 997) MOD 3, so a
+    key's oldest change sits in the LAST-written file — naive
+    last-batch-wins apply would resurrect stale images and late updates
+    would override newer deletes. ``maxFilesPerTrigger=1`` under
+    availableNow makes each file its own micro-batch;
+    :func:`apply_cdc_batch_ooo` keeps op/ts_ms (tombstones included) in
+    the stored state and re-reduces per batch, so the final table equals
+    the batch replay reduction REGARDLESS of batch slicing — which is
+    exactly the DuckDB oracle (identical to `stream_cdc_apply`'s: the end
+    state must not depend on delivery order). Hash-checked LIVE like the
+    other stream/batch parity pairs.
+    """
+    import tempfile
+
+    from projet_data_infrastructure_spark.streaming.cdc import (
+        apply_cdc_batch_ooo,
+        parse_envelope,
+        read_cdc_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_ooo_")
+    ev = read_table(spark, sf_dir, "events")
+    env = _cdc_envelopes(ev).withColumn(
+        "b", F.expr("CAST(2 - (event_id DIV 997) % 3 AS INT)")
+    )
+    src = f"{work}/envelopes"
+    for b in (0, 1, 2):  # write order = discovery order: oldest changes last
+        env.filter(F.col("b") == b).select("value").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("value string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    target = f"{work}/state"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch_ooo(target, parse_envelope(batch_df))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream_cdc_ooo did not drain in time"
+    q.stop()
+    return read_cdc_state(spark, target)
 
 
 def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,6 +1312,15 @@ SPECS: list[QuerySpec] = [
         ("streaming-live", "cdc"),
         doc="Debezium c/u/d envelope stream through foreachBatch apply; "
         "final state oracled as keep-latest-minus-deletes",
+    ),
+    QuerySpec(
+        "stream_cdc_ooo",
+        q_stream_cdc_ooo,
+        _STREAM_CDC_APPLY_SQL,
+        ("streaming-live", "cdc"),
+        doc="Out-of-order CDC across micro-batch boundaries: adversarial "
+        "batch slicing (oldest changes arrive last), tombstone-retaining "
+        "ooo-safe apply; end state must equal the order-free reduction",
     ),
     QuerySpec(
         "python_datasource_scan",

@@ -28,76 +28,131 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-10 driver window — exactly 50 names, the window size. Composition:
-# (a) the 16 oracled specs never driver-hash-checked after the r9 window
-# (the 15 round-9 additions plus ``approx_quantiles``, whose only driver
-# record is a round-4 ``no_oracle`` rows-only row) — fronting them closes
-# the pre-round-10 ledger at 371/371 driver-proven (verdict r9 item 1) —
-# followed by (b)+(c) all 34 round-10 additions in ship order, so the same
-# window proves the whole round-10 surface. Registry total is 404 oracled
-# specs; the 354 already driver-proven in r1–r9 windows sit behind and are
-# re-provable locally (LOCAL_ORACLE_sf*.json, three SFs + the 7-partition
-# sweep). Rows-only specs would sink behind every oracled spec, but since
-# round 10 there are none. Names absent from the registry are ignored.
+# Round-11 driver window — the first 50 names fill the driver's 50-slot
+# window; everything after position 50 fronts the round-12 rotation queue.
+# Composition (verdict r10 item 1 — the ledger-close + staleness rotation):
+# (a) the 3 round-10 post-window additions, never driver-hash-checked —
+#     fronting them closes the ledger at every-spec-ever-driver-proven;
+# (b) the new round-11 spec (out-of-order CDC, verdict item 4), proven the
+#     same window it ships;
+# (c) the 5 specs whose quantizers were WIDENED this round (ADVICE r10:
+#     the DECIMAL(38,0) cast-quantizer rewires) — code changed after their
+#     r10 proofs, so they outrank merely-old proofs (ansari_bradley and
+#     tukey_hsd_pairs were also widened and already sit in (a));
+# (d) the 40 stalest driver proofs — every name whose last green
+#     CORRECTNESS row is round 1 — re-proven on current code (several run
+#     through shared cores refactored since: the dedup/minhash/simhash
+#     family, value-grid rank consumers);
+# (e) 1 round-2-era dedup-core name to fill the window.
+# Behind the window: the remaining round-2-era names in staleness order,
+# so the round-12 window auto-rotates onto them without a registry edit.
+# The 350-odd specs with fresher proofs keep their module order behind and
+# stay locally re-proven each round (LOCAL_ORACLE_sf*.json, three SFs +
+# the 7-partition sweep). Rows-only specs would sink behind every oracled
+# spec, but since round 10 there are none. Unknown names are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the 15 round-9 additions, never driver-checked (alphabetical)
-    "bh_fdr_nation_urgency",
-    "cohens_kappa",
-    "cramers_v",
-    "event_pattern_match",
-    "kendall_tau_b",
-    "kruskal_wallis_h",
-    "mann_whitney_u",
-    "mcnemar_lang_classifiers",
-    "pacf_durbin_levinson",
-    "spearman_corr_qty_price",
-    "stream_dedup_within_watermark",
-    "stream_funnel_three_step",
-    "stream_incremental_dedup",
-    "textrank_keywords",
-    "welch_t_test",
-    # (b) squeezed out of the 51-entry r9 priority list by the 50-slot
-    # window; its only driver record is a (r4, no_oracle) rows-only row
-    "approx_quantiles",
-    # (c) round-10 additions — driver-checked the same window they ship
-    "stream_event_pattern_match",
-    "generator_activities",
-    "chisq_priority_status",
-    "mann_kendall_z",
-    "changepoint_cusum_mean",
-    "ab_srm_guard",
-    "gini_lorenz_by_nation",
-    "grubbs_outlier_day",
-    "segmented_regression_elbow",
-    "routing_topk_experts",
-    "anova_oneway_f",
-    "levene_brown_forsythe",
-    "jonckheere_terpstra",
-    "mutual_information_flags",
-    "sprt_ab_decision",
-    "hdr_histogram_quantiles",
-    "hodges_lehmann_shift",
-    "page_hinkley_drift",
-    "ransac_line_fit",
-    "kneser_ney_bigram",
-    "stream_sprt_ab",
-    "logistic_irls_qty",
-    "friedman_nation_priority",
-    "matrix_profile_daily",
-    "cox_ph_binary_newton",
-    "mantel_haenszel_or",
-    "bigram_entropy_rate",
-    "stream_hdr_quantiles",
-    "cramer_von_mises",
-    "runs_test_daily",
-    "durbin_watson_daily",
-    "ljung_box_q",
-    "personalized_pagerank",
-    "poisson_rate_ratio",
-    # (d) beyond the 50-slot r10 window: front of the round-11 queue
+    # (a) round-10 post-window additions — never driver-checked
     "ansari_bradley",
     "nelson_aalen_hazard",
     "tukey_hsd_pairs",
+    # (b) new this round
+    "stream_cdc_ooo",
+    # (c) quantizer-widened this round (ADVICE r10)
+    "jonckheere_terpstra",
+    "cramer_von_mises",
+    "anova_oneway_f",
+    "levene_brown_forsythe",
+    "logistic_irls_qty",
+    # (d) round-1-era proofs, stalest first (alphabetical within the era)
+    "case_when_bonus",
+    "cast_types",
+    "cdc_envelope_parse",
+    "cosine_topk_bruteforce",
+    "cube_agg",
+    "date_funcs",
+    "dedup_earliest_event",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "distinct_agg",
+    "embedding_neardup_pairs",
+    "epoch_us_roundtrip",
+    "flagship_bonus",
+    "groupby_count_avg",
+    "json_extract",
+    "late_data_filter",
+    "masked_view",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multiway_join_rollup",
+    "ngram_jaccard_pairs",
+    "null_logic_coalesce",
+    "rollup_agg",
+    "session_window_agg",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "simhash_32bit",
+    "sliding_window_agg",
+    "string_funcs",
+    "topk_groups",
+    "topk_users_by_value",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_local_supplier",
+    "tumbling_window_agg",
+    "validation_profile",
+    "window_lag",
+    "window_rank",
+    "window_running_sum",
+    # (e) the 50th slot: round-2-era, shared dedup core
+    "dedup_clusters",
+    # ---- round-12 queue: remaining round-2-era proofs ----
+    "dedup_cluster_keep",
+    "embedding_neardup_bucketed",
+    "median_percentile",
+    "lsh_verified_pairs",
+    "simhash_hamming_pairs",
+    "ivf_topk_ann",
+    "ivf_assign",
+    "label_centroids",
+    "asof_join",
+    "bigram_topk",
+    "commute_enrichment_udf",
+    "corpus_curation_pipeline",
+    "date_arithmetic",
+    "doc_fingerprint",
+    "events_partitioned_dpp",
+    "excel_rename_roundtrip",
+    "exists_subquery",
+    "funnel_conversion",
+    "grouping_sets",
+    "having_filter",
+    "histogram_acctbal",
+    "hourly_heatmap",
+    "jdbc_roundtrip_derby",
+    "lang_id_heuristic",
+    "pii_redaction",
+    "pivot_status_counts",
+    "quality_score",
+    "range_join_pairs",
+    "rolling_hash_fingerprint",
+    "salted_groupby_skew",
+    "scalar_subquery",
+    "stats_aggregates",
+    "stratified_sample_lang",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "token_length_bins",
+    "tpch_q10_returns",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q4_late_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "unpivot_measures",
+    "wordcount_top20",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

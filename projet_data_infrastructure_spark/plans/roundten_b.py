@@ -57,9 +57,16 @@ from projet_data_infrastructure_spark.sources.readers import read_table
 # wrap int64 at large SFs. The expression TEXT is shared verbatim between
 # the Spark (F.expr) and DuckDB sides, so the double trees are identical.
 
+# Wide cast-quantizer, no floor(): Spark's floor(DOUBLE) returns LONG and
+# saturates at 2^63 while this term reaches ~1.9e20 micro-units at sf100k
+# (ADVICE r10). CAST-to-DECIMAL(38,0) rounds to nearest in both engines;
+# the +1e-5 shifts exact .5 ties off the boundary (Spark HALF_UP vs
+# DuckDB half-even only disagree there), so the quantizer is by
+# construction identical cross-engine and never overflows until 10^38.
 _BG_TERM_MICRO = (
-    "CAST(floor(CAST(CAST(sg AS DECIMAL(19,0)) * CAST(sg AS DECIMAL(19,0))"
-    " AS DOUBLE) / CAST(ng AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    "CAST(CAST(CAST(sg AS DECIMAL(19,0)) * CAST(sg AS DECIMAL(19,0))"
+    " AS DOUBLE) / CAST(ng AS DOUBLE) * 1000000.0 + 0.00001"
+    " AS DECIMAL(38,0))"
 )
 _SSB = (
     "(CAST(bmicro AS DOUBLE) / 1000000.0"
@@ -99,7 +106,7 @@ tot AS (
            CAST(sum(ng) AS BIGINT) AS n,
            CAST(sum(sg) AS BIGINT) AS s,
            CAST(sum(qg) AS BIGINT) AS q,
-           CAST(sum({_BG_TERM_MICRO}) AS BIGINT) AS bmicro
+           CAST(sum({_BG_TERM_MICRO}) AS DECIMAL(38,0)) AS bmicro
     FROM per
 )
 SELECT k, n,
@@ -217,7 +224,15 @@ WITH li AS (
 # group-i tie count at value v and C_i(v) its keyed cumulative,
 #   2·U_ij = Σ_v c_j(v) · (2·C_i(v) − c_i(v))
 # (each j-row at v counts 2 per strictly-smaller i-row and 1 per tied one),
-# so 2·JT = Σ_{i<j} 2·U_ij is one bounded grid join. DECIMAL(38,0)
+# so 2·JT = Σ_{i<j} 2·U_ij is one bounded grid join. C_i(v) must be defined
+# at EVERY pooled value v with c_j(v) > 0 — including values absent from
+# group i's own support, where c_i(v)=0 but C_i(v) (the count of group-i
+# values < v) is generally nonzero — so each group's cumulative is
+# DENSIFIED onto the pooled distinct-value frame (groups × pooled-values
+# left join, still the same bounded grid) before the pair join. A sparse
+# equi-join on group-i support alone silently drops those terms (it only
+# "worked" on l_quantity because every group covers the dense 1..50
+# domain); ``test_jonckheere_sparse_support`` pins the fix. DECIMAL(38,0)
 # accumulation: the tie-variance products are n³-scale and pass int64
 # around sf1 (the Spearman/ols discipline, plans/roundnine.py).
 
@@ -253,26 +268,23 @@ def _tie_poly(col: str, duck: bool) -> dict[str, str]:
     }
 
 
-def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jonckheere–Terpstra test for an ordered quantity trend across the
-    five order-priority groups (1-URGENT < … < 5-LOW): the directional
-    refinement of ``kruskal_wallis_h``. 2·JT from the doubled pair-count
-    identity on the ≤ 250-cell (group × quantity) grid (module comment);
-    mean and the FULL tie-corrected variance from DECIMAL(38,0)-exact group
-    and tie polynomials; z → Zelen-Severo two-sided p."""
-    o = read_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("ok"),
-        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+def jt_stats_from_gv(gv: DataFrame) -> DataFrame:
+    """Jonckheere–Terpstra core over a ``(g, v)`` long-typed observation
+    frame: returns the 1-row frame with n, jt2, and the z statistic. The
+    group cumulatives are densified onto the pooled distinct-value grid
+    (module comment) so sparse per-group supports are handled exactly."""
+    grid = gv.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        grid.select("g")
+        .distinct()
+        .crossJoin(grid.select("v").distinct())
+        .join(grid, ["g", "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_quantity").cast("long").alias("v"),
-    )
-    grid = li.join(o, "ok").groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
     wc = Window.partitionBy("g").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cumg = grid.withColumn("cc", F.sum("c").over(wc))
+    cumg = dense.withColumn("cc", F.sum("c").over(wc))
     gi = cumg.select(
         F.col("g").alias("g_i"),
         F.col("v").alias("v_i"),
@@ -287,11 +299,14 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy()
         .agg(
-            F.sum(
-                F.expr(
-                    "CAST(c_j AS DECIMAL(19,0))"
-                    " * CAST(2 * cc_i - c_i AS DECIMAL(19,0))"
-                )
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(c_j AS DECIMAL(19,0))"
+                        " * CAST(2 * cc_i - c_i AS DECIMAL(19,0))"
+                    )
+                ),
+                F.lit(0),
             ).cast("decimal(38,0)").alias("jt2")
         )
     )
@@ -327,6 +342,26 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("z", F.expr(_JT_Z))
     )
+    return fin
+
+
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra test for an ordered quantity trend across the
+    five order-priority groups (1-URGENT < … < 5-LOW): the directional
+    refinement of ``kruskal_wallis_h``. 2·JT from the doubled pair-count
+    identity on the ≤ 250-cell (group × quantity) grid with per-group
+    cumulatives densified onto the pooled value frame (module comment);
+    mean and the FULL tie-corrected variance from DECIMAL(38,0)-exact group
+    and tie polynomials; z → Zelen-Severo two-sided p."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    fin = jt_stats_from_gv(li.join(o, "ok").select("g", "v"))
     return fin.select(
         "n",
         pround(F.col("z"), 6).alias("z_r"),
@@ -344,14 +379,21 @@ WITH j AS (
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), grid AS (
     SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY g, v
+), dense AS (
+    -- densify each group's cumulative onto the POOLED value frame so
+    -- C_i(v) exists at j-values outside group i's own support
+    SELECT gs.g, vals.v, CAST(COALESCE(grid.c, 0) AS BIGINT) AS c
+    FROM (SELECT DISTINCT g FROM grid) gs
+    CROSS JOIN (SELECT DISTINCT v FROM grid) vals
+    LEFT JOIN grid ON grid.g = gs.g AND grid.v = vals.v
 ), cumg AS (
     SELECT g, v, c,
            CAST(sum(c) OVER (PARTITION BY g ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
-    FROM grid
+    FROM dense
 ), jt AS (
-    SELECT CAST(sum(CAST(gj.c AS DECIMAL(19,0))
-               * CAST(2 * gi.cc - gi.c AS DECIMAL(19,0)))
+    SELECT CAST(COALESCE(sum(CAST(gj.c AS DECIMAL(19,0))
+               * CAST(2 * gi.cc - gi.c AS DECIMAL(19,0))), 0)
            AS DECIMAL(38,0)) AS jt2
     FROM grid gj JOIN cumg gi ON gi.v = gj.v AND gi.g < gj.g
 ), ngs AS (
@@ -1235,7 +1277,12 @@ _LOGIT_P = "(1.0 / (1.0 + exp(-(w0 + w1 * CAST(x AS DOUBLE)))))"
 
 
 def _q6(e: str) -> str:
-    return f"CAST(floor(({e}) * 1000000.0 + 0.5) AS BIGINT)"
+    # Wide cast-quantizer (the _BG_TERM_MICRO discipline): the swxx cell
+    # terms approach int64 near sf100k and a BIGINT sum accumulator wraps
+    # around sf7000 (ADVICE r10); DECIMAL(38,0) terms + accumulators are
+    # exact to 10^38, and the +1e-5 keeps exact .5 ties off the
+    # HALF_UP-vs-half-even boundary.
+    return f"CAST(({e}) * 1000000.0 + 0.00001 AS DECIMAL(38,0))"
 
 
 _IRLS_TERMS = {
@@ -1309,7 +1356,7 @@ def q_logistic_irls_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _logistic_sql() -> str:
     terms = ",\n           ".join(
-        f"CAST(sum({t}) AS BIGINT) AS {k}" for k, t in _IRLS_TERMS.items()
+        f"CAST(sum({t}) AS DECIMAL(38,0)) AS {k}" for k, t in _IRLS_TERMS.items()
     )
     ctes = [
         """
@@ -1333,7 +1380,7 @@ WITH li AS (
     ctes.append(
         f""", fin AS (
     SELECT w0, w1, CAST(sum(c) AS BIGINT) AS n,
-           CAST(sum({_IRLS_LL}) AS BIGINT) AS ll_micro
+           CAST(sum({_IRLS_LL}) AS DECIMAL(38,0)) AS ll_micro
     FROM grid, it{_IRLS_STEPS} GROUP BY w0, w1
 )
 SELECT n, {pround_sql('w0', 6)} AS w0_r, {pround_sql('w1', 6)} AS w1_r,
@@ -2093,17 +2140,29 @@ def q_stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Two-sample Cramér–von Mises (integer ECDF-difference accumulation)
 # --------------------------------------------------------------------------
 #
-# T = nA*nB/N^2 * sum over pooled observations of (F_A - F_B)^2. On the
-# value grids, (F_A - F_B)(v) = (nB*cumA - nA*cumB)/(nA*nB) exactly, so
-# the weighted sum of squared differences is the exact integer
-# sum t_v * (nB*cumA - nA*cumB)^2 — accumulated 128-bit (DECIMAL(38,0) /
-# HUGEINT, the jonckheere discipline; the squared term passes int64 far
-# below sf1) — and T divides it by nA*nB*N^2 in one shared double tree.
+# T = nA*nB/N^2 * sum over pooled observations of (F_A - F_B)^2. The
+# integer form t_v * (nB*cumA - nA*cumB)^2 is exact but its inner products
+# wrap int64 near sf2000 and the squared term exceeds even DECIMAL(38,0)
+# beyond that (ADVICE r10), so the accumulation works in the NORMALIZED
+# domain instead: each grid row's t_v * (cumA/nA - cumB/nB)^2 <= t_v is
+# nano-quantized through the wide cast-quantizer (the _BG_TERM_MICRO
+# discipline — identical expression text on both engines, so the double
+# trees match bit-for-bit) and summed DECIMAL(38,0); the sum is <= N*1e9
+# ~ 6e20 at sf100k, far inside the 10^38 envelope. The 1e-9 grid noise is
+# ~1e3x below the pround(6) output resolution.
 
+_CVM_NANO_TERM = (
+    "CAST(CAST(ta + tb AS DOUBLE)"
+    " * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " * 1000000000.0 + 0.00001 AS DECIMAL(38,0))"
+)
 _CVM_T = (
-    "(CAST(num AS DOUBLE)"
-    " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
-    " * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
+    "(CAST(num AS DOUBLE) / 1000000000.0"
+    " * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    " / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
     " * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))"
 )
 _CVM_EXPECT = (
@@ -2115,9 +2174,10 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Cramér–von Mises statistic between the A and R quantity
     distributions — the omnibus ECDF-difference companion to the KS drift
     statistic (`ks_drift_statistic` weighs the max gap; CvM integrates all
-    of it). Exact integer numerator on the ≤ 50-row pooled value grid
-    (module comment); the null expectation (1+1/N)/6 ships alongside so
-    the readout is self-calibrating."""
+    of it). Nano-quantized normalized ECDF-difference numerator on the
+    ≤ 50-row pooled value grid (module comment — wide-safe to 10^38); the
+    null expectation (1+1/N)/6 ships alongside so the readout is
+    self-calibrating."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("long").alias("v")
     )
@@ -2142,13 +2202,7 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(tot))
         .groupBy("na", "nb")
         .agg(
-            F.sum(
-                F.expr(
-                    "CAST(ta + tb AS DECIMAL(19,0))"
-                    " * CAST(nb * ca - na * cb AS DECIMAL(19,0))"
-                    " * CAST(nb * ca - na * cb AS DECIMAL(19,0))"
-                )
-            ).cast("decimal(38,0)").alias("num")
+            F.sum(F.expr(_CVM_NANO_TERM)).cast("decimal(38,0)").alias("num")
         )
     )
     return num.select(
@@ -2180,9 +2234,7 @@ WITH li AS (
     FROM grid
 ), numer AS (
     SELECT na, nb,
-           CAST(sum(CAST(ta + tb AS HUGEINT)
-                    * CAST(nb * ca - na * cb AS HUGEINT)
-                    * CAST(nb * ca - na * cb AS HUGEINT)) AS HUGEINT) AS num
+           CAST(sum({_CVM_NANO_TERM}) AS DECIMAL(38,0)) AS num
     FROM cum, tot GROUP BY na, nb
 )
 SELECT na AS n_a, nb AS n_b,
@@ -2807,28 +2859,44 @@ SPECS.append(
 # E[AB] = nA*mean(score); Var = nA*nB*(sum a^2 - N*mean^2)/(N*(N-1))
 # (sampling nA scores without replacement from the score multiset).
 
+def _tri(k: str) -> str:
+    """k·(k+1)/2 exactly in DECIMAL(38,0) without a decimal DIV: halve
+    whichever factor is even BEFORE widening (k and k+1 fit BIGINT near
+    sf100k; only their PRODUCT doesn't — r·(r+1) reaches ~9e22, ADVICE
+    r10 — so the halved-factor product is computed wide)."""
+    return (
+        f"(CASE WHEN ({k}) % 2 = 0"
+        f" THEN CAST(({k}) DIV 2 AS DECIMAL(19,0))"
+        f" * CAST(({k}) + 1 AS DECIMAL(19,0))"
+        f" ELSE CAST(({k}) AS DECIMAL(19,0))"
+        f" * CAST((({k}) + 1) DIV 2 AS DECIMAL(19,0)) END)"
+    )
+
+
 _AB_S = (
-    "(CASE WHEN l <= least(r, h)"
-    " THEN (least(r, h) * (least(r, h) + 1) - (l - 1) * l) DIV 2 ELSE 0 END"
-    " + CASE WHEN greatest(l, h + 1) <= r"
-    " THEN (r - greatest(l, h + 1) + 1) * (nn + 1)"
-    " - (r * (r + 1) - (greatest(l, h + 1) - 1) * greatest(l, h + 1)) DIV 2"
-    " ELSE 0 END)"
+    f"(CASE WHEN l <= least(r, h)"
+    f" THEN {_tri('least(r, h)')} - {_tri('l - 1')} ELSE 0 END"
+    f" + CASE WHEN greatest(l, h + 1) <= r"
+    f" THEN CAST(r - greatest(l, h + 1) + 1 AS DECIMAL(19,0))"
+    f" * CAST(nn + 1 AS DECIMAL(19,0))"
+    f" - ({_tri('r')} - {_tri('greatest(l, h + 1) - 1')}) ELSE 0 END)"
 )
 #: Quantization WITHOUT floor(): Spark's floor(DOUBLE) returns LONG and
 #: SATURATES at 2^63 (observed: the sf0.1 sumsq terms ~8e19 silently
 #: clamped, flipping the variance negative while DuckDB stayed exact).
-#: For POSITIVE x, floor(x + 0.5) == round-half-away == both engines'
-#: direct double->wide-integer cast (verified: 2.5 -> 3, 3.5 -> 4 in
-#: Spark CAST(.. AS DECIMAL(38,0)) and DuckDB CAST(.. AS HUGEINT)), so
-#: the cast IS the quantizer and never overflows until 10^38.
+#: The direct double->wide cast rounds to NEAREST in both engines but the
+#: tie-break differs — Spark DECIMAL(38,0) is HALF_UP while DuckDB HUGEINT
+#: is half-to-even (CAST(2.5::DOUBLE AS HUGEINT) = 2, observed; ADVICE
+#: r10) — so the +1e-5 shifts any exact .5 tie off the boundary, making
+#: the quantizer identical cross-engine by construction; it never
+#: overflows until 10^38.
 _AB_TERM = (
     "CAST(CAST(ta AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE)"
-    " * 1000000.0 AS DECIMAL(38,0))"
+    " * 1000000.0 + 0.00001 AS DECIMAL(38,0))"
 )
 _AB_SQ = (
     "CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE)"
-    " * 1000000.0 AS DECIMAL(38,0))"
+    " * 1000000.0 + 0.00001 AS DECIMAL(38,0))"
 )
 _AB_MEAN = "(CAST(suma AS DOUBLE) / CAST(nn AS DOUBLE))"
 _AB_STAT = "(CAST(ab AS DOUBLE) / 1000000.0)"
@@ -2916,7 +2984,7 @@ WITH li AS (
 ), agg AS (
     SELECT na, nb, nn,
            CAST(sum({term}) AS HUGEINT) AS ab,
-           CAST(sum(s) AS BIGINT) AS suma,
+           CAST(sum(s) AS HUGEINT) AS suma,
            CAST(sum({sq}) AS HUGEINT) AS sumsq
     FROM scored GROUP BY na, nb, nn
 )
@@ -3132,7 +3200,7 @@ WITH j AS (
 ), tot AS (
     SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
            CAST(sum(qg) AS BIGINT) AS q,
-           CAST(sum({_BG_TERM_MICRO}) AS BIGINT) AS bmicro
+           CAST(sum({_BG_TERM_MICRO}) AS DECIMAL(38,0)) AS bmicro
     FROM per
 ), pairs AS (
     SELECT a.g AS gi, b.g AS gj, a.ng AS ni, a.sg AS si,

@@ -161,3 +161,46 @@ def apply_cdc_batch(target_path: str, changes: DataFrame, key: str = "id") -> No
     # streaming/versioned.py) — readers never observe partial state. Delta's
     # transactional MERGE replaces this whole branch when installed.
     versioned.write_snapshot(upserts, target_path)
+
+
+def apply_cdc_batch_ooo(target_path: str, changes: DataFrame, key: str = "id") -> None:
+    """Out-of-order-safe CDC apply: reconciliation-grade ``foreachBatch``.
+
+    :func:`apply_cdc_batch` is last-BATCH-wins: a batch's change always
+    overrides the stored row, which is correct only when the source
+    delivers each key's changes in ``ts_ms`` order across micro-batches.
+    Real CDC feeds (multi-partition Kafka topics, backfills, replayed
+    windows) interleave — an update with ``ts_ms=5`` can arrive a batch
+    AFTER the delete with ``ts_ms=10`` it logically precedes. This variant
+    keeps the change metadata (``op``/``ts_ms``/``_seq``) — including
+    DELETE TOMBSTONES — inside the stored state and re-runs
+    :func:`latest_by_key` over ``stored ∪ incoming`` each batch, so the
+    end state is the per-key argmax over (ts_ms, _seq, op) of every change
+    ever seen, independent of how changes were sliced into batches. Read
+    the user-facing table with :func:`read_cdc_state`, which drops
+    tombstones and metadata.
+
+    Scale: one keyed shuffle per batch over |state| + |batch| rows — the
+    same asymptotics as any snapshot-based merge; with Delta installed the
+    equivalent is a MERGE whose condition compares ``s.ts_ms >= t.ts_ms``
+    (tombstones retained as flagged rows, vacuumed by retention).
+    """
+    from projet_data_infrastructure_spark.streaming import versioned
+
+    latest = latest_by_key(changes, key)
+    if versioned.snapshot_exists(target_path):
+        current = versioned.read_snapshot(latest.sparkSession, target_path)
+        latest = latest_by_key(
+            current.unionByName(latest, allowMissingColumns=True), key
+        )
+    versioned.write_snapshot(latest, target_path)
+
+
+def read_cdc_state(spark, target_path: str) -> DataFrame:
+    """User-facing view of an :func:`apply_cdc_batch_ooo` table: live rows
+    only (tombstones filtered), change metadata dropped."""
+    from projet_data_infrastructure_spark.streaming import versioned
+
+    state = versioned.read_snapshot(spark, target_path)
+    meta = [c for c in ("op", "ts_ms", "_seq") if c in state.columns]
+    return state.filter(F.col("op") != "d").drop(*meta)

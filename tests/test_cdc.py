@@ -225,3 +225,42 @@ def test_apply_cdc_batch_replay_is_idempotent(spark, tmp_path):
         tuple(r) for r in read_snapshot(spark, target).select("id", "comment").collect()
     )
     assert after == before
+
+
+def test_apply_cdc_batch_ooo_late_arrivals(spark, tmp_path):
+    """Reconciliation-grade out-of-order apply: a change arriving a batch
+    LATE must not override a logically-newer change already applied —
+    tombstones included. (apply_cdc_batch is last-batch-wins by contract;
+    apply_cdc_batch_ooo stores op/ts_ms with the state and re-reduces.)"""
+    from projet_data_infrastructure_spark.streaming.cdc import (
+        apply_cdc_batch_ooo,
+        read_cdc_state,
+    )
+
+    target = str(tmp_path / "ooo")
+    # batch 1: delete id1 @ ts 10, update id2 -> "new" @ ts 20
+    b1 = spark.createDataFrame(
+        [
+            (envelope("d", before=ROW1, ts_ms=10),),
+            (envelope("u", after=dict(ROW2, comment="new"), before=ROW2, ts_ms=20),),
+        ],
+        "value string",
+    )
+    apply_cdc_batch_ooo(target, parse_envelope(b1))
+    # batch 2 (late replay): update id1 @ ts 5, create id2 -> "old" @ ts 15
+    b2 = spark.createDataFrame(
+        [
+            (envelope("u", after=dict(ROW1, comment="late"), before=ROW1, ts_ms=5),),
+            (envelope("c", after=dict(ROW2, comment="old"), ts_ms=15),),
+        ],
+        "value string",
+    )
+    apply_cdc_batch_ooo(target, parse_envelope(b2))
+    rows = {r["id"]: r for r in read_cdc_state(spark, target).collect()}
+    assert set(rows) == {2}  # id1 stays deleted despite the late update
+    assert rows[2]["comment"] == "new"  # ts 20 beats late ts 15
+    assert "op" not in rows[2].asDict() and "ts_ms" not in rows[2].asDict()
+    # replaying batch 2 verbatim changes nothing (idempotent reduction)
+    apply_cdc_batch_ooo(target, parse_envelope(b2))
+    again = {r["id"]: r["comment"] for r in read_cdc_state(spark, target).collect()}
+    assert again == {2: "new"}

@@ -116,6 +116,42 @@ def test_jonckheere_fixture(spark):
     assert math.isclose(got["z_r"], z, rel_tol=0, abs_tol=5e-6)
 
 
+def _jt2_reference(groups):
+    """Grid-free doubled JT pair count over {group: Counter(value)}."""
+    gs = sorted(groups)
+    jt2 = 0
+    for a in range(len(gs)):
+        for b in range(a + 1, len(gs)):
+            ci, cj = groups[gs[a]], groups[gs[b]]
+            for v, cjv in cj.items():
+                less = sum(c for u, c in ci.items() if u < v)
+                jt2 += cjv * (2 * less + ci.get(v, 0))
+    return jt2
+
+
+def test_jonckheere_sparse_support(spark):
+    # ADVICE r10: a j-value absent from group i's support must still
+    # contribute 2*C_i(v) (count of smaller group-i values), which the
+    # pre-fix sparse equi-join silently dropped. Groups {1,1,3} vs {2}:
+    # value 2 is not in group 1's grid, yet 2*U_12 = 4.
+    from projet_data_infrastructure_spark.plans.roundten_b import jt_stats_from_gv
+
+    cases = [
+        {1: Counter([1, 1, 3]), 2: Counter([2])},
+        # three groups, fully disjoint supports (every cross-group value
+        # misses the other group's grid)
+        {1: Counter([10, 20]), 2: Counter([15]), 3: Counter([5, 25])},
+        # singleton groups at distinct values
+        {1: Counter([7]), 2: Counter([3]), 3: Counter([9, 9])},
+    ]
+    for groups in cases:
+        rows = [(g, int(v)) for g, c in groups.items() for v, k in c.items() for _ in range(k)]
+        gv = spark.createDataFrame(rows, "g int, v long")
+        fin = jt_stats_from_gv(gv).collect()[0]
+        assert int(fin["jt2"]) == _jt2_reference(groups), groups
+        assert fin["n"] == len(rows)
+
+
 def test_mutual_information_fixture(spark):
     from projet_data_infrastructure_spark.plans.roundten_b import (
         q_mutual_information_flags,
@@ -1103,3 +1139,70 @@ def test_ansari_block_score_range_sum_property(spark):
         assert s_formula(l, r, nn) == brute, (l, r, nn)
 
     run()
+
+
+def test_ab_score_engine_wide_at_hostile_scale(spark):
+    # ADVICE r10: the pre-fix r*(r+1) products wrapped int64 around
+    # sf1400 (~9e22 at sf100k). Evaluate the WIDENED _AB_S in BOTH
+    # engines at 100 TB-scale block coordinates and pin it to exact
+    # Python integer algebra.
+    import duckdb
+
+    from projet_data_infrastructure_spark.plans.roundten_b import _AB_S
+
+    def exact(l, r, nn):
+        h = (nn + 1) // 2
+        s = 0
+        if l <= min(r, h):
+            a, b = l, min(r, h)
+            s += (a + b) * (b - a + 1) // 2
+        m2 = max(l, h + 1)
+        if m2 <= r:
+            s += (r - m2 + 1) * (nn + 1) - (m2 + r) * (r - m2 + 1) // 2
+        return s
+
+    nn = 600_000_000_000  # ~sf100k pooled rows
+    cases = [
+        (1, nn, nn),                       # whole pooled range
+        (nn // 2 - 5, nn // 2 + 5, nn),    # straddles the fold point h
+        (nn - 100, nn, nn),                # the descending tail
+        (1, 1, nn),
+        (3, 10**11, nn),
+    ]
+    rows = [(l, r, nn, (nn + 1) // 2) for l, r, nn in cases]
+    sdf = spark.createDataFrame(rows, "l long, r long, nn long, h long")
+    got_spark = [int(x[0]) for x in sdf.selectExpr(f"{_AB_S} AS s").collect()]
+    con = duckdb.connect()
+    dk = _AB_S.replace(" DIV ", " // ")
+    got_duck = [
+        int(
+            con.sql(
+                f"SELECT {dk} AS s FROM (SELECT CAST({l} AS BIGINT) l,"
+                f" CAST({r} AS BIGINT) r, CAST({nn} AS BIGINT) nn,"
+                f" CAST({(nn + 1) // 2} AS BIGINT) h)"
+            ).fetchone()[0]
+        )
+        for l, r, nn in cases
+    ]
+    want = [exact(l, r, nn) for l, r, nn in cases]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_wide_quantizers_no_saturation(spark):
+    # The cast-quantizer must carry ~1.9e20 micro-unit terms (where
+    # Spark's floor(DOUBLE)->LONG silently saturates at 2^63) exactly
+    # in both engines.
+    import duckdb
+
+    expr = "CAST(CAST(x AS DOUBLE) * 1000000.0 + 0.00001 AS DECIMAL(38,0))"
+    xs = [1.9e14, 8.2e13, 2.5e-6, 123.456789]
+    sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+    got_spark = [x[0] for x in sdf.selectExpr(f"{expr} AS q").collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.sql(f"SELECT {expr} AS q FROM (SELECT CAST({x!r} AS DOUBLE) x)").fetchone()[0]
+        for x in xs
+    ]
+    assert [int(a) for a in got_spark] == [int(b) for b in got_duck]
+    assert int(got_spark[0]) == int(1.9e14 * 1e6)  # > 2^63, not clamped
