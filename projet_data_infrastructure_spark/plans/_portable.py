@@ -40,3 +40,12 @@ def pround(col: Column, n: int = 2) -> Column:
 def pround_sql(expr: str, n: int = 2) -> str:
     scale = float(10**n)
     return f"(floor(({expr}) * {scale} + {0.5 + _EPS!r}) / {scale})"
+
+
+def fdiv(s: str, n: str, op: str) -> str:
+    """Exact floor division for possibly-negative numerators via remainder
+    correction (Spark ``DIV`` / DuckDB ``//`` both truncate toward zero;
+    the corrected form floors in both engines). ``op`` is the engine's
+    integer-divide operator token (``DIV`` or ``//``)."""
+    rem = f"((({s}) % ({n}) + ({n})) % ({n}))"
+    return f"((({s}) - {rem}) {op} ({n}))"

@@ -1339,3 +1339,264 @@ SPECS: list[QuerySpec] = [
         "(fan-out bounded), top-30",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# Supplier co-service graph statistics (consolidated from the round-6
+# build module, round 11: clustering coefficient + degree assortativity)
+# --------------------------------------------------------------------------
+
+_G6_KEEP_MOD = 10
+#: Doulion keep predicate (p = 1/10): MINSTD-style integer pair mix, written
+#: once and formatted into BOTH engines' expressions (identical arithmetic,
+#: no string/md5 cost on the 12.5 M raw pairs at sf0.1).
+_G6_M = 2147483647
+_G6_KEEP_PRED = f"((a % {_G6_M}) * 48271 + b) % {_G6_M} % {_G6_KEEP_MOD} = 0"
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    serves = (
+        orders.join(line, orders.o_orderkey == line.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    # Per-customer supplier array -> map-side ordered pair generation ->
+    # Doulion filter BEFORE the pair distinct. Same edge set as the naive
+    # serves⋈serves self-join + post-distinct filter, but the co-service
+    # pair explosion (Σ_ck d²/2 rows) is cut 10× by the keep filter while
+    # still map-side, so the only full-size shuffles are the serves
+    # distinct and the per-ck group — the distinct on pairs sees 1/10th
+    # the volume (was the dominant cost at sf0.1: the filter ran after it).
+    byck = serves.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("sks")
+    )
+    pairs = byck.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sks, (x, i) ->"
+                " transform(slice(sks, i + 2, size(sks)), y ->"
+                " struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    # Doulion keep-decision via a multiplicative congruential pair mix
+    # instead of md5: the filter runs on EVERY raw co-service pair (12.5 M
+    # at sf0.1) and the md5 string hash alone cost ~6 s there — the integer
+    # mix is pure codegen arithmetic, identical in DuckDB, and overflow-free
+    # ((a mod M)·48271 + b < 2^48 « 2^63 in both engines' int64).
+    return (
+        pairs.filter(F.expr(_G6_KEEP_PRED))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+_G6_EDGES_SQL = f"""
+serves AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT DISTINCT a, b FROM (
+        SELECT a.sk AS a, b.sk AS b
+        FROM serves a JOIN serves b ON a.ck = b.ck AND a.sk < b.sk
+    )
+    WHERE {_G6_KEEP_PRED}
+),
+deg AS (
+    SELECT v, count(*) AS dv FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+    ) GROUP BY v
+)
+"""
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _supplier_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("dv"))
+    )
+    # degree-ordered orientation (hub-safe wedge enumeration)
+    da = deg.select(F.col("v").alias("a"), F.col("dv").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("dv").alias("db"))
+    ranked = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint()  # read 3x (edge probe + both adjacency builds)
+    # Triangle enumeration by per-edge adjacency intersection instead of a
+    # materialized wedge join: on this DENSE graph (avg degree ~100 after
+    # sparsification) the wedge table is ~Σ outdeg² ≈ 25× the edge count and
+    # its shuffle dominated the runtime (11.5 s at sf0.1). Intersecting the
+    # two endpoints' out-neighbor ARRAYS per edge does the same O(Σ outdeg²)
+    # comparisons inside whole-stage codegen on 50 k rows — no wedge
+    # materialization, no second shuffle. Each triangle lo<x<y (degree
+    # order) is found exactly once at its (lo, x) edge: y ∈ N⁺(lo) ∩ N⁺(x).
+    # The adjacency table is |V| rows (bounded supplier set here); the join
+    # is keyed, so at larger |V| it stays a plain sort-merge — AQE
+    # broadcasts it while it is small.
+    adj = oriented.groupBy("lo").agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
+    probed = (
+        oriented.join(
+            adj.select(F.col("lo").alias("_al"), F.col("nbrs").alias("nbrs_lo")),
+            F.col("lo") == F.col("_al"),
+        )
+        .join(
+            adj.select(F.col("lo").alias("_ah"), F.col("nbrs").alias("nbrs_hi")),
+            F.col("hi") == F.col("_ah"),
+            "left",
+        )
+        .select(
+            "lo",
+            F.col("hi").alias("x"),
+            F.array_intersect(
+                F.col("nbrs_lo"), F.coalesce(F.col("nbrs_hi"), F.array())
+            ).alias("ys"),
+        )
+    )
+    tri = probed.filter(F.size("ys") > 0).select(
+        "lo", "x", F.explode("ys").alias("y")
+    )
+    tri_nodes = (
+        tri.select(F.explode(F.array("lo", "x", "y")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tri_nodes, "v", "left")
+        .select(
+            "v",
+            "dv",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("dv") >= 2,
+                (F.coalesce(F.col("t"), F.lit(0)) * F.lit(2000000))
+                .cast("long")
+                / (F.col("dv") * (F.col("dv") - 1)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coeff_micro"),
+        )
+        .orderBy(F.desc("coeff_micro"), F.asc("v"))
+        .limit(20)
+    )
+
+
+_CLUSTERING_COEFF_SQL = f"""
+WITH {_G6_EDGES_SQL},
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+), tn AS (
+    SELECT v, count(*) AS t FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+    ) GROUP BY v
+)
+SELECT deg.v, deg.dv,
+       CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN deg.dv >= 2
+                 THEN (coalesce(tn.t, 0) * 2000000) // (deg.dv * (deg.dv - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_micro
+FROM deg LEFT JOIN tn ON tn.v = deg.v
+ORDER BY coeff_micro DESC, deg.v ASC
+LIMIT 20
+"""
+
+
+def _assort_solve(dbl: dict[str, str]) -> str:
+    n, sx, sy, sxy, sxx, syy = (dbl[k] for k in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    den = f"sqrt(greatest(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy}), 1e-300))"
+    return f"({num} / {den})"
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _supplier_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("dv"))
+    )
+    directed = edges.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("dv").alias("dx"))
+    dw = deg.select(F.col("v").alias("w"), F.col("dv").alias("dy"))
+    joined = directed.join(F.broadcast(du), "u").join(F.broadcast(dw), "w")
+    sums = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx").cast("decimal(25,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(25,0)")).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(25,0)")).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(25,0)")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(25,0)")).alias("syy"),
+    )
+    dbl = {k: f"CAST({k} AS DOUBLE)" for k in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return sums.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n").cast("long").alias("n_edges_directed"),
+        pround(F.expr(_assort_solve(dbl)), 6).alias("assortativity"),
+    )
+
+
+_ASSORT_SQL = f"""
+WITH {_G6_EDGES_SQL},
+directed AS (
+    SELECT a AS u, b AS w FROM edges UNION ALL SELECT b AS u, a AS w FROM edges
+), j AS (
+    SELECT du.dv AS dx, dw.dv AS dy
+    FROM directed JOIN deg du ON du.v = directed.u JOIN deg dw ON dw.v = directed.w
+), sums AS (
+    SELECT count(*) AS n,
+           sum(CAST(dx AS DECIMAL(25,0))) AS sx,
+           sum(CAST(dy AS DECIMAL(25,0))) AS sy,
+           sum(CAST(dx * dy AS DECIMAL(25,0))) AS sxy,
+           sum(CAST(dx * dx AS DECIMAL(25,0))) AS sxx,
+           sum(CAST(dy * dy AS DECIMAL(25,0))) AS syy
+    FROM j
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(n AS BIGINT) AS n_edges_directed,
+       {pround_sql(_assort_solve({k: f'CAST({k} AS DOUBLE)' for k in ('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')}), 6)}
+           AS assortativity
+FROM sums
+"""
+
+
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "clustering_coefficient",
+            q_clustering_coefficient,
+            _CLUSTERING_COEFF_SQL,
+            ("graph", "bench"),
+            doc="Per-vertex local clustering coefficient on the Doulion-sparsified "
+            "supplier graph: degree-ordered triangle enumeration (hub-safe), "
+            "explode-attribution to corners, integer-exact 2T/d(d-1) in micro units",
+        ),
+        QuerySpec(
+            "degree_assortativity",
+            q_degree_assortativity,
+            _ASSORT_SQL,
+            ("graph", "stats"),
+            doc="Newman degree-assortativity r: ONE exact-DECIMAL moment aggregate "
+            "over edges⋈degrees, shared-text double solve (OLS house pattern)",
+        ),
+    ]
+)

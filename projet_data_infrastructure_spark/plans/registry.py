@@ -174,13 +174,15 @@ def all_specs() -> list[QuerySpec]:
         mining,
         partsupp,
         relational,
+        corpus_lm,
+        ml_eval,
         roundeight,
         roundnine,
         roundseven,
-        roundsix,
         roundten,
         roundten_b,
         sketches,
+        timeseries,
     )
 
     specs: list[QuerySpec] = []
@@ -195,7 +197,9 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(learning.SPECS)
     specs.extend(sketches.SPECS)
     specs.extend(partsupp.SPECS)
-    specs.extend(roundsix.SPECS)
+    specs.extend(timeseries.SPECS)
+    specs.extend(ml_eval.SPECS)
+    specs.extend(corpus_lm.SPECS)
     specs.extend(roundseven.SPECS)
     specs.extend(roundeight.SPECS)
     specs.extend(roundnine.SPECS)

@@ -11,7 +11,7 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from projet_data_infrastructure_spark.plans import roundseven, roundsix
+from projet_data_infrastructure_spark.plans import corpus_lm, graph_geo, ml_eval, roundseven, timeseries
 
 SF = "/root/testdata/sf0.001"
 
@@ -263,7 +263,7 @@ def test_stl_constant_series_has_zero_seasonal_and_residual(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    out = roundsix.q_stl_weekly_decompose(spark, sf).collect()
+    out = timeseries.q_stl_weekly_decompose(spark, sf).collect()
     assert len(out) > 0
     for r in out:
         assert r["trend_micro"] == 100 * 100 * 1_000_000
@@ -272,25 +272,25 @@ def test_stl_constant_series_has_zero_seasonal_and_residual(spark, tmp_path):
 
 
 def test_clustering_coefficient_bounds(spark):
-    out = roundsix.q_clustering_coefficient(spark, SF).collect()
+    out = graph_geo.q_clustering_coefficient(spark, SF).collect()
     for r in out:
         assert 0 <= r["coeff_micro"] <= 1_000_000
 
 
 def test_degree_assortativity_in_range(spark):
-    row = roundsix.q_degree_assortativity(spark, SF).collect()[0]
+    row = graph_geo.q_degree_assortativity(spark, SF).collect()[0]
     assert -1.0 <= row["assortativity"] <= 1.0
 
 
 def test_knn_label_vote_covers_queries(spark):
-    out = roundsix.q_knn_label_vote(spark, SF).collect()
+    out = ml_eval.q_knn_label_vote(spark, SF).collect()
     assert len(out) == 20
     labels = {r["pred_label"] for r in out}
     assert all(lab is not None for lab in labels)
 
 
 def test_gbdt_residual_sse_decreases(spark):
-    rows = {r["stage"]: r for r in roundsix.q_gbdt_stump_boost(spark, SF).collect()}
+    rows = {r["stage"]: r for r in ml_eval.q_gbdt_stump_boost(spark, SF).collect()}
     assert set(rows) == {1, 2}
     for r in rows.values():
         assert r["mean_abs_resid_milli"] >= 0
@@ -300,7 +300,7 @@ def test_gbdt_residual_sse_decreases(spark):
 
 
 def test_conformal_coverage_near_nominal(spark):
-    out = roundsix.q_conformal_interval_coverage(spark, SF).collect()
+    out = ml_eval.q_conformal_interval_coverage(spark, SF).collect()
     for r in out:
         # 90% nominal; exact nearest-rank guarantees >= 90% on calibration,
         # test coverage fluctuates but stays in a generous band.
@@ -308,7 +308,7 @@ def test_conformal_coverage_near_nominal(spark):
 
 
 def test_doc_keywords_ranked_and_bounded(spark):
-    out = roundsix.q_doc_keywords_per_doc(spark, SF).collect()
+    out = corpus_lm.q_doc_keywords_per_doc(spark, SF).collect()
     per_doc = {}
     for r in out:
         per_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["score"]))
