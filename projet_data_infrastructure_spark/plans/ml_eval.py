@@ -407,3 +407,125 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# MoE top-2 expert routing load (deterministic hash gates)
+# --------------------------------------------------------------------------
+
+_N_EXPERTS = 8
+
+
+def _expert_scores_spark(col):
+    return [hash64(col, seed=1000 + e) % 1_000_000 for e in range(_N_EXPERTS)]
+
+
+def _argmax_sql(exclude: str | None = None) -> str:
+    """First-match argmax over s0..s7 as one CASE chain (identical text on
+    both engines); ``exclude`` masks one dynamic index for the second-max."""
+    if exclude is None:
+        terms = [f"s{e}" for e in range(_N_EXPERTS)]
+    else:
+        terms = [
+            f"(CASE WHEN {e} = {exclude} THEN -1 ELSE s{e} END)"
+            for e in range(_N_EXPERTS)
+        ]
+    m = f"greatest({', '.join(terms)})"
+    chain = " ".join(
+        f"WHEN {terms[e]} = {m} THEN {e}" for e in range(_N_EXPERTS)
+    )
+    return f"(CASE {chain} END)"
+
+
+def q_routing_topk_experts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-Experts top-2 routing over the document corpus: each doc
+    scores 8 experts with independent deterministic hash gates (the seeded
+    ``hash64`` family — in production, the learned router's logits) and
+    routes to its top 2 (first-match tie-break, identical CASE chain both
+    engines). Output is the per-expert load table an MoE training pipeline
+    watches for routing collapse: primary/secondary assignment counts and
+    the combined load share (ideal = 1/8 = 0.125 per expert). One map-only
+    scoring pass + one 8-row aggregate — no shuffle beyond the bounded
+    grid."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    scored = docs.select(
+        "doc_id",
+        *[
+            s.alias(f"s{e}")
+            for e, s in enumerate(_expert_scores_spark(F.col("doc_id")))
+        ],
+    )
+    # The secondary argmax masks the primary's index by inlining the primary
+    # CASE chain as the exclude expression — verbatim the oracle's text.
+    routed = scored.select(
+        F.expr(_argmax_sql()).cast("int").alias("primary_e"),
+        F.expr(_argmax_sql(exclude=_argmax_sql())).cast("int").alias("secondary_e"),
+    )
+    prim = routed.groupBy("primary_e").agg(F.count(F.lit(1)).alias("n_primary"))
+    sec = routed.groupBy("secondary_e").agg(F.count(F.lit(1)).alias("n_secondary"))
+    tot = routed.groupBy().agg(F.count(F.lit(1)).alias("nd"))
+    out = (
+        prim.join(
+            sec, prim["primary_e"] == sec["secondary_e"], "full"
+        )
+        .select(
+            F.coalesce("primary_e", "secondary_e").alias("expert"),
+            F.coalesce("n_primary", F.lit(0)).alias("n_primary"),
+            F.coalesce("n_secondary", F.lit(0)).alias("n_secondary"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    share = (
+        "CAST(n_primary + n_secondary AS DOUBLE) / (2.0 * CAST(nd AS DOUBLE))"
+    )
+    return out.select(
+        "expert",
+        "n_primary",
+        "n_secondary",
+        pround(F.expr(share), 6).alias("load_share_r"),
+    ).orderBy("expert")
+
+
+def _routing_sql() -> str:
+    scores = ",\n           ".join(
+        f"{hash64_sql('doc_id', seed=1000 + e)} % 1000000 AS s{e}"
+        for e in range(_N_EXPERTS)
+    )
+    share = "CAST(n_primary + n_secondary AS DOUBLE) / (2.0 * CAST(nd AS DOUBLE))"
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+           {scores}
+    FROM documents
+), routed AS (
+    SELECT {_argmax_sql()} AS primary_e,
+           {_argmax_sql(exclude=_argmax_sql())} AS secondary_e
+    FROM scored
+), prim AS (
+    SELECT primary_e AS expert, count(*) AS n_primary FROM routed GROUP BY 1
+), sec AS (
+    SELECT secondary_e AS expert, count(*) AS n_secondary FROM routed GROUP BY 1
+), tot AS (
+    SELECT count(*) AS nd FROM routed
+)
+SELECT CAST(coalesce(prim.expert, sec.expert) AS INT) AS expert,
+       CAST(coalesce(n_primary, 0) AS BIGINT) AS n_primary,
+       CAST(coalesce(n_secondary, 0) AS BIGINT) AS n_secondary,
+       {pround_sql(share, 6)} AS load_share_r
+FROM prim FULL JOIN sec USING (expert), tot
+ORDER BY expert
+"""
+
+
+
+
+SPECS.append(
+    QuerySpec(
+        "routing_topk_experts",
+        q_routing_topk_experts,
+        _routing_sql(),
+        ("llm",),
+        doc="MoE top-2 routing load table over documents: deterministic "
+        "hash gates, per-expert primary/secondary counts + load share",
+    )
+)

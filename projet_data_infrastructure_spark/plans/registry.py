@@ -179,9 +179,10 @@ def all_specs() -> list[QuerySpec]:
         roundeight,
         roundnine,
         roundseven,
-        roundten,
         roundten_b,
         sketches,
+        stats_inference,
+        streaming_parity,
         timeseries,
     )
 
@@ -203,7 +204,8 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(roundseven.SPECS)
     specs.extend(roundeight.SPECS)
     specs.extend(roundnine.SPECS)
-    specs.extend(roundten.SPECS)
+    specs.extend(stats_inference.SPECS)
+    specs.extend(streaming_parity.SPECS)
     specs.extend(roundten_b.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"

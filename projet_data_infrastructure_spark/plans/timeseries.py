@@ -18,6 +18,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
 from projet_data_infrastructure_spark.plans._portable import (
     fdiv as _fdiv,
     pround,
@@ -119,4 +120,328 @@ SPECS.append(
         "RANGE-frame trend, day-of-week seasonal index, residual — all exact "
         "integer micro-cents over the calendar-bounded daily aggregate",
     )
+)
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall z + p (the normalization the roundseven kernel left open)
+# --------------------------------------------------------------------------
+
+
+def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Kendall trend TEST on the daily-revenue series —
+    the variance/z/p normalization ``mann_kendall_theilsen``
+    (plans/roundseven.py) explicitly left to the caller: Var(S) =
+    (n(n-1)(2n+5) - SUM_t t(t-1)(2t+5)) / 18 with t the tie-group sizes of
+    the daily VALUES, continuity-corrected z = (S -/+ 1)/sqrt(Var) and the
+    Zelen-Severo two-sided p (``functions/stats.py``). Everything before
+    the final double tree is exact BIGINT: S is the sign sum over the
+    calendar-bounded day-grid pair set (<= ~67k pairs at any corpus size),
+    the tie polynomial comes from one bounded re-aggregate of the daily
+    values. One corpus aggregate; no corpus-sized window or join."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+        .localCheckpoint(eager=True)  # tiny calendar frame, consumed 3x
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    s_agg = (
+        daily.join(b, F.col("d2") > F.col("d"))
+        .agg(F.sum(F.signum(F.col("y2") - F.col("y")).cast("long")).alias("mk_s"))
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy()
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_poly"),
+        )
+    )
+    scal = s_agg.crossJoin(F.broadcast(ties))
+    var = (
+        "((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(2 * n + 5 AS DOUBLE)"
+        "  - CAST(tie_poly AS DOUBLE)) / 18.0)"
+    )
+    z = (
+        f"(CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1.0) / sqrt({var})"
+        f"      WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1.0) / sqrt({var})"
+        f"      ELSE 0.0 END)"
+    )
+    return scal.select(
+        F.col("n").alias("n_days"),
+        "mk_s",
+        pround(F.expr(z), 6).alias("z_r"),
+        pround(F.expr(two_sided_p_sql(z)), 8).alias("p_r"),
+    )
+
+
+def _mann_kendall_z_sql() -> str:
+    var = (
+        "((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(2 * n + 5 AS DOUBLE)"
+        "  - CAST(tie_poly AS DOUBLE)) / 18.0)"
+    )
+    z = (
+        f"(CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1.0) / sqrt({var})"
+        f"      WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1.0) / sqrt({var})"
+        f"      ELSE 0.0 END)"
+    )
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), s_agg AS (
+    SELECT CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS mk_s
+    FROM daily a JOIN daily b ON b.d > a.d
+), ties AS (
+    SELECT CAST(sum(t) AS BIGINT) AS n,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_poly
+    FROM (SELECT count(*) AS t FROM daily GROUP BY y)
+)
+SELECT n AS n_days, mk_s,
+       {pround_sql(z, 6)} AS z_r,
+       {pround_sql(two_sided_p_sql(z), 8)} AS p_r
+FROM s_agg, ties
+"""
+
+
+# --------------------------------------------------------------------------
+# CUSUM mean-shift changepoint (exact integer deviation)
+# --------------------------------------------------------------------------
+
+
+def q_changepoint_cusum_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily-revenue series: the
+    mean-shift location is argmax_t |S_t| with S_t = Σ_{i≤t}(x_i − x̄)
+    (Page 1954 / the standard offline CUSUM screen). Scaling by n removes
+    ALL floating arithmetic from the argmax: D_t = n·cum_t − t·total is an
+    exact BIGINT per day, so the changepoint day is an integer-exact
+    decision in both engines (ties break to the earliest day); only the
+    reported deviation magnitude converts to dollars at the end. One
+    corpus aggregate to the ≤ ~366-row day grid; the cumulative window
+    runs on the grid (the bounded-window class)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "d",
+        F.sum("y").over(wcum).alias("cum"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+    )
+    tot = daily.groupBy().agg(
+        F.sum("y").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias("dd"),
+    )
+    top = dev.orderBy(F.abs(F.col("dd")).desc(), F.col("d").asc()).limit(1)
+    return top.select(
+        F.col("d").alias("cp_day"),
+        pround(
+            F.expr("abs(CAST(dd AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0"), 4
+        ).alias("max_dev_usd_r"),
+    )
+
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), cum AS (
+    SELECT d,
+           sum(y) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           row_number() OVER (ORDER BY d) AS t
+    FROM daily
+), tot AS (
+    SELECT CAST(sum(y) AS BIGINT) AS total, count(*) AS n FROM daily
+), dev AS (
+    SELECT d, n, CAST(n * cum - t * total AS BIGINT) AS dd
+    FROM cum, tot
+)
+SELECT d AS cp_day,
+       {pround_sql('abs(CAST(dd AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0', 4)}
+           AS max_dev_usd_r
+FROM dev
+ORDER BY abs(dd) DESC, d ASC
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-segment regression elbow (breakpoint search over prefix moments)
+# --------------------------------------------------------------------------
+
+
+def _sse(m: str, cx: str, cy: str, cx2: str, cy2: str, cxy: str) -> str:
+    """OLS residual SSE of a segment from its raw moments — one shared
+    double tree: SSE = Syy − Sxy²/Sxx with centered moments formed from
+    the raw prefix sums."""
+    syy = (
+        f"(CAST({cy2} AS DOUBLE)"
+        f" - CAST({cy} AS DOUBLE) * CAST({cy} AS DOUBLE) / CAST({m} AS DOUBLE))"
+    )
+    sxy = (
+        f"(CAST({cxy} AS DOUBLE)"
+        f" - CAST({cx} AS DOUBLE) * CAST({cy} AS DOUBLE) / CAST({m} AS DOUBLE))"
+    )
+    sxx = (
+        f"(CAST({cx2} AS DOUBLE)"
+        f" - CAST({cx} AS DOUBLE) * CAST({cx} AS DOUBLE) / CAST({m} AS DOUBLE))"
+    )
+    return f"({syy} - {sxy} * {sxy} / {sxx})"
+
+
+_SSE2 = (
+    _sse("t", "cx", "cy", "cx2", "cy2", "cxy")
+    + " + "
+    + _sse(
+        "(n - t)",
+        "(tx - cx)",
+        "(ty - cy)",
+        "(tx2 - cx2)",
+        "(ty2 - cy2)",
+        "(txy - cxy)",
+    )
+)
+_SSE1 = _sse("n", "tx", "ty", "tx2", "ty2", "txy")
+
+
+def q_segmented_regression_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-segment least-squares breakpoint ("elbow") on the daily-revenue
+    series: fit separate OLS lines to days 1..k and k+1..n for every
+    candidate k and keep the k minimizing total SSE — the standard
+    piecewise-linear structural-break screen (the discrete form of
+    segmented regression / Chow-test scanning). Scale shape: ONE corpus
+    aggregate to the day grid; prefix moments (Σt, Σt², Σy, Σy², Σty) come
+    from cumulative windows OVER THE GRID (the bounded-window class) and
+    stay exact BIGINTs; every candidate's two SSEs form in one shared
+    double tree from prefix/suffix moment differences, and the argmin is a
+    bounded TakeOrdered (ties → earliest k). Both segments need ≥ 2 points
+    (2 ≤ k ≤ n−2). Identical doubles on both engines → identical argmin."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    wd = Window.orderBy("d")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = daily.select("d", "y", F.row_number().over(wd).alias("t"))
+    cum = idx.select(
+        "d",
+        "t",
+        F.sum("t").over(wcum).alias("cx"),
+        F.sum(F.col("t") * F.col("t")).over(wcum).alias("cx2"),
+        F.sum("y").over(wcum).alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(wcum).alias("cy2"),
+        F.sum(F.col("t") * F.col("y")).over(wcum).alias("cxy"),
+    )
+    tot = idx.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("tx"),
+        F.sum(F.col("t") * F.col("t")).alias("tx2"),
+        F.sum("y").alias("ty"),
+        F.sum(F.col("y") * F.col("y")).alias("ty2"),
+        F.sum(F.col("t") * F.col("y")).alias("txy"),
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("t") >= 2) & (F.col("t") <= F.col("n") - 2)
+    )
+    scored = cand.select(
+        "d", "t", "n", F.expr(_SSE2).alias("sse2"), F.expr(_SSE1).alias("sse1")
+    )
+    top = scored.orderBy(F.col("sse2").asc(), F.col("t").asc()).limit(1)
+    return top.select(
+        F.col("d").alias("split_day"),
+        F.col("n").alias("n_days"),
+        pround(F.expr("sse2 / sse1"), 6).alias("sse_ratio_r"),
+    )
+
+
+def _elbow_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT d, y, row_number() OVER (ORDER BY d) AS t FROM daily
+), cum AS (
+    SELECT d, t,
+           CAST(sum(t) OVER w AS BIGINT) AS cx,
+           CAST(sum(t * t) OVER w AS BIGINT) AS cx2,
+           CAST(sum(y) OVER w AS BIGINT) AS cy,
+           CAST(sum(y * y) OVER w AS BIGINT) AS cy2,
+           CAST(sum(t * y) OVER w AS BIGINT) AS cxy
+    FROM idx
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+    SELECT count(*) AS n, CAST(sum(t) AS BIGINT) AS tx,
+           CAST(sum(t * t) AS BIGINT) AS tx2, CAST(sum(y) AS BIGINT) AS ty,
+           CAST(sum(y * y) AS BIGINT) AS ty2, CAST(sum(t * y) AS BIGINT) AS txy
+    FROM idx
+), scored AS (
+    SELECT d, t, n, {_SSE2} AS sse2, {_SSE1} AS sse1
+    FROM cum, tot
+    WHERE t >= 2 AND t <= n - 2
+)
+SELECT d AS split_day, n AS n_days,
+       {pround_sql('sse2 / sse1', 6)} AS sse_ratio_r
+FROM scored
+ORDER BY sse2 ASC, t ASC
+LIMIT 1
+"""
+
+
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "mann_kendall_z",
+            q_mann_kendall_z,
+            _mann_kendall_z_sql(),
+            ("stats", "timeseries"),
+            doc="Tie-corrected Mann-Kendall variance + continuity-corrected z "
+            "and p - the normalization the roundseven kernel left open",
+        ),
+        QuerySpec(
+            "changepoint_cusum_mean",
+            q_changepoint_cusum_mean,
+            _CUSUM_SQL,
+            ("stats", "timeseries"),
+            doc="CUSUM mean-shift changepoint on the day grid; integer-exact "
+            "n*cum - t*total deviation argmax",
+        ),
+        QuerySpec(
+            "segmented_regression_elbow",
+            q_segmented_regression_elbow,
+            _elbow_sql(),
+            ("stats", "timeseries"),
+            doc="Two-segment OLS breakpoint by total-SSE argmin over day-grid "
+            "prefix moments; bounded windows, shared-tree SSEs",
+        ),
+    ]
 )

@@ -90,7 +90,7 @@ def test_stream_event_pattern_matches_batch(spark):
     from projet_data_infrastructure_spark.plans.roundnine import (
         q_event_pattern_match,
     )
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.streaming_parity import (
         q_stream_event_pattern_match,
     )
 
@@ -124,7 +124,7 @@ def _daily_cents(spark):
 def test_mann_kendall_z_fixture(spark):
     from collections import Counter
 
-    from projet_data_infrastructure_spark.plans.roundten import q_mann_kendall_z
+    from projet_data_infrastructure_spark.plans.timeseries import q_mann_kendall_z
 
     daily = _daily_cents(spark)
     ys = [y for _, y in sorted((r["day"], r["y"]) for r in daily)]
@@ -147,7 +147,7 @@ def test_mann_kendall_z_fixture(spark):
 
 
 def test_changepoint_cusum_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_changepoint_cusum_mean,
     )
 
@@ -172,7 +172,7 @@ def test_changepoint_cusum_fixture(spark):
 
 
 def test_gini_fixture_vs_python(spark):
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_gini_lorenz_by_nation,
     )
 
@@ -197,7 +197,7 @@ def test_gini_fixture_vs_python(spark):
 def test_chisq_fixture_vs_python(spark):
     from collections import Counter
 
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_chisq_priority_status,
     )
 
@@ -226,7 +226,7 @@ def test_chisq_fixture_vs_python(spark):
 
 
 def test_routing_loads_sum_to_one(spark):
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.ml_eval import (
         q_routing_topk_experts,
     )
 
@@ -239,7 +239,7 @@ def test_routing_loads_sum_to_one(spark):
 
 
 def test_srm_guard_passes_on_hash_split(spark):
-    from projet_data_infrastructure_spark.plans.roundten import q_ab_srm_guard
+    from projet_data_infrastructure_spark.plans.stats_inference import q_ab_srm_guard
 
     row = q_ab_srm_guard(spark, SF).collect()[0]
     assert row["srm_flag"] == 0  # the deterministic split is not mismatched
@@ -254,7 +254,7 @@ def test_srm_guard_passes_on_hash_split(spark):
 def test_mann_kendall_z_is_window_free_and_day_bounded(spark):
     # no window at all; the non-equi pair join's inputs are both the
     # day-grid aggregate (checkpointed calendar frame), never event rows.
-    from projet_data_infrastructure_spark.plans.roundten import q_mann_kendall_z
+    from projet_data_infrastructure_spark.plans.timeseries import q_mann_kendall_z
 
     df = q_mann_kendall_z(spark, SF)
     checks = explain_has(df, "WindowExec")
@@ -262,7 +262,7 @@ def test_mann_kendall_z_is_window_free_and_day_bounded(spark):
 
 
 def test_changepoint_window_only_over_day_grid(spark):
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_changepoint_cusum_mean,
     )
 
@@ -281,7 +281,7 @@ def test_changepoint_window_only_over_day_grid(spark):
 
 
 def test_gini_window_is_nation_keyed(spark):
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_gini_lorenz_by_nation,
     )
 
@@ -300,7 +300,7 @@ def test_gini_window_is_nation_keyed(spark):
 
 def test_routing_is_map_side_only(spark):
     # scoring is map-only; the only shuffles are the two 8-row aggregates.
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.ml_eval import (
         q_routing_topk_experts,
     )
 
@@ -318,7 +318,7 @@ def test_generator_oracle_registered(spark):
 
 
 def test_grubbs_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten import q_grubbs_outlier_day
+    from projet_data_infrastructure_spark.plans.stats_inference import q_grubbs_outlier_day
 
     daily = _daily_cents(spark)
     pts = sorted((r["day"], r["y"]) for r in daily)
@@ -334,7 +334,7 @@ def test_grubbs_fixture(spark):
 
 
 def test_segmented_elbow_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_segmented_regression_elbow,
     )
 
@@ -367,7 +367,7 @@ def test_segmented_elbow_fixture(spark):
 def test_day_grid_specs_hostile_tz_invariant(spark):
     # build-then-collect TZ flip (the r5 driver gap): the round-10 day-grid
     # specs must be byte-stable because read_table pins NTZ + UTC.
-    from projet_data_infrastructure_spark.plans.roundten import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_changepoint_cusum_mean,
         q_mann_kendall_z,
     )
