@@ -1382,3 +1382,72 @@ SPECS: list[QuerySpec] = [
         ("streaming-live", "join"),
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style row-pattern detection (from round 9)
+# --------------------------------------------------------------------------
+#: View, then a click with NO error between, then a purchase with NO error
+#: between — the "clean conversion journey" row pattern. Letters are the
+#: distinct event-type initials (click/error/purchase/signup/view).
+_JOURNEY_PATTERN = "v[^e]*c[^e]*p"
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-2016 MATCH_RECOGNIZE-style row-pattern detection, which Spark
+    has no primitive for: encode each user's time-ordered journey as a
+    string of event-type initials and run a regex over it — here "a view,
+    then a click with no error between, then a purchase with no error
+    between" (the clean-conversion pattern). ONE per-user aggregate is
+    the only corpus shuffle; group payload is the user's own history
+    (per-user bounded), and the regex runs once per user inside
+    whole-stage codegen. Ties at identical timestamps order by event_id —
+    deterministic in both engines. Output: per-pattern-match user count
+    plus total journey users (the funnel specs' stage semantics, but over
+    ARBITRARY regex-expressible sequences)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type)))"
+                ", r -> substring(r.event_type, 1, 1))"
+            ),
+        ).alias("journey")
+    )
+    return journeys.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.col("journey").rlike(_JOURNEY_PATTERN).cast("long")
+        ).alias("n_matched"),
+    )
+
+
+_PATTERN_SQL = f"""
+WITH journeys AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CAST(regexp_matches(journey, '{_JOURNEY_PATTERN}') AS INT))
+            AS BIGINT) AS n_matched
+FROM journeys
+"""
+
+
+
+
+SPECS.append(
+    QuerySpec(
+        "event_pattern_match",
+        q_event_pattern_match,
+        _PATTERN_SQL,
+        ("timeseries", "funnel", "bench"),
+        doc="MATCH_RECOGNIZE-style regex over per-user time-ordered "
+        "event-initial journeys; one per-user aggregate",
+    )
+)

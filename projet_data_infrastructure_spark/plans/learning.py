@@ -151,7 +151,7 @@ def nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion-matrix spec over :func:`nb_predictions` (the per-doc
     prediction frame is factored out so paired-classifier audits —
-    ``roundnine.q_mcnemar_lang_classifiers`` — reuse the exact scorer)."""
+    ``stats_inference.q_mcnemar_lang_classifiers`` — reuse the exact scorer)."""
     pred = nb_predictions(spark, sf_dir)
     return (
         pred.groupBy(F.col("true_lang").alias("lang"), F.col("pred").alias("pred_lang"))

@@ -177,7 +177,6 @@ def all_specs() -> list[QuerySpec]:
         corpus_lm,
         ml_eval,
         roundeight,
-        roundnine,
         roundseven,
         roundten_b,
         sketches,
@@ -203,7 +202,6 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(corpus_lm.SPECS)
     specs.extend(roundseven.SPECS)
     specs.extend(roundeight.SPECS)
-    specs.extend(roundnine.SPECS)
     specs.extend(stats_inference.SPECS)
     specs.extend(streaming_parity.SPECS)
     specs.extend(roundten_b.SPECS)

@@ -974,7 +974,7 @@ def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5; each flagged new doc reports its best index match
     (highest Jaccard, ties to the smallest index id). The banding /
     verification cores are shared with the LIVE foreachBatch form
-    (``roundnine.q_stream_incremental_dedup``)."""
+    (``streaming_parity.q_stream_incremental_dedup``)."""
     docs = read_table_balanced(spark, sf_dir, "documents")
     exploded = minhash_band_rows(docs)  # ONE tokenize for both sides
     new_side = exploded.filter(F.col("doc_id") % 2 == 1).select(

@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
 from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+from projet_data_infrastructure_spark.operators.ranks import (
+    average_rank_table,
+    two_rbar,
+    value_grid_ranks,
+)
 from projet_data_infrastructure_spark.plans._portable import (
     fdiv as _fdiv,
     pround,
@@ -355,6 +360,1050 @@ SPECS.extend(
             ("stats", "timeseries"),
             doc="Grubbs max-studentized-deviation outlier day; integer-exact "
             "argmax via |n*y - total|, shared-tree G",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (tie-corrected, value-bounded grid)
+# --------------------------------------------------------------------------
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U test (Mann & Whitney 1947) on purchase
+    value between the deterministic hash arms — the rank-based robust
+    complement to ``ab_test_z_score`` (immune to the heavy right tail a
+    mean-based z-test is sensitive to).
+
+    Determinism and scale come from the same trick: observations quantize
+    to the WHOLE-DOLLAR grid (value domain ≤ ~500 distinct dollars — the
+    equidepth/KS value-bounded-window discipline,
+    ``operators/ranks.value_grid_ranks``), so ranks never need a
+    corpus-sized sort. For dollar value v with cumulative count cum(v)
+    and tie count t(v), every tied observation's average rank satisfies
+    2·r̄(v) = 2·cum(v) − t(v) + 1 (exact integer), so the rank sum
+    2·R₁ = Σ_v n₁(v)·(2·cum−t+1) is exact BIGINT. U₁ = R₁ − n₁(n₁+1)/2;
+    the tie-corrected variance uses Σ(t³−t) (exact BIGINT at tested SFs;
+    at 100 TB row counts promote the moment sums to DECIMAL(38,0) — the
+    ``ols_two_feature_nation`` discipline). z forms in one shared double
+    tree, pround 6 — both engines execute identical IEEE ops."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = ev.select(
+        F.floor("value").cast("long").alias("usd"),
+        F.pmod(hash64(F.col("event_id")), F.lit(2)).cast("int").alias("arm"),
+    )
+    # Shared grid→cumulative-window→2·r̄ core (operators/ranks.py): every
+    # term is an exact BIGINT, so the final sums are order-insensitive.
+    ranked_grid = value_grid_ranks(
+        obs, "usd", F.sum((F.col("arm") == 1).cast("long")).alias("n1v")
+    )
+    scalars = ranked_grid.groupBy().agg(
+        F.sum("n1v").alias("n1"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("n1v") * two_rbar()).alias("two_r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    ).select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        "n",
+        "two_r1",
+        "tie3",
+    )
+    # Shared double tree (identical expression text on the oracle side).
+    u1 = "(CAST(two_r1 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE)) / 2.0"
+    mu = "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0"
+    var = (
+        "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+        " * (CAST(n + 1 AS DOUBLE)"
+        "    - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    )
+    return scalars.select(
+        "n1",
+        "n2",
+        pround(F.expr(u1), 4).alias("u1_r"),
+        pround(F.expr(f"(({u1}) - ({mu})) / sqrt({var})"), 6).alias("z_r"),
+    )
+
+
+_MANN_WHITNEY_SQL = f"""
+WITH obs AS (
+    SELECT CAST(floor(value) AS BIGINT) AS usd,
+           CAST({hash64_sql('event_id')} % 2 AS INT) AS arm
+    FROM events WHERE event_type = 'purchase'
+), grid AS (
+    SELECT usd, count(*) AS t,
+           CAST(sum(CAST(arm = 1 AS INT)) AS BIGINT) AS n1v
+    FROM obs GROUP BY usd
+), ranked_grid AS (
+    SELECT usd, t, n1v,
+           sum(t) OVER (ORDER BY usd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM grid
+), scalars0 AS (
+    SELECT sum(n1v) AS n1, sum(t) AS n,
+           sum(n1v * (2 * cum - t + 1)) AS two_r1,
+           sum(t * t * t - t) AS tie3
+    FROM ranked_grid
+), scalars AS (
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+           CAST(n AS BIGINT) AS n, CAST(two_r1 AS BIGINT) AS two_r1,
+           CAST(tie3 AS BIGINT) AS tie3
+    FROM scalars0
+)
+SELECT n1, n2,
+       {pround_sql('(CAST(two_r1 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE)) / 2.0', 4)} AS u1_r,
+       {pround_sql('((CAST(two_r1 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE)) / 2.0 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))', 6)} AS z_r
+FROM scalars
+"""
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (average ranks for ties, bounded rank tables)
+# --------------------------------------------------------------------------
+
+
+def q_spearman_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice
+    (whole-dollar grid) — Pearson on average ranks, the standard robust
+    monotone-association measure. The rank assignment never sorts the
+    corpus: each variable's average ranks live in a VALUE-BOUNDED rank
+    table (50 quantities; dollar prices bounded by the price domain) as
+    2·r̄(v) = 2·cum(v) − t(v) + 1 exact integers, joined back by value
+    (dimension-table-sized broadcast joins) — the shared
+    ``operators/ranks.value_grid_ranks`` core.
+
+    Overflow discipline (ADVICE r9): 2·r̄ ≤ 2n would wrap int64 product
+    sums silently around n ≈ 10⁶ in Spark while DuckDB promotes to
+    HUGEINT — divergent failure modes. The wide sums accumulate as
+    DECIMAL operands on BOTH engines — but only the CROSS moment ΣRxRy
+    must run over the corpus; the marginal moments collapse onto the
+    bounded grids (Σ_rows f(rank) = Σ_grid t·f(rank)), so the decimal
+    aggregation cost is one corpus column plus two grid-sized frames
+    (the r10 shape — the first form paid 5 corpus decimal sums and
+    measured +0.6 s at sf0.1). n and Σ2r̄ stay BIGINT (Σ2r̄ = n(n+1)
+    exactly, < 2⁶³ for any n < 3·10⁹; document DECIMAL there too past
+    that). rho forms in one shared double tree, pround 6."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor("l_extendedprice").cast("long").alias("usd"),
+    )
+
+    def grid_moments(col: str, rk: str, sv: str, svv: str) -> DataFrame:
+        # per-variable marginal moments ON THE GRID: n, Σt·2r̄ (BIGINT),
+        # Σt·(2r̄)² (DECIMAL — the t·4n² terms pass int64 around n≈1.3e6)
+        g = value_grid_ranks(li, col).select(
+            col, "t", two_rbar().alias(rk)
+        )
+        return g.groupBy().agg(
+            F.sum("t").alias(f"n_{sv}"),
+            F.sum(F.col("t") * F.col(rk)).alias(sv),
+            F.sum(
+                F.col("t").cast("decimal(19,0)")
+                * F.col(rk).cast("decimal(19,0)")
+                * F.col(rk).cast("decimal(19,0)")
+            ).alias(svv),
+        )
+
+    mx = grid_moments("qty", "rq2", "sx", "sxx")
+    my = grid_moments("usd", "rp2", "sy", "syy")
+    rq = average_rank_table(li, "qty", "rq2")  # 2× average rank, exact int
+    rp = average_rank_table(li, "usd", "rp2")
+    ranked = li.join(F.broadcast(rq), "qty").join(F.broadcast(rp), "usd")
+    cross = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("rq2").cast("decimal(19,0)") * F.col("rp2").cast("decimal(19,0)")
+        ).alias("sxy"),
+    )
+    sums = cross.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+    num = (
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    dx = (
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    dy = (
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    return sums.select(
+        "n", pround(F.expr(f"({num}) / sqrt(({dx}) * ({dy}))"), 6).alias("rho_r")
+    )
+
+
+_SPEARMAN_SQL = f"""
+WITH li AS (
+    SELECT CAST(l_quantity AS BIGINT) AS qty,
+           CAST(floor(l_extendedprice) AS BIGINT) AS usd
+    FROM lineitem
+), gq AS (
+    SELECT qty, count(*) AS t FROM li GROUP BY qty
+), rq AS (
+    SELECT qty,
+           2 * (sum(t) OVER (ORDER BY qty
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - t + 1 AS rq2
+    FROM gq
+), gp AS (
+    SELECT usd, count(*) AS t FROM li GROUP BY usd
+), rp AS (
+    SELECT usd,
+           2 * (sum(t) OVER (ORDER BY usd
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - t + 1 AS rp2
+    FROM gp
+), ranked AS (
+    SELECT li.qty, li.usd, rq.rq2, rp.rp2
+    FROM li JOIN rq USING (qty) JOIN rp USING (usd)
+), mx AS (
+    SELECT CAST(sum(t * rq2) AS BIGINT) AS sx,
+           sum(CAST(t AS DECIMAL(19,0)) * CAST(rq2 AS DECIMAL(19,0))
+               * CAST(rq2 AS DECIMAL(19,0))) AS sxx
+    FROM rq JOIN gq USING (qty)
+), my AS (
+    SELECT CAST(sum(t * rp2) AS BIGINT) AS sy,
+           sum(CAST(t AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))
+               * CAST(rp2 AS DECIMAL(19,0))) AS syy
+    FROM rp JOIN gp USING (usd)
+), sums AS (
+    SELECT count(*) AS n,
+           sum(CAST(rq2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS sxy,
+           sx, sxx, sy, syy
+    FROM ranked, mx, my
+    GROUP BY sx, sxx, sy, syy
+)
+SELECT n,
+       {pround_sql('(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)} AS rho_r
+FROM sums
+"""
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H (k-sample rank test, tie-corrected, dollar grid)
+# --------------------------------------------------------------------------
+
+
+def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (the k-sample extension of Mann-Whitney) on
+    purchase value across THREE deterministic hash arms — the omnibus
+    nonparametric ANOVA a multi-variant experiment reports before any
+    pairwise drill-down. Shares the value-bounded dollar-grid rank
+    machinery with ``mann_whitney_u`` via
+    ``operators/ranks.value_grid_ranks``: per dollar value, tie count t and
+    per-arm counts; 2·r̄ = 2·cum − t + 1 exact BIGINT; per-arm doubled
+    rank sums stay integers until the final shared double tree.
+    H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1), tie-corrected by
+    C = 1 − Σ(t³−t)/(n³−n). One corpus aggregate; the cumulative window
+    runs only on the grid (the logrank/equidepth bounded-window class)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = ev.select(
+        F.floor("value").cast("long").alias("usd"),
+        F.pmod(hash64(F.col("event_id")), F.lit(3)).cast("int").alias("arm"),
+    )
+    # Shared grid→cumulative-window→2·r̄ core (operators/ranks.py).
+    ranked = value_grid_ranks(
+        obs,
+        "usd",
+        *[
+            F.sum((F.col("arm") == g).cast("long")).alias(f"n{g}v")
+            for g in range(3)
+        ],
+    )
+    scalars = ranked.groupBy().agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+        *[F.sum(f"n{g}v").alias(f"n{g}") for g in range(3)],
+        *[F.sum(F.col(f"n{g}v") * two_rbar()).alias(f"tr{g}") for g in range(3)],
+    )
+    # shared double tree: R_g = tr_g/2; Σ R_g²/n_g with each term formed
+    # identically in both engines.
+    rsum = " + ".join(
+        f"(CAST(tr{g} AS DOUBLE) / 2.0) * (CAST(tr{g} AS DOUBLE) / 2.0)"
+        f" / CAST(n{g} AS DOUBLE)"
+        for g in range(3)
+    )
+    h = (
+        f"12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({rsum})"
+        " - 3.0 * CAST(n + 1 AS DOUBLE)"
+    )
+    corr = (
+        "1.0 - CAST(tie3 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        "    - CAST(n AS DOUBLE))"
+    )
+    return scalars.select(
+        "n",
+        F.lit(2).cast("int").alias("df"),
+        pround(F.expr(f"({h}) / ({corr})"), 6).alias("h_r"),
+    )
+
+
+def _kruskal_sql() -> str:
+    rsum = " + ".join(
+        f"(CAST(tr{g} AS DOUBLE) / 2.0) * (CAST(tr{g} AS DOUBLE) / 2.0)"
+        f" / CAST(n{g} AS DOUBLE)"
+        for g in range(3)
+    )
+    h = (
+        f"12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({rsum})"
+        " - 3.0 * CAST(n + 1 AS DOUBLE)"
+    )
+    corr = (
+        "1.0 - CAST(tie3 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        "    - CAST(n AS DOUBLE))"
+    )
+    arms = ",\n           ".join(
+        f"CAST(sum(CAST(arm = {g} AS INT)) AS BIGINT) AS n{g}v" for g in range(3)
+    )
+    nsums = ", ".join(f"CAST(sum(n{g}v) AS BIGINT) AS n{g}" for g in range(3))
+    trs = ", ".join(
+        f"CAST(sum(n{g}v * (2 * cum - t + 1)) AS BIGINT) AS tr{g}" for g in range(3)
+    )
+    return f"""
+WITH obs AS (
+    SELECT CAST(floor(value) AS BIGINT) AS usd,
+           CAST({hash64_sql('event_id')} % 3 AS INT) AS arm
+    FROM events WHERE event_type = 'purchase'
+), grid AS (
+    SELECT usd, count(*) AS t,
+           {arms}
+    FROM obs GROUP BY usd
+), ranked AS (
+    SELECT *, sum(t) OVER (ORDER BY usd
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM grid
+), scalars AS (
+    SELECT CAST(sum(t) AS BIGINT) AS n,
+           CAST(sum(t * t * t - t) AS BIGINT) AS tie3,
+           {nsums}, {trs}
+    FROM ranked
+)
+SELECT n, CAST(2 AS INT) AS df,
+       {pround_sql(f'(({h})) / (({corr}))', 6)} AS h_r
+FROM scalars
+"""
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test (exact integer moments, shared tree)
+# --------------------------------------------------------------------------
+
+
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on purchase CENTS between the hash arms —
+    the mean-difference complement to the rank tests (``mann_whitney_u``)
+    and the proportion test (``ab_test_z_score``). One corpus aggregate
+    collects exact BIGINT moments (n, Σcents, Σcents²) per arm; mean,
+    variance, t, and the Welch-Satterthwaite df all form in ONE shared
+    double tree (S² is squared in DOUBLE to dodge int64 overflow at scale
+    — same both engines, so still hash-exact). pround 6."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    obs = ev.select(
+        cents.alias("c"),
+        F.pmod(hash64(F.col("event_id")), F.lit(2)).cast("int").alias("arm"),
+    )
+    scalars = obs.groupBy().agg(
+        *[
+            f
+            for g in range(2)
+            for f in (
+                F.sum((F.col("arm") == g).cast("long")).alias(f"n{g}"),
+                F.sum(F.when(F.col("arm") == g, F.col("c")).otherwise(0)).alias(f"s{g}"),
+                F.sum(
+                    F.when(F.col("arm") == g, F.col("c") * F.col("c")).otherwise(0)
+                ).alias(f"q{g}"),
+            )
+        ]
+    )
+    v = {
+        g: (
+            f"(CAST(q{g} AS DOUBLE) - CAST(s{g} AS DOUBLE) * CAST(s{g} AS DOUBLE)"
+            f" / CAST(n{g} AS DOUBLE)) / CAST(n{g} - 1 AS DOUBLE)"
+        )
+        for g in range(2)
+    }
+    se2 = f"(({v[0]}) / CAST(n0 AS DOUBLE) + ({v[1]}) / CAST(n1 AS DOUBLE))"
+    t = (
+        f"(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        f" - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt({se2})"
+    )
+    df = (
+        f"({se2}) * ({se2}) / ("
+        f"(({v[0]}) / CAST(n0 AS DOUBLE)) * (({v[0]}) / CAST(n0 AS DOUBLE))"
+        f" / CAST(n0 - 1 AS DOUBLE)"
+        f" + (({v[1]}) / CAST(n1 AS DOUBLE)) * (({v[1]}) / CAST(n1 AS DOUBLE))"
+        f" / CAST(n1 - 1 AS DOUBLE))"
+    )
+    return scalars.select(
+        "n0",
+        "n1",
+        pround(F.expr(t), 6).alias("t_r"),
+        pround(F.expr(df), 4).alias("df_r"),
+    )
+
+
+def _welch_sql() -> str:
+    v = {
+        g: (
+            f"(CAST(q{g} AS DOUBLE) - CAST(s{g} AS DOUBLE) * CAST(s{g} AS DOUBLE)"
+            f" / CAST(n{g} AS DOUBLE)) / CAST(n{g} - 1 AS DOUBLE)"
+        )
+        for g in range(2)
+    }
+    se2 = f"(({v[0]}) / CAST(n0 AS DOUBLE) + ({v[1]}) / CAST(n1 AS DOUBLE))"
+    t = (
+        f"(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        f" - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt({se2})"
+    )
+    df = (
+        f"({se2}) * ({se2}) / ("
+        f"(({v[0]}) / CAST(n0 AS DOUBLE)) * (({v[0]}) / CAST(n0 AS DOUBLE))"
+        f" / CAST(n0 - 1 AS DOUBLE)"
+        f" + (({v[1]}) / CAST(n1 AS DOUBLE)) * (({v[1]}) / CAST(n1 AS DOUBLE))"
+        f" / CAST(n1 - 1 AS DOUBLE))"
+    )
+    moments = ",\n           ".join(
+        f"CAST(sum(CAST(arm = {g} AS INT)) AS BIGINT) AS n{g},"
+        f" CAST(sum(CASE WHEN arm = {g} THEN c ELSE 0 END) AS BIGINT) AS s{g},"
+        f" CAST(sum(CASE WHEN arm = {g} THEN c * c ELSE 0 END) AS BIGINT) AS q{g}"
+        for g in range(2)
+    )
+    return f"""
+WITH obs AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+           CAST({hash64_sql('event_id')} % 2 AS INT) AS arm
+    FROM events WHERE event_type = 'purchase'
+), scalars AS (
+    SELECT {moments}
+    FROM obs
+)
+SELECT n0, n1,
+       {pround_sql(t, 6)} AS t_r,
+       {pround_sql(df, 4)} AS df_r
+FROM scalars
+"""
+
+
+# --------------------------------------------------------------------------
+# Cramer's V (categorical association from the chi2 identity)
+# --------------------------------------------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between event type and ISO weekday — the
+    normalized effect size a dashboard reports next to a chi-squared
+    p-value. Uses the observed-cells-only identity
+    χ² = n·(Σ o²/(rowΣ·colΣ) − 1), so zero cells need no densification;
+    V = sqrt(χ² / (n·(min(r,c)−1))). ONE (type, dow) count aggregate
+    (≤ 5×7 cells); marginals join back on the bounded grid. Portable dow:
+    Spark ``weekday()+1`` == DuckDB ``isodow()``."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rowm = cells.groupBy("event_type").agg(F.sum("o").alias("rm"))
+    colm = cells.groupBy("dow").agg(F.sum("o").alias("cm"))
+    joined = cells.join(F.broadcast(rowm), "event_type").join(
+        F.broadcast(colm), "dow"
+    )
+    scalars = joined.groupBy().agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+        F.sum(
+            F.col("o").cast("double")
+            * F.col("o").cast("double")
+            / (F.col("rm").cast("double") * F.col("cm").cast("double"))
+        ).alias("frac"),
+    )
+    chi2 = "CAST(n AS DOUBLE) * (frac - 1.0)"
+    vexpr = (
+        f"sqrt(({chi2}) / (CAST(n AS DOUBLE)"
+        " * CAST(least(r, c) - 1 AS DOUBLE)))"
+    )
+    return scalars.select(
+        "n",
+        "n_cells",
+        pround(F.expr(chi2), 6).alias("chi2_r"),
+        pround(F.expr(vexpr), 6).alias("v_r"),
+    )
+
+
+_CRAMERS_SQL = f"""
+WITH ev AS (
+    SELECT event_type, isodow(ts) AS dow FROM events
+), cells AS (
+    SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2
+), rowm AS (
+    SELECT event_type, sum(o) AS rm FROM cells GROUP BY 1
+), colm AS (
+    SELECT dow, sum(o) AS cm FROM cells GROUP BY 1
+), joined AS (
+    SELECT cells.o, rowm.rm, colm.cm, cells.event_type, cells.dow
+    FROM cells JOIN rowm USING (event_type) JOIN colm USING (dow)
+), scalars AS (
+    SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_cells,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+           CAST(count(DISTINCT dow) AS BIGINT) AS c,
+           sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+               / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))) AS frac
+    FROM joined
+)
+SELECT n, n_cells,
+       {pround_sql('CAST(n AS DOUBLE) * (frac - 1.0)', 6)} AS chi2_r,
+       {pround_sql('sqrt((CAST(n AS DOUBLE) * (frac - 1.0)) / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))', 6)} AS v_r
+FROM scalars
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (chance-corrected agreement of the lang-ID heuristic)
+# --------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the house language-ID heuristic
+    (``operators/text.predict_lang``) and the labeled language — the
+    chance-corrected agreement score an annotation-quality audit reports
+    (raw accuracy overstates agreement when the label distribution is
+    skewed). Confusion counts live on the ≤(|langs|+1)² grid after ONE
+    corpus aggregate; p_o and p_e form in a shared double tree. Reuses
+    the oracled lang-ID spec on both sides (Spark frame / SQL CTE)."""
+    from projet_data_infrastructure_spark.plans.llm_queries import q_lang_id
+
+    pred = q_lang_id(spark, sf_dir)
+    conf = pred.groupBy("lang_labeled", "lang_pred").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rowm = conf.groupBy("lang_labeled").agg(F.sum("o").alias("rm"))
+    colm = conf.groupBy("lang_pred").agg(F.sum("o").alias("cm"))
+    scalars = (
+        conf.groupBy()
+        .agg(
+            F.sum("o").alias("n"),
+            F.sum(
+                F.when(F.col("lang_labeled") == F.col("lang_pred"), F.col("o")).otherwise(0)
+            ).alias("agree"),
+        )
+        .crossJoin(
+            F.broadcast(
+                rowm.join(colm, rowm.lang_labeled == colm.lang_pred, "full")
+                .select(
+                    (
+                        F.coalesce(F.col("rm"), F.lit(0))
+                        * F.coalesce(F.col("cm"), F.lit(0))
+                    ).alias("rc")
+                )
+                .groupBy()
+                .agg(F.sum("rc").alias("pe_num"))
+            )
+        )
+    )
+    po = "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)"
+    pe = "CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    return scalars.select(
+        "n",
+        "agree",
+        pround(F.expr(f"(({po}) - ({pe})) / (1.0 - ({pe}))"), 6).alias("kappa_r"),
+    )
+
+
+def _kappa_sql() -> str:
+    from projet_data_infrastructure_spark.plans.llm_queries import _lang_id_sql
+
+    po = "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)"
+    pe = "CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    return f"""
+WITH pred AS ({_lang_id_sql()}),
+conf AS (
+    SELECT lang_labeled, lang_pred, count(*) AS o FROM pred GROUP BY 1, 2
+), rowm AS (
+    SELECT lang_labeled AS k, sum(o) AS rm FROM conf GROUP BY 1
+), colm AS (
+    SELECT lang_pred AS k, sum(o) AS cm FROM conf GROUP BY 1
+), pe AS (
+    SELECT CAST(sum(coalesce(rm, 0) * coalesce(cm, 0)) AS BIGINT) AS pe_num
+    FROM rowm FULL JOIN colm USING (k)
+), tot AS (
+    SELECT CAST(sum(o) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang_labeled = lang_pred THEN o ELSE 0 END)
+                AS BIGINT) AS agree
+    FROM conf
+)
+SELECT n, agree,
+       {pround_sql(f'(({po}) - ({pe})) / (1.0 - ({pe}))', 6)} AS kappa_r
+FROM tot, pe
+"""
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b (2-D dominance sums on the bounded qty x dollar grid)
+# --------------------------------------------------------------------------
+
+
+def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between l_quantity and
+    l_extendedprice (whole-dollar grid) — completing the correlation
+    family (Pearson via the OLS moments, Spearman via average ranks,
+    Kendall via concordant/discordant pairs). The naive definition is an
+    O(n²) pair scan; the house form is bounded-grid dominance algebra
+    with KEYED windows only — no single-partition operator anywhere, so
+    the whole plan parallelizes at any scale:
+
+    1. ONE (usd, qty) count aggregate (qty has the FIXED 1..50 TPC-H
+       domain; usd is price-domain-bounded), checkpointed so its four
+       consumers share one corpus scan.
+    2. Densify to the |usd|×50 grid (explode a 50-sequence, left-join
+       cells), then 2-D strict prefix sums as two KEYED windows:
+       cumstrict over usd PARTITIONED BY qty (50 parallel groups), then
+       the qty-prefix PARTITIONED BY usd (|usd| parallel groups).
+    3. Concordant pairs C = Σ_cell n·pre_c; discordant via the identity
+       D = Σ_{q'<q} tot_q·tot_{q'} − Σ_cell n·pre_cumincl (the
+       strictly-greater-u partner count separates into totals minus the
+       inclusive prefix), so no per-cell backward pass is needed.
+    4. Tie terms from the two marginal aggregates; tau_b =
+       (C − D)/√((n0−n1)(n0−n2)) in a shared double tree (pround 6).
+
+    Work beyond the one corpus aggregate: |usd|·50 dense rows through
+    two keyed window sorts — fully codegen, no higher-order-function
+    folds (the first formulation's single-partition 50-expression window
+    + interpreted folds measured 2.4x slower). Counts are exact BIGINTs.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.floor("l_extendedprice").cast("long").alias("usd"),
+    )
+    # cells feeds FOUR branches (dense grid, usd domain, x-ties, y-ties);
+    # checkpoint so the corpus scans once.
+    cells = (
+        li.groupBy("usd", "qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    dense = (
+        cells.select("usd")
+        .distinct()
+        .select("usd", F.explode(F.sequence(F.lit(1), F.lit(50))).alias("qty"))
+        .join(cells, ["usd", "qty"], "left")
+        .fillna(0, ["n"])
+    )
+    wq = Window.partitionBy("qty").orderBy("usd").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wu = Window.partitionBy("usd").orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d2 = dense.withColumn("cstrict", F.coalesce(F.sum("n").over(wq), F.lit(0)))
+    d3 = d2.withColumn(
+        "pre_c", F.coalesce(F.sum("cstrict").over(wu), F.lit(0))
+    ).withColumn(
+        "pre_ci",
+        F.coalesce(F.sum(F.col("cstrict") + F.col("n")).over(wu), F.lit(0)),
+    )
+    sums = d3.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("n") * F.col("pre_c")).alias("conc"),
+        F.sum(F.col("n") * F.col("pre_ci")).alias("rowdp"),
+    )
+    tq = cells.groupBy("qty").agg(F.sum("n").alias("t"))
+    wqt = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
+    # The dense grid and the DuckDB oracle's g1..g50 pivot both assume the
+    # TPC-H 1..50 quantity domain; a value outside it would be silently
+    # dropped from C/D while still counted in n/n1/n2 (ADVICE r9). n_oob
+    # rides the existing bounded tie aggregate (no extra job) and is an
+    # OUTPUT column, so domain drift surfaces in the result itself — and
+    # hash-fails the oracle gate — instead of silently skewing tau. A
+    # production deployment wires n_oob into operators/validate's
+    # fail-the-run expectations.
+    tx = (
+        tq.withColumn("pre", F.coalesce(F.sum("t").over(wqt), F.lit(0)))
+        .groupBy()
+        .agg(
+            F.sum(F.col("t") * F.col("pre")).alias("totpairs"),
+            F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"),
+            F.sum(
+                F.when((F.col("qty") < 1) | (F.col("qty") > 50), F.col("t")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oob"),
+        )
+    )
+    ty = (
+        cells.groupBy("usd")
+        .agg(F.sum("n").alias("t"))
+        .groupBy()
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n2"))
+    )
+    scalars = (
+        sums.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            "conc",
+            (F.col("totpairs") - F.col("rowdp")).alias("disc"),
+            "n1",
+            "n2",
+            "n_oob",
+        )
+    )
+    tau = (
+        "(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "         - CAST(n1 AS DOUBLE))"
+        "        * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "           - CAST(n2 AS DOUBLE)))"
+    )
+    return scalars.select(
+        "n", "conc", "disc", "n_oob", pround(F.expr(tau), 6).alias("tau_b_r")
+    )
+
+
+def _kendall_sql() -> str:
+    gcols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN qty = {q} THEN n ELSE 0 END) AS BIGINT) AS g{q}"
+        for q in range(1, 51)
+    )
+    carr = ", ".join(
+        f"CAST(coalesce(sum(g{q}) OVER ws, 0) AS BIGINT)" for q in range(1, 51)
+    )
+    darr = ", ".join(
+        f"CAST(sum(g{q}) OVER () - sum(g{q}) OVER wi AS BIGINT)"
+        for q in range(1, 51)
+    )
+    fold = "coalesce(list_sum(list_slice({arr}, 1, qty - 1)), 0)"
+    tau = (
+        "(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "         - CAST(n1 AS DOUBLE))"
+        "        * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+        "           - CAST(n2 AS DOUBLE)))"
+    )
+    return f"""
+WITH li AS (
+    SELECT CAST(l_quantity AS INT) AS qty,
+           CAST(floor(l_extendedprice) AS BIGINT) AS usd
+    FROM lineitem
+), cells AS (
+    SELECT qty, usd, count(*) AS n FROM li GROUP BY 1, 2
+), grid AS (
+    SELECT usd,
+           {gcols}
+    FROM cells GROUP BY usd
+), grid2 AS (
+    SELECT usd, [{carr}] AS carr, [{darr}] AS darr
+    FROM grid
+    WINDOW ws AS (ORDER BY usd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wi AS (ORDER BY usd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), joined AS (
+    SELECT c.qty, c.n, g.carr, g.darr
+    FROM cells c JOIN grid2 g USING (usd)
+), sums AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(n * {fold.format(arr='carr')}) AS BIGINT) AS conc,
+           CAST(sum(n * {fold.format(arr='darr')}) AS BIGINT) AS disc
+    FROM joined
+), tx AS (
+    SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN qty < 1 OR qty > 50 THEN t ELSE 0 END)
+                AS BIGINT) AS n_oob
+    FROM (SELECT qty, sum(n) AS t FROM cells GROUP BY qty)
+), ty AS (
+    SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+    FROM (SELECT usd, sum(n) AS t FROM cells GROUP BY usd)
+)
+SELECT n, conc, disc, n_oob,
+       {pround_sql(tau, 6)} AS tau_b_r
+FROM sums, tx, ty
+"""
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-nation urgency-share tests
+# --------------------------------------------------------------------------
+
+_BH_ALPHA_MICRO = 100000  # alpha = 0.10 in micro-units
+
+
+def q_bh_fdr_nation_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control — the experimentation-platform layer above
+    the single-test specs: per nation, a two-proportion z-test of the
+    1-URGENT order share against the pooled rest, normal p-values via the
+    engine-shared Zelen-Severo polynomial (``functions/stats.py`` — no
+    erf in either engine), then the Benjamini-Hochberg step-up at
+    α = 0.10: reject all hypotheses ranked ≤ the LARGEST k with
+    p_(k) ≤ k·α/m. All test statistics come from ONE orders aggregate
+    (25-nation bounded grid via the customer broadcast join); the BH sort
+    and step-up windows run on the 25-row frame. Rejection thresholds
+    compare p·m·10⁶ (double) against k·α·10⁶ exactly as written on both
+    engines."""
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("k"),
+        )
+    )
+    wtot = Window.partitionBy()
+    enriched = per_nation.select(
+        "c_nationkey",
+        "n",
+        "k",
+        (F.sum("n").over(wtot) - F.col("n")).alias("n_rest"),
+        (F.sum("k").over(wtot) - F.col("k")).alias("k_rest"),
+    )
+    p1 = "CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+    p2 = "CAST(k_rest AS DOUBLE) / CAST(n_rest AS DOUBLE)"
+    pp = "(CAST(k AS DOUBLE) + CAST(k_rest AS DOUBLE)) / (CAST(n AS DOUBLE) + CAST(n_rest AS DOUBLE))"
+    z = (
+        f"(({p1}) - ({p2}))"
+        f" / sqrt(({pp}) * (1.0 - ({pp}))"
+        f" * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n_rest AS DOUBLE)))"
+    )
+    tested = enriched.withColumn("z", F.expr(z)).withColumn(
+        "p", F.expr(two_sided_p_sql("z"))
+    )
+    wrank = Window.orderBy("p", "c_nationkey")
+    m = Window.partitionBy()
+    ranked = tested.withColumn("rnk", F.row_number().over(wrank)).withColumn(
+        "m", F.count(F.lit(1)).over(m)
+    )
+    # step-up: reject ranks <= max rank with p <= rnk*alpha/m
+    passed = F.when(
+        F.col("p") * F.col("m") * 1000000.0
+        <= F.col("rnk") * F.lit(float(_BH_ALPHA_MICRO)),
+        F.col("rnk"),
+    )
+    wcut = Window.partitionBy()
+    cut = ranked.withColumn("cut", F.max(passed).over(wcut))
+    return cut.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "n",
+        "k",
+        pround(F.col("p"), 8).alias("p_r"),
+        F.col("rnk").cast("int").alias("p_rank"),
+        (F.col("rnk") <= F.coalesce(F.col("cut"), F.lit(0))).alias("bh_reject"),
+    ).orderBy("nationkey")
+
+
+def _bh_sql() -> str:
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+
+    p1 = "CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+    p2 = "CAST(k_rest AS DOUBLE) / CAST(n_rest AS DOUBLE)"
+    pp = "(CAST(k AS DOUBLE) + CAST(k_rest AS DOUBLE)) / (CAST(n AS DOUBLE) + CAST(n_rest AS DOUBLE))"
+    z = (
+        f"(({p1}) - ({p2}))"
+        f" / sqrt(({pp}) * (1.0 - ({pp}))"
+        f" * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n_rest AS DOUBLE)))"
+    )
+    return f"""
+WITH per_nation AS (
+    SELECT c.c_nationkey, count(*) AS n,
+           CAST(sum(CAST(o.o_orderpriority = '1-URGENT' AS INT)) AS BIGINT) AS k
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+), enriched AS (
+    SELECT c_nationkey, n, k,
+           CAST(sum(n) OVER () - n AS BIGINT) AS n_rest,
+           CAST(sum(k) OVER () - k AS BIGINT) AS k_rest
+    FROM per_nation
+), tested AS (
+    SELECT *, {z} AS z FROM enriched
+), withp AS (
+    SELECT *, {two_sided_p_sql('z')} AS p FROM tested
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY p, c_nationkey) AS rnk,
+           count(*) OVER () AS m
+    FROM withp
+), cut AS (
+    SELECT *, max(CASE WHEN p * m * 1000000.0 <= rnk * {float(_BH_ALPHA_MICRO)}
+                       THEN rnk END) OVER () AS cutr
+    FROM ranked
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n, k,
+       {pround_sql('p', 8)} AS p_r,
+       CAST(rnk AS INT) AS p_rank,
+       rnk <= coalesce(cutr, 0) AS bh_reject
+FROM cut
+ORDER BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# McNemar's paired test: heuristic lang-ID vs the NB classifier
+# --------------------------------------------------------------------------
+
+
+def q_mcnemar_lang_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) on PAIRED predictions: the stopword-heuristic
+    lang-ID (``llm_queries.q_lang_id``) vs the multinomial NB classifier
+    (``learning.nb_predictions``) over the SAME documents — the correct
+    way to compare two classifiers evaluated on one dataset (accuracies
+    alone ignore the pairing; only the DISCORDANT docs carry signal).
+    b = docs the heuristic gets right and NB wrong, c = the reverse;
+    χ² = (b−c)²/(b+c), two-sided p via the engine-shared Zelen-Severo
+    polynomial on z = (b−c)/√(b+c). Both prediction frames are reused
+    registry cores (one corpus tokenize each); the pairing join keys on
+    doc_id and the test statistics live on a 1-row frame."""
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+    from projet_data_infrastructure_spark.plans.learning import nb_predictions
+    from projet_data_infrastructure_spark.plans.llm_queries import q_lang_id
+
+    heur = q_lang_id(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang_pred") == F.col("lang_labeled")).alias("a_right"),
+    )
+    nb = nb_predictions(spark, sf_dir).select(
+        "doc_id", (F.col("pred") == F.col("true_lang")).alias("b_right")
+    )
+    paired = heur.join(nb, "doc_id")
+    scalars = paired.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a_right") & ~F.col("b_right")).cast("long")).alias("b"),
+        F.sum((~F.col("a_right") & F.col("b_right")).cast("long")).alias("c"),
+    )
+    chi2 = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    z = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / sqrt(CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    return scalars.select(
+        "n",
+        F.col("b").alias("heur_only_right"),
+        F.col("c").alias("nb_only_right"),
+        pround(F.expr(chi2), 6).alias("chi2_r"),
+        pround(F.expr(two_sided_p_sql(z)), 8).alias("p_r"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    from projet_data_infrastructure_spark.functions.stats import two_sided_p_sql
+    from projet_data_infrastructure_spark.plans.learning import _NB_PRED_CTES
+    from projet_data_infrastructure_spark.plans.llm_queries import _lang_id_sql
+
+    chi2 = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    z = (
+        "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+        " / sqrt(CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"
+    )
+    return f"""
+WITH {_NB_PRED_CTES},
+nbp AS (
+    SELECT doc_id, true_lang = cand AS b_right FROM pred WHERE rn = 1
+), heur AS (
+    SELECT doc_id, lang_pred = lang_labeled AS a_right
+    FROM ({_lang_id_sql()})
+), paired AS (
+    SELECT h.doc_id, h.a_right, n.b_right FROM heur h JOIN nbp n USING (doc_id)
+), scalars AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(a_right AND NOT b_right AS INT)) AS BIGINT) AS b,
+           CAST(sum(CAST(b_right AND NOT a_right AS INT)) AS BIGINT) AS c
+    FROM paired
+)
+SELECT n, b AS heur_only_right, c AS nb_only_right,
+       {pround_sql(chi2, 6)} AS chi2_r,
+       {pround_sql(two_sided_p_sql(z), 8)} AS p_r
+FROM scalars
+"""
+
+
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "mann_whitney_u",
+            q_mann_whitney_u,
+            _MANN_WHITNEY_SQL,
+            ("stats", "bench"),
+            doc="Tie-corrected Mann-Whitney U rank-sum test between hash arms "
+            "over the value-bounded dollar grid; shared-double-tree z",
+        ),
+        QuerySpec(
+            "spearman_corr_qty_price",
+            q_spearman_corr_qty_price,
+            _SPEARMAN_SQL,
+            ("stats", "bench"),
+            doc="Spearman rank correlation (average ranks for ties) from "
+            "value-bounded rank tables; exact integer moment sums",
+        ),
+        QuerySpec(
+            "kruskal_wallis_h",
+            q_kruskal_wallis_h,
+            _kruskal_sql(),
+            ("stats",),
+            doc="Tie-corrected Kruskal-Wallis H across three hash arms over "
+            "the value-bounded dollar grid; shared-double-tree H",
+        ),
+        QuerySpec(
+            "welch_t_test",
+            q_welch_t_test,
+            _welch_sql(),
+            ("stats",),
+            doc="Welch unequal-variance t-test on purchase cents between hash "
+            "arms; exact integer moments, shared-tree t and df",
+        ),
+        QuerySpec(
+            "cramers_v",
+            q_cramers_v,
+            _CRAMERS_SQL,
+            ("stats",),
+            doc="Cramer's V association (event type x ISO weekday) via the "
+            "observed-cells chi2 identity on the bounded grid",
+        ),
+        QuerySpec(
+            "cohens_kappa",
+            q_cohens_kappa,
+            _kappa_sql(),
+            ("stats", "ml"),
+            doc="Cohen's kappa between the lang-ID heuristic and labels; "
+            "confusion grid bounded by |langs|^2",
+        ),
+        QuerySpec(
+            "kendall_tau_b",
+            q_kendall_tau_b,
+            _kendall_sql(),
+            ("stats", "bench"),
+            doc="Kendall tau-b via 2-D dominance sums on the bounded qty x "
+            "dollar grid (no O(n^2) pair scan); shared-tree tau",
+        ),
+        QuerySpec(
+            "bh_fdr_nation_urgency",
+            q_bh_fdr_nation_urgency,
+            _bh_sql(),
+            ("stats",),
+            doc="Benjamini-Hochberg FDR step-up over per-nation urgency-share "
+            "z-tests; engine-shared Zelen-Severo normal p-values",
+        ),
+        QuerySpec(
+            "mcnemar_lang_classifiers",
+            q_mcnemar_lang_classifiers,
+            _mcnemar_sql(),
+            ("stats", "ml"),
+            doc="McNemar's paired test: heuristic lang-ID vs the NB classifier "
+            "on the same docs; discordant-pair chi2 + shared-tree p",
         ),
     ]
 )

@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
-from projet_data_infrastructure_spark.sources.readers import read_table
+from projet_data_infrastructure_spark.sources.readers import (
+    read_table,
+    read_table_balanced,
+)
 
 SPECS: list[QuerySpec] = []
 
@@ -44,7 +47,7 @@ def q_stream_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream,
         _run_stream,
     )
-    from projet_data_infrastructure_spark.plans.roundnine import _JOURNEY_PATTERN
+    from projet_data_infrastructure_spark.plans.events_queries import _JOURNEY_PATTERN
     from projet_data_infrastructure_spark.streaming.stateful import journey_state
 
     stream = _events_stream(spark, sf_dir).select(
@@ -68,7 +71,7 @@ def q_stream_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pattern_oracle() -> str:
-    from projet_data_infrastructure_spark.plans.roundnine import _PATTERN_SQL
+    from projet_data_infrastructure_spark.plans.events_queries import _PATTERN_SQL
 
     return _PATTERN_SQL
 
@@ -81,5 +84,209 @@ SPECS.append(
         ("streaming", "timeseries", "funnel"),
         doc="LIVE MATCH_RECOGNIZE analog: per-user journey-string state "
         "(journey_state), regex at emission; same oracle as the batch spec",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# LIVE funnel / incremental-dedup / watermark-dedup parity (from round 9)
+# --------------------------------------------------------------------------
+def q_stream_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict view→click→purchase funnel running LIVE: per-user state
+    is THREE int64 timestamps (first view, first click at-or-after it,
+    first purchase at-or-after that click) in
+    ``streaming/stateful.funnel3_state`` — streaming state stays bounded
+    by the active-user set while the batch spec re-aggregates the lake
+    per run. availableNow delivers events.parquet as one micro-batch, so
+    the update-mode emission is the complete per-user funnel; the final
+    stage rollup below is stateless and mirrors the batch aggregate
+    exactly, so the spec hash-checks against the SAME oracle as
+    ``funnel_three_step`` (stream == batch, pinned cross-engine AND
+    cross-execution-mode)."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+    from projet_data_infrastructure_spark.streaming.stateful import funnel3_state
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    out = funnel3_state(stream)
+    table = _run_stream(
+        out.writeStream.outputMode("update"), spark, "stream_funnel3_sink"
+    )
+    return table.groupBy().agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.sum(F.col("first_click_us").isNotNull().cast("long")).alias(
+            "n_clicked_after_view"
+        ),
+        F.sum(F.col("first_purchase_us").isNotNull().cast("long")).alias(
+            "n_purchased_after_click"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# LIVE incremental index dedup (foreachBatch against the prebuilt index)
+# --------------------------------------------------------------------------
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_index_dedup`` as the ALWAYS-ON service it models: the
+    daily increment (odd doc_ids) arrives as a parquet file stream; each
+    micro-batch is MinHash-banded and joined against the PREBUILT index
+    band table (even doc_ids — computed once, exactly what a production
+    ingest keeps materialized), exact-Jaccard verified, reduced to its
+    best match, and appended to the result store inside ``foreachBatch``.
+    New docs are partitioned across batches, so per-batch results are
+    disjoint and the accumulated store equals the batch spec's output —
+    hash-checked against the SAME DuckDB oracle (stream == batch).
+
+    Per-batch cost is |batch|-proportional against the index (the banding
+    core is shared with the batch spec via
+    ``roundeight.minhash_band_rows`` / ``jaccard_best_match``); state
+    growth is the result store only. Batch-split invariance is pinned in
+    tests with a forced two-batch replay."""
+    import tempfile
+
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        doc_token_sets,
+        jaccard_best_match,
+        minhash_band_rows,
+    )
+
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    # The precomputed index side: band table + token sets, materialized
+    # once (production keeps these as lake tables next to the index).
+    idx_bands = minhash_band_rows(index_docs).select(
+        F.col("doc_id").alias("index_doc"), "band", "key"
+    )
+    idx_toks = doc_token_sets(index_docs).localCheckpoint(eager=True)
+    idx_bands = idx_bands.localCheckpoint(eager=True)
+
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="stream_incrdedup_")
+    try:
+        src = f"{work}/new_docs"
+        new_docs.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(new_docs.schema).format("parquet").load(src)
+        out_dir = f"{work}/matches"
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            batch_bands = minhash_band_rows(batch_df).select(
+                F.col("doc_id").alias("new_doc"), "band", "key"
+            )
+            cand = (
+                batch_bands.join(idx_bands, ["band", "key"])
+                .select("new_doc", "index_doc")
+                .distinct()
+            )
+            result = jaccard_best_match(cand, doc_token_sets(batch_df), idx_toks)
+            # foreachBatch is at-least-once: a replayed batch OVERWRITES its
+            # own batch_id-keyed partition, so redelivery is idempotent (the
+            # standard foreachBatch discipline; ADVICE r9) instead of
+            # appending duplicate rows to the store.
+            result.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination returns False on timeout — fail loudly rather than
+        # reading a partially-written store as a confusing oracle mismatch.
+        assert q.awaitTermination(180), "stream_incremental_dedup timed out"
+        q.stop()
+        # Partition discovery surfaces the batch_id path key as a column;
+        # drop it — the accumulated store equals the batch spec's output.
+        # Materialize before the finally-cleanup deletes the backing files.
+        return (
+            spark.read.parquet(out_dir)
+            .drop("batch_id")
+            .orderBy("new_doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts seen-key state once the event-time watermark passes it, so an
+    always-on at-least-once ingest (the Kafka-redelivery case the plain
+    ``stream_dedup_ids`` models with an ever-growing seen-set) runs with
+    state proportional to the watermark window, not the stream's lifetime
+    — THE production requirement at 100 TB/day. Every row is delivered
+    TWICE (stream unioned with itself), duplicates land inside the 1-hour
+    delay tolerance, and the availableNow replay emits each event once —
+    the oracle is the distinct input, shared with the unbounded-state
+    spec. The API contract (duplicates dropped only WITHIN the watermark)
+    is exactly the at-least-once broker redelivery bound."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    doubled = s.unionByName(s)
+    out = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_stream(
+        out.writeStream.outputMode("append"), spark, "stream_dedup_wm_sink"
+    )
+
+
+_STREAM_DEDUP_WM_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+
+
+
+def _attach_shared_oracles() -> list[QuerySpec]:
+    from projet_data_infrastructure_spark.plans.roundeight import (
+        _FUNNEL3_SQL,
+        _incremental_sql,
+    )
+
+    return [
+        QuerySpec(
+            "stream_funnel_three_step",
+            q_stream_funnel_three_step,
+            _FUNNEL3_SQL,
+            ("streaming", "stateful"),
+            doc="Strict 3-step funnel LIVE via applyInPandasWithState "
+            "(three-timestamp state); hash parity with the batch oracle",
+        ),
+        QuerySpec(
+            "stream_incremental_dedup",
+            q_stream_incremental_dedup,
+            _incremental_sql(),
+            ("streaming", "dedup"),
+            doc="Incremental index dedup as a foreachBatch service against "
+            "the prebuilt index band table; stream == batch oracle parity",
+        ),
+    ]
+
+
+SPECS.extend(_attach_shared_oracles())
+SPECS.append(
+    QuerySpec(
+        "stream_dedup_within_watermark",
+        q_stream_dedup_watermark,
+        _STREAM_DEDUP_WM_SQL,
+        ("streaming", "dedup"),
+        doc="dropDuplicatesWithinWatermark: at-least-once redelivery dedup "
+        "with watermark-BOUNDED state (vs the unbounded seen-set form)",
     )
 )

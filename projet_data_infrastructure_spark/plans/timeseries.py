@@ -445,3 +445,136 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# PACF via Durbin-Levinson (bounded day grid, order-pinned folds)
+# --------------------------------------------------------------------------
+
+_PACF_LAGS = 4
+
+
+def _dl_pacf_exprs() -> dict[int, str]:
+    """Durbin-Levinson recursion unrolled to ``_PACF_LAGS`` as SQL text
+    over columns r1..r4 — the SAME strings run on Spark and DuckDB, so
+    the doubles agree bit for bit (shared-tree discipline)."""
+    phi: dict[tuple[int, int], str] = {(1, 1): "r1"}
+    for k in range(2, _PACF_LAGS + 1):
+        num = f"(r{k} - (" + " + ".join(
+            f"({phi[(k - 1, j)]}) * r{k - j}" for j in range(1, k)
+        ) + "))"
+        den = "(1.0 - (" + " + ".join(
+            f"({phi[(k - 1, j)]}) * r{j}" for j in range(1, k)
+        ) + "))"
+        phi[(k, k)] = f"({num} / {den})"
+        for j in range(1, k):
+            phi[(k, j)] = f"(({phi[(k - 1, j)]}) - ({phi[(k, k)]}) * ({phi[(k - 1, k - j)]}))"
+    return {k: phi[(k, k)] for k in range(1, _PACF_LAGS + 1)}
+
+
+def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily revenue series to lag 4 via
+    the Durbin-Levinson recursion — the AR-order diagnostic next to the
+    plain ACF (``acf_by_user``): pacf_k is the lag-k correlation AFTER
+    removing the shorter-lag structure, the standard Box-Jenkins model-ID
+    readout. The series is the calendar-bounded day grid (≤ ~366 rows;
+    lags are positional on the day-ordered series); the ACF estimator
+    r_k = Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)² runs as ORDER-PINNED folds over
+    the sorted array (the fourier discipline) and the recursion itself is
+    pure scalar arithmetic on the 1-row frame, generated ONCE as SQL text
+    shared verbatim by both engines. One data-sized day aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+    rows = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, y))), r -> r.y)").alias(
+            "ys"
+        )
+    )
+    mean = (
+        "(aggregate(ys, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " / CAST(size(ys) AS DOUBLE))"
+    )
+    scalars = rows.select("ys", F.expr(mean).alias("m")).select(
+        F.expr("size(ys)").cast("int").alias("n_days"),
+        F.expr(
+            "aggregate(ys, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + (v - m) * (v - m))"
+        ).alias("d0"),
+        *[
+            F.expr(
+                f"aggregate(sequence({k} + 1, size(ys)), CAST(0.0 AS DOUBLE),"
+                f" (acc, i) -> acc + (element_at(ys, i) - m)"
+                f" * (element_at(ys, i - {k}) - m))"
+            ).alias(f"c{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ],
+    )
+    acf = scalars.select(
+        "n_days",
+        *[(F.col(f"c{k}") / F.col("d0")).alias(f"r{k}") for k in range(1, _PACF_LAGS + 1)],
+    )
+    dl = _dl_pacf_exprs()
+    return acf.select(
+        "n_days",
+        *[pround(F.expr(dl[k]), 6).alias(f"pacf{k}_r") for k in range(1, _PACF_LAGS + 1)],
+    )
+
+
+def _pacf_sql() -> str:
+    dl = _dl_pacf_exprs()
+    prods = ",\n           ".join(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range({k} + 1, n + 1),"
+        f" i -> (ys[i] - m) * (ys[i - {k}] - m))), (acc, v) -> acc + v) AS c{k}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    pacs = ",\n       ".join(
+        f"{pround_sql(dl[k], 6)} AS pacf{k}_r" for k in range(1, _PACF_LAGS + 1)
+    )
+    rs = ", ".join(f"c{k} / d0 AS r{k}" for k in range(1, _PACF_LAGS + 1))
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+), arrs AS (
+    SELECT CAST(count(*) AS INT) AS n, list(y ORDER BY d) AS ys FROM daily
+), withm AS (
+    SELECT n, ys,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys), (acc, v) -> acc + v)
+               / CAST(n AS DOUBLE) AS m
+    FROM arrs
+), scalars AS (
+    SELECT n AS n_days,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ys, v -> (v - m) * (v - m))), (acc, v) -> acc + v) AS d0,
+           {prods}
+    FROM withm
+), acf AS (
+    SELECT n_days, {rs} FROM scalars
+)
+SELECT n_days,
+       {pacs}
+FROM acf
+"""
+
+
+
+
+SPECS.append(
+    QuerySpec(
+        "pacf_durbin_levinson",
+        q_pacf_durbin_levinson,
+        _pacf_sql(),
+        ("stats", "timeseries"),
+        doc="PACF to lag 4 via Durbin-Levinson on the calendar-bounded day "
+        "grid; order-pinned ACF folds, shared-tree recursion",
+    )
+)

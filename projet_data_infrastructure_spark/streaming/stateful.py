@@ -314,7 +314,7 @@ _JOURNEY_STATE_SCHEMA = "journey STRING"
 
 def journey_state(events: DataFrame) -> DataFrame:
     """Per-user event-journey accumulator — the LIVE half of the
-    MATCH_RECOGNIZE analog (``plans/roundnine.q_event_pattern_match``):
+    MATCH_RECOGNIZE analog (``plans/events_queries.q_event_pattern_match``):
     state is ONE string per user, the time-ordered concatenation of
     event-type initials, appended micro-batch by micro-batch; the row
     pattern itself is a stateless regex evaluated at emission time, so ANY

@@ -1211,7 +1211,7 @@ def test_funnel_three_step_is_window_free(spark):
 def test_mann_whitney_window_only_over_dollar_grid(spark):
     # the one unpartitioned cumulative window runs on the frame AFTER the
     # usd aggregate (value-bounded dollar grid), never over event rows.
-    from projet_data_infrastructure_spark.plans.roundnine import q_mann_whitney_u
+    from projet_data_infrastructure_spark.plans.stats_inference import q_mann_whitney_u
 
     plan = q_mann_whitney_u(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
@@ -1225,7 +1225,7 @@ def test_spearman_windows_only_over_value_grids(spark):
     # both rank tables window AFTER their value aggregates (50 quantities /
     # domain-bounded dollars); the corpus-sized work is the scan + two
     # broadcast joins + one moment aggregate — no corpus-keyed window.
-    from projet_data_infrastructure_spark.plans.roundnine import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_spearman_corr_qty_price,
     )
 
@@ -1242,7 +1242,7 @@ def test_spearman_windows_only_over_value_grids(spark):
 
 
 def test_event_pattern_match_is_one_aggregate(spark):
-    from projet_data_infrastructure_spark.plans.roundnine import (
+    from projet_data_infrastructure_spark.plans.events_queries import (
         q_event_pattern_match,
     )
 
@@ -1260,7 +1260,7 @@ def test_kendall_windows_are_keyed_and_grid_bounded(spark):
     # parallelizes at any scale. Windows read the checkpointed cells grid
     # (ExistingRDD), never a parquet scan of lineitem, and the keyed
     # shuffles for both window directions appear in the plan.
-    from projet_data_infrastructure_spark.plans.roundnine import q_kendall_tau_b
+    from projet_data_infrastructure_spark.plans.stats_inference import q_kendall_tau_b
 
     df = q_kendall_tau_b(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -1273,7 +1273,7 @@ def test_kendall_windows_are_keyed_and_grid_bounded(spark):
 
 
 def test_bh_fdr_windows_only_over_nation_frame(spark):
-    from projet_data_infrastructure_spark.plans.roundnine import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_bh_fdr_nation_urgency,
     )
 

@@ -7,7 +7,11 @@ import math
 
 import pyspark.sql.functions as F
 
-import projet_data_infrastructure_spark.plans.roundnine as r9
+import projet_data_infrastructure_spark.plans.corpus_lm as cl
+import projet_data_infrastructure_spark.plans.events_queries as evq
+import projet_data_infrastructure_spark.plans.stats_inference as si
+import projet_data_infrastructure_spark.plans.streaming_parity as spar
+import projet_data_infrastructure_spark.plans.timeseries as tsm
 
 SF = "/root/testdata/sf0.001"
 
@@ -79,7 +83,7 @@ def test_funnel3_strict_sequencing(spark):
 
 
 def test_stream_funnel3_equals_batch(spark):
-    stream_row = r9.q_stream_funnel_three_step(spark, SF).first()
+    stream_row = spar.q_stream_funnel_three_step(spark, SF).first()
     import projet_data_infrastructure_spark.plans.roundeight as r8
 
     batch_row = r8.q_funnel_three_step(spark, SF).first()
@@ -203,8 +207,8 @@ def test_mann_whitney_hand_fixture(spark, monkeypatch):
     fixture = spark.createDataFrame(
         rows, "event_id BIGINT, event_type STRING, value DOUBLE"
     )
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: fixture)
-    out = r9.q_mann_whitney_u(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: fixture)
+    out = si.q_mann_whitney_u(spark, SF).first()
     assert (out.n1, out.n2) == (2, 2)
     assert out.u1_r == 2.0
     assert out.z_r == 0.0
@@ -222,7 +226,7 @@ def _arm_of(spark, eid: int) -> int:
 
 
 def test_mann_whitney_z_magnitude_sane(spark):
-    out = r9.q_mann_whitney_u(spark, SF).first()
+    out = si.q_mann_whitney_u(spark, SF).first()
     # arms are a deterministic fair coin over a symmetric null -> |z| small
     assert out.n1 + out.n2 > 100
     assert abs(out.z_r) < 5.0
@@ -235,8 +239,8 @@ def test_mann_whitney_z_magnitude_sane(spark):
 def test_spearman_monotone_fixture(spark, monkeypatch):
     rows = [(float(q), float(100 + 7 * q) + 0.25) for q in range(1, 21)]
     df = spark.createDataFrame(rows, "l_quantity DOUBLE, l_extendedprice DOUBLE")
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_spearman_corr_qty_price(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df)
+    out = si.q_spearman_corr_qty_price(spark, SF).first()
     assert out.n == 20
     assert out.rho_r == 1.0
 
@@ -244,8 +248,8 @@ def test_spearman_monotone_fixture(spark, monkeypatch):
         [(float(q), float(1000 - 7 * q) + 0.25) for q in range(1, 21)],
         "l_quantity DOUBLE, l_extendedprice DOUBLE",
     )
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: anti)
-    out2 = r9.q_spearman_corr_qty_price(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: anti)
+    out2 = si.q_spearman_corr_qty_price(spark, SF).first()
     assert out2.rho_r == -1.0
 
 
@@ -255,8 +259,8 @@ def test_spearman_ties_average_ranks(spark, monkeypatch):
     # correlate positively but strictly below 1.
     rows = [(1.0, 10.2), (2.0, 10.2), (3.0, 20.7), (4.0, 20.7)]
     df = spark.createDataFrame(rows, "l_quantity DOUBLE, l_extendedprice DOUBLE")
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_spearman_corr_qty_price(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df)
+    out = si.q_spearman_corr_qty_price(spark, SF).first()
     assert 0.5 < out.rho_r < 1.0
 
 
@@ -295,8 +299,8 @@ def test_event_pattern_fixture(spark, monkeypatch):
     df = spark.createDataFrame(
         rows, "user_id BIGINT, event_id BIGINT, ts BIGINT, event_type STRING"
     ).withColumn("ts", F.timestamp_micros(F.col("ts")))
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_event_pattern_match(spark, SF).first()
+    monkeypatch.setattr(evq, "read_table", lambda sp, sf, name: df)
+    out = evq.q_event_pattern_match(spark, SF).first()
     assert out.n_users == 5
     assert out.n_matched == 2
 
@@ -344,8 +348,8 @@ def test_kruskal_wallis_fixture(spark, monkeypatch):
         for eid, v in zip(ids[g], vals):
             rows.append((eid, "purchase", v))
     df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_kruskal_wallis_h(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df)
+    out = si.q_kruskal_wallis_h(spark, SF).first()
     expected = _pure_python_kw({g: [int(v) for v in vs] for g, vs in arm_vals.items()})
     assert out.n == 9 and out.df == 2
     assert abs(out.h_r - expected) < 1e-6
@@ -368,8 +372,8 @@ def test_welch_t_fixture(spark, monkeypatch):
         for eid, v in zip(ids[g], vals)
     ]
     df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_welch_t_test(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df)
+    out = si.q_welch_t_test(spark, SF).first()
     # plain-Python Welch on cents
     a = [100, 200, 300, 400]
     b = [200, 400, 600]
@@ -397,14 +401,14 @@ def test_cramers_v_bounds(spark, monkeypatch):
                 indep.append((t, base + datetime.timedelta(days=d)))
                 eid += 1
     df = spark.createDataFrame(indep, "event_type STRING, ts TIMESTAMP")
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_cramers_v(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df)
+    out = si.q_cramers_v(spark, SF).first()
     assert out.chi2_r == 0.0 and out.v_r == 0.0
 
     assoc = [("view", base)] * 10 + [("click", base + datetime.timedelta(days=1))] * 10
     df2 = spark.createDataFrame(assoc, "event_type STRING, ts TIMESTAMP")
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df2)
-    out2 = r9.q_cramers_v(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df2)
+    out2 = si.q_cramers_v(spark, SF).first()
     assert out2.v_r == 1.0
 
 
@@ -416,7 +420,7 @@ def test_cohens_kappa_bounds(spark, monkeypatch):
         "doc_id BIGINT, lang_labeled STRING, lang_pred STRING",
     )
     monkeypatch.setattr(llm, "q_lang_id", lambda sp, sf: perfect)
-    out = r9.q_cohens_kappa(spark, SF).first()
+    out = si.q_cohens_kappa(spark, SF).first()
     assert out.kappa_r == 1.0 and out.agree == 20
 
     # agreement exactly at chance level -> kappa == 0
@@ -427,7 +431,7 @@ def test_cohens_kappa_bounds(spark, monkeypatch):
         "doc_id BIGINT, lang_labeled STRING, lang_pred STRING",
     )
     monkeypatch.setattr(llm, "q_lang_id", lambda sp, sf: chance)
-    out2 = r9.q_cohens_kappa(spark, SF).first()
+    out2 = si.q_cohens_kappa(spark, SF).first()
     assert out2.kappa_r == 0.0
 
 
@@ -458,8 +462,8 @@ def test_kendall_tau_b_fixture(spark, monkeypatch):
         [(float(q), float(u) + 0.4) for q, u in pts],
         "l_quantity DOUBLE, l_extendedprice DOUBLE",
     )
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_kendall_tau_b(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df)
+    out = si.q_kendall_tau_b(spark, SF).first()
     assert out.n == n and out.conc == conc and out.disc == disc
     assert abs(out.tau_b_r - expected) < 1e-6
 
@@ -469,8 +473,8 @@ def test_kendall_tau_b_perfect_monotone(spark, monkeypatch):
         [(float(q), float(100 + 3 * q) + 0.2) for q in range(1, 31)],
         "l_quantity DOUBLE, l_extendedprice DOUBLE",
     )
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_kendall_tau_b(spark, SF).first()
+    monkeypatch.setattr(si, "read_table", lambda sp, sf, name: df)
+    out = si.q_kendall_tau_b(spark, SF).first()
     assert out.disc == 0
     assert out.tau_b_r == 1.0
 
@@ -497,7 +501,7 @@ def test_bh_step_up_fixture(spark, monkeypatch):
     # p-ranked list, and every rejected p <= rank*alpha/m while the first
     # non-rejected beyond the cut fails its own threshold ONLY IF no later
     # rank passes (step-up semantics).
-    rows = r9.q_bh_fdr_nation_urgency(spark, SF).collect()
+    rows = si.q_bh_fdr_nation_urgency(spark, SF).collect()
     m = len(rows)
     byrank = sorted(rows, key=lambda r: r.p_rank)
     rejected = [r.p_rank for r in byrank if r.bh_reject]
@@ -630,8 +634,8 @@ def test_textrank_fixture_matches_pure_python(spark, monkeypatch):
         ],
         "doc_id BIGINT, text STRING",
     )
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: docs)
-    out = {r.word: r.tr_micro for r in r9.q_textrank_keywords(spark, SF).collect()}
+    monkeypatch.setattr(cl, "read_table", lambda sp, sf, name: docs)
+    out = {r.word: r.tr_micro for r in cl.q_textrank_keywords(spark, SF).collect()}
 
     # pure-Python replica: window +/-2 pairs, canonicalized, wt >= 2,
     # integer fixed-point walk
@@ -670,8 +674,8 @@ def test_textrank_hub_ranks_first(spark, monkeypatch):
         [(i, f"hub spoke{i} hub spoke{i}") for i in range(1, 7)],
         "doc_id BIGINT, text STRING",
     )
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: docs)
-    rows = r9.q_textrank_keywords(spark, SF).collect()
+    monkeypatch.setattr(cl, "read_table", lambda sp, sf, name: docs)
+    rows = cl.q_textrank_keywords(spark, SF).collect()
     assert rows[0].word == "hub"
     assert all(rows[0].tr_micro >= x.tr_micro for x in rows[1:])
 
@@ -690,8 +694,8 @@ def test_pacf_matches_pure_python(spark, monkeypatch):
         x = 50.0 + 0.6 * x + ((t * 37) % 11 - 5)  # bounded deterministic noise
         vals.append((base + _dt.timedelta(days=t), round(x, 2)))
     df = spark.createDataFrame(vals, "ts TIMESTAMP, value DOUBLE")
-    monkeypatch.setattr(r9, "read_table", lambda sp, sf, name: df)
-    out = r9.q_pacf_durbin_levinson(spark, SF).first()
+    monkeypatch.setattr(tsm, "read_table", lambda sp, sf, name: df)
+    out = tsm.q_pacf_durbin_levinson(spark, SF).first()
 
     ys = [float(int(v * 100 + 0.5)) for _, v in vals]  # cents as double
     n = len(ys)
@@ -732,7 +736,7 @@ def test_mcnemar_fixture(spark, monkeypatch):
     )
     monkeypatch.setattr(llm, "q_lang_id", lambda sp, sf: heur)
     monkeypatch.setattr(learning, "nb_predictions", lambda sp, sf: nb)
-    out = r9.q_mcnemar_lang_classifiers(spark, SF).first()
+    out = si.q_mcnemar_lang_classifiers(spark, SF).first()
     assert out.n == 10
     assert out.heur_only_right == 4 and out.nb_only_right == 2
     # chi2 = (4-2)^2/6

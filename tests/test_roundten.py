@@ -41,13 +41,13 @@ def test_rank_specs_share_the_helper():
     # operators/ranks — pin it so an inline re-derivation can't creep back.
     import inspect
 
-    from projet_data_infrastructure_spark.plans import roundnine
+    from projet_data_infrastructure_spark.plans import stats_inference
 
-    assert "value_grid_ranks" in inspect.getsource(roundnine.q_mann_whitney_u)
+    assert "value_grid_ranks" in inspect.getsource(stats_inference.q_mann_whitney_u)
     assert "average_rank_table" in inspect.getsource(
-        roundnine.q_spearman_corr_qty_price
+        stats_inference.q_spearman_corr_qty_price
     )
-    assert "value_grid_ranks" in inspect.getsource(roundnine.q_kruskal_wallis_h)
+    assert "value_grid_ranks" in inspect.getsource(stats_inference.q_kruskal_wallis_h)
 
 
 # --------------------------------------------------------------------------
@@ -87,7 +87,7 @@ def test_journey_state_accumulates_in_time_order(spark):
 
 def test_stream_event_pattern_matches_batch(spark):
     # stream == batch: the LIVE spec must equal the batch spec exactly.
-    from projet_data_infrastructure_spark.plans.roundnine import (
+    from projet_data_infrastructure_spark.plans.events_queries import (
         q_event_pattern_match,
     )
     from projet_data_infrastructure_spark.plans.streaming_parity import (
@@ -394,7 +394,7 @@ def test_day_grid_specs_hostile_tz_invariant(spark):
 def test_kendall_oob_guard_column(spark, monkeypatch):
     # qty outside the 1..50 pivot domain must surface in n_oob (visible in
     # the result, hash-fails the oracle) instead of silently skewing tau.
-    from projet_data_infrastructure_spark.plans import roundnine as r9
+    from projet_data_infrastructure_spark.plans import stats_inference as r9
 
     df = spark.createDataFrame(
         [(1.0, 100.0), (2.0, 200.0), (77.0, 300.0)],
