@@ -254,3 +254,181 @@ SPECS.append(
         "the +/-2-window word co-occurrence graph; unrolled-CTE oracle",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram LM (continuation counts, D = 0.75)
+# --------------------------------------------------------------------------
+
+_KN_FORMULA = (
+    "(greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE)"
+    " + 0.75 * CAST(n1f AS DOUBLE) / CAST(cw1 AS DOUBLE)"
+    " * CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE))"
+)
+
+
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities over the documents
+    corpus (D = 0.75): P(w2|w1) = max(c-D,0)/c(w1) + D*N1+(w1,.)/c(w1) *
+    N1+(.,w2)/|bigram types| — the smoothing used by every n-gram LM the
+    trigram-backoff spec approximates more crudely. All counts (bigram
+    tokens, forward/backward continuation type counts, total types) are
+    exact BIGINT group-bys on the vocabulary-bounded type table; the top-20
+    readout orders by (count DESC, w1, w2) so ties are deterministic."""
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    fwd = types.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1f")
+    )
+    bwd = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    bt = types.groupBy().agg(F.count(F.lit(1)).alias("bt"))
+    top = (
+        types.join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(bt))
+        .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+    return top.select(
+        "w1", "w2", "c", pround(F.expr(_KN_FORMULA), 6).alias("kn_r")
+    )
+
+
+def _kn_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+    FROM documents
+), bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE len(t) >= 2
+), types AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), fwd AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+           CAST(count(*) AS BIGINT) AS n1f
+    FROM types GROUP BY w1
+), bwd AS (
+    SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM types GROUP BY w2
+), bt AS (
+    SELECT CAST(count(*) AS BIGINT) AS bt FROM types
+)
+SELECT w1, w2, c, {pround_sql(_KN_FORMULA, 6)} AS kn_r
+FROM types JOIN fwd USING (w1) JOIN bwd USING (w2), bt
+ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram entropy rate (corpus predictability, nano-quantized term sums)
+# --------------------------------------------------------------------------
+
+_BER_TERM = (
+    "CAST(floor(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " * ln(CAST(c AS DOUBLE) / CAST(cw1 AS DOUBLE)) * 1000000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+def q_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy rate H(w2|w1) of the documents corpus and
+    its perplexity — the predictability readout next to the Kneser-Ney LM:
+    H = -sum p(w1,w2) ln p(w2|w1), each term nano-quantized so the
+    vocabulary-sized sum is an exact BIGINT in any order (scale-safe: the
+    type table shuffles on token keys, nothing is collected)."""
+    from projet_data_infrastructure_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    fwd = types.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    tot = types.groupBy().agg(
+        F.sum("c").alias("nb"), F.count(F.lit(1)).alias("n_types")
+    )
+    h = (
+        types.join(fwd, "w1")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nb", "n_types")
+        .agg(F.sum(F.expr(_BER_TERM)).alias("h_nano"))
+    )
+    return h.select(
+        F.col("nb").alias("n_bigrams"),
+        "n_types",
+        pround(F.expr("CAST(h_nano AS DOUBLE) / 1000000000.0"), 6).alias("h_rate_r"),
+        pround(F.expr("exp(CAST(h_nano AS DOUBLE) / 1000000000.0)"), 4).alias(
+            "ppl_r"
+        ),
+    )
+
+
+def _ber_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+    FROM documents
+), bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE len(t) >= 2
+), types AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), fwd AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS cw1 FROM types GROUP BY w1
+), tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS nb,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM types
+), h AS (
+    SELECT nb, n_types, CAST(sum({_BER_TERM}) AS BIGINT) AS h_nano
+    FROM types JOIN fwd USING (w1), tot
+    GROUP BY nb, n_types
+)
+SELECT nb AS n_bigrams, n_types,
+       {pround_sql('CAST(h_nano AS DOUBLE) / 1000000000.0', 6)} AS h_rate_r,
+       {pround_sql('exp(CAST(h_nano AS DOUBLE) / 1000000000.0)', 4)} AS ppl_r
+FROM h
+"""
+
+
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "kneser_ney_bigram",
+            q_kneser_ney_bigram,
+            _kn_sql(),
+            ("llm",),
+            doc="Interpolated Kneser-Ney bigram LM over documents; exact "
+            "continuation counts, micro-quantized probabilities",
+        ),
+        QuerySpec(
+            "bigram_entropy_rate",
+            q_bigram_entropy_rate,
+            _ber_sql(),
+            ("llm", "bench"),
+            doc="Conditional bigram entropy rate + perplexity of the corpus; "
+            "nano-quantized vocabulary-sized term sums",
+        ),
+    ]
+)

@@ -1600,3 +1600,146 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank (seed-restricted teleport, integer fixed point)
+# --------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the customer–supplier trade graph with the
+    teleport restricted to a seed set (nation-0 customers) — the
+    recommendation / related-entity query that global `pagerank_fixed_point`
+    cannot answer. Same plan shape per iteration (emission table broadcast
+    into the edge join, one destination aggregate, edges never shuffled;
+    `graph_geo.vertex_side` size-switch applies) and the same all-integer
+    rank arithmetic, so the result hash-matches the unrolled-CTE oracle
+    exactly. Seeds get the 15% teleport mass; non-seeds accumulate only
+    propagated rank, so scores measure proximity to the seed cohort."""
+    from projet_data_infrastructure_spark.plans.graph_geo import (
+        _trade_edges,
+        vertex_side,
+    )
+
+    edges = _trade_edges(spark, sf_dir)
+    seeds = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 0
+    ).select((F.col("c_custkey") * 2).cast("long").alias("node"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .join(seeds, F.col("src") == F.col("node"), "left")
+        .select(
+            "src", "degree", F.col("node").isNotNull().cast("int").alias("seed")
+        )
+        .localCheckpoint()
+    )
+    n_vertices = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        "degree",
+        "seed",
+        (F.col("seed") * F.lit(1_000_000)).cast("long").alias("ppr"),
+    )
+    for _ in range(_PPR_ITERS):
+        emit = ranks.select("node", F.expr("ppr DIV degree").alias("c"))
+        contrib = (
+            edges.join(vertex_side(emit, n_vertices), edges.src == emit.node)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = deg.join(
+            vertex_side(contrib, n_vertices), deg.src == contrib.dst, "left"
+        ).select(
+            F.col("src").alias("node"),
+            "degree",
+            "seed",
+            (
+                F.col("seed") * F.lit(150_000)
+                + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
+            )
+            .cast("long")
+            .alias("ppr"),
+        )
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("node DIV 2").cast("string"),
+    )
+    return (
+        ranks.select(label.alias("node"), "seed", "ppr")
+        .orderBy(F.desc("ppr"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _ppr_oracle() -> str:
+    head = """
+WITH e0 AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT CAST(ck * 2 AS BIGINT) AS src, CAST(sk * 2 + 1 AS BIGINT) AS dst FROM e0
+    UNION ALL
+    SELECT CAST(sk * 2 + 1 AS BIGINT) AS src, CAST(ck * 2 AS BIGINT) AS dst FROM e0
+),
+seedset AS (
+    SELECT CAST(c_custkey * 2 AS BIGINT) AS node FROM customer
+    WHERE c_nationkey = 0
+),
+deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS degree,
+           CASE WHEN src IN (SELECT node FROM seedset) THEN 1 ELSE 0 END AS seed
+    FROM edges GROUP BY src
+),
+r0 AS (
+    SELECT src AS node, degree, seed,
+           CAST(seed * 1000000 AS BIGINT) AS ppr
+    FROM deg
+)
+"""
+    steps = []
+    for i in range(1, _PPR_ITERS + 1):
+        steps.append(
+            f""",
+c{i} AS (
+    SELECT e.dst AS node, CAST(SUM(r.ppr // r.degree) AS BIGINT) AS inc
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node
+    GROUP BY e.dst
+),
+r{i} AS (
+    SELECT d.src AS node, d.degree, d.seed,
+           CAST(d.seed * 150000 + (85 * COALESCE(c.inc, 0)) // 100 AS BIGINT)
+               AS ppr
+    FROM deg d LEFT JOIN c{i} c ON d.src = c.node
+)"""
+        )
+    tail = f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       seed, ppr
+FROM r{_PPR_ITERS}
+ORDER BY ppr DESC,
+         CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+              ELSE 's' || CAST(node // 2 AS VARCHAR) END ASC
+LIMIT 20
+"""
+    return head + "".join(steps) + tail
+
+
+SPECS.append(
+    QuerySpec(
+        "personalized_pagerank",
+        q_personalized_pagerank,
+        _ppr_oracle(),
+        ("graph",),
+        doc="Personalized PageRank with teleport restricted to nation-0 "
+        "customers; same broadcast-emission integer fixed point as the "
+        "global spec, unrolled-CTE oracle",
+    )
+)
+
+

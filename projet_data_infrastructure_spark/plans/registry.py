@@ -178,10 +178,10 @@ def all_specs() -> list[QuerySpec]:
         ml_eval,
         roundeight,
         roundseven,
-        roundten_b,
         sketches,
         stats_inference,
         streaming_parity,
+        survival,
         timeseries,
     )
 
@@ -204,7 +204,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(roundeight.SPECS)
     specs.extend(stats_inference.SPECS)
     specs.extend(streaming_parity.SPECS)
-    specs.extend(roundten_b.SPECS)
+    specs.extend(survival.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Stable sort: prioritized names first (in _DRIVER_PRIORITY order), the

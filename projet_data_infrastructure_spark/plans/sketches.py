@@ -31,8 +31,10 @@ these are the charter's at-scale replacements.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 
 from projet_data_infrastructure_spark.functions.hashing import HEX_PREFIX_LEN
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
@@ -361,3 +363,138 @@ SPECS: list[QuerySpec] = [
         "by every customer; FP/FN audit row (FN provably zero)",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram quantiles (integer-exact mergeable sketch)
+# --------------------------------------------------------------------------
+#
+# HdrHistogram bucketing with 8 significant bits: for cents < 256 the
+# bucket IS the value; above, idx = 128*(e-7) + (cents >> (e-7)) with
+# e = floor(log2(cents)) taken EXACTLY as length(bin(cents)) - 1 — no
+# floating log anywhere, so the sketch is bit-identical cross-engine and
+# buckets merge by integer addition (relative error <= 2^-7 per readout).
+# The readout scans the bounded bucket grid (<= 128*57 indexes, a few
+# hundred occupied) with one unpartitioned cumulative window — the
+# post-aggregate bounded-window class.
+
+_HDR_QS = (0.5, 0.9, 0.99, 0.999)
+
+
+_HDR_IDX = (
+    "CASE WHEN cents < 256 THEN cents ELSE"
+    " 128 * (length(bin(cents)) - 1 - 7)"
+    " + shiftright(cents, length(bin(cents)) - 1 - 7) END"
+)
+
+
+def _hdr_readout(hist: DataFrame) -> DataFrame:
+    """Quantile readout from an (idx, cnt) HDR bucket histogram — shared by
+    the batch sketch and its LIVE streaming twin (sketches merge by
+    integer addition, so any partial histogram re-aggregates first)."""
+    spark = hist.sparkSession
+    wcum = Window.orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = hist.groupBy().agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _HDR_QS], "q double")
+    hit = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+        )
+        .groupBy("q", "n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    lb = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " shiftleft(idx - 128 * (idx DIV 128 - 1), idx DIV 128 - 1) END"
+    )
+    ub = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " shiftleft(idx - 128 * (idx DIV 128 - 1) + 1, idx DIV 128 - 1) - 1 END"
+    )
+    return hit.select(
+        "q",
+        "n",
+        "idx",
+        pround(F.expr(f"CAST({lb} AS DOUBLE) / 100.0"), 2).alias("lb_usd_r"),
+        pround(F.expr(f"CAST({ub} AS DOUBLE) / 100.0"), 2).alias("ub_usd_r"),
+    )
+
+
+def q_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from an HdrHistogram-style integer sketch:
+    exact power-of-2 + 7-bit-mantissa bucketing (module comment), one
+    corpus aggregate to the bucket grid, quantile readout at the smallest
+    bucket whose cumulative count reaches ceil(q*n). lb/ub are the exact
+    integer bucket bounds, so the answer carries its own error bar."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    hist = (
+        o.select(F.expr(_HDR_IDX).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _hdr_readout(hist)
+
+
+def _hdr_sql(
+    source: str = "SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    " AS cents FROM orders",
+) -> str:
+    lb = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " ((idx - 128 * (idx // 128 - 1)) << (idx // 128 - 1)) END"
+    )
+    ub = (
+        "CASE WHEN idx < 256 THEN idx ELSE"
+        " ((idx - 128 * (idx // 128 - 1) + 1) << (idx // 128 - 1)) - 1 END"
+    )
+    return f"""
+WITH o AS (
+    {source}
+), bucketed AS (
+    SELECT CASE WHEN cents < 256 THEN cents ELSE
+           128 * (length(bin(cents)) - 1 - 7)
+           + (cents >> (length(bin(cents)) - 1 - 7)) END AS idx
+    FROM o
+), hist AS (
+    SELECT idx, CAST(count(*) AS BIGINT) AS cnt FROM bucketed GROUP BY idx
+), cum AS (
+    SELECT idx, CAST(sum(cnt) OVER (ORDER BY idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM hist
+), tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
+), qs(q) AS (
+    VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+           (CAST(0.99 AS DOUBLE)), (CAST(0.999 AS DOUBLE))
+), hit AS (
+    SELECT q, n, min(idx) AS idx
+    FROM qs, tot, cum
+    WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+    GROUP BY q, n
+)
+SELECT q, n, idx,
+       {pround_sql(f'CAST({lb} AS DOUBLE) / 100.0', 2)} AS lb_usd_r,
+       {pround_sql(f'CAST({ub} AS DOUBLE) / 100.0', 2)} AS ub_usd_r
+FROM hit
+"""
+
+
+
+
+SPECS.append(
+    QuerySpec(
+        "hdr_histogram_quantiles",
+        q_hdr_histogram_quantiles,
+        _hdr_sql(),
+        ("sketch",),
+        doc="HdrHistogram-style quantile sketch: exact integer "
+        "power-of-2 + 7-bit bucketing, mergeable, bounded-grid readout",
+    )
+)

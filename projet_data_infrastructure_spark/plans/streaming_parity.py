@@ -290,3 +290,107 @@ SPECS.append(
         "with watermark-BOUNDED state (vs the unbounded seen-set form)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# LIVE SPRT + LIVE HDR sketch (stream == batch parity, shared readouts)
+# --------------------------------------------------------------------------
+
+from projet_data_infrastructure_spark.plans.stats_inference import (
+    _sprt_from_daily,
+    _sprt_sql,
+)
+from projet_data_infrastructure_spark.plans.sketches import (
+    _HDR_IDX,
+    _hdr_readout,
+    _hdr_sql,
+)
+
+
+def q_stream_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPRT running LIVE: a streaming groupBy(day) aggregation in
+    update mode (availableNow) materializes the daily (events, purchases)
+    grid — the state Structured Streaming keeps is exactly one row per day,
+    bounded by the calendar — and the identical bounded-grid readout
+    (:func:`_sprt_from_daily`) produces the decision, so the spec
+    hash-checks against the SAME oracle as ``sprt_ab_decision`` (the
+    stream == batch parity discipline). This is the shape of a production
+    always-on experiment monitor: per-micro-batch updates to the day grid,
+    decision recomputed from ≤ 366 rows."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    daily = (
+        stream.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ne"), F.sum("conv").alias("nconv"))
+    )
+    table = _run_stream(
+        daily.writeStream.outputMode("update"), spark, "stream_sprt_sink"
+    )
+    return _sprt_from_daily(table)
+
+
+
+def q_stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HDR quantile sketch running LIVE over the event-value stream:
+    a streaming groupBy(idx) count in update mode IS the sketch — state is
+    one row per occupied bucket (a few hundred, regardless of volume) and
+    partial emissions merge by taking each bucket's LATEST count (counts
+    are monotone across micro-batches, so max == latest), exactly how
+    per-executor partial histograms merge by addition in the batch plan.
+    The shared :func:`_hdr_readout` then produces the same bounded-grid
+    readout, hash-checked against a DuckDB replay of the whole stream."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    counts = (
+        stream.select(F.expr(_HDR_IDX).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    table = _run_stream(
+        counts.writeStream.outputMode("update"), spark, "stream_hdr_sink"
+    )
+    hist = table.groupBy("idx").agg(F.max("cnt").alias("cnt"))
+    return _hdr_readout(hist)
+
+
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "stream_sprt_ab",
+            q_stream_sprt_ab,
+            _sprt_sql(),
+            ("streaming", "stats", "timeseries"),
+            doc="LIVE SPRT: streaming day-grid aggregation (update mode, "
+            "state = one row per day) + the shared bounded-grid readout; "
+            "same oracle as the batch spec",
+        ),
+        QuerySpec(
+            "stream_hdr_quantiles",
+            q_stream_hdr_quantiles,
+            _hdr_sql(
+                "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                " AS cents FROM events"
+            ),
+            ("streaming", "sketch"),
+            doc="LIVE HDR quantile sketch: streaming bucket counts (state = "
+            "occupied buckets), shared bounded-grid readout vs a full DuckDB "
+            "replay of the stream",
+        ),
+    ]
+)

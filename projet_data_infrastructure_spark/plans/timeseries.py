@@ -25,6 +25,7 @@ from projet_data_infrastructure_spark.plans._portable import (
     pround_sql,
 )
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.plans.stats_inference import _q6
 from projet_data_infrastructure_spark.sources.readers import read_table
 
 SPECS: list[QuerySpec] = []
@@ -577,4 +578,606 @@ SPECS.append(
         doc="PACF to lag 4 via Durbin-Levinson on the calendar-bounded day "
         "grid; order-pinned ACF folds, shared-tree recursion",
     )
+)
+
+
+# --------------------------------------------------------------------------
+# Page–Hinkley drift detector (micro-quantized deviations on the day grid)
+# --------------------------------------------------------------------------
+
+#: Alarm threshold: $500 of accumulated positive deviation, in cent-micros.
+_PH_LAMBDA = 500 * 100 * 1_000_000
+
+
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-INCREASE drift detector on the daily-revenue
+    series (delta=0): m_t = sum_{i<=t}(x_i - mean_i) with mean_i the
+    running prefix mean, PH_t = m_t - min_{i<=t} m_i, alarm when PH > the
+    $500 threshold — the online companion to the offline
+    ``changepoint_cusum_mean``. Each deviation is quantized to integer
+    cent-micros BEFORE accumulation (the chisq micro-unit discipline), so
+    every m_t, the prefix min and the argmax day are integer-exact; only
+    the reported magnitude converts to dollars."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(wcum).alias("s"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+    )
+    dev = pre.withColumn(
+        "dev",
+        F.expr(
+            "CAST(floor((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    ph = dev.select(
+        "d",
+        (
+            F.sum("dev").over(wcum) - F.min(F.sum("dev").over(wcum)).over(wcum)
+        ).alias("ph"),
+    )
+    peak = ph.orderBy(F.col("ph").desc(), F.col("d").asc()).limit(1)
+    alarms = ph.groupBy().agg(
+        F.min(F.when(F.col("ph") > F.lit(_PH_LAMBDA), F.col("d"))).alias(
+            "first_alarm_day"
+        ),
+        F.sum((F.col("ph") > F.lit(_PH_LAMBDA)).cast("long")).alias("n_alarm_days"),
+    )
+    return peak.crossJoin(F.broadcast(alarms)).select(
+        F.col("d").alias("peak_day"),
+        pround(F.expr("CAST(ph AS DOUBLE) / 1000000.0 / 100.0"), 4).alias(
+            "ph_max_usd_r"
+        ),
+        "first_alarm_day",
+        "n_alarm_days",
+    )
+
+
+def _ph_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), pre AS (
+    SELECT d, x,
+           CAST(sum(x) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+           row_number() OVER (ORDER BY d) AS t
+    FROM daily
+), dev AS (
+    SELECT d, CAST(floor((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS dev
+    FROM pre
+), m AS (
+    SELECT d, CAST(sum(dev) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+    FROM dev
+), ph AS (
+    SELECT d, m - min(m) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+    FROM m
+), peak AS (
+    SELECT d AS peak_day, ph FROM ph ORDER BY ph DESC, d ASC LIMIT 1
+), alarms AS (
+    SELECT min(CASE WHEN ph > {_PH_LAMBDA} THEN d END) AS first_alarm_day,
+           CAST(sum(CASE WHEN ph > {_PH_LAMBDA} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days
+    FROM ph
+)
+SELECT peak_day,
+       {pround_sql('CAST(ph AS DOUBLE) / 1000000.0 / 100.0', 4)} AS ph_max_usd_r,
+       first_alarm_day, n_alarm_days
+FROM peak, alarms
+"""
+
+
+# --------------------------------------------------------------------------
+# Matrix profile on the daily series (bounded calendar-squared pair set)
+# --------------------------------------------------------------------------
+#
+# STOMP-style matrix profile with window m=7 over the daily-revenue series:
+# the top motif (closest non-overlapping window pair) and top discord
+# (window farthest from its nearest neighbor). The pair set is
+# calendar-BOUNDED (<= 366^2 window pairs x 7 lags), never corpus-sized:
+# one corpus aggregate makes the day grid, a 7-row lag frame expands each
+# window, and all distances come from exact BIGINT moments
+# (D = m*Q - S^2, m*dot - S1*S2) with the z-normalized distance
+# 2m(1 - r) micro-quantized before every argmin/argmax, so motif and
+# discord are integer-exact decisions in both engines.
+
+_MP_M = 7
+_MP_DIST_MICRO = (
+    f"CAST(floor(2.0 * {_MP_M}.0 * (1.0 - "
+    "(CAST({m} * dot - s1 * s2 AS DOUBLE)"
+    " / sqrt(CAST(d1v AS DOUBLE) * CAST(d2v AS DOUBLE))))"
+    " * 1000000.0 + 0.5) AS BIGINT)".replace("{m}", str(_MP_M))
+)
+
+
+def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile motif + discord over daily revenue (module comment).
+    Windows are indexed by row_number on the day grid (the series is
+    daily-dense in this corpus); the exclusion zone |t1-t2| >= m keeps
+    trivial matches out. Zero-variance windows are excluded (undefined
+    z-normalized distance)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV 100").alias("x"))
+    )
+    grid = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("ts_i"), "x"
+    )
+    lags = spark.range(_MP_M).select(F.col("id").cast("int").alias("k"))
+    el = (
+        grid.crossJoin(F.broadcast(lags))
+        .select((F.col("ts_i") - F.col("k")).alias("t"), "k", "x")
+        .filter(F.col("t") >= 1)
+    )
+    nwin = grid.groupBy().agg((F.max("ts_i") - F.lit(_MP_M - 1)).alias("nw"))
+    el = el.crossJoin(F.broadcast(nwin)).filter(F.col("t") <= F.col("nw")).drop("nw")
+    mom = el.groupBy("t").agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    ).withColumn("dv", F.expr(f"{_MP_M} * q - s * s"))
+    e1 = el.select(F.col("t").alias("t1"), "k", F.col("x").alias("x1"))
+    e2 = el.select(F.col("t").alias("t2"), "k", F.col("x").alias("x2"))
+    dots = (
+        e1.join(e2, "k")
+        .filter(F.abs(F.col("t1") - F.col("t2")) >= _MP_M)
+        .groupBy("t1", "t2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("dot"))
+    )
+    m1 = mom.select(
+        F.col("t").alias("t1"), F.col("s").alias("s1"), F.col("dv").alias("d1v")
+    )
+    m2 = mom.select(
+        F.col("t").alias("t2"), F.col("s").alias("s2"), F.col("dv").alias("d2v")
+    )
+    pairs = (
+        dots.join(F.broadcast(m1), "t1")
+        .join(F.broadcast(m2), "t2")
+        .filter((F.col("d1v") > 0) & (F.col("d2v") > 0))
+        .withColumn("dmicro", F.expr(_MP_DIST_MICRO))
+    )
+    motif = pairs.filter(F.col("t1") < F.col("t2")).orderBy(
+        "dmicro", "t1", "t2"
+    ).limit(1)
+    prof = pairs.groupBy("t1").agg(F.min("dmicro").alias("nn"))
+    discord = prof.orderBy(F.col("nn").desc(), F.col("t1").asc()).limit(1)
+    return (
+        motif.select(
+            F.col("t1").alias("motif_t1"),
+            F.col("t2").alias("motif_t2"),
+            pround(F.expr("CAST(dmicro AS DOUBLE) / 1000000.0"), 4).alias(
+                "motif_dist_r"
+            ),
+        )
+        .crossJoin(
+            discord.select(
+                F.col("t1").alias("discord_t"),
+                pround(F.expr("CAST(nn AS DOUBLE) / 1000000.0"), 4).alias(
+                    "discord_dist_r"
+                ),
+            )
+        )
+    )
+
+
+def _mp_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM events GROUP BY 1
+), grid AS (
+    SELECT row_number() OVER (ORDER BY d) AS ts_i, x FROM daily
+), nwin AS (
+    SELECT max(ts_i) - {_MP_M - 1} AS nw FROM grid
+), el AS (
+    SELECT ts_i - k AS t, k, x
+    FROM grid, unnest(generate_series(0, {_MP_M - 1})) AS g(k), nwin
+    WHERE ts_i - k >= 1 AND ts_i - k <= nw
+), mom AS (
+    SELECT t, CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS q,
+           CAST({_MP_M} * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS dv
+    FROM el GROUP BY t
+), dots AS (
+    SELECT a.t AS t1, b.t AS t2, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+    FROM el a JOIN el b ON a.k = b.k AND abs(a.t - b.t) >= {_MP_M}
+    GROUP BY a.t, b.t
+), pairs AS (
+    SELECT t1, t2,
+           {_MP_DIST_MICRO} AS dmicro
+    FROM dots
+    JOIN (SELECT t AS t1, s AS s1, dv AS d1v FROM mom) USING (t1)
+    JOIN (SELECT t AS t2, s AS s2, dv AS d2v FROM mom) USING (t2)
+    WHERE d1v > 0 AND d2v > 0
+), motif AS (
+    SELECT t1 AS motif_t1, t2 AS motif_t2, dmicro
+    FROM pairs WHERE t1 < t2 ORDER BY dmicro, t1, t2 LIMIT 1
+), prof AS (
+    SELECT t1, min(dmicro) AS nn FROM pairs GROUP BY t1
+), discord AS (
+    SELECT t1 AS discord_t, nn FROM prof ORDER BY nn DESC, t1 ASC LIMIT 1
+)
+SELECT motif_t1, motif_t2,
+       {pround_sql('CAST(dmicro AS DOUBLE) / 1000000.0', 4)} AS motif_dist_r,
+       discord_t,
+       {pround_sql('CAST(nn AS DOUBLE) / 1000000.0', 4)} AS discord_dist_r
+FROM motif, discord
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-grid diagnostics: runs test, Durbin–Watson, Ljung–Box
+# --------------------------------------------------------------------------
+#
+# Three classical serial-structure diagnostics, all on the calendar-bounded
+# daily-revenue grid (one corpus aggregate each): randomness of the
+# above/below-median sign sequence (Wald–Wolfowitz runs), first-order
+# residual autocorrelation of the linear trend fit (Durbin–Watson), and
+# joint autocorrelation at lags 1..7 (Ljung–Box). Exactness: signs compare
+# 2x against the exact doubled median; DW residual terms are micro-
+# quantized from exact OLS moment formulas; Ljung–Box autocorrelations are
+# EXACT integer ratios via the scaled deviations d_t = n*x_t - S (the n
+# factors cancel in r_k = sum d_t d_{t+k} / sum d_t^2), accumulated
+# 128-bit.
+
+_RUNS_MU = "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0)"
+_RUNS_VAR = (
+    "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))"
+    " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+    " * (CAST(n1 + n2 AS DOUBLE) - 1.0)))"
+)
+_RUNS_Z = f"((CAST(r AS DOUBLE) - {_RUNS_MU}) / sqrt({_RUNS_VAR}))"
+
+
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of randomness on the daily-revenue sign
+    sequence (above/below the exact median; ties at the median dropped,
+    the standard convention). Doubled-median comparison keeps the sign an
+    integer decision; runs counted by one lag on the day grid."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    byval = daily.select("d", "x", F.row_number().over(Window.orderBy("x", "d")).alias("rk"))
+    nn = daily.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        byval.crossJoin(F.broadcast(nn))
+        .groupBy()
+        .agg(
+            (
+                F.min(F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("x")))
+                + F.min(F.when(F.col("rk") == F.expr("n DIV 2 + 1"), F.col("x")))
+            ).alias("m2")
+        )
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("x") != F.col("m2"))
+        .select("d", (2 * F.col("x") > F.col("m2")).cast("int").alias("s"))
+    )
+    lagged = signed.select(
+        "s", F.lag("s").over(Window.orderBy("d")).alias("prev")
+    )
+    agg = lagged.groupBy().agg(
+        F.sum(F.col("s")).alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+        (
+            1
+            + F.sum(
+                (F.col("prev").isNotNull() & (F.col("s") != F.col("prev"))).cast(
+                    "long"
+                )
+            )
+        ).alias("r"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r",
+        pround(F.expr(_RUNS_Z), 6).alias("z_r"),
+        pround(F.expr(two_sided_p_sql(_RUNS_Z)), 8).alias("p_r"),
+    )
+
+
+_RUNS_SQL = f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), byval AS (
+    SELECT d, x, row_number() OVER (ORDER BY x, d) AS rk FROM daily
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily), med AS (
+    SELECT min(CASE WHEN rk = (n + 1) // 2 THEN x END)
+           + min(CASE WHEN rk = n // 2 + 1 THEN x END) AS m2
+    FROM byval, nn
+), signed AS (
+    SELECT d, CASE WHEN 2 * x > m2 THEN 1 ELSE 0 END AS s
+    FROM daily, med WHERE 2 * x != m2
+), lagged AS (
+    SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM signed
+), agg AS (
+    SELECT CAST(sum(s) AS BIGINT) AS n1,
+           CAST(sum(1 - s) AS BIGINT) AS n2,
+           CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s != prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r
+    FROM lagged
+)
+SELECT n1, n2, r, {pround_sql(_RUNS_Z, 6)} AS z_r,
+       {pround_sql(two_sided_p_sql(_RUNS_Z), 8)} AS p_r
+FROM agg
+"""
+
+
+_DW_B = (
+    "((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)"
+    " - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)"
+    " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"
+)
+_DW_A = f"((CAST(sy AS DOUBLE) - {_DW_B} * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE))"
+_DW_RESID = f"(CAST(x AS DOUBLE) - {_DW_A} - {_DW_B} * CAST(t AS DOUBLE))"
+
+
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation diagnostic on the
+    residuals of the daily-revenue linear trend: OLS (a, b) from exact
+    BIGINT moments in one shared double tree, residuals and their lagged
+    differences on the day grid, numerator/denominator terms micro-
+    quantized before the grid sums. DW ~ 2(1 - rho1)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV 100").alias("x"))
+    )
+    seq = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    mom = seq.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("x").alias("sy"),
+        F.sum(F.col("t") * F.col("x")).alias("sty"),
+    )
+    res = seq.crossJoin(F.broadcast(mom)).select(
+        "t", F.expr(_DW_RESID).alias("e")
+    )
+    lagged = res.select(
+        "e", F.lag("e").over(Window.orderBy("t")).alias("ep")
+    )
+    # cast-quantizer, not floor(): Spark floor(DOUBLE) saturates at 2^63
+    # and the e^2 micro terms reach ~1e22 at sf100 (the ansari_bradley
+    # lesson); both engines' double->wide cast rounds half-away for
+    # positive x, exact to 10^38.
+    agg = lagged.groupBy().agg(
+        F.sum(F.expr("CAST(e * e * 1000000.0 AS DECIMAL(38,0))")).alias(
+            "den_micro"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0)) ELSE"
+                " CAST((e - ep) * (e - ep) * 1000000.0 AS DECIMAL(38,0)) END"
+            )
+        ).alias("num_micro"),
+    )
+    return agg.select(
+        pround(
+            F.expr("CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE)"), 6
+        ).alias("dw_r")
+    )
+
+
+_DW_SQL = f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM events GROUP BY 1
+), seq AS (
+    SELECT x, row_number() OVER (ORDER BY d) AS t FROM daily
+), mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(x) AS BIGINT) AS sy,
+           CAST(sum(t * x) AS BIGINT) AS sty
+    FROM seq
+), res AS (
+    SELECT t, {_DW_RESID} AS e FROM seq, mom
+), lagged AS (
+    SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM res
+), agg AS (
+    SELECT CAST(sum(CAST(e * e * 1000000.0 AS HUGEINT)) AS HUGEINT)
+               AS den_micro,
+           CAST(sum(CASE WHEN ep IS NULL THEN CAST(0 AS HUGEINT)
+                    ELSE CAST((e - ep) * (e - ep) * 1000000.0 AS HUGEINT)
+                    END) AS HUGEINT) AS num_micro
+    FROM lagged
+)
+SELECT {pround_sql('CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE)', 6)}
+           AS dw_r
+FROM agg
+"""
+
+_LB_LAGS = 7
+
+
+def q_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau Q over lags 1..7 of the daily-revenue series.
+    Autocorrelations are EXACT integer ratios: with d_t = n*x_t - S (the
+    scaled deviation), r_k = sum d_t*d_{t+k} / sum d_t^2 — the n factors
+    cancel — accumulated DECIMAL(38,0)/HUGEINT; each r_k^2/(n-k) term is
+    micro-quantized before the 7-term fold. Q ~ chi2(7) under the null."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV 100").alias("x"))
+    )
+    seq = daily.select("x", F.row_number().over(Window.orderBy("d")).alias("t"))
+    mom = seq.groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dev = seq.crossJoin(F.broadcast(mom)).select(
+        "t", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dv")
+    )
+    den = dev.groupBy("n").agg(
+        F.sum(
+            F.expr("CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))")
+        ).cast("decimal(38,0)").alias("den")
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").cast("int").alias("k"))
+    a = dev.select(F.col("t").alias("t1"), F.col("dv").alias("d1"))
+    b = dev.select(F.col("t").alias("t2"), F.col("dv").alias("d2"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("t2") == F.col("t1") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.expr("CAST(d1 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0))")
+            ).cast("decimal(38,0)").alias("num")
+        )
+    )
+    term = _q6(
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+    )
+    qsum = (
+        nums.crossJoin(F.broadcast(den))
+        .groupBy("n")
+        .agg(F.sum(F.expr(term)).alias("q_micro"))
+    )
+    return qsum.select(
+        "n",
+        F.lit(_LB_LAGS).cast("int").alias("df"),
+        pround(
+            F.expr(
+                "CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)"
+                " * CAST(q_micro AS DOUBLE) / 1000000.0"
+            ),
+            4,
+        ).alias("q_r"),
+    )
+
+
+def _lb_sql() -> str:
+    term = _q6(
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+    )
+    return f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM events GROUP BY 1
+), seq AS (
+    SELECT x, row_number() OVER (ORDER BY d) AS t FROM daily
+), mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM seq
+), dev AS (
+    SELECT t, n, CAST(n * x - s AS BIGINT) AS dv FROM seq, mom
+), den AS (
+    SELECT n, CAST(sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS HUGEINT)
+               AS den
+    FROM dev GROUP BY n
+), nums AS (
+    SELECT k, CAST(sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT))
+               AS HUGEINT) AS num
+    FROM dev a
+    JOIN unnest(generate_series(1, {_LB_LAGS})) AS g(k) ON true
+    JOIN dev b ON b.t = a.t + k
+    GROUP BY k
+), qsum AS (
+    SELECT n, CAST(sum({term}) AS BIGINT) AS q_micro
+    FROM nums, den GROUP BY n
+)
+SELECT n, CAST({_LB_LAGS} AS INT) AS df,
+       {pround_sql(
+           'CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)'
+           ' * CAST(q_micro AS DOUBLE) / 1000000.0', 4)} AS q_r
+FROM qsum
+"""
+
+
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "page_hinkley_drift",
+            q_page_hinkley_drift,
+            _ph_sql(),
+            ("stats", "timeseries"),
+            doc="Page-Hinkley mean-increase detector on daily revenue; "
+            "micro-quantized deviations, integer-exact PH and alarms",
+        ),
+        QuerySpec(
+            "matrix_profile_daily",
+            q_matrix_profile_daily,
+            _mp_sql(),
+            ("timeseries", "bench"),
+            doc="Matrix-profile motif + discord (m=7) on daily revenue; "
+            "exact BIGINT window moments, micro-quantized z-distances",
+        ),
+        QuerySpec(
+            "runs_test_daily",
+            q_runs_test_daily,
+            _RUNS_SQL,
+            ("stats", "timeseries"),
+            doc="Wald-Wolfowitz runs test on the above/below-median daily "
+            "sign sequence; doubled-median integer signs",
+        ),
+        QuerySpec(
+            "durbin_watson_daily",
+            q_durbin_watson_daily,
+            _DW_SQL,
+            ("stats", "timeseries"),
+            doc="Durbin-Watson on daily linear-trend residuals; exact OLS "
+            "moments, micro-quantized residual terms",
+        ),
+        QuerySpec(
+            "ljung_box_q",
+            q_ljung_box_q,
+            _lb_sql(),
+            ("stats", "timeseries"),
+            doc="Ljung-Box Q over lags 1..7; exact integer autocorrelation "
+            "ratios via scaled deviations n*x - S",
+        ),
+    ]
 )

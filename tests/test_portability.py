@@ -214,7 +214,7 @@ def test_hdr_bucketing_three_engine_agreement(spark):
     # The HDR sketch's whole contract is that bucketing is pure integer
     # arithmetic, identical in Python, Spark, and DuckDB, with exact
     # bracket bounds: lb(idx) <= cents <= ub(idx) and width/lb <= 2^-7.
-    from projet_data_infrastructure_spark.plans.roundten_b import _HDR_IDX
+    from projet_data_infrastructure_spark.plans.sketches import _HDR_IDX
 
     def py_idx(cents: int) -> int:
         if cents < 256:

@@ -36,7 +36,7 @@ def _f_stat(per):
 
 
 def test_anova_f_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import q_anova_oneway_f
+    from projet_data_infrastructure_spark.plans.stats_inference import q_anova_oneway_f
 
     rows = [(r[0], int(r[1])) for r in _lineitem(spark, "l_returnflag", "l_quantity")]
     n, k, ssb, ssw, f = _f_stat(_group_moments(rows))
@@ -48,7 +48,7 @@ def test_anova_f_fixture(spark):
 
 
 def test_levene_brown_forsythe_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_levene_brown_forsythe,
     )
 
@@ -70,7 +70,7 @@ def test_levene_brown_forsythe_fixture(spark):
 
 def test_jonckheere_fixture(spark):
     # grid-free reference: per-group value Counters, U_ij summed directly.
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_jonckheere_terpstra,
     )
 
@@ -134,7 +134,7 @@ def test_jonckheere_sparse_support(spark):
     # contribute 2*C_i(v) (count of smaller group-i values), which the
     # pre-fix sparse equi-join silently dropped. Groups {1,1,3} vs {2}:
     # value 2 is not in group 1's grid, yet 2*U_12 = 4.
-    from projet_data_infrastructure_spark.plans.roundten_b import jt_stats_from_gv
+    from projet_data_infrastructure_spark.plans.stats_inference import jt_stats_from_gv
 
     cases = [
         {1: Counter([1, 1, 3]), 2: Counter([2])},
@@ -153,7 +153,7 @@ def test_jonckheere_sparse_support(spark):
 
 
 def test_mutual_information_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_mutual_information_flags,
     )
 
@@ -175,7 +175,7 @@ def test_mutual_information_fixture(spark):
 
 
 def test_sprt_fixture(spark):
-    from projet_data_infrastructure_spark.plans import roundten_b as rb
+    from projet_data_infrastructure_spark.plans import stats_inference as rb
 
     ev = (
         spark.read.parquet(f"{SF}/events.parquet")
@@ -218,8 +218,10 @@ def _hdr_idx(cents: int) -> int:
 
 
 def test_hdr_quantiles_bracket_and_merge(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.sketches import (
         _HDR_QS,
+    )
+    from projet_data_infrastructure_spark.plans.sketches import (
         q_hdr_histogram_quantiles,
     )
 
@@ -247,7 +249,7 @@ def test_hdr_quantiles_bracket_and_merge(spark):
 
 
 def test_hodges_lehmann_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_hodges_lehmann_shift,
     )
 
@@ -276,8 +278,10 @@ def test_hodges_lehmann_fixture(spark):
 
 
 def test_page_hinkley_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         _PH_LAMBDA,
+    )
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_page_hinkley_drift,
     )
 
@@ -316,9 +320,13 @@ def test_page_hinkley_fixture(spark):
 
 
 def test_ransac_fixture_and_plan(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         _RANSAC_K,
+    )
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         _RANSAC_TOL_CENTS,
+    )
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_ransac_line_fit,
     )
 
@@ -358,7 +366,7 @@ def test_ransac_fixture_and_plan(spark):
 
 
 def test_kneser_ney_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import q_kneser_ney_bigram
+    from projet_data_infrastructure_spark.plans.corpus_lm import q_kneser_ney_bigram
 
     texts = [
         r[0]
@@ -400,9 +408,13 @@ def test_kneser_ney_fixture(spark):
 def test_bounded_window_specs_are_post_aggregate(spark):
     # Every unpartitioned window in the new specs must consume a bounded
     # post-aggregate grid (bucket/difference/day), never corpus rows.
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.sketches import (
         q_hdr_histogram_quantiles,
+    )
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_hodges_lehmann_shift,
+    )
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_page_hinkley_drift,
     )
 
@@ -423,7 +435,7 @@ def test_bounded_window_specs_are_post_aggregate(spark):
 def test_levene_and_jt_windows_are_group_keyed(spark):
     import re
 
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_jonckheere_terpstra,
         q_levene_brown_forsythe,
     )
@@ -436,8 +448,10 @@ def test_levene_and_jt_windows_are_group_keyed(spark):
 
 
 def test_day_grid_specs_hostile_tz_invariant_b(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_page_hinkley_drift,
+    )
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_sprt_ab_decision,
     )
 
@@ -466,8 +480,10 @@ def test_day_grid_specs_hostile_tz_invariant_b(spark):
 
 
 def test_stream_sprt_matches_batch(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_sprt_ab_decision,
+    )
+    from projet_data_infrastructure_spark.plans.streaming_parity import (
         q_stream_sprt_ab,
     )
 
@@ -480,8 +496,10 @@ def test_stream_sprt_matches_batch(spark):
 def test_logistic_irls_fixture(spark):
     # un-quantized float IRLS on the same grid; the micro-quantization
     # perturbs moments by < 1e-6 relative, so weights agree to ~1e-5.
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         _IRLS_STEPS,
+    )
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_logistic_irls_qty,
     )
 
@@ -518,7 +536,7 @@ def test_logistic_irls_fixture(spark):
 def test_friedman_fixture(spark):
     from fractions import Fraction
 
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_friedman_nation_priority,
     )
 
@@ -561,7 +579,7 @@ def test_friedman_fixture(spark):
 
 
 def test_logistic_and_friedman_are_window_free(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_friedman_nation_priority,
         q_logistic_irls_qty,
     )
@@ -589,8 +607,10 @@ def _daily_series(spark, col="value"):
 
 
 def test_matrix_profile_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         _MP_M,
+    )
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_matrix_profile_daily,
     )
 
@@ -628,8 +648,10 @@ def test_matrix_profile_fixture(spark):
 
 
 def test_cox_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.survival import (
         _COX_STEPS,
+    )
+    from projet_data_infrastructure_spark.plans.survival import (
         q_cox_ph_binary_newton,
     )
 
@@ -680,8 +702,10 @@ def test_cox_fixture(spark):
 
 
 def test_cox_risk_window_is_arm_keyed_and_mp_pairs_bounded(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.survival import (
         q_cox_ph_binary_newton,
+    )
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_matrix_profile_daily,
     )
 
@@ -697,8 +721,10 @@ def test_cox_risk_window_is_arm_keyed_and_mp_pairs_bounded(spark):
 
 
 def test_day_grid_specs_hostile_tz_invariant_c(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.survival import (
         q_cox_ph_binary_newton,
+    )
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_matrix_profile_daily,
     )
 
@@ -728,7 +754,7 @@ def test_day_grid_specs_hostile_tz_invariant_c(spark):
 
 
 def test_mantel_haenszel_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_mantel_haenszel_or,
     )
 
@@ -775,7 +801,7 @@ def test_mantel_haenszel_fixture(spark):
 
 
 def test_bigram_entropy_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         q_bigram_entropy_rate,
     )
 
@@ -804,9 +830,11 @@ def test_bigram_entropy_fixture(spark):
 
 
 def test_stream_hdr_matches_batch_sketch(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.sketches import (
         _HDR_IDX,
         _hdr_readout,
+    )
+    from projet_data_infrastructure_spark.plans.streaming_parity import (
         q_stream_hdr_quantiles,
     )
     from projet_data_infrastructure_spark.sources.readers import read_table
@@ -825,7 +853,7 @@ def test_stream_hdr_matches_batch_sketch(spark):
 
 
 def test_cramer_von_mises_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_cramer_von_mises,
     )
 
@@ -859,7 +887,7 @@ def test_cramer_von_mises_fixture(spark):
 
 
 def test_runs_test_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import q_runs_test_daily
+    from projet_data_infrastructure_spark.plans.timeseries import q_runs_test_daily
 
     xs = _daily_series(spark)
     by = sorted(xs)
@@ -880,7 +908,7 @@ def test_runs_test_fixture(spark):
 
 
 def test_durbin_watson_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_durbin_watson_daily,
     )
 
@@ -899,8 +927,10 @@ def test_durbin_watson_fixture(spark):
 
 
 def test_ljung_box_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.timeseries import (
         _LB_LAGS,
+    )
+    from projet_data_infrastructure_spark.plans.timeseries import (
         q_ljung_box_q,
     )
 
@@ -925,8 +955,10 @@ def test_ljung_box_fixture(spark):
 
 
 def test_personalized_pagerank_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.graph_geo import (
         _PPR_ITERS,
+    )
+    from projet_data_infrastructure_spark.plans.graph_geo import (
         q_personalized_pagerank,
     )
 
@@ -973,7 +1005,7 @@ def test_personalized_pagerank_fixture(spark):
 
 
 def test_poisson_rate_ratio_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_poisson_rate_ratio,
     )
 
@@ -1004,7 +1036,7 @@ def test_poisson_rate_ratio_fixture(spark):
 
 def test_ansari_bradley_fixture(spark):
     # brute force: pooled sort, tie-averaged min(i, N+1-i) scores
-    from projet_data_infrastructure_spark.plans.roundten_b import q_ansari_bradley
+    from projet_data_infrastructure_spark.plans.stats_inference import q_ansari_bradley
 
     rows = _lineitem(spark, "l_returnflag", "l_quantity")
     pooled = sorted(
@@ -1036,7 +1068,7 @@ def test_ansari_bradley_fixture(spark):
 
 
 def test_nelson_aalen_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import (
+    from projet_data_infrastructure_spark.plans.survival import (
         q_nelson_aalen_hazard,
     )
 
@@ -1080,7 +1112,7 @@ def test_nelson_aalen_fixture(spark):
 
 
 def test_tukey_hsd_fixture(spark):
-    from projet_data_infrastructure_spark.plans.roundten_b import q_tukey_hsd_pairs
+    from projet_data_infrastructure_spark.plans.stats_inference import q_tukey_hsd_pairs
 
     orders = {
         r[0]: int(r[1][0])
@@ -1148,7 +1180,7 @@ def test_ab_score_engine_wide_at_hostile_scale(spark):
     # Python integer algebra.
     import duckdb
 
-    from projet_data_infrastructure_spark.plans.roundten_b import _AB_S
+    from projet_data_infrastructure_spark.plans.stats_inference import _AB_S
 
     def exact(l, r, nn):
         h = (nn + 1) // 2
