@@ -3138,3 +3138,185 @@ SPECS: list[QuerySpec] = [
         "lag over observed weeks, TakeOrdered by absolute delta",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# Keyless interval join + strict 3-step funnel (consolidated, round 11)
+# --------------------------------------------------------------------------
+_RANGE_BUCKET_US = 3_600_000_000  # 1 hour in µs
+
+
+def q_range_join_keyless_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join — per purchase, the count of signups by ANY
+    user in the preceding hour (market-level context features; no shared
+    key exists). Written naively (`ON s.ts BETWEEN p.ts - 1h AND p.ts`)
+    Spark has no equi key and plans a BroadcastNestedLoopJoin — quadratic
+    at corpus scale. The house form manufactures the key: both sides
+    bucket to the 1-hour grid, each purchase probes exactly TWO buckets
+    (its own and the previous — the window spans at most two grid cells),
+    and the exact interval predicate filters the equi-join's candidates.
+    Work is Σ_b |purch_b|·(|sign_b| + |sign_b-1|) — linear for any
+    non-adversarial time distribution, and the plan is gated to contain
+    NO nested-loop join. ``range_join_pairs`` covers the keyed variant;
+    this is the keyless one Spark genuinely lacks.
+
+    Assumes non-negative epoch timestamps (all testdata is post-1970):
+    Spark's ``DIV`` truncates toward zero while the oracle's ``//`` floors,
+    so the two-bucket probe invariant and cross-engine bucket parity both
+    require ``epoch_us >= 0``. For pre-1970 data, switch both sides to an
+    explicit floor-division expression (ADVICE r8)."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", us.alias("p_us")
+    )
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(us.alias("s_us"))
+        .withColumn("bucket", F.expr(f"s_us DIV {_RANGE_BUCKET_US}"))
+    )
+    probes = purch.select(
+        "event_id",
+        "p_us",
+        F.explode(
+            F.array(
+                F.expr(f"p_us DIV {_RANGE_BUCKET_US}"),
+                F.expr(f"p_us DIV {_RANGE_BUCKET_US} - 1"),
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        probes.join(sign, "bucket")
+        .filter(
+            (F.col("s_us") > F.col("p_us") - _RANGE_BUCKET_US)
+            & (F.col("s_us") <= F.col("p_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        purch.join(hits, "event_id", "left_outer")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias(
+                "n_signups_prev_hour"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RANGE_KEYLESS_SQL = """
+WITH purch AS (
+    SELECT event_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'
+), sign AS (
+    SELECT epoch_us(ts) AS s_us FROM events WHERE event_type = 'signup'
+), hits AS (
+    SELECT p.event_id, count(*) AS n
+    FROM purch p JOIN sign s
+      ON s.s_us > p.p_us - 3600000000 AND s.s_us <= p.p_us
+    GROUP BY p.event_id
+)
+SELECT p.event_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_signups_prev_hour
+FROM purch p LEFT JOIN hits h USING (event_id)
+ORDER BY p.event_id
+"""
+
+
+
+def q_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel: first view, first click AFTER that view,
+    first purchase AFTER that click — the 3-step product-analytics report
+    (``funnel_conversion`` is the 2-step form). Each step's anchor is a
+    conditional min over the SAME per-user aggregate pass re-joined
+    twice on user_id, so the corpus shuffles once (per-user aggregate);
+    the step chaining is two self-joins of the |users|-row frame. Output:
+    one row per funnel stage with the user count that reached it —
+    monotone by construction (fixture-pinned)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    with_click = (
+        per_user.filter(F.col("v").isNotNull())
+        .join(
+            clicks,
+            (F.col("user_id") == F.col("cu")) & (F.col("cts") >= F.col("v")),
+            "left",
+        )
+        .groupBy("user_id", "v")
+        .agg(F.min("cts").alias("c"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    with_purchase = (
+        with_click.join(
+            purch,
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") >= F.col("c")),
+            "left",
+        )
+        .groupBy("user_id", "v", "c")
+        .agg(F.min("pts").alias("p"))
+    )
+    return with_purchase.groupBy().agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.sum(F.col("c").isNotNull().cast("long")).alias("n_clicked_after_view"),
+        F.sum(F.col("p").isNotNull().cast("long")).alias(
+            "n_purchased_after_click"
+        ),
+    )
+
+
+_FUNNEL3_SQL = """
+WITH per_user AS (
+    SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v
+    FROM events GROUP BY user_id
+), with_click AS (
+    SELECT u.user_id, u.v, min(c.ts) AS c
+    FROM per_user u
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = u.user_id AND c.ts >= u.v
+    WHERE u.v IS NOT NULL
+    GROUP BY u.user_id, u.v
+), with_purchase AS (
+    SELECT w.user_id, w.v, w.c, min(p.ts) AS p
+    FROM with_click w
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = w.user_id AND p.ts >= w.c
+    GROUP BY w.user_id, w.v, w.c
+)
+SELECT count(*) AS n_viewed,
+       CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clicked_after_view,
+       CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchased_after_click
+FROM with_purchase
+"""
+
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "range_join_keyless_bucketed",
+            q_range_join_keyless_bucketed,
+            _RANGE_KEYLESS_SQL,
+            ("join", "timeseries"),
+            doc="Keyless interval join via 1h-bucket equi-join (2-bucket probe); "
+            "plan-gated to contain no nested-loop join",
+        ),
+        QuerySpec(
+            "funnel_three_step",
+            q_funnel_three_step,
+            _FUNNEL3_SQL,
+            ("timeseries", "funnel"),
+            doc="Strict view->click->purchase funnel: one per-user aggregate + "
+            "two |users|-frame step joins; monotone stage counts",
+        ),
+    ]
+)

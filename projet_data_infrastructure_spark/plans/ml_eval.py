@@ -23,7 +23,10 @@ from projet_data_infrastructure_spark.plans._portable import (
     pround_sql,
 )
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
-from projet_data_infrastructure_spark.sources.readers import read_table
+from projet_data_infrastructure_spark.sources.readers import (
+    read_table,
+    read_table_balanced,
+)
 
 SPECS: list[QuerySpec] = []
 
@@ -527,5 +530,67 @@ SPECS.append(
         ("llm",),
         doc="MoE top-2 routing load table over documents: deterministic "
         "hash gates, per-expert primary/secondary counts + load share",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Rank-based quantile normalization per language (ML feature prep)
+# --------------------------------------------------------------------------
+
+
+def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of document length WITHIN each
+    language: qn = (rank − 0.5)/n ∈ (0,1) — the cross-population score
+    alignment trick (a 0.9 means "90th percentile of ITS OWN language",
+    so a verbose language can't dominate a mixed quality cut). Ranks come
+    from the scale-safe :func:`grouped_rank` operator (range-bucketed
+    parallel sorts + broadcast prefix offsets — no per-language window
+    task). Output micro-quantiles are exact integers:
+    qn_micro = (2·rank − 1)·10⁶ DIV (2·n). The output keeps the top-8
+    rows per language (rank <= 8), so the row count is bounded by
+    8·|langs| regardless of corpus size (40 rows here only because the
+    testdata has 5 languages)."""
+    from projet_data_infrastructure_spark.operators.ranks import grouped_rank
+
+    docs = read_table_balanced(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("len")
+    )
+    ranked = grouped_rank(docs, "lang", "len", ties=("doc_id",))
+    return (
+        ranked.withColumn(
+            "qn_micro",
+            F.expr("((2 * rank - 1) * 1000000) DIV (2 * group_total)"),
+        )
+        .filter(F.col("rank") <= 8)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "doc_id", "len", "qn_micro")
+        .orderBy("lang", "rank")
+    )
+
+
+_QNORM_SQL = """
+WITH ranked AS (
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS len,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rank,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, len,
+       CAST(((2 * rank - 1) * 1000000) // (2 * n) AS BIGINT) AS qn_micro
+FROM ranked WHERE rank <= 8
+ORDER BY lang, rank
+"""
+
+
+
+SPECS.append(
+    QuerySpec(
+        "quantile_normalize_scores",
+        q_quantile_normalize_scores,
+        _QNORM_SQL,
+        ("llm", "ml"),
+        doc="Per-language rank quantile normalization via scale-safe "
+        "grouped_rank; exact integer micro-quantiles",
     )
 )

@@ -176,7 +176,6 @@ def all_specs() -> list[QuerySpec]:
         relational,
         corpus_lm,
         ml_eval,
-        roundeight,
         roundseven,
         sketches,
         stats_inference,
@@ -201,7 +200,6 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(ml_eval.SPECS)
     specs.extend(corpus_lm.SPECS)
     specs.extend(roundseven.SPECS)
-    specs.extend(roundeight.SPECS)
     specs.extend(stats_inference.SPECS)
     specs.extend(streaming_parity.SPECS)
     specs.extend(survival.SPECS)

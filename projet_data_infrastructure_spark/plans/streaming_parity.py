@@ -145,12 +145,12 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-batch cost is |batch|-proportional against the index (the banding
     core is shared with the batch spec via
-    ``roundeight.minhash_band_rows`` / ``jaccard_best_match``); state
+    ``corpus_lm.minhash_band_rows`` / ``jaccard_best_match``); state
     growth is the result store only. Batch-split invariance is pinned in
     tests with a forced two-batch replay."""
     import tempfile
 
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         doc_token_sets,
         jaccard_best_match,
         minhash_band_rows,
@@ -254,10 +254,8 @@ _STREAM_DEDUP_WM_SQL = "SELECT event_id, user_id, event_type FROM events"
 
 
 def _attach_shared_oracles() -> list[QuerySpec]:
-    from projet_data_infrastructure_spark.plans.roundeight import (
-        _FUNNEL3_SQL,
-        _incremental_sql,
-    )
+    from projet_data_infrastructure_spark.plans.advanced import _FUNNEL3_SQL
+    from projet_data_infrastructure_spark.plans.corpus_lm import _incremental_sql
 
     return [
         QuerySpec(
@@ -394,3 +392,69 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# LIVE view->purchase funnel (two-timestamp state, batch-funnel oracle)
+# --------------------------------------------------------------------------
+
+
+def q_stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user view→purchase funnel running LIVE as a custom stateful
+    operator (``streaming/stateful.funnel_state``): state is two int64
+    timestamps per user, so streaming state is bounded by the active-user
+    set — the deployed form of ``funnel_conversion``, which re-sorts the
+    lake per run. availableNow delivers events.parquet as one micro-batch,
+    so the update-mode emission is the complete funnel and hash-checks
+    against the SAME oracle as the batch spec (stream == batch, pinned
+    cross-engine AND cross-execution-mode — the stream_pit discipline).
+    The stream emits epoch-micro longs; the timestamp/seconds projection
+    below is stateless and identical to the batch expression tree."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+    from projet_data_infrastructure_spark.streaming.stateful import funnel_state
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    out = funnel_state(stream)
+    table = _run_stream(
+        out.writeStream.outputMode("update"), spark, "stream_funnel_sink"
+    )
+    return table.select(
+        "user_id",
+        F.timestamp_micros(F.col("first_view_us")).cast("timestamp_ntz").alias(
+            "first_view"
+        ),
+        F.timestamp_micros(F.col("first_purchase_us")).cast("timestamp_ntz").alias(
+            "first_purchase"
+        ),
+        F.when(
+            F.col("first_purchase_us").isNotNull(),
+            (F.col("first_purchase_us") - F.col("first_view_us")) / F.lit(1000000.0),
+        ).alias("seconds_to_convert"),
+    )
+
+
+
+
+def _attach_stream_funnel_oracle() -> None:
+    """The streaming funnel hash-checks against the SAME SQL as the batch
+    funnel (stream == batch). Imported lazily to avoid a module cycle."""
+    from projet_data_infrastructure_spark.plans.advanced import _FUNNEL_SQL
+
+    SPECS.append(
+        QuerySpec(
+            "stream_funnel_conversion",
+            q_stream_funnel_conversion,
+            _FUNNEL_SQL,
+            ("streaming", "stateful"),
+            doc="view->purchase funnel LIVE via applyInPandasWithState (two-"
+            "timestamp state per user); hash parity with the batch funnel oracle",
+        )
+    )
+
+
+_attach_stream_funnel_oracle()

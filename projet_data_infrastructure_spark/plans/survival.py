@@ -325,3 +325,147 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test (two-arm survival comparison, Kaplan-Meier's companion)
+# --------------------------------------------------------------------------
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank test (Mantel 1966) over the SAME survival framing
+    as ``kaplan_meier_retention`` (event = first purchase, right-censored
+    at last activity), arms = the deterministic hash coin every causal
+    spec uses. Per pooled death time t: observed arm-1 deaths d1t vs
+    expected E1t = dt·n1t/nt and hypergeometric variance
+    V1t = dt·n1t·n2t·(nt−dt) / (nt²·(nt−1)); Z = Σ(d1t−E1t)/√ΣVt.
+
+    Determinism: every per-time term derives from exact integer risk-set
+    counts; the two Σs run as order-pinned folds over the array_sort-ed
+    day frame (the fourier/cuped discipline) so both engines execute the
+    identical IEEE sum order; Z forms in the shared double tree, pround 6.
+    Scale shape: ONE per-user aggregate is the only corpus shuffle; the
+    day grid (calendar-bounded) carries everything else."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.max("ts").alias("l"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    d = pu.select(
+        F.pmod(hash64(F.col("user_id")), F.lit(2)).cast("int").alias("arm"),
+        F.when(F.col("p").isNotNull(), F.datediff(F.to_date("p"), F.to_date("f")))
+        .otherwise(F.datediff(F.to_date("l"), F.to_date("f")))
+        .alias("dur_days"),
+        F.col("p").isNotNull().cast("long").alias("obs"),
+    )
+    day = d.groupBy("dur_days").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("obs")).otherwise(0)).alias("d1"),
+        F.sum("obs").alias("dt"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("r1"),
+        F.count(F.lit(1)).alias("rt"),
+    )
+    w_desc = Window.orderBy(F.desc("dur_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        day.withColumn("n1", F.sum("r1").over(w_desc).cast("long"))
+        .withColumn("nt", F.sum("rt").over(w_desc).cast("long"))
+        .filter((F.col("dt") > 0) & (F.col("nt") > 1))
+        .select("dur_days", "d1", "dt", "n1", "nt")
+    )
+    folded = risk.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(dur_days, d1, dt, n1, nt)))").alias(
+            "arr"
+        )
+    )
+    num = (
+        "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, r) -> acc"
+        " + (CAST(r.d1 AS DOUBLE)"
+        "    - CAST(r.dt AS DOUBLE) * CAST(r.n1 AS DOUBLE) / CAST(r.nt AS DOUBLE)))"
+    )
+    var = (
+        "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, r) -> acc"
+        " + (CAST(r.dt AS DOUBLE) * CAST(r.n1 AS DOUBLE)"
+        "    * (CAST(r.nt AS DOUBLE) - CAST(r.n1 AS DOUBLE))"
+        "    * (CAST(r.nt AS DOUBLE) - CAST(r.dt AS DOUBLE)))"
+        " / (CAST(r.nt AS DOUBLE) * CAST(r.nt AS DOUBLE)"
+        "    * (CAST(r.nt AS DOUBLE) - 1.0)))"
+    )
+    return folded.select(
+        F.expr("size(arr)").cast("long").alias("n_times"),
+        pround(F.expr(num), 6).alias("obs_minus_exp_r"),
+        pround(F.expr(var), 6).alias("var_r"),
+        pround(F.expr(f"({num}) / sqrt({var})"), 6).alias("z_r"),
+    )
+
+
+_LOGRANK_SQL = f"""
+WITH pu AS (
+    SELECT user_id, min(ts) AS f, max(ts) AS l,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+    FROM events GROUP BY user_id
+), d AS (
+    SELECT CAST({hash64_sql('user_id')} % 2 AS INT) AS arm,
+           CASE WHEN p IS NOT NULL
+                THEN date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END
+               AS dur_days,
+           CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+    FROM pu
+), day AS (
+    SELECT dur_days,
+           CAST(sum(CASE WHEN arm = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+           CAST(sum(obs) AS BIGINT) AS dt,
+           CAST(sum(CAST(arm = 1 AS INT)) AS BIGINT) AS r1,
+           count(*) AS rt
+    FROM d GROUP BY dur_days
+), risk AS (
+    SELECT dur_days, d1, dt,
+           CAST(sum(r1) OVER (ORDER BY dur_days DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+           CAST(sum(rt) OVER (ORDER BY dur_days DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nt
+    FROM day
+), rows_ AS (
+    SELECT dur_days, d1, dt, n1, nt FROM risk WHERE dt > 0 AND nt > 1
+), folded AS (
+    SELECT list_sort(list(struct_pack(dur_days := dur_days, d1 := d1, dt := dt,
+                                      n1 := n1, nt := nt))) AS arr
+    FROM rows_
+), sums AS (
+    SELECT len(arr) AS n_times,
+           list_reduce(list_transform(arr, r ->
+               CAST(r.d1 AS DOUBLE)
+               - CAST(r.dt AS DOUBLE) * CAST(r.n1 AS DOUBLE) / CAST(r.nt AS DOUBLE)),
+               (a, b) -> a + b) AS num,
+           list_reduce(list_transform(arr, r ->
+               (CAST(r.dt AS DOUBLE) * CAST(r.n1 AS DOUBLE)
+                * (CAST(r.nt AS DOUBLE) - CAST(r.n1 AS DOUBLE))
+                * (CAST(r.nt AS DOUBLE) - CAST(r.dt AS DOUBLE)))
+               / (CAST(r.nt AS DOUBLE) * CAST(r.nt AS DOUBLE)
+                  * (CAST(r.nt AS DOUBLE) - 1.0))),
+               (a, b) -> a + b) AS var
+    FROM folded
+)
+SELECT CAST(n_times AS BIGINT) AS n_times,
+       {pround_sql('num', 6)} AS obs_minus_exp_r,
+       {pround_sql('var', 6)} AS var_r,
+       {pround_sql('num / sqrt(var)', 6)} AS z_r
+FROM sums
+"""
+
+
+
+SPECS.append(
+    QuerySpec(
+        "logrank_test",
+        q_logrank_test,
+        _LOGRANK_SQL,
+        ("stats", "survival"),
+        doc="Two-arm Mantel log-rank test over the KM survival framing: "
+        "integer risk sets, order-pinned folds, shared-tree Z",
+    )
+)

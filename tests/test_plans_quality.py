@@ -1107,7 +1107,7 @@ def test_span_corruption_has_no_window_or_sort(spark):
     # the window-free span-start trick: the executed plan must contain NO
     # Window and NO Sort — the predecessor's mask coin is recomputed
     # map-side, not carried by lag()
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         q_span_corruption_masks,
     )
 
@@ -1120,7 +1120,7 @@ def test_span_corruption_has_no_window_or_sort(spark):
 
 
 def test_incremental_dedup_has_no_cartesian(spark):
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         q_incremental_index_dedup,
     )
 
@@ -1133,7 +1133,7 @@ def test_incremental_dedup_has_no_cartesian(spark):
 
 
 def test_contamination_is_bucketed_not_crossproduct(spark):
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         q_semantic_contamination,
     )
 
@@ -1146,7 +1146,7 @@ def test_contamination_is_bucketed_not_crossproduct(spark):
 
 
 def test_pii_scan_prunes_to_three_columns(spark):
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         q_pii_redaction_scan,
     )
 
@@ -1160,7 +1160,7 @@ def test_pii_scan_prunes_to_three_columns(spark):
 
 
 def test_keyless_range_join_has_no_nested_loop(spark):
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.advanced import (
         q_range_join_keyless_bucketed,
     )
 
@@ -1183,7 +1183,7 @@ def test_logrank_window_only_over_day_grid(spark):
     # Window's child to the dur_days-keyed aggregate: in the top-down plan
     # print the Window must appear ABOVE (before) that HashAggregate, and
     # the only corpus-sized exchange is the per-user aggregate's.
-    from projet_data_infrastructure_spark.plans.roundeight import q_logrank_test
+    from projet_data_infrastructure_spark.plans.survival import q_logrank_test
 
     plan = q_logrank_test(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
@@ -1199,7 +1199,7 @@ def test_funnel_three_step_is_window_free(spark):
     # the 3-step funnel chains conditional-min aggregates + two
     # user_id-keyed self-joins — no Window at all, so there is nothing to
     # single-partition (the 2-step `funnel_conversion` discipline).
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.advanced import (
         q_funnel_three_step,
     )
 

@@ -5,13 +5,17 @@ contamination flagging of a planted duplicate."""
 
 import pyspark.sql.functions as F
 
-import projet_data_infrastructure_spark.plans.roundeight as r8
+import projet_data_infrastructure_spark.plans.advanced as adv
+import projet_data_infrastructure_spark.plans.corpus_lm as cl
+import projet_data_infrastructure_spark.plans.ml_eval as mle
+import projet_data_infrastructure_spark.plans.streaming_parity as spar
+import projet_data_infrastructure_spark.plans.survival as sv
 
 SF = "/root/testdata/sf0.001"
 
 
 def _with_docs(monkeypatch, docs):
-    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, name: docs)
+    monkeypatch.setattr(cl, "read_table_balanced", lambda sp, sf, name: docs)
 
 
 # ---------------------------------------------------------------- UniMax
@@ -41,9 +45,9 @@ def test_unimax_matches_python_reference(spark, monkeypatch):
     )
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     _with_docs(monkeypatch, docs)
-    out = {r.lang: r for r in r8.q_unimax_sampling_plan(spark, SF).collect()}
+    out = {r.lang: r for r in cl.q_unimax_sampling_plan(spark, SF).collect()}
     caps = {"aa": 6, "bb": 12, "cc": 200}
-    budget = (sum(caps.values()) * r8._UNIMAX_BUDGET_NUM) // r8._UNIMAX_BUDGET_DEN
+    budget = (sum(caps.values()) * cl._UNIMAX_BUDGET_NUM) // cl._UNIMAX_BUDGET_DEN
     ref = _unimax_reference(caps, budget)
     assert {l: r.alloc_tokens for l, r in out.items()} == ref
     assert out["aa"].capped == 1 and out["bb"].capped == 1 and out["cc"].capped == 0
@@ -53,9 +57,9 @@ def test_unimax_matches_python_reference(spark, monkeypatch):
 
 
 def test_unimax_real_corpus_invariants(spark):
-    rows = r8.q_unimax_sampling_plan(spark, SF).collect()
-    budget = (sum(r.lang_tokens for r in rows) * r8._UNIMAX_BUDGET_NUM) // (
-        r8._UNIMAX_BUDGET_DEN
+    rows = cl.q_unimax_sampling_plan(spark, SF).collect()
+    budget = (sum(r.lang_tokens for r in rows) * cl._UNIMAX_BUDGET_NUM) // (
+        cl._UNIMAX_BUDGET_DEN
     )
     assert sum(r.alloc_tokens for r in rows) <= budget
     thetas = {r.alloc_tokens for r in rows if r.capped == 0}
@@ -67,7 +71,7 @@ def test_unimax_real_corpus_invariants(spark):
 
 
 def test_pii_counts_and_redaction(spark):
-    rows = r8.q_pii_redaction_scan(spark, SF).collect()
+    rows = cl.q_pii_redaction_scan(spark, SF).collect()
     assert all(r.n_emails >= 1 and r.n_ips >= 1 and r.n_phones >= 1 for r in rows)
     # redaction strictly shrinks (footer PII is longer than '[PII]')
     assert all(r.redacted_len < r.orig_len for r in rows)
@@ -77,10 +81,10 @@ def test_pii_counts_and_redaction(spark):
 
 
 def test_epoch_shuffle_manifest_is_deterministic_and_complete(spark):
-    a = r8.q_epoch_shuffle_manifest(spark, SF).collect()
-    b = r8.q_epoch_shuffle_manifest(spark, SF).collect()
+    a = cl.q_epoch_shuffle_manifest(spark, SF).collect()
+    b = cl.q_epoch_shuffle_manifest(spark, SF).collect()
     assert a == b
-    assert all(0 <= r.shard < r8._SHUFFLE_SHARDS for r in a)
+    assert all(0 <= r.shard < cl._SHUFFLE_SHARDS for r in a)
     from projet_data_infrastructure_spark.sources.readers import read_table
 
     n = read_table(spark, SF, "documents").count()
@@ -101,7 +105,7 @@ def test_boilerplate_flags_template_in_every_doc(spark, monkeypatch):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     _with_docs(monkeypatch, docs)
-    out = {r.doc_id: r for r in r8.q_boilerplate_line_df(spark, SF).collect()}
+    out = {r.doc_id: r for r in cl.q_boilerplate_line_df(spark, SF).collect()}
     from projet_data_infrastructure_spark.plans.llm_queries import _C4_LINE_WORDS
 
     if _C4_LINE_WORDS == 5:
@@ -122,7 +126,7 @@ def test_boilerplate_exact_shared_lines(spark, monkeypatch):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     _with_docs(monkeypatch, docs)
-    out = {r.doc_id: r for r in r8.q_boilerplate_line_df(spark, SF).collect()}
+    out = {r.doc_id: r for r in cl.q_boilerplate_line_df(spark, SF).collect()}
     assert out[1].n_boiler == out[2].n_boiler == out[3].n_boiler == 1
     assert out[1].n_lines == 2 and out[1].boiler_micro == 500_000
     assert out[4].n_boiler == 0 and out[4].boiler_micro == 0
@@ -144,8 +148,8 @@ def test_contamination_flags_planted_duplicate(spark, monkeypatch):
     emb = spark.createDataFrame(
         vecs, "vec_id long, embedding array<float>, label int"
     )
-    monkeypatch.setattr(r8, "read_table", lambda sp, sf, name: emb)
-    out = {r.eval_id: r for r in r8.q_semantic_contamination(spark, SF).collect()}
+    monkeypatch.setattr(cl, "read_table", lambda sp, sf, name: emb)
+    out = {r.eval_id: r for r in cl.q_semantic_contamination(spark, SF).collect()}
     assert out[30].train_id == 31
     assert abs(out[30].cos_sim - 1.0) < 1e-5
     assert out[30].contaminated == 1
@@ -155,7 +159,7 @@ def test_contamination_flags_planted_duplicate(spark, monkeypatch):
 
 
 def test_temperature_flattens_distribution(spark):
-    rows = r8.q_temperature_sampling_weights(spark, SF).collect()
+    rows = cl.q_temperature_sampling_weights(spark, SF).collect()
     raw = {r.lang: r.raw_share_r for r in rows}
     temp = {r.lang: r.temp_share_r for r in rows}
     assert abs(sum(raw.values()) - 1.0) < 1e-4
@@ -170,7 +174,7 @@ def test_temperature_flattens_distribution(spark):
 
 
 def test_fertility_at_least_one_subword_per_word(spark):
-    rows = r8.q_tokenizer_fertility_by_lang(spark, SF).collect()
+    rows = cl.q_tokenizer_fertility_by_lang(spark, SF).collect()
     assert all(r.fertility_micro >= 1_000_000 for r in rows)
     assert all(r.n_subwords >= r.n_words for r in rows)
 
@@ -183,14 +187,14 @@ def test_span_corruption_matches_python_recompute(spark):
 
     def coin(doc_id, pos):
         h = int(
-            hashlib.md5(f"{r8._SPAN_SEED}:{doc_id}:{pos}".encode()).hexdigest()[:15],
+            hashlib.md5(f"{cl._SPAN_SEED}:{doc_id}:{pos}".encode()).hexdigest()[:15],
             16,
         )
-        return h % 100 < r8._SPAN_PCT
+        return h % 100 < cl._SPAN_PCT
 
     from projet_data_infrastructure_spark.sources.readers import read_table
 
-    rows = {r.doc_id: r for r in r8.q_span_corruption_masks(spark, SF).collect()}
+    rows = {r.doc_id: r for r in cl.q_span_corruption_masks(spark, SF).collect()}
     docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(5).collect()
     for d in docs:
         toks = d.text.split()
@@ -236,14 +240,14 @@ def test_keepbest_picks_longest_then_smallest_id(spark, monkeypatch):
          (7, "x", "en", 5), (8, "x", "en", 4), (9, "x", "en", 99)],
         "doc_id long, text string, lang string, n_chars long",
     )
-    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
-    monkeypatch.setattr(r8, "read_table", lambda sp, sf, n: docs)
+    monkeypatch.setattr(cl, "read_table_balanced", lambda sp, sf, n: docs)
+    monkeypatch.setattr(cl, "read_table", lambda sp, sf, n: docs)
     import projet_data_infrastructure_spark.operators.dedup as dd
 
     monkeypatch.setattr(dd, "minhash_signatures", _FakeDedup.minhash_signatures)
     monkeypatch.setattr(dd, "lsh_candidate_pairs", _FakeDedup.lsh_candidate_pairs)
     monkeypatch.setattr(dd, "duplicate_clusters", _FakeDedup.duplicate_clusters)
-    out = {r.component: r for r in r8.q_dedup_keepbest_canonical(spark, SF).collect()}
+    out = {r.component: r for r in cl.q_dedup_keepbest_canonical(spark, SF).collect()}
     # cluster 1: docs 2 and 3 tie at 30 chars -> smallest id (2) wins
     assert out[1].canonical_doc == 2 and out[1].canonical_chars == 30
     assert out[1].cluster_size == 3 and out[1].dropped_chars == 40
@@ -256,9 +260,9 @@ def test_keepbest_picks_longest_then_smallest_id(spark, monkeypatch):
 
 def test_curriculum_phases_are_balanced_and_ordered(spark):
     rows = sorted(
-        r8.q_curriculum_length_phases(spark, SF).collect(), key=lambda r: r.phase
+        cl.q_curriculum_length_phases(spark, SF).collect(), key=lambda r: r.phase
     )
-    assert [r.phase for r in rows] == list(range(r8._CURRICULUM_PHASES))
+    assert [r.phase for r in rows] == list(range(cl._CURRICULUM_PHASES))
     sizes = [r.n_docs for r in rows]
     assert max(sizes) - min(sizes) <= 1  # exact-balance cut
     for a, b in zip(rows, rows[1:]):
@@ -269,7 +273,7 @@ def test_curriculum_phases_are_balanced_and_ordered(spark):
 
 
 def test_oov_rates_are_valid_shares(spark):
-    rows = r8.q_oov_rate_by_lang(spark, SF).collect()
+    rows = cl.q_oov_rate_by_lang(spark, SF).collect()
     assert all(0 <= r.oov_micro <= 1_000_000 for r in rows)
     assert all(r.n_oov <= r.n_tokens for r in rows)
     assert len(rows) == 5
@@ -287,8 +291,8 @@ def test_incremental_dedup_matches_only_across_index_boundary(spark, monkeypatch
         (7, "totally different words here nothing shared at all okay", "en", 50),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
-    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
-    out = {r.new_doc: r for r in r8.q_incremental_index_dedup(spark, SF).collect()}
+    monkeypatch.setattr(cl, "read_table_balanced", lambda sp, sf, n: docs)
+    out = {r.new_doc: r for r in cl.q_incremental_index_dedup(spark, SF).collect()}
     # both odd docs match index doc 2; the odd-odd pair (3,5) is NOT emitted
     assert set(out) == {3, 5}
     assert out[3].matched_index_doc == 2 and out[5].matched_index_doc == 2
@@ -307,8 +311,8 @@ def test_tokenset_groups_reordered_copy(spark, monkeypatch):
         (4, "something else entirely", "en", 23),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
-    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
-    out = r8.q_tokenset_dedup_groups(spark, SF).collect()
+    monkeypatch.setattr(cl, "read_table_balanced", lambda sp, sf, n: docs)
+    out = cl.q_tokenset_dedup_groups(spark, SF).collect()
     assert len(out) == 1
     g = out[0]
     assert g.keep_doc == 1 and g.n_docs == 3 and g.n_variants == 3
@@ -323,13 +327,13 @@ def test_char_entropy_matches_python_recompute(spark):
 
     from projet_data_infrastructure_spark.sources.readers import read_table
 
-    rows = {r.doc_id: r for r in r8.q_char_entropy_quality(spark, SF).collect()}
+    rows = {r.doc_id: r for r in cl.q_char_entropy_quality(spark, SF).collect()}
     docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(4).collect()
     for d in docs:
         cnt = Counter(d.text)
         n = sum(cnt.values())
         ent = sum(
-            c * math.floor(-math.log(c / n) * 1e6 + r8._ENT_QBIAS) for c in cnt.values()
+            c * math.floor(-math.log(c / n) * 1e6 + cl._ENT_QBIAS) for c in cnt.values()
         ) // n
         r = rows[d.doc_id]
         assert r.n_chars_counted == n
@@ -343,8 +347,8 @@ def test_char_entropy_flags_repetitive_junk(spark, monkeypatch):
         (3, "the quick brown fox jumps over the lazy dog " * 4, "en", 180),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
-    monkeypatch.setattr(r8, "read_table_balanced", lambda sp, sf, n: docs)
-    out = {r.doc_id: r for r in r8.q_char_entropy_quality(spark, SF).collect()}
+    monkeypatch.setattr(cl, "read_table_balanced", lambda sp, sf, n: docs)
+    out = {r.doc_id: r for r in cl.q_char_entropy_quality(spark, SF).collect()}
     assert out[1].entropy_unats == 0 and out[1].low_entropy == 1
     assert out[2].low_entropy == 1
     assert out[3].low_entropy == 0  # prose clears 3 nats
@@ -357,7 +361,7 @@ def test_minhash_calibration_bins_are_sane(spark):
     import projet_data_infrastructure_spark.operators.dedup as dd
 
     rows = sorted(
-        r8.q_minhash_calibration_bins(spark, SF).collect(), key=lambda r: r.n_match
+        cl.q_minhash_calibration_bins(spark, SF).collect(), key=lambda r: r.n_match
     )
     assert rows, "LSH candidates must exist in the shipped corpus"
     assert all(0 <= r.n_match <= dd.MINHASH_HASHES for r in rows)
@@ -374,7 +378,7 @@ def test_stream_funnel_equals_batch_funnel(spark):
 
     stream = {
         r.user_id: (r.first_view, r.first_purchase, r.seconds_to_convert)
-        for r in r8.q_stream_funnel_conversion(spark, SF).collect()
+        for r in spar.q_stream_funnel_conversion(spark, SF).collect()
     }
     batch = {
         r.user_id: (r.first_view, r.first_purchase, r.seconds_to_convert)
@@ -396,7 +400,7 @@ def test_normalize_text_stats_recompute(spark, monkeypatch):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
     _with_docs(monkeypatch, docs)
-    out = {r.doc_id: r for r in r8.q_normalize_text_stats(spark, SF).collect()}
+    out = {r.doc_id: r for r in cl.q_normalize_text_stats(spark, SF).collect()}
     for doc_id, text, _, _ in rows:
         lowered = text.strip().lower()
         collapsed = _re.sub(r"\s+", " ", lowered)
@@ -432,9 +436,9 @@ def test_keyless_range_join_counts_exact_window(spark, monkeypatch):
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
     )
-    monkeypatch.setattr(r8, "read_table", lambda sp, sf, n: ev)
+    monkeypatch.setattr(adv, "read_table", lambda sp, sf, n: ev)
     out = {r.event_id: r.n_signups_prev_hour for r in
-           r8.q_range_join_keyless_bucketed(spark, SF).collect()}
+           adv.q_range_join_keyless_bucketed(spark, SF).collect()}
     assert out == {1: 2}
 
 
@@ -471,8 +475,8 @@ def test_logrank_matches_lifelines_style_reference(spark, monkeypatch):
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
     )
-    monkeypatch.setattr(r8, "read_table", lambda sp, sf, n: ev)
-    got = r8.q_logrank_test(spark, SF).collect()[0]
+    monkeypatch.setattr(sv, "read_table", lambda sp, sf, n: ev)
+    got = sv.q_logrank_test(spark, SF).collect()[0]
 
     # pure-Python log-rank over the same cohort
     entries = [(cohort[u][0], cohort[u][1], arm_of(u)) for u in cohort]
@@ -524,8 +528,8 @@ def test_funnel_three_step_strict_order(spark, monkeypatch):
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
     )
-    monkeypatch.setattr(r8, "read_table", lambda sp, sf, n: ev)
-    got = r8.q_funnel_three_step(spark, SF).collect()[0]
+    monkeypatch.setattr(adv, "read_table", lambda sp, sf, n: ev)
+    got = adv.q_funnel_three_step(spark, SF).collect()[0]
     assert got.n_viewed == 3
     assert got.n_clicked_after_view == 2  # users 1 and 3
     assert got.n_purchased_after_click == 1  # user 1 only
@@ -536,7 +540,7 @@ def test_funnel_three_step_strict_order(spark, monkeypatch):
 
 
 def test_quantile_normalize_bounds_and_ranks(spark):
-    rows = r8.q_quantile_normalize_scores(spark, SF).collect()
+    rows = mle.q_quantile_normalize_scores(spark, SF).collect()
     assert all(0 < r.qn_micro < 1_000_000 for r in rows)
     by_lang = {}
     for r in rows:

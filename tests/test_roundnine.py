@@ -84,7 +84,7 @@ def test_funnel3_strict_sequencing(spark):
 
 def test_stream_funnel3_equals_batch(spark):
     stream_row = spar.q_stream_funnel_three_step(spark, SF).first()
-    import projet_data_infrastructure_spark.plans.roundeight as r8
+    import projet_data_infrastructure_spark.plans.advanced as r8
 
     batch_row = r8.q_funnel_three_step(spark, SF).first()
     assert stream_row.asDict() == batch_row.asDict()
@@ -99,14 +99,14 @@ def test_stream_incremental_dedup_batch_split_invariant(spark, monkeypatch):
     # maxFilesPerTrigger=1 and compare against the batch spec.
     import tempfile
 
-    import projet_data_infrastructure_spark.plans.roundeight as r8
+    import projet_data_infrastructure_spark.plans.corpus_lm as r8
 
     batch = {
         r.new_doc: (r.matched_index_doc, r.jac_micro, r.n_matches)
         for r in r8.q_incremental_index_dedup(spark, SF).collect()
     }
 
-    from projet_data_infrastructure_spark.plans.roundeight import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         doc_token_sets,
         jaccard_best_match,
         minhash_band_rows,
