@@ -255,7 +255,7 @@ def ntile_from_rank_cols(rank: Column, n_total: Column, n: int) -> Column:
 # --------------------------------------------------------------------------
 #
 # ``mann_whitney_u``, ``spearman_corr_qty_price`` and ``kruskal_wallis_h``
-# (plans/roundnine.py) rank a corpus-sized column WITHOUT a corpus-sized
+# (plans/stats_inference.py) rank a corpus-sized column WITHOUT a corpus-sized
 # sort: observations quantize to a value-bounded grid (whole dollars, the
 # 1..50 TPC-H quantity domain), one group-by produces per-value tie counts,
 # and a cumulative window over the GRID (<= ~500 rows -- the

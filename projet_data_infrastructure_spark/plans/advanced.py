@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from projet_data_infrastructure_spark.operators.asof import asof_join
+from projet_data_infrastructure_spark.operators.asof import asof_join, carry_forward
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
 from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
@@ -3317,6 +3317,94 @@ SPECS.extend(
             ("timeseries", "funnel"),
             doc="Strict view->click->purchase funnel: one per-user aggregate + "
             "two |users|-frame step joins; monotone stage counts",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Point-in-time regime attribution (SCD2 as-of-into-intervals join)
+# --------------------------------------------------------------------------
+
+
+def q_pit_regime_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # Regime source: every non-purchase event. SCD2 change-detection (drop
+    # rows equal to their predecessor) is deliberately OMITTED: last(attr)
+    # over the merged stream returns the latest state's value either way
+    # (collapsing consecutive duplicates never changes the carried-forward
+    # value), and skipping it removes a whole Exchange+Sort from the plan.
+    states = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("event_type").alias("attr"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("string").alias("attr"),
+        cents.alias("cents"),
+    )
+    # Union + one per-user sort: the regime carries forward without a range
+    # join (the registered PIT core, operators/asof.carry_forward). Equal-ts
+    # tie: the state row (kind 0) wins — a change effective AT the purchase
+    # instant applies to it.
+    merged = carry_forward(
+        states.unionByName(facts),
+        key="user_id",
+        order=("ts", "kind", "event_id"),
+        carry={"regime": "attr"},
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .groupBy(F.coalesce(F.col("regime"), F.lit("none")).alias("regime"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+_PIT_SQL = """
+WITH states AS (
+    SELECT user_id, ts, 0 AS kind, event_id, event_type AS attr,
+           CAST(NULL AS BIGINT) AS cents
+    FROM events WHERE event_type <> 'purchase'
+), facts AS (
+    SELECT user_id, ts, 1 AS kind, event_id, CAST(NULL AS VARCHAR) AS attr,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), merged AS (
+    SELECT *, last_value(attr IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS regime
+    FROM (SELECT * FROM states UNION ALL SELECT * FROM facts)
+)
+SELECT coalesce(regime, 'none') AS regime,
+       count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM merged WHERE kind = 1
+GROUP BY 1
+"""
+
+
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "pit_regime_attribution",
+            q_pit_regime_attribution,
+            _PIT_SQL,
+            ("join", "scd2", "window", "bench"),
+            doc="Point-in-time join: purchases attributed to the SCD2 regime in "
+            "force at their timestamp via the union+window carry-forward (one "
+            "Exchange + one Sort per user stream, no interval range join)",
         ),
     ]
 )

@@ -33,6 +33,9 @@ from projet_data_infrastructure_spark.sources.readers import (
 
 SPECS: list[QuerySpec] = []
 
+# whitespace tokenizer shared by the trigram-backoff and TextRank oracles
+_BACKOFF_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
 # --------------------------------------------------------------------------
 # Per-document TF-IDF keywords
 # --------------------------------------------------------------------------
@@ -195,8 +198,6 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _textrank_sql() -> str:
-    from projet_data_infrastructure_spark.plans.roundseven import _BACKOFF_TOKS
-
     iters = []
     prev = "r0"
     for k in range(1, _TR_ITERS + 1):
@@ -1829,6 +1830,434 @@ SPECS.extend(
             ("llm", "text"),
             doc="Lowercase/whitespace/punct normalization accounting with a "
             "normalized-text md5 fingerprint; map-only, dialect-safe regexes",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Stupid Backoff trigram scoring (train = even doc_ids, score = odd)
+# --------------------------------------------------------------------------
+
+
+def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    heldout = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def ngrams(df: DataFrame, n: int, cols: list[str]) -> DataFrame:
+        fields = ", ".join(
+            f"element_at(t, i + {j}) AS {c}" for j, c in enumerate(cols)
+        )
+        return df.select(
+            "doc_id",
+            F.explode(
+                # Guard before sequence(): sequence(1, 0) counts DOWN and
+                # element_at(t, 0) throws on docs shorter than n tokens.
+                F.expr(
+                    f"CASE WHEN size(t) >= {n} THEN"
+                    f" transform(sequence(1, size(t) - {n - 1}),"
+                    f" i -> struct({fields}))"
+                    f" ELSE array() END"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.*").where(F.col(cols[0]).isNotNull())
+
+    train_t = train.withColumn("t", tokens(F.lower(F.col("text"))))
+    tri = (
+        ngrams(train_t, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bi = (
+        ngrams(train_t, 2, ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        ngrams(train_t, 1, ["w1"]).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_total = uni.agg(F.sum("c1").alias("n_train"))  # 1-row, broadcast below
+
+    held_t = heldout.withColumn("t", tokens(F.lower(F.col("text"))))
+    htri = ngrams(held_t, 3, ["w1", "w2", "w3"])
+    scored = (
+        htri.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.withColumnRenamed("c2", "c2p"), ["w1", "w2"], "left"
+        )
+        .join(
+            bi.selectExpr("w1 AS w2", "w2 AS w3", "c2 AS c2s"),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.selectExpr("w1 AS w2", "c1 AS c1w2"), ["w2"], "left")
+        .join(uni.selectExpr("w1 AS w3", "c1 AS c1w3"), ["w3"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN coalesce(c3, 0) > 0 THEN (1000000 * c3) DIV c2p"
+                " WHEN coalesce(c2s, 0) > 0 THEN (2 * 1000000 * c2s) DIV (5 * c1w2)"
+                " ELSE (4 * 1000000 * coalesce(c1w3, 0)) DIV (25 * n_train) END"
+            ).alias("s_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.expr("sum(s_micro) DIV count(1)").alias("avg_score_micro"),
+    )
+
+
+
+_BACKOFF_SQL = f"""
+WITH train AS (
+    SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents WHERE doc_id % 2 = 0
+), held AS (
+    SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents WHERE doc_id % 2 = 1
+), tri AS (
+    SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, count(*) AS c3
+    FROM train, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    GROUP BY 1, 2, 3
+), bi AS (
+    SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c2
+    FROM train, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    GROUP BY 1, 2
+), uni AS (
+    SELECT t[i] AS w1, count(*) AS c1
+    FROM train, unnest(range(1, len(t) + 1)) AS u(i)
+    GROUP BY 1
+), ntr AS (
+    SELECT sum(c1) AS n_train FROM uni
+), htri AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+    FROM held, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+), scored AS (
+    SELECT h.doc_id,
+           CASE WHEN coalesce(tri.c3, 0) > 0 THEN (1000000 * tri.c3) // bp.c2
+                WHEN coalesce(bs.c2, 0) > 0 THEN (2 * 1000000 * bs.c2) // (5 * u2.c1)
+                ELSE (4 * 1000000 * coalesce(u3.c1, 0)) // (25 * ntr.n_train) END
+               AS s_micro
+    FROM htri h
+    LEFT JOIN tri ON tri.w1 = h.w1 AND tri.w2 = h.w2 AND tri.w3 = h.w3
+    LEFT JOIN bi bp ON bp.w1 = h.w1 AND bp.w2 = h.w2
+    LEFT JOIN bi bs ON bs.w1 = h.w2 AND bs.w2 = h.w3
+    LEFT JOIN uni u2 ON u2.w1 = h.w2
+    LEFT JOIN uni u3 ON u3.w1 = h.w3
+    CROSS JOIN ntr
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(sum(s_micro) // count(*) AS BIGINT) AS avg_score_micro
+FROM scored GROUP BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Cross-corpus n-gram novelty per document
+# --------------------------------------------------------------------------
+
+
+def q_token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT word 3-grams
+    whose corpus-wide first occurrence (min doc_id) is the doc itself — the
+    dedup-adjacent signal curation pipelines use to rank "how much new text
+    does this document add" (ExactSubstr's counting cousin). Two keyed
+    shuffles (per-doc distinct, per-gram min) + one join back; no corpus ×
+    corpus pair generation anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = (
+        docs.withColumn("t", tokens(F.lower(F.col("text"))))
+        .select(
+            "doc_id",
+            F.explode(
+                # Guard before sequence(): Spark's sequence(1, 0) counts DOWN
+                # to [1, 0] and element_at(t, 0) throws, so docs shorter than
+                # the gram width must short-circuit to an empty array (house
+                # rule, cf. llm_queries.py tokenizer helpers).
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN"
+                    " transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', element_at(t, i), element_at(t, i+1),"
+                    " element_at(t, i+2)))"
+                    " ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn("novelty_micro", F.expr("(1000000 * n_novel) DIV n_grams"))
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+    FROM (SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents),
+         unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+), first AS (
+    SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CAST(f.first_doc = g.doc_id AS BIGINT)) AS BIGINT) AS n_novel,
+       CAST((1000000 * sum(CAST(f.first_doc = g.doc_id AS BIGINT))) // count(*)
+           AS BIGINT) AS novelty_micro
+FROM grams g JOIN first f USING (gram)
+GROUP BY g.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Content-defined chunking + chunk-level dedup (FastCDC-lite)
+# --------------------------------------------------------------------------
+
+_CDC_W = 8  # rolling-gram width (chars)
+_CDC_B = 31  # polynomial base
+_CDC_M = 1000003  # hash modulus (prime)
+_CDC_D = 64  # boundary divisor -> expected chunk ~64 chars
+
+
+def q_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC dedup primitive):
+    a chunk boundary falls AFTER position i when the polynomial hash of the
+    trailing 8-char gram ≡ 0 (mod 64), so boundaries move with content, not
+    offsets — an insertion reshifts at most one chunk instead of every
+    fixed-width block. Chunks are digested and deduplicated corpus-wide by
+    first occurrence (min (doc_id, chunk_start)); per doc we report chunk
+    count and the fraction of chunk BYTES already seen elsewhere — the
+    storage-dedup ratio a chunked lake would achieve.
+
+    Implementation: one char explode (posexplode of the codepoint array),
+    ONE per-doc window pass computing the gram hash from 7 lags + self
+    (fixed width ⇒ no rolling-state recurrence needed) and the running
+    boundary count (same partition+order ⇒ one Exchange + one Sort), then
+    a (doc, chunk) group rebuilding chunk text order-free via the sorted
+    (pos, char) structs, and a digest-keyed min-attribution join (the
+    ``token_ngram_novelty`` shape). Per-doc windows are bounded by document
+    length; the corpus-sized operations are all keyed aggregates.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "(?!^)")).alias("pos", "ch"),
+        )
+        # Spark split keeps the trailing zero-width match as an empty string
+        # (limit = -1); the oracle's range() generator has no such phantom.
+        .where(F.col("ch") != "")
+        .select("doc_id", "pos", F.ascii("ch").alias("v"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # gram hash over the trailing 8 chars: sum of lag_j * B^j (mod M)
+    terms = []
+    for j in range(_CDC_W):
+        coef = pow(_CDC_B, j, _CDC_M)
+        src = F.col("v") if j == 0 else F.lag("v", j).over(wdoc)
+        terms.append((F.coalesce(src, F.lit(0)) % _CDC_M) * F.lit(coef))
+    gram_hash = sum(terms[1:], terms[0]) % F.lit(_CDC_M)
+    hashed = chars.withColumn(
+        "is_boundary",
+        ((F.col("pos") >= _CDC_W - 1) & (gram_hash % _CDC_D == 0)).cast("int"),
+    )
+    # chunk ordinal = boundaries strictly BEFORE this char (boundary char
+    # closes its chunk), via the lagged running sum on the same window
+    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked = hashed.withColumn(
+        "chunk", F.sum("is_boundary").over(wrun) - F.col("is_boundary")
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(
+            F.min("pos").alias("chunk_start"),
+            F.count(F.lit(1)).alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "v"))
+                        ),
+                        lambda s: s["v"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("digest"),
+        )
+    )
+    first = chunks.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "chunk_start")).alias("first_at")
+    )
+    return (
+        chunks.join(first, "digest")
+        .withColumn(
+            "is_dup",
+            (
+                (F.col("first_at.doc_id") != F.col("doc_id"))
+                | (F.col("first_at.chunk_start") != F.col("chunk_start"))
+            ).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("n_chars"),
+            F.sum(F.col("is_dup") * F.col("chunk_len")).alias("dup_chars"),
+        )
+        .withColumn("dup_micro", F.expr("(1000000 * dup_chars) DIV n_chars"))
+    )
+
+
+_CDC_TERMS_SQL = " + ".join(
+    f"(coalesce(lag(v, {j}) OVER wdoc, 0) % {_CDC_M}) * {pow(_CDC_B, j, _CDC_M)}"
+    if j
+    else f"(v % {_CDC_M})"
+    for j in range(_CDC_W)
+)
+
+_CDC_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, i - 1 AS pos, ascii(substr(text, i, 1)) AS v
+    FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+), hashed AS (
+    SELECT doc_id, pos,
+           CAST(pos >= {_CDC_W - 1}
+                AND ({_CDC_TERMS_SQL}) % {_CDC_M} % {_CDC_D} = 0 AS INT)
+               AS is_boundary,
+           v
+    FROM chars
+    WINDOW wdoc AS (PARTITION BY doc_id ORDER BY pos)
+), chunked AS (
+    SELECT doc_id, pos, v,
+           sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - is_boundary AS chunk
+    FROM hashed
+), chunks AS (
+    SELECT doc_id, chunk, min(pos) AS chunk_start, count(*) AS chunk_len,
+           md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pos)) AS digest
+    FROM chunked GROUP BY doc_id, chunk
+), first AS (
+    SELECT digest, min(struct_pack(doc_id := doc_id, chunk_start := chunk_start)) AS first_at
+    FROM chunks GROUP BY digest
+)
+SELECT c.doc_id, count(*) AS n_chunks,
+       CAST(sum(chunk_len) AS BIGINT) AS n_chars,
+       CAST(sum(CAST((f.first_at).doc_id <> c.doc_id
+                OR (f.first_at).chunk_start <> c.chunk_start AS BIGINT)
+           * chunk_len) AS BIGINT) AS dup_chars,
+       CAST((1000000 * sum(CAST((f.first_at).doc_id <> c.doc_id
+                OR (f.first_at).chunk_start <> c.chunk_start AS BIGINT)
+           * chunk_len)) // sum(chunk_len) AS BIGINT) AS dup_micro
+FROM chunks c JOIN first f USING (digest)
+GROUP BY c.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Skip-gram window co-occurrence (word2vec training input)
+# --------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_TOPK = 30
+
+
+def q_skipgram_window_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts with window ±2 —
+    the training-pair input of word2vec/GloVe. Pairs are canonicalized
+    (lexicographic order) so (a,b) and (b,a) accumulate together, emitted
+    map-side from per-position lag/lead offsets in ONE per-doc window pass
+    (fixed window ⇒ 4 offset columns, no self-join of the token table),
+    then ONE pair-count shuffle; top-30 by count with lexicographic
+    tie-break as TakeOrderedAndProject. Distinct from ``bigram_topk``
+    (adjacent only) and ``pmi_collocations`` (scores, not window pairs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    offs = toks
+    pair_cols = []
+    for d in range(1, _SG_WINDOW + 1):
+        offs = offs.withColumn(f"n{d}", F.lead("w", d).over(wdoc))
+        pair_cols.append(f"n{d}")
+    pairs = offs.select(
+        "w",
+        F.explode(F.array(*[F.col(c) for c in pair_cols])).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    canon = pairs.select(
+        F.least("w", "c").alias("a"), F.greatest("w", "c").alias("b")
+    )
+    return (
+        canon.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("a"), F.asc("b"))
+        .limit(_SG_TOPK)
+    )
+
+
+_SG_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM (SELECT doc_id, {_BACKOFF_TOKS} AS t FROM documents),
+         unnest(range(1, len(t) + 1)) AS u(i)
+), offs AS (
+    SELECT w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+    FROM toks
+), pairs AS (
+    SELECT least(w, c) AS a, greatest(w, c) AS b
+    FROM (SELECT w, unnest([n1, n2]) AS c FROM offs)
+    WHERE c IS NOT NULL
+)
+SELECT a, b, count(*) AS n_cooc
+FROM pairs GROUP BY a, b
+ORDER BY n_cooc DESC, a, b LIMIT {_SG_TOPK}
+"""
+
+
+
+
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "trigram_backoff_score",
+            q_trigram_backoff_score,
+            _BACKOFF_SQL,
+            ("text", "lm", "bench"),
+            doc="Stupid Backoff trigram LM scoring of heldout docs from train-"
+            "split counts: integer micro scores, vocabulary-bounded joins only",
+        ),
+    QuerySpec(
+            "token_ngram_novelty",
+            q_token_ngram_novelty,
+            _NOVELTY_SQL,
+            ("text", "dedup", "bench"),
+            doc="Per-doc fraction of distinct 3-grams first seen in that doc: "
+            "two keyed shuffles + one join back, no pair generation",
+        ),
+    QuerySpec(
+            "content_defined_chunking",
+            q_content_defined_chunking,
+            _CDC_SQL,
+            ("dedup", "text"),
+            doc="FastCDC-lite content-defined chunking: lag-polynomial gram hash "
+            "boundaries in ONE per-doc window pass, chunk digests deduped "
+            "corpus-wide by first occurrence; per-doc storage-dedup ratio",
+        ),
+    QuerySpec(
+            "skipgram_window_cooc",
+            q_skipgram_window_cooc,
+            _SG_SQL,
+            ("text",),
+            doc="word2vec skip-gram pair counts, window +/-2, canonicalized "
+            "pairs from lead offsets in one per-doc window pass + one shuffle",
         ),
     ]
 )

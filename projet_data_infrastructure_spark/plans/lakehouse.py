@@ -925,3 +925,77 @@ SPECS: list[QuerySpec] = [
         doc="Deterministic bloom membership filter, oracle-exact incl. false positives",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# GDPR erasure-cascade audit (right-to-be-forgotten blast radius)
+# --------------------------------------------------------------------------
+
+
+def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation blast radius of a right-to-be-forgotten batch: the
+    deterministic erasure set (hash64(c_custkey) % 50 == 0, ~2%) cascades
+    customer → orders → lineitem. Three keyed joins/aggregates — the
+    lineitem leg joins on l_orderkey against the already-restricted orders
+    frame, so the widest table is touched once with a pushed-down key set;
+    no full-table rescan per leg. This is the audit a deletion job runs
+    BEFORE mutating the lake (the versioned-snapshot engine applies it)."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    erased = cust.filter(hash64(F.col("c_custkey")) % 50 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    n_cust = erased.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    orders_e = orders.join(
+        erased, orders["o_custkey"] == erased["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    n_ord = orders_e.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    li_e = li.join(orders_e, li["l_orderkey"] == orders_e["o_orderkey"]).select(
+        "c_nationkey"
+    )
+    n_li = li_e.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_lineitems"))
+    return (
+        n_cust.join(n_ord, "c_nationkey", "left")
+        .join(n_li, "c_nationkey", "left")
+        .fillna({"n_orders": 0, "n_lineitems": 0})
+    )
+
+
+_GDPR_SQL = f"""
+WITH erased AS (
+    SELECT c_custkey, c_nationkey FROM customer
+    WHERE {hash64_sql('c_custkey')} % 50 = 0
+), orders_e AS (
+    SELECT o.o_orderkey, e.c_nationkey
+    FROM orders o JOIN erased e ON o.o_custkey = e.c_custkey
+)
+SELECT c.c_nationkey,
+       c.n_customers,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(l.n_lineitems, 0) AS n_lineitems
+FROM (SELECT c_nationkey, count(*) AS n_customers FROM erased GROUP BY 1) c
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_orders FROM orders_e GROUP BY 1) o
+    USING (c_nationkey)
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_lineitems
+           FROM lineitem li JOIN orders_e oe ON li.l_orderkey = oe.o_orderkey
+           GROUP BY 1) l
+    USING (c_nationkey)
+"""
+
+
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "gdpr_erasure_cascade",
+            q_gdpr_erasure_cascade,
+            _GDPR_SQL,
+            ("governance", "join"),
+            doc="Right-to-be-forgotten blast-radius audit: hash-selected erasure "
+            "set cascaded customer→orders→lineitem with keyed joins only",
+        ),
+    ]
+)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
 from projet_data_infrastructure_spark.operators import similarity
+from projet_data_infrastructure_spark.operators.text import tokens
 from projet_data_infrastructure_spark.plans._portable import (
     fdiv as _fdiv,
     pround,
@@ -593,4 +594,552 @@ SPECS.append(
         doc="Per-language rank quantile normalization via scale-safe "
         "grouped_rank; exact integer micro-quantiles",
     )
+)
+
+
+# --------------------------------------------------------------------------
+# Precision / recall / F1 threshold sweep
+# --------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (2000, 5000, 10000, 20000, 40000)  # cents
+
+
+def q_precision_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    thr_list = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    # 5× literal map-side explode → one combinable aggregate; no rescans.
+    tall = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.explode(F.expr(f"array({thr_list})")).alias("thr"),
+    ).withColumn("pred", (F.col("cents") >= F.col("thr")).cast("int"))
+    conf = tall.groupBy("thr").agg(
+        F.sum(F.expr("CAST(y = 1 AND pred = 1 AS INT)")).alias("tp"),
+        F.sum(F.expr("CAST(y = 0 AND pred = 1 AS INT)")).alias("fp"),
+        F.sum(F.expr("CAST(y = 1 AND pred = 0 AS INT)")).alias("fn"),
+    )
+    return conf.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (1000000 * tp) DIV (tp + fp) ELSE 0 END"
+        ).alias("precision_micro"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (1000000 * tp) DIV (tp + fn) ELSE 0 END"
+        ).alias("recall_micro"),
+    ).withColumn(
+        "f1_micro",
+        F.expr(
+            "CASE WHEN precision_micro + recall_micro > 0 THEN"
+            " (2 * precision_micro * recall_micro) DIV (precision_micro + recall_micro)"
+            " ELSE 0 END"
+        ),
+    )
+
+
+_SWEEP_SQL = f"""
+WITH tall AS (
+    SELECT CAST(event_type = 'purchase' AS INT) AS y,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           thr
+    FROM events, unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t(thr)
+), conf AS (
+    SELECT thr,
+           sum(CAST(y = 1 AND cents >= thr AS INT)) AS tp,
+           sum(CAST(y = 0 AND cents >= thr AS INT)) AS fp,
+           sum(CAST(y = 1 AND cents < thr AS INT)) AS fn
+    FROM tall GROUP BY thr
+), pr AS (
+    SELECT thr, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) ELSE 0 END
+               AS precision_micro,
+           CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) ELSE 0 END
+               AS recall_micro
+    FROM conf
+)
+SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(precision_micro AS BIGINT) AS precision_micro,
+       CAST(recall_micro AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN precision_micro + recall_micro > 0 THEN
+            (2 * precision_micro * recall_micro) // (precision_micro + recall_micro)
+            ELSE 0 END AS BIGINT) AS f1_micro
+FROM pr
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified k-fold assignment (leakage-free CV splits)
+# --------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+def q_stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold: within each language stratum, docs
+    are ranked by (hash64(doc_id), doc_id) and fold = (rank−1) mod k, so
+    fold sizes differ by ≤1 inside every stratum (exact balance, unlike
+    hash-mod assignment). The per-language rank uses the scale-safe
+    :func:`grouped_rank` operator (range-bucketed parallel sorts + broadcast
+    prefix offsets), NOT a per-language window — a single language at 100 TB
+    would otherwise funnel through one task. Output: per (lang, fold) count."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.operators.ranks import grouped_rank
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", hash64(F.col("doc_id")).alias("h")
+    )
+    ranked = grouped_rank(docs, "lang", "h", ties=("doc_id",))
+    return (
+        ranked.withColumn("fold", (F.col("rank") - 1) % _KFOLDS)
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_KFOLD_SQL = f"""
+WITH ranked AS (
+    SELECT lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {hash64_sql('doc_id')}, doc_id) AS rank
+    FROM documents
+)
+SELECT lang, (rank - 1) % {_KFOLDS} AS fold, count(*) AS n_docs
+FROM ranked GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (ML feature prep)
+# --------------------------------------------------------------------------
+
+_TE_SMOOTH = 20  # prior weight (pseudo-observations of the global mean)
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment against
+    the order total — the categorical-feature prep step of every GBDT/linear
+    pipeline, in its leakage-safe LOO form: each row's encoding excludes its
+    OWN target, enc_i = (S_c − y_i + m·ȳ)·10⁶ / ((n_c − 1 + m)·unit), with
+    m = 20 pseudo-observations of the global mean (micro-cent exact integer
+    arithmetic; the global-mean prior is itself an exact integer micro-cent
+    value attached via a broadcast 1-row aggregate). ONE category aggregate
+    joined back map-side — no window, no per-row shuffle beyond the keyed
+    join. Output: per-category stats + the 20 lowest-orderkey encoded rows
+    (bounded sample; TakeOrdered shape)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    per_cat = rows.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("y").alias("s_c")
+    )
+    glob = rows.agg(
+        F.expr("(sum(y) * 1000000) DIV count(1)").alias("gmean_micro")
+    )
+    enc = (
+        rows.join(F.broadcast(per_cat), "c_mktsegment")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.expr(
+                f"((s_c - y) * 1000000 + {_TE_SMOOTH} * gmean_micro)"
+                f" DIV (n_c - 1 + {_TE_SMOOTH})"
+            ).alias("enc_micro"),
+        )
+    )
+    return enc.orderBy("o_orderkey").limit(20)
+
+
+_TE_SQL = f"""
+WITH rows_ AS (
+    SELECT o_orderkey, c_mktsegment,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+), per_cat AS (
+    SELECT c_mktsegment, count(*) AS n_c, sum(y) AS s_c
+    FROM rows_ GROUP BY 1
+), gm AS (
+    SELECT (sum(y) * 1000000) // count(*) AS gmean_micro FROM rows_
+)
+SELECT o_orderkey, c_mktsegment,
+       CAST(((s_c - y) * 1000000 + {_TE_SMOOTH} * gmean_micro)
+           // (n_c - 1 + {_TE_SMOOTH}) AS BIGINT) AS enc_micro
+FROM rows_ JOIN per_cat USING (c_mktsegment) CROSS JOIN gm
+ORDER BY o_orderkey LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
+# Rank-1 ALS step (matrix-factorization family)
+# --------------------------------------------------------------------------
+
+
+def q_als_rank1_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact alternating-least-squares step at rank 1 on the user ×
+    event_type value matrix: item factors initialize from the portable hash
+    (v⁰ ∈ [1,100], integer), the user step solves u_i = Σ_j r_ij·v_j /
+    Σ_j v_j² in closed form per user, the item step re-solves v_j =
+    Σ_i r_ij·u_i / Σ_i u_i² — each step is ONE keyed aggregate (the
+    classic scalable ALS shape: no gradient loop, factors exchanged via
+    joins). Factors are kept in exact micro units (integer floor division),
+    so the whole two-step update is hash-checkable. Output: the item
+    factors after one full alternation."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    r = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "r"
+            )
+        )
+    )
+    v0 = r.select("event_type").distinct().select(
+        "event_type",
+        (F.pmod(hash64(F.col("event_type")), F.lit(100)) + 1).alias("v0"),
+    )
+    withv = r.join(F.broadcast(v0), "event_type")
+    u = withv.groupBy("user_id").agg(
+        F.expr("(sum(r * v0) * 1000000) DIV sum(v0 * v0)").alias("u_micro")
+    )
+    withu = r.join(u, "user_id")
+    v1 = withu.groupBy("event_type").agg(
+        F.expr(
+            "CAST((CAST(sum(CAST(r AS DECIMAL(38,0)) * u_micro) AS DECIMAL(38,0))"
+            " * 1000000000)"
+            " DIV sum(CAST(u_micro AS DECIMAL(38,0)) * u_micro) AS BIGINT)"
+        ).alias("v1_nano"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return v1.join(F.broadcast(v0), "event_type").select(
+        "event_type", "v0", "v1_nano", "n_users"
+    )
+
+
+_ALS_SQL = f"""
+WITH r AS (
+    SELECT user_id, event_type,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS r
+    FROM events GROUP BY 1, 2
+), v0 AS (
+    SELECT event_type,
+           ({hash64_sql('event_type')} % 100) + 1 AS v0
+    FROM (SELECT DISTINCT event_type FROM r)
+), u AS (
+    SELECT user_id, (sum(r.r * v0.v0) * 1000000) // sum(v0.v0 * v0.v0) AS u_micro
+    FROM r JOIN v0 USING (event_type)
+    GROUP BY user_id
+), v1 AS (
+    SELECT event_type,
+           CAST((sum(CAST(r.r AS HUGEINT) * u.u_micro) * 1000000000)
+                // sum(CAST(u.u_micro AS HUGEINT) * u.u_micro) AS BIGINT)
+               AS v1_nano,
+           count(*) AS n_users
+    FROM r JOIN u USING (user_id)
+    GROUP BY event_type
+)
+SELECT event_type, v0.v0, v1.v1_nano, v1.n_users
+FROM v1 JOIN v0 USING (event_type)
+"""
+
+
+
+# --------------------------------------------------------------------------
+# k-fold cross-validated Naive Bayes (partial-aggregate subtraction CV)
+# --------------------------------------------------------------------------
+
+_NBCV_FOLDS = 5
+_NBCV_QBIAS = 0.50001  # the dsir/naive_bayes micro-nat half-up bias
+
+
+def q_nb_crossval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated accuracy of the multinomial NB language
+    classifier — with the trick that makes CV scale: each fold's TRAINING
+    counts are never recomputed from the corpus; they are the corpus-wide
+    partial aggregates MINUS the fold's partial aggregates (counts, class
+    totals, priors, and the train vocabulary size all derive from one
+    (fold, lang, word) aggregate by subtraction). So 5-fold CV costs ONE
+    corpus tokenize + vocabulary-bounded arithmetic — not 5 corpus passes
+    (the standard k-fold formulation retrains k times over k-1/k of the
+    data; at 100 TB that is k corpus scans, here it is exactly one).
+
+    Determinism: the ``naive_bayes_lang`` house discipline — Laplace
+    log-probs quantized once to integer micro-nats (floor(x·10⁶ + 0.50001)
+    so a 1-ulp ln() difference cannot flip a bucket), scoring is an exact
+    integer dot product, argmax ties to the smaller lang. Output: per-fold
+    n_docs / n_correct / accuracy_micro."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "fold", F.pmod(hash64(F.col("doc_id")), F.lit(_NBCV_FOLDS)).cast("int")
+    )
+    dwc = (
+        docs.select(
+            "doc_id", "fold", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("doc_id", "fold", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds the stats AND the scoring pass
+    )
+    # corpus-wide and per-fold partial aggregates (the subtraction inputs)
+    wc_all = dwc.groupBy("lang", "w").agg(F.sum("c").alias("cw"))
+    wc_fold = dwc.groupBy("fold", "lang", "w").agg(F.sum("c").alias("cwf"))
+    folds = spark.range(_NBCV_FOLDS).select(F.col("id").cast("int").alias("fold"))
+    # train counts per fold = all - fold (grid = folds x corpus vocab pairs)
+    wc_t = (
+        folds.crossJoin(wc_all)
+        .join(wc_fold, ["fold", "lang", "w"], "left")
+        .select(
+            "fold",
+            "lang",
+            "w",
+            (F.col("cw") - F.coalesce(F.col("cwf"), F.lit(0))).alias("cwt"),
+        )
+    )
+    tot_t = wc_t.groupBy("fold", "lang").agg(F.sum("cwt").alias("tott"))
+    # train vocabulary per fold: words whose cross-class train count > 0
+    word_all = wc_all.groupBy("w").agg(F.sum("cw").alias("wa"))
+    word_fold = dwc.groupBy("fold", "w").agg(F.sum("c").alias("wf"))
+    v_t = (
+        folds.crossJoin(word_all)
+        .join(word_fold, ["fold", "w"], "left")
+        .filter(F.col("wa") - F.coalesce(F.col("wf"), F.lit(0)) > 0)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("vt"))
+    )
+    # train priors per fold
+    nd_all = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    nd_fold = docs.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("ndf"))
+    nd_t = (
+        folds.crossJoin(nd_all)
+        .join(nd_fold, ["fold", "lang"], "left")
+        .select(
+            "fold",
+            "lang",
+            (F.col("nd") - F.coalesce(F.col("ndf"), F.lit(0))).alias("ndt"),
+        )
+    )
+    n_t = nd_t.groupBy("fold").agg(F.sum("ndt").alias("nt"))
+
+    def _q(col):
+        return F.floor(col * F.lit(1_000_000.0) + F.lit(_NBCV_QBIAS)).cast("long")
+
+    weights = (
+        wc_t.join(tot_t, ["fold", "lang"])
+        .join(F.broadcast(v_t), "fold")
+        .select(
+            "fold",
+            "lang",
+            "w",
+            _q(
+                F.log(
+                    (F.col("cwt") + 1).cast("double")
+                    / (F.col("tott") + F.col("vt")).cast("double")
+                )
+            ).alias("lw_unats"),
+        )
+    )
+    cls = (
+        nd_t.join(tot_t, ["fold", "lang"])
+        .join(F.broadcast(v_t), "fold")
+        .join(F.broadcast(n_t), "fold")
+        .select(
+            "fold",
+            F.col("lang").alias("cand"),
+            _q(F.log(F.col("ndt").cast("double") / F.col("nt").cast("double"))).alias(
+                "prior_unats"
+            ),
+            _q(
+                F.log(F.lit(1.0) / (F.col("tott") + F.col("vt")).cast("double"))
+            ).alias("default_unats"),
+        )
+    )
+    wt = weights.select(
+        F.col("fold").alias("wfold"),
+        F.col("lang").alias("wcand"),
+        F.col("w").alias("ww"),
+        "lw_unats",
+    )
+    scored = (
+        dwc.withColumnRenamed("lang", "true_lang")
+        .join(F.broadcast(cls), "fold")
+        .join(
+            wt,
+            (F.col("fold") == F.col("wfold"))
+            & (F.col("cand") == F.col("wcand"))
+            & (F.col("w") == F.col("ww")),
+            "left",
+        )
+        .groupBy("doc_id", "fold", "true_lang", "cand", "prior_unats")
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("lw_unats"), F.col("default_unats"))
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "fold",
+            "true_lang",
+            "cand",
+            (F.col("prior_unats") + F.col("ll")).alias("score_unats"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.desc("score_unats"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(wdoc)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cand") == F.col("true_lang")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn("accuracy_micro", F.expr("(1000000 * n_correct) DIV n_docs"))
+    )
+
+
+_NBCV_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+
+_NBCV_SQL = f"""
+WITH d AS (
+    SELECT doc_id, CAST({hash64_sql('doc_id')} % {_NBCV_FOLDS} AS INT) AS fold,
+           lang, text
+    FROM documents
+), dwc AS (
+    SELECT doc_id, fold, lang, w, count(*) AS c
+    FROM (SELECT doc_id, fold, lang, unnest({_NBCV_TOKS}) AS w FROM d)
+    GROUP BY 1, 2, 3, 4
+), wc_all AS (
+    SELECT lang, w, sum(c) AS cw FROM dwc GROUP BY 1, 2
+), wc_fold AS (
+    SELECT fold, lang, w, sum(c) AS cwf FROM dwc GROUP BY 1, 2, 3
+), folds AS (
+    SELECT unnest(range(0, {_NBCV_FOLDS})) AS fold
+), wc_t AS (
+    SELECT f.fold, a.lang, a.w, a.cw - coalesce(wf.cwf, 0) AS cwt
+    FROM folds f CROSS JOIN wc_all a
+    LEFT JOIN wc_fold wf ON wf.fold = f.fold AND wf.lang = a.lang AND wf.w = a.w
+), tot_t AS (
+    SELECT fold, lang, sum(cwt) AS tott FROM wc_t GROUP BY 1, 2
+), word_all AS (
+    SELECT w, sum(cw) AS wa FROM wc_all GROUP BY w
+), word_fold AS (
+    SELECT fold, w, sum(c) AS wf FROM dwc GROUP BY 1, 2
+), v_t AS (
+    SELECT f.fold, count(*) AS vt
+    FROM folds f CROSS JOIN word_all a
+    LEFT JOIN word_fold wf ON wf.fold = f.fold AND wf.w = a.w
+    WHERE a.wa - coalesce(wf.wf, 0) > 0
+    GROUP BY f.fold
+), nd_all AS (
+    SELECT lang, count(*) AS nd FROM d GROUP BY lang
+), nd_fold AS (
+    SELECT fold, lang, count(*) AS ndf FROM d GROUP BY 1, 2
+), nd_t AS (
+    SELECT f.fold, a.lang, a.nd - coalesce(nf.ndf, 0) AS ndt
+    FROM folds f CROSS JOIN nd_all a
+    LEFT JOIN nd_fold nf ON nf.fold = f.fold AND nf.lang = a.lang
+), n_t AS (
+    SELECT fold, sum(ndt) AS nt FROM nd_t GROUP BY fold
+), weights AS (
+    SELECT t.fold, t.lang, t.w,
+           CAST(floor(ln(CAST(t.cwt + 1 AS DOUBLE) / CAST(tt.tott + v.vt AS DOUBLE))
+                      * 1000000.0 + {_NBCV_QBIAS}) AS BIGINT) AS lw_unats
+    FROM wc_t t
+    JOIN tot_t tt ON tt.fold = t.fold AND tt.lang = t.lang
+    JOIN v_t v ON v.fold = t.fold
+), cls AS (
+    SELECT nd.fold, nd.lang AS cand,
+           CAST(floor(ln(CAST(nd.ndt AS DOUBLE) / CAST(n.nt AS DOUBLE))
+                      * 1000000.0 + {_NBCV_QBIAS}) AS BIGINT) AS prior_unats,
+           CAST(floor(ln(1.0 / CAST(tt.tott + v.vt AS DOUBLE))
+                      * 1000000.0 + {_NBCV_QBIAS}) AS BIGINT) AS default_unats
+    FROM nd_t nd
+    JOIN tot_t tt ON tt.fold = nd.fold AND tt.lang = nd.lang
+    JOIN v_t v ON v.fold = nd.fold
+    JOIN n_t n ON n.fold = nd.fold
+), scored AS (
+    SELECT dwc.doc_id, dwc.fold, dwc.lang AS true_lang, cls.cand,
+           cls.prior_unats
+               + sum(dwc.c * coalesce(w.lw_unats, cls.default_unats))
+               AS score_unats
+    FROM dwc
+    JOIN cls ON cls.fold = dwc.fold
+    LEFT JOIN weights w
+      ON w.fold = dwc.fold AND w.lang = cls.cand AND w.w = dwc.w
+    GROUP BY 1, 2, 3, 4, cls.prior_unats
+), pred AS (
+    SELECT fold, true_lang, cand,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_unats DESC, cand ASC) AS rn
+    FROM scored
+)
+SELECT fold, count(*) AS n_docs,
+       CAST(sum(CAST(cand = true_lang AS BIGINT)) AS BIGINT) AS n_correct,
+       CAST((1000000 * sum(CAST(cand = true_lang AS BIGINT))) // count(*)
+           AS BIGINT) AS accuracy_micro
+FROM pred WHERE rn = 1
+GROUP BY fold
+"""
+
+
+
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "precision_recall_sweep",
+            q_precision_recall_sweep,
+            _SWEEP_SQL,
+            ("ml", "agg"),
+            doc="Classifier threshold sweep: 5-threshold literal explode, one "
+            "combinable aggregate, exact micro precision/recall/F1",
+        ),
+    QuerySpec(
+            "stratified_kfold_assign",
+            q_stratified_kfold_assign,
+            _KFOLD_SQL,
+            ("ml", "split"),
+            doc="Deterministic stratified 5-fold CV assignment via the scale-"
+            "safe grouped_rank operator (no per-language corpus window); "
+            "exact ≤1-row fold balance per stratum",
+        ),
+    QuerySpec(
+            "target_encode_loo",
+            q_target_encode_loo,
+            _TE_SQL,
+            ("ml", "feature"),
+            doc="Leakage-safe leave-one-out target encoding with prior "
+            "smoothing: one category aggregate joined back map-side, exact "
+            "integer micro-cents; bounded 20-row sample output",
+        ),
+    QuerySpec(
+            "als_rank1_step",
+            q_als_rank1_step,
+            _ALS_SQL,
+            ("ml", "recsys"),
+            doc="One exact rank-1 ALS alternation (hash init, closed-form user "
+            "then item solves as keyed aggregates) in integer micro units — "
+            "the scalable matrix-factorization shape, hash-checkable",
+        ),
+    QuerySpec(
+            "nb_crossval_accuracy",
+            q_nb_crossval_accuracy,
+            _NBCV_SQL,
+            ("ml", "text"),
+            doc="5-fold CV of the NB language classifier where every fold's "
+            "training statistics are corpus aggregates MINUS fold aggregates — "
+            "one corpus tokenize instead of k retraining passes; micro-nat "
+            "quantized, integer-exact scoring",
+        ),
+    ]
 )

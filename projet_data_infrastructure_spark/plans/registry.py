@@ -174,9 +174,9 @@ def all_specs() -> list[QuerySpec]:
         mining,
         partsupp,
         relational,
+        causal_experiments,
         corpus_lm,
         ml_eval,
-        roundseven,
         sketches,
         stats_inference,
         streaming_parity,
@@ -199,7 +199,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(timeseries.SPECS)
     specs.extend(ml_eval.SPECS)
     specs.extend(corpus_lm.SPECS)
-    specs.extend(roundseven.SPECS)
+    specs.extend(causal_experiments.SPECS)
     specs.extend(stats_inference.SPECS)
     specs.extend(streaming_parity.SPECS)
     specs.extend(survival.SPECS)

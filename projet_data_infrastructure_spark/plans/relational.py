@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from projet_data_infrastructure_spark.operators.aggregates import (
     activity_stats,
@@ -1011,3 +1012,129 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q5_local_supplier", q_tpch_q5, _TPCH_Q5_SQL, ("tpch", "bench")),
     QuerySpec("multiway_join_rollup", q_multiway_join, _MULTIWAY_SQL, ("join", "agg", "bench")),
 ]
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit over (nation, segment) quasi-identifier cells
+# --------------------------------------------------------------------------
+
+#: Ordered sensitive attribute: acctbal band 0-9 (cents grid, integer-exact).
+_BAND = "least(9, greatest(0, (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) DIV 110000))"
+_BAND_DUCK = "least(9, greatest(0, (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) // 110000))"
+_T_MICRO_THRESHOLD = 200000  # flag cells with t > 0.20
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    counts = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", F.expr(_BAND).cast("long").alias("band")
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Dense (cell × band) grid — bounded by |nations|·|segments|·10 rows, so
+    # every window below runs over a constant-size frame at any corpus size.
+    cells = counts.select("c_nationkey", "c_mktsegment").distinct()
+    grid = (
+        cells.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("band0"),
+        )
+        .select(
+            "c_nationkey", "c_mktsegment", F.col("band0").cast("long").alias("band")
+        )
+        .join(counts, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .fillna({"c": 0})
+    )
+    w_cell = Window.partitionBy("c_nationkey", "c_mktsegment")
+    w_band = Window.partitionBy("band")
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        grid.withColumn("n_cell", F.sum("c").over(w_cell))
+        .withColumn("g", F.sum("c").over(w_band))
+        .withColumn("n_total", F.sum("c").over(w_all))
+        .withColumn(
+            "cum",
+            F.sum(F.col("c") * F.col("n_total") - F.col("g") * F.col("n_cell")).over(
+                w_cum
+            ),
+        )
+    )
+    return (
+        g.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.first("n_cell").alias("n_cell"),
+            F.first("n_total").alias("n_total"),
+            F.sum(F.abs(F.col("cum"))).alias("t_num"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_cell",
+            F.expr(
+                "CAST((CAST(t_num AS DECIMAL(38,0)) * 1000000)"
+                " DIV (CAST(n_cell AS DECIMAL(38,0)) * n_total * 9) AS BIGINT)"
+            ).alias("t_micro"),
+        )
+        .withColumn(
+            "breach", (F.col("t_micro") > F.lit(_T_MICRO_THRESHOLD)).cast("int")
+        )
+    )
+
+
+_T_CLOSENESS_SQL = f"""
+WITH counts AS (
+    SELECT c_nationkey, c_mktsegment, {_BAND_DUCK} AS band, count(*) AS c
+    FROM customer GROUP BY 1, 2, 3
+), grid AS (
+    SELECT cl.c_nationkey, cl.c_mktsegment, b.band, coalesce(co.c, 0) AS c
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM counts) cl
+    CROSS JOIN (SELECT unnest(range(0, 10)) AS band) b
+    LEFT JOIN counts co USING (c_nationkey, c_mktsegment, band)
+), g AS (
+    SELECT *,
+           sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_cell,
+           sum(c) OVER (PARTITION BY band) AS g,
+           sum(c) OVER () AS n_total
+    FROM grid
+), cums AS (
+    SELECT *,
+           sum(c * n_total - g * n_cell) OVER (
+               PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM g
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(any_value(n_cell) AS BIGINT) AS n_cell,
+       CAST((CAST(sum(abs(cum)) AS HUGEINT) * 1000000)
+            // (CAST(any_value(n_cell) AS HUGEINT) * any_value(n_total) * 9)
+           AS BIGINT) AS t_micro,
+       CAST(CAST((CAST(sum(abs(cum)) AS HUGEINT) * 1000000)
+            // (CAST(any_value(n_cell) AS HUGEINT) * any_value(n_total) * 9)
+           AS BIGINT) > {_T_MICRO_THRESHOLD} AS INTEGER) AS breach
+FROM cums
+GROUP BY 1, 2
+"""
+
+
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "t_closeness_audit",
+            q_t_closeness_audit,
+            _T_CLOSENESS_SQL,
+            ("governance",),
+            doc="t-closeness per (nation, segment) QI cell: exact-integer EMD of "
+            "the ordered balance-band distribution vs global over a bounded "
+            "dense grid; one data-sized aggregate",
+        ),
+    ]
+)

@@ -1598,7 +1598,7 @@ WITH li AS (
 # "worked" on l_quantity because every group covers the dense 1..50
 # domain); ``test_jonckheere_sparse_support`` pins the fix. DECIMAL(38,0)
 # accumulation: the tie-variance products are n³-scale and pass int64
-# around sf1 (the Spearman/ols discipline, plans/roundnine.py).
+# around sf1 (the Spearman/ols discipline, plans/stats_inference.py).
 
 _JT_E2 = (
     "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sum_g2 AS DOUBLE)) / 2.0)"
@@ -3134,6 +3134,361 @@ SPECS.extend(
             ("stats",),
             doc="Tukey HSD studentized-range pairs across the priority "
             "groups; MSW from the shared exact ANOVA moments",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Exact skewness / excess kurtosis per event type
+# --------------------------------------------------------------------------
+
+_MOM_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+# Identical double expression text on both engines (exact integer inputs →
+# bit-identical IEEE results; sqrt is correctly rounded in both engines).
+_SKEW_EXPR = (
+    "(n*n*s3 - 3.0*n*s1*s2 + 2.0*s1*s1*s1)"
+    " / ((n*s2 - s1*s1) * sqrt(n*s2 - s1*s1))"
+)
+_KURT_EXPR = (
+    "(n*n*n*s4 - 4.0*n*n*s1*s3 + 6.0*n*s1*s1*s2 - 3.0*s1*s1*s1*s1)"
+    " / ((n*s2 - s1*s1) * (n*s2 - s1*s1)) - 3.0"
+)
+
+
+def q_higher_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    c = F.expr(_MOM_CENTS)
+    dec = F.expr(f"CAST({_MOM_CENTS} AS DECIMAL(38,0))")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec).alias("s1d"),
+        F.sum(dec * c).alias("s2d"),
+        F.sum(dec * c * c).alias("s3d"),
+        F.sum(dec * c * c * c).alias("s4d"),
+    )
+    dbl = sums.select(
+        "event_type",
+        "n_rows",
+        F.col("n_rows").cast("double").alias("n"),
+        F.col("s1d").cast("double").alias("s1"),
+        F.col("s2d").cast("double").alias("s2"),
+        F.col("s3d").cast("double").alias("s3"),
+        F.col("s4d").cast("double").alias("s4"),
+    )
+    return dbl.select(
+        "event_type",
+        "n_rows",
+        pround(F.expr(_SKEW_EXPR), 6).alias("skew_pop"),
+        pround(F.expr(_KURT_EXPR), 6).alias("kurt_excess"),
+    )
+
+
+_HIGHER_MOMENTS_SQL = f"""
+WITH sums AS (
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(CAST({_MOM_CENTS} AS HUGEINT)) AS s1d,
+           sum(CAST({_MOM_CENTS} AS HUGEINT) * {_MOM_CENTS}) AS s2d,
+           sum(CAST({_MOM_CENTS} AS HUGEINT) * {_MOM_CENTS} * {_MOM_CENTS}) AS s3d,
+           sum(CAST({_MOM_CENTS} AS HUGEINT) * {_MOM_CENTS} * {_MOM_CENTS} * {_MOM_CENTS}) AS s4d
+    FROM events GROUP BY 1
+), dbl AS (
+    SELECT event_type, n_rows,
+           CAST(n_rows AS DOUBLE) AS n,
+           CAST(s1d AS DOUBLE) AS s1, CAST(s2d AS DOUBLE) AS s2,
+           CAST(s3d AS DOUBLE) AS s3, CAST(s4d AS DOUBLE) AS s4
+    FROM sums
+)
+SELECT event_type, n_rows,
+       {pround_sql(_SKEW_EXPR, 6)} AS skew_pop,
+       {pround_sql(_KURT_EXPR, 6)} AS kurt_excess
+FROM dbl
+"""
+
+# --------------------------------------------------------------------------
+# Deterministic mode + discrete percentile (SQL surface)
+# --------------------------------------------------------------------------
+
+
+def q_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: the MODE of the cent value (most frequent; ties to
+    the SMALLEST value so both engines agree — Spark's ``mode()`` and
+    DuckDB's ``mode()`` are both tie-arbitrary, so the spec pins the
+    deterministic rank form) and the discrete median (percentile_disc 0.5:
+    the smallest value with cumulative count ≥ ⌈n/2⌉ — always an observed
+    value, no interpolation). One value-count aggregate + windows over the
+    bounded (type, value) frame."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wmode = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("cents"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    enriched = (
+        counts.withColumn("mode_rnk", F.row_number().over(wmode))
+        .withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wtot))
+    )
+    mode = enriched.filter(F.col("mode_rnk") == 1).select(
+        "event_type", F.col("cents").alias("mode_cents"), F.col("c").alias("mode_n")
+    )
+    med = (
+        enriched.filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("median_disc_cents"))
+    )
+    return mode.join(med, "event_type")
+
+
+_MODE_SQL = """
+WITH counts AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+), enriched AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type ORDER BY c DESC, cents ASC)
+               AS mode_rnk,
+           sum(c) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM counts
+)
+SELECT m.event_type, m.cents AS mode_cents, m.c AS mode_n, d.median_disc_cents
+FROM (SELECT event_type, cents, c FROM enriched WHERE mode_rnk = 1) m
+JOIN (SELECT event_type, min(cents) AS median_disc_cents
+      FROM enriched WHERE cum * 2 >= n GROUP BY 1) d
+  USING (event_type)
+"""
+
+# --------------------------------------------------------------------------
+# Truncated-Poisson multiplier bootstrap CI for the per-type mean
+# --------------------------------------------------------------------------
+
+_BOOT_R = 32  # replicas
+# Poisson(1) inverse-CDF thresholds in micro units (truncated at 3):
+# P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699
+_BOOT_T0, _BOOT_T1, _BOOT_T2 = 367879, 735759, 919699
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplier bootstrap of the per-event-type mean: 32 replicas, each
+    row weighted by a DETERMINISTIC truncated-Poisson(1) draw (inverse CDF
+    on the portable hash uniform of (replica, event_id) — weights 0..3),
+    replica mean in exact micro-cents, CI = the 2nd / 31st order statistic
+    (≈ 5%/95%) via rank over the 32-row replica frame. The bootstrap's
+    randomness is the hash, so the whole resampling procedure is
+    hash-checkable cross-engine. ONE scan with a 32× literal explode into a
+    combinable (type, replica) aggregate; everything after is
+    32-rows-per-type arithmetic."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    tall = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
+        F.explode(F.expr(f"sequence(0, {_BOOT_R - 1})")).alias("r"),
+    )
+    u = F.pmod(
+        hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("event_id"))),
+        F.lit(1000000),
+    )
+    w = (
+        F.when(u < _BOOT_T0, 0)
+        .when(u < _BOOT_T1, 1)
+        .when(u < _BOOT_T2, 2)
+        .otherwise(3)
+    )
+    reps = (
+        tall.withColumn("w", w)
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum("w").alias("nw"),
+            F.sum(F.col("w") * F.col("cents")).alias("sw"),
+        )
+        .withColumn("mean_micro", F.expr("(sw * 1000000) DIV nw"))
+    )
+    wrep = Window.partitionBy("event_type").orderBy("mean_micro", "r")
+    ranked = reps.withColumn("rnk", F.row_number().over(wrep))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rnk") == 2, F.col("mean_micro"))).alias(
+                "ci_lo_micro"
+            ),
+            F.min(F.when(F.col("rnk") == _BOOT_R - 1, F.col("mean_micro"))).alias(
+                "ci_hi_micro"
+            ),
+            F.count(F.lit(1)).alias("n_replicas"),
+        )
+    )
+
+
+_BOOT_SQL = f"""
+WITH tall AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           event_id, r
+    FROM events, unnest(range(0, {_BOOT_R})) AS t(r)
+), weighted AS (
+    SELECT event_type, cents, r,
+           CASE WHEN u < {_BOOT_T0} THEN 0
+                WHEN u < {_BOOT_T1} THEN 1
+                WHEN u < {_BOOT_T2} THEN 2
+                ELSE 3 END AS w
+    FROM (SELECT *,
+                 {hash64_sql("CAST(r AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")}
+                     % 1000000 AS u
+          FROM tall)
+), reps AS (
+    SELECT event_type, r, sum(w) AS nw, sum(w * cents) AS sw,
+           (sum(w * cents) * 1000000) // sum(w) AS mean_micro
+    FROM weighted GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY mean_micro, r) AS rnk
+    FROM reps
+)
+SELECT event_type,
+       CAST(min(CASE WHEN rnk = 2 THEN mean_micro END) AS BIGINT) AS ci_lo_micro,
+       CAST(min(CASE WHEN rnk = {_BOOT_R - 1} THEN mean_micro END) AS BIGINT)
+           AS ci_hi_micro,
+       count(*) AS n_replicas
+FROM ranked GROUP BY 1
+"""
+
+
+
+# --------------------------------------------------------------------------
+# Winsorized + trimmed mean (robust location estimates)
+# --------------------------------------------------------------------------
+
+_ROBUST_P = 5  # percent clipped/trimmed per tail
+
+
+def q_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% winsorized and 5% trimmed means of the event value per type —
+    the robust location estimates a metrics platform reports next to the
+    raw mean. Exact nearest-rank cutoffs (k = ⌈n·0.05⌉-th smallest /
+    largest) from ONE rank window over the per-type sort; winsorizing
+    clamps to the cutoff values, trimming drops beyond them; both means in
+    exact integer micro-cents. One sort per type (the rank window), one
+    aggregate — at warehouse scale the exact rank swaps for the
+    grouped_rank operator or approx_percentile cutoffs."""
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wrnk = Window.partitionBy("event_type").orderBy("cents")
+    wtot = Window.partitionBy("event_type")
+    ranked = (
+        vals.withColumn("rnk", F.row_number().over(wrnk))
+        .withColumn("n", F.count(F.lit(1)).over(wtot))
+        .withColumn("k", F.expr(f"CAST(ceil(n * {_ROBUST_P} / 100.0) AS BIGINT)"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.expr("CASE WHEN rnk = k + 1 THEN cents END")).alias("lo_c"),
+            F.min(F.expr("CASE WHEN rnk = n - k THEN cents END")).alias("hi_c"),
+            F.sum(
+                F.expr("CASE WHEN rnk > k AND rnk <= n - k THEN cents ELSE 0 END")
+            ).alias("mid_sum"),
+            F.sum(F.expr("CAST(rnk > k AND rnk <= n - k AS INT)")).alias("mid_n"),
+            F.min("k").alias("kk"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.expr(
+                "((mid_sum + kk * lo_c + kk * hi_c) * 1000000)"
+                " DIV (mid_n + 2 * kk)"
+            ).alias("winsor_mean_micro"),
+            F.expr("(mid_sum * 1000000) DIV mid_n").alias("trimmed_mean_micro"),
+        )
+    )
+
+
+_ROBUST_SQL = f"""
+WITH ranked AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY
+               CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rnk,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           CAST(ceil(count(*) OVER (PARTITION BY event_type)
+                * {_ROBUST_P} / 100.0) AS BIGINT) AS k
+    FROM events
+), agg AS (
+    SELECT event_type,
+           count(*) AS n_rows,
+           min(CASE WHEN rnk = k + 1 THEN cents END) AS lo_c,
+           min(CASE WHEN rnk = n - k THEN cents END) AS hi_c,
+           sum(CASE WHEN rnk > k AND rnk <= n - k THEN cents ELSE 0 END) AS mid_sum,
+           sum(CAST(rnk > k AND rnk <= n - k AS INT)) AS mid_n,
+           min(k) AS kk
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_rows,
+       CAST(((mid_sum + kk * lo_c + kk * hi_c) * 1000000) // (mid_n + 2 * kk)
+           AS BIGINT) AS winsor_mean_micro,
+       CAST((mid_sum * 1000000) // mid_n AS BIGINT) AS trimmed_mean_micro
+FROM agg
+"""
+
+
+
+
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "higher_moments_by_type",
+            q_higher_moments_by_type,
+            _HIGHER_MOMENTS_SQL,
+            ("stats", "agg"),
+            doc="Exact skewness / excess kurtosis per event_type: DECIMAL(38,0)/"
+            "HUGEINT power sums, shared-text IEEE double solve (sqrt form, no pow)",
+        ),
+    QuerySpec(
+            "mode_percentile_disc",
+            q_mode_percentile_disc,
+            _MODE_SQL,
+            ("agg", "sql"),
+            doc="Deterministic mode (ties to smallest) + discrete median per "
+            "event_type from one value-count aggregate (engine mode() is "
+            "tie-arbitrary, so the rank form pins it)",
+        ),
+    QuerySpec(
+            "bootstrap_mean_ci",
+            q_bootstrap_mean_ci,
+            _BOOT_SQL,
+            ("stats", "ml"),
+            doc="Truncated-Poisson multiplier bootstrap (32 replicas) of the "
+            "per-type mean with hash-deterministic weights; exact order-"
+            "statistic CI — the resampling itself is hash-checked cross-engine",
+        ),
+    QuerySpec(
+            "winsorized_trimmed_mean",
+            q_winsorized_trimmed_mean,
+            _ROBUST_SQL,
+            ("stats", "agg"),
+            doc="5% winsorized + trimmed means per type from exact nearest-rank "
+            "cutoffs; one rank window + one aggregate",
         ),
     ]
 )

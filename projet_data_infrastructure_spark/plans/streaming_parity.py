@@ -458,3 +458,54 @@ def _attach_stream_funnel_oracle() -> None:
 
 
 _attach_stream_funnel_oracle()
+
+
+# --------------------------------------------------------------------------
+# LIVE streaming point-in-time attribution (custom stateful operator)
+# --------------------------------------------------------------------------
+
+
+def q_stream_pit_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point-in-time regime attribution running LIVE under Structured
+    Streaming as a custom stateful operator (``applyInPandasWithState``):
+    per-user state is ONE string (the regime in force), so streaming state
+    is bounded by the active-user set, not by history — the form a real
+    pipeline deploys instead of re-sorting the lake per batch. availableNow
+    delivers events.parquet as one micro-batch, so the update-mode emission
+    is the complete purchase attribution and hash-checks against the SAME
+    batch oracle as ``pit_regime_attribution`` (stream == batch, pinned
+    cross-engine AND cross-execution-mode)."""
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _events_stream,
+        _run_stream,
+    )
+    from projet_data_infrastructure_spark.streaming.stateful import pit_regimes
+
+    stream = _events_stream(spark, sf_dir)
+    per_user = pit_regimes(stream)
+    res = _run_stream(
+        per_user.writeStream.outputMode("update"), spark, "stream_pit_sink"
+    )
+    return res.groupBy("regime").agg(
+        F.sum("n_purchases").alias("n_purchases"),
+        F.sum("sum_cents").alias("sum_cents"),
+    )
+
+
+
+
+from projet_data_infrastructure_spark.plans.advanced import _PIT_SQL  # noqa: E402
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "stream_pit_attribution",
+            q_stream_pit_attribution,
+            _PIT_SQL,
+            ("streaming", "stateful"),
+            doc="LIVE point-in-time attribution as a custom stateful operator: "
+            "one-string-per-user state, update-mode emission hash-checked "
+            "against the batch PIT oracle (stream == batch == DuckDB)",
+        ),
+    ]
+)

@@ -125,14 +125,14 @@ SPECS.append(
 
 
 # --------------------------------------------------------------------------
-# Mann-Kendall z + p (the normalization the roundseven kernel left open)
+# Mann-Kendall z + p (the normalization the Theil-Sen kernel left open)
 # --------------------------------------------------------------------------
 
 
 def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Mann-Kendall trend TEST on the daily-revenue series —
     the variance/z/p normalization ``mann_kendall_theilsen``
-    (plans/roundseven.py) explicitly left to the caller: Var(S) =
+    (this module) explicitly left to the caller: Var(S) =
     (n(n-1)(2n+5) - SUM_t t(t-1)(2t+5)) / 18 with t the tie-group sizes of
     the daily VALUES, continuity-corrected z = (S -/+ 1)/sqrt(Var) and the
     Zelen-Severo two-sided p (``functions/stats.py``). Everything before
@@ -426,7 +426,7 @@ SPECS.extend(
             _mann_kendall_z_sql(),
             ("stats", "timeseries"),
             doc="Tie-corrected Mann-Kendall variance + continuity-corrected z "
-            "and p - the normalization the roundseven kernel left open",
+            "and p - the normalization the Theil-Sen kernel left open",
         ),
         QuerySpec(
             "changepoint_cusum_mean",
@@ -1178,6 +1178,297 @@ SPECS.extend(
             ("stats", "timeseries"),
             doc="Ljung-Box Q over lags 1..7; exact integer autocorrelation "
             "ratios via scaled deviations n*x - S",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast per event type (IEEE-replay oracle)
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5  # exactly representable in binary — both engines agree
+_HOLT_BETA = 0.25
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over each event
+    type's DAILY value series, forecast horizon 7 days. Inherently a
+    sequential recurrence, so it runs as ``applyInPandas`` per type — but
+    over the calendar-bounded daily aggregate (≤ ~3.7 k rows/decade per
+    type), so the grouped-map stage is constant-size at any corpus scale;
+    the one data-sized operation is the map-side-combinable daily sum. The
+    DuckDB oracle replays the IDENTICAL IEEE op sequence (α = 0.5 and
+    β = 0.25 are exact binary fractions) in a recursive CTE carrying
+    (level, trend) state — bit-exact match, no rounding fudge (the
+    ``ewma_by_user`` house discipline)."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+
+    schema = (
+        "event_type string, n_days long, level_cents double,"
+        " trend_cents double, forecast7_cents double"
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        if len(y) < 2:  # mirror the oracle: <2 observations → no model row
+            return pd.DataFrame(
+                columns=[
+                    "event_type",
+                    "n_days",
+                    "level_cents",
+                    "trend_cents",
+                    "forecast7_cents",
+                ]
+            )
+        lvl = float(y[0])
+        trd = float(y[1]) - float(y[0])
+        for t in range(1, len(y)):
+            prev = lvl
+            lvl = _HOLT_ALPHA * float(y[t]) + (1.0 - _HOLT_ALPHA) * (lvl + trd)
+            trd = _HOLT_BETA * (lvl - prev) + (1.0 - _HOLT_BETA) * trd
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(y)],
+                "level_cents": [lvl],
+                "trend_cents": [trd],
+                "forecast7_cents": [lvl + 7.0 * trd],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(holt, schema)
+
+
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), ord AS (
+    SELECT event_type, y,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_days
+    FROM daily
+), rec AS (
+    SELECT o1.event_type, o1.rn, o1.n_days,
+           o1.y AS lvl,
+           o2.y - o1.y AS trd
+    FROM ord o1 JOIN ord o2 ON o2.event_type = o1.event_type AND o2.rn = 2
+    WHERE o1.rn = 1
+    UNION ALL
+    SELECT o.event_type, o.rn, o.n_days,
+           CAST({_HOLT_ALPHA} AS DOUBLE) * o.y
+               + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_ALPHA} AS DOUBLE))
+                 * (r.lvl + r.trd) AS lvl,
+           CAST({_HOLT_BETA} AS DOUBLE)
+               * ((CAST({_HOLT_ALPHA} AS DOUBLE) * o.y
+                   + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_ALPHA} AS DOUBLE))
+                     * (r.lvl + r.trd)) - r.lvl)
+               + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_BETA} AS DOUBLE)) * r.trd
+               AS trd
+    FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       lvl AS level_cents, trd AS trend_cents,
+       lvl + CAST(7.0 AS DOUBLE) * trd AS forecast7_cents
+FROM rec WHERE rn = n_days
+"""
+
+
+
+# --------------------------------------------------------------------------
+# Harmonic (Fourier) weekly-seasonality fit
+# --------------------------------------------------------------------------
+
+
+def q_fourier_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality as a 1-harmonic Fourier fit of the daily value
+    series: y(t) ≈ a₀ + a₁·cos(2πt/7) + b₁·sin(2πt/7). Because the day
+    grid is (near-)complete, the regressors are orthogonal on whole weeks
+    and the coefficients are plain projections: a₁ = 2·Σy·cos/n etc. —
+    computed over the calendar-bounded daily aggregate with an ORDER-PINNED
+    float fold (array_sort by day, then an explicit sequential aggregate)
+    so both engines run the identical IEEE sum order, left to right. The
+    amplitude √(a₁²+b₁²) and acrophase are derived in the shared double
+    expression tree. One data-sized day aggregate; everything else is the
+    ≤|days| frame."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+    # Order-pinned folds: sort the (d, y) pairs, then fold left to right.
+    rows = daily.agg(
+        F.expr("array_sort(collect_list(struct(d, y)))").alias("arr")
+    )
+    two_pi_over_7 = "6.283185307179586 / 7.0"
+    def fold(expr: str) -> str:
+        return (
+            f"aggregate(arr, CAST(0.0 AS DOUBLE), (acc, r) -> acc + ({expr}))"
+        )
+    yc = fold(f"r.y * cos(CAST(r.d AS DOUBLE) * ({two_pi_over_7}))")
+    ys = fold(f"r.y * sin(CAST(r.d AS DOUBLE) * ({two_pi_over_7}))")
+    ysum = fold("r.y")
+    out = rows.select(
+        F.expr("size(arr)").alias("n_days"),
+        pround(F.expr(f"({ysum}) / size(arr)"), 2).alias("a0_r"),
+        pround(F.expr(f"2.0 * ({yc}) / size(arr)"), 2).alias("a1_r"),
+        pround(F.expr(f"2.0 * ({ys}) / size(arr)"), 2).alias("b1_r"),
+        pround(
+            F.expr(
+                f"sqrt((2.0 * ({yc}) / size(arr)) * (2.0 * ({yc}) / size(arr))"
+                f" + (2.0 * ({ys}) / size(arr)) * (2.0 * ({ys}) / size(arr)))"
+            ),
+            2,
+        ).alias("amplitude_r"),
+    )
+    return out
+
+
+_FOURIER_FOLD = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {COL}), (acc, v) -> acc + v)"
+
+_FOURIER_SQL = f"""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+), arrs AS (
+    SELECT count(*) AS n,
+           list(y * cos(CAST(d AS DOUBLE) * (6.283185307179586 / 7.0)) ORDER BY d) AS lc,
+           list(y * sin(CAST(d AS DOUBLE) * (6.283185307179586 / 7.0)) ORDER BY d) AS ls,
+           list(y ORDER BY d) AS ly
+    FROM daily
+), folds AS (
+    SELECT n,
+           {_FOURIER_FOLD.replace('{COL}', 'lc')} AS yc,
+           {_FOURIER_FOLD.replace('{COL}', 'ls')} AS ys,
+           {_FOURIER_FOLD.replace('{COL}', 'ly')} AS ysum
+    FROM arrs
+)
+SELECT CAST(n AS INT) AS n_days,
+       {pround_sql('ysum / n', 2)} AS a0_r,
+       {pround_sql('2.0 * yc / n', 2)} AS a1_r,
+       {pround_sql('2.0 * ys / n', 2)} AS b1_r,
+       {pround_sql('sqrt((2.0 * yc / n) * (2.0 * yc / n) + (2.0 * ys / n) * (2.0 * ys / n))', 2)}
+           AS amplitude_r
+FROM folds
+"""
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope (robust trend on the daily frame)
+# --------------------------------------------------------------------------
+
+
+def q_mann_kendall_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S statistic and the Theil-Sen slope of the daily
+    total-value series — the standard nonparametric trend pair (monotone
+    trend without normality assumptions; TS slope is the median of all
+    pairwise slopes, 29% breakdown point). Both are pairwise over the
+    DAILY aggregate, so the self-join is calendar-bounded (≤ ~3.7 k rows a
+    decade → ≤ 7 M pairs at any corpus size — constant, not data-scaled;
+    the one data-sized operation is the day aggregate). Integer-exact: S
+    is a sign sum; the slope median is an exact rational pinned as
+    slope_micro = (Δcents·10⁶) DIV Δday per pair, median by exact rank
+    with (numerator) tie-break. The variance/Z normalization is left to
+    the caller (ties correction documented) — S and the slope are the
+    portable kernel."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+        .localCheckpoint()  # tiny calendar frame, self-joined twice below
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = daily.join(b, F.col("d2") > F.col("d")).select(
+        F.signum(F.col("y2") - F.col("y")).cast("long").alias("sgn"),
+        F.expr("((y2 - y) * 1000000) DIV (d2 - d)").alias("slope_micro"),
+    )
+    stats = pairs.agg(
+        F.sum("sgn").alias("mk_s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    wr = Window.orderBy("slope_micro")
+    ranked = pairs.select("slope_micro").withColumn(
+        "rnk", F.row_number().over(wr)
+    )
+    med = ranked.crossJoin(F.broadcast(stats.select("n_pairs"))).filter(
+        F.col("rnk") * 2 >= F.col("n_pairs")
+    ).agg(F.min("slope_micro").alias("theil_sen_micro"))
+    return stats.crossJoin(F.broadcast(med))
+
+
+_MK_SQL = """
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+    FROM events GROUP BY 1
+), pairs AS (
+    SELECT CAST(sign(b.y - a.y) AS BIGINT) AS sgn,
+           ((b.y - a.y) * 1000000) // (b.d - a.d) AS slope_micro
+    FROM daily a JOIN daily b ON b.d > a.d
+), stats AS (
+    SELECT sum(sgn) AS mk_s, count(*) AS n_pairs FROM pairs
+), ranked AS (
+    SELECT slope_micro, row_number() OVER (ORDER BY slope_micro) AS rnk
+    FROM pairs
+)
+SELECT CAST(s.mk_s AS BIGINT) AS mk_s, s.n_pairs,
+       CAST((SELECT min(slope_micro) FROM ranked, stats
+        WHERE rnk * 2 >= n_pairs) AS BIGINT) AS theil_sen_micro
+FROM stats s
+"""
+
+
+
+SPECS.extend(
+    [
+    QuerySpec(
+            "holt_linear_forecast",
+            q_holt_linear_forecast,
+            _HOLT_SQL,
+            ("timeseries", "pandas_udf"),
+            doc="Holt double exponential smoothing per event type over the "
+            "calendar-bounded daily series (applyInPandas); DuckDB recursive-CTE "
+            "IEEE replay — bit-exact, no rounding fudge",
+        ),
+    QuerySpec(
+            "fourier_weekly_fit",
+            q_fourier_weekly_fit,
+            _FOURIER_SQL,
+            ("timeseries", "stats"),
+            doc="1-harmonic Fourier fit of weekly seasonality over the "
+            "calendar-bounded daily series; ORDER-PINNED float folds keep the "
+            "projections bit-identical cross-engine",
+        ),
+    QuerySpec(
+            "mann_kendall_theilsen",
+            q_mann_kendall_theilsen,
+            _MK_SQL,
+            ("timeseries", "stats"),
+            doc="Mann-Kendall S + exact Theil-Sen median slope over the "
+            "calendar-bounded daily frame (pairwise stays constant-size at any "
+            "corpus scale); integer sign sums and rational slopes",
         ),
     ]
 )

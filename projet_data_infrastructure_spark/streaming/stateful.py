@@ -108,7 +108,7 @@ _PIT_STATE_SCHEMA = "last_attr STRING"
 
 def pit_regimes(events: DataFrame) -> DataFrame:
     """Streaming point-in-time regime attribution (the stateful form of
-    ``plans/roundseven.q_pit_regime_attribution``): per user, carry the most
+    ``plans/advanced.q_pit_regime_attribution``): per user, carry the most
     recent non-purchase event type forward and attribute each purchase to
     the regime in force at its timestamp.
 

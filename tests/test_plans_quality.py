@@ -1026,7 +1026,7 @@ def test_pit_regime_single_user_exchange_no_range_join(spark):
     # Exchange+Sort is provably redundant and must not creep back), plus the
     # final aggregate exchange — and never an interval range join
     # (cartesian/nested-loop).
-    from projet_data_infrastructure_spark.plans.roundseven import (
+    from projet_data_infrastructure_spark.plans.advanced import (
         q_pit_regime_attribution,
     )
 
@@ -1046,7 +1046,7 @@ def test_trigram_backoff_no_cartesian_one_corpus_tokenize_per_side(spark):
     # All joins are heldout-trigrams x vocabulary-bounded count tables; the
     # 1-row N attaches via a broadcast cross join (allowed: single-row), and
     # no cartesian over data-sized frames.
-    from projet_data_infrastructure_spark.plans.roundseven import (
+    from projet_data_infrastructure_spark.plans.corpus_lm import (
         q_trigram_backoff_score,
     )
 
@@ -1063,7 +1063,7 @@ def test_trigram_backoff_no_cartesian_one_corpus_tokenize_per_side(spark):
 
 def test_higher_moments_single_hash_aggregate_pass(spark):
     # One scan -> partial+final HashAggregate; no window, no join, no sort.
-    from projet_data_infrastructure_spark.plans.roundseven import (
+    from projet_data_infrastructure_spark.plans.stats_inference import (
         q_higher_moments_by_type,
     )
 
@@ -1084,7 +1084,7 @@ def test_t_closeness_windows_only_over_bounded_grid(spark):
     # windows (including the SinglePartition total) run over the bounded
     # cells x 10 grid AFTER that aggregate, so a single-partition exchange
     # is acceptable there and only there.
-    from projet_data_infrastructure_spark.plans.roundseven import (
+    from projet_data_infrastructure_spark.plans.relational import (
         q_t_closeness_audit,
     )
 

@@ -11,7 +11,18 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from projet_data_infrastructure_spark.plans import corpus_lm, graph_geo, ml_eval, roundseven, timeseries
+from projet_data_infrastructure_spark.plans import (
+    advanced as adv7,
+    causal_experiments as ce7,
+    corpus_lm,
+    graph_geo,
+    lakehouse as lk7,
+    ml_eval,
+    relational as rel7,
+    stats_inference as si7,
+    streaming_parity as spar7,
+    timeseries,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -45,7 +56,7 @@ def test_pit_regime_attribution_hand_fixture(spark, tmp_path):
     )
     got = {
         r["regime"]: (r["n_purchases"], r["sum_cents"])
-        for r in roundseven.q_pit_regime_attribution(spark, sf).collect()
+        for r in adv7.q_pit_regime_attribution(spark, sf).collect()
     }
     assert got == {
         "none": (1, 1000),
@@ -71,7 +82,7 @@ def test_t_closeness_zero_when_cell_matches_global(spark, tmp_path):
         "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
         f"{sf}/customer.parquet",
     )
-    out = roundseven.q_t_closeness_audit(spark, sf).collect()
+    out = rel7.q_t_closeness_audit(spark, sf).collect()
     assert len(out) == 2
     for r in out:
         assert r["t_micro"] == 0
@@ -93,7 +104,7 @@ def test_t_closeness_detects_concentrated_cell(spark, tmp_path):
         "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
         f"{sf}/customer.parquet",
     )
-    out = {r["c_mktsegment"]: r for r in roundseven.q_t_closeness_audit(spark, sf).collect()}
+    out = {r["c_mktsegment"]: r for r in rel7.q_t_closeness_audit(spark, sf).collect()}
     assert out["A"]["t_micro"] == 500000
     assert out["B"]["t_micro"] == 500000
     assert out["A"]["breach"] == 1 and out["B"]["breach"] == 1
@@ -112,7 +123,7 @@ def test_higher_moments_two_point_distribution(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_higher_moments_by_type(spark, sf).collect()[0]
+    row = si7.q_higher_moments_by_type(spark, sf).collect()[0]
     assert row["n_rows"] == 100
     assert abs(row["skew_pop"]) < 1e-4
     assert abs(row["kurt_excess"] + 2.0) < 1e-4
@@ -128,7 +139,7 @@ def test_trigram_backoff_seen_trigram_scores_c3_over_c2(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
         f"{sf}/documents.parquet",
     )
-    out = roundseven.q_trigram_backoff_score(spark, sf).collect()
+    out = corpus_lm.q_trigram_backoff_score(spark, sf).collect()
     assert len(out) == 1
     assert out[0]["doc_id"] == 1
     assert out[0]["n_trigrams"] == 1
@@ -148,7 +159,7 @@ def test_trigram_backoff_backs_off_to_bigram_and_unigram(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
         f"{sf}/documents.parquet",
     )
-    out = roundseven.q_trigram_backoff_score(spark, sf).collect()
+    out = corpus_lm.q_trigram_backoff_score(spark, sf).collect()
     assert out[0]["doc_id"] == 1
     assert out[0]["n_trigrams"] == 2
     assert out[0]["avg_score_micro"] == 0
@@ -171,7 +182,7 @@ def test_precision_recall_sweep_hand_confusion(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    out = {r["thr"]: r for r in roundseven.q_precision_recall_sweep(spark, sf).collect()}
+    out = {r["thr"]: r for r in ml_eval.q_precision_recall_sweep(spark, sf).collect()}
     r = out[2000]
     assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
     assert r["precision_micro"] == 666666
@@ -193,14 +204,14 @@ def test_token_ngram_novelty_first_occurrence_wins(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
         f"{sf}/documents.parquet",
     )
-    out = {r["doc_id"]: r for r in roundseven.q_token_ngram_novelty(spark, sf).collect()}
+    out = {r["doc_id"]: r for r in corpus_lm.q_token_ngram_novelty(spark, sf).collect()}
     assert out[1]["novelty_micro"] == 1_000_000
     assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 1
     assert out[2]["novelty_micro"] == 500_000
 
 
 def test_stratified_kfold_balance_per_stratum(spark):
-    out = roundseven.q_stratified_kfold_assign(spark, SF).collect()
+    out = ml_eval.q_stratified_kfold_assign(spark, SF).collect()
     by_lang = {}
     for r in out:
         by_lang.setdefault(r["lang"], []).append(r["n_docs"])
@@ -212,7 +223,7 @@ def test_gdpr_erasure_counts_match_independent_joins(spark):
     from projet_data_infrastructure_spark.functions.hashing import hash64
     from projet_data_infrastructure_spark.sources.readers import read_table
 
-    out = roundseven.q_gdpr_erasure_cascade(spark, SF).collect()
+    out = lk7.q_gdpr_erasure_cascade(spark, SF).collect()
     cust = read_table(spark, SF, "customer")
     orders = read_table(spark, SF, "orders")
     erased = cust.filter(hash64(F.col("c_custkey")) % 50 == 0)
@@ -239,7 +250,7 @@ def test_holt_tracks_perfect_linear_series(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_holt_linear_forecast(spark, sf).collect()[0]
+    row = timeseries.q_holt_linear_forecast(spark, sf).collect()[0]
     assert row["n_days"] == 20
     assert row["level_cents"] == 1000 + 500 * 19
     assert row["trend_cents"] == 500.0
@@ -331,7 +342,7 @@ def test_cdc_identical_docs_fully_dedup(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
         f"{sf}/documents.parquet",
     )
-    out = {r["doc_id"]: r for r in roundseven.q_content_defined_chunking(spark, sf).collect()}
+    out = {r["doc_id"]: r for r in corpus_lm.q_content_defined_chunking(spark, sf).collect()}
     assert out[1]["n_chars"] == len(text) and out[2]["n_chars"] == len(text)
     assert out[1]["dup_micro"] == 0
     assert out[2]["dup_micro"] == 1_000_000
@@ -350,7 +361,7 @@ def test_cdc_boundaries_shift_with_content_not_offset(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
         f"{sf}/documents.parquet",
     )
-    out = {r["doc_id"]: r for r in roundseven.q_content_defined_chunking(spark, sf).collect()}
+    out = {r["doc_id"]: r for r in corpus_lm.q_content_defined_chunking(spark, sf).collect()}
     assert out[2]["dup_micro"] > 500_000, out[2]  # majority of bytes resync
 
 
@@ -369,7 +380,7 @@ def test_mode_percentile_disc_hand_values(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_mode_percentile_disc(spark, sf).collect()[0]
+    row = si7.q_mode_percentile_disc(spark, sf).collect()[0]
     assert row["mode_cents"] == 100 and row["mode_n"] == 3
     assert row["median_disc_cents"] == 200
 
@@ -387,7 +398,7 @@ def test_bootstrap_ci_collapses_on_constant_data(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_bootstrap_mean_ci(spark, sf).collect()[0]
+    row = si7.q_bootstrap_mean_ci(spark, sf).collect()[0]
     assert row["ci_lo_micro"] == 500 * 1_000_000
     assert row["ci_hi_micro"] == 500 * 1_000_000
     assert row["n_replicas"] == 32
@@ -413,7 +424,7 @@ def test_target_encode_loo_excludes_own_row(spark, tmp_path):
         " c_mktsegment string",
         f"{sf}/customer.parquet",
     )
-    out = {r["o_orderkey"]: r for r in roundseven.q_target_encode_loo(spark, sf).collect()}
+    out = {r["o_orderkey"]: r for r in ml_eval.q_target_encode_loo(spark, sf).collect()}
     gmean_micro = (1000 + 2000 + 3000 + 4000) * 1_000_000 // 4  # 2500e6
     # order 1 (cat A, y=1000): S_c=3000 -> (3000-1000)*1e6 + 20*gmean // (2-1+20)
     exp1 = ((3000 - 1000) * 1_000_000 + 20 * gmean_micro) // 21
@@ -426,7 +437,7 @@ def test_target_encode_loo_excludes_own_row(spark, tmp_path):
 def test_cuped_reduces_to_raw_when_theta_applies_zero_variance(spark):
     # Invariant on real data: CUPED never changes the POOLED mean (the
     # adjustment sums to ~0 over all users) and each arm has users.
-    out = roundseven.q_cuped_adjusted_lift(spark, SF).collect()
+    out = ce7.q_cuped_adjusted_lift(spark, SF).collect()
     assert {r["arm"] for r in out} == {0, 1}
     for r in out:
         assert r["n_users"] > 0
@@ -449,7 +460,7 @@ def test_winsorized_trimmed_hand_fixture(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_winsorized_trimmed_mean(spark, sf).collect()[0]
+    row = si7.q_winsorized_trimmed_mean(spark, sf).collect()[0]
     mid = [i * 100 for i in range(1, 19)]
     assert row["trimmed_mean_micro"] == sum(mid) * 1_000_000 // len(mid)
     wins = sum(mid) + 100 + 1800  # clamp outliers to lo/hi cutoffs
@@ -477,7 +488,7 @@ def test_shapley_efficiency_and_symmetry(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    out = {r["channel"]: r["shap_x24"] for r in roundseven.q_shapley_channel_attribution(spark, sf).collect()}
+    out = {r["channel"]: r["shap_x24"] for r in ce7.q_shapley_channel_attribution(spark, sf).collect()}
     # v by exact mask: {}=1 (user 3), {view}=2 (user 1), {view,click}=1.
     # Efficiency: sum phi = v(full) - v(empty) = 0 - 1 = -1 -> x24 = -24.
     assert sum(out.values()) == -24
@@ -495,12 +506,12 @@ def test_skipgram_window_counts_hand_fixture(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
         f"{sf}/documents.parquet",
     )
-    out = {(r["a"], r["b"]): r["n_cooc"] for r in roundseven.q_skipgram_window_cooc(spark, sf).collect()}
+    out = {(r["a"], r["b"]): r["n_cooc"] for r in corpus_lm.q_skipgram_window_cooc(spark, sf).collect()}
     assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
 
 
 def test_qte_deciles_monotone_and_complete(spark):
-    out = roundseven.q_qte_by_decile(spark, SF).collect()
+    out = ce7.q_qte_by_decile(spark, SF).collect()
     assert sorted(r["d"] for r in out) == list(range(1, 10))
     qt = [r["q_treat"] for r in sorted(out, key=lambda r: r["d"])]
     qc = [r["q_ctrl"] for r in sorted(out, key=lambda r: r["d"])]
@@ -528,7 +539,7 @@ def test_fourier_recovers_planted_harmonic(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_fourier_weekly_fit(spark, sf).collect()[0]
+    row = timeseries.q_fourier_weekly_fit(spark, sf).collect()[0]
     assert row["n_days"] == 28
     assert abs(row["a0_r"] - 70000) < 1.0
     assert abs(row["a1_r"] - 10000) < 15.0  # rounding of the planted cosine
@@ -555,7 +566,7 @@ def test_als_rank1_recovers_scaled_item_factor(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    out = {r["event_type"]: r for r in roundseven.q_als_rank1_step(spark, sf).collect()}
+    out = {r["event_type"]: r for r in ml_eval.q_als_rank1_step(spark, sf).collect()}
     ratio = out["click"]["v1_nano"] / out["view"]["v1_nano"]
     assert abs(ratio - 7 / 4) < 0.01
 
@@ -574,7 +585,7 @@ def test_mann_kendall_monotone_series(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_mann_kendall_theilsen(spark, sf).collect()[0]
+    row = timeseries.q_mann_kendall_theilsen(spark, sf).collect()[0]
     assert row["n_pairs"] == 15 * 14 // 2
     assert row["mk_s"] == row["n_pairs"]  # every pair increases
     assert row["theil_sen_micro"] == 700 * 1_000_000
@@ -607,7 +618,7 @@ def test_did_recovers_planted_effect(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
         f"{sf}/events.parquet",
     )
-    row = roundseven.q_diff_in_differences(spark, sf).collect()[0]
+    row = ce7.q_diff_in_differences(spark, sf).collect()[0]
     assert row["pre_gap_micro"] == 0
     assert row["did_micro"] == 300 * 1_000_000
 
@@ -649,7 +660,7 @@ def test_caliper_matching_picks_nearest_within_caliper(spark, tmp_path):
         " o_orderdate string, o_orderpriority string",
         f"{sf}/orders.parquet",
     )
-    row = roundseven.q_caliper_matched_att(spark, sf).collect()[0]
+    row = ce7.q_caliper_matched_att(spark, sf).collect()[0]
     assert row["n_matched"] == 1
     assert row["treated_mean_micro"] == 1000 * 1_000_000
     assert row["control_mean_micro"] == 700 * 1_000_000
@@ -705,7 +716,7 @@ def test_nb_crossval_subtraction_equals_direct_retrain(spark, tmp_path):
     }
     assert subtracted == direct
     # and the spec itself runs green on this corpus with full coverage
-    out = roundseven.q_nb_crossval_accuracy(spark, sf).collect()
+    out = ml_eval.q_nb_crossval_accuracy(spark, sf).collect()
     assert sum(r["n_docs"] for r in out) == 40
     for r in out:
         assert 0 <= r["accuracy_micro"] <= 1_000_000
