@@ -88,3 +88,16 @@ def test_oracle_output_types_are_driver_safe():
     )
 
 
+
+
+def test_no_round_named_plan_modules():
+    """Round 11 consolidated the build-history modules into domain modules
+    (VERDICT r10 item 6); a round-named module creeping back means a spec
+    landed outside the user-facing structure."""
+    import os
+
+    import projet_data_infrastructure_spark.plans as plans
+
+    mods = os.listdir(os.path.dirname(plans.__file__))
+    offenders = [m for m in mods if m.startswith("round")]
+    assert not offenders, offenders
