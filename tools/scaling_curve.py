@@ -54,6 +54,13 @@ HEAVY = (
     "ccnet_perplexity_buckets",
     "matrix_profile_daily",
     "cox_ph_binary_newton",
+    # round-11 breadth: one per remaining shuffle-heavy family
+    "minhash_lsh_pairs",        # banded dedup joins
+    "crossdoc_dup_ngrams",      # n-gram bucket joins
+    "ivf_topk_batch",           # ANN bucketed search
+    "semantic_contamination",   # eval->train IVF contamination
+    "c4_line_dedup",            # line-digest global dedup
+    "tpch_q9_product_profit",   # large-large relational join
 )
 
 SFS = ("sf0.001", "sf0.01", "sf0.1")
