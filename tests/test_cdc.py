@@ -264,3 +264,57 @@ def test_apply_cdc_batch_ooo_late_arrivals(spark, tmp_path):
     apply_cdc_batch_ooo(target, parse_envelope(b2))
     again = {r["id"]: r["comment"] for r in read_cdc_state(spark, target).collect()}
     assert again == {2: "new"}
+
+
+def test_apply_cdc_batch_ooo_batch_slicing_invariant(spark, tmp_path):
+    """Property: the ooo apply's end state equals the order-free reduction
+    (latest_by_key over ALL changes, tombstones dropped) for EVERY way the
+    change stream is sliced into micro-batches and every delivery order —
+    including replays. Deterministic sweep over slicings and orders of an
+    8-change / 3-key feed with ts inversions and delete-update races."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from projet_data_infrastructure_spark.streaming.cdc import (
+        apply_cdc_batch_ooo,
+        read_cdc_state,
+    )
+
+    changes = [
+        ("c", dict(ROW1, comment="a1"), None, 10),
+        ("u", dict(ROW1, comment="a2"), ROW1, 30),
+        ("d", None, ROW1, 20),              # delete OLDER than the last update
+        ("c", dict(ROW2, comment="b1"), None, 5),
+        ("d", None, ROW2, 40),              # delete NEWER than every b-change
+        ("u", dict(ROW2, comment="b2"), ROW2, 35),
+        ("c", dict(ROW1, id=3, comment="c1"), None, 50),
+        ("u", dict(ROW1, id=3, comment="c2"), dict(ROW1, id=3), 45),
+    ]
+    envs = [envelope(op, after=a, before=b, ts_ms=ts) for op, a, b, ts in changes]
+    # expected: per id, the max-ts change; drop ids whose winner is a delete
+    expected = {1: "a2", 3: "c1"}  # id1: u@30 beats d@20; id2: d@40 wins; id3: c@50
+
+    def run(slices):
+        target = str(tmp_path / f"t{run.i}")
+        run.i += 1
+        for sl in slices:
+            b = spark.createDataFrame([(envs[i],) for i in sl], "value string")
+            apply_cdc_batch_ooo(target, parse_envelope(b))
+        rows = {r["id"]: r["comment"] for r in read_cdc_state(spark, target).collect()}
+        assert rows == expected, (slices, rows)
+
+    run.i = 0
+    idx = list(range(len(envs)))
+    cases = [
+        [idx],                                   # one batch
+        [idx[:4], idx[4:]],                      # two halves
+        [idx[4:], idx[:4]],                      # halves REVERSED
+        [[i] for i in idx],                      # one change per batch
+        [[i] for i in reversed(idx)],            # fully reversed singles
+        [idx[::2], idx[1::2]],                   # interleaved slices
+        [idx[:4], idx[4:], idx[:4]],             # replay of batch 1
+        [list(p) for p in itertools.permutations([0, 2, 1])] + [idx[3:]],
+    ]
+    for slices in cases:
+        run(slices)

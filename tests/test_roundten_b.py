@@ -1238,3 +1238,30 @@ def test_wide_quantizers_no_saturation(spark):
     ]
     assert [int(a) for a in got_spark] == [int(b) for b in got_duck]
     assert int(got_spark[0]) == int(1.9e14 * 1e6)  # > 2^63, not clamped
+
+
+def test_jonckheere_random_sparse_supports_property(spark):
+    # Deterministic pseudo-random sparse group supports (the hypothesis-
+    # style sweep, seeded for reproducibility): engine jt2 must equal the
+    # grid-free Python reference for ANY support pattern, including
+    # disjoint and partially-overlapping grids.
+    import random
+
+    from projet_data_infrastructure_spark.plans.stats_inference import (
+        jt_stats_from_gv,
+    )
+
+    rng = random.Random(1109)
+    for _ in range(6):
+        k = rng.randint(2, 4)
+        groups = {}
+        for g in range(1, k + 1):
+            n = rng.randint(1, 8)
+            groups[g] = Counter(rng.choice([1, 2, 3, 5, 8, 13, 21]) for _ in range(n))
+        rows = [
+            (g, int(v)) for g, c in groups.items() for v, m in c.items() for _ in range(m)
+        ]
+        gv = spark.createDataFrame(rows, "g int, v long")
+        fin = jt_stats_from_gv(gv).collect()[0]
+        assert int(fin["jt2"]) == _jt2_reference(groups), groups
+        assert fin["n"] == len(rows)
