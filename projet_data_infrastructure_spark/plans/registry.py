@@ -28,85 +28,24 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-11 driver window — the first 50 names fill the driver's 50-slot
-# window; everything after position 50 fronts the round-12 rotation queue.
-# Composition (verdict r10 item 1 — the ledger-close + staleness rotation):
-# (a) the 3 round-10 post-window additions, never driver-hash-checked —
-#     fronting them closes the ledger at every-spec-ever-driver-proven;
-# (b) the new round-11 spec (out-of-order CDC, verdict item 4), proven the
-#     same window it ships;
-# (c) the 5 specs whose quantizers were WIDENED this round (ADVICE r10:
-#     the DECIMAL(38,0) cast-quantizer rewires) — code changed after their
-#     r10 proofs, so they outrank merely-old proofs (ansari_bradley and
-#     tukey_hsd_pairs were also widened and already sit in (a));
-# (d) the 40 stalest driver proofs — every name whose last green
-#     CORRECTNESS row is round 1 — re-proven on current code (several run
-#     through shared cores refactored since: the dedup/minhash/simhash
-#     family, value-grid rank consumers);
-# (e) 1 round-2-era dedup-core name to fill the window.
-# Behind the window: the remaining round-2-era names in staleness order,
-# so the round-12 window auto-rotates onto them without a registry edit.
-# The 350-odd specs with fresher proofs keep their module order behind and
+# Round-12 driver window — the first 50 names fill the driver's 50-slot
+# window; everything after position 50 is the round-13 rotation queue.
+# Composition (verdict r11 item 1 — the staleness rotation continues):
+# (a) the 46 round-2-era proofs staged behind the r11 window — every name
+#     whose last green CORRECTNESS row is round 2, re-proven on current
+#     code (the r11 refresh covered the round-1 era; this window covers
+#     the next-stalest stratum in full);
+# (b) the 4 stalest round-3-era names to fill the window (registry order).
+# Behind the window: the r13 queue — the remaining 33 round-3-era names,
+# then the 48 round-4-era names, in staleness-then-registry order, so the
+# round-13 window rotates on with a one-line comment edit.
+# The ~300 specs with fresher proofs keep their module order behind and
 # stay locally re-proven each round (LOCAL_ORACLE_sf*.json, three SFs +
-# the 7-partition sweep). Rows-only specs would sink behind every oracled
-# spec, but since round 10 there are none. Unknown names are ignored.
+# the 7-partition sweep + the full-registry hostile sweep). Rows-only
+# specs would sink behind every oracled spec, but since round 10 there
+# are none. Unknown names are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-10 post-window additions — never driver-checked
-    "ansari_bradley",
-    "nelson_aalen_hazard",
-    "tukey_hsd_pairs",
-    # (b) new this round
-    "stream_cdc_ooo",
-    # (c) quantizer-widened this round (ADVICE r10)
-    "jonckheere_terpstra",
-    "cramer_von_mises",
-    "anova_oneway_f",
-    "levene_brown_forsythe",
-    "logistic_irls_qty",
-    # (d) round-1-era proofs, stalest first (alphabetical within the era)
-    "case_when_bonus",
-    "cast_types",
-    "cdc_envelope_parse",
-    "cosine_topk_bruteforce",
-    "cube_agg",
-    "date_funcs",
-    "dedup_earliest_event",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "distinct_agg",
-    "embedding_neardup_pairs",
-    "epoch_us_roundtrip",
-    "flagship_bonus",
-    "groupby_count_avg",
-    "json_extract",
-    "late_data_filter",
-    "masked_view",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "multiway_join_rollup",
-    "ngram_jaccard_pairs",
-    "null_logic_coalesce",
-    "rollup_agg",
-    "session_window_agg",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "simhash_32bit",
-    "sliding_window_agg",
-    "string_funcs",
-    "topk_groups",
-    "topk_users_by_value",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q5_local_supplier",
-    "tumbling_window_agg",
-    "validation_profile",
-    "window_lag",
-    "window_rank",
-    "window_running_sum",
-    # (e) the 50th slot: round-2-era, shared dedup core
-    "dedup_clusters",
-    # ---- round-12 queue: remaining round-2-era proofs ----
+    # (a) round-2-era proofs (46), staleness order staged in round 11
     "dedup_cluster_keep",
     "embedding_neardup_bucketed",
     "median_percentile",
@@ -153,6 +92,94 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q7_nation_volume",
     "unpivot_measures",
     "wordcount_top20",
+    # (b) round-3-era fillers for slots 47-50 (registry order)
+    "session_paths_topk",
+    "event_transition_matrix",
+    "stream_filter_project",
+    "stream_tumbling_counts",
+    # ---- round-13 queue: remaining round-3-era proofs (33) ----
+    "stream_session_counts",
+    "stream_dedup_ids",
+    "stream_running_totals",
+    "stream_stream_join",
+    "stream_static_join",
+    "benchmark_decontamination",
+    "repetition_ngram_ratio",
+    "embedding_simhash_pairs",
+    "domain_mixture_weights",
+    "pq_encode",
+    "pq_adc_topk",
+    "embedding_dup_clusters",
+    "lm_bigram_score",
+    "ivfpq_topk",
+    "mixture_resample",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q22_inactive",
+    "tpch_q8_mkt_share",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_supplier",
+    "array_agg_sorted",
+    "window_funcs2",
+    "string_funcs2",
+    "conditional_funcs",
+    "rolling_7day_revenue",
+    "order_total_reconciliation",
+    "robust_outliers",
+    "bucketed_join_colocated",
+    "snapshot_time_travel",
+    "multimodal_size_histogram",
+    "heavy_hitters",
+    # ---- then the round-4-era proofs (48) ----
+    "k_anonymity_audit",
+    "user_series_correlation",
+    "sessionize_events",
+    "resample_hourly_ffill",
+    "stream_stream_left_join",
+    "stream_stream_full_join",
+    "leakage_safe_split",
+    "dedup_cluster_sizes",
+    "semdedup_prune",
+    "ivf_topk_multiprobe",
+    "crossdoc_dup_ngrams",
+    "dup_span_removal",
+    "udtf_tokenize_positions",
+    "corpus_split_assign",
+    "length_percentile_filter",
+    "temperature_mixture",
+    "char_entropy",
+    "sequence_packing",
+    "weighted_sample_topk",
+    "gopher_quality_flags",
+    "token_diversity",
+    "stream_quality_curation",
+    "cross_source_contamination",
+    "doc_chunking",
+    "map_funcs",
+    "customer_frontier_by_nation",
+    "skyline_orders",
+    "preference_pairs",
+    "longest_daily_streak",
+    "cohort_retention",
+    "ratio_to_report",
+    "regression_slope_by_user",
+    "levenshtein_blocked_pairs",
+    "zorder_scan_filtered",
+    "equidepth_histogram",
+    "revenue_decile_share",
+    "rfm_segmentation",
+    "snapshot_diff_cdf",
+    "ewma_by_user",
+    "stream_cdc_apply",
+    "multimodal_features",
+    "scd2_user_history",
+    "incremental_agg_merge",
+    "kmv_distinct_sketch",
+    "kmv_sketch_set_ops",
+    "countmin_user_counts",
+    "psi_drift_profile",
+    "bloom_membership",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they
