@@ -1,0 +1,1005 @@
+"""Independent (third-way) formula fixtures for mirrored-oracle-only specs.
+
+VERDICT r11 item 2: a formula mirrored wrong on BOTH engines is invisible
+to the driver's hash gate forever (the round-10 Jonckheere–Terpstra bug).
+Every test here computes the spec's advertised statistic DEFINITIONALLY in
+pure Python — literal folds over the raw parquet bytes (pyarrow, never
+Spark or DuckDB SQL), brute-force pair scans, union-find instead of
+iterative label propagation, fan-triangulation instead of half-plane
+conjunction — and compares against the Spark spec output. A shared wrong
+formula cannot pass both this and the oracle.
+
+Inputs are the driver-generated sf0.001 tables plus crafted adversarial
+frames where topology matters (connected components). ``py_hash64`` is the
+hashlib mirror already three-engine property-proven in
+tests/test_portability.py, and ``py_pround`` mirrors plans/_portable.pround.
+"""
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def py_hash64(s, seed=None) -> int:
+    base = f"{seed}:{s}" if seed is not None else str(s)
+    return int(hashlib.md5(base.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def py_pround(x: float, n: int) -> float:
+    scale = float(10**n)
+    return math.floor(x * scale + 0.5 + 1e-5) / scale
+
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.strip()) if t]
+
+
+def py_normalize(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip()).lower()
+
+
+# ---------------------------------------------------------------- raw data
+
+
+def _epoch_us(ts_col) -> list[int]:
+    unit = ts_col.type.unit
+    ints = ts_col.cast(pa.int64()).to_pylist()
+    if unit == "ns":
+        return [v // 1000 for v in ints]
+    assert unit == "us", f"unexpected ts unit {unit}"
+    return ints
+
+
+@pytest.fixture(scope="module")
+def events():
+    t = pq.read_table(f"{SF}/events.parquet")
+    us = _epoch_us(t.column("ts"))
+    rows = list(
+        zip(
+            t.column("event_id").to_pylist(),
+            us,
+            t.column("user_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            t.column("value").to_pylist(),
+        )
+    )
+    return rows  # (event_id, us, user_id, event_type, value)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+
+
+# ======================================================== events family
+
+
+def test_ks_drift_literal(spark, events):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from projet_data_infrastructure_spark.plans.mining import _KS_BINS, q_ks_drift
+
+    # Spark round(double) = BigDecimal(shortest-rendering) HALF_UP — repr()
+    # is the same shortest rendering, so Decimal(repr(v)) mirrors it exactly.
+    cnt = {"view": Counter(), "purchase": Counter()}
+    for _eid, _us, _uid, et, v in events:
+        if et in cnt:
+            cents = int(Decimal(repr(v)).scaleb(2).quantize(Decimal(1), ROUND_HALF_UP))
+            cnt[et][min(_KS_BINS - 1, max(0, cents // 100))] += 1
+    n_a, n_b = sum(cnt["view"].values()), sum(cnt["purchase"].values())
+    cum_a = cum_b = best = 0
+    for b in sorted(set(cnt["view"]) | set(cnt["purchase"])):
+        cum_a += cnt["view"][b]
+        cum_b += cnt["purchase"][b]
+        best = max(best, abs(cum_a * n_b - cum_b * n_a))
+    got = q_ks_drift(spark, SF).collect()[0]
+    assert (got["n_views"], got["n_purchases"]) == (n_a, n_b)
+    assert got["ks"] == py_pround(best / (n_a * n_b), 6)
+
+
+def test_ab_test_z_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import (
+        _AB_PURCHASE_CUT,
+        q_ab_test_z_score,
+    )
+
+    purch = Counter()
+    users = set()
+    for _eid, _us, uid, et, _v in events:
+        users.add(uid)
+        if et == "purchase":
+            purch[uid] += 1
+    n = {0: 0, 1: 0}
+    k = {0: 0, 1: 0}
+    for uid in users:
+        arm = uid % 2
+        n[arm] += 1
+        k[arm] += purch[uid] >= _AB_PURCHASE_CUT
+    p0, p1 = k[0] / n[0], k[1] / n[1]
+    pp = (k[0] + k[1]) / (n[0] + n[1])
+    se = math.sqrt(pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+    z = (p1 - p0) / se
+    got = q_ab_test_z_score(spark, SF).collect()[0]
+    assert (got["n0"], got["k0"], got["n1"], got["k1"]) == (n[0], k[0], n[1], k[1])
+    assert got["rate0"] == py_pround(p0, 6)
+    assert got["rate1"] == py_pround(p1, 6)
+    assert math.isclose(got["z_score"], z, rel_tol=0, abs_tol=5e-6)
+    assert got["significant_95"] == (abs(z) > 1.96)
+
+
+def _by_user_sorted(events):
+    per = defaultdict(list)
+    for eid, us, uid, et, v in events:
+        per[uid].append((us, eid, et, v))
+    for rows in per.values():
+        rows.sort(key=lambda r: (r[0], r[1]))
+    return per
+
+
+def test_max_drawdown_literal_fold(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_max_drawdown_by_user
+
+    expected = {}
+    for uid, rows in _by_user_sorted(events).items():
+        run = peak = 0
+        dd = 0
+        for _us, _eid, _et, v in rows:
+            run += math.floor(v * 100 + 0.5)
+            peak = max(peak, run)
+            dd = max(dd, peak - run)
+        expected[uid] = (dd, len(rows))
+    got = {
+        r["user_id"]: (r["max_drawdown_cents"], r["n_events"])
+        for r in q_max_drawdown_by_user(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_interevent_gap_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_interevent_gap_histogram
+
+    hist = Counter()
+    for rows in _by_user_sorted(events).values():
+        for (p_us, _, _, _), (c_us, _, _, _) in zip(rows, rows[1:]):
+            gap_s = (c_us - p_us) // 1_000_000
+            hist[0 if gap_s <= 0 else gap_s.bit_length()] += 1
+    got = {
+        r["bucket"]: (r["lower_bound_s"], r["n_gaps"])
+        for r in q_interevent_gap_histogram(spark, SF).collect()
+    }
+    expected = {
+        b: (0 if b == 0 else 1 << (b - 1), c) for b, c in hist.items()
+    }
+    assert got == expected
+
+
+def test_session_bounce_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _SESSION_GAP_S,
+        q_session_bounce_rate,
+    )
+
+    per_day = defaultdict(lambda: [0, 0])  # day -> [sessions, bounces]
+    for rows in _by_user_sorted(events).values():
+        sessions = []
+        prev_s = None
+        for us, _eid, _et, _v in rows:
+            s = us // 1_000_000
+            day = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).date()
+            if prev_s is None or s - prev_s > _SESSION_GAP_S:
+                sessions.append([day, 0])
+            sessions[-1][0] = min(sessions[-1][0], day)
+            sessions[-1][1] += 1
+            prev_s = s
+        for day, n_ev in sessions:
+            per_day[day][0] += 1
+            per_day[day][1] += n_ev == 1
+    got = q_session_bounce_rate(spark, SF).collect()
+    assert len(got) == len(per_day)
+    for r in got:
+        n_sess, n_bounce = per_day[r["day"]]
+        assert (r["n_sessions"], r["n_bounces"]) == (n_sess, n_bounce)
+        assert r["bounce_rate"] == py_pround(n_bounce / n_sess, 6)
+
+
+def test_spend_percentile_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_spend_percentile_rank
+
+    spend = Counter()
+    for _eid, _us, uid, et, v in events:
+        if et == "purchase":
+            spend[uid] += math.floor(v * 100 + 0.5)
+    ordered = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    denom = max(len(ordered) - 1, 1)
+    expected = {
+        uid: (cents, py_pround(i / denom, 6))
+        for i, (uid, cents) in enumerate(ordered)
+    }
+    got = {
+        r["user_id"]: (r["spend_cents"], r["spend_pctile"])
+        for r in q_spend_percentile_rank(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_view_purchase_latency_literal(spark, events):
+    import bisect
+
+    from projet_data_infrastructure_spark.plans.advanced import q_view_purchase_latency
+
+    views = defaultdict(list)
+    for _eid, us, uid, et, _v in events:
+        if et == "view":
+            views[uid].append(us)
+    for v in views.values():
+        v.sort()
+    delays = defaultdict(list)  # uid -> [(delay_us, event_id)]
+    for eid, us, uid, et, _v in events:
+        if et == "purchase" and views[uid]:
+            i = bisect.bisect_right(views[uid], us)
+            if i:
+                delays[uid].append((us - views[uid][i - 1], eid))
+    expected = {}
+    for uid, ds in delays.items():
+        ds.sort()
+        n = len(ds)
+        expected[uid] = (n, ds[math.ceil(0.5 * n) - 1][0])
+    got = {
+        r["user_id"]: (r["n_pairs"], r["median_delay_us"])
+        for r in q_view_purchase_latency(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_resample_interp_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        q_resample_hourly_interp,
+    )
+
+    HOUR = 3_600_000_000
+    # last observation per (user, hour) by (ts, event_id)
+    last = {}
+    for eid, us, uid, _et, v in events:
+        hr = (us // HOUR) * HOUR
+        key = (uid, hr)
+        if key not in last or (us, eid) > last[key][:2]:
+            last[key] = (us, eid, math.floor(v * 100 + 0.5))
+    per_user = defaultdict(dict)
+    for (uid, hr), (_us, _eid, cents) in last.items():
+        per_user[uid][hr] = cents
+    expected = {}
+    for uid, obs in per_user.items():
+        hrs = sorted(obs)
+        grid = range(hrs[0], hrs[-1] + HOUR, HOUR)
+        obs_sorted = hrs
+        for hr in grid:
+            if hr in obs:
+                val = float(obs[hr])
+            else:
+                import bisect
+
+                i = bisect.bisect_left(obs_sorted, hr)
+                pd_, nd = obs_sorted[i - 1], obs_sorted[i]
+                pv, nv = obs[pd_], obs[nd]
+                frac = (hr / HOUR - pd_ / HOUR) / (nd / HOUR - pd_ / HOUR)
+                val = pv + (nv - pv) * frac
+            expected[(uid, hr)] = val
+    got = q_resample_hourly_interp(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        hr_us = int(r["hour_ts"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        exp = expected[(r["user_id"], hr_us)]
+        assert math.isclose(r["interp_cents"], exp, rel_tol=0, abs_tol=5e-4), (
+            r["user_id"],
+            r["hour_ts"],
+        )
+
+
+# ====================================================== documents family
+
+
+def test_char_entropy_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_char_entropy
+
+    got = {r["doc_id"]: r for r in q_char_entropy(spark, SF).collect()}
+    assert len(got) == len(docs)
+    for doc_id, text, _lang in docs:
+        c = Counter(text)
+        n = sum(c.values())
+        ent = -sum(v / n * math.log2(v / n) for v in c.values())
+        r = got[doc_id]
+        assert r["n_chars_total"] == n
+        assert math.isclose(r["entropy_bits"], ent, rel_tol=0, abs_tol=5e-6)
+
+
+def test_lm_bigram_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_lm_bigram_score
+
+    per_doc = {}
+    cb = Counter()
+    cw = Counter()
+    for doc_id, text, _lang in docs:
+        toks = py_tokens(text)
+        if len(toks) < 2:
+            continue
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[doc_id] = bgs
+        for bg in bgs:
+            cb[bg] += 1
+            cw[bg[0]] += 1
+    got = {r["doc_id"]: r for r in q_lm_bigram_score(spark, SF).collect()}
+    assert set(got) == set(per_doc)
+    for doc_id, bgs in per_doc.items():
+        avg = sum(math.log(cb[bg] / cw[bg[0]]) for bg in bgs) / len(bgs)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert math.isclose(got[doc_id]["avg_logprob"], avg, rel_tol=0, abs_tol=5e-6)
+
+
+def test_dsir_importance_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        _DSIR_BUCKETS,
+        _DSIR_SEED,
+        q_dsir_importance,
+    )
+
+    db = Counter()  # (doc, bucket) -> c
+    is_en = {}
+    for doc_id, text, lang in docs:
+        is_en[doc_id] = lang == "en"
+        for w in py_tokens(text):
+            db[(doc_id, py_hash64(w, seed=_DSIR_SEED) % _DSIR_BUCKETS)] += 1
+    cs = Counter()
+    ct = Counter()
+    for (doc_id, bkt), c in db.items():
+        cs[bkt] += c
+        if is_en[doc_id]:
+            ct[bkt] += c
+    ts, tt = sum(cs.values()), sum(ct.values())
+    B = float(_DSIR_BUCKETS)
+    lrq = {
+        bkt: math.floor(
+            math.log(((ct[bkt] + 1) / (tt + B)) / ((cs[bkt] + 1) / (ts + B)))
+            * 1_000_000.0
+            + 0.50001
+        )
+        for bkt in cs
+    }
+    scores = Counter()
+    for (doc_id, bkt), c in db.items():
+        scores[doc_id] += c * lrq[bkt]
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["doc_id"], r["score_unats"]) for r in q_dsir_importance(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+def test_simhash_hamming_bruteforce(spark, docs):
+    """Brute-force all-pairs popcount — validates BOTH the simhash bit
+    majority and the byte-band pigeonhole recall in one equality."""
+    from projet_data_infrastructure_spark.plans.llm_queries import q_simhash_hamming
+
+    sig = {}
+    for doc_id, text, _lang in docs:
+        votes = [0] * 32
+        for tok in py_tokens(text):
+            h = py_hash64(tok) % (1 << 32)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig[doc_id] = sum(1 << b for b in range(32) if votes[b] > 0)
+    ids = sorted(sig)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sig[a] ^ sig[b]).count("1")
+            if d <= 3:
+                expected.add((a, b, d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_simhash_hamming(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_doc_fingerprint_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_fingerprint
+
+    got = {r["doc_id"]: r["fp"] for r in q_fingerprint(spark, SF).collect()}
+    for doc_id, text, _lang in docs:
+        assert got[doc_id] == hashlib.md5(py_normalize(text).encode()).hexdigest()
+
+
+def test_rolling_fingerprint_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_rolling_fingerprint
+
+    got = {r["doc_id"]: r["sketch"] for r in q_rolling_fingerprint(spark, SF).collect()}
+    for doc_id, text, _lang in docs:
+        norm = py_normalize(text)
+        stops = range(0, max(len(norm) - 7, 1), 4)
+        assert got[doc_id] == min(py_hash64(norm[i : i + 8]) for i in stops), doc_id
+
+
+def test_repetition_ratio_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_repetition_ratio
+
+    got = {r["doc_id"]: r for r in q_repetition_ratio(spark, SF).collect()}
+    n_eligible = 0
+    for doc_id, text, _lang in docs:
+        toks = py_tokens(text)
+        if len(toks) < 3:
+            continue
+        n_eligible += 1
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        r = got[doc_id]
+        assert r["n_ngrams"] == len(grams)
+        assert r["n_distinct"] == len(set(grams))
+        assert r["dup_ratio"] == py_pround(1.0 - len(set(grams)) / len(grams), 6)
+    assert len(got) == n_eligible
+
+
+def test_quality_score_literal(spark, docs):
+    from projet_data_infrastructure_spark.operators.text import LANG_MARKERS
+    from projet_data_infrastructure_spark.plans.llm_queries import q_quality_score
+
+    en = set(LANG_MARKERS["en"])
+    got = {r["doc_id"]: r for r in q_quality_score(spark, SF).collect()}
+    for doc_id, text, _lang in docs:
+        toks = py_tokens(text)
+        n_tokens, n_chars = len(toks), len(text)
+        punct = len(re.sub(r"[a-z0-9\s]", "", text.lower())) / max(n_chars, 1)
+        stop = sum(t in en for t in toks) / max(n_tokens, 1)
+        score = 0.4 * min(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct) + 0.3 * stop
+        bucket = "high" if score >= 0.6 else "medium" if score >= 0.4 else "low"
+        r = got[doc_id]
+        assert math.isclose(r["quality"], py_pround(score, 4), rel_tol=0, abs_tol=1e-9)
+        assert r["quality_bucket"] == bucket
+
+
+def test_tfidf_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_tfidf_top_terms
+
+    tf = {}
+    df = Counter()
+    for doc_id, text, _lang in docs:
+        c = Counter(py_tokens(text))
+        tf[doc_id] = c
+        for term in c:
+            df[term] += 1
+    n_docs = len(docs)
+    expected = {}
+    for doc_id, c in tf.items():
+        scored = sorted(
+            (
+                (-py_pround(cnt * math.log((n_docs + 1) / (df[t] + 1)), 4), t)
+                for t, cnt in c.items()
+            ),
+        )[:3]
+        expected[doc_id] = [(t, -s, i + 1) for i, (s, t) in enumerate(scored)]
+    got = defaultdict(list)
+    for r in q_tfidf_top_terms(spark, SF).orderBy("doc_id", "rnk").collect():
+        got[r["doc_id"]].append((r["term"], r["tfidf"], r["rnk"]))
+    assert dict(got) == expected
+
+
+# ===================================================== graph / geo / CC
+
+
+def test_geo_pip_fan_triangulation(spark):
+    """Containment recomputed by barycentric fan triangulation — a different
+    decomposition of the same convex region than the half-plane conjunction
+    the spec (and its oracle) use."""
+    from projet_data_infrastructure_spark.plans.graph_geo import (
+        _GEO_BOX_MILLI,
+        _PIP_POLY,
+        q_geo_point_in_polygon,
+    )
+
+    def in_tri(p, a, b, c):
+        def cross(o, u, v):
+            return (u[0] - o[0]) * (v[1] - o[1]) - (u[1] - o[1]) * (v[0] - o[0])
+
+        s1, s2, s3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        return (s1 >= 0 and s2 >= 0 and s3 >= 0) or (s1 <= 0 and s2 <= 0 and s3 <= 0)
+
+    def inside(p):
+        return any(
+            in_tri(p, _PIP_POLY[0], _PIP_POLY[i], _PIP_POLY[i + 1])
+            for i in range(1, len(_PIP_POLY) - 1)
+        )
+
+    keys = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).column(
+        "c_custkey"
+    ).to_pylist()
+    agg = {True: [0, 0], False: [0, 0]}
+    for k in keys:
+        lat = py_hash64(k, seed=101) % _GEO_BOX_MILLI
+        lon = py_hash64(k, seed=102) % _GEO_BOX_MILLI
+        cell = agg[inside((lat, lon))]
+        cell[0] += 1
+        cell[1] += k
+    # both classes must be populated or the fixture proves nothing
+    assert agg[True][0] > 0 and agg[False][0] > 0
+    got = {
+        r["inside"]: (r["n_points"], r["key_checksum"])
+        for r in q_geo_point_in_polygon(spark, SF).collect()
+    }
+    assert got == {flag: tuple(v) for flag, v in agg.items()}
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+CRAFTED_GRAPHS = [
+    # long chain (worst case for propagation rounds / path halving)
+    [(i, i + 1) for i in range(1, 30)],
+    # star + separate triangle + 2-cycle duplicate edge
+    [(100, 1), (100, 2), (100, 3), (200, 201), (201, 202), (202, 200), (300, 301), (301, 300)],
+    # two chains merged at the far end (late min-label flip)
+    [(1, 10), (10, 20), (2, 11), (11, 21), (20, 21)],
+    # self-contained pairs
+    [(5, 6), (7, 8), (9, 5)],
+]
+
+
+@pytest.mark.parametrize("edges", CRAFTED_GRAPHS)
+def test_duplicate_clusters_union_find(spark, edges):
+    from projet_data_infrastructure_spark.operators import dedup
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    expected = _union_find_components(edges)
+    for fn in (dedup.duplicate_clusters, dedup.duplicate_clusters_starstar):
+        got = {r["doc_id"]: r["component"] for r in fn(pairs).collect()}
+        assert got == expected, fn.__name__
+
+
+def test_dedup_clusters_union_find_on_corpus(spark, docs):
+    """The real spec output (LSH candidate graph at sf0.001) re-labeled by
+    union-find over the SAME pair list the operator consumed."""
+    from projet_data_infrastructure_spark.operators import dedup
+    from projet_data_infrastructure_spark.plans.llm_queries import q_dedup_clusters
+    from projet_data_infrastructure_spark.sources.readers import read_table_balanced
+
+    d = read_table_balanced(spark, SF, "documents")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(dedup.minhash_signatures(d)).collect()
+    ]
+    assert pairs, "sf0.001 corpus must produce candidate pairs"
+    expected = _union_find_components(pairs)
+    got = {r["doc_id"]: r["component"] for r in q_dedup_clusters(spark, SF).collect()}
+    assert got == expected
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_entity_resolution_literal(spark):
+    """Block → match → cluster → canonicalize recomputed with a pure-Python
+    Levenshtein DP and union-find (the spec uses Spark's builtin + iterative
+    min-label propagation; the oracle a recursive CTE — this is the third
+    implementation)."""
+    from projet_data_infrastructure_spark.plans.advanced import q_entity_resolution
+
+    t = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey", "p_name", "p_brand"])
+    parts = list(
+        zip(
+            t.column("p_partkey").to_pylist(),
+            t.column("p_name").to_pylist(),
+            t.column("p_brand").to_pylist(),
+        )
+    )
+    by_brand = defaultdict(list)
+    for key, name, brand in parts:
+        by_brand[brand].append((key, name))
+    edges = []
+    for members in by_brand.values():
+        members.sort()
+        for i, (ka, na) in enumerate(members):
+            for kb, nb in members[i + 1 :]:
+                if (
+                    abs(len(na) - len(nb)) <= 2
+                    and na != nb
+                    and _py_levenshtein(na, nb) <= 2
+                ):
+                    edges.append((ka, kb))
+    comp = _union_find_components(edges)
+    names = {key: name for key, name, _brand in parts}
+    ent = defaultdict(lambda: [0, 0])
+    for node, c in comp.items():
+        ent[c][0] += 1
+        ent[c][1] += node
+    expected = {
+        c: (n, checksum, names[c]) for c, (n, checksum) in ent.items()
+    }
+    got = {
+        r["entity_id"]: (r["n_members"], r["member_checksum"], r["canonical_name"])
+        for r in q_entity_resolution(spark, SF).collect()
+    }
+    assert got == expected
+    assert expected, "sf0.001 part table must produce at least one entity cluster"
+
+
+# ================================================= batch 2: token stats
+
+
+def test_wordcount_top20_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.advanced import q_wordcount_top20
+
+    cnt = Counter()
+    for _doc_id, text, _lang in docs:
+        cnt.update(py_tokens(text))
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["token"], r["cnt"]) for r in q_wordcount_top20(spark, SF).collect()]
+    assert got == expected
+
+
+def test_bigram_topk_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.advanced import q_bigram_topk
+
+    cnt = Counter()
+    for _doc_id, text, _lang in docs:
+        toks = py_tokens(text)
+        cnt.update(" ".join(p) for p in zip(toks, toks[1:]))
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["bigram"], r["cnt"]) for r in q_bigram_topk(spark, SF).collect()]
+    assert got == expected
+
+
+BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+def test_token_count_bpe_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_token_count_bpe
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in q_token_count_bpe(spark, SF).collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, text, _lang in docs:
+        assert got[doc_id] == len(BPE_RE.findall(text.lower())), doc_id
+
+
+def test_token_length_bins_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_token_length_bins
+
+    bins = defaultdict(lambda: [0, 0, 0.0])  # n_docs, total_tokens, fill_sum
+    for _doc_id, text, _lang in docs:
+        n = len(BPE_RE.findall(text.lower()))
+        b = next((e for e in (64, 128, 256, 512, 1024) if n <= e), 2048)
+        bins[b][0] += 1
+        bins[b][1] += n
+        bins[b][2] += n / b
+    got = {r["ctx_bin"]: r for r in q_token_length_bins(spark, SF).collect()}
+    assert set(got) == set(bins)
+    for b, (n_docs, total, fill_sum) in bins.items():
+        assert (got[b]["n_docs"], got[b]["total_tokens"]) == (n_docs, total)
+        assert math.isclose(
+            got[b]["mean_fill"], fill_sum / n_docs, rel_tol=0, abs_tol=1.1e-4
+        )
+
+
+def test_hashed_linear_score_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        _FH_DIM,
+        _FH_TOK_SEED,
+        _FH_W_SEED,
+        q_hashed_linear_score,
+    )
+
+    got = {r["doc_id"]: r for r in q_hashed_linear_score(spark, SF).collect()}
+    assert len(got) == len(docs)
+    for doc_id, text, _lang in docs:
+        toks = py_tokens(text.lower())
+        score = sum(
+            py_hash64(str(py_hash64(t, _FH_TOK_SEED) % _FH_DIM), _FH_W_SEED) % 2001
+            - 1000
+            for t in toks
+        )
+        r = got[doc_id]
+        assert (r["n_tokens"], r["score_milli"], r["keep"]) == (
+            len(toks),
+            score,
+            score > 0,
+        )
+
+
+def test_dow_seasonality_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.mining import q_dow_seasonality
+
+    cell = Counter()
+    for _eid, us, _uid, et, _v in events:
+        dow = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).isoweekday()
+        cell[(et, dow)] += 1
+    n_all = sum(cell.values())
+    et_m = Counter()
+    dow_m = Counter()
+    for (et, dow), n in cell.items():
+        et_m[et] += n
+        dow_m[dow] += n
+    got = q_dow_seasonality(spark, SF).collect()
+    assert len(got) == len(cell)
+    for r in got:
+        n = cell[(r["event_type"], r["dow"])]
+        lift = (n * n_all) / (et_m[r["event_type"]] * dow_m[r["dow"]])
+        assert r["n_cell"] == n
+        assert math.isclose(r["lift"], py_pround(lift, 4), rel_tol=0, abs_tol=1e-9)
+
+
+# ============================================== batch 2: embeddings / ANN
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return {
+        vid: [float(x) for x in vec]
+        for vid, vec in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+    }
+
+
+def _fold_cosine(a, b):
+    """Left-to-right fold, mirroring F.aggregate's accumulation order."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def test_cosine_topk_bruteforce_literal(spark, embeddings):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_cosine_topk
+
+    q = embeddings[0]
+    sims = sorted(
+        ((-py_pround(_fold_cosine(v, q), 6), vid) for vid, v in embeddings.items() if vid != 0),
+    )[:10]
+    expected = [(vid, -s) for s, vid in sims]
+    got = [(r["vec_id"], r["sim"]) for r in q_cosine_topk(spark, SF).collect()]
+    assert got == expected
+
+
+def test_embedding_neardup_pairs_literal(spark, embeddings):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_embedding_neardup
+
+    sub = {vid: v for vid, v in embeddings.items() if vid < 200}
+    ids = sorted(sub)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sim = py_pround(_fold_cosine(sub[a], sub[b]), 6)
+            if sim >= 0.3:
+                expected.add((a, b, sim))
+    assert expected, "threshold must catch some pairs or the fixture is vacuous"
+    got = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in q_embedding_neardup(spark, SF).collect()
+    }
+    assert got == expected
+
+
+# ============================================ batch 2: minhash-LSH chain
+
+
+def _py_minhash_sigs(docs, n_hashes=6, shingle_n=3):
+    sigs = {}
+    for doc_id, text, _lang in docs:
+        toks = py_tokens(text)
+        if len(toks) < shingle_n:
+            continue
+        sh = [" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)]
+        sigs[doc_id] = [min(py_hash64(s, seed=j) for s in sh) for j in range(n_hashes)]
+    return sigs
+
+
+def _py_lsh_pairs(sigs, band_rows=2):
+    buckets = defaultdict(list)
+    for doc_id, m in sigs.items():
+        for b in range(len(m) // band_rows):
+            key = "_".join(str(m[b * band_rows + r]) for r in range(band_rows))
+            buckets[(b, key)].append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                pairs.add((a, b))
+    return pairs
+
+
+def test_minhash_lsh_pairs_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_minhash_lsh_pairs
+
+    expected = _py_lsh_pairs(_py_minhash_sigs(docs))
+    assert expected, "sf0.001 corpus must produce LSH candidate pairs"
+    got = {(r["doc_a"], r["doc_b"]) for r in q_minhash_lsh_pairs(spark, SF).collect()}
+    assert got == expected
+
+
+def test_lsh_verified_pairs_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_lsh_verified_pairs
+
+    tsets = {doc_id: set(py_tokens(text)) for doc_id, text, _lang in docs}
+    expected = {}
+    for a, b in _py_lsh_pairs(_py_minhash_sigs(docs)):
+        inter = len(tsets[a] & tsets[b])
+        union = max(len(tsets[a]) + len(tsets[b]) - inter, 1)
+        j = inter / union
+        if j >= 0.5:
+            expected[(a, b)] = py_pround(j, 4)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_lsh_verified_pairs(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_32bit_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_simhash
+
+    got = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, SF).collect()}
+    for doc_id, text, _lang in docs:
+        votes = [0] * 32
+        for tok in py_tokens(text):
+            h = py_hash64(tok) % (1 << 32)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        assert got[doc_id] == sum(1 << b for b in range(32) if votes[b] > 0), doc_id
+
+
+# ============================================== batch 2: dedup pipeline
+
+
+def test_dedup_exact_groups_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_dedup_exact_groups
+
+    groups = defaultdict(list)
+    for doc_id, text, _lang in docs:
+        groups[hashlib.md5(text.encode()).hexdigest()].append(doc_id)
+    expected = {d: (len(ids), min(ids)) for d, ids in groups.items()}
+    got = {
+        r["digest"]: (r["n_docs"], r["keeper_id"])
+        for r in q_dedup_exact_groups(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_exact_keep_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import q_dedup_exact_keep
+
+    best = {}
+    for doc_id, text, _lang in docs:
+        d = hashlib.md5(py_normalize(text).encode()).hexdigest()
+        best[d] = min(best.get(d, doc_id), doc_id)
+    expected = sorted(best.values())
+    got = sorted(r["doc_id"] for r in q_dedup_exact_keep(spark, SF).collect())
+    assert got == expected
+
+
+def test_dedup_cluster_keep_and_sizes_literal(spark, docs):
+    """The whole near-dup removal chain — minhash, banding, connected
+    components, representative-keep — recomputed end to end in pure Python
+    (hashlib signatures + dict banding + union-find)."""
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_dedup_cluster_keep,
+        q_dedup_cluster_sizes,
+    )
+
+    comp = _union_find_components(sorted(_py_lsh_pairs(_py_minhash_sigs(docs))))
+    drop = {n for n, c in comp.items() if n != c}
+    expected_keep = sorted({d for d, _t, _l in docs} - drop)
+    got_keep = sorted(r["doc_id"] for r in q_dedup_cluster_keep(spark, SF).collect())
+    assert got_keep == expected_keep
+
+    sizes = Counter(Counter(comp.values()).values())
+    got_sizes = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in q_dedup_cluster_sizes(spark, SF).collect()
+    }
+    assert got_sizes == dict(sizes)
+
+
+def test_dedup_clusters_starstar_matches_union_find(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_dedup_clusters_starstar,
+    )
+
+    expected = _union_find_components(sorted(_py_lsh_pairs(_py_minhash_sigs(docs))))
+    got = {
+        r["doc_id"]: r["component"]
+        for r in q_dedup_clusters_starstar(spark, SF).collect()
+    }
+    assert got == expected
+
+
+# ================================================ batch 2: TPC-H anchor
+
+
+def test_tpch_q1_literal_fold(spark):
+    from projet_data_infrastructure_spark.plans.relational import q_tpch_q1
+
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = datetime(1998, 9, 2)
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0, 0.0, 0])
+    ship = t.column("l_shipdate").to_pylist()
+    for rf, ls, qty, price, disc, tax, sd in zip(
+        t.column("l_returnflag").to_pylist(),
+        t.column("l_linestatus").to_pylist(),
+        t.column("l_quantity").to_pylist(),
+        t.column("l_extendedprice").to_pylist(),
+        t.column("l_discount").to_pylist(),
+        t.column("l_tax").to_pylist(),
+        ship,
+    ):
+        if sd.replace(tzinfo=None) > cutoff:
+            continue
+        a = agg[(rf, ls)]
+        a[0] += qty
+        a[1] += price
+        a[2] += price * (1 - disc)
+        a[3] += price * (1 - disc) * (1 + tax)
+        a[4] += disc
+        a[5] += 1
+    got = q_tpch_q1(spark, SF).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        sq, sp, sdp, sc, sdisc, n = agg[(r["l_returnflag"], r["l_linestatus"])]
+        assert r["count_order"] == n
+        assert math.isclose(r["sum_qty"], sq, rel_tol=0, abs_tol=0.51)
+        assert math.isclose(r["sum_base_price"], sp, rel_tol=1e-9, abs_tol=0.51)
+        assert math.isclose(r["sum_disc_price"], sdp, rel_tol=1e-9, abs_tol=0.51)
+        assert math.isclose(r["sum_charge"], sc, rel_tol=1e-9, abs_tol=0.51)
+        assert math.isclose(r["avg_qty"], sq / n, rel_tol=0, abs_tol=0.006)
+        assert math.isclose(r["avg_price"], sp / n, rel_tol=0, abs_tol=0.006)
+        assert math.isclose(r["avg_disc"], sdisc / n, rel_tol=0, abs_tol=6e-5)
