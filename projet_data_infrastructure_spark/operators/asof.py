@@ -101,17 +101,29 @@ def carry_forward(
     tuple, so determinism is explicit at every call site.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    w = Window.partitionBy(*keys).orderBy(*order)
+    if backward:
+        # "Next non-null at-or-after" == "last non-null at-or-before" under
+        # the REVERSED total order. Expressed as last() over a DESC sort
+        # with an unboundedPreceding..currentRow frame instead of first()
+        # over currentRow..unboundedFollowing: Spark recomputes unbounded-
+        # FOLLOWING frames from scratch per row (O(n²) per key — measured
+        # 18.5 s vs 1.5 s on the 1M-row hourly grid at sf0.1), while
+        # unbounded-PRECEDING frames maintain incremental state (O(n)).
+        # Exact because callers supply a TOTAL order (see docstring).
+        ordering = [
+            F.col(o).desc() if isinstance(o, str) else o.desc() for o in order
+        ]
+    else:
+        ordering = list(order)
     w = (
-        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        if backward
-        else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Window.partitionBy(*keys)
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pick = F.first if backward else F.last
     out = df
     for name, src in carry.items():
         col = F.col(src) if isinstance(src, str) else src
-        out = out.withColumn(name, pick(col, ignorenulls=True).over(w))
+        out = out.withColumn(name, F.last(col, ignorenulls=True).over(w))
     return out
 
 
