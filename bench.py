@@ -116,7 +116,20 @@ def main() -> None:
     # the correctness driver's window, and execution position shifts per-query
     # timings (the first queries absorb residual JIT/codegen warm-up). A fixed
     # order keeps vs-prior-round deltas attributable to code, not position.
-    specs = sorted((s for s in all_specs() if "bench" in s.tags), key=lambda s: s.name)
+    registry = all_specs()
+    bench_names = {s.name for s in registry if "bench" in s.tags}
+    # Measured-cost auto-selection (VERDICT r11 item 5): the hand-curated
+    # bench tags can miss a future heavy spec. The committed
+    # LOCAL_ORACLE_sf0.1.json times every registered spec's Spark side; any
+    # name in its top-N by measured cost joins the headliner set
+    # automatically. The file is committed, so the selection is pinned and
+    # diffable per round; records without timings (pre-round-12) no-op.
+    auto_n = int(os.environ.get("SPARK_GRAFT_BENCH_AUTO_TOPN", "70"))
+    auto_added = sorted(_top_measured_names(auto_n) - bench_names)
+    specs = sorted(
+        (s for s in registry if s.name in bench_names or s.name in set(auto_added)),
+        key=lambda s: s.name,
+    )
 
     # Warmup (untimed): spin up executors/codegen and touch every table's
     # footer/listing so the first measured query doesn't pay cold IO setup.
@@ -191,6 +204,8 @@ def main() -> None:
     }
     if requeried:
         out["requeried"] = requeried
+    if auto_added:
+        out["auto_headliners"] = auto_added
     if prior_ok:
         prior_q = prior.get("queries", {})
         out["vs_prior"] = {
@@ -216,6 +231,26 @@ def main() -> None:
             )
     print(json.dumps(out))
     spark.stop()
+
+
+def _top_measured_names(n: int) -> set[str]:
+    """Top-n spec names by Spark-side cost from the committed full-registry
+    oracle run at sf0.1 (tools/check_oracle.py writes per-spec `spark_sec`).
+    Empty set when the record predates the timing field."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "LOCAL_ORACLE_sf0.1.json"
+    )
+    try:
+        with open(path) as f:
+            results = json.load(f).get("results", {})
+    except (OSError, json.JSONDecodeError):
+        return set()
+    timed = [
+        (rec["spark_sec"], name)
+        for name, rec in results.items()
+        if isinstance(rec, dict) and isinstance(rec.get("spark_sec"), (int, float))
+    ]
+    return {name for _sec, name in sorted(timed, reverse=True)[:n]}
 
 
 def _latest_prior_round() -> dict | None:

@@ -92,6 +92,7 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir)
             srows = sdf.collect()
             scols = [f.lower() for f in sdf.columns]
+            spark_sec = round(time.time() - t0, 3)
         except Exception as e:
             print(f"FAIL {spec.name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             results[spec.name] = {"status": "fail", "err": f"{type(e).__name__}: {str(e)[:300]}"}
@@ -171,13 +172,22 @@ def main() -> int:
             n_fail += 1
         else:
             print(f"PASS {spec.name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            results[spec.name] = {"status": "pass", "rows": len(srows)}
+            # spark_sec is the SPARK-side cost only (collect() wall before
+            # the oracle runs) — bench.py derives the headliner set from it.
+            results[spec.name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "spark_sec": spark_sec,
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail / {len(specs)} total")
     # Full-registry runs leave an evidence artifact next to the driver's
     # CORRECTNESS_r{N}.json (the driver window covers ~50 specs/round; this
     # records the local gate's verdict on every registered spec).
-    if not only:
+    # SPARK_GRAFT_ORACLE_NO_ARTIFACT=1 suppresses the artifact write so
+    # variant sweeps (e.g. the 7-shuffle-partition invariance run) don't
+    # overwrite the canonical default-session record.
+    if not only and not os.environ.get("SPARK_GRAFT_ORACLE_NO_ARTIFACT"):
         import json
 
         out = {

@@ -65,6 +65,17 @@ HEAVY = (
 
 SFS = ("sf0.001", "sf0.01", "sf0.1")
 
+# Env overrides (round 12, for the synthetic-sf1 decade extension;
+# defaults keep the committed SCALING.json gate semantics unchanged):
+#   SPARK_GRAFT_SCALING_SFS   comma list of SF dirs — names under sf_root
+#                             or absolute paths (label = basename)
+#   SPARK_GRAFT_SCALING_SPECS comma list of spec names (default HEAVY)
+#   SPARK_GRAFT_SCALING_OUT   output JSON path (default ../SCALING.json)
+if os.environ.get("SPARK_GRAFT_SCALING_SFS"):
+    SFS = tuple(os.environ["SPARK_GRAFT_SCALING_SFS"].split(","))
+if os.environ.get("SPARK_GRAFT_SCALING_SPECS"):
+    HEAVY = tuple(os.environ["SPARK_GRAFT_SCALING_SPECS"].split(","))
+
 
 def _stage_totals(ui: str, app_id: str) -> dict[str, int]:
     url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
@@ -102,8 +113,9 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
 
     results: dict[str, dict[str, dict[str, float]]] = {n: {} for n in HEAVY}
-    for sf in SFS:
-        sf_dir = f"{sf_root}/{sf}"
+    for sf_entry in SFS:
+        sf_dir = sf_entry if "/" in sf_entry else f"{sf_root}/{sf_entry}"
+        sf = os.path.basename(sf_entry.rstrip("/"))
         for name in HEAVY:
             walls: list[float] = []
             deltas: list[dict[str, int]] = []
@@ -134,28 +146,34 @@ def main() -> None:
             return None
         return round(math.log(hi / lo) / math.log(10.0), 3)
 
-    out = {"sfs": list(SFS), "reps": reps, "specs": {}}
+    labels = [os.path.basename(e.rstrip("/")) for e in SFS]
+    out = {"sfs": labels, "reps": reps, "specs": {}}
     for name in HEAVY:
         r = results[name]
         ex = {}
         for metric in ("wall_sec", "shuffle_bytes", "executor_ms"):
             pairs = []
-            for lo_sf, hi_sf in zip(SFS, SFS[1:]):
+            for lo_sf, hi_sf in zip(labels, labels[1:]):
                 pairs.append(expo(r[lo_sf][metric], r[hi_sf][metric]))
             ex[metric] = pairs
         out["specs"][name] = {"measured": r, "exponents": ex}
 
-    with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.json"), "w") as f:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SCALING_OUT",
+        os.path.join(os.path.dirname(__file__), "..", "SCALING.json"),
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
     # Markdown for SCALING.md
-    print("| spec | wall s (0.001/0.01/0.1) | shuffle MB (0.001/0.01/0.1) |"
-          " α wall (low,top) | α shuffle (low,top) |")
+    sflist = "/".join(labels)
+    print(f"| spec | wall s ({sflist}) | shuffle MB ({sflist}) |"
+          " α wall | α shuffle |")
     print("|---|---|---|---|---|")
     for name in HEAVY:
         r, ex = results[name], out["specs"][name]["exponents"]
-        walls = "/".join(f"{r[sf]['wall_sec']:.2f}" for sf in SFS)
-        shuf = "/".join(f"{r[sf]['shuffle_bytes'] / 1e6:.2f}" for sf in SFS)
+        walls = "/".join(f"{r[sf]['wall_sec']:.2f}" for sf in labels)
+        shuf = "/".join(f"{r[sf]['shuffle_bytes'] / 1e6:.2f}" for sf in labels)
         aw = ", ".join("-" if e is None else f"{e:.2f}" for e in ex["wall_sec"])
         ash = ", ".join(
             "-" if e is None else f"{e:.2f}" for e in ex["shuffle_bytes"]
