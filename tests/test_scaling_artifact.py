@@ -53,3 +53,41 @@ def test_measurements_are_positive_wall():
     for name, rec in data["specs"].items():
         for sf, m in rec["measured"].items():
             assert m["wall_sec"] > 0, (name, sf)
+
+
+# ---- round 12: the synthetic sf1 decade (SCALING_SF1.json) ----
+
+SF1_PATH = os.path.join(ROOT, "SCALING_SF1.json")
+
+
+def _load_sf1():
+    with open(SF1_PATH) as f:
+        return json.load(f)
+
+
+def test_sf1_artifact_covers_graph_family():
+    data = _load_sf1()
+    assert data["sfs"] == ["sf0.01", "sf0.1", "sf1"]
+    expected = {
+        "pagerank_fixed_point", "personalized_pagerank",
+        "bellman_ford_distances", "kcore_decomposition",
+        "clustering_coefficient", "adamic_adar_links",
+        "triangle_count_suppliers",
+    }
+    assert set(data["specs"]) == expected
+
+
+def test_sf1_decade_stays_subquadratic():
+    """The 10x synthetic decade (disjoint isomorphic copies: |E| grows
+    exactly 10x) must show sub-quadratic shuffle and SUB-LINEAR wall in
+    its top decade — wall is the claim sf0.1 could not prove (per-job
+    floor); shuffle slack allows the measured AQE exchange-materialization
+    transition (SCALING.md round-12 section)."""
+    data = _load_sf1()
+    for name, rec in data["specs"].items():
+        top_shuffle = rec["exponents"]["shuffle_bytes"][-1]
+        top_wall = rec["exponents"]["wall_sec"][-1]
+        if top_shuffle is not None:
+            assert top_shuffle < 2.0, (name, top_shuffle)
+        if top_wall is not None:
+            assert top_wall < 1.0, (name, top_wall)
