@@ -416,10 +416,24 @@ def q_caliper_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctrl_key = F.when(F.col("arm") == 0, F.struct("bal", "c_custkey", "spend"))
     w = Window.orderBy("bal", "arm", "c_custkey")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    wnext = w.rowsBetween(1, Window.unboundedFollowing)
+    # next_c = "first control strictly after me" — expressed as last() over
+    # the REVERSED total order with an unboundedPreceding..-1 frame, not
+    # first() over 1..unboundedFollowing: Spark recomputes unbounded-
+    # FOLLOWING frames from scratch per row (O(n²) in the window task —
+    # measured 10.6 s on the 15 k-customer dim at sf0.1, 1.9 s after; the
+    # same pathology operators/asof.py:carry_forward documents), while
+    # unbounded-PRECEDING frames maintain incremental state. Exact because
+    # (bal, arm, c_custkey) is a total order. The oracle keeps the
+    # straightforward FOLLOWING frame — DuckDB's window engine is O(n)
+    # either way, and differently-shaped oracle SQL is the point.
+    wnext = (
+        Window.orderBy(
+            F.col("bal").desc(), F.col("arm").desc(), F.col("c_custkey").desc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
     enriched = (
         base.withColumn("prev_c", F.last(ctrl_key, ignorenulls=True).over(wprev))
-        .withColumn("next_c", F.first(ctrl_key, ignorenulls=True).over(wnext))
+        .withColumn("next_c", F.last(ctrl_key, ignorenulls=True).over(wnext))
     )
     treated = enriched.filter(F.col("arm") == 1).select(
         "c_custkey",
