@@ -264,11 +264,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_key = F.concat(
         F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
     )
+    # Sparsify BEFORE distinct: the Doulion keep-test is a pure function of
+    # the pair, so it commutes with dedup — filtering the raw co-service
+    # stream first shrinks the distinct's shuffle by the keep factor (1/10)
+    # instead of shuffling every enumerated pair and then dropping 90%.
     edges = (
         serves.join(other, (serves.o_custkey == other.ck) & (serves.l_suppkey < other.s2))
         .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
-        .distinct()
         .filter(F.pmod(hash64(pair_key, seed=77), F.lit(_TRI_KEEP_MOD)) == 0)
+        .distinct()
         .localCheckpoint()
     )
     # degree-ordered orientation: lo -> hi by (degree, id)
