@@ -1003,3 +1003,201 @@ def test_tpch_q1_literal_fold(spark):
         assert math.isclose(r["avg_qty"], sq / n, rel_tol=0, abs_tol=0.006)
         assert math.isclose(r["avg_price"], sp / n, rel_tol=0, abs_tol=0.006)
         assert math.isclose(r["avg_disc"], sdisc / n, rel_tol=0, abs_tol=6e-5)
+
+
+# =========================================== batch 3: BPE / mixtures / HH
+
+
+def test_bpe_merge_candidates_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_bpe_merge_candidates,
+    )
+
+    wc = Counter()
+    for _doc_id, text, _lang in docs:
+        wc.update(py_tokens(text.lower()))
+    cnt = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            cnt[w[i : i + 2]] += c
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in q_bpe_merge_candidates(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+def _py_bpe_segments(wc, rounds):
+    """Literal BPE trainer: leftmost non-overlapping merges, top pair by
+    (count desc, a asc, b asc) weighted by word frequency."""
+    seg = {w: list(w) for w in wc}
+    for _ in range(rounds):
+        cnt = Counter()
+        for w, c in wc.items():
+            s = seg[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += c
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, s in seg.items():
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seg[w] = out
+    return seg
+
+
+def test_bpe_encode_corpus_literal(spark, docs):
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        _BPE_ROUNDS,
+        q_bpe_encode_corpus,
+    )
+
+    per_doc_words = {d: py_tokens(t.lower()) for d, t, _l in docs}
+    wc = Counter(w for ws in per_doc_words.values() for w in ws)
+    # the '|'-wrapped seq encoding is ambiguous if a word contains '|'
+    assert not any("|" in w for w in wc), "corpus assumption violated"
+    seg = _py_bpe_segments(wc, _BPE_ROUNDS)
+    got = {r["doc_id"]: r for r in q_bpe_encode_corpus(spark, SF).collect()}
+    assert set(got) == {d for d, ws in per_doc_words.items() if ws}
+    for doc_id, ws in per_doc_words.items():
+        if not ws:
+            continue
+        r = got[doc_id]
+        assert r["n_words"] == len(ws)
+        assert r["n_tokens"] == sum(len(seg[w]) for w in ws)
+        assert r["n_word_chars"] == sum(len(w) for w in ws)
+
+
+def test_mixture_resample_literal(spark, docs):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist()))
+    from projet_data_infrastructure_spark.plans.llm_queries import q_mixture_resample
+
+    counts = Counter(src for _d, src in rows)
+    total, k = float(sum(counts.values())), float(len(counts))
+    rates = {s: py_pround(min(1.0, total / (k * n)), 6) for s, n in counts.items()}
+    expected = {
+        (d, s) for d, s in rows if (py_hash64(d, seed=11) % 1_000_000) / 1_000_000.0 < rates[s]
+    }
+    got = {(r["doc_id"], r["source"]) for r in q_mixture_resample(spark, SF).collect()}
+    assert got == expected
+    # the sf0.001 corpus is source-uniform (all rates = 1.0), so the spec
+    # equality above can't exercise thinning — a crafted skewed frame does:
+    from projet_data_infrastructure_spark.operators.text import mixture_resample_hash
+
+    skew_rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(skew_rows, "doc_id long, source string")
+    srates = {
+        "big": py_pround(min(1.0, 100.0 / (2.0 * 90.0)), 6),
+        "small": py_pround(min(1.0, 100.0 / (2.0 * 10.0)), 6),
+    }
+    sexpected = {
+        (d, s)
+        for d, s in skew_rows
+        if (py_hash64(d, seed=11) % 1_000_000) / 1_000_000.0 < srates[s]
+    }
+    assert 0 < len(sexpected) < len(skew_rows), "crafted skew must thin"
+    # the minority class keeps rate 1.0 — only the majority is thinned
+    assert {(d, s) for d, s in skew_rows if s == "small"} <= sexpected
+    sgot = {
+        (r["doc_id"], r["source"])
+        for r in mixture_resample_hash(df, "source", seed=11)
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert sgot == sexpected
+
+
+def test_domain_mixture_weights_literal(spark, docs):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source", "text"])
+    from projet_data_infrastructure_spark.plans.llm_queries import (
+        q_domain_mixture_weights,
+    )
+
+    per_src = defaultdict(lambda: [0, 0])
+    for src, text in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        per_src[src][0] += 1
+        per_src[src][1] += len(py_tokens(text))
+    grand = sum(v[1] for v in per_src.values())
+    min_share = min(v[1] / grand for v in per_src.values())
+    got = {r["source"]: r for r in q_domain_mixture_weights(spark, SF).collect()}
+    assert set(got) == set(per_src)
+    for src, (n_docs, toks) in per_src.items():
+        r = got[src]
+        share = toks / grand
+        assert (r["n_docs"], r["total_tokens"]) == (n_docs, toks)
+        assert math.isclose(r["token_share"], py_pround(share, 6), rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(
+            r["sample_weight"], py_pround(min_share / share, 6), rel_tol=0, abs_tol=2e-6
+        )
+
+
+def test_heavy_hitters_exact_counts(spark, events):
+    """The count-min candidate pass + exact trim must equal plain exact
+    counting — the Python Counter is the third implementation next to the
+    sketch pipeline and the HAVING oracle."""
+    from projet_data_infrastructure_spark.plans.lakehouse import (
+        _HH_THRESHOLD,
+        q_heavy_hitters,
+    )
+
+    c = Counter(uid for _eid, _us, uid, _et, _v in events)
+    expected = {uid: n for uid, n in c.items() if n >= _HH_THRESHOLD}
+    got = {r["user_id"]: r["n"] for r in q_heavy_hitters(spark, SF).collect()}
+    assert got == expected
+
+
+def test_stream_cusum_literal_recurrence(spark, events):
+    from projet_data_infrastructure_spark.plans.mining import (
+        _CUSUM_H,
+        _CUSUM_K,
+        _CUSUM_USERS,
+        q_stream_cusum,
+    )
+
+    daily = defaultdict(Counter)  # uid -> day -> cnt
+    for _eid, us, uid, _et, _v in events:
+        if uid < _CUSUM_USERS:
+            day = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).date()
+            daily[uid][day] += 1
+    expected = {}
+    for uid, dc in daily.items():
+        s = max_c = n_alarms = 0
+        for day in sorted(dc):
+            s = max(0, s + dc[day] - _CUSUM_K)
+            max_c = max(max_c, s)
+            n_alarms += s >= _CUSUM_H
+        expected[uid] = (len(dc), s, max_c, n_alarms)
+    got = {
+        r["user_id"]: (r["n_days"], r["final_cusum"], r["max_cusum"], r["n_alarms"])
+        for r in q_stream_cusum(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_pii_redaction_constructive(spark, docs):
+    """The salt is constructed from doc_id, so the fully-redacted suffix is
+    known by construction; a Python re detector then confirms no instance
+    of any PII pattern survives anywhere in the output."""
+    from projet_data_infrastructure_spark.operators.text import PII_PATTERNS
+    from projet_data_infrastructure_spark.plans.llm_queries import q_pii_redaction
+
+    got = {r["doc_id"]: r for r in q_pii_redaction(spark, SF).collect()}
+    assert len(got) == len(docs)
+    suffix = " contact <EMAIL> at <IP> ssn <SSN> tel <PHONE>"
+    detectors = [re.compile(p) for p, _tok in PII_PATTERNS]
+    for doc_id, _text, _lang in docs:
+        r = got[doc_id]
+        assert r["was_redacted"] is True
+        assert r["redacted"].endswith(suffix), doc_id
+        for det in detectors:
+            assert not det.search(r["redacted"]), (doc_id, det.pattern)
