@@ -2753,11 +2753,15 @@ def q_recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.createOrReplaceTempView("_rc_events")
     return spark.sql(
         """
-        WITH RECURSIVE cal(d) AS (
-            SELECT min(CAST(ts AS DATE)) FROM _rc_events
+        WITH RECURSIVE cal(d, last_d) AS (
+            -- the loop BOUND rides in the recursion state: a scalar
+            -- subquery in the step's WHERE is re-evaluated every one of
+            -- the 30 steps (30 full scans of events — measured 5.3 s at
+            -- sf0.1, 1.3 s with the carried bound)
+            SELECT min(CAST(ts AS DATE)), date_add(min(CAST(ts AS DATE)), 29)
+            FROM _rc_events
             UNION ALL
-            SELECT date_add(d, 1) FROM cal
-            WHERE d < date_add((SELECT min(CAST(ts AS DATE)) FROM _rc_events), 29)
+            SELECT date_add(d, 1), last_d FROM cal WHERE d < last_d
         )
         SELECT cal.d AS day, coalesce(cnt.n, 0) AS n_events
         FROM cal
