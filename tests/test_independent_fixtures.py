@@ -1201,3 +1201,346 @@ def test_pii_redaction_constructive(spark, docs):
         assert r["redacted"].endswith(suffix), doc_id
         for det in detectors:
             assert not det.search(r["redacted"]), (doc_id, det.pattern)
+
+
+# ================================ batch 4: pareto / windows / quantiles
+
+
+def _py_round_cents(v: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(v)).scaleb(2).quantize(Decimal(1), ROUND_HALF_UP))
+
+
+def _py_skyline_max(pts):
+    """Brute-force strict-dominance skyline over (x, y) tuples."""
+    return [
+        p
+        for p in pts
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in pts
+        )
+    ]
+
+
+@pytest.fixture(scope="module")
+def orders_rows():
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"],
+    )
+    return list(
+        zip(
+            t.column("o_orderkey").to_pylist(),
+            t.column("o_custkey").to_pylist(),
+            t.column("o_totalprice").to_pylist(),
+            t.column("o_orderdate").to_pylist(),
+            t.column("o_orderstatus").to_pylist(),
+        )
+    )
+
+
+def test_skyline_orders_bruteforce(spark, orders_rows):
+    from projet_data_infrastructure_spark.plans.advanced import q_skyline_orders
+
+    best_key = {}
+    for okey, _ck, price, odate, _st in orders_rows:
+        pt = (_py_round_cents(price), odate)
+        best_key[pt] = min(best_key.get(pt, okey), okey)
+    sky = _py_skyline_max(list(best_key))
+    expected = {(best_key[p], p[0], p[1]) for p in sky}
+    got = {
+        (r["o_orderkey"], r["cents"], r["odate"])
+        for r in q_skyline_orders(spark, SF).collect()
+    }
+    assert got == expected
+    assert 1 < len(expected) < len(best_key)
+
+
+def test_customer_frontier_bruteforce(spark, orders_rows):
+    from projet_data_infrastructure_spark.plans.advanced import (
+        q_customer_frontier_by_nation,
+    )
+
+    t = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = dict(zip(t.column("c_custkey").to_pylist(), t.column("c_nationkey").to_pylist()))
+    per_cust = defaultdict(lambda: [0, 0])
+    for _ok, ck, price, _od, _st in orders_rows:
+        per_cust[ck][0] += _py_round_cents(price)
+        per_cust[ck][1] += 1
+    by_nation = defaultdict(dict)  # nation -> (cents, n) -> min custkey
+    for ck, (cents, n) in per_cust.items():
+        if ck not in nat:
+            continue
+        d = by_nation[nat[ck]]
+        key = (cents, n)
+        d[key] = min(d.get(key, ck), ck)
+    expected = set()
+    for nk, pts in by_nation.items():
+        for cents, n in _py_skyline_max(list(pts)):
+            expected.add((nk, pts[(cents, n)], cents, n))
+    got = {
+        (r["c_nationkey"], r["c_custkey"], r["cents"], r["n_orders"])
+        for r in q_customer_frontier_by_nation(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_longest_daily_streak_literal(spark, events):
+    from datetime import timedelta
+
+    from projet_data_infrastructure_spark.plans.advanced import q_longest_daily_streak
+
+    days = defaultdict(set)
+    for _eid, us, uid, _et, _v in events:
+        days[uid].add(datetime.fromtimestamp(us / 1e6, tz=timezone.utc).date())
+    expected = {}
+    for uid, ds in days.items():
+        sd = sorted(ds)
+        best = run = 1
+        for a, b in zip(sd, sd[1:]):
+            run = run + 1 if b - a == timedelta(days=1) else 1
+            best = max(best, run)
+        expected[uid] = best
+    got = {
+        r["user_id"]: r["longest_streak"]
+        for r in q_longest_daily_streak(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_cohort_retention_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_cohort_retention
+
+    days = defaultdict(set)
+    for _eid, us, uid, _et, _v in events:
+        days[uid].add(datetime.fromtimestamp(us / 1e6, tz=timezone.utc).date())
+    cell = defaultdict(set)
+    for uid, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            cell[(c, (d - c).days)].add(uid)
+    expected = {k: len(v) for k, v in cell.items()}
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in q_cohort_retention(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_funnel_conversion_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_funnel_conversion
+
+    first_view = {}
+    purchases = defaultdict(list)
+    for _eid, us, uid, et, _v in events:
+        if et == "view":
+            first_view[uid] = min(first_view.get(uid, us), us)
+        elif et == "purchase":
+            purchases[uid].append(us)
+    expected = {}
+    for uid, fv in first_view.items():
+        later = [p for p in purchases[uid] if p >= fv]
+        fp = min(later) if later else None
+        expected[uid] = (fv, fp, None if fp is None else (fp - fv) / 1e6)
+    got = {}
+    for r in q_funnel_conversion(spark, SF).collect():
+        fv = int(r["first_view"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        fp = (
+            None
+            if r["first_purchase"] is None
+            else int(r["first_purchase"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        )
+        got[r["user_id"]] = (fv, fp, r["seconds_to_convert"])
+    assert set(got) == set(expected)
+    for uid, (fv, fp, secs) in expected.items():
+        gfv, gfp, gsecs = got[uid]
+        assert (gfv, gfp) == (fv, fp), uid
+        if secs is None:
+            assert gsecs is None
+        else:
+            assert math.isclose(gsecs, secs, rel_tol=0, abs_tol=1e-6), uid
+
+
+def _py_quantile_interp(sorted_vals, p):
+    """Textbook linear-interpolation quantile at rank p*(n-1)."""
+    n = len(sorted_vals)
+    if n == 1:
+        return float(sorted_vals[0])
+    pos = p * (n - 1)
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, n - 1)
+    frac = pos - lo
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+
+def test_median_percentile_literal(spark, orders_rows):
+    from projet_data_infrastructure_spark.plans.advanced import q_median_percentile
+
+    by_status = defaultdict(list)
+    for _ok, _ck, price, _od, st in orders_rows:
+        by_status[st].append(price)
+    got = {r["o_orderstatus"]: r for r in q_median_percentile(spark, SF).collect()}
+    assert set(got) == set(by_status)
+    for st, vals in by_status.items():
+        vals.sort()
+        assert math.isclose(
+            got[st]["median_price"], _py_quantile_interp(vals, 0.5), rel_tol=0, abs_tol=0.02
+        )
+        assert math.isclose(
+            got[st]["p90_price"], _py_quantile_interp(vals, 0.9), rel_tol=0, abs_tol=0.02
+        )
+
+
+def test_robust_outliers_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_robust_outliers
+
+    per_user = defaultdict(list)  # uid -> [(event_id, cents)]
+    for eid, _us, uid, et, v in events:
+        if et == "purchase":
+            per_user[uid].append((eid, math.floor(v * 100 + 0.5)))
+    expected = set()
+    for uid, rows in per_user.items():
+        vals = sorted(c for _e, c in rows)
+        med = py_pround(_py_quantile_interp(vals, 0.5), 2)
+        adevs = sorted(abs(c - med) for _e, c in rows)
+        mad = py_pround(_py_quantile_interp(adevs, 0.5), 2)
+        if mad <= 0:
+            continue
+        for eid, c in rows:
+            if abs(c - med) > 3 * mad:
+                expected.add((uid, eid, c, med, mad))
+    got = {
+        (r["user_id"], r["event_id"], r["cents"], r["med"], r["mad"])
+        for r in q_robust_outliers(spark, SF).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must flag at least one outlier"
+
+
+def _py_ntile(items, n):
+    """SQL ntile: first (len % n) buckets get one extra row. items sorted."""
+    total = len(items)
+    base, extra = divmod(total, n)
+    out = {}
+    i = 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= extra else 0)
+        for item in items[i : i + size]:
+            out[item] = b
+        i += size
+    return out
+
+
+def test_equidepth_histogram_literal(spark):
+    from projet_data_infrastructure_spark.plans.advanced import q_equidepth_histogram
+
+    t = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    rows = sorted(
+        (math.floor(b * 100 + 0.5), k)
+        for k, b in zip(t.column("c_custkey").to_pylist(), t.column("c_acctbal").to_pylist())
+    )
+    buck = _py_ntile(rows, 10)
+    agg = defaultdict(lambda: [0, None, None])
+    for (cents, _k), b in buck.items():
+        a = agg[b]
+        a[0] += 1
+        a[1] = cents if a[1] is None else min(a[1], cents)
+        a[2] = cents if a[2] is None else max(a[2], cents)
+    got = {r["bucket"]: (r["n"], r["lo_cents"], r["hi_cents"])
+           for r in q_equidepth_histogram(spark, SF).collect()}
+    assert got == {b: tuple(v) for b, v in agg.items()}
+
+
+def test_revenue_decile_share_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_revenue_decile_share
+
+    rev = Counter()
+    for _eid, _us, uid, et, v in events:
+        if et == "purchase":
+            rev[uid] += math.floor(v * 100 + 0.5)
+    # descending rev, ties by user_id asc
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    buck = _py_ntile(ordered, 10)
+    agg = defaultdict(lambda: [0, 0])
+    for (uid, cents), b in buck.items():
+        agg[b][0] += 1
+        agg[b][1] += cents
+    total = sum(v[1] for v in agg.values())
+    got = {r["decile"]: r for r in q_revenue_decile_share(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for b, (n_users, cents) in agg.items():
+        r = got[b]
+        assert (r["n_users"], r["decile_cents"]) == (n_users, cents)
+
+
+def test_dp_noisy_counts_literal(spark):
+    from projet_data_infrastructure_spark.plans.relational import (
+        _DP_EPSILON_INV,
+        q_dp_noisy_counts,
+    )
+
+    t = pq.read_table(f"{SF}/customer.parquet", columns=["c_mktsegment", "c_acctbal"])
+    agg = defaultdict(lambda: [0, 0])
+    for seg, bal in zip(t.column("c_mktsegment").to_pylist(), t.column("c_acctbal").to_pylist()):
+        agg[seg][0] += 1
+        agg[seg][1] += math.floor(max(0.0, min(bal, 10_000.0)) * 100.0 + 0.5)
+
+    def lap(seg, seed, b):
+        u = ((py_hash64(seg, seed=seed) % 1_000_000) + 0.5) / 1_000_000.0
+        return -b * math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5))
+
+    got = {r["c_mktsegment"]: r for r in q_dp_noisy_counts(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for seg, (n, sum_cents) in agg.items():
+        dp_n = n + lap(seg, 31, _DP_EPSILON_INV)
+        dp_s = sum_cents / 100.0 + lap(seg, 37, 10_000.0 * _DP_EPSILON_INV)
+        assert math.isclose(got[seg]["dp_count"], py_pround(dp_n, 4), rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(got[seg]["dp_balance_sum"], py_pround(dp_s, 4), rel_tol=0, abs_tol=2e-4)
+        # the release must actually be noised (catch a silent noise=0 bug)
+        assert got[seg]["dp_count"] != n
+
+
+def test_session_paths_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        _SESSION_GAP_S,
+        q_session_paths_topk,
+    )
+
+    cnt = Counter()
+    for rows in _by_user_sorted(events).values():
+        prev_s = None
+        path = []
+        for us, _eid, et, _v in rows:
+            s = us // 1_000_000
+            if prev_s is not None and s - prev_s > _SESSION_GAP_S:
+                cnt[">".join(path)] += 1
+                path = []
+            path.append(et)
+            prev_s = s
+        if path:
+            cnt[">".join(path)] += 1
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["path"], r["n_sessions"]) for r in q_session_paths_topk(spark, SF).collect()]
+    assert got == expected
+
+
+def test_event_transition_matrix_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import (
+        q_event_transition_matrix,
+    )
+
+    cnt = Counter()
+    for rows in _by_user_sorted(events).values():
+        for (_pu, _pe, pt, _pv), (_cu, _ce, ct, _cv) in zip(rows, rows[1:]):
+            cnt[(pt, ct)] += 1
+    row_tot = Counter()
+    for (ft, _tt), n in cnt.items():
+        row_tot[ft] += n
+    got = {(r["from_type"], r["to_type"]): r for r in q_event_transition_matrix(spark, SF).collect()}
+    assert set(got) == set(cnt)
+    for key, n in cnt.items():
+        r = got[key]
+        assert r["n_transitions"] == n
+        assert math.isclose(r["p"], py_pround(n / row_tot[key[0]], 6), rel_tol=0, abs_tol=1e-9)
