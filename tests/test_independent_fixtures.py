@@ -1544,3 +1544,148 @@ def test_event_transition_matrix_literal(spark, events):
         r = got[key]
         assert r["n_transitions"] == n
         assert math.isclose(r["p"], py_pround(n / row_tot[key[0]], 6), rel_tol=0, abs_tol=1e-9)
+
+
+# ================================= batch 5: event windows / reconciliation
+
+
+HOUR_US = 3_600_000_000
+
+
+def test_tumbling_window_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import q_tumbling_window
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for _eid, us, _uid, et, v in events:
+        agg[((us // HOUR_US) * HOUR_US, et)][0] += 1
+        agg[((us // HOUR_US) * HOUR_US, et)][1] += v
+    got = {}
+    for r in q_tumbling_window(spark, SF).collect():
+        ws = int(r["wstart"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        got[(ws, r["event_type"])] = (r["n_events"], r["sum_value"])
+    assert set(got) == set(agg)
+    for k, (n, sv) in agg.items():
+        assert got[k][0] == n
+        assert math.isclose(got[k][1], sv, rel_tol=0, abs_tol=0.011), k
+
+
+def test_sliding_window_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import q_sliding_window
+
+    HALF = HOUR_US // 2
+    cnt = Counter()
+    for _eid, us, _uid, _et, _v in events:
+        b = (us // HALF) * HALF
+        cnt[b] += 1
+        cnt[b - HALF] += 1
+    got = {
+        int(r["wstart"].replace(tzinfo=timezone.utc).timestamp() * 1e6): r["n_events"]
+        for r in q_sliding_window(spark, SF).collect()
+    }
+    assert got == dict(cnt)
+
+
+def test_session_window_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import q_session_window
+
+    GAP_US = 600 * 1_000_000
+    expected = {}
+    for uid, rows in _by_user_sorted(events).items():
+        sess = []
+        for us, _eid, _et, _v in rows:
+            if sess and us - sess[-1][1] < GAP_US:
+                sess[-1][1] = us
+                sess[-1][2] += 1
+            else:
+                sess.append([us, us, 1])
+        for start, last, n in sess:
+            expected[(uid, start)] = (last + GAP_US, n)
+    got = {}
+    for r in q_session_window(spark, SF).collect():
+        s = int(r["session_start"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        e = int(r["session_end"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        got[(r["user_id"], s)] = (e, r["n_events"])
+    assert got == expected
+
+
+def test_dedup_earliest_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import q_dedup_earliest
+
+    best = {}
+    for eid, us, uid, et, _v in events:
+        k = (uid, et)
+        if k not in best or (us, eid) < best[k]:
+            best[k] = (us, eid)
+    expected = {(uid, et, eid) for (uid, et), (_us, eid) in best.items()}
+    got = {
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in q_dedup_earliest(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_topk_users_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.events_queries import q_topk_users
+
+    tot = defaultdict(float)
+    for _eid, _us, uid, _et, v in events:
+        tot[uid] += v
+    ranked = sorted(((py_pround(s, 2), uid) for uid, s in tot.items()),
+                    key=lambda kv: (-kv[0], kv[1]))[:10]
+    got = [(r["total_value"], r["user_id"]) for r in q_topk_users(spark, SF).collect()]
+    assert [u for _s, u in got] == [u for _s, u in ranked]
+    for (gs, _gu), (es, _eu) in zip(got, ranked):
+        assert math.isclose(gs, es, rel_tol=0, abs_tol=0.011)
+
+
+def test_rolling_7day_literal(spark, events):
+    from projet_data_infrastructure_spark.plans.advanced import q_rolling_7day_revenue
+
+    per_user = defaultdict(list)
+    for eid, us, uid, et, v in events:
+        if et == "purchase":
+            per_user[uid].append((us // 1_000_000, eid, math.floor(v * 100 + 0.5)))
+    expected = {}
+    for uid, rows in per_user.items():
+        for sec, eid, _c in rows:
+            expected[(uid, eid)] = sum(
+                c for s, _e, c in rows if sec - 604800 <= s <= sec
+            )
+    got = {
+        (r["user_id"], r["event_id"]): r["roll7d_cents"]
+        for r in q_rolling_7day_revenue(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_order_reconciliation_literal(spark, orders_rows):
+    from projet_data_infrastructure_spark.plans.advanced import (
+        q_order_total_reconciliation,
+    )
+
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    rec = defaultdict(float)
+    for ok, p, d, x in zip(
+        t.column("l_orderkey").to_pylist(),
+        t.column("l_extendedprice").to_pylist(),
+        t.column("l_discount").to_pylist(),
+        t.column("l_tax").to_pylist(),
+    ):
+        rec[ok] += p * (1 - d) * (1 + x)
+    got = {r["o_orderkey"]: r for r in q_order_total_reconciliation(spark, SF).collect()}
+    assert set(got) == {ok for ok, *_ in orders_rows}
+    for ok, _ck, price, _od, _st in orders_rows:
+        r = got[ok]
+        stored = py_pround(price, 2)
+        recomputed = py_pround(rec[ok], 2) if ok in rec else 0.0
+        assert math.isclose(r["stored_total"], stored, rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(r["recomputed_total"], recomputed, rel_tol=0, abs_tol=0.011)
+        # row-wise flag agreement (in this synthetic corpus o_totalprice is
+        # NOT derived from lineitems, so every row is a genuine break — the
+        # comparator must say so; skip rows within float noise of the cut)
+        diff = abs(stored - recomputed)
+        if abs(diff - 0.01) > 1e-6:
+            assert r["matched"] == (diff <= 0.01), ok
