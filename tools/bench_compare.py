@@ -47,8 +47,17 @@ def main() -> None:
     # Name order, same as bench.py: registry order changes per round (driver
     # priority window) and would shift warm-up between queries, polluting the
     # vs-prior deltas with position noise.
+    # Same selection as bench.py: tags ∪ top-N by measured sf0.1 cost, so
+    # the comparison covers every spec the bench tracks (round 12).
+    from bench import _top_measured_names
+
+    auto = _top_measured_names(70)
     bench_specs = sorted(
-        (s for s in all_specs() if "bench" in s.tags and s.oracle is not None),
+        (
+            s
+            for s in all_specs()
+            if ("bench" in s.tags or s.name in auto) and s.oracle is not None
+        ),
         key=lambda s: s.name,
     )
     # Median of 3 interleaved passes on BOTH engines — the same protocol as
