@@ -253,10 +253,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Explicit repartition count on the enumeration key: the distinct's
+    # output is ~10 MB at sf0.1, so AQE coalesces it to ONE partition — and
+    # the co-service pair self-join below fans it out ~20x (11M pairs) on a
+    # single task (measured 12 s; 32-way ≈ 4x faster). A user-specified
+    # repartition is AQE-coalesce-exempt, and both self-join sides share
+    # the key so this is the join's only exchange.
     serves = (
         orders.join(line, orders.o_orderkey == line.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        .repartition(32, "o_custkey")
     )
     other = serves.select(
         F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("s2")
