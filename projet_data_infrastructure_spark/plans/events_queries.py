@@ -1199,6 +1199,12 @@ def q_user_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
         .groupBy("user_id", "h")
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        # Explicit parallelism on the blocking key: the hourly aggregate is
+        # a few MB, so AQE coalesces it to one partition — and the per-hour
+        # pair fan-out below then runs on a single task (measured 7.4 s;
+        # 32-way ≈ 3x). User-specified repartitioning is coalesce-exempt,
+        # and the self-join keys on h so this is its only exchange.
+        .repartition(32, "h")
     )
     a = hourly.select(
         F.col("user_id").alias("ua"), F.col("h").alias("h"), F.col("cents").alias("xa")
