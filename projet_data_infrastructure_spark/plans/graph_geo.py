@@ -1380,9 +1380,17 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still map-side, so the only full-size shuffles are the serves
     # distinct and the per-ck group — the distinct on pairs sees 1/10th
     # the volume (was the dominant cost at sf0.1: the filter ran after it).
+    # Explicit ROUND-ROBIN repartition: the per-customer array table is
+    # ~15 k rows of a few MB, so AQE coalesces the group-by output to 1-2
+    # partitions — and the Σ_ck d²/2 pair explosion below (12.5 M rows at
+    # sf0.1) then runs on those tasks (stage-metrics sweep: 4.8-6.6 s of a
+    # 6 s query). Repartitioning BY THE SAME KEY is elided as redundant
+    # (the agg already hash-partitions on o_custkey), so it must be
+    # round-robin: a genuine AQE-exempt exchange of the tiny array table
+    # that buys 32-way execution of the explosion.
     byck = serves.groupBy("o_custkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("sks")
-    )
+    ).repartition(32)
     pairs = byck.select(
         F.explode(
             F.expr(
@@ -1439,10 +1447,15 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # repartition BEFORE the checkpoint: the broadcast-join output is ~1 MB
+    # so AQE coalesces it to 2 partitions, and the per-edge adjacency
+    # INTERSECTION below (the O(Σ outdeg²) codegen stage — 6.6 s of the
+    # whole query at sf0.1) then runs on 2 tasks; 32-way on the probe key
+    # also pre-clusters the adj group-by.
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    ).localCheckpoint()  # read 3x (edge probe + both adjacency builds)
+    ).repartition(32, "lo").localCheckpoint()  # read 3x (probe + adjacency)
     # Triangle enumeration by per-edge adjacency intersection instead of a
     # materialized wedge join: on this DENSE graph (avg degree ~100 after
     # sparsification) the wedge table is ~Σ outdeg² ≈ 25× the edge count and

@@ -3294,12 +3294,21 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-rows-per-type arithmetic."""
     from projet_data_infrastructure_spark.functions.hashing import hash64
 
+    # Explicit fan-out parallelism: events.parquet is a single small file
+    # (1-2 scan partitions), and the 32x replica explode + md5 draw below
+    # multiply it to 3.2 M rows on those same tasks (stage-metrics sweep:
+    # 3.0 s of a 3.1 s query on one task). One tiny round-robin shuffle of
+    # the 3-column projection buys 32-way execution of the expensive stage.
     ev = read_table(spark, sf_dir, "events")
-    tall = ev.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-        "event_id",
-        F.explode(F.expr(f"sequence(0, {_BOOT_R - 1})")).alias("r"),
+    tall = (
+        ev.select("event_type", "value", "event_id")
+        .repartition(32)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            "event_id",
+            F.explode(F.expr(f"sequence(0, {_BOOT_R - 1})")).alias("r"),
+        )
     )
     u = F.pmod(
         hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("event_id"))),
