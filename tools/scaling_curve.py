@@ -103,7 +103,18 @@ def _release(spark) -> None:
 def main() -> None:
     sf_root = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata"
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-    spark = get_spark("scaling-curve", extra_conf={"spark.ui.enabled": "true"})
+    # retainedStages must exceed the sweep's total stage count: the status
+    # store EVICTS old stages past the cap, which silently SHRINKS the
+    # completed-stage totals and turns late-run deltas negative (observed
+    # round 12 on the last three specs of an 18-spec x 3-SF x 2-rep run).
+    spark = get_spark(
+        "scaling-curve",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     specs = {s.name: s for s in all_specs() if s.name in HEAVY}
