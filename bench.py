@@ -229,7 +229,40 @@ def main() -> None:
             out["vs_prior"]["delta_total_load_adjusted"] = round(
                 total / ratio - prior["value"], 3
             )
-    print(json.dumps(out))
+    # Full record: stdout (for local capture) + a stable file beside the
+    # script, so the per-query map survives even when the driver keeps only
+    # a 2,000-char stdout tail.
+    full_line = json.dumps(out)
+    print(full_line)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"),
+            "w",
+        ) as f:
+            f.write(full_line + "\n")
+    except OSError:
+        pass
+    # Compact summary as the FINAL stdout line (VERDICT r12 item 4): the
+    # driver json-parses the tail of stdout, and the full record outgrew its
+    # 2,000-char capture in rounds 11-12 (BENCH_r{11,12}.json parsed=null).
+    # Keep this line well under the cap: totals only, no per-query map.
+    compact = {
+        "metric": "headline-query wall time (noop sink); totals only, per-query map in BENCH_FULL_LATEST.json / BENCH_LOCAL_r{N}.json",
+        "value": total,
+        "unit": "sec",
+        "n": len(specs),
+        "reps": reps,
+        "sf": sf_val,
+        "calibration_median": cal_median,
+    }
+    if prior_ok:
+        vp = out["vs_prior"]
+        compact["vs_prior"] = {
+            k: vp[k]
+            for k in ("prior_total", "delta_total", "load_ratio", "delta_total_load_adjusted")
+            if k in vp
+        }
+    print(json.dumps(compact))
     spark.stop()
 
 
@@ -280,7 +313,10 @@ def _latest_prior_round() -> dict | None:
             local.append((int(m.group(1)), 0, p))
     for _, _, path in sorted(driver + local, reverse=True):
         got = _parse_bench_record(path)
-        if got is not None:
+        # From round 13 on the driver's parsed record may be the COMPACT
+        # summary (totals only). It is useless as a per-query baseline —
+        # fall through to the same round's full BENCH_LOCAL record instead.
+        if got is not None and isinstance(got.get("queries"), dict) and got["queries"]:
             return got
     return None
 

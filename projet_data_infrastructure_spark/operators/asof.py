@@ -102,6 +102,19 @@ def carry_forward(
     """
     keys = [key] if isinstance(key, str) else list(key)
     if backward:
+        # `order` must be plain ASCENDING column names / expressions when
+        # backward=True: the reversal below applies .desc() itself, and
+        # re-applying it to an already-directional SortOrder (F.desc(c),
+        # c.asc()) silently yields the wrong order instead of reversing it
+        # (ADVICE r12). Column reprs of directional expressions carry an
+        # explicit "ASC"/"DESC" marker — reject them loudly.
+        for o in order:
+            if not isinstance(o, str):
+                rep = str(o)
+                assert " ASC" not in rep and " DESC" not in rep, (
+                    f"carry_forward(backward=True) needs plain ascending "
+                    f"order expressions, got directional sort {rep!r}"
+                )
         # "Next non-null at-or-after" == "last non-null at-or-before" under
         # the REVERSED total order. Expressed as last() over a DESC sort
         # with an unboundedPreceding..currentRow frame instead of first()

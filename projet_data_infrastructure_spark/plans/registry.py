@@ -28,76 +28,24 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-12 driver window — the first 50 names fill the driver's 50-slot
-# window; everything after position 50 is the round-13 rotation queue.
-# Composition (verdict r11 item 1 — the staleness rotation continues):
-# (a) the 46 round-2-era proofs staged behind the r11 window — every name
-#     whose last green CORRECTNESS row is round 2, re-proven on current
-#     code (the r11 refresh covered the round-1 era; this window covers
-#     the next-stalest stratum in full);
-# (b) the 4 stalest round-3-era names to fill the window (registry order).
-# Behind the window: the r13 queue — the remaining 33 round-3-era names,
-# then the 48 round-4-era names, in staleness-then-registry order, so the
-# round-13 window rotates on with a one-line comment edit.
-# The ~300 specs with fresher proofs keep their module order behind and
+# Round-13 driver window — the first 50 names fill the driver's 50-slot
+# window; everything after position 50 is the round-14 rotation queue.
+# Composition (verdict r12 item 1 — the staleness rotation continues):
+# (a) the 33 remaining round-3-era proofs staged behind the r12 window —
+#     every name whose last green CORRECTNESS row is round 3, re-proven
+#     on current code (r11 refreshed the round-1 era, r12 the round-2
+#     era; this window finishes the round-3 stratum);
+# (b) the first 17 round-4-era names to fill the window (registry order).
+# Behind the window: the r14 queue — the remaining 31 round-4-era names,
+# then the 49 round-5-era names, in staleness-then-registry order, so the
+# round-14 window rotates on with a one-line comment edit.
+# The ~280 specs with fresher proofs keep their module order behind and
 # stay locally re-proven each round (LOCAL_ORACLE_sf*.json, three SFs +
 # the 7-partition sweep + the full-registry hostile sweep). Rows-only
 # specs would sink behind every oracled spec, but since round 10 there
 # are none. Unknown names are ignored.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-2-era proofs (46), staleness order staged in round 11
-    "dedup_cluster_keep",
-    "embedding_neardup_bucketed",
-    "median_percentile",
-    "lsh_verified_pairs",
-    "simhash_hamming_pairs",
-    "ivf_topk_ann",
-    "ivf_assign",
-    "label_centroids",
-    "asof_join",
-    "bigram_topk",
-    "commute_enrichment_udf",
-    "corpus_curation_pipeline",
-    "date_arithmetic",
-    "doc_fingerprint",
-    "events_partitioned_dpp",
-    "excel_rename_roundtrip",
-    "exists_subquery",
-    "funnel_conversion",
-    "grouping_sets",
-    "having_filter",
-    "histogram_acctbal",
-    "hourly_heatmap",
-    "jdbc_roundtrip_derby",
-    "lang_id_heuristic",
-    "pii_redaction",
-    "pivot_status_counts",
-    "quality_score",
-    "range_join_pairs",
-    "rolling_hash_fingerprint",
-    "salted_groupby_skew",
-    "scalar_subquery",
-    "stats_aggregates",
-    "stratified_sample_lang",
-    "text_stats",
-    "tfidf_top_terms",
-    "token_count_bpe",
-    "token_length_bins",
-    "tpch_q10_returns",
-    "tpch_q12_late_shipments",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q4_late_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "unpivot_measures",
-    "wordcount_top20",
-    # (b) round-3-era fillers for slots 47-50 (registry order)
-    "session_paths_topk",
-    "event_transition_matrix",
-    "stream_filter_project",
-    "stream_tumbling_counts",
-    # ---- round-13 queue: remaining round-3-era proofs (33) ----
+    # (a) round-3-era proofs (33), staged in round 12
     "stream_session_counts",
     "stream_dedup_ids",
     "stream_running_totals",
@@ -131,7 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_time_travel",
     "multimodal_size_histogram",
     "heavy_hitters",
-    # ---- then the round-4-era proofs (48) ----
+    # (b) round-4-era fillers for slots 34-50 (registry order)
     "k_anonymity_audit",
     "user_series_correlation",
     "sessionize_events",
@@ -149,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "length_percentile_filter",
     "temperature_mixture",
     "char_entropy",
+    # ---- round-14 queue: remaining round-4-era proofs (31) ----
     "sequence_packing",
     "weighted_sample_topk",
     "gopher_quality_flags",
@@ -180,6 +129,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "countmin_user_counts",
     "psi_drift_profile",
     "bloom_membership",
+    # ---- then the round-5-era proofs (49, registry order) ----
+    "session_bounce_rate",
+    "resample_hourly_interp",
+    "xml_envelope_extract",
+    "stream_xml_envelope",
+    "stream_sliding_counts",
+    "dedup_clusters_starstar",
+    "bm25_topk",
+    "salted_skew_join",
+    "ivfpq_residual_topk",
+    "lsh_recall_report",
+    "lang_vocab_overlap",
+    "weighted_sample_per_lang",
+    "sq8_encode",
+    "sq8_adc_topk",
+    "lateral_subquery_topn",
+    "recursive_cte_calendar",
+    "acf_by_user",
+    "view_purchase_latency",
+    "cumulative_new_users",
+    "max_drawdown_by_user",
+    "interevent_gap_histogram",
+    "python_datasource_scan",
+    "variant_json_extract",
+    "stream_minhash_dedup",
+    "multimodal_frame_sample",
+    "hll_distinct_sketch",
+    "schema_evolution_merge",
+    "pagerank_fixed_point",
+    "triangle_count_suppliers",
+    "geo_cell_neighbor_pairs",
+    "geo_grid_dbscan",
+    "copurchase_brand_pairs",
+    "brand_affinity_lift",
+    "bfs_khop_reachability",
+    "ols_two_feature_nation",
+    "prefix_filter_jaccard",
+    "attribution_last_touch",
+    "bellman_ford_distances",
+    "rrf_fusion",
+    "positive_pair_mining",
+    "label_propagation",
+    "span_corruption_prep",
+    "hard_negative_mining",
+    "stream_cusum_telemetry",
+    "ks_drift_statistic",
+    "kmeans_fixed_point",
+    "sql_udf_rollup",
+    "mapinarrow_vector_norm",
+    "applyinarrow_label_stats",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

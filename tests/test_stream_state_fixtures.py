@@ -1,0 +1,364 @@
+"""Independent fixtures for the live-streaming twins (VERDICT r12 item 2).
+
+Each mirrored-oracle-only ``stream_*`` spec is re-proven two independent
+ways:
+
+1. **Crafted-frame run of the real builder**: a hand-written 15-event
+   ``events.parquet`` (two users, hour-spanning timestamps, a null value, a
+   same-instant view/purchase pair, exact window/session/join boundary
+   cases) is written to a tmp dir and the REGISTERED builder runs on it
+   live (availableNow through the memory sink, exactly as in production).
+   Every expected row below was computed BY HAND from the operator's
+   definition — not by any engine.
+
+2. **Sliced-feed state proof** (the ``stream_cdc_ooo`` pattern): for the
+   stateful specs the same feed is replayed as one batch AND as three
+   time-ordered micro-batches (``maxFilesPerTrigger=1``); the final state
+   must be identical, proving the cross-batch state machine (join buffers,
+   dedup sets, per-key running state) and not just single-batch algebra.
+
+A formula mirrored wrong on both engines (the round-10 JT class) cannot
+also reproduce these hand-computed expectations.
+"""
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from projet_data_infrastructure_spark.plans.registry import queries_map
+from projet_data_infrastructure_spark.streaming.sources import file_replay_stream
+
+_RUN = None
+
+
+def run(spark, name, sf_dir):
+    global _RUN
+    if _RUN is None:
+        _RUN = queries_map()
+    return _RUN[name](spark, str(sf_dir)).collect()
+
+
+def T(hhmmss: str) -> datetime:
+    return datetime.strptime(f"2024-03-01 {hhmmss}", "%Y-%m-%d %H:%M:%S")
+
+
+# Crafted feed: (event_id, ts, user_id, event_type, value)
+#   - V10/P11 share the same instant (gap 0 boundary: p.ts >= v.ts)
+#   - P5 is EXACTLY 2 h after V1 (inclusive upper interval bound)
+#   - event 13 has a NULL value (coalesce paths)
+#   - events 14/15 sit <10 min after a neighbour (multi-event sessions)
+EVENTS = [
+    (1, T("08:00:00"), 1, "view", 1.0),
+    (14, T("08:05:00"), 1, "view", 1.5),
+    (2, T("08:15:00"), 2, "view", 2.0),
+    (13, T("08:45:00"), 2, "click", None),
+    (15, T("08:50:00"), 2, "view", 2.5),
+    (3, T("09:00:00"), 1, "purchase", 10.005),
+    (4, T("09:30:00"), 1, "view", 3.0),
+    (5, T("10:00:00"), 1, "purchase", 20.0),
+    (12, T("10:30:00"), 1, "click", 0.25),
+    (6, T("12:00:00"), 2, "purchase", 30.0),
+    (7, T("13:30:00"), 2, "view", 4.0),
+    (8, T("14:00:00"), 1, "view", 5.0),
+    (9, T("15:00:00"), 1, "purchase", 40.0),
+    (10, T("16:00:00"), 2, "view", 6.0),
+    (11, T("16:00:00"), 2, "purchase", 50.555),
+]
+
+# Hand-derived interval-join match set (same user, 0 <= p - v <= 2 h):
+#   V1->P3 (3600 s), V1->P5 (7200 s, inclusive bound), V14->P3 (3300 s),
+#   V14->P5 (6900 s), V4->P5 (1800 s), V8->P9 (3600 s),
+#   V10->P11 (0 s, same instant).
+MATCHES = {
+    (1, 3, 1, 3600),
+    (1, 5, 1, 7200),
+    (14, 3, 1, 3300),
+    (14, 5, 1, 6900),
+    (4, 5, 1, 1800),
+    (8, 9, 1, 3600),
+    (10, 11, 2, 0),
+}
+
+
+def _write_events(rows, path):
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(path))
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crafted_sf")
+    _write_events(EVENTS, d / "events.parquet")
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["Customer#1", "Customer#2", "Customer#3"]),
+            "c_nationkey": pa.array([0, 1, 2], pa.int32()),
+            "c_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE", "MACHINERY"]),
+        }
+    )
+    pq.write_table(cust, str(d / "customer.parquet"))
+    return d
+
+
+def pr2(x: float) -> float:
+    import math
+
+    return math.floor(x * 100.0 + 0.50001) / 100.0
+
+
+def cents(v: float) -> int:
+    import math
+
+    return math.floor(v * 100 + 0.5)
+
+
+def test_stream_filter_project_crafted(spark, sf_dir):
+    got = {(r["event_id"], r["user_id"], r["value_r"]) for r in run(spark, "stream_filter_project", sf_dir)}
+    exp = {(eid, u, pr2(v)) for eid, _ts, u, et, v in EVENTS if et == "purchase"}
+    assert got == exp and len(exp) == 5
+
+
+def test_stream_xml_envelope_crafted(spark, sf_dir):
+    got = {
+        (r["id"], r["user_id"], r["value_cents"]) for r in run(spark, "stream_xml_envelope", sf_dir)
+    }
+    exp = {(eid, u, cents(v)) for eid, _ts, u, et, v in EVENTS if et == "purchase"}
+    assert got == exp and len(exp) == 5
+
+
+def test_xml_envelope_extract_batch_crafted(spark, sf_dir):
+    got = {
+        (r["id"], r["user_id"], r["value_cents"]) for r in run(spark, "xml_envelope_extract", sf_dir)
+    }
+    exp = {(eid, u, cents(v)) for eid, _ts, u, et, v in EVENTS if et == "purchase"}
+    assert got == exp
+
+
+def test_stream_tumbling_counts_crafted(spark, sf_dir):
+    got = {(r["wstart"], r["event_type"], r["n_events"]) for r in run(spark, "stream_tumbling_counts", sf_dir)}
+    exp = {
+        (T("08:00:00"), "view", 4),  # V1 V14 V2 V15
+        (T("08:00:00"), "click", 1),
+        (T("09:00:00"), "purchase", 1),
+        (T("09:00:00"), "view", 1),
+        (T("10:00:00"), "purchase", 1),
+        (T("10:00:00"), "click", 1),
+        (T("12:00:00"), "purchase", 1),
+        (T("13:00:00"), "view", 1),
+        (T("14:00:00"), "view", 1),
+        (T("15:00:00"), "purchase", 1),
+        (T("16:00:00"), "view", 1),
+        (T("16:00:00"), "purchase", 1),
+    }
+    assert got == exp
+
+
+def test_stream_sliding_counts_crafted(spark, sf_dir):
+    # 2 h window / 1 h slide: every event counts under floor(t) and
+    # floor(t) - 1 h — derived by hand from the window alignment.
+    from collections import Counter
+
+    exp = Counter()
+    for _eid, ts, _u, et, _v in EVENTS:
+        floor = ts.replace(minute=0, second=0)
+        exp[(floor, et)] += 1
+        exp[(floor.replace(hour=floor.hour - 1), et)] += 1
+    got = {(r["wstart"], r["event_type"], r["n_events"]) for r in run(spark, "stream_sliding_counts", sf_dir)}
+    assert got == {(w, et, n) for (w, et), n in exp.items()}
+
+
+def test_stream_session_counts_crafted(spark, sf_dir):
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in run(spark, "stream_session_counts", sf_dir)
+    }
+    exp = {
+        # user 1: 08:00+08:05 merge (gap 5 min < 10); the rest are singletons
+        (1, T("08:00:00"), T("08:15:00"), 2),
+        (1, T("09:00:00"), T("09:10:00"), 1),
+        (1, T("09:30:00"), T("09:40:00"), 1),
+        (1, T("10:00:00"), T("10:10:00"), 1),
+        (1, T("10:30:00"), T("10:40:00"), 1),
+        (1, T("14:00:00"), T("14:10:00"), 1),
+        (1, T("15:00:00"), T("15:10:00"), 1),
+        # user 2: 08:45+08:50 merge; 16:00 view+purchase share one session
+        (2, T("08:15:00"), T("08:25:00"), 1),
+        (2, T("08:45:00"), T("09:00:00"), 2),
+        (2, T("12:00:00"), T("12:10:00"), 1),
+        (2, T("13:30:00"), T("13:40:00"), 1),
+        (2, T("16:00:00"), T("16:10:00"), 2),
+    }
+    assert got == exp
+
+
+def test_stream_dedup_ids_crafted(spark, sf_dir):
+    got = sorted((r["event_id"], r["user_id"], r["event_type"]) for r in run(spark, "stream_dedup_ids", sf_dir))
+    exp = sorted((eid, u, et) for eid, _ts, u, et, _v in EVENTS)
+    assert got == exp  # builder doubles the stream; state must collapse it
+
+
+def test_stream_running_totals_crafted(spark, sf_dir):
+    got = {(r["user_id"], r["n_events"], r["total_value_r"]) for r in run(spark, "stream_running_totals", sf_dir)}
+    by_user = {}
+    for _eid, _ts, u, _et, v in EVENTS:
+        n, s = by_user.get(u, (0, 0.0))
+        by_user[u] = (n + 1, s + (v or 0.0))
+    exp = {(u, n, pr2(s)) for u, (n, s) in by_user.items()}
+    assert got == exp and len(exp) == 2
+
+
+def test_stream_static_join_crafted(spark, sf_dir):
+    got = {(r["c_mktsegment"], r["n_events"], r["total_value"]) for r in run(spark, "stream_static_join", sf_dir)}
+    agg = {}
+    for _eid, _ts, u, _et, v in EVENTS:
+        seg = {1: "BUILDING", 2: "AUTOMOBILE"}[u]
+        n, s = agg.get(seg, (0, 0.0))
+        agg[seg] = (n + 1, s + (v or 0.0))
+    exp = {(seg, n, pr2(s)) for seg, (n, s) in agg.items()}
+    assert got == exp and len(exp) == 2
+
+
+def test_stream_stream_join_crafted(spark, sf_dir):
+    got = {
+        (r["view_id"], r["purchase_id"], r["user_id"], r["gap_sec"])
+        for r in run(spark, "stream_stream_join", sf_dir)
+    }
+    assert got == MATCHES
+
+
+def test_stream_stream_left_join_crafted(spark, sf_dir):
+    # Unmatched views are emitted only once provably unmatchable:
+    # view_ts + 2 h < watermark (= 15:00 here, both sides max 16:00 − 1 h).
+    # V2 (08:15) and V15 (08:50) — u2 views with no purchase within 2 h —
+    # qualify; V7 (13:30) is withheld: its match window is still open at
+    # end-of-stream.
+    got = {
+        (r["view_id"], r["purchase_id"], r["user_id"], r["gap_sec"])
+        for r in run(spark, "stream_stream_left_join", sf_dir)
+    }
+    assert got == MATCHES | {(2, None, 2, None), (15, None, 2, None)}
+
+
+def test_stream_stream_full_join_crafted(spark, sf_dir):
+    # Left side as above; unmatched purchases are trimmed to the GUARANTEED
+    # emission band purchase_ts < max(ts) − 3 h = 13:00 → P6 (12:00) only.
+    got = {
+        (r["view_id"], r["purchase_id"], r["user_id"], r["gap_sec"])
+        for r in run(spark, "stream_stream_full_join", sf_dir)
+    }
+    assert got == MATCHES | {(2, None, 2, None), (15, None, 2, None), (None, 6, 2, None)}
+
+
+# ------------------------------------------------- sliced-feed state proofs
+
+_SCHEMA = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def _sliced_stream(spark, tmp_path, slices, name):
+    """Replay `slices` (lists of EVENTS rows) as one file per micro-batch."""
+    src = tmp_path / name
+    src.mkdir()
+    for i, rows in enumerate(slices):
+        _write_events(rows, src / f"part{i}.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = file_replay_stream(spark, str(src), _SCHEMA, max_files_per_trigger=1)
+    return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+
+def _collect_stream(spark, out, name):
+    q = out.queryName(name).trigger(availableNow=True).format("memory").start()
+    assert q.awaitTermination(120), f"stream {name} timed out"
+    q.stop()
+    return spark.table(name).collect()
+
+
+def _time_slices():
+    by_time = sorted(EVENTS, key=lambda r: (r[1], r[0]))
+    return [
+        [r for r in by_time if r[1] < T("10:00:00")],
+        [r for r in by_time if T("10:00:00") <= r[1] < T("14:00:00")],
+        [r for r in by_time if r[1] >= T("14:00:00")],
+    ]
+
+
+def test_stream_stream_join_sliced_equals_single_batch(spark, tmp_path):
+    """The interval join's cross-batch state buffer: V1 (batch 1) must still
+    be buffered when P5 arrives in batch 2 (its eviction bound view_ts+2h is
+    ahead of the batch-1 watermark), so the sliced replay converges to the
+    same hand-computed match set as the single-batch run."""
+    for slices, tag in ((_time_slices(), "sliced"), ([sorted(EVENTS, key=lambda r: r[1])], "single")):
+        s = _sliced_stream(spark, tmp_path, slices, f"ssj_src_{tag}")
+        views = (
+            s.filter(F.col("event_type") == "view")
+            .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+            .withWatermark("view_ts", "1 hour")
+        )
+        purchases = (
+            s.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        j = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+        got = {
+            (r["view_id"], r["purchase_id"], r["user_id"])
+            for r in _collect_stream(spark, j.writeStream.outputMode("append"), f"ssj_state_{tag}")
+        }
+        assert got == {(v, p, u) for v, p, u, _g in MATCHES}, tag
+
+
+def test_stream_dedup_sliced_cross_batch_state(spark, tmp_path):
+    """dropDuplicates keeps the seen-id set across micro-batches: a
+    duplicate arriving two batches later must still be suppressed."""
+    slices = _time_slices()
+    slices[2] = slices[2] + [EVENTS[0], EVENTS[5]]  # ids 1 and 3 again, 3 batches later
+    s = _sliced_stream(spark, tmp_path, slices, "dedup_src")
+    out = s.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+    got = sorted(
+        (r["event_id"], r["user_id"], r["event_type"])
+        for r in _collect_stream(spark, out.writeStream.outputMode("append"), "dedup_state")
+    )
+    assert got == sorted((eid, u, et) for eid, _ts, u, et, _v in EVENTS)
+
+
+def test_stream_running_totals_sliced_final_state(spark, tmp_path):
+    """applyInPandasWithState across three micro-batches: update-mode
+    emissions are per-batch, so the LAST emission per key is the final
+    state — it must equal the whole-feed fold regardless of slicing."""
+    from projet_data_infrastructure_spark.streaming.stateful import running_totals
+
+    s = _sliced_stream(spark, tmp_path, _time_slices(), "rt_src")
+    rows = _collect_stream(
+        spark, running_totals(s).writeStream.outputMode("update"), "rt_state"
+    )
+    final = {}
+    for r in rows:  # memory sink appends update-mode emissions in batch order
+        prev = final.get(r["key"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["key"]] = (r["n_events"], pr2(r["total_value"]))
+    by_user = {}
+    for _eid, _ts, u, _et, v in EVENTS:
+        n, sm = by_user.get(u, (0, 0.0))
+        by_user[u] = (n + 1, sm + (v or 0.0))
+    assert final == {u: (n, pr2(sm)) for u, (n, sm) in by_user.items()}
+    # and the per-key emission count proves multi-batch execution: user 1
+    # appears in all three slices, so it must have been updated 3 times
+    assert sum(1 for r in rows if r["key"] == 1) == 3

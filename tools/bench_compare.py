@@ -7,6 +7,7 @@ Writes BENCH_COMPARE.md. Usage: python tools/bench_compare.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -51,7 +52,9 @@ def main() -> None:
     # the comparison covers every spec the bench tracks (round 12).
     from bench import _top_measured_names
 
-    auto = _top_measured_names(70)
+    # Resolve N through the SAME env knob bench.py reads, so BENCH_COMPARE.md
+    # and BENCH_r{N}.json always cover the same spec set (ADVICE r12).
+    auto = _top_measured_names(int(os.environ.get("SPARK_GRAFT_BENCH_AUTO_TOPN", "70")))
     bench_specs = sorted(
         (
             s

@@ -123,6 +123,16 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
 
+    # Labels are basenames; two SFS entries sharing a basename (e.g.
+    # /root/testdata/sf0.1 and /root/synthdata/sf0.1) would silently
+    # overwrite each other's measurements and corrupt the fitted exponents
+    # (ADVICE r12) — fail loudly instead.
+    _labels = [os.path.basename(e.rstrip("/")) for e in SFS]
+    assert len(_labels) == len(set(_labels)), (
+        f"SPARK_GRAFT_SCALING_SFS basenames collide: {_labels}; "
+        "use distinct directory names per scale point"
+    )
+
     results: dict[str, dict[str, dict[str, float]]] = {n: {} for n in HEAVY}
     for sf_entry in SFS:
         sf_dir = sf_entry if "/" in sf_entry else f"{sf_root}/{sf_entry}"

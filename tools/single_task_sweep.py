@@ -52,7 +52,18 @@ def main() -> None:
     )[:top_n]
     specs = {s.name: s for s in all_specs()}
 
-    spark = get_spark("single-task-sweep", extra_conf={"spark.ui.enabled": "true"})
+    # retainedStages must exceed the sweep's total stage count (full-registry
+    # runs cross the default 1000-stage eviction cap, which would silently
+    # shrink the percent-of-total denominator and could hide a late flag —
+    # the same pathology scaling_curve.py fixed; ADVICE r12).
+    spark = get_spark(
+        "single-task-sweep",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     ui, app = spark.sparkContext.uiWebUrl, spark.sparkContext.applicationId
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
