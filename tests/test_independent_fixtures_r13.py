@@ -1,0 +1,343 @@
+"""Round-13 independent fixtures: the oracle-divergent residue and the
+relational mirrored-only stratum (VERDICT r12 item 2, continued).
+
+Same discipline as tests/test_independent_fixtures.py: every expectation is
+computed DEFINITIONALLY in pure Python over the raw sf0.001 parquet
+(pyarrow) — dict folds, brute-force pair scans, literal prefix sums — and
+compared against the registered Spark builder. These specs' oracles either
+diverge textually from the Spark plan (salting, unpivot, grouping sets,
+range join) or mirror it closely enough that only a third-way fold breaks
+the shared-formula blind spot.
+
+Float discipline: keys/counts exact; cent-rounded sums/avgs allow ±1.5
+ulp-of-the-quantizer (fsum vs distributed pairwise summation).
+"""
+
+import math
+from collections import defaultdict
+from datetime import datetime, timedelta, timezone
+
+import pyarrow.parquet as pq
+import pytest
+
+from projet_data_infrastructure_spark.plans.registry import queries_map
+
+SF = "/root/testdata/sf0.001"
+_RUN = None
+
+
+def run(spark, name):
+    global _RUN
+    if _RUN is None:
+        _RUN = queries_map()
+    return _RUN[name](spark, SF).collect()
+
+
+def pr(x: float, n: int = 2) -> float:
+    scale = float(10**n)
+    return math.floor(x * scale + 0.50001) / scale
+
+
+def ok(got, exp, n: int = 2) -> bool:
+    if got is None or exp is None:
+        return got is None and exp is None
+    return abs(got - exp) <= 1.5 / 10**n
+
+
+def _rows(table: str, cols: list[str]) -> list[tuple]:
+    t = pq.read_table(f"{SF}/{table}.parquet", columns=cols)
+    return list(zip(*[t.column(c).to_pylist() for c in cols]))
+
+
+@pytest.fixture(scope="module")
+def orders():
+    return _rows(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+
+
+@pytest.fixture(scope="module")
+def cust():
+    return _rows("customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+
+
+@pytest.fixture(scope="module")
+def events_us():
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"])
+    import pyarrow as pa
+
+    ts = t.column("ts")
+    ints = ts.cast(pa.int64()).to_pylist()
+    if ts.type.unit == "ns":
+        ints = [v // 1000 for v in ints]
+    return list(zip(t.column("event_id").to_pylist(), ints, t.column("user_id").to_pylist()))
+
+
+# ----------------------------------------------------- oracle-divergent four
+
+
+def test_salted_groupby_skew_literal(spark, orders):
+    """The salted two-phase aggregate must be EXACTLY the plain group-by:
+    count and mean per customer, independent of the salt fan-out."""
+    per = defaultdict(list)
+    for _ok_, ck, _st, tp, _od, _pr_ in orders:
+        per[ck].append(tp)
+    got = {r["o_custkey"]: (r["count_activity"], r["mean_duration"]) for r in run(spark, "salted_groupby_skew")}
+    assert set(got) == set(per)
+    for ck, vals in per.items():
+        n, m = got[ck]
+        assert n == len(vals) and ok(m, pr(math.fsum(vals) / len(vals)))
+
+
+def test_range_join_pairs_literal(spark, events_us):
+    """Brute-force per-user pair scan: ev_a < ev_b and ts_b within
+    [ts_a, ts_a + 2 min] — the banded range-join must return exactly it."""
+    per = defaultdict(list)
+    for eid, us, uid in events_us:
+        per[uid].append((eid, us))
+    exp = set()
+    for uid, evs in per.items():
+        for ea, ta in evs:
+            for eb, tb in evs:
+                if ea < eb and ta <= tb <= ta + 120_000_000:
+                    exp.add((uid, ea, eb))
+    got = {(r["user_id"], r["ev_a"], r["ev_b"]) for r in run(spark, "range_join_pairs")}
+    assert got == exp and exp
+
+
+def test_grouping_sets_literal(spark, orders):
+    by_status, by_prio = defaultdict(int), defaultdict(int)
+    for _ok_, _ck, st, _tp, _od, prio in orders:
+        by_status[st] += 1
+        by_prio[prio] += 1
+    exp = (
+        {(st, None, n) for st, n in by_status.items()}
+        | {(None, p, n) for p, n in by_prio.items()}
+        | {(None, None, len(orders))}
+    )
+    got = {(r["o_orderstatus"], r["o_orderpriority"], r["n"]) for r in run(spark, "grouping_sets")}
+    assert got == exp
+
+
+def test_unpivot_measures_literal(spark, cust):
+    exp = {(ck, "acctbal", bal) for ck, _n, _nk, bal, _s in cust} | {
+        (ck, "nationkey", float(nk)) for ck, _n, nk, _bal, _s in cust
+    }
+    got = {(r["c_custkey"], r["measure"], r["value"]) for r in run(spark, "unpivot_measures")}
+    assert got == exp and len(got) == 2 * len(cust)
+
+
+# ------------------------------------------------------- relational stratum
+
+
+def test_groupby_count_avg_literal(spark, orders):
+    per = defaultdict(list)
+    for _ok_, ck, _st, tp, _od, _pr_ in orders:
+        per[ck].append(tp)
+    got = {r["o_custkey"]: (r["count_activity"], r["mean_duration"]) for r in run(spark, "groupby_count_avg")}
+    assert set(got) == set(per)
+    for ck, vals in per.items():
+        assert got[ck][0] == len(vals) and ok(got[ck][1], pr(math.fsum(vals) / len(vals)))
+
+
+def test_left_join_agg_literal(spark, orders, cust):
+    per = defaultdict(list)
+    for _ok_, ck, _st, tp, _od, _pr_ in orders:
+        per[ck].append(tp)
+    got = {
+        r["c_custkey"]: (r["c_name"], r["count_activity"], r["mean_duration"], r["count_activity_filled"])
+        for r in run(spark, "left_join_agg")
+    }
+    assert set(got) == {ck for ck, *_ in cust}
+    for ck, nm, _nk, _bal, _seg in cust:
+        name, n, m, filled = got[ck]
+        assert name == nm
+        if ck in per:
+            assert n == len(per[ck]) == filled and ok(m, pr(math.fsum(per[ck]) / len(per[ck])))
+        else:
+            assert n is None and m is None and filled == 0
+
+
+def test_anti_semi_join_literal(spark, orders, cust):
+    with_orders = {ck for _ok_, ck, *_ in orders}
+    exp_anti = {(ck, nm) for ck, nm, *_ in cust if ck not in with_orders}
+    got_anti = {(r["c_custkey"], r["c_name"]) for r in run(spark, "anti_join")}
+    assert got_anti == exp_anti
+    recent = {ck for _ok_, ck, _st, _tp, od, _pr_ in orders if od >= datetime(2000, 1, 1)}
+    exp_semi = {(ck, nm) for ck, nm, *_ in cust if ck in recent}
+    got_semi = {(r["c_custkey"], r["c_name"]) for r in run(spark, "semi_join")}
+    assert got_semi == exp_semi
+
+
+def test_set_ops_literal(spark, orders, cust):
+    building = [(ck, seg) for ck, _n, _nk, bal, seg in cust if seg == "BUILDING"]
+    negative = [(ck, seg) for ck, _n, _nk, bal, seg in cust if bal < 0]
+    got_union = sorted((r["c_custkey"], r["c_mktsegment"]) for r in run(spark, "set_union_all"))
+    assert got_union == sorted(building + negative)  # bag semantics: duplicates kept
+    with_orders = {ck for _ok_, ck, *_ in orders}
+    rich = {ck for ck, _n, _nk, bal, _s in cust if bal > 5000}
+    got_inter = {r["c_custkey"] for r in run(spark, "set_intersect")}
+    assert got_inter == (with_orders & rich)
+    got_except = {r["c_custkey"] for r in run(spark, "set_except")}
+    assert got_except == {ck for ck, *_ in cust} - with_orders
+
+
+def test_distinct_scalar_counts_literal(spark, orders):
+    r = run(spark, "distinct_agg")[0]
+    assert r["n_customers"] == len({ck for _ok_, ck, *_ in orders})
+    assert r["n_statuses"] == len({st for _ok_, _ck, st, *_ in orders})
+    assert r["n_orders"] == len(orders)
+    li_n = pq.ParquetFile(f"{SF}/lineitem.parquet").metadata.num_rows
+    assert run(spark, "scalar_count")[0]["n_rows"] == li_n
+
+
+def test_rollup_cube_literal(spark, orders):
+    combo, by_st, by_pr = defaultdict(list), defaultdict(list), defaultdict(list)
+    allv = []
+    for _ok_, _ck, st, tp, _od, prio in orders:
+        combo[(st, prio)].append(tp)
+        by_st[st].append(tp)
+        by_pr[prio].append(tp)
+        allv.append(tp)
+    exp_rollup = (
+        {(st, p, len(v), pr(math.fsum(v), 0)) for (st, p), v in combo.items()}
+        | {(st, None, len(v), pr(math.fsum(v), 0)) for st, v in by_st.items()}
+        | {(None, None, len(allv), pr(math.fsum(allv), 0))}
+    )
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["n_orders"], r["sum_price"])
+        for r in run(spark, "rollup_agg")
+    }
+    assert {g[:3] for g in got} == {e[:3] for e in exp_rollup}
+    exp_by_key = {e[:3]: e[3] for e in exp_rollup}
+    for st, p, n, s in got:
+        assert ok(s, exp_by_key[(st, p, n)], 0)
+    # cube adds the (None, priority) slice, with avg instead of sum
+    got_cube = {
+        (r["o_orderstatus"], r["o_orderpriority"]): (r["n_orders"], r["avg_price"])
+        for r in run(spark, "cube_agg")
+    }
+    assert set(got_cube) == set(combo) | {(st, None) for st in by_st} | {
+        (None, p) for p in by_pr
+    } | {(None, None)}
+    for p, v in by_pr.items():
+        n, a = got_cube[(None, p)]
+        assert n == len(v) and ok(a, pr(math.fsum(v) / len(v)))
+
+
+def test_window_running_sum_and_lag_literal(spark, orders):
+    per = defaultdict(list)
+    for ok_, ck, _st, tp, od, _pr_ in orders:
+        per[ck].append((od, ok_, tp))
+    exp_run, exp_lag = {}, {}
+    for ck, rows in per.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        acc = 0.0
+        prev_date = None
+        for od, ok_, tp in rows:
+            acc += tp
+            exp_run[(ck, ok_)] = pr(acc)
+            exp_lag[(ck, ok_)] = None if prev_date is None else (od.date() - prev_date).days
+            prev_date = od.date()
+    got_run = {(r["o_custkey"], r["o_orderkey"]): r["running_spend"] for r in run(spark, "window_running_sum")}
+    assert set(got_run) == set(exp_run)
+    assert all(ok(v, exp_run[k]) for k, v in got_run.items())
+    got_lag = {(r["o_custkey"], r["o_orderkey"]): r["days_since_prev"] for r in run(spark, "window_lag")}
+    assert got_lag == exp_lag
+
+
+def test_subqueries_literal(spark, orders, cust):
+    big_cust = {ck for _ok_, ck, _st, tp, *_ in orders if tp > 400000}
+    got = {(r["c_custkey"], r["c_name"]) for r in run(spark, "exists_subquery")}
+    assert got == {(ck, nm) for ck, nm, *_ in cust if ck in big_cust}
+    avg_price = math.fsum(tp for _ok_, _ck, _st, tp, *_ in orders) / len(orders)
+    exp = {(ok_, ck, tp) for ok_, ck, _st, tp, *_ in orders if tp > 1.5 * avg_price}
+    got2 = {(r["o_orderkey"], r["o_custkey"], r["o_totalprice"]) for r in run(spark, "scalar_subquery")}
+    # avg is a shared float boundary; tolerate rows within 1e-6 of the cut
+    sym = got2 ^ exp
+    assert all(abs(tp - 1.5 * avg_price) < 1e-6 * avg_price for _o, _c, tp in sym), sym
+
+
+def test_having_filter_literal(spark, orders):
+    per = defaultdict(list)
+    for _ok_, ck, _st, tp, *_ in orders:
+        per[ck].append(tp)
+    exp = {ck: (len(v), pr(math.fsum(v), 0)) for ck, v in per.items() if len(v) >= 15}
+    got = {r["o_custkey"]: (r["n_orders"], r["total_spend"]) for r in run(spark, "having_filter")}
+    assert set(got) == set(exp)
+    for ck, (n, s) in exp.items():
+        assert got[ck][0] == n and ok(got[ck][1], s, 0)
+
+
+def test_pivot_status_counts_literal(spark, orders):
+    cnt = defaultdict(lambda: {"F": 0, "O": 0, "P": 0})
+    for _ok_, _ck, st, _tp, _od, prio in orders:
+        if st in cnt[prio]:
+            cnt[prio][st] += 1
+    got = {r["o_orderpriority"]: (r["n_f"], r["n_o"], r["n_p"]) for r in run(spark, "pivot_status_counts")}
+    assert got == {p: (c["F"], c["O"], c["P"]) for p, c in cnt.items()}
+
+
+def test_masked_view_literal(spark, cust):
+    got = {(r["c_custkey"], r["c_name"], r["c_mktsegment"], r["c_acctbal"]) for r in run(spark, "masked_view")}
+    assert got == {(ck, None, seg, bal) for ck, _nm, _nk, bal, seg in cust}
+
+
+def test_histogram_acctbal_literal(spark, cust):
+    bins = defaultdict(int)
+    for _ck, _nm, _nk, bal, _seg in cust:
+        bins[math.floor((bal - (-1000.0)) / 1000.0)] += 1
+    got = [(r["bucket"], r["n_customers"]) for r in run(spark, "histogram_acctbal")]
+    assert got == sorted(bins.items())
+
+
+def test_hourly_heatmap_literal(spark, events_us):
+    cnt = defaultdict(int)
+    for _eid, us, _uid in events_us:
+        dt = datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc)
+        cnt[(dt.strftime("%A"), dt.hour)] += 1
+    got = {(r["day_name"], r["hour_of_day"], r["n_events"]) for r in run(spark, "hourly_heatmap")}
+    assert got == {(d, h, n) for (d, h), n in cnt.items()}
+
+
+def test_date_arithmetic_literal(spark, orders):
+    import calendar
+
+    got = {r["o_orderkey"]: r for r in run(spark, "date_arithmetic")}
+    assert set(got) == {ok_ for ok_, *_ in orders}
+    for ok_, _ck, _st, _tp, od, _pr_ in orders:
+        d = od.date()
+        g = got[ok_]
+        assert g["due_date"] == d + timedelta(days=30)
+        assert g["week_before"] == d - timedelta(days=7)
+        assert g["month_start"] == d.replace(day=1)
+        assert g["month_end"] == d.replace(day=calendar.monthrange(d.year, d.month)[1])
+        assert g["days_to_2002"] == (datetime(2002, 1, 1).date() - d).days
+        assert g["qtr"] == (d.month + 2) // 3
+
+
+def test_stats_aggregates_literal(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    per = defaultdict(list)
+    for rf, q, ep, disc in zip(*[t.column(c).to_pylist() for c in t.column_names]):
+        per[rf].append((q, ep, disc))
+    got = {r["l_returnflag"]: r for r in run(spark, "stats_aggregates")}
+    assert set(got) == set(per)
+    for rf, rows in per.items():
+        n = len(rows)
+        qs = [r[0] for r in rows]
+        mq = math.fsum(qs) / n
+        var = math.fsum((q - mq) ** 2 for q in qs) / (n - 1)
+        me = math.fsum(r[1] for r in rows) / n
+        md = math.fsum(r[2] for r in rows) / n
+        cov_qe = math.fsum((q - mq) * (e - me) for q, e, _ in rows) / (n - 1)
+        var_e = math.fsum((e - me) ** 2 for _, e, _ in rows) / (n - 1)
+        cov_qd = math.fsum((q - mq) * (d - md) for q, _, d in rows) / (n - 1)
+        g = got[rf]
+        assert ok(g["sd_qty"], pr(math.sqrt(var), 4), 4)
+        assert ok(g["var_qty"], pr(var, 4), 4)
+        assert ok(g["corr_qty_price"], pr(cov_qe / math.sqrt(var * var_e), 4), 4)
+        assert ok(g["covar_qty_disc"], pr(cov_qd, 6), 6)

@@ -362,3 +362,91 @@ def test_stream_running_totals_sliced_final_state(spark, tmp_path):
     # and the per-key emission count proves multi-batch execution: user 1
     # appears in all three slices, so it must have been updated 3 times
     assert sum(1 for r in rows if r["key"] == 1) == 3
+
+
+# ----------------------------------------------------- CDC apply fixtures
+
+# Crafted change feed for the live CDC specs. Keys are event_id % 997 and
+# ops come from event_id residues (d: %11==0, u: %3==0, else c), so the ids
+# below are ENGINEERED to collide per key with a hand-known op sequence:
+#   key 3  : u@3    -> c@1000           => survives with event 1000's image
+#   key 22 : d@22   -> c@1019           => resurrection after tombstone
+#   key 33 : d@33   -> c@1030 -> c@2027 => survives with event 2027's image
+#   key 103: c@103  -> d@1100           => last change is a delete: ABSENT
+#   key 6  : u@6 alone                  => upsert-without-create: survives
+#   key 14 : c@14 alone                 => plain create: survives
+# The out-of-order spec slices batches as b = 2 - (id DIV 997) % 3, so the
+# OLDEST change of every key arrives in the LAST micro-batch — naive
+# last-write-wins would resurrect key 103 and roll keys 3/22/33 back.
+CDC_EVENTS = [
+    (3, T("08:00:00"), 1, "run", 5.5, "p3"),
+    (1000, T("08:10:00"), 2, "bike", 12.25, "p1000"),
+    (22, T("08:20:00"), 1, "swim", 1.0, "p22"),
+    (1019, T("08:30:00"), 2, "run", 3.75, "p1019"),
+    (33, T("08:40:00"), 1, "bike", 20.0, "p33"),
+    (1030, T("08:50:00"), 2, "row", 7.5, "p1030"),
+    (2027, T("09:00:00"), 1, "ski", 9.125, "p2027"),
+    (103, T("09:10:00"), 2, "run", 2.0, "p103"),
+    (1100, T("09:20:00"), 1, "run", 2.0, "p1100"),
+    (6, T("09:30:00"), 2, "hike", 4.5, "p6"),
+    (14, T("09:40:00"), 1, "walk", 1.75, "p14"),
+]
+
+# key -> the event whose image must survive (hand-reduced latest-wins)
+CDC_FINAL = {3: 1000, 22: 1019, 33: 2027, 6: 6, 14: 14}
+
+
+def _write_cdc_events(path):
+    rows = CDC_EVENTS
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(path))
+
+
+@pytest.fixture(scope="module")
+def cdc_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crafted_cdc_sf")
+    _write_cdc_events(d / "events.parquet")
+    return d
+
+
+def _assert_cdc_state(rows):
+    import math
+
+    ev = {r[0]: r for r in CDC_EVENTS}
+    got = {r["id"]: r for r in rows}
+    assert set(got) == set(CDC_FINAL)
+    for key, eid in CDC_FINAL.items():
+        _id, ts, uid, etype, val, props = ev[eid]
+        g = got[key]
+        assert g["id_employee"] == uid
+        assert (g["first_name"], g["last_name"], g["sport_type"]) == ("gen", etype, etype)
+        assert g["distance"] == val
+        assert g["activity_duration"] == math.floor(val)
+        assert g["comment"] == props
+        sd = g["start_datetime"]
+        exp_us = int(ts.timestamp() * 1_000_000)  # crafted ts is UTC-naive
+        assert sd == ts or sd == exp_us, (key, sd)
+
+
+def test_stream_cdc_apply_crafted_state(spark, cdc_sf_dir):
+    """Single-batch op-aware apply: the final lake state must equal the
+    hand-reduced latest-wins-minus-tombstones table above."""
+    _assert_cdc_state(run(spark, "stream_cdc_apply", cdc_sf_dir))
+
+
+def test_stream_cdc_ooo_crafted_state_order_free(spark, cdc_sf_dir):
+    """Out-of-order apply (oldest changes in the LAST micro-batch): the
+    final state must be identical to the in-order single-batch apply and
+    to the hand reduction — deletes must not be overridden by late stale
+    updates, and tombstoned keys must stay resurrectable."""
+    rows = run(spark, "stream_cdc_ooo", cdc_sf_dir)
+    _assert_cdc_state(rows)
