@@ -102,14 +102,36 @@ def _calibration_run() -> float:
     return time.perf_counter() - t0
 
 
+def _calibration_membw_run() -> float:
+    """Wall time of a fixed memory-bandwidth workload (~0.1 s idle).
+
+    Copies a 128 MB buffer: bound by memory bandwidth, not ALU. The md5
+    probe above misses co-tenant pressure on the shared memory subsystem
+    (round-13 finding: same-code same-protocol runs drifted ±10-13% at
+    IDENTICAL md5 calibration — the drift class the CPU probe cannot see).
+    Tracking both fingerprints lets a future round separate "the cores are
+    descheduled" from "the memory bus is saturated"."""
+    buf = bytearray(128 * 1024 * 1024)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        buf2 = bytes(buf)  # full-buffer read+write pass
+    del buf2
+    return time.perf_counter() - t0
+
+
 def _calibrate(n: int = 3) -> list[float]:
     return [round(_calibration_run(), 4) for _ in range(n)]
+
+
+def _calibrate_membw(n: int = 3) -> list[float]:
+    return [round(_calibration_membw_run(), 4) for _ in range(n)]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     cal_before = _calibrate()
+    membw_before = _calibrate_membw()
     spark = get_spark("bench")
 
     # Name order, NOT registry order: the registry is reordered per round for
@@ -189,6 +211,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cal_after = _calibrate()
+    membw_after = _calibrate_membw()
+    membw_median = round(statistics.median(membw_before + membw_after), 4)
     cal_median = round(statistics.median(cal_before + cal_after), 4)
     out = {
         "metric": f"headline-query wall time (noop sink), sum of per-query medians of {reps}",
@@ -200,7 +224,9 @@ def main() -> None:
         # Machine-load fingerprint: a fixed single-thread CPU loop timed
         # around the run. Compare `median` across rounds — a load_ratio far
         # from 1.0 says the box, not the code, moved (VERDICT r5 item 5).
-        "calibration": {"before": cal_before, "after": cal_after, "median": cal_median},
+        "calibration": {"before": cal_before, "after": cal_after, "median": cal_median,
+                        "membw_before": membw_before, "membw_after": membw_after,
+                        "membw_median": membw_median},
     }
     if requeried:
         out["requeried"] = requeried
@@ -254,6 +280,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf_val,
         "calibration_median": cal_median,
+        "membw_median": membw_median,
     }
     if prior_ok:
         vp = out["vs_prior"]
