@@ -341,3 +341,264 @@ def test_stats_aggregates_literal(spark):
         assert ok(g["var_qty"], pr(var, 4), 4)
         assert ok(g["corr_qty_price"], pr(cov_qe / math.sqrt(var * var_e), 4), 4)
         assert ok(g["covar_qty_disc"], pr(cov_qd, 6), 6)
+
+
+# --------------------------------------------------- function surface batch
+
+
+@pytest.fixture(scope="module")
+def events_full():
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import pyarrow as pa
+
+    ts = t.column("ts")
+    ints = ts.cast(pa.int64()).to_pylist()
+    if ts.type.unit == "ns":
+        ints = [v // 1000 for v in ints]
+    return list(
+        zip(
+            t.column("event_id").to_pylist(),
+            ints,
+            t.column("user_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            t.column("value").to_pylist(),
+            t.column("props").to_pylist(),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def part():
+    return _rows("part", ["p_partkey", "p_name", "p_brand", "p_type"])
+
+
+def _utc(us: int) -> datetime:
+    return datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc).replace(
+        tzinfo=None
+    ) + timedelta(microseconds=us % 1_000_000)
+
+
+def test_array_agg_sorted_literal(spark, orders):
+    per = defaultdict(list)
+    for ok_, ck, *_ in orders:
+        if ck < 20:
+            per[ck].append(ok_)
+    got = {r["o_custkey"]: (r["orderkeys"], r["n"]) for r in run(spark, "array_agg_sorted")}
+    assert got == {ck: (",".join(str(k) for k in sorted(v)), len(v)) for ck, v in per.items()}
+
+
+def test_string_funcs_literal(spark, cust, part):
+    import re
+
+    got = {r["c_custkey"]: r for r in run(spark, "string_funcs")}
+    for ck, nm, _nk, _bal, seg in cust:
+        g = got[ck]
+        assert g["display_name"] == f"{nm} {seg}"
+        assert g["segment_upper"] == seg.upper()
+        assert g["name_prefix"] == nm[:8]
+        assert g["name_len"] == len(nm)
+        assert g["cust_tag"] == f"cust-{ck}"
+    got2 = {r["p_partkey"]: r for r in run(spark, "string_funcs2")}
+    for pk, nm, brand, ptype in part:
+        g = got2[pk]
+        m = re.search(r"([A-Z]+)", nm)
+        assert g["first_word"] == (m.group(1) if m else "")
+        assert g["padded_key"] == str(pk).rjust(10, "0")
+        assert g["brand_clean"] == brand.replace("#", "-")
+        assert g["type_rev"] == ptype[::-1]
+        assert g["name5"] == nm[:5]
+        assert g["is_promo"] == ("PROMO" in ptype)
+
+
+def test_conditional_case_cast_literal(spark, cust):
+    got = {r["c_custkey"]: r for r in run(spark, "conditional_funcs")}
+    for ck, _nm, _nk, bal, seg in cust:
+        g = got[ck]
+        seg_or_null = None if seg == "BUILDING" else seg
+        assert g["seg_or_null"] == seg_or_null
+        assert g["seg_filled"] == (seg_or_null if seg_or_null is not None else "MASKED")
+        assert g["bal_floor0"] == max(bal, 0.0)
+        assert g["bal_cap1k"] == min(bal, 1000.0)
+        assert g["bal_abs"] == abs(bal)
+        assert g["bal_sign"] == (0.0 if bal == 0 else math.copysign(1.0, bal))
+    got2 = {r["c_custkey"]: (r["tier"], r["bonus"]) for r in run(spark, "case_when_bonus")}
+    for ck, _nm, _nk, bal, _seg in cust:
+        tier = "debtor" if bal < 0 else ("standard" if bal < 5000 else "premium")
+        bonus = pr(bal * 0.05) if bal > 0 else 0.0
+        t, b = got2[ck]
+        assert t == tier and ok(b, bonus)
+
+
+def test_cast_types_literal(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_shipdate", "l_linenumber"],
+    )
+    rows = list(zip(*[t.column(c).to_pylist() for c in t.column_names]))
+    got = sorted(
+        (r["orderkey_str"], r["quantity_int"], r["ship_date"], r["linenumber_long"])
+        for r in run(spark, "cast_types")
+    )
+    exp = sorted((str(ok_), math.floor(q), sd.date(), int(ln)) for ok_, q, sd, ln in rows)
+    assert got == exp
+
+
+def test_date_funcs_literal(spark, orders):
+    got = {r["o_orderkey"]: r for r in run(spark, "date_funcs")}
+    for ok_, _ck, _st, _tp, od, _pr_ in orders:
+        g = got[ok_]
+        assert g["order_year"] == od.year and g["order_month"] == od.month
+        assert g["order_ym"] == f"{od.year:04d}-{od.month:02d}"
+        assert g["is_weekend"] == (od.weekday() >= 5)  # Python Mon=0 .. Sun=6
+
+
+def test_null_logic_full_outer_null_safe_literal(spark, orders, cust, events_full):
+    n_orders = defaultdict(int)
+    for _ok_, ck, *_ in orders:
+        n_orders[ck] += 1
+    got = {r["c_custkey"]: r for r in run(spark, "null_logic_coalesce")}
+    for ck, *_ in cust:
+        g, n = got[ck], n_orders.get(ck)
+        assert g["n_orders"] == n
+        assert g["ge10_raw"] == (None if n is None else n >= 10)
+        assert g["ge10_case"] == (n is not None and n >= 10)
+        assert g["n_orders_filled"] == (n or 0)
+    buys, clicks = defaultdict(int), defaultdict(int)
+    for _eid, _us, uid, et, _v, _p in events_full:
+        if et == "purchase":
+            buys[uid] += 1
+        elif et == "click":
+            clicks[uid] += 1
+    got_fo = {r["user_id"]: (r["n_buys"], r["n_clicks"]) for r in run(spark, "full_outer_join")}
+    assert got_fo == {u: (buys.get(u, 0), clicks.get(u, 0)) for u in set(buys) | set(clicks)}
+    nk = {ck: (None if ck % 7 == 0 else nkey) for ck, _nm, nkey, _bal, _seg in cust}
+    group = defaultdict(int)
+    for v in nk.values():
+        group[v] += 1
+    got_ns = {r["c_custkey"]: (r["nk"], r["nation_group_size"]) for r in run(spark, "null_safe_join")}
+    assert got_ns == {ck: (v, group[v]) for ck, v in nk.items()}
+
+
+def test_multiway_join_rollup_literal(spark, orders, cust):
+    nat = _rows("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = dict(_rows("region", ["r_regionkey", "r_name"]))
+    nmeta = {nk: (nm, reg[rk]) for nk, nm, rk in nat}
+    cmeta = {ck: nk for ck, _nm, nk, _bal, _seg in cust}
+    agg = defaultdict(list)
+    for _ok_, ck, _st, tp, *_ in orders:
+        n_name, r_name = nmeta[cmeta[ck]]
+        agg[(r_name, n_name)].append(tp)
+    got = {(r["r_name"], r["n_name"]): (r["n_orders"], r["sum_price"]) for r in run(spark, "multiway_join_rollup")}
+    assert set(got) == set(agg)
+    for k, v in agg.items():
+        assert got[k][0] == len(v) and ok(got[k][1], pr(math.fsum(v), 0), 0)
+
+
+def test_ratio_to_report_literal(spark, orders, cust):
+    nat = dict(
+        (nk, nm) for nk, nm, _rk in _rows("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    )
+    cmeta = {ck: nk for ck, _nm, nk, _bal, _seg in cust}
+    cents = defaultdict(int)
+    for _ok_, ck, _st, tp, *_ in orders:
+        cents[nat[cmeta[ck]]] += math.floor(tp * 100 + 0.5)
+    total = sum(cents.values())
+    got = {r["n_name"]: (r["rev_cents"], r["rev_share"]) for r in run(spark, "ratio_to_report")}
+    assert {k: v[0] for k, v in got.items()} == dict(cents)
+    for nm, c in cents.items():
+        assert ok(got[nm][1], pr(c / total, 6), 6)
+
+
+def test_cumulative_new_users_literal(spark, events_full):
+    first = {}
+    for _eid, us, uid, _et, _v, _p in events_full:
+        d = _utc(us).date()
+        if uid not in first or d < first[uid]:
+            first[uid] = d
+    per_day = defaultdict(int)
+    for d in first.values():
+        per_day[d] += 1
+    acc, exp = 0, []
+    for d in sorted(per_day):
+        acc += per_day[d]
+        exp.append((d, per_day[d], acc))
+    got = [(r["first_day"], r["n_new_users"], r["cumulative_users"]) for r in run(spark, "cumulative_new_users")]
+    assert got == exp
+
+
+def test_json_epoch_late_literal(spark, events_full):
+    import json as _json
+
+    exp_json = {}
+    for eid, _us, _uid, _et, _v, props in events_full:
+        try:
+            k = _json.loads(props).get("k")
+        except (ValueError, AttributeError):
+            k = None
+        if isinstance(k, (int, float)) and int(k) > 50:
+            exp_json[eid] = int(k)
+    got_json = {r["event_id"]: r["k_value"] for r in run(spark, "json_extract")}
+    assert got_json == exp_json
+    got_ep = {r["event_id"]: (r["ts_us"], r["ts_decoded"]) for r in run(spark, "epoch_us_roundtrip")}
+    assert got_ep == {eid: (us, _utc(us)) for eid, us, *_ in events_full}
+    horizon = max(us for _eid, us, *_ in events_full) - 7 * 86_400_000_000
+    cnt = defaultdict(int)
+    for _eid, us, _uid, et, _v, _p in events_full:
+        if us >= horizon:
+            cnt[et] += 1
+    got_late = {r["event_type"]: r["n_recent"] for r in run(spark, "late_data_filter")}
+    assert got_late == dict(cnt)
+
+
+def test_preference_pairs_literal(spark, events_full):
+    per = defaultdict(list)
+    for eid, _us, uid, et, v, _p in events_full:
+        if et == "purchase" and v is not None:
+            per[uid].append((v, eid))
+    exp = {}
+    for uid, rows in per.items():
+        if len(rows) >= 2:
+            mx, mn = max(rows), min(rows)
+            exp[uid] = (mx[1], mn[1], pr(mx[0], 4), pr(mn[0], 4), pr(mx[0] - mn[0], 4), len(rows))
+    got = {
+        r["user_id"]: (
+            r["chosen_event"], r["rejected_event"], r["chosen_value"], r["rejected_value"], r["margin"], r["n_candidates"],
+        )
+        for r in run(spark, "preference_pairs")
+    }
+    assert set(got) == set(exp)
+    for uid, e in exp.items():
+        g = got[uid]
+        assert g[:2] == e[:2] and g[5] == e[5]
+        assert ok(g[2], e[2], 4) and ok(g[3], e[3], 4) and ok(g[4], e[4], 4)
+
+
+def test_bitwise_funcs_literal(spark, orders):
+    from functools import reduce
+
+    per = defaultdict(list)
+    for ok_, ck, *_ in orders:
+        per[ck].append(ok_ & 0xFFFF)
+    got = [tuple(r) for r in run(spark, "bitwise_funcs")]
+    exp = []
+    for ck in sorted(per):
+        lows = per[ck]
+        exp.append(
+            (
+                ck,
+                len(lows),
+                reduce(lambda a, b: a & b, lows),
+                reduce(lambda a, b: a | b, lows),
+                reduce(lambda a, b: a ^ b, lows),
+                ck & 255,
+                ck | 4096,
+                ck ^ 0x5A5A,
+                ~ck,
+                ck << 3,
+                ck >> 2,
+                bin(ck).count("1"),
+            )
+        )
+    assert got == exp
