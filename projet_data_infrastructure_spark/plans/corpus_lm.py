@@ -878,6 +878,14 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("tvec"),
         "centroid_id",
     )
+    # AQE-coalesce fan-out trap (round-13 full sweep): both bucket-tagged
+    # sides are byte-tiny, AQE coalesces them to 1 task and the per-bucket
+    # eval x train pair fan-out runs serially (77% of executor time on one
+    # task, measured). User-specified repartition on the join key is
+    # AQE-exempt; the equi-join reuses the partitioning, no extra exchange.
+    from projet_data_infrastructure_spark.session import default_parallelism
+
+    ev = ev.repartition(default_parallelism(), "centroid_id")
     sims = ev.join(tr, "centroid_id").select(
         "eval_id",
         "train_id",

@@ -797,7 +797,15 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = ev2.withColumn("rn", rn).filter(F.col("rn") == 1).select("user_id", "hr", "cents")
     bounds = ev2.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
-    grid = bounds.select(
+    # AQE-coalesce fan-out trap (round-13 full sweep): the per-user bounds
+    # aggregate is tiny in BYTES, so AQE coalesces it to 1-2 partitions —
+    # and the sequence+explode below then fans out ~|hours| rows per user
+    # on those same tasks (64% of this spec's executor time on ONE task,
+    # measured). A user-specified hash repartition is AQE-exempt and keys
+    # the grid by user_id, which the downstream join/windows reuse.
+    from projet_data_infrastructure_spark.session import default_parallelism
+
+    grid = bounds.repartition(default_parallelism(), "user_id").select(
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
     )
@@ -835,7 +843,15 @@ def q_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = ev2.withColumn("rn", rn).filter(F.col("rn") == 1).select("user_id", "hr", "cents")
     bounds = ev2.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
-    grid = bounds.select(
+    # AQE-coalesce fan-out trap (round-13 full sweep): the per-user bounds
+    # aggregate is tiny in BYTES, so AQE coalesces it to 1-2 partitions —
+    # and the sequence+explode below then fans out ~|hours| rows per user
+    # on those same tasks (64% of this spec's executor time on ONE task,
+    # measured). A user-specified hash repartition is AQE-exempt and keys
+    # the grid by user_id, which the downstream join/windows reuse.
+    from projet_data_infrastructure_spark.session import default_parallelism
+
+    grid = bounds.repartition(default_parallelism(), "user_id").select(
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
     )

@@ -74,3 +74,14 @@ def test_high_risk_families_have_zero_mirrored_only():
         f"hand-derived-math specs with no independent fixture: {offenders} — "
         "add a pure-Python definitional test (see tests/test_independent_fixtures.py)"
     )
+
+
+def test_mirrored_only_is_empty():
+    """Round 13 drove the mirrored-only class to ZERO (127 at round 11,
+    48 after the r13 relational/stream batches, 0 after the similarity and
+    lakehouse batches). From here on this is an absolute gate, stronger
+    than the shrink-only ratchet: no spec may ever ship whose only formula
+    proof is the DuckDB oracle that mirrors the same math."""
+    live = build_inventory()
+    offenders = sorted(k for k, v in live.items() if v["category"] == "mirrored-only")
+    assert not offenders, f"specs with no independent/plan evidence: {offenders}"

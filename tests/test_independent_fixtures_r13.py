@@ -602,3 +602,247 @@ def test_bitwise_funcs_literal(spark, orders):
             )
         )
     assert got == exp
+
+
+# ------------------------------------------- batch 4: windows, HOFs, corpus
+
+
+def h64(s, seed=None) -> int:
+    import hashlib
+
+    base = f"{seed}:{s}" if seed is not None else str(s)
+    return int(hashlib.md5(base.encode()).hexdigest()[:15], 16)
+
+
+def py_tokens(text):
+    import re
+
+    return [t for t in re.split(r"\s+", text.strip()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return _rows("documents", ["doc_id", "text", "lang", "n_chars"])
+
+
+def _per_cust_sorted(orders):
+    per = defaultdict(list)
+    for ok_, ck, _st, _tp, od, _pr_ in orders:
+        per[ck].append((od, ok_))
+    for rows in per.values():
+        rows.sort()
+    return per
+
+
+def test_window_funcs2_literal(spark, orders):
+    per = _per_cust_sorted(orders)
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): (r["quartile"], r["pct_rank"], r["first_order"], r["next_order"])
+        for r in run(spark, "window_funcs2")
+    }
+    for ck, rows in per.items():
+        n = len(rows)
+        base, rem = divmod(n, 4)
+        for i, (_od, ok_) in enumerate(rows):
+            # ntile: first `rem` buckets get base+1 rows
+            acc, tile = 0, 0
+            for t in range(1, 5):
+                acc += base + (1 if t <= rem else 0)
+                if i < acc:
+                    tile = t
+                    break
+            prk = 0.0 if n == 1 else pr(i / (n - 1), 6)
+            nxt = rows[i + 1][1] if i + 1 < n else None
+            q, p, f, nx = got[(ck, ok_)]
+            assert q == tile and f == rows[0][1] and nx == nxt
+            assert ok(p, prk, 6)
+
+
+def test_window_funcs3_literal(spark, orders):
+    per = _per_cust_sorted(orders)
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): (r["cdist"], r["drank"], r["second_order"], r["prev_order"])
+        for r in run(spark, "window_funcs3")
+    }
+    for ck, rows in per.items():
+        n = len(rows)
+        for i, (_od, ok_) in enumerate(rows):
+            c, d, s, p = got[(ck, ok_)]
+            assert ok(c, pr((i + 1) / n, 6), 6)
+            assert d == i + 1
+            assert s == (rows[1][1] if n >= 2 else None)
+            assert p == (rows[i - 1][1] if i > 0 else -1)
+
+
+def test_higher_order_funcs_literal(spark):
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    per = defaultdict(list)
+    for ok_, q in zip(t.column("l_orderkey").to_pylist(), t.column("l_quantity").to_pylist()):
+        per[ok_].append(int(q))  # cast("long") truncates toward zero, as int() does for q>0
+    got = {r["l_orderkey"]: r for r in run(spark, "higher_order_funcs")}
+    assert set(got) == set(per)
+    for ok_, qs in per.items():
+        qs = sorted(qs)
+        g = got[ok_]
+        assert g["n_over_25"] == sum(1 for x in qs if x > 25)
+        assert g["doubled_sum"] == sum(2 * x for x in qs)
+        assert g["any_ge_45"] == any(x >= 45 for x in qs)
+        assert g["all_positive"] == all(x > 0 for x in qs)
+        assert g["qtys_csv"] == ",".join(str(x) for x in qs)
+
+
+def test_map_funcs_literal(spark, events_full):
+    cnt = defaultdict(lambda: defaultdict(int))
+    for _eid, _us, uid, et, _v, _p in events_full:
+        cnt[uid][et] += 1
+    got = {r["user_id"]: (r["n_types"], r["hot_types"], r["hot_counts_x2"]) for r in run(spark, "map_funcs")}
+    assert set(got) == set(cnt)
+    for uid, types in cnt.items():
+        hot = [(et, n * 2) for et, n in sorted(types.items()) if n >= 13]
+        assert got[uid] == (
+            len(types),
+            ",".join(et for et, _ in hot),
+            ",".join(str(n) for _, n in hot),
+        )
+
+
+def test_try_functions_literal(spark, events_full):
+    got = {r["event_id"]: (r["parsed_id"], r["value_per_bucket"]) for r in run(spark, "try_functions")}
+    for eid, _us, uid, _et, v, _p in events_full:
+        parsed = None if eid % 5 == 0 else eid
+        div = uid % 3
+        vpb = None if (div == 0 or v is None) else pr(v / div, 4)
+        g = got[eid]
+        assert g[0] == parsed
+        assert (g[1] is None) == (vpb is None) and (vpb is None or ok(g[1], vpb, 4))
+
+
+def test_listagg_param_sql_literal(spark, orders):
+    per = defaultdict(list)
+    for ok_, ck, *_ in orders:
+        if ck < 30:
+            per[ck].append(ok_)
+    got = [(r["custkey"], r["n_orders"], r["orderkeys_desc"]) for r in run(spark, "listagg_param_sql")]
+    exp = [
+        (ck, len(v), ",".join(str(k) for k in sorted(v, reverse=True)))
+        for ck, v in sorted(per.items())
+    ]
+    assert got == exp
+
+
+def test_lateral_subquery_topn_literal(spark, cust):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    nat = _rows("nation", ["n_nationkey", "n_name"])
+    per = defaultdict(list)
+    for ck, _nm, nk, bal, _seg in cust:
+        cents = int(Decimal(repr(bal * 100)).quantize(Decimal(1), ROUND_HALF_UP))
+        per[nk].append((-cents, ck))
+    exp = []
+    for nk, n_name in sorted(nat, key=lambda r: r[1]):
+        top = sorted(per.get(nk, []))[:3]
+        exp.extend((n_name, ck, -negc) for negc, ck in top)
+    got = [(r["n_name"], r["c_custkey"], r["cents"]) for r in run(spark, "lateral_subquery_topn")]
+    assert got == exp and exp
+
+
+def test_skew_validation_profile_literal(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    sk = t.column("l_suppkey").to_pylist()
+    per = defaultdict(int)
+    for k in sk:
+        per[k] += 1
+    r = run(spark, "skew_profile")[0]
+    mx = max(per.values())
+    assert r["n_keys"] == len(per) and r["total_rows"] == len(sk)
+    assert r["max_cnt"] == mx and r["min_cnt"] == min(per.values())
+    assert r["hottest_key"] == min(k for k, n in per.items() if n == mx)
+    assert ok(r["skew_ratio"], pr(mx / (len(sk) / len(per)), 4), 4)
+    v = run(spark, "validation_profile")[0]
+    for c in ("l_quantity", "l_discount", "l_extendedprice"):
+        vals = t.column(c).to_pylist()
+        assert v[f"{c}_nulls"] == sum(1 for x in vals if x is None)
+        assert v[f"{c}_min"] == min(x for x in vals if x is not None)
+        assert v[f"{c}_max"] == max(x for x in vals if x is not None)
+    assert v["n_rows"] == len(sk)
+
+
+def test_corpus_split_and_stratified_literal(spark, docs):
+    got = {r["doc_id"]: (r["bucket"], r["split"]) for r in run(spark, "corpus_split_assign")}
+    for did, _txt, _lang, _nc in docs:
+        b = h64(did) % 100
+        s = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[did] == (b, s)
+    rates = {"en": 0.3, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
+    exp = set()
+    for did, _txt, lang, _nc in docs:
+        u = (h64(did, 7) % 1_000_000) / 1_000_000.0
+        if u < rates.get(lang, 0.0):
+            exp.add((did, lang))
+    got2 = {(r["doc_id"], r["lang"]) for r in run(spark, "stratified_sample_lang")}
+    assert got2 == exp and exp
+
+
+def test_weighted_sample_per_lang_literal(spark, docs):
+    per = defaultdict(list)
+    for did, _txt, lang, nc in docs:
+        u = ((h64(did, 13) % 1_000_000) + 1) / 1_000_001.0
+        per[lang].append((pr(math.log(u) / nc, 6), -did))
+    exp = set()
+    for lang, rows in per.items():
+        for rnk, (key, negd) in enumerate(sorted(rows, reverse=True)[:3], 1):
+            exp.add((lang, -negd, rnk))
+    got = {(r["lang"], r["doc_id"], r["rnk"]) for r in run(spark, "weighted_sample_per_lang")}
+    assert got == exp
+
+
+def test_sequence_packing_literal(spark, docs):
+    per = defaultdict(list)
+    for did, txt, _lang, _nc in docs:
+        per[h64(did, 5) % 8].append((did, len(py_tokens(txt))))
+    exp = {}
+    for shard, rows in per.items():
+        rows.sort()
+        pack_id = cum = 0
+        for did, n in rows:
+            if cum + n > 256 and cum > 0:
+                pack_id += 1
+                cum = 0
+            exp[did] = (shard, n, pack_id)
+            cum += n
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["pack_id"]) for r in run(spark, "sequence_packing")}
+    assert got == exp
+
+
+def test_udtf_tokenize_positions_literal(spark, docs):
+    exp = set()
+    for did, txt, _lang, _nc in docs:
+        if txt:
+            for i, tok in enumerate(txt.split()):
+                exp.add((did, i, tok))
+    got = {(r["doc_id"], r["pos"], r["token"]) for r in run(spark, "udtf_tokenize_positions")}
+    assert got == exp
+
+
+def test_lang_vocab_overlap_literal(spark, docs):
+    vocab = defaultdict(set)
+    for _did, txt, lang, _nc in docs:
+        vocab[lang].update(py_tokens(txt))
+    langs = sorted(vocab)
+    exp = {}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            common = len(vocab[a] & vocab[b])
+            if common:
+                jac = common / (len(vocab[a]) + len(vocab[b]) - common)
+                exp[(a, b)] = (len(vocab[a]), len(vocab[b]), common, pr(jac, 6))
+    got = {
+        (r["lang_a"], r["lang_b"]): (r["v_a"], r["v_b"], r["n_common"], r["jaccard"])
+        for r in run(spark, "lang_vocab_overlap")
+    }
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        assert got[k][:3] == e[:3] and ok(got[k][3], e[3], 6)
