@@ -85,3 +85,16 @@ def test_mirrored_only_is_empty():
     live = build_inventory()
     offenders = sorted(k for k, v in live.items() if v["category"] == "mirrored-only")
     assert not offenders, f"specs with no independent/plan evidence: {offenders}"
+
+
+def test_plan_only_is_empty():
+    """Round 13, closing act: the PLAN-ONLY residue (26 specs whose plan
+    shape was gated but whose values had no third-way proof) got
+    definitional fixtures in tests/test_independent_fixtures_r13c.py.
+    Every registry spec now carries INDEPENDENT formula evidence — this
+    gate holds the whole inventory there."""
+    live = build_inventory()
+    offenders = sorted(
+        k for k, v in live.items() if v["category"] != "independent"
+    )
+    assert not offenders, f"specs without independent formula evidence: {offenders}"
