@@ -53,8 +53,19 @@ def epoch_us_divisor(parquet_path: str, ts_field: str = "ts") -> int:
     moment the data is regenerated at µs. Read the unit from parquet
     metadata (driver-side, no Spark job) and divide accordingly — the
     stream-side analog of ``read_table``'s dtype-gated normalization."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(parquet_path):
+        # A Spark-written table is a DIRECTORY of part files with one shared
+        # schema — probe the first part (synthetic scaling fixtures ship this
+        # layout; the driver testdata ships single files).
+        parts = sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet parts under {parquet_path}")
+        parquet_path = parts[0]
     t = pq.read_schema(parquet_path).field(ts_field).type
     unit = getattr(t, "unit", "us")
     if unit not in ("ns", "us"):

@@ -65,16 +65,34 @@ def _load_sf1():
         return json.load(f)
 
 
-def test_sf1_artifact_covers_graph_family():
+GRAPH_FAMILY = {
+    "pagerank_fixed_point", "personalized_pagerank",
+    "bellman_ford_distances", "kcore_decomposition",
+    "clustering_coefficient", "adamic_adar_links",
+    "triangle_count_suppliers",
+}
+
+#: Round-13 extension (VERDICT r12 item 6): the new heavy family measured
+#: at the same synthetic decade.
+NEW_HEAVY = {
+    "dedup_cluster_keep", "stream_stream_join", "stream_stream_left_join",
+    "stream_stream_full_join", "resample_hourly_interp",
+    "resample_hourly_ffill", "embedding_dup_clusters", "leakage_safe_split",
+    "geo_cell_neighbor_pairs", "partsupp_synth", "kendall_tau_b",
+    "levenshtein_blocked_pairs", "entity_resolution_clusters",
+}
+
+#: Specs whose OUTPUT is super-linear in the synthetic decade by problem
+#: statement (fixed-box radius pairs under a 10x DENSITY decade): wall must
+#: track the measured output exponent, not stay sub-linear. The output
+#: counts live in the artifact's annotations block.
+OUTPUT_BOUND = {"geo_cell_neighbor_pairs"}
+
+
+def test_sf1_artifact_covers_heavy_families():
     data = _load_sf1()
     assert data["sfs"] == ["sf0.01", "sf0.1", "sf1"]
-    expected = {
-        "pagerank_fixed_point", "personalized_pagerank",
-        "bellman_ford_distances", "kcore_decomposition",
-        "clustering_coefficient", "adamic_adar_links",
-        "triangle_count_suppliers",
-    }
-    assert set(data["specs"]) == expected
+    assert set(data["specs"]) == GRAPH_FAMILY | NEW_HEAVY
 
 
 def test_sf1_decade_stays_subquadratic():
@@ -82,12 +100,23 @@ def test_sf1_decade_stays_subquadratic():
     exactly 10x) must show sub-quadratic shuffle and SUB-LINEAR wall in
     its top decade — wall is the claim sf0.1 could not prove (per-job
     floor); shuffle slack allows the measured AQE exchange-materialization
-    transition (SCALING.md round-12 section)."""
+    transition (SCALING.md round-12 section). Output-bound specs instead
+    gate wall against their own measured OUTPUT growth (a radius-pair
+    operator under a density decade emits ~100x the rows; the plan is
+    linear in that output — SCALING.md round-13 section)."""
+    import math
+
     data = _load_sf1()
     for name, rec in data["specs"].items():
         top_shuffle = rec["exponents"]["shuffle_bytes"][-1]
         top_wall = rec["exponents"]["wall_sec"][-1]
         if top_shuffle is not None:
             assert top_shuffle < 2.0, (name, top_shuffle)
-        if top_wall is not None:
+        if top_wall is None:
+            continue
+        if name in OUTPUT_BOUND:
+            out = data["annotations"][name]["output_rows"]
+            alpha_out = math.log10(out["sf1"] / out["sf0.1"])
+            assert top_wall < alpha_out + 0.6, (name, top_wall, alpha_out)
+        else:
             assert top_wall < 1.0, (name, top_wall)

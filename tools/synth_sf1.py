@@ -151,7 +151,25 @@ def main() -> None:
             override = _content_transform(table, c, copy_col)
             cols.append(override.alias(c) if override is not None else F.col(c))
         dest = f"{out}/{table}.parquet"
-        cp.select(*cols).write.mode("overwrite").parquet(dest)
+        shifted = cp.select(*cols)
+        if table == "events":
+            # The live-stream specs glob the literal file name
+            # "events.parquet" and probe its unit with pyarrow, exactly as
+            # the driver testdata ships it — so events must be ONE real
+            # parquet FILE, not a Spark output directory.
+            import glob as _glob
+            import shutil
+
+            tmp = f"{dest}.spark-tmp"
+            shifted.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.rmtree(dest, ignore_errors=True)
+            if os.path.isfile(dest):
+                os.remove(dest)
+            shutil.move(part, dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shifted.write.mode("overwrite").parquet(dest)
         print(f"{table}: {df.count()} -> {spark.read.parquet(dest).count()} rows")
     spark.stop()
 
