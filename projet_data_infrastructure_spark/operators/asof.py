@@ -21,6 +21,8 @@ pandas ``merge_asof``.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -106,14 +108,18 @@ def carry_forward(
         # backward=True: the reversal below applies .desc() itself, and
         # re-applying it to an already-directional SortOrder (F.desc(c),
         # c.asc()) silently yields the wrong order instead of reversing it
-        # (ADVICE r12). Column reprs of directional expressions carry an
-        # explicit "ASC"/"DESC" marker — reject them loudly.
+        # (ADVICE r12). Column reprs of directional expressions end with an
+        # explicit "ASC"/"DESC" sort marker (optionally "NULLS FIRST/LAST")
+        # — reject them loudly. ValueError, not assert: the guard must
+        # survive `python -O`, and the anchored regex cannot false-positive
+        # on a column NAME merely containing "ASC"/"DESC" as a substring
+        # (ADVICE r13).
+        directional = re.compile(r" (ASC|DESC)( NULLS (FIRST|LAST))?'?>?$")
         for o in order:
-            if not isinstance(o, str):
-                rep = str(o)
-                assert " ASC" not in rep and " DESC" not in rep, (
+            if not isinstance(o, str) and directional.search(str(o)):
+                raise ValueError(
                     f"carry_forward(backward=True) needs plain ascending "
-                    f"order expressions, got directional sort {rep!r}"
+                    f"order expressions, got directional sort {str(o)!r}"
                 )
         # "Next non-null at-or-after" == "last non-null at-or-before" under
         # the REVERSED total order. Expressed as last() over a DESC sort

@@ -28,76 +28,26 @@ class QuerySpec:
     doc: str = ""
 
 
-# Round-13 driver window — the first 50 names fill the driver's 50-slot
-# window; everything after position 50 is the round-14 rotation queue.
-# Composition (verdict r12 item 1 — the staleness rotation continues):
-# (a) the 33 remaining round-3-era proofs staged behind the r12 window —
-#     every name whose last green CORRECTNESS row is round 3, re-proven
+# Round-14 driver window — the first 50 names fill the driver's 50-slot
+# window; everything after position 50 is the round-15 rotation queue.
+# Composition (verdict r13 item 1 — the staleness rotation continues):
+# (a) the 31 remaining round-4-era proofs staged behind the r13 window —
+#     every name whose last green CORRECTNESS row is round 4, re-proven
 #     on current code (r11 refreshed the round-1 era, r12 the round-2
-#     era; this window finishes the round-3 stratum);
-# (b) the first 17 round-4-era names to fill the window (registry order).
-# Behind the window: the r14 queue — the remaining 31 round-4-era names,
-# then the 49 round-5-era names, in staleness-then-registry order, so the
-# round-14 window rotates on with a one-line comment edit.
-# The ~280 specs with fresher proofs keep their module order behind and
+#     era, r13 the round-3 era; this window finishes the round-4 stratum);
+# (b) the first 19 round-5-era names to fill the window (registry order).
+# Behind the window: the r15 queue — the remaining 30 round-5-era names,
+# then the 33 round-7-era names (there was no round-6 artifact; round 7
+# is the next-stalest stratum), in staleness-then-registry order, so the
+# round-15 window rotates on with a one-line comment edit.
+# The ~295 specs with fresher proofs keep their module order behind and
 # stay locally re-proven each round (LOCAL_ORACLE_sf*.json, three SFs +
 # the 7-partition sweep + the full-registry hostile sweep). Rows-only
 # specs would sink behind every oracled spec, but since round 10 there
-# are none. Unknown names are ignored.
+# are none. Unknown names are rejected by
+# tests/test_registry.py::test_driver_priority_names_resolve.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-3-era proofs (33), staged in round 12
-    "stream_session_counts",
-    "stream_dedup_ids",
-    "stream_running_totals",
-    "stream_stream_join",
-    "stream_static_join",
-    "benchmark_decontamination",
-    "repetition_ngram_ratio",
-    "embedding_simhash_pairs",
-    "domain_mixture_weights",
-    "pq_encode",
-    "pq_adc_topk",
-    "embedding_dup_clusters",
-    "lm_bigram_score",
-    "ivfpq_topk",
-    "mixture_resample",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q22_inactive",
-    "tpch_q8_mkt_share",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_supplier",
-    "array_agg_sorted",
-    "window_funcs2",
-    "string_funcs2",
-    "conditional_funcs",
-    "rolling_7day_revenue",
-    "order_total_reconciliation",
-    "robust_outliers",
-    "bucketed_join_colocated",
-    "snapshot_time_travel",
-    "multimodal_size_histogram",
-    "heavy_hitters",
-    # (b) round-4-era fillers for slots 34-50 (registry order)
-    "k_anonymity_audit",
-    "user_series_correlation",
-    "sessionize_events",
-    "resample_hourly_ffill",
-    "stream_stream_left_join",
-    "stream_stream_full_join",
-    "leakage_safe_split",
-    "dedup_cluster_sizes",
-    "semdedup_prune",
-    "ivf_topk_multiprobe",
-    "crossdoc_dup_ngrams",
-    "dup_span_removal",
-    "udtf_tokenize_positions",
-    "corpus_split_assign",
-    "length_percentile_filter",
-    "temperature_mixture",
-    "char_entropy",
-    # ---- round-14 queue: remaining round-4-era proofs (31) ----
+    # (a) round-4-era proofs (31), staged in round 13
     "sequence_packing",
     "weighted_sample_topk",
     "gopher_quality_flags",
@@ -129,7 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "countmin_user_counts",
     "psi_drift_profile",
     "bloom_membership",
-    # ---- then the round-5-era proofs (49, registry order) ----
+    # (b) round-5-era fillers for slots 32-50 (registry order)
     "session_bounce_rate",
     "resample_hourly_interp",
     "xml_envelope_extract",
@@ -149,6 +99,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "acf_by_user",
     "view_purchase_latency",
     "cumulative_new_users",
+    # ---- round-15 queue: remaining round-5-era proofs (30) ----
     "max_drawdown_by_user",
     "interevent_gap_histogram",
     "python_datasource_scan",
@@ -179,6 +130,40 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_udf_rollup",
     "mapinarrow_vector_norm",
     "applyinarrow_label_stats",
+    # ---- then the round-7-era proofs (33, registry order) ----
+    "scan_project",
+    "filter_pushdown",
+    "inner_join_enrich",
+    "left_join_agg",
+    "semi_join",
+    "anti_join",
+    "scalar_count",
+    "orderby_limit",
+    "t_closeness_audit",
+    "hashed_linear_score",
+    "bpe_encode_corpus",
+    "full_outer_join",
+    "gdpr_erasure_cascade",
+    "clustering_coefficient",
+    "degree_assortativity",
+    "partsupp_synth",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_stock",
+    "stl_weekly_decompose",
+    "holt_linear_forecast",
+    "fourier_weekly_fit",
+    "knn_label_vote",
+    "gbdt_stump_boost",
+    "conformal_interval_coverage",
+    "stratified_kfold_assign",
+    "als_rank1_step",
+    "doc_keywords_per_doc",
+    "skipgram_window_cooc",
+    "higher_moments_by_type",
+    "mode_percentile_disc",
 )
 
 # Rows-only specs (oracle=None) are pinned behind every oracled spec so they

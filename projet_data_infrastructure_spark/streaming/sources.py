@@ -61,10 +61,20 @@ def epoch_us_divisor(parquet_path: str, ts_field: str = "ts") -> int:
     if os.path.isdir(parquet_path):
         # A Spark-written table is a DIRECTORY of part files with one shared
         # schema — probe the first part (synthetic scaling fixtures ship this
-        # layout; the driver testdata ships single files).
+        # layout; the driver testdata ships single files). Hive-partitioned
+        # layouts nest part files in subdirectories, so fall back to a
+        # recursive glob (ADVICE r13); the single-schema assumption means the
+        # first part's unit speaks for the whole table.
         parts = sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))
         if not parts:
-            raise FileNotFoundError(f"no parquet parts under {parquet_path}")
+            parts = sorted(
+                glob.glob(os.path.join(parquet_path, "**", "*.parquet"), recursive=True)
+            )
+        if not parts:
+            raise FileNotFoundError(
+                f"no parquet parts under {parquet_path} (searched recursively; "
+                f"unit detection assumes one shared schema across parts)"
+            )
         parquet_path = parts[0]
     t = pq.read_schema(parquet_path).field(ts_field).type
     unit = getattr(t, "unit", "us")

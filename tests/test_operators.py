@@ -868,6 +868,32 @@ def test_carry_forward_fixture(spark):
     assert back[(1, 5)] is None
 
 
+def test_carry_forward_backward_guard(spark):
+    """backward=True rejects directional sort expressions with ValueError
+    (survives python -O, unlike the old assert), and the anchored match
+    does NOT false-positive on column NAMES containing 'ASC'/'DESC' as a
+    substring (ADVICE r13)."""
+    import pytest as _pytest
+
+    from projet_data_infrastructure_spark.operators.asof import carry_forward
+
+    df = spark.createDataFrame(
+        [(1, 1, 10, 5), (1, 2, None, 6)],
+        "k INT, seq INT, val INT, `price ASCENT` INT",
+    )
+    for bad in (F.col("seq").desc(), F.desc("seq"), F.col("seq").asc()):
+        with _pytest.raises(ValueError, match="directional sort"):
+            carry_forward(df, "k", (bad,), {"c": "val"}, backward=True)
+    # A column whose NAME contains ' ASC' must not trip the guard.
+    got = {
+        r["seq"]: r["c"]
+        for r in carry_forward(
+            df, "k", (F.col("price ASCENT"),), {"c": "val"}, backward=True
+        ).collect()
+    }
+    assert got == {1: 10, 2: None}
+
+
 def test_carry_forward_expression_source(spark):
     from projet_data_infrastructure_spark.operators.asof import carry_forward
 

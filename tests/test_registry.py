@@ -23,6 +23,27 @@ def test_registry_shape():
             assert "read_parquet" not in s.oracle
 
 
+def test_driver_priority_names_resolve():
+    """Every _DRIVER_PRIORITY name must be a registered spec (ADVICE r13).
+
+    The sort key ignores unknown names, so a typo during a window rotation
+    would silently drop a spec out of the 50-slot driver window and defeat
+    the staleness-rotation guarantee. Duplicates would shrink the effective
+    window the same way.
+    """
+    from projet_data_infrastructure_spark.plans.registry import _DRIVER_PRIORITY
+
+    registered = {s.name for s in all_specs()}
+    unknown = [n for n in _DRIVER_PRIORITY if n not in registered]
+    assert not unknown, f"_DRIVER_PRIORITY names not in registry: {unknown}"
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)), "duplicate priority names"
+    # The driver window is hash-checked, so rows-only specs must never
+    # occupy a priority slot.
+    oracled = set(oracle_sql_map())
+    rows_only = [n for n in _DRIVER_PRIORITY[:50] if n not in oracled]
+    assert not rows_only, f"rows-only specs in the driver window: {rows_only}"
+
+
 def test_maps_align():
     qs, os_ = queries_map(), oracle_sql_map()
     assert set(os_) <= set(qs)

@@ -134,6 +134,19 @@ def main() -> None:
         if only and table not in only:
             continue
         df = spark.read.parquet(f"{src}/{table}.parquet")
+        if table == "documents":
+            # The cross-copy shingle-disjointness claim rests on the a-z
+            # rotation covering the WHOLE alphabet of `text`; uppercase or
+            # digits would pass through unrotated and silently re-couple
+            # copies (ADVICE r13). Fail loudly if a regenerated fixture
+            # ever widens the alphabet (full scan — cheap at these sizes).
+            offenders = df.filter(~F.col("text").rlike(r"^[a-z ]*$")).count()
+            if offenders:
+                raise ValueError(
+                    f"documents.text alphabet widened beyond [a-z ] in "
+                    f"{offenders} rows; extend _rot_alpha/_content_transform "
+                    f"before synthesizing, or cross-copy disjointness breaks"
+                )
         cp = df.withColumn(
             "_copy", F.explode(F.sequence(F.lit(0), F.lit(N_COPIES - 1)))
         )
