@@ -144,14 +144,27 @@ def main() -> None:
     # bench tags can miss a future heavy spec. The committed
     # LOCAL_ORACLE_sf0.1.json times every registered spec's Spark side; any
     # name in its top-N by measured cost joins the headliner set
-    # automatically. The file is committed, so the selection is pinned and
-    # diffable per round; records without timings (pre-round-12) no-op.
-    auto_n = int(os.environ.get("SPARK_GRAFT_BENCH_AUTO_TOPN", "70"))
-    auto_added = sorted(_top_measured_names(auto_n) - bench_names)
-    specs = sorted(
-        (s for s in registry if s.name in bench_names or s.name in set(auto_added)),
-        key=lambda s: s.name,
-    )
+    # automatically.
+    #
+    # Per-round PIN (VERDICT r13 item 3): LOCAL_ORACLE_sf0.1.json is itself
+    # refreshed mid-round, so two same-round bench runs could auto-select
+    # slightly different sets (r13: driver 119 vs local 116 specs) and the
+    # vs_prior totals compared near-but-not-identical compositions. The
+    # selection is therefore frozen once per round into the committed
+    # BENCH_HEADLINERS.json (tools/pin_headliners.py); every bench run of
+    # the round — local or driver — replays exactly that list. Recompute
+    # only at the START of a round, before the first measurement.
+    pinned = _pinned_headliners()
+    if pinned is not None:
+        selected = set(pinned) & {s.name for s in registry}
+        auto_added = sorted(selected - bench_names)
+    else:
+        auto_n = int(os.environ.get("SPARK_GRAFT_BENCH_AUTO_TOPN", "70"))
+        auto_added = sorted(_top_measured_names(auto_n) - bench_names)
+        selected = bench_names | set(auto_added)
+    specs = sorted((s for s in registry if s.name in selected), key=lambda s: s.name)
+    missing_core = set(BENCH_CORE) - {s.name for s in specs}
+    assert not missing_core, f"frozen bench core missing from selection: {missing_core}"
 
     # Warmup (untimed): spin up executors/codegen and touch every table's
     # footer/listing so the first measured query doesn't pay cold IO setup.
@@ -232,6 +245,8 @@ def main() -> None:
         out["requeried"] = requeried
     if auto_added:
         out["auto_headliners"] = auto_added
+    if pinned is not None:
+        out["headliner_pin"] = {"file": "BENCH_HEADLINERS.json", "n": len(specs)}
     if prior_ok:
         prior_q = prior.get("queries", {})
         out["vs_prior"] = {
@@ -291,6 +306,30 @@ def main() -> None:
         }
     print(json.dumps(compact))
     spark.stop()
+
+
+def _pinned_headliners() -> list[str] | None:
+    """The round's frozen headliner list from BENCH_HEADLINERS.json, or None
+    when no pin exists (fall back to live auto-selection).
+
+    Written once per round by ``tools/pin_headliners.py`` and committed, so
+    the driver's end-of-round bench and every local bench measure the SAME
+    composition regardless of when LOCAL_ORACLE_sf0.1.json was refreshed.
+    ``SPARK_GRAFT_BENCH_IGNORE_PIN=1`` bypasses (for pin regeneration)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_IGNORE_PIN") == "1":
+        return None
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HEADLINERS.json"
+    )
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    names = rec.get("names")
+    if isinstance(names, list) and all(isinstance(n, str) for n in names) and names:
+        return names
+    return None
 
 
 def _top_measured_names(n: int) -> set[str]:

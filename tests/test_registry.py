@@ -61,6 +61,29 @@ def test_bench_core_is_stable():
     assert not missing, f"bench core specs lost their tag: {sorted(missing)}"
 
 
+def test_headliner_pin_is_valid():
+    """BENCH_HEADLINERS.json (the per-round frozen bench composition,
+    VERDICT r13 item 3) must resolve entirely against the registry and
+    contain the never-rotating BENCH_CORE, or same-round bench runs drift
+    back to comparing different spec sets."""
+    import json
+    import os
+
+    import bench
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_HEADLINERS.json")
+    if not os.path.exists(path):
+        pytest.skip("no headliner pin committed yet")
+    with open(path) as f:
+        names = json.load(f)["names"]
+    assert len(names) == len(set(names))
+    registered = {s.name for s in all_specs()}
+    unknown = [n for n in names if n not in registered]
+    assert not unknown, f"pinned headliners not in registry: {unknown}"
+    missing_core = set(bench.BENCH_CORE) - set(names)
+    assert not missing_core, f"pin lost bench-core names: {sorted(missing_core)}"
+
+
 @pytest.mark.parametrize("spec", all_specs(), ids=lambda s: s.name)
 def test_query_executes(spark, spec):
     df = spec.fn(spark, SF)

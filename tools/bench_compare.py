@@ -48,19 +48,22 @@ def main() -> None:
     # Name order, same as bench.py: registry order changes per round (driver
     # priority window) and would shift warm-up between queries, polluting the
     # vs-prior deltas with position noise.
-    # Same selection as bench.py: tags ∪ top-N by measured sf0.1 cost, so
-    # the comparison covers every spec the bench tracks (round 12).
-    from bench import _top_measured_names
+    # Same selection as bench.py: the round's pinned headliner list
+    # (BENCH_HEADLINERS.json, VERDICT r13 item 3) when present, else the
+    # live tags ∪ top-N rule, so BENCH_COMPARE.md and BENCH_r{N}.json always
+    # cover the same spec set (ADVICE r12).
+    from bench import _pinned_headliners, _top_measured_names
 
-    # Resolve N through the SAME env knob bench.py reads, so BENCH_COMPARE.md
-    # and BENCH_r{N}.json always cover the same spec set (ADVICE r12).
-    auto = _top_measured_names(int(os.environ.get("SPARK_GRAFT_BENCH_AUTO_TOPN", "70")))
+    pinned = _pinned_headliners()
+    if pinned is not None:
+        chosen = set(pinned)
+    else:
+        auto = _top_measured_names(
+            int(os.environ.get("SPARK_GRAFT_BENCH_AUTO_TOPN", "70"))
+        )
+        chosen = {s.name for s in all_specs() if "bench" in s.tags} | auto
     bench_specs = sorted(
-        (
-            s
-            for s in all_specs()
-            if ("bench" in s.tags or s.name in auto) and s.oracle is not None
-        ),
+        (s for s in all_specs() if s.name in chosen and s.oracle is not None),
         key=lambda s: s.name,
     )
     # Median of 3 interleaved passes on BOTH engines — the same protocol as
@@ -112,6 +115,40 @@ def main() -> None:
             "30 s micro-batch latency (BASELINE.md) — is far below either "
             "column. This table is the honest single-node floor, not the "
             "target regime.\n\n"
+            "## Protocol (pinned)\n\n"
+            "**Both columns always come from the SAME interleaved session of "
+            "this tool** — never a Spark re-measure against a stale DuckDB "
+            "column (VERDICT r13 item 2): per the round-13 attribution "
+            "finding, DuckDB on byte-identical binary/SQL/parquet is the "
+            "box-drift witness, so it must move with every Spark re-measure "
+            "to stay one. The spec set is the round's pinned headliner list "
+            "(BENCH_HEADLINERS.json) restricted to oracled specs, identical "
+            "to bench.py's composition.\n\n"
+            "## Cross-round comparability (round-13 attribution, "
+            "BENCH_ATTRIBUTION_r13.json)\n\n"
+            "Two measured protocol facts govern how these numbers may be "
+            "compared across rounds (VERDICT r12 item 3, resolved by "
+            "experiment):\n\n"
+            "1. **Session composition shifts per-query medians ~13%.** The 62 "
+            "shared headliners total 100.4 s / 99.1 s when benched ALONE (two "
+            "reproducible runs) but 87.4 s inside the 116-spec session, at "
+            "identical md5 calibration — a longer interleaved pass warms the "
+            "JVM/JIT deeper before each spec's median rep. Per-query deltas "
+            "are therefore only valid between SAME-COMPOSITION sessions "
+            "(bench.py's vs_prior already compares like with like; the "
+            "r11→r12 62-vs-118 comparison did not).\n"
+            "2. **The md5 CPU calibration under-captures environment "
+            "drift.** On the 62 queries shared between the r11 and r12 "
+            "tables, DuckDB — identical binary, SQL, and parquet across "
+            "rounds — slowed **+33%** while the md5 probe moved only 1.135×. "
+            "The Spark column slowed +24% on the same queries. The r11→r12 "
+            "\"+11% load-adjusted residual\" was the box (likely "
+            "memory-bandwidth/co-tenant pressure), not code: no regressed "
+            "spec's plan changed, and all pass the oracle. bench.py records "
+            "a memory-bandwidth fingerprint (`calibration.membw_median`), "
+            "and the DuckDB column in this table doubles as the cross-round "
+            "co-movement witness — if DuckDB moved with Spark, suspect the "
+            "box first.\n\n"
             "| query | spark (s) | duckdb (s) | vs prior round (s) |\n"
             "|---|---|---|---|\n"
         )
