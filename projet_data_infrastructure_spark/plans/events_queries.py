@@ -349,12 +349,62 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {div}")))
 
 
-def _run_stream(df_writer, spark: SparkSession, name: str) -> DataFrame:
-    query = df_writer.queryName(name).trigger(availableNow=True).format("memory").start()
-    # awaitTermination returns False on timeout — fail loudly rather than
-    # returning a partially-filled memory table as an oracle mismatch.
-    assert query.awaitTermination(120), f"stream {name} timed out"
-    query.stop()
+#: Streaming state-partition sizing (r14, guide §2): a stateful micro-batch
+#: spawns one state store instance PER shuffle partition PER stateful
+#: operator (a stream-stream join holds four), and each pays a fixed
+#: commit/maintenance/eviction cost every batch — including the no-data
+#: watermark-flush batch, which measured as expensive as the data batch.
+#: AQE cannot coalesce streaming state, so derive the partition count from
+#: the input size instead of inheriting the session's batch shuffle setting:
+#: one state partition per ~512 KiB of source bytes, clamped to
+#: [2, session shuffle partitions]. At sf0.1 (2 MB events) this is 4 instead
+#: of 32 (stream_stream_join 12.7 s → 2.7 s measured, identical rows); on a
+#: real cluster the clamp cap is the configured shuffle partitions, so large
+#: inputs keep full parallelism. Override: SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+_STREAM_STATE_TARGET_BYTES = 512 * 1024
+
+
+def _stream_state_partitions(spark: SparkSession, sf_dir: str | None) -> int:
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir:
+        return cap
+    total = 0
+    try:
+        for fname in os.listdir(sf_dir):
+            if fname.endswith(".parquet") and fname.startswith(("events", "documents")):
+                total += os.path.getsize(os.path.join(sf_dir, fname))
+    except OSError:
+        return cap
+    if total <= 0:
+        return cap
+    return max(2, min(cap, -(-total // _STREAM_STATE_TARGET_BYTES)))
+
+
+def _run_stream(
+    df_writer, spark: SparkSession, name: str, sf_dir: str | None = None
+) -> DataFrame:
+    # State partitions are pinned at first query start from the session's
+    # shuffle-partition conf; set the size-derived value for the duration of
+    # the run and restore the batch setting after (the conf is session-wide,
+    # but query construction here is single-threaded).
+    parts = _stream_state_partitions(spark, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        query = (
+            df_writer.queryName(name).trigger(availableNow=True).format("memory").start()
+        )
+        # awaitTermination returns False on timeout — fail loudly rather than
+        # returning a partially-filled memory table as an oracle mismatch.
+        assert query.awaitTermination(120), f"stream {name} timed out"
+        query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -363,7 +413,7 @@ def q_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", pround(F.col("value"), 2).alias("value_r")
     )
-    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_filter_sink")
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_filter_sink", sf_dir)
 
 
 _STREAM_FILTER_SQL = f"""
@@ -407,8 +457,7 @@ def q_stream_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
     )
     return _run_stream(
-        parsed.writeStream.outputMode("append"), spark, "stream_xml_sink"
-    )
+        parsed.writeStream.outputMode("append"), spark, "stream_xml_sink", sf_dir)
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +470,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").cast("timestamp_ntz").alias("wstart"), "event_type", "n_events"
         )
     )
-    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_tumbling_sink")
+    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_tumbling_sink", sf_dir)
 
 
 _STREAM_TUMBLING_SQL = """
@@ -449,7 +498,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_sliding_sink")
+    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_sliding_sink", sf_dir)
 
 
 _STREAM_SLIDING_SQL = """
@@ -479,7 +528,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_session_sink")
+    return _run_stream(agg.writeStream.outputMode("complete"), spark, "stream_session_sink", sf_dir)
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +539,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _events_stream(spark, sf_dir)
     doubled = s.unionByName(s)
     out = doubled.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
-    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_dedup_sink")
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_dedup_sink", sf_dir)
 
 
 _STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
@@ -506,7 +555,7 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_stream(spark, sf_dir)
     rt = running_totals(stream)
-    res = _run_stream(rt.writeStream.outputMode("update"), spark, "stream_rt_sink")
+    res = _run_stream(rt.writeStream.outputMode("update"), spark, "stream_rt_sink", sf_dir)
     return res.select(
         F.col("key").alias("user_id"),
         "n_events",
@@ -538,8 +587,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
     )
     return _run_stream(
-        enriched.writeStream.outputMode("complete"), spark, "stream_static_sink"
-    )
+        enriched.writeStream.outputMode("complete"), spark, "stream_static_sink", sf_dir)
 
 
 _STREAM_STATIC_SQL = f"""
@@ -592,7 +640,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unix_micros(purchase_ts) div 1000000 - unix_micros(view_ts) div 1000000"
         ).alias("gap_sec"),
     )
-    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_ssj_sink")
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_ssj_sink", sf_dir)
 
 
 _STREAM_SSJ_SQL = """
@@ -649,7 +697,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unix_micros(purchase_ts) div 1000000 - unix_micros(view_ts) div 1000000"
         ).alias("gap_sec"),
     )
-    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_ssj_left_sink")
+    return _run_stream(out.writeStream.outputMode("append"), spark, "stream_ssj_left_sink", sf_dir)
 
 
 _STREAM_SSJ_LEFT_SQL = """
@@ -721,8 +769,7 @@ def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
     )
     res = _run_stream(
-        out.writeStream.outputMode("append"), spark, "stream_ssj_full_sink"
-    )
+        out.writeStream.outputMode("append"), spark, "stream_ssj_full_sink", sf_dir)
     # Deterministic projection of the nondeterministic emission band (see
     # docstring): unmatched purchases younger than wm - 2h are dropped.
     # Spark's event-time watermark is millisecond-truncated, and events.ts

@@ -3399,8 +3399,7 @@ def q_stream_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = raw.filter(gopher_keep(m)).select(F.md5("text").alias("digest"))
     out = kept.dropDuplicates(["digest"])
     return _run_stream(
-        out.writeStream.outputMode("append"), spark, "stream_quality_curation_sink"
-    )
+        out.writeStream.outputMode("append"), spark, "stream_quality_curation_sink", sf_dir)
 
 
 _STREAM_CURATION_SQL = f"""

@@ -1687,7 +1687,7 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    res = _run_stream(out.writeStream.outputMode("update"), spark, "stream_cusum_sink")
+    res = _run_stream(out.writeStream.outputMode("update"), spark, "stream_cusum_sink", sf_dir)
     return res.orderBy("user_id")
 
 

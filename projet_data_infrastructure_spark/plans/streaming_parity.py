@@ -58,8 +58,7 @@ def q_stream_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = journey_state(stream)
     table = _run_stream(
-        out.writeStream.outputMode("update"), spark, "stream_journey_sink"
-    )
+        out.writeStream.outputMode("update"), spark, "stream_journey_sink", sf_dir)
     return table.groupBy().agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(
@@ -114,8 +113,7 @@ def q_stream_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = funnel3_state(stream)
     table = _run_stream(
-        out.writeStream.outputMode("update"), spark, "stream_funnel3_sink"
-    )
+        out.writeStream.outputMode("update"), spark, "stream_funnel3_sink", sf_dir)
     return table.groupBy().agg(
         F.count(F.lit(1)).alias("n_viewed"),
         F.sum(F.col("first_click_us").isNotNull().cast("long")).alias(
@@ -244,8 +242,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return _run_stream(
-        out.writeStream.outputMode("append"), spark, "stream_dedup_wm_sink"
-    )
+        out.writeStream.outputMode("append"), spark, "stream_dedup_wm_sink", sf_dir)
 
 
 _STREAM_DEDUP_WM_SQL = "SELECT event_id, user_id, event_type FROM events"
@@ -330,8 +327,7 @@ def q_stream_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ne"), F.sum("conv").alias("nconv"))
     )
     table = _run_stream(
-        daily.writeStream.outputMode("update"), spark, "stream_sprt_sink"
-    )
+        daily.writeStream.outputMode("update"), spark, "stream_sprt_sink", sf_dir)
     return _sprt_from_daily(table)
 
 
@@ -359,8 +355,7 @@ def q_stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     table = _run_stream(
-        counts.writeStream.outputMode("update"), spark, "stream_hdr_sink"
-    )
+        counts.writeStream.outputMode("update"), spark, "stream_hdr_sink", sf_dir)
     hist = table.groupBy("idx").agg(F.max("cnt").alias("cnt"))
     return _hdr_readout(hist)
 
@@ -421,8 +416,7 @@ def q_stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = funnel_state(stream)
     table = _run_stream(
-        out.writeStream.outputMode("update"), spark, "stream_funnel_sink"
-    )
+        out.writeStream.outputMode("update"), spark, "stream_funnel_sink", sf_dir)
     return table.select(
         "user_id",
         F.timestamp_micros(F.col("first_view_us")).cast("timestamp_ntz").alias(
@@ -484,8 +478,7 @@ def q_stream_pit_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     per_user = pit_regimes(stream)
     res = _run_stream(
-        per_user.writeStream.outputMode("update"), spark, "stream_pit_sink"
-    )
+        per_user.writeStream.outputMode("update"), spark, "stream_pit_sink", sf_dir)
     return res.groupBy("regime").agg(
         F.sum("n_purchases").alias("n_purchases"),
         F.sum("sum_cents").alias("sum_cents"),
