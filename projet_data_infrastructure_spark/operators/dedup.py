@@ -231,6 +231,15 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Convergence probe state (r14): min-label propagation is MONOTONE —
+    # every node's new label is a min over a set that contains its old
+    # label, so the label vector only ever decreases and Σlabel strictly
+    # decreases while any node changed. Tracking the scalar sum turns the
+    # per-round convergence check into one map-side aggregate over the
+    # fresh checkpoint instead of an old-vs-new join + limit probe (two
+    # shuffle jobs per round). decimal(38,0) cannot overflow at any scale.
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         # Neighbor propagation + path halving (label-of-label hop): the hop
@@ -256,22 +265,16 @@ def duplicate_clusters(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # The convergence probe above was the last reader of the previous
-        # round's checkpoint — free its blocks now instead of waiting for
-        # driver GC (labels is the round-0 frame on the first pass, where
-        # unpersist is a harmless no-op).
+        new_sum = new_labels.agg(_label_sum).collect()[0][0]
+        # The previous round's checkpoint has no readers left — free its
+        # blocks now instead of waiting for driver GC (labels is the
+        # round-0 frame on the first pass, where unpersist is a no-op).
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # Returning a partially-propagated labeling would be silently wrong
         # (the caller gets split components with no signal). With path
@@ -392,14 +395,23 @@ def duplicate_clusters_starstar(
         return nbrs.unionByName(selfs).distinct()
 
     converged = False
+    # r14: both stars end in .distinct(), so the edge frames are SETS and
+    # set equality is (|new| == |old|) ∧ (new ∖ old = ∅). The old-edge count
+    # is carried across rounds in a driver variable (each round re-counted
+    # the same checkpointed frame it had already counted), and the
+    # difference probe is a left-anti take(1) instead of exceptAll — the
+    # anti-join short-circuits on the first surviving row, where exceptAll
+    # builds the full per-row-count aggregate before limiting.
+    prev_n = edges.count()
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        same = (
-            new_edges.count() == edges.count()
-            and not new_edges.exceptAll(edges).take(1)
-        )
+        new_n = new_edges.count()
+        same = new_n == prev_n and not new_edges.join(
+            edges, ["u", "v"], "left_anti"
+        ).take(1)
         edges.unpersist()
         edges = new_edges
+        prev_n = new_n
         if same:
             converged = True
             break
