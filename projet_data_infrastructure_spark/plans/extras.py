@@ -645,8 +645,16 @@ def q_stream_cdc_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="cdc_ooo_")
     ev = read_table(spark, sf_dir, "events")
-    env = _cdc_envelopes(ev).withColumn(
-        "b", F.expr("CAST(2 - (event_id DIV 997) % 3 AS INT)")
+    # r14 (guide §2.4/§1.2): each slice write below is coalesce(1), which
+    # collapses its WHOLE upstream into one task — so the envelope
+    # transform (to_json over every event) used to run single-threaded
+    # three times, once per slice. Materialize the envelopes once, in
+    # parallel, and let the three slice writes be cheap single-task scans
+    # of the checkpointed rows.
+    env = (
+        _cdc_envelopes(ev)
+        .withColumn("b", F.expr("CAST(2 - (event_id DIV 997) % 3 AS INT)"))
+        .localCheckpoint(eager=True)
     )
     src = f"{work}/envelopes"
     for b in (0, 1, 2):  # write order = discovery order: oldest changes last
