@@ -106,11 +106,15 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_trade_edges` for the half-checkpoint rationale)."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # LAZY checkpoint (r14, guide §1.2): every caller's first action (a
+    # count for the |V| bound, or the exec job's first pass) fully consumes
+    # the pair table, so that job materializes the blocks — one fewer job
+    # per trade-graph spec than the old eager materialize-then-probe pair.
     return (
         orders.join(line, orders.o_orderkey == line.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -144,8 +148,13 @@ def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deg (|V| rows) is read by every iteration's emission join AND the node
     # list — checkpoint the tiny aggregate once instead of re-scanning the
     # edge list per iteration.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
-    n_vertices = deg.count()  # exact |V|, free off the checkpointed aggregate
+    # Lazy: the |V| count on the next line materializes the blocks (r14).
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    n_vertices = deg.count()  # exact |V|; this job fills the checkpoint
     # Degree rides INSIDE the rank frame: emit needs no rank⋈degree join
     # per iteration (one fewer |V|-join × _PR_ITERS than the textbook
     # two-table loop), and the rank rebuild joins contrib back onto the
@@ -246,38 +255,46 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the (degree, id)-smaller endpoint to the larger, so each triangle
     is counted exactly once and per-vertex wedge work is bounded by
     O(arboricity · deg) instead of O(deg²) on hubs (the Schank/Wagner
-    node-iterator refinement; what GraphFrames' triangleCount does). Two
-    equi-joins: wedges (a→b, a→c) matched against the closing edge (b→c).
-    The oracle counts the same triangles with the simpler a<b<c id-ordered
-    triple join — two different orientations, one count.
+    node-iterator refinement; what GraphFrames' triangleCount does),
+    evaluated as per-edge out-neighbor-array intersections (no wedge
+    materialization — see the r14 note below). The oracle counts the same
+    triangles with the simpler a<b<c id-ordered triple join — two
+    different orientations, one count.
     """
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Explicit repartition count on the enumeration key: the distinct's
-    # output is ~10 MB at sf0.1, so AQE coalesces it to ONE partition — and
-    # the co-service pair self-join below fans it out ~20x (11M pairs) on a
-    # single task (measured 12 s; 32-way ≈ 4x faster). A user-specified
-    # repartition is AQE-coalesce-exempt, and both self-join sides share
-    # the key so this is the join's only exchange.
     serves = (
         orders.join(line, orders.o_orderkey == line.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .repartition(32, "o_custkey")
-    )
-    other = serves.select(
-        F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("s2")
     )
     pair_key = F.concat(
         F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
     )
-    # Sparsify BEFORE distinct: the Doulion keep-test is a pure function of
-    # the pair, so it commutes with dedup — filtering the raw co-service
-    # stream first shrinks the distinct's shuffle by the keep factor (1/10)
-    # instead of shuffling every enumerated pair and then dropping 90%.
+    # r14 (guide §2.4): pair enumeration via per-customer sorted supplier
+    # arrays + a map-side ordered-pair explode — the `_supplier_edges`
+    # shape — instead of the serves⋈serves self-join. Same (a < b) pair
+    # multiset, but the enumeration costs ONE groupBy shuffle of `serves`
+    # rather than a repartition + two-sided sort-merge self-join, and the
+    # Σ_ck d²/2 explosion stays inside whole-stage codegen. Round-robin
+    # repartition(32): the array table is tiny, so AQE would coalesce the
+    # explosion onto 1-2 tasks (see _supplier_edges). The Doulion keep
+    # filter still runs BEFORE the pair distinct (commutes with dedup), so
+    # the only full-size shuffle sees 1/10th of the enumerated pairs.
+    byck = serves.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("sks")
+    ).repartition(32)
+    raw_pairs = byck.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sks, (x, i) ->"
+                " transform(slice(sks, i + 2, size(sks)), y ->"
+                " struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
     edges = (
-        serves.join(other, (serves.o_custkey == other.ck) & (serves.l_suppkey < other.s2))
-        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        raw_pairs
         .filter(F.pmod(hash64(pair_key, seed=77), F.lit(_TRI_KEEP_MOD)) == 0)
         .distinct()
         .localCheckpoint()
@@ -295,22 +312,43 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # r14 (guide §2.4): count triangles by per-edge adjacency-array
+    # intersection (the `q_clustering_coefficient` plan) instead of
+    # materializing the wedge table and joining it against the closing
+    # edges — on this dense graph the wedge table is ~Σ outdeg² ≈ 25× the
+    # edge count and its shuffle dominated. In the (degree, id)-acyclic
+    # orientation every triangle has one source lo, one middle x, one sink
+    # y, so it is found exactly once at its (lo, x) edge as
+    # y ∈ N⁺(lo) ∩ N⁺(x) — the same once-per-triangle invariant the wedge
+    # join enforced, now evaluated inside whole-stage codegen with no wedge
+    # materialization. repartition(32, "lo") before the checkpoint: the
+    # frame is ~1 MB so AQE would coalesce the intersection stage onto 1-2
+    # tasks; 32-way on the probe key also pre-clusters the adj group-by.
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).repartition(32, "lo").localCheckpoint()
+    adj = oriented.groupBy("lo").agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
+    tri = (
+        oriented.join(
+            adj.select(F.col("lo").alias("_al"), F.col("nbrs").alias("nbrs_lo")),
+            F.col("lo") == F.col("_al"),
+        )
+        .join(
+            adj.select(F.col("lo").alias("_ah"), F.col("nbrs").alias("nbrs_hi")),
+            F.col("hi") == F.col("_ah"),
+            "left",
+        )
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("nbrs_lo"), F.coalesce(F.col("nbrs_hi"), F.array())
+                )
+            ).alias("t")
+        )
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tri"))
+        .collect()[0][0]
     )
-    w2 = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
-    wedges = oriented.join(
-        w2, (F.col("lo") == F.col("lo2")) & (F.col("hi") < F.col("hi2"))
-    ).select(F.col("hi").alias("x"), F.col("hi2").alias("y"))
-    # closing edge may be oriented either way between x and y -> id-canonical
-    closing = oriented.select(
-        F.least(F.col("lo"), F.col("hi")).alias("cx"),
-        F.greatest(F.col("lo"), F.col("hi")).alias("cy"),
-    )
-    tri = wedges.join(
-        closing, (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy"))
-    ).count()
     n_edges = edges.count()
     # multiply by (1/p)^3 rather than divide by p^3: 0.1 is not a binary
     # double, and t/0.001 lands one ulp off t*1000 — the oracle multiplies
@@ -1659,7 +1697,8 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src", "degree", F.col("node").isNotNull().cast("int").alias("seed")
         )
-        .localCheckpoint()
+        # Lazy: the |V| count on the next line materializes the blocks (r14).
+        .localCheckpoint(eager=False)
     )
     n_vertices = deg.count()
     ranks = deg.select(

@@ -890,7 +890,9 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         # Half-checkpoint discipline (see graph_geo._trade_edges): persist
         # the per-undirected-edge pair table, derive both arcs lazily.
-        .localCheckpoint(eager=True)
+        # Lazy checkpoint (r14): the |E| count below materializes the
+        # blocks — one job instead of materialize + count.
+        .localCheckpoint(eager=False)
     )
     w = F.greatest(F.lit(1).cast("long"), (F.lit(6) - F.col("cnt")).cast("long"))
     cust = (F.col("o_custkey") * 2).cast("long")
