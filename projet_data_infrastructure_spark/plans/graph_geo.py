@@ -851,17 +851,39 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     are map-side-combined counts."""
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    bi = (
+    # r14 (guide §2.4): baskets as per-order SORTED DISTINCT brand arrays —
+    # ONE groupBy shuffle — instead of the row-form basket table that the
+    # old plan self-joined on oid for pair generation and joined AGAIN on
+    # oid to attach the third item. Pair enumeration and the third-item
+    # extension are now both map-side array operations: each generated
+    # (a, b) pair CARRIES the basket's strictly-greater remainder (`rest`),
+    # so after the broadcast-semi F₂ prune the surviving pairs explode
+    # their own rest — identical triple multiset (rest = {c ∈ basket :
+    # c > b} because the array is sorted+distinct), zero oid-keyed shuffle
+    # joins. Round-robin repartition(32): the array table is tiny, so AQE
+    # would coalesce the Σ d²/2 pair explosion onto 1-2 tasks. Lazy
+    # checkpoint: the n_orders count materializes the blocks in-job.
+    baskets = (
         line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
         .distinct()
-        .localCheckpoint()  # baskets: pair gen + third-item extension read it
+        .groupBy("oid")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .repartition(32)
+        .localCheckpoint(eager=False)
     )
-    n_orders = bi.select("oid").distinct().count()  # scalar for minsup
+    n_orders = baskets.count()  # scalar for minsup; fills the checkpoint
     minsup = max(2, n_orders // 300)
-    ba = bi.select("oid", F.col("item").alias("a"))
-    bb = bi.select("oid", F.col("item").alias("b"))
-    bpairs = ba.join(bb, "oid").filter(F.col("a") < F.col("b"))
+    bpairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)), (y, j) ->"
+                " struct(x AS a, y AS b,"
+                " slice(items, i + j + 3, size(items)) AS rest))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.rest")
     f2 = (
         bpairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("sup"))
@@ -879,11 +901,9 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
-    bc = bi.select("oid", F.col("item").alias("c"))
     triples = (
         bpairs.join(F.broadcast(f2), ["a", "b"], "left_semi")  # A-Priori prune
-        .join(bc, "oid")
-        .filter(F.col("c") > F.col("b"))
+        .select("a", "b", F.explode("rest").alias("c"))
         .join(F.broadcast(c3), ["a", "b", "c"], "left_semi")
         .groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).alias("support"))
