@@ -604,17 +604,30 @@ def q_copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r14 (guide §2.4): per-basket sorted brand arrays + map-side ordered
+    # pair explode replace the within-basket self-join — same (a < b) pair
+    # multiset, one groupBy shuffle instead of two join-side shuffles, and
+    # no pair row ever crosses an exchange (the (brand_a, brand_b) aggregate
+    # is map-side-combined to the tiny brand-pair domain before shuffling).
     baskets = (
         line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-    )
-    b2 = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .repartition(32)
     )
     pairs = (
-        baskets.join(b2, (baskets.l_orderkey == b2.ok) & (baskets.p_brand < b2.brand_b))
-        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)), y ->"
+                    " struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return pairs.orderBy(F.desc("n_orders"), "brand_a", "brand_b").limit(20)
@@ -631,17 +644,38 @@ def q_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a curriculum/mixture designer reads the same way a merchandiser does."""
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r14 (guide §2.4): per-basket sorted brand arrays — ONE groupBy shuffle
+    # — feed the support counts (explode), the basket total (count: also the
+    # action that fills the lazy checkpoint), and the map-side ordered pair
+    # explode; the within-basket self-join and the separate distinct-count
+    # job are gone. Same counts: the arrays ARE the distinct (order, brand)
+    # rows.
     baskets = (
         line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .repartition(32)
+        .localCheckpoint(eager=False)
     )
-    n_baskets = baskets.select("l_orderkey").distinct().count()
-    support = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    b2 = baskets.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    n_baskets = baskets.count()
+    support = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        baskets.join(b2, (baskets.l_orderkey == b2.ok) & (baskets.p_brand < b2.brand_b))
-        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)), y ->"
+                    " struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     sa = support.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
@@ -1169,26 +1203,50 @@ def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units (half-up, biased off the .5 grid), so pair scores
     are order-free integer sums and the ranking is hash-exact.
 
-    Scale shape: degrees come from one aggregate over the shared
-    checkpointed trade-pair table; the degree-capped edge list self-joins
-    on the customer key (an EQUI-join — per-key fan-out ≤ C(cap,2), so the
-    join is linear in kept edges, never quadratic in the graph); the score
+    Scale shape: one aggregate over the shared checkpointed trade-pair
+    table yields each customer's sorted supplier array (degree = array
+    size); candidate pairs explode map-side from the array (fan-out ≤
+    C(cap, 2) per neighbor, so the work is linear in kept edges, never
+    quadratic in the graph — and no pair row ever shuffles); the score
     aggregate is map-side combinable and the top-30 is a TakeOrdered cut.
     """
     pairs = _trade_pairs(spark, sf_dir)
-    deg = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("d"))
-    degw = deg.filter((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP)).select(
-        "o_custkey",
-        F.floor(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")) + F.lit(_AA_QBIAS))
-        .cast("long")
-        .alias("w"),
+    # r14 (guide §2.4): ONE groupBy of the (distinct) pair table yields both
+    # the neighbor degree (= array size) and the sorted supplier array, so
+    # the degree weight is a map-side expression and the ordered pair
+    # explosion (≤ C(cap, 2) = 300 per surviving neighbor) runs inside
+    # whole-stage codegen — the old deg aggregate + broadcast join +
+    # customer-keyed SELF-JOIN (two more shuffles of the kept edge list)
+    # collapse to this single exchange plus the final (s1, s2) aggregate.
+    # Round-robin repartition(32): the array table is tiny, so AQE would
+    # coalesce the explosion onto 1-2 tasks (see _supplier_edges).
+    byck = (
+        pairs.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("sks"))
+        .filter((F.size("sks") >= 2) & (F.size("sks") <= _AA_DEG_CAP))
+        .select(
+            F.floor(
+                F.lit(1_000_000.0) / F.log(F.size("sks").cast("double"))
+                + F.lit(_AA_QBIAS)
+            )
+            .cast("long")
+            .alias("w"),
+            "sks",
+        )
+        .repartition(32)
     )
-    kept = pairs.join(F.broadcast(degw), "o_custkey")
-    a = kept.select("o_custkey", F.col("l_suppkey").alias("s1"), "w")
-    b = kept.select("o_custkey", F.col("l_suppkey").alias("s2"))
     return (
-        a.join(b, "o_custkey")
-        .filter(F.col("s1") < F.col("s2"))
+        byck.select(
+            "w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sks, (x, i) ->"
+                    " transform(slice(sks, i + 2, size(sks)), y ->"
+                    " struct(x AS s1, y AS s2))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.s1", "p.s2", "w")
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_common"), F.sum("w").alias("aa_unats"))
         .orderBy(F.desc("aa_unats"), F.asc("s1"), F.asc("s2"))

@@ -431,19 +431,36 @@ def q_brand_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r14 (guide §2.4): per-customer sorted brand arrays — ONE groupBy
+    # shuffle — feed both the item counts (explode) and the map-side
+    # ordered pair explode; the customer-keyed self-join (two more
+    # shuffles of the incidence list) is gone. Same counts: the arrays ARE
+    # the distinct (customer, brand) rows.
     ub = (
         line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
         .join(orders, line.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "p_brand")
         .distinct()
-    ).localCheckpoint()  # reused: item counts + pair self-join
-    na = ub.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    a = ub.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand_a"))
-    b = ub.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand_b"))
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .repartition(32)
+    ).localCheckpoint()  # reused: item counts + pair explode
+    na = (
+        ub.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(b, "ck")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        ub.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)), y ->"
+                    " struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     return (
