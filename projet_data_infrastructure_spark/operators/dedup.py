@@ -234,10 +234,13 @@ def duplicate_clusters(
     # Convergence probe state (r14): min-label propagation is MONOTONE —
     # every node's new label is a min over a set that contains its old
     # label, so the label vector only ever decreases and Σlabel strictly
-    # decreases while any node changed. Tracking the scalar sum turns the
-    # per-round convergence check into one map-side aggregate over the
-    # fresh checkpoint instead of an old-vs-new join + limit probe (two
-    # shuffle jobs per round). decimal(38,0) cannot overflow at any scale.
+    # decreases while any node changed. The scalar sum rides the round's
+    # checkpoint materialization as an ``observe`` metric (Dataset
+    # .checkpoint runs through withAction, so QueryExecutionListener
+    # delivers it) — ONE job per round, no separate probe action at all.
+    # decimal(38,0) cannot overflow at any scale.
+    from pyspark.sql import Observation
+
     _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(_label_sum).collect()[0][0]
     converged = False
@@ -259,13 +262,15 @@ def duplicate_clusters(
         # (and job setup) grows superlinearly — measured ~4 s/round by
         # round 8 on a 414-edge graph. The lineage cut keeps every round
         # constant-size.
+        obs = Observation()
         new_labels = (
             labels.unionByName(neigh)
             .unionByName(hop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .observe(obs, _label_sum)
         ).localCheckpoint(eager=True)
-        new_sum = new_labels.agg(_label_sum).collect()[0][0]
+        new_sum = obs.get["s"]
         # The previous round's checkpoint has no readers left — free its
         # blocks now instead of waiting for driver GC (labels is the
         # round-0 frame on the first pass, where unpersist is a no-op).
@@ -402,10 +407,19 @@ def duplicate_clusters_starstar(
     # difference probe is a left-anti take(1) instead of exceptAll — the
     # anti-join short-circuits on the first surviving row, where exceptAll
     # builds the full per-row-count aggregate before limiting.
+    from pyspark.sql import Observation
+
     prev_n = edges.count()
     for _ in range(max_iter):
-        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        new_n = new_edges.count()
+        # The round's edge count rides the checkpoint materialization as an
+        # observe metric (r14) — one job per round instead of two.
+        obs = Observation()
+        new_edges = (
+            small_star(large_star(edges))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        new_n = obs.get["n"]
         same = new_n == prev_n and not new_edges.join(
             edges, ["u", "v"], "left_anti"
         ).take(1)
