@@ -1254,22 +1254,22 @@ def test_event_pattern_match_is_one_aggregate(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_kendall_windows_are_keyed_and_grid_bounded(spark):
-    # Both 2-D prefix passes are KEYED windows (partitioned by qty, then by
-    # usd) — no single-partition window anywhere, so the dominance algebra
-    # parallelizes at any scale. Windows read the checkpointed cells grid
-    # (ExistingRDD), never a parquet scan of lineitem, and the keyed
-    # shuffles for both window directions appear in the plan.
+def test_kendall_fold_is_arrow_over_bounded_cells(spark):
+    # r14: the only corpus-sized operation is the (usd, qty) cell count
+    # aggregate (ONE keyed exchange, map-side combined); the whole dominance
+    # algebra then runs as a single vectorized Arrow fold over the
+    # DOMAIN-bounded cell table (qty has the fixed 1..50 domain, usd the
+    # fixed price-catalog range). No grid-sized Window, no dense-grid join,
+    # no cartesian anywhere.
     from projet_data_infrastructure_spark.plans.stats_inference import q_kendall_tau_b
 
     df = q_kendall_tau_b(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    win_pos = plan.index("Window")
-    assert "Scan ExistingRDD" in plan[win_pos:], plan
-    assert "FileScan parquet" not in plan[win_pos:], plan
-    assert "hashpartitioning(qty" in plan, plan
-    assert "hashpartitioning(usd" in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("hashpartitioning(usd") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
 
 
 def test_bh_fdr_windows_only_over_nation_frame(spark):
