@@ -2042,58 +2042,78 @@ def q_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the fraction of chunk BYTES already seen elsewhere — the
     storage-dedup ratio a chunked lake would achieve.
 
-    Implementation: one char explode (posexplode of the codepoint array),
-    ONE per-doc window pass computing the gram hash from 7 lags + self
-    (fixed width ⇒ no rolling-state recurrence needed) and the running
-    boundary count (same partition+order ⇒ one Exchange + one Sort), then
-    a (doc, chunk) group rebuilding chunk text order-free via the sorted
-    (pos, char) structs, and a digest-keyed min-attribution join (the
-    ``token_ngram_novelty`` shape). Per-doc windows are bounded by document
-    length; the corpus-sized operations are all keyed aggregates.
+    Implementation (r14, guide §2.4/§4.1): chunking is per-document local
+    computation, so the whole boundary/digest build is MAP-SIDE
+    higher-order functions over the codepoint array — gram hashes via
+    indexed ``element_at`` (fixed width ⇒ no rolling-state recurrence),
+    boundary positions via ``filter(transform(sequence ...))``, one chunk
+    struct per boundary interval, then a single ``explode`` emitting one
+    row per CHUNK (~len/64 of the char count). The round-13 form exploded
+    every CHARACTER into a row and ran a per-doc window (Exchange + sort
+    of the full codepoint stream) plus a 1.5M-struct collect_list
+    aggregate; all of that is gone — the first exchange any corpus byte
+    crosses is the chunk-level digest aggregate. Downstream is unchanged:
+    a digest-keyed min-attribution join (the ``token_ngram_novelty``
+    shape) and the per-doc rollup. ``read_table_balanced`` spreads the
+    CPU-bound per-doc hashing across cores (the single-row-group local
+    file would otherwise chunk in one task).
     """
-    docs = read_table(spark, sf_dir, "documents")
-    chars = (
+    docs = read_table_balanced(spark, sf_dir, "documents")
+    coefs = [pow(_CDC_B, j, _CDC_M) for j in range(_CDC_W)]
+    # gram hash ending at 1-based index i: sum of element_at(vs, i-j)*B^j
+    gram = " + ".join(
+        f"(element_at(vs, i - {j}) % {_CDC_M}) * {coefs[j]}" if j else
+        f"(element_at(vs, i) % {_CDC_M}) * {coefs[0]}"
+        for j in range(_CDC_W)
+    )
+    chunk_structs = """
+      transform(ends, (e, k) -> named_struct(
+          'chunk_start', IF(k = 0, 0, element_at(ends, k) + 1),
+          'chunk_len',
+          e - IF(k = 0, 0, element_at(ends, k) + 1) + 1))"""
+    chunks = (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(F.col("text"), "(?!^)")).alias("pos", "ch"),
+            # Spark split keeps the trailing zero-width match as an empty
+            # string (limit = -1); drop it before taking codepoints.
+            F.expr(
+                "transform(filter(split(text, '(?!^)'), x -> x != ''),"
+                " x -> ascii(x))"
+            ).alias("vs"),
         )
-        # Spark split keeps the trailing zero-width match as an empty string
-        # (limit = -1); the oracle's range() generator has no such phantom.
-        .where(F.col("ch") != "")
-        .select("doc_id", "pos", F.ascii("ch").alias("v"))
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # gram hash over the trailing 8 chars: sum of lag_j * B^j (mod M)
-    terms = []
-    for j in range(_CDC_W):
-        coef = pow(_CDC_B, j, _CDC_M)
-        src = F.col("v") if j == 0 else F.lag("v", j).over(wdoc)
-        terms.append((F.coalesce(src, F.lit(0)) % _CDC_M) * F.lit(coef))
-    gram_hash = sum(terms[1:], terms[0]) % F.lit(_CDC_M)
-    hashed = chars.withColumn(
-        "is_boundary",
-        ((F.col("pos") >= _CDC_W - 1) & (gram_hash % _CDC_D == 0)).cast("int"),
-    )
-    # chunk ordinal = boundaries strictly BEFORE this char (boundary char
-    # closes its chunk), via the lagged running sum on the same window
-    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunked = hashed.withColumn(
-        "chunk", F.sum("is_boundary").over(wrun) - F.col("is_boundary")
-    )
-    chunks = (
-        chunked.groupBy("doc_id", "chunk")
-        .agg(
-            F.min("pos").alias("chunk_start"),
-            F.count(F.lit(1)).alias("chunk_len"),
+        .withColumn(
+            "bpos",
+            F.expr(
+                f"""IF(size(vs) >= {_CDC_W},
+                   filter(transform(sequence({_CDC_W}, size(vs)),
+                          i -> IF(({gram}) % {_CDC_M} % {_CDC_D} = 0, i - 1, -1)),
+                          x -> x >= 0),
+                   array())"""
+            ),
+        )
+        .withColumn(
+            # chunk end positions: every boundary closes a chunk; a final
+            # chunk runs to the last char unless it IS a boundary. Empty
+            # docs keep an empty ends array -> no chunk rows (the r13 char
+            # explode produced none either).
+            "ends",
+            F.expr(
+                """CASE WHEN size(vs) = 0 THEN array()
+                        WHEN size(bpos) > 0 AND element_at(bpos, -1) = size(vs) - 1
+                        THEN bpos
+                        ELSE concat(bpos, array(size(vs) - 1)) END"""
+            ),
+        )
+        .select("doc_id", "vs", F.explode(F.expr(chunk_structs)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.chunk_len").alias("chunk_len"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "v"))
-                        ),
-                        lambda s: s["v"].cast("string"),
-                    ),
-                    ",",
+                F.expr(
+                    "array_join(transform("
+                    "slice(vs, c.chunk_start + 1, c.chunk_len),"
+                    " x -> cast(x AS string)), ',')"
                 )
             ).alias("digest"),
         )
