@@ -1160,15 +1160,28 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" x -> CAST(floor(x * 1000.0 + {_QBIAS}) AS BIGINT))"
         ).alias("q"),
     )
-    proj_cols = [
+    # r14: the sign matrix enters the plan as ONE array-of-arrays literal
+    # and the 16 projections fold through zip_with/aggregate over it — the
+    # flattened 16 × 64-term column expressions compiled ~2 s of codegen
+    # per run for ≤51 surviving rows; the array fold is bytes of plan for
+    # identical BIGINT arithmetic.
+    sarr = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(s) for s in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    pv = qv.select(
+        "vec_id",
+        "q",
         F.expr(
-            " + ".join(f"({s}) * q[{i}]" for i, s in enumerate(row))
-        ).alias(f"p{j}")
-        for j, row in enumerate(signs)
-    ]
-    pv = qv.select("vec_id", "q", *proj_cols)
+            f"transform({sarr}, r -> aggregate(zip_with(r, q, (s, x) -> s * x),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+        ).alias("p"),
+    )
     a = pv.filter(F.col("vec_id") == 0).select(
-        F.col("q").alias("qa"), *[F.col(f"p{j}").alias(f"pa{j}") for j in range(_JL_K)]
+        F.col("q").alias("qa"), F.col("p").alias("pa")
     )
     b = pv.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 50))
     d2_orig = F.expr(
@@ -1176,7 +1189,8 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     d2_proj = F.expr(
-        " + ".join(f"(pa{j} - p{j}) * (pa{j} - p{j})" for j in range(_JL_K))
+        "aggregate(zip_with(pa, p, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     return (
         b.crossJoin(F.broadcast(a))
