@@ -119,17 +119,22 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round r: frontier (hop r-1 nodes, ≤|V|) broadcasts into one equi-join
     against the checkpointed edge list; newly reached nodes are the
-    anti-join against the visited set. Visited/frontier frames are |V|-
-    bounded and stay lazy across the fixed 3 rounds — only the edge list
-    (the only O(|E|) object) is checkpointed; it is scanned once per round
-    and never shuffled. Above ``graph_geo.BROADCAST_VERTEX_ROWS`` (using
-    the cheap bound |V| ≤ |E| off the checkpointed edge count) the same
-    joins run as keyed SHUFFLE_HASH joins via ``graph_geo.vertex_side`` —
-    identical rows, web-scale-safe (equivalence-tested). Output is 1 row
-    per hop level: integer count + sum of packed node ids, so an iterative
-    traversal is order-insensitively hash-exact. Open-ended traversals
-    would re-checkpoint the visited frame every few rounds (the
-    duplicate_clusters discipline).
+    anti-join against the visited set. Only the edge list (the only
+    O(|E|) object) is ever shuffled. Above
+    ``graph_geo.BROADCAST_VERTEX_ROWS`` (using the cheap bound |V| ≤ |E|
+    off the checkpointed edge count) the same joins run as keyed
+    SHUFFLE_HASH joins via ``graph_geo.vertex_side`` — identical rows,
+    web-scale-safe (equivalence-tested). Output is 1 row per hop level:
+    integer count + sum of packed node ids, so an iterative traversal is
+    order-insensitively hash-exact.
+
+    r14: the |V|-bounded visited frame is ``localCheckpoint``ed per hop
+    (the ``duplicate_clusters`` discipline). The lazy form embedded each
+    hop's lineage into every later hop — frontier_i, the anti-join and
+    the union each re-reference the visited_{i-1} tree, so the final plan
+    repeated the hop-1 subtree ~7× (a 3k-line physical plan whose shared
+    broadcasts only partially reuse): measured 3.0-3.5 s lazy vs
+    2.2-2.5 s checkpointed per-hop at sf0.1, position-matched.
     """
     from projet_data_infrastructure_spark.plans.graph_geo import (
         _trade_edges,
@@ -139,14 +144,11 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges(spark, sf_dir)  # pair table checkpointed inside
     n_vertex_bound = edges.count()  # |V| <= |E|; one in-memory pass
     cust = read_table(spark, sf_dir, "customer")
-    # Rounds stay LAZY over the checkpointed edge list (see the Bellman-Ford
-    # note): a fixed 3-hop frontier expansion collapses into one job.
-    # Checkpoint-per-round is reserved for open-ended loops (CC).
     visited = (
         cust.filter(F.col("c_custkey") < _BFS_SEED_MAX)
         .select((F.col("c_custkey") * 2).cast("long").alias("node"))
         .withColumn("hop", F.lit(0))
-    )
+    ).localCheckpoint(eager=True)
     for i in range(1, _BFS_HOPS + 1):
         frontier = visited.filter(F.col("hop") == i - 1).select("node")
         nbrs = (
@@ -157,7 +159,9 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = nbrs.join(
             vertex_side(visited.select("node"), n_vertex_bound), "node", "left_anti"
         ).withColumn("hop", F.lit(i))
-        visited = visited.unionByName(new)
+        prev = visited
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        prev.unpersist()
     out = (
         visited.groupBy("hop")
         .agg(
