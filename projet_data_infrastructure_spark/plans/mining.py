@@ -905,12 +905,12 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(supp.alias("src"), cust.alias("dst"), w.alias("w"))
     )
     n_vertex_bound = pairs.count() * 2  # |V| <= |E|; free off the checkpoint
-    # Rounds stay LAZY over the checkpointed edge list (the PageRank
-    # discipline): at a fixed 3 rounds the nested plan is small, and lazy
-    # rounds collapse the whole fixed point into ONE job instead of one
-    # materialization per round (measured ~1.5x faster). Checkpoint-per-
-    # round (the CC discipline) is for open-ended loops where lineage and
-    # optimizer time grow with the iteration count.
+    # r14: the distance frame is checkpointed per round. Unlike PageRank
+    # (where each round references the prior frame once), Bellman-Ford
+    # references dist TWICE per round (relaxation join + the min-merge
+    # union), so lazy rounds double the embedded lineage every iteration
+    # (2^r subtree copies); per-round materialization of the |V|-bounded
+    # frame measured 2.7-3.0 s -> 2.3-2.8 s at sf0.1, position-matched.
     dist = spark.range(1).select(
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
     )
@@ -921,7 +921,14 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(vertex_side(dist, n_vertex_bound), edges.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
-        dist = dist.unionByName(relaxed).groupBy("node").agg(F.min("d").alias("d"))
+        prev = dist
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         F.expr("node DIV 2").cast("string"),
