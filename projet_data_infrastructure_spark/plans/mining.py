@@ -1266,12 +1266,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # r14: the |V|-bounded label frame is checkpointed per round — it is
+    # referenced TWICE per round (frontier filter + the clamp join), so
+    # lazy rounds double the embedded vote/window lineage each iteration
+    # (measured 5.4-7.8 s -> 4.7-5.1 s at sf0.1, position-matched).
     labels = plain.select(
         F.col("vec_id").alias("node"),
         F.when(F.col("vec_id") < _LP_SEED_MAX, F.col("label"))
         .otherwise(F.lit(None).cast("int"))
         .alias("lab"),
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(_LP_ROUNDS):
         frontier = labels.filter(F.col("lab").isNotNull()).select(
             F.col("node").alias("dst"), F.col("lab").alias("nlab")
@@ -1287,9 +1291,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("nlab").alias("plab"))
         )
-        labels = labels.join(pick, "node", "left").select(
-            "node", F.coalesce(F.col("lab"), F.col("plab")).alias("lab")
+        prev = labels
+        labels = (
+            labels.join(pick, "node", "left")
+            .select("node", F.coalesce(F.col("lab"), F.col("plab")).alias("lab"))
+            .localCheckpoint(eager=True)
         )
+        prev.unpersist()
     return (
         labels.groupBy(F.coalesce(F.col("lab"), F.lit(-1)).alias("final_label"))
         .agg(
