@@ -263,10 +263,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    serves = (
-        orders.join(line, orders.o_orderkey == line.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
+    serves = orders.join(line, orders.o_orderkey == line.l_orderkey).select(
+        "o_custkey", "l_suppkey"
     )
     pair_key = F.concat(
         F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
@@ -612,7 +610,6 @@ def q_copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .repartition(32)
@@ -653,7 +650,6 @@ def q_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .repartition(32)
@@ -900,7 +896,6 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
-        .distinct()
         .groupBy("oid")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
         .repartition(32)
@@ -1484,18 +1479,18 @@ _G6_KEEP_PRED = f"((a % {_G6_M}) * 48271 + b) % {_G6_M} % {_G6_KEEP_MOD} = 0"
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    serves = (
-        orders.join(line, orders.o_orderkey == line.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
+    serves = orders.join(line, orders.o_orderkey == line.l_orderkey).select(
+        "o_custkey", "l_suppkey"
     )
     # Per-customer supplier array -> map-side ordered pair generation ->
     # Doulion filter BEFORE the pair distinct. Same edge set as the naive
     # serves⋈serves self-join + post-distinct filter, but the co-service
     # pair explosion (Σ_ck d²/2 rows) is cut 10× by the keep filter while
-    # still map-side, so the only full-size shuffles are the serves
-    # distinct and the per-ck group — the distinct on pairs sees 1/10th
-    # the volume (was the dominant cost at sf0.1: the filter ran after it).
+    # still map-side, so the only full-size shuffle is the per-ck group
+    # (collect_set dedups within the basket, so the old pre-distinct on
+    # (ck, sk) was a redundant second exchange — removed r14) — the
+    # distinct on pairs sees 1/10th the volume (was the dominant cost at
+    # sf0.1: the filter ran after it).
     # Explicit ROUND-ROBIN repartition: the per-customer array table is
     # ~15 k rows of a few MB, so AQE coalesces the group-by output to 1-2
     # partitions — and the Σ_ck d²/2 pair explosion below (12.5 M rows at
