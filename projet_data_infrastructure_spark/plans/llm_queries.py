@@ -2407,7 +2407,12 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    cw = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    # cw(w1) = Σ_w2 cb(w1, w2): derive the unigram context counts from the
+    # bigram table instead of re-scanning big — identical counts, one fewer
+    # tokenize+explode subtree evaluation and the aggregate runs over the
+    # vocab²-bounded cb rows, not the corpus-sized bigram stream (r14,
+    # guide §2.3 "aggregate before you shuffle").
+    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
     lp = cb.join(cw, "w1").select(
         "w1", "w2", F.log(F.col("cb").cast("double") / F.col("cw").cast("double")).alias("logp")
     )
