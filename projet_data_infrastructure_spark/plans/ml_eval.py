@@ -123,14 +123,24 @@ def _gbdt_split_exprs(big: str, op: str) -> dict[str, str]:
     }
 
 
-def _gbdt_best_stump(df: DataFrame, feat: str, target: str, milli: bool) -> DataFrame:
+def _gbdt_best_stump(
+    df: DataFrame, feat: str, target: str, milli: bool
+) -> tuple[DataFrame, DataFrame]:
     """One boosting stage: (feature, n, Σtarget) aggregate → cumulative
     window over the ≤50-row feature frame → arg-max split. ``milli`` =
     target already in milli-cents (stage 2) vs cents (stage 1 scales ×1000
-    inside pred via the shared expression)."""
+    inside pred via the shared expression).
+
+    Returns ``(best_split, tot)``. ``tot`` additionally carries
+    Σ|target| (``sabst``): the caller's mean-abs-residual metric over
+    ``df`` is Σ_groups Σ|target| / Σ_groups n, so it rides THIS stage's
+    feature aggregate instead of a second full scan of ``df`` (r14, guide
+    §2.3 — the residual metric pass and the next stage's split search
+    share one corpus scan)."""
     per = df.groupBy(F.col(feat).alias("feat")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(target).cast("decimal(25,0)")).alias("s"),
+        F.sum(F.abs(F.col(target))).alias("sabs"),
     )
     w = Window.orderBy("feat").rowsBetween(Window.unboundedPreceding, 0)
     cum = per.select(
@@ -138,8 +148,14 @@ def _gbdt_best_stump(df: DataFrame, feat: str, target: str, milli: bool) -> Data
         F.sum("n").over(w).alias("nl"),
         F.sum("s").over(w).alias("sl"),
     )
-    tot = per.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
-    cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("nt"))
+    tot = per.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("sabs").alias("sabst"),
+    )
+    cand = cum.crossJoin(F.broadcast(tot.select("nt", "st"))).filter(
+        F.col("nl") < F.col("nt")
+    )
     ex = _gbdt_split_exprs("DECIMAL(38,0)", "DIV")
     pred_scale = "" if milli else " * 1000"
     scored = cand.select(
@@ -151,7 +167,10 @@ def _gbdt_best_stump(df: DataFrame, feat: str, target: str, milli: bool) -> Data
         F.expr(ex["n_r"]).alias("n_r"),
     )
     wb = Window.orderBy(F.desc("score"), F.asc("feat"))
-    return scored.withColumn("brnk", F.row_number().over(wb)).filter(F.col("brnk") == 1)
+    best = scored.withColumn("brnk", F.row_number().over(wb)).filter(
+        F.col("brnk") == 1
+    )
+    return best, tot
 
 
 def q_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +180,7 @@ def q_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_GBDT_Y).alias("y"),
     )
     # Stage 1: y (cents) ~ stump(x1); predictions in milli-cents.
-    best1 = _gbdt_best_stump(li, "x1", "y", milli=False)
+    best1, _ = _gbdt_best_stump(li, "x1", "y", milli=False)
     with1 = li.crossJoin(F.broadcast(best1.select("feat", "pred_l", "pred_r"))).select(
         "x2",
         (
@@ -169,13 +188,15 @@ def q_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.when(F.col("x1") <= F.col("feat"), F.col("pred_l")).otherwise(F.col("pred_r"))
         ).alias("r1"),
     )
-    mar1 = with1.agg(
+    # Stage 2: milli-cent residuals ~ stump(x2). mar1 (mean |r1|) rides
+    # stage 2's feature aggregate (tot2.sabst / tot2.nt) — the separate
+    # full scan of with1 it used to cost is gone (r14).
+    best2, tot2 = _gbdt_best_stump(with1, "x2", "r1", milli=True)
+    mar1 = tot2.select(
         F.expr(
-            f"CAST({_fdiv('CAST(sum(abs(r1)) AS DECIMAL(25,0))', 'count(*)', 'DIV')} AS BIGINT)"
+            f"CAST({_fdiv('CAST(sabst AS DECIMAL(25,0))', 'nt', 'DIV')} AS BIGINT)"
         ).alias("mar")
     )
-    # Stage 2: milli-cent residuals ~ stump(x2).
-    best2 = _gbdt_best_stump(with1, "x2", "r1", milli=True)
     with2 = with1.crossJoin(F.broadcast(best2.select("feat", "pred_l", "pred_r"))).select(
         (
             F.col("r1")
