@@ -1032,7 +1032,7 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
        sentinel (ADVICE r9) that hash-fails the oracle gate if the qty
        domain ever drifts. The fold replaces the round-13 densified
        |usd|×50 grid, its left join, and two grid-sized window sorts
-       (measured 5.0 s → ~1.3 s at sf0.1); the single partition is
+       (measured 5.0 s → ~2-3 s warm at sf0.1); the single partition is
        scale-safe for the same reason the ≤50-row tie window always was
        — its input is domain-bounded, not data-bounded.
     3. tau_b = (C − D)/√((n0−n1)(n0−n2)) stays a Spark SQL double tree
