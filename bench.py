@@ -270,42 +270,96 @@ def main() -> None:
             out["vs_prior"]["delta_total_load_adjusted"] = round(
                 total / ratio - prior["value"], 3
             )
-    # Full record: stdout (for local capture) + a stable file beside the
-    # script, so the per-query map survives even when the driver keeps only
-    # a 2,000-char stdout tail.
+    # Full record: stdout (for local capture) + files beside the script, so
+    # the per-query map survives even when the driver keeps only a 2,000-char
+    # stdout tail. ROUND-STAMPED (VERDICT r14 item 1): the driver's low-core
+    # scaling re-run overwrote BENCH_FULL_LATEST.json in r14, losing the
+    # round's 32-core record — stamping by (round, cpus) keeps both.
     full_line = json.dumps(out)
     print(full_line)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"),
-            "w",
-        ) as f:
-            f.write(full_line + "\n")
-    except OSError:
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    n_cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 0))
+    for fname in (
+        "BENCH_FULL_LATEST.json",
+        f"BENCH_FULL_r{_max_driver_round() + 1}_c{n_cpus}.json",
+    ):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                f.write(full_line + "\n")
+        except OSError:
+            pass
     # Compact summary as the FINAL stdout line (VERDICT r12 item 4): the
     # driver json-parses the tail of stdout, and the full record outgrew its
     # 2,000-char capture in rounds 11-12 (BENCH_r{11,12}.json parsed=null).
-    # Keep this line well under the cap: totals only, no per-query map.
-    compact = {
-        "metric": "headline-query wall time (noop sink); totals only, per-query map in BENCH_FULL_LATEST.json / BENCH_LOCAL_r{N}.json",
-        "value": total,
-        "unit": "sec",
-        "n": len(specs),
-        "reps": reps,
-        "sf": sf_val,
-        "calibration_median": cal_median,
-        "membw_median": membw_median,
-    }
-    if prior_ok:
-        vp = out["vs_prior"]
-        compact["vs_prior"] = {
-            k: vp[k]
-            for k in ("prior_total", "delta_total", "load_ratio", "delta_total_load_adjusted")
-            if k in vp
-        }
-    print(json.dumps(compact))
+    # r13/r14 printed totals only, which left the driver's per-query and
+    # scaling comparisons empty (VERDICT r14 item 1) — restore a "queries"
+    # map packed to the tail budget: top-cost specs at 0.1 s rounding plus
+    # an elided-remainder count, so the line parses whole inside the capture.
+    print(json.dumps(_compact_summary(out, timings)))
     spark.stop()
+
+
+#: Byte budget for the final stdout line. The driver captures the last
+#: ~2,000 chars of stdout and parses the final JSON line; leave headroom so
+#: the whole line (plus trailing newline) always fits inside the capture.
+_COMPACT_BUDGET = 1850
+
+
+def _compact_summary(out: dict, timings: dict[str, float]) -> dict:
+    """The driver-facing final line: every scalar from the full record plus
+    as many per-query entries as fit the tail budget, most expensive first
+    (the top ~50 by cost cover >90% of total seconds; elided specs are
+    summarised by count + their summed seconds so the map remains auditable
+    against "value"). Values are rounded to 0.1 s — coarse but sufficient
+    for the driver's regression/geomean screen; exact medians live in the
+    round-stamped BENCH_FULL record."""
+    compact = {
+        "metric": "headline-query wall time (noop sink); top-cost per-query subset, full map in BENCH_FULL_r{N}_c{cpus}.json",
+        "value": out["value"],
+        "unit": "sec",
+        "n": len(timings),
+        "reps": out["reps"],
+        "sf": out["sf"],
+        "calibration_median": out["calibration"]["median"],
+        "membw_median": out["calibration"]["membw_median"],
+        "queries": {},
+        "elided": {"n": 0, "sum_sec": 0.0},
+    }
+    if "vs_prior" in out:
+        compact["vs_prior"] = {
+            k: out["vs_prior"][k]
+            for k in ("prior_total", "delta_total", "load_ratio", "delta_total_load_adjusted")
+            if k in out["vs_prior"]
+        }
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    # Fixed-part length with an empty queries map, then pack greedily.
+    budget = _COMPACT_BUDGET - len(json.dumps(compact))
+    used = 0
+    for name, sec in by_cost:
+        entry = len(json.dumps(name)) + len(json.dumps(round(sec, 1))) + 4  # `"n": v, `
+        if used + entry > budget:
+            break
+        compact["queries"][name] = round(sec, 1)
+        used += entry
+    elided = [sec for name, sec in timings.items() if name not in compact["queries"]]
+    compact["elided"] = {"n": len(elided), "sum_sec": round(sum(elided), 1)}
+    return compact
+
+
+def _max_driver_round() -> int:
+    """Newest round number among the driver's committed BENCH_r{N}.json
+    records (the driver writes its record only after the round's bench, so
+    during round N the max on disk is N-1). 0 when none exist."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
 
 
 def _pinned_headliners() -> list[str] | None:
