@@ -2416,8 +2416,18 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
     lp = cb.join(cw, "w1").select(
         "w1", "w2", F.log(F.col("cb").cast("double") / F.col("cw").cast("double")).alias("logp")
     )
+    # BROADCAST the logp table into the scoring join (r15, guide §3.1): the
+    # corpus vocabulary is generator-bounded (31 words at every SF), so lp is
+    # ≤ |V|² ≈ 961 rows at ANY scale — the same domain-bound argument as the
+    # kendall cell grid. Without the hint the planner shuffles the
+    # corpus-sized bigram stream by (w1, w2) into a sort-merge join; with it
+    # the stream is scored map-side where it was exploded, and the per-doc
+    # aggregate partial-aggregates in place (a doc's bigrams stay in its scan
+    # partition), so NO corpus-sized bytes ever cross an exchange. Local A/B
+    # is within noise (3.9 → 3.6 s median, interleaved) — the win is the
+    # 100 TB shuffle shape, not sf0.1 seconds.
     return (
-        big.join(lp, ["w1", "w2"])
+        big.join(F.broadcast(lp), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
