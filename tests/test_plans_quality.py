@@ -1286,3 +1286,16 @@ def test_bh_fdr_windows_only_over_nation_frame(spark):
     agg = plan.find("HashAggregate(keys=[c_nationkey", win_pos)
     assert agg != -1, plan
     assert "o_orderkey" not in plan[win_pos:agg], plan
+
+
+def test_cc_label_shuffle_fallback_matches_broadcast(spark, monkeypatch):
+    # r15: duplicate_clusters builds its per-round joins on the |V|-bounded
+    # label frame via an exact-count broadcast/SHUFFLE_HASH switch (the
+    # graph_geo.vertex_side discipline). The web-scale shuffle form must be
+    # row-identical to the broadcast form.
+    from projet_data_infrastructure_spark.operators import dedup
+    from projet_data_infrastructure_spark.plans.advanced import q_entity_resolution
+
+    base = q_entity_resolution(spark, SF).collect()
+    monkeypatch.setattr(dedup, "_BROADCAST_LABEL_ROWS", 0)
+    assert q_entity_resolution(spark, SF).collect() == base
