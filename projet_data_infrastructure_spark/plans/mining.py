@@ -1255,7 +1255,20 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     plain = read_table(spark, sf_dir, "embeddings")
     emb = read_table_balanced(spark, sf_dir, "embeddings")
-    c = similarity.derived_n_centroids(plain.count())
+    n_emb = plain.count()
+    c = similarity.derived_n_centroids(n_emb)
+    # The frontier/pick frames below are |V|-bounded (≤ one row per
+    # embedding) but come out of checkpoints/aggregates with no stats, so
+    # Catalyst would sort-merge and shuffle the edge list every round. Pick
+    # the build side explicitly on the exact |V| that was already counted
+    # for the centroid derivation — broadcast below the graph specs'
+    # 50M-row switch, keyed SHUFFLE_HASH above (identical algebra; r15,
+    # guide §3.1: 4.12 → 3.91 s median position-matched).
+    _side = (
+        F.broadcast
+        if n_emb <= 50_000_000
+        else (lambda d: d.hint("shuffle_hash"))
+    )
     pairs = similarity.neardup_pairs_bucketed(
         emb, threshold=_LP_SIM, n_centroids=c, centroid_src=plain
     ).select("vec_a", "vec_b")
@@ -1281,7 +1294,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("dst"), F.col("lab").alias("nlab")
         )
         votes = (
-            edges.join(frontier, "dst")
+            edges.join(_side(frontier), "dst")
             .groupBy(F.col("src").alias("node"), "nlab")
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -1293,7 +1306,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev = labels
         labels = (
-            labels.join(pick, "node", "left")
+            labels.join(_side(pick), "node", "left")
             .select("node", F.coalesce(F.col("lab"), F.col("plab")).alias("lab"))
             .localCheckpoint(eager=True)
         )
