@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from projet_data_infrastructure_spark.operators.asof import asof_join, carry_forward
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.session import default_parallelism
 from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
 
 # --------------------------------------------------------------------------
@@ -1928,7 +1929,7 @@ def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass ran on a single task (measured 9.2 s; 32-way ≈ 3x faster). A
     # user-specified repartition is AQE-coalesce-exempt; the build side
     # broadcasts, so this adds no join exchange.
-    a = part.repartition(32, "p_partkey").alias("a")
+    a = part.repartition(default_parallelism(), "p_partkey").alias("a")
     b = part.alias("b")
     band = (
         F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.session import default_parallelism
 from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
 
 # --------------------------------------------------------------------------
@@ -1267,7 +1268,7 @@ def q_user_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair fan-out below then runs on a single task (measured 7.4 s;
         # 32-way ≈ 3x). User-specified repartitioning is coalesce-exempt,
         # and the self-join keys on h so this is its only exchange.
-        .repartition(32, "h")
+        .repartition(default_parallelism(), "h")
     )
     a = hourly.select(
         F.col("user_id").alias("ua"), F.col("h").alias("h"), F.col("cents").alias("xa")

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sql
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.session import default_parallelism
 from projet_data_infrastructure_spark.sources.readers import read_table
 
 # --------------------------------------------------------------------------
@@ -281,7 +282,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the only full-size shuffle sees 1/10th of the enumerated pairs.
     byck = serves.groupBy("o_custkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("sks")
-    ).repartition(32)
+    ).repartition(default_parallelism())
     raw_pairs = byck.select(
         F.explode(
             F.expr(
@@ -325,7 +326,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    ).repartition(32, "lo").localCheckpoint()
+    ).repartition(default_parallelism(), "lo").localCheckpoint()
     adj = oriented.groupBy("lo").agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
     tri = (
         oriented.join(
@@ -612,7 +613,7 @@ def q_copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .repartition(32)
+        .repartition(default_parallelism())
     )
     pairs = (
         baskets.select(
@@ -652,7 +653,7 @@ def q_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .repartition(32)
+        .repartition(default_parallelism())
         .localCheckpoint(eager=False)
     )
     n_baskets = baskets.count()
@@ -898,7 +899,7 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
         .groupBy("oid")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
-        .repartition(32)
+        .repartition(default_parallelism())
         .localCheckpoint(eager=False)
     )
     n_orders = baskets.count()  # scalar for minsup; fills the checkpoint
@@ -1228,7 +1229,7 @@ def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
             "sks",
         )
-        .repartition(32)
+        .repartition(default_parallelism())
     )
     return (
         byck.select(
@@ -1501,7 +1502,7 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that buys 32-way execution of the explosion.
     byck = serves.groupBy("o_custkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("sks")
-    ).repartition(32)
+    ).repartition(default_parallelism())
     pairs = byck.select(
         F.explode(
             F.expr(
@@ -1566,7 +1567,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    ).repartition(32, "lo").localCheckpoint()  # read 3x (probe + adjacency)
+    ).repartition(default_parallelism(), "lo").localCheckpoint()  # read 3x (probe + adjacency)
     # Triangle enumeration by per-edge adjacency intersection instead of a
     # materialized wedge join: on this DENSE graph (avg degree ~100 after
     # sparsification) the wedge table is ~Σ outdeg² ≈ 25× the edge count and

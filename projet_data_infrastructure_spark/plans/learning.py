@@ -39,6 +39,7 @@ from projet_data_infrastructure_spark.functions.hashing import hash64, hash64_sq
 from projet_data_infrastructure_spark.operators.text import tokens
 from projet_data_infrastructure_spark.plans._portable import pround, pround_sql
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.session import default_parallelism
 from projet_data_infrastructure_spark.sources.readers import read_table, read_table_balanced
 
 _TOKS_LOWER_SQL = (
@@ -443,7 +444,7 @@ def q_brand_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("o_custkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .repartition(32)
+        .repartition(default_parallelism())
     ).localCheckpoint()  # reused: item counts + pair explode
     na = (
         ub.select(F.explode("bs").alias("p_brand"))

@@ -36,6 +36,7 @@ from projet_data_infrastructure_spark.plans._portable import (
     pround_sql,
 )
 from projet_data_infrastructure_spark.plans.registry import QuerySpec
+from projet_data_infrastructure_spark.session import default_parallelism
 from projet_data_infrastructure_spark.sources.readers import read_table
 
 SPECS: list[QuerySpec] = []
@@ -3306,7 +3307,7 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     tall = (
         ev.select("event_type", "value", "event_id")
-        .repartition(32)
+        .repartition(default_parallelism())
         .select(
             "event_type",
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
