@@ -187,12 +187,18 @@ def apply_cdc_batch_ooo(target_path: str, changes: DataFrame, key: str = "id") -
     """
     from projet_data_infrastructure_spark.streaming import versioned
 
-    latest = latest_by_key(changes, key)
+    # One reduction per batch, not two: the per-key argmax over
+    # (ts_ms, _seq, op) is associative, so pre-reducing the incoming slice
+    # before reducing ``stored ∪ incoming`` only removes rows the outer
+    # window discards anyway — same winner row, one fewer window + exchange
+    # per micro-batch (r15, guide §2.4).
     if versioned.snapshot_exists(target_path):
-        current = versioned.read_snapshot(latest.sparkSession, target_path)
+        current = versioned.read_snapshot(changes.sparkSession, target_path)
         latest = latest_by_key(
-            current.unionByName(latest, allowMissingColumns=True), key
+            current.unionByName(changes, allowMissingColumns=True), key
         )
+    else:
+        latest = latest_by_key(changes, key)
     versioned.write_snapshot(latest, target_path)
 
 
