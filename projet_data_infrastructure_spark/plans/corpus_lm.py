@@ -1329,6 +1329,62 @@ def doc_token_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+def index_tokens_and_bands(index_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ONE materialization serving both index-side inputs of the streaming
+    incremental dedup: the token sets (exact-Jaccard verify) and the LSH
+    band rows (candidate join). The separate :func:`doc_token_sets` /
+    :func:`minhash_band_rows` checkpoints tokenized the index corpus twice
+    in two jobs (r15, guide §2.3 — the signatures here fold map-side with
+    ``array_min`` over the shingle array, a per-row expression identical to
+    the groupBy(min) signature, so the combined frame needs no exchange at
+    all). Band keys and token sets are row-identical to the two-pass form.
+
+    Returns ``(idx_toks, idx_bands)`` — projections of one eagerly
+    checkpointed frame; idx_bands carries (index_doc, band, key)."""
+    from projet_data_infrastructure_spark.functions.hashing import hash64
+    from projet_data_infrastructure_spark.operators import dedup
+
+    n_bands = dedup.MINHASH_HASHES // dedup.MINHASH_BAND_ROWS
+    base = index_docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sig_cols = [
+        F.when(
+            F.size("toks") >= 3,
+            F.array_min(
+                F.transform(
+                    dedup.shingles_from_tokens("toks", 3),
+                    (lambda j: (lambda s: hash64(s, seed=j)))(j),
+                )
+            ),
+        ).alias(f"m{j}")
+        for j in range(dedup.MINHASH_HASHES)
+    ]
+    comb = base.select(
+        "doc_id", F.array_distinct(F.array_sort("toks")).alias("ts"), *sig_cols
+    ).localCheckpoint(eager=True)
+    idx_toks = comb.select("doc_id", "ts")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * dedup.MINHASH_BAND_ROWS + r}")
+                        for r in range(dedup.MINHASH_BAND_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    idx_bands = (
+        comb.filter(F.col("m0").isNotNull())
+        .select(F.col("doc_id").alias("index_doc"), F.explode(bands).alias("bk"))
+        .select("index_doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    return idx_toks, idx_bands
+
+
 def jaccard_best_match(cand: DataFrame, new_toks: DataFrame, idx_toks: DataFrame) -> DataFrame:
     """Verify (new_doc, index_doc) candidates with exact unigram Jaccard
     ≥ _INCR_JACCARD and reduce to the best index match per new doc
