@@ -295,10 +295,10 @@ def duplicate_clusters(
             .observe(obs, _label_sum)
         ).localCheckpoint(eager=True)
         new_sum = obs.get["s"]
-        # The previous round's checkpoint has no readers left — free its
-        # blocks now instead of waiting for driver GC (labels is the
-        # round-0 frame on the first pass, where unpersist is a no-op).
-        labels.unpersist()
+        # The superseded round's checkpoint blocks are freed by the
+        # ContextCleaner once the old frame is unreachable —
+        # Dataset.unpersist cannot release localCheckpoint blocks (they are
+        # not CacheManager entries; ADVICE r14).
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -313,9 +313,9 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iter} iterations; "
             "raise max_iter or switch to the large-star/small-star variant"
         )
-    # The returned frame reads from the final checkpoint only — the edge
-    # blocks have no remaining readers.
-    edges.unpersist()
+    # The returned frame reads from the final checkpoint only; the edge
+    # blocks are reaped by the ContextCleaner when the frame goes out of
+    # scope (and the bench releases all persistent RDDs between specs).
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
@@ -447,7 +447,8 @@ def duplicate_clusters_starstar(
         same = new_n == prev_n and not new_edges.join(
             edges, ["u", "v"], "left_anti"
         ).take(1)
-        edges.unpersist()
+        # ContextCleaner frees the superseded checkpoint (see the min-label
+        # loop above; Dataset.unpersist is a no-op on localCheckpoint blocks).
         edges = new_edges
         prev_n = new_n
         if same:
@@ -464,11 +465,9 @@ def duplicate_clusters_starstar(
     labels = labels.unionByName(
         roots.select("node", F.col("node").alias("label"))
     ).distinct()
-    out = labels.select(
+    return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
-    edges.unpersist()
-    return out
 
 
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -2149,12 +2149,14 @@ def q_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             # chunk end positions: every boundary closes a chunk; a final
-            # chunk runs to the last char unless it IS a boundary. Empty
-            # docs keep an empty ends array -> no chunk rows (the r13 char
-            # explode produced none either).
+            # chunk runs to the last char unless it IS a boundary. Empty OR
+            # NULL docs keep an empty ends array -> no chunk rows (the r13
+            # char explode produced none either; size(NULL) = -1 under
+            # legacy sizeOfNull would otherwise emit a phantom ends=[-2]
+            # chunk — ADVICE r14, unreachable today but guarded).
             "ends",
             F.expr(
-                """CASE WHEN size(vs) = 0 THEN array()
+                """CASE WHEN vs IS NULL OR size(vs) <= 0 THEN array()
                         WHEN size(bpos) > 0 AND element_at(bpos, -1) = size(vs) - 1
                         THEN bpos
                         ELSE concat(bpos, array(size(vs) - 1)) END"""

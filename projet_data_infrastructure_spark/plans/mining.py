@@ -159,9 +159,10 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = nbrs.join(
             vertex_side(visited.select("node"), n_vertex_bound), "node", "left_anti"
         ).withColumn("hop", F.lit(i))
-        prev = visited
+        # Superseded checkpoints are freed by the ContextCleaner once the
+        # old frame is unreachable; Dataset.unpersist cannot release
+        # localCheckpoint blocks (they are not CacheManager entries — ADVICE r14).
         visited = visited.unionByName(new).localCheckpoint(eager=True)
-        prev.unpersist()
     out = (
         visited.groupBy("hop")
         .agg(
@@ -921,14 +922,14 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(vertex_side(dist, n_vertex_bound), edges.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
-        prev = dist
+        # ContextCleaner frees the superseded checkpoint (ADVICE r14:
+        # Dataset.unpersist cannot release localCheckpoint blocks).
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
-        prev.unpersist()
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         F.expr("node DIV 2").cast("string"),
@@ -1304,13 +1305,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("nlab").alias("plab"))
         )
-        prev = labels
+        # ContextCleaner frees the superseded checkpoint (ADVICE r14:
+        # Dataset.unpersist cannot release localCheckpoint blocks).
         labels = (
             labels.join(_side(pick), "node", "left")
             .select("node", F.coalesce(F.col("lab"), F.col("plab")).alias("lab"))
             .localCheckpoint(eager=True)
         )
-        prev.unpersist()
     return (
         labels.groupBy(F.coalesce(F.col("lab"), F.lit(-1)).alias("final_label"))
         .agg(

@@ -990,7 +990,11 @@ def _kendall_fold(batches):
     # In-domain dense grid (|usd| × 50) and its 2-D strict prefix sums.
     inb = (qty >= 1) & (qty <= 50)
     m = np.zeros((len(uu), 50), dtype=np.int64)
-    m[uinv[inb], qty[inb] - 1] = n[inb]
+    # add.at, not assignment: the upstream groupBy guarantees unique
+    # (usd, qty) cells today, but an accumulating fold stays correct if the
+    # helper is ever fed a non-aggregated stream (ADVICE r14) — matching how
+    # tu/tq already accumulate.
+    np.add.at(m, (uinv[inb], qty[inb] - 1), n[inb])
     cu = np.cumsum(m, axis=0) - m  # strict-usd prefix per qty column
     sc = np.cumsum(cu, axis=1) - cu  # + strict-qty prefix → dominated count
     sx = np.cumsum(m, axis=1) - m  # within-row strict-qty prefix
