@@ -21,7 +21,14 @@ Writes to /root/repo/synthdata/sf1 (git-ignored). Deterministic: re-running
 produces byte-identical row sets (order within parquet files may differ;
 all consumers aggregate).
 
-Usage: python tools/synth_sf1.py [src_sf_dir] [out_dir]
+Usage: python tools/synth_sf1.py [src_sf_dir] [out_dir] [only_tables] [n_copies]
+
+``n_copies`` (r15, VERDICT r13 item 4 / r14 item 8): 100 builds the sf10
+decade rung directly from sf0.1 with the same stride (keys stay < 1e11,
+packed node ids < 2^63). CAVEAT for n_copies > 26: the documents.text
+alphabet rotation has only 26 distinct states, so cross-copy shingle
+DISJOINTNESS breaks for copies 26 apart — the sf10 sweep therefore excludes
+the documents-driven specs (graph/stream/stats families only).
 """
 
 from __future__ import annotations
@@ -120,9 +127,12 @@ def _content_transform(table: str, col: str, copy_col):
 
 
 def main() -> None:
+    global N_COPIES
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/synthdata/sf1"
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
+    if len(sys.argv) > 4:
+        N_COPIES = int(sys.argv[4])
     spark = get_spark("synth-sf1")
     # events.ts must round-trip at the SAME physical parquet type the driver
     # ships (TIMESTAMP_MICROS): INT96 output would defeat the stream side's
