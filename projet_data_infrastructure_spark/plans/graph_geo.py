@@ -107,15 +107,21 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_trade_edges` for the half-checkpoint rationale)."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     line = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # LAZY checkpoint (r14, guide §1.2): every caller's first action (a
-    # count for the |V| bound, or the exec job's first pass) fully consumes
-    # the pair table, so that job materializes the blocks — one fewer job
-    # per trade-graph spec than the old eager materialize-then-probe pair.
+    # EAGER checkpoint (r15, reversing the r14 lazy experiment with scale
+    # evidence): every caller consumes this frame TWICE IN ITS FIRST JOB
+    # (fwd ∪ rev arc projections), and an unmaterialized lazy checkpoint is
+    # recomputed per consumer within that job — at sf0.1 that double
+    # evaluation is a ~60 MB exchange (A/B wash, why r14 kept lazy), but at
+    # the synthetic sf10 rung the pair build crosses the broadcast threshold
+    # and the double evaluation shuffles 2 × 1.0 GB (byte-identical stages
+    # 36/45 in the bellman stage profile; SCALING_SF10 first measured
+    # shuffle α 1.77-1.90 on bfs/bellman from exactly this). Eager pays one
+    # extra small job at sf0.1 and halves the pair-build shuffle at scale.
     return (
         orders.join(line, orders.o_orderkey == line.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1111,7 +1117,13 @@ def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).cast("long").alias("c"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
     )
-    n_vertex_bound = pairs.count() * 2
+    # TIGHT |V| bound from the dimension tables (r15, see q_bfs_khop): the
+    # old |E|-count bound flips the half-round joins to SHUFFLE_HASH long
+    # before the TRUE vertex set outgrows a broadcast.
+    n_vertex_bound = (
+        read_table(spark, sf_dir, "customer").count()
+        + read_table(spark, sf_dir, "supplier").count()
+    )
     # h0 = UNIT for every customer → a1 = UNIT · indeg(s)
     auth = arcs.groupBy("s").agg((F.count(F.lit(1)) * F.lit(_HITS_UNIT)).alias("a"))
     for it in range(_HITS_ITERS):

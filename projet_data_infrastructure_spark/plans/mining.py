@@ -142,7 +142,17 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _trade_edges(spark, sf_dir)  # pair table checkpointed inside
-    n_vertex_bound = edges.count()  # |V| <= |E|; one in-memory pass
+    # TIGHT |V| bound from the dimension tables (parquet-metadata counts,
+    # the kcore discipline) — r15: the old |V| ≤ |E| edge-count bound
+    # crossed BROADCAST_VERTEX_ROWS at the synthetic sf10 rung (240 M arcs
+    # vs 1.6 M true nodes), flipping every per-hop join to SHUFFLE_HASH and
+    # shuffling the 1.5 GB edge list once per hop (SCALING_SF10 first
+    # measured shuffle α 1.90 from exactly this; the bound fix restores the
+    # broadcast plan wherever the TRUE vertex set fits).
+    n_vertex_bound = (
+        read_table(spark, sf_dir, "customer").count()
+        + read_table(spark, sf_dir, "supplier").count()
+    )
     cust = read_table(spark, sf_dir, "customer")
     visited = (
         cust.filter(F.col("c_custkey") < _BFS_SEED_MAX)
@@ -905,7 +915,16 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(cust.alias("src"), supp.alias("dst"), w.alias("w")).unionByName(
         pairs.select(supp.alias("src"), cust.alias("dst"), w.alias("w"))
     )
-    n_vertex_bound = pairs.count() * 2  # |V| <= |E|; free off the checkpoint
+    pairs.count()  # materializes the lazy checkpoint in ONE pass before the
+    # doubled-arc union below consumes it twice (an unmaterialized lazy
+    # checkpoint is recomputed per consumer within a job).
+    # TIGHT |V| bound (r15, see q_bfs_khop): the old |E|-count bound crossed
+    # the broadcast switch at the sf10 rung and shuffled the edge list every
+    # round (shuffle α 1.77 in the first SCALING_SF10 sweep).
+    n_vertex_bound = (
+        read_table(spark, sf_dir, "customer").count()
+        + read_table(spark, sf_dir, "supplier").count()
+    )
     # r14: the distance frame is checkpointed per round. Unlike PageRank
     # (where each round references the prior frame once), Bellman-Ford
     # references dist TWICE per round (relaxation join + the min-merge
