@@ -107,6 +107,33 @@ def test_benford_shares_sum_to_one(spark):
     assert abs(sum(r.expected for r in rows) - 1.0) < 1e-4
 
 
+def test_benford_matches_python_reference(spark):
+    # r15 fixture-audit hand sample: the sum-to-one test above is a property
+    # check, not an independent expectation — this one recomputes the whole
+    # profile from the raw parquet in plain Python (the audit's standard).
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    cnt = Counter()
+    for p in t.column("o_totalprice").to_pylist():
+        cents = int(math.floor(p * 100 + 0.5))
+        cnt[int(str(cents)[0])] += 1
+    total = sum(cnt.values())
+
+    def py_pround(x, n=6):
+        return math.floor(x * 10**n + 0.5) / 10**n
+
+    rows = gg.q_benford_digit_profile(spark, SF).collect()
+    assert [r.digit for r in rows] == sorted(cnt)
+    for r in rows:
+        assert r.n == cnt[r.digit], r
+        assert r.observed == py_pround(cnt[r.digit] / total), r
+        assert r.deviates == (abs(cnt[r.digit] / total - r.expected) > 0.02), r
+
+
 def test_copurchase_counts_each_order_once(spark, monkeypatch):
     line = spark.createDataFrame(
         # order 1 buys brands A, A, B, C (A twice); order 2 buys A, B
