@@ -303,7 +303,15 @@ def test_hits_matches_python_reference(spark, monkeypatch):
         [(100, 10), (100, 20), (101, 10), (102, 10), (103, 30)],
         "l_orderkey long, l_suppkey long",
     )
-    _with_tables(monkeypatch, {"orders": orders, "lineitem": line})
+    # r15: the |V| bound now comes from the dimension tables (metadata-only
+    # counts); the crafted graph must ship them too. Only the COUNT matters
+    # (it sizes the broadcast/shuffle switch), not the rows.
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    supp = spark.createDataFrame([(10,), (20,), (30,)], "s_suppkey long")
+    _with_tables(
+        monkeypatch,
+        {"orders": orders, "lineitem": line, "customer": cust, "supplier": supp},
+    )
     got = {r.node: r.authority_micro for r in gg.q_hits_authorities(spark, SF).collect()}
     ref = _hits_reference([(1, 10), (1, 20), (2, 10), (3, 10), (1, 30)])
     assert got == {f"s{s}": a for s, a in ref.items()}
